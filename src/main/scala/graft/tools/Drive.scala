@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ice.transform._
+import graft.ice.types._
+
+/** Dev driver: exercises the public library surface against real testdata.
+  * Usage: sbt "runMain graft.tools.Drive [sfDir]" */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-drive")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+    // bucket[8] on l_orderkey (long) — distributed UDF path
+    val bucketed = li.withColumn("bkt",
+      BucketTransform(8).toColumn(col("l_orderkey"), LongT))
+    println("== bucket[8](l_orderkey) distribution:")
+    bucketed.groupBy("bkt").count().orderBy("bkt").show(20, false)
+
+    // cross-check: driver-side apply() must agree with the Column path
+    val sample = bucketed.select("l_orderkey", "bkt").limit(50).collect()
+    val mismatches = sample.count { r =>
+      BucketTransform(8)(r.getLong(0), LongT) != r.getInt(1)
+    }
+    println(s"== driver-vs-executor bucket agreement on 50 rows: ${50 - mismatches}/50")
+
+    // temporal transforms on l_shipdate (timestamp)
+    val t = li.select(
+      col("l_shipdate"),
+      YearTransform.toColumn(col("l_shipdate"), TimestampT).as("yr"),
+      MonthTransform.toColumn(col("l_shipdate"), TimestampT).as("mo"),
+      DayTransform.toColumn(col("l_shipdate"), TimestampT).as("dy"),
+      HourTransform.toColumn(col("l_shipdate"), TimestampT).as("hr"))
+    println("== temporal transforms on l_shipdate:")
+    t.show(5, false)
+    val tr = t.limit(20).collect()
+    val tMis = tr.count { r =>
+      // testdata timestamps are TIMESTAMP_NTZ -> LocalDateTime
+      val ldt = r.getAs[java.time.LocalDateTime](0)
+      val us = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      YearTransform(us, TimestampT) != r.getInt(1) ||
+        MonthTransform(us, TimestampT) != r.getInt(2) ||
+        HourTransform(us, TimestampT) != r.getInt(4)
+    }
+    println(s"== driver-vs-executor temporal agreement on 20 rows: ${20 - tMis}/20")
+
+    // truncate on a string col
+    val tt = li.select(col("l_returnflag"),
+      TruncateTransform(1).toColumn(col("l_returnflag"), StringT).as("tr1"),
+      TruncateTransform(3).toColumn(lit("Hello, World!"), StringT).as("trs"))
+    tt.show(3, false)
+
+    spark.stop()
+    println("DRIVE OK")
+  }
+}

@@ -1,0 +1,445 @@
+package graft.ice
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ice.catalog._
+import graft.ice.expr._
+import graft.ice.manifest._
+import graft.ice.meta._
+import graft.ice.transform.IdentityTransform
+import graft.ice.types._
+import graft.ice.write.Metrics
+
+/** Table facade (reference: table.h:35-130) + scan/append operations.
+  *
+  * Division of labor (SURVEY §3.1): metadata, planning and commit run on
+  * the driver (cheap, metadata-sized); all data movement is Spark jobs.
+  * One FileScanTask ≈ one Spark input split; Spark's vectorized parquet
+  * reader replaces the reference's Arrow batch reader. */
+final class IceTable private (
+    val catalog: Catalog,
+    val ident: TableIdentifier,
+    @volatile private var meta: TableMetadata,
+    @volatile private var version: Int) {
+
+  def metadata: TableMetadata = meta
+  def schema: Schema = meta.currentSchema
+  def spec: PartitionSpec = meta.defaultSpec
+  def location: String = meta.location
+  def snapshots: Seq[Snapshot] = meta.snapshots
+  def currentSnapshot: Option[Snapshot] = meta.currentSnapshot
+  def history: Seq[SnapshotLogEntry] = meta.snapshotLog
+  def refs: Map[String, SnapshotRef] = meta.refs
+  def properties: Map[String, String] = meta.properties
+
+  def refresh(): IceTable = {
+    val t = catalog.loadTable(ident)
+    meta = t.metadata; version = t.version
+    this
+  }
+
+  def newScan(): ScanBuilder = new ScanBuilder(this)
+
+  /** Optimistic commit with retry (commit.retry.* defaults,
+    * table_properties.h:80-93): re-applies `update` on a fresh base when
+    * a concurrent commit wins the version race. */
+  def commit(update: TableMetadata => TableMetadata, retries: Int = 4): TableMetadata = {
+    var attempt = 0
+    while (true) {
+      val updated = update(meta)
+      try {
+        val v = catalog.commit(ident, version, updated)
+        meta = updated; version = v
+        return updated
+      } catch {
+        case e: CommitFailedException =>
+          attempt += 1
+          if (attempt > retries) throw e
+          Thread.sleep(math.min(100L << (attempt - 1), 60000L))
+          refresh()
+      }
+    }
+    meta
+  }
+
+  def append(spark: SparkSession): AppendOp = new AppendOp(this, spark)
+
+  def metadataFileDir: String = s"${meta.location}/metadata"
+  def dataFileDir: String = s"${meta.location}/data"
+
+  /** All live data-file entries of a snapshot (driver-side plan). */
+  def planEntries(snapshot: Snapshot, rowFilter: Option[Bound]): Seq[ManifestEntry] = {
+    val manifests = ManifestAvro.readManifestList(snapshot.manifestList)
+    val dataManifests = manifests.filter(_.content == ManifestContent.Data)
+    val scanSchema = snapshot.schemaId.flatMap(meta.schemaById).getOrElse(schema)
+
+    val pruned = rowFilter match {
+      case None => dataManifests
+      case Some(bound) =>
+        dataManifests.filter { m =>
+          val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+          if (mSpec.isUnpartitioned) true
+          else {
+            val partExpr = InclusiveProjection.project(bound, mSpec)
+            new ManifestEvaluator(mSpec).canContainRows(partExpr, m)
+          }
+        }
+    }
+
+    val metricsEval = new MetricsEvaluator
+
+    pruned.flatMap { m =>
+      val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+      val partType = mSpec.partitionType(scanSchema)
+      val entries = ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
+        .filter(_.isLive)
+      rowFilter match {
+        case None => entries
+        case Some(bound) =>
+          val partExpr = InclusiveProjection.project(bound, mSpec)
+          val tupleEval = new PartitionTupleEvaluator(mSpec)
+          entries.filter { e =>
+            tupleEval.eval(partExpr, e.dataFile.partition) &&
+              metricsEval.canContainRows(bound, e.dataFile)
+          }
+      }
+    }
+  }
+}
+
+object IceTable {
+  def from(ref: TableRef): IceTable =
+    new IceTable(ref.catalog, ref.ident, ref.metadata, ref.version)
+
+  def create(catalog: Catalog, ident: TableIdentifier, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      sortOrder: SortOrder = SortOrder.unsorted,
+      properties: Map[String, String] = Map.empty): IceTable =
+    from(catalog.createTable(ident, schema, spec, sortOrder, properties))
+
+  def load(catalog: Catalog, ident: TableIdentifier): IceTable =
+    from(catalog.loadTable(ident))
+}
+
+/** One task ≈ one data file (+ its split offsets); maps to Spark input
+  * splits (table_scan.h FileScanTask). */
+final case class FileScanTask(file: DataFile, specId: Int)
+
+/** Fluent scan builder (reference: table_scan.cc:171-246). */
+final class ScanBuilder(table: IceTable) {
+  private var snapshotId: Option[Long] = None
+  private var branchOrTag: Option[String] = None
+  private var filterExpr: Option[Expr] = None
+  private var projection: Option[Seq[String]] = None
+  private var caseSensitive: Boolean = true
+
+  def useSnapshot(id: Long): ScanBuilder = { snapshotId = Some(id); this }
+  def useRef(name: String): ScanBuilder = { branchOrTag = Some(name); this }
+  /** Time travel: snapshot current as-of timestamp (snapshot_log scan). */
+  def asOfTimestamp(ms: Long): ScanBuilder = {
+    val id = table.metadata.snapshotLog.filter(_.timestampMs <= ms)
+      .lastOption.map(_.snapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot as of $ms"))
+    snapshotId = Some(id); this
+  }
+  def filter(e: Expr): ScanBuilder = {
+    filterExpr = Some(filterExpr.map(f => Expr.and(f, e)).getOrElse(e)); this
+  }
+  def select(cols: String*): ScanBuilder = { projection = Some(cols); this }
+  def withCaseSensitive(cs: Boolean): ScanBuilder = { caseSensitive = cs; this }
+
+  def resolveSnapshot(): Option[Snapshot] = {
+    val byRef = branchOrTag.flatMap(r => table.refs.get(r).map(_.snapshotId))
+    snapshotId.orElse(byRef) match {
+      case Some(id) => Some(table.metadata.snapshotById(id).getOrElse(
+        throw new IllegalArgumentException(s"snapshot $id not found")))
+      case None => table.currentSnapshot
+    }
+  }
+
+  def scanSchema: Schema = {
+    val snap = resolveSnapshot()
+    val base = snap.flatMap(_.schemaId).flatMap(table.metadata.schemaById)
+      .getOrElse(table.schema)
+    projection match {
+      case Some(cols) => base.select(cols, caseSensitive)
+      case None => base
+    }
+  }
+
+  def planFiles(): Seq[FileScanTask] = resolveSnapshot() match {
+    case None => Nil
+    case Some(snap) =>
+      val bound = filterExpr.map(e => Binder.bind(e, table.schema, caseSensitive))
+      table.planEntries(snap, bound)
+        .map(e => FileScanTask(e.dataFile, 0))
+  }
+
+  /** Execute as a DataFrame: Spark's vectorized parquet reader over the
+    * planned file list, with field-ID-based column resolution and the
+    * residual filter pushed into the scan by Catalyst.
+    *
+    * Field-ID resolution (P3): files written by this library carry parquet
+    * field ids and are matched by id (rename/evolution-safe); files
+    * registered via addFiles may lack ids and fall back to name matching
+    * (the reference's name-mapping path, name_mapping.h). Spark cannot mix
+    * both strategies in one read, so the file list splits into two scans
+    * union'd together — id-matched files read with the id-carrying schema,
+    * id-less files with a metadata-stripped schema (pure name matching). */
+  def toDF(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val s = scanSchema
+    val tasks = planFiles()
+    val sparkSchema = SparkConv.toSpark(s)
+    if (tasks.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    }
+    val dataDirPrefix = ManifestAvro.stripFileScheme(table.dataFileDir)
+    val (internal, external) = tasks
+      .map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+      .partition(p => p.startsWith(dataDirPrefix) || ScanBuilder.hasFieldIds(p, spark))
+    val plainSchema = org.apache.spark.sql.types.StructType(
+      sparkSchema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    var df = (internal, external) match {
+      case (ps, Nil) => spark.read.schema(sparkSchema).parquet(ps: _*)
+      case (Nil, ps) => spark.read.schema(plainSchema).parquet(ps: _*)
+      case (ips, eps) =>
+        spark.read.schema(sparkSchema).parquet(ips: _*)
+          .unionByName(spark.read.schema(plainSchema).parquet(eps: _*))
+    }
+    filterExpr.foreach { e =>
+      // bind against the full snapshot schema: filters may reference
+      // non-projected columns only if projected; keep it simple — bind on
+      // the scan schema when projected, else the table schema.
+      val bindSchema = projection match {
+        case Some(_) => s
+        case None => table.schema
+      }
+      df = df.filter(ToColumn(Binder.bind(e, bindSchema, caseSensitive)))
+    }
+    df
+  }
+}
+
+object ScanBuilder {
+  /** Driver-side cache: does this (external) parquet file carry field ids?
+    * Probed once per path; internal files skip the probe entirely. */
+  private val fieldIdCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  def hasFieldIds(path: String, spark: SparkSession): Boolean =
+    fieldIdCache.computeIfAbsent(path, { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .exists(_.getId != null)
+        } finally r.close()
+      } catch { case _: Exception => false }
+    })
+}
+
+/** Append operation (the commit path the reference declares but leaves
+  * unimplemented — transaction.h:31-51, SURVEY §3.3 steps 1-5). */
+final class AppendOp(table: IceTable, spark: SparkSession) {
+
+  /** Full write path: partition-transform clustering -> parquet files ->
+    * footer metrics -> manifest -> manifest list -> snapshot -> commit. */
+  def appendDataFrame(df: DataFrame): Snapshot = {
+    val schema = table.schema
+    val spec = table.spec
+    val sparkSchema = SparkConv.toSpark(schema)
+    val commitUuid = UUID.randomUUID().toString
+    val outDir = s"${table.dataFileDir}/$commitUuid"
+
+    // align to table schema: cast to the field's type and alias with
+    // field-id metadata (df.to() drops metadata, so alias explicitly —
+    // Spark's parquet writer emits ids only when the schema carries them)
+    val aligned = df.select(schema.fields.map { f =>
+      col(f.name).cast(SparkConv.toSparkType(f.fieldType))
+        .as(f.name, SparkConv.toSparkField(f).metadata)
+    }: _*)
+
+    // write micros (never INT96) so footer stats stay usable for pruning
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
+    if (spec.isUnpartitioned) {
+      aligned.write.mode("append").parquet(outDir)
+    } else {
+      val partCols = spec.fields.map { pf =>
+        val src = schema.findFieldById(pf.sourceId).get
+        pf.transform.toColumn(col(src.name), src.fieldType.asInstanceOf[IcePrimitive])
+          .as(pf.name)
+      }
+      // cluster by partition tuple so each task writes whole partitions
+      aligned
+        .withColumns(spec.fields.map(_.name).zip(partCols).toMap)
+        .repartition(spec.fields.map(f => col(f.name)): _*)
+        .write.mode("append")
+        .partitionBy(spec.fields.map(_.name): _*)
+        .parquet(outDir)
+    }
+
+    val files = listParquetFiles(outDir)
+    val entries = files.map { p =>
+      val m = Metrics.fromParquetFooter(p, schema,
+        spark.sessionState.newHadoopConf())
+      val partition = parsePartitionTuple(p, outDir, spec, schema)
+      ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.Data, p, "PARQUET", partition,
+          recordCount = m.rowCount,
+          fileSizeInBytes = Files.size(Paths.get(p)),
+          columnSizes = m.columnSizes,
+          valueCounts = m.valueCounts,
+          nullValueCounts = m.nullValueCounts,
+          lowerBounds = m.lowerBounds,
+          upperBounds = m.upperBounds,
+          splitOffsets = m.splitOffsets,
+          sortOrderId = Some(table.metadata.defaultSortOrderId)))
+    }
+    commitAppend(entries, commitUuid)
+  }
+
+  /** Register existing parquet files as table data (no rewrite) — the
+    * migration path for external data; metrics still from footers. */
+  def addFiles(paths: Seq[String]): Snapshot = {
+    require(table.spec.isUnpartitioned,
+      "addFiles on a partitioned table requires explicit partition tuples")
+    val schema = table.schema
+    val commitUuid = UUID.randomUUID().toString
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = paths.map { p =>
+      val m = Metrics.fromParquetFooter(p, schema, conf)
+      ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.Data, p, "PARQUET", IndexedSeq.empty,
+          recordCount = m.rowCount,
+          fileSizeInBytes = Files.size(Paths.get(ManifestAvro.stripFileScheme(p))),
+          columnSizes = m.columnSizes,
+          valueCounts = m.valueCounts,
+          nullValueCounts = m.nullValueCounts,
+          lowerBounds = m.lowerBounds,
+          upperBounds = m.upperBounds,
+          splitOffsets = m.splitOffsets))
+    }
+    commitAppend(entries, commitUuid)
+  }
+
+  private def commitAppend(entries: Seq[ManifestEntry], commitUuid: String): Snapshot = {
+    var result: Snapshot = null
+    table.commit { base =>
+      val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+      val seq = base.lastSequenceNumber + 1
+      Files.createDirectories(Paths.get(table.metadataFileDir))
+      val manifestPath = s"${table.metadataFileDir}/$commitUuid-m0.avro"
+      val spec = base.defaultSpec
+      val partType = spec.partitionType(base.currentSchema)
+      val mf = ManifestAvro.writeManifest(manifestPath, entries, partType,
+        spec.specId, snapshotId, seq,
+        schemaJson = MetaJson.schemaToJson(base.currentSchema).toString,
+        specFieldsJson = MetaJson.specToJson(spec).get("fields").toString)
+
+      // fast append: new manifest list = new manifest + previous manifests
+      val previous = base.currentSnapshot
+        .map(s => ManifestAvro.readManifestList(s.manifestList))
+        .getOrElse(IndexedSeq.empty)
+      val listPath = s"${table.metadataFileDir}/snap-$snapshotId-1-$commitUuid.avro"
+      ManifestAvro.writeManifestList(listPath, mf +: previous, snapshotId,
+        previous.headOption.map(_.addedSnapshotId), seq)
+
+      val addedRecords = entries.map(_.dataFile.recordCount).sum
+      val addedFilesSize = entries.map(_.dataFile.fileSizeInBytes).sum
+      val totalRecords = previous.flatMap(p => p.addedRowsCount).sum +
+        previous.flatMap(_.existingRowsCount).sum + addedRecords
+      val snap = Snapshot(
+        snapshotId = snapshotId,
+        parentSnapshotId = base.currentSnapshotId,
+        sequenceNumber = seq,
+        timestampMs = System.currentTimeMillis(),
+        manifestList = listPath,
+        summary = Map(
+          "operation" -> DataOperation.Append,
+          "added-data-files" -> entries.size.toString,
+          "added-records" -> addedRecords.toString,
+          "added-files-size" -> addedFilesSize.toString,
+          "total-records" -> totalRecords.toString,
+          "total-data-files" -> (previous.flatMap(_.addedFilesCount).sum +
+            previous.flatMap(_.existingFilesCount).sum + entries.size).toString),
+        schemaId = Some(base.currentSchemaId))
+      result = snap
+      base.withSnapshot(snap)
+    }
+    result
+  }
+
+  private def listParquetFiles(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return Nil
+    Files.walk(root).iterator.asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+  }
+
+  /** Parse the partition tuple back out of the Hive-style path the Spark
+    * writer produced (name=value dirs, Iceberg runtime repr). */
+  private def parsePartitionTuple(file: String, baseDir: String,
+      spec: PartitionSpec, schema: Schema): IndexedSeq[Any] = {
+    if (spec.isUnpartitioned) return IndexedSeq.empty
+    val rel = Paths.get(baseDir).relativize(Paths.get(file)).toString
+    val kv = rel.split('/').init.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) None else Some(seg.substring(0, i) -> unescapePath(seg.substring(i + 1)))
+    }.toMap
+    spec.fields.map { pf =>
+      kv.get(pf.name) match {
+        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(raw) =>
+          val src = schema.findFieldById(pf.sourceId).get
+          val resType = pf.transform.resultType(src.fieldType.asInstanceOf[IcePrimitive])
+          parsePartitionValue(raw, resType)
+      }
+    }
+  }
+
+  private def parsePartitionValue(raw: String, t: IcePrimitive): Any = t match {
+    case IntT => raw.toInt
+    case LongT => raw.toLong
+    case StringT => raw
+    case DateT =>
+      raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+    case BooleanT => raw.toBoolean
+    case DoubleT => raw.toDouble
+    case FloatT => raw.toFloat
+    case DecimalT(_, _) => new java.math.BigDecimal(raw)
+    case TimestampT | TimestampTzT =>
+      // written as int/long by our transform columns
+      raw.toLongOption.getOrElse {
+        val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      }
+    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+  }
+
+  /** Hive-style %xx unescaping (Spark's ExternalCatalogUtils.escapePathName dual). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,179 @@
+package graft.ice.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import graft.ice.meta._
+import graft.ice.types.Schema
+
+final case class TableIdentifier(namespace: Seq[String], name: String) {
+  override def toString: String = (namespace :+ name).mkString(".")
+}
+object TableIdentifier {
+  def parse(s: String): TableIdentifier = {
+    val parts = s.split('.')
+    TableIdentifier(parts.init.toSeq, parts.last)
+  }
+}
+
+class CommitFailedException(msg: String) extends RuntimeException(msg)
+class NoSuchTableException(msg: String) extends RuntimeException(msg)
+class AlreadyExistsException(msg: String) extends RuntimeException(msg)
+
+/** Catalog interface (reference: src/iceberg/catalog.h:39-236). */
+trait Catalog {
+  def createTable(ident: TableIdentifier, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      sortOrder: SortOrder = SortOrder.unsorted,
+      properties: Map[String, String] = Map.empty): TableRef
+  def loadTable(ident: TableIdentifier): TableRef
+  def tableExists(ident: TableIdentifier): Boolean
+  def dropTable(ident: TableIdentifier, purge: Boolean = false): Boolean
+  def listTables(namespace: Seq[String]): Seq[TableIdentifier]
+  def listNamespaces(): Seq[Seq[String]]
+  def registerTable(ident: TableIdentifier, metadataLocation: String): TableRef
+  /** Optimistic swap: commit `updated` iff the table's current metadata
+    * file is still `baseVersion`. Throws CommitFailedException otherwise. */
+  def commit(ident: TableIdentifier, baseVersion: Int, updated: TableMetadata): Int
+  def currentVersion(ident: TableIdentifier): Int
+}
+
+/** A loaded table handle: metadata + where it came from. */
+final case class TableRef(ident: TableIdentifier, metadata: TableMetadata,
+    version: Int, catalog: Catalog)
+
+/** Directory-backed catalog (the working equivalent of the reference's
+  * InMemoryCatalog, in_memory_catalog.cc:418-450, plus the Create/Update
+  * paths it leaves NotImplemented — in_memory_catalog.cc:386-404).
+  * Layout (HadoopCatalog-style):
+  *   warehouse/ns1/ns2/table/metadata/v<N>.metadata.json
+  *   warehouse/ns1/ns2/table/metadata/version-hint.text
+  *   warehouse/ns1/ns2/table/data/...
+  * Commit atomicity: Files.move(ATOMIC_MOVE) without REPLACE — the first
+  * committer of version N+1 wins, losers get CommitFailedException and
+  * must refresh + retry (commit.retry.* semantics, table_properties.h:80-93). */
+class DirCatalog(val warehouse: String) extends Catalog {
+
+  private def tableDir(ident: TableIdentifier): Path =
+    Paths.get((warehouse +: ident.namespace :+ ident.name).mkString("/"))
+  private def metadataDir(ident: TableIdentifier): Path =
+    tableDir(ident).resolve("metadata")
+  private def versionFile(ident: TableIdentifier, v: Int): Path =
+    metadataDir(ident).resolve(s"v$v.metadata.json")
+  private def hintFile(ident: TableIdentifier): Path =
+    metadataDir(ident).resolve("version-hint.text")
+
+  override def currentVersion(ident: TableIdentifier): Int = {
+    val hint = hintFile(ident)
+    if (!Files.exists(hint)) {
+      if (!Files.exists(metadataDir(ident))) return 0
+      // fall back to scanning (hint write is best-effort)
+      val versions = Files.list(metadataDir(ident)).iterator.asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
+          s.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+        }.flatten.toSeq
+      return versions.maxOption.getOrElse(0)
+    }
+    val hinted = Files.readString(hint).trim.toInt
+    // the hint may lag a concurrent commit; roll forward to the latest file
+    var v = hinted
+    while (Files.exists(versionFile(ident, v + 1))) v += 1
+    v
+  }
+
+  override def tableExists(ident: TableIdentifier): Boolean =
+    currentVersion(ident) > 0
+
+  override def createTable(ident: TableIdentifier, schema: Schema,
+      spec: PartitionSpec, sortOrder: SortOrder,
+      properties: Map[String, String]): TableRef = {
+    if (tableExists(ident))
+      throw new AlreadyExistsException(s"table $ident already exists")
+    val meta = TableMetadata.newTable(
+      tableDir(ident).toAbsolutePath.toString, schema, spec, sortOrder, properties)
+    Files.createDirectories(metadataDir(ident))
+    writeVersion(ident, 1, meta)
+    TableRef(ident, meta, 1, this)
+  }
+
+  override def loadTable(ident: TableIdentifier): TableRef = {
+    val v = currentVersion(ident)
+    if (v == 0) throw new NoSuchTableException(s"no such table: $ident")
+    val meta = TableMetadataIO.read(versionFile(ident, v).toString)
+    TableRef(ident, meta, v, this)
+  }
+
+  override def dropTable(ident: TableIdentifier, purge: Boolean): Boolean = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir)) return false
+    if (purge) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator.asScala.foreach(Files.delete)
+    } else {
+      // drop from catalog only: remove the metadata pointer
+      val md = metadataDir(ident)
+      if (Files.exists(md))
+        Files.walk(md).sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(Files.delete)
+    }
+    true
+  }
+
+  override def listTables(namespace: Seq[String]): Seq[TableIdentifier] = {
+    val nsDir = Paths.get((warehouse +: namespace).mkString("/"))
+    if (!Files.isDirectory(nsDir)) return Nil
+    Files.list(nsDir).iterator.asScala
+      .filter(p => Files.isDirectory(p.resolve("metadata")))
+      .map(p => TableIdentifier(namespace, p.getFileName.toString))
+      .toSeq.sortBy(_.name)
+  }
+
+  override def listNamespaces(): Seq[Seq[String]] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) return Nil
+    Files.list(root).iterator.asScala
+      .filter(Files.isDirectory(_))
+      .filterNot(p => Files.isDirectory(p.resolve("metadata"))) // top-level tables aren't namespaces
+      .map(p => Seq(p.getFileName.toString))
+      .toSeq.sortBy(_.mkString)
+  }
+
+  /** Register an existing metadata JSON as a table (the one InMemoryCatalog
+    * operation that works, in_memory_catalog.cc:418). */
+  override def registerTable(ident: TableIdentifier, metadataLocation: String): TableRef = {
+    if (tableExists(ident))
+      throw new AlreadyExistsException(s"table $ident already exists")
+    val meta = TableMetadataIO.read(metadataLocation)
+    Files.createDirectories(metadataDir(ident))
+    writeVersion(ident, 1, meta)
+    TableRef(ident, meta, 1, this)
+  }
+
+  override def commit(ident: TableIdentifier, baseVersion: Int,
+      updated: TableMetadata): Int = {
+    val next = baseVersion + 1
+    val target = versionFile(ident, next)
+    if (Files.exists(target))
+      throw new CommitFailedException(
+        s"$ident: version $next already committed by a concurrent writer")
+    val tmp = Files.createTempFile(metadataDir(ident), ".tmp-v", ".metadata.json")
+    Files.writeString(tmp, MetaJson.toJson(updated))
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitFailedException(s"$ident: lost race committing version $next")
+    }
+    Files.writeString(hintFile(ident), next.toString) // best-effort pointer
+    next
+  }
+
+  private def writeVersion(ident: TableIdentifier, v: Int, meta: TableMetadata): Unit = {
+    val tmp = Files.createTempFile(metadataDir(ident), ".tmp-v", ".metadata.json")
+    Files.writeString(tmp, MetaJson.toJson(meta))
+    Files.move(tmp, versionFile(ident, v), StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(hintFile(ident), v.toString)
+  }
+}

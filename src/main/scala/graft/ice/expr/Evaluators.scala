@@ -1,0 +1,282 @@
+package graft.ice.expr
+
+import graft.ice.manifest.{DataFile, ManifestFile}
+import graft.ice.meta.PartitionSpec
+import graft.ice.types._
+
+/** Driver-side pruning evaluators (SURVEY §4: "the key optimizer piece").
+  * The reference reads+writes partition summaries and per-file stats but
+  * never consults them (table_scan.cc:280 TODO); here they drive manifest
+  * and data-file skipping, which is what makes a 100 TB scan feasible.
+  * Modeled on the Iceberg spec's inclusive projection / evaluation rules:
+  * every answer is "rows MIGHT match" (true) or "rows CANNOT match"
+  * (false) — pruning must never drop a matching row. */
+
+/** Project a bound row filter into partition space for a spec
+  * (spec §Scan Planning; cf. predicate.cc:229 truncate TODO).
+  * Result preds are bound to the spec's partition field ids. */
+object InclusiveProjection {
+  def project(expr: Bound, spec: PartitionSpec): Bound = expr match {
+    case BTrue => BTrue
+    case BFalse => BFalse
+    case BAnd(l, r) => (project(l, spec), project(r, spec)) match {
+      case (BFalse, _) | (_, BFalse) => BFalse
+      case (BTrue, x) => x
+      case (x, BTrue) => x
+      case (a, b) => BAnd(a, b)
+    }
+    // inclusive projection of OR must stay inclusive on both sides
+    case BOr(l, r) => (project(l, spec), project(r, spec)) match {
+      case (BTrue, _) | (_, BTrue) => BTrue
+      case (BFalse, x) => x
+      case (x, BFalse) => x
+      case (a, b) => BOr(a, b)
+    }
+    case BNot(_) => BTrue // cannot project a residual Not inclusively
+    case p: BPred =>
+      if (p.transform != graft.ice.transform.IdentityTransform) BTrue
+      else {
+        val projected = spec.fields.filter(_.sourceId == p.fieldId).map { pf =>
+          projectPred(p, pf.fieldId, pf.name, pf.transform)
+        }
+        projected.foldLeft(BTrue: Bound) {
+          case (BTrue, x) => x
+          case (acc, BTrue) => acc
+          case (BFalse, _) | (_, BFalse) => BFalse
+          case (acc, x) => BAnd(acc, x)
+        }
+      }
+  }
+
+  private def projectPred(p: BPred, partFieldId: Int, partName: String,
+      t: graft.ice.transform.Transform): Bound = {
+    import graft.ice.transform._
+    def mk(op: Op, lits: Seq[Literal]): Bound = {
+      val resType = t.resultType(p.sourceType)
+      BPred(op, partFieldId, partName, resType, IdentityTransform, lits, required = false)
+    }
+    def transformed(l: Literal): Option[Literal] = {
+      if (l.isSentinel) None
+      else Option(t.apply(l.raw, p.sourceType))
+        .map(v => Literal(LiteralValue.Value(v), t.resultType(p.sourceType)))
+    }
+    p.op match {
+      case Op.IsNull | Op.NotNull => mk(p.op, Nil) // transforms preserve null
+      case Op.Eq =>
+        transformed(p.literals.head).map(l => mk(Op.Eq, Seq(l))).getOrElse(BTrue)
+      case Op.In =>
+        val ls = p.literals.flatMap(transformed)
+        if (ls.isEmpty) BTrue else mk(Op.In, ls.distinct)
+      case Op.Lt | Op.LtEq if t.preservesOrder =>
+        // x < v  =>  t(x) <= t(v) for monotonic t
+        transformed(p.literals.head).map(l => mk(Op.LtEq, Seq(l))).getOrElse(BTrue)
+      case Op.Gt | Op.GtEq if t.preservesOrder =>
+        transformed(p.literals.head).map(l => mk(Op.GtEq, Seq(l))).getOrElse(BTrue)
+      case Op.StartsWith => t match {
+        case IdentityTransform => mk(Op.StartsWith, p.literals)
+        case TruncateTransform(w) if p.sourceType == StringT =>
+          val prefix = p.literals.head.raw.asInstanceOf[String]
+          if (prefix.codePointCount(0, prefix.length) < w) mk(Op.StartsWith, p.literals)
+          else mk(Op.StartsWith, Seq(Literal.string(TruncateUtil.truncateString(w, prefix))))
+        case _ => BTrue
+      }
+      case _ => BTrue // NotEq/NotIn/NaN and non-monotonic ranges: cannot prune
+    }
+  }
+}
+
+/** Exact evaluation of a partition-space expression against a concrete
+  * partition tuple (used for per-file partition pruning; the reference's
+  * missing BoundPredicate::Test, predicate.cc:303-385, implemented here
+  * for StructLike = the tuple). `fieldPos` maps partition field id ->
+  * tuple index. */
+final class PartitionTupleEvaluator(spec: PartitionSpec) {
+  private val fieldPos: Map[Int, Int] =
+    spec.fields.zipWithIndex.map { case (f, i) => f.fieldId -> i }.toMap
+
+  def eval(expr: Bound, tuple: IndexedSeq[Any]): Boolean = expr match {
+    case BTrue => true
+    case BFalse => false
+    case BAnd(l, r) => eval(l, tuple) && eval(r, tuple)
+    case BOr(l, r) => eval(l, tuple) || eval(r, tuple)
+    case BNot(c) => !eval(c, tuple)
+    case p: BPred =>
+      fieldPos.get(p.fieldId) match {
+        case None => true // unknown field: cannot prune
+        case Some(i) =>
+          val v = tuple(i)
+          p.op match {
+            case Op.IsNull => v == null
+            case Op.NotNull => v != null
+            case Op.IsNan => v match {
+              case f: Float => f.isNaN
+              case d: Double => d.isNaN
+              case _ => false
+            }
+            case Op.NotNan => v match {
+              case f: Float => !f.isNaN
+              case d: Double => !d.isNaN
+              case _ => true
+            }
+            case _ if v == null => false
+            case Op.StartsWith =>
+              v.toString.startsWith(p.literals.head.raw.toString)
+            case Op.NotStartsWith =>
+              !v.toString.startsWith(p.literals.head.raw.toString)
+            case op =>
+              val value = Literal(LiteralValue.Value(v), p.termType)
+              op match {
+                case Op.Eq => p.literals.head.compareTo(value).contains(0)
+                case Op.NotEq => !p.literals.head.compareTo(value).contains(0)
+                case Op.Lt => value.compareTo(p.literals.head).exists(_ < 0)
+                case Op.LtEq => value.compareTo(p.literals.head).exists(_ <= 0)
+                case Op.Gt => value.compareTo(p.literals.head).exists(_ > 0)
+                case Op.GtEq => value.compareTo(p.literals.head).exists(_ >= 0)
+                case Op.In => p.literals.exists(_.compareTo(value).contains(0))
+                case Op.NotIn => !p.literals.exists(_.compareTo(value).contains(0))
+                case _ => true
+              }
+          }
+      }
+  }
+}
+
+/** Can a manifest contain rows matching the partition-space expression?
+  * Evaluates against PartitionFieldSummary bounds (manifest_list.h:40-73).
+  * Implements the spec's ManifestEvaluator semantics. */
+final class ManifestEvaluator(spec: PartitionSpec) {
+  private val fieldPos: Map[Int, Int] =
+    spec.fields.zipWithIndex.map { case (f, i) => f.fieldId -> i }.toMap
+
+  def canContainRows(expr: Bound, manifest: ManifestFile): Boolean =
+    if (manifest.partitions.isEmpty) true // no summaries: cannot prune
+    else eval(expr, manifest.partitions)
+
+  private def eval(expr: Bound, sums: IndexedSeq[graft.ice.manifest.PartitionFieldSummary]): Boolean =
+    expr match {
+      case BTrue => true
+      case BFalse => false
+      case BAnd(l, r) => eval(l, sums) && eval(r, sums)
+      case BOr(l, r) => eval(l, sums) || eval(r, sums)
+      case BNot(c) => !eval(c, sums) // only safe for exact children; conservative use
+      case p: BPred =>
+        fieldPos.get(p.fieldId).filter(_ < sums.size) match {
+          case None => true
+          case Some(i) => evalPred(p, sums(i))
+        }
+    }
+
+  private def evalPred(p: BPred, s: graft.ice.manifest.PartitionFieldSummary): Boolean = {
+    lazy val lower = s.lowerBound.map(b => Literal.deserialize(p.termType, b))
+    lazy val upper = s.upperBound.map(b => Literal.deserialize(p.termType, b))
+    def allNull: Boolean = s.containsNull && s.lowerBound.isEmpty &&
+      !s.containsNan.getOrElse(false)
+    p.op match {
+      case Op.IsNull => s.containsNull
+      case Op.NotNull => !allNull
+      case Op.IsNan => s.containsNan.getOrElse(true)
+      case Op.NotNan => true
+      case _ if s.lowerBound.isEmpty => false // no non-null values at all
+      case Op.Lt => lower.exists(l => l.compareTo(p.literals.head).exists(_ < 0))
+      case Op.LtEq => lower.exists(l => l.compareTo(p.literals.head).exists(_ <= 0))
+      case Op.Gt => upper.exists(u => u.compareTo(p.literals.head).exists(_ > 0))
+      case Op.GtEq => upper.exists(u => u.compareTo(p.literals.head).exists(_ >= 0))
+      case Op.Eq =>
+        val v = p.literals.head
+        lower.exists(_.compareTo(v).exists(_ <= 0)) && upper.exists(_.compareTo(v).exists(_ >= 0))
+      case Op.NotEq => true
+      case Op.In => p.literals.exists(v =>
+        lower.exists(_.compareTo(v).exists(_ <= 0)) && upper.exists(_.compareTo(v).exists(_ >= 0)))
+      case Op.NotIn => true
+      case Op.StartsWith =>
+        (lower, upper) match {
+          case (Some(l), Some(u)) if p.termType == StringT =>
+            val prefix = p.literals.head.raw.asInstanceOf[String]
+            val lo = l.raw.asInstanceOf[String]
+            val hi = u.raw.asInstanceOf[String]
+            val loCmp = lo.substring(0, math.min(lo.length, prefix.length))
+            val hiCmp = hi.substring(0, math.min(hi.length, prefix.length))
+            loCmp <= prefix && prefix <= hiCmp
+          case _ => true
+        }
+      case Op.NotStartsWith => true
+    }
+  }
+}
+
+/** Can a data file contain matching rows, judged from its per-column
+  * metrics (value/null/nan counts, bounds — manifest_entry.h:95-124)?
+  * Mirrors Iceberg's InclusiveMetricsEvaluator. Only identity-term
+  * predicates are checked; transform terms conservatively match. */
+final class MetricsEvaluator {
+  def canContainRows(expr: Bound, f: DataFile): Boolean = eval(expr, f)
+
+  private def eval(expr: Bound, f: DataFile): Boolean = expr match {
+    case BTrue => true
+    case BFalse => false
+    case BAnd(l, r) => eval(l, f) && eval(r, f)
+    case BOr(l, r) => eval(l, f) || eval(r, f)
+    case BNot(_) => true // conservative
+    case p: BPred =>
+      if (p.transform != graft.ice.transform.IdentityTransform) true
+      else evalPred(p, f)
+  }
+
+  private def evalPred(p: BPred, f: DataFile): Boolean = {
+    val id = p.fieldId
+    val valueCount = f.valueCounts.get(id)
+    val nullCount = f.nullValueCounts.get(id)
+    val nanCount = f.nanValueCounts.get(id)
+    lazy val lower = f.lowerBounds.get(id).map(b => Literal.deserialize(p.sourceType, b))
+    lazy val upper = f.upperBounds.get(id).map(b => Literal.deserialize(p.sourceType, b))
+    def allNull: Boolean = (valueCount, nullCount) match {
+      case (Some(v), Some(n)) => v == n
+      case _ => false
+    }
+    def allNan: Boolean = (valueCount, nanCount) match {
+      case (Some(v), Some(n)) => v == n
+      case _ => false
+    }
+    def boundsUnusable: Boolean = lower.exists(l => l.raw match {
+      case d: Double => d.isNaN
+      case fl: Float => fl.isNaN
+      case _ => false
+    })
+    p.op match {
+      case Op.IsNull => nullCount.forall(_ > 0)
+      case Op.NotNull => !allNull
+      case Op.IsNan => nanCount.forall(_ > 0)
+      case Op.NotNan => !allNan
+      case _ if allNull => false
+      case Op.Lt =>
+        lower.forall(l => boundsUnusable || l.compareTo(p.literals.head).forall(_ < 0))
+      case Op.LtEq =>
+        lower.forall(l => boundsUnusable || l.compareTo(p.literals.head).forall(_ <= 0))
+      case Op.Gt =>
+        upper.forall(u => u.compareTo(p.literals.head).forall(_ > 0))
+      case Op.GtEq =>
+        upper.forall(u => u.compareTo(p.literals.head).forall(_ >= 0))
+      case Op.Eq =>
+        val v = p.literals.head
+        lower.forall(l => boundsUnusable || l.compareTo(v).forall(_ <= 0)) &&
+          upper.forall(u => u.compareTo(v).forall(_ >= 0))
+      case Op.In =>
+        p.literals.exists { v =>
+          lower.forall(l => boundsUnusable || l.compareTo(v).forall(_ <= 0)) &&
+            upper.forall(u => u.compareTo(v).forall(_ >= 0))
+        }
+      case Op.NotEq | Op.NotIn | Op.NotStartsWith => true
+      case Op.StartsWith =>
+        (lower, upper) match {
+          case (Some(l), Some(u)) if p.sourceType == StringT =>
+            val prefix = p.literals.head.raw.asInstanceOf[String]
+            val lo = l.raw.asInstanceOf[String]
+            val hi = u.raw.asInstanceOf[String]
+            val loCmp = lo.substring(0, math.min(lo.length, prefix.length))
+            val hiCmp = hi.substring(0, math.min(hi.length, prefix.length))
+            loCmp <= prefix && prefix <= hiCmp
+          case _ => true
+        }
+    }
+  }
+}

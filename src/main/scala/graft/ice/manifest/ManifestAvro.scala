@@ -1,0 +1,515 @@
+package graft.ice.manifest
+
+import java.io.File
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema.{Parser => AvroParser}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
+
+import graft.ice.types._
+
+/** Avro read/write for manifests and manifest lists (reference:
+  * manifest_reader_internal.cc, manifest_writer.cc, v2_metadata.cc).
+  * Driver-side only — manifests are small metadata files; the data plane
+  * stays in Spark's parquet reader. Schemas are built as JSON matching the
+  * spec layout (k/v-array maps with logicalType "map", field-id props)
+  * so files interoperate with other Iceberg implementations. */
+object ManifestAvro {
+
+  // ---------------- Avro schema JSON construction ----------------
+
+  private def avroTypeJson(t: IcePrimitive, fieldId: Int): String = t match {
+    case BooleanT => "\"boolean\""
+    case IntT => "\"int\""
+    case LongT => "\"long\""
+    case FloatT => "\"float\""
+    case DoubleT => "\"double\""
+    case StringT => "\"string\""
+    case BinaryT => "\"bytes\""
+    case DateT => """{"type":"int","logicalType":"date"}"""
+    case TimeT => """{"type":"long","logicalType":"time-micros"}"""
+    case TimestampT => """{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":false}"""
+    case TimestampTzT => """{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":true}"""
+    case UuidT => s"""{"type":"fixed","name":"uuid_$fieldId","size":16,"logicalType":"uuid"}"""
+    case FixedT(l) => s"""{"type":"fixed","name":"fixed_$fieldId","size":$l}"""
+    case DecimalT(p, s) =>
+      val size = decimalRequiredBytes(p)
+      s"""{"type":"fixed","name":"decimal_$fieldId","size":$size,"logicalType":"decimal","precision":$p,"scale":$s}"""
+  }
+
+  /** Minimum bytes to hold a two's-complement unscaled value of the given
+    * precision (matches Iceberg's TypeUtil.decimalRequiredBytes). */
+  def decimalRequiredBytes(precision: Int): Int = {
+    val maxUnscaled = BigInteger.TEN.pow(precision).subtract(BigInteger.ONE)
+    (maxUnscaled.bitLength + 1 + 7) / 8
+  }
+
+  /** The r102 partition record schema for a given partition type. */
+  private def partitionRecordJson(partitionType: StructT): String = {
+    val fields = partitionType.fields.map { f =>
+      val t = avroTypeJson(f.fieldType.asInstanceOf[IcePrimitive], f.id)
+      s"""{"name":"${sanitize(f.name)}","type":["null",$t],"default":null,"field-id":${f.id}}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"r102","fields":[$fields]}"""
+  }
+
+  private def sanitize(name: String): String =
+    name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+      .pipe(s => if (s.isEmpty || !(s.head.isLetter || s.head == '_')) "_" + s else s)
+
+  private implicit class Pipe[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
+  private def kvMapJson(name: String, fieldId: Int, keyId: Int, valueId: Int,
+      valueType: String, doc: String): String =
+    s"""{"name":"$name","type":["null",{"type":"array","items":{"type":"record","name":"k${keyId}_v$valueId","fields":[
+       |{"name":"key","type":"int","field-id":$keyId},
+       |{"name":"value","type":"$valueType","field-id":$valueId}]},"logicalType":"map"}],
+       |"doc":"$doc","default":null,"field-id":$fieldId}""".stripMargin.replaceAll("\n", "")
+
+  /** manifest_entry Avro schema, v2 layout (v2_metadata.cc; verified
+    * byte-identical field list vs the reference golden manifests). */
+  def manifestEntrySchemaJson(partitionType: StructT): String = {
+    val dataFileFields = Seq(
+      s"""{"name":"content","type":"int","doc":"Contents of the file: 0=data, 1=position deletes, 2=equality deletes","field-id":134}""",
+      s"""{"name":"file_path","type":"string","doc":"Location URI with FS scheme","field-id":100}""",
+      s"""{"name":"file_format","type":"string","doc":"File format name: avro, orc, or parquet","field-id":101}""",
+      s"""{"name":"partition","type":${partitionRecordJson(partitionType)},"doc":"Partition data tuple, schema based on the partition spec","field-id":102}""",
+      s"""{"name":"record_count","type":"long","doc":"Number of records in the file","field-id":103}""",
+      s"""{"name":"file_size_in_bytes","type":"long","doc":"Total file size in bytes","field-id":104}""",
+      kvMapJson("column_sizes", 108, 117, 118, "long", "Map of column id to total size on disk"),
+      kvMapJson("value_counts", 109, 119, 120, "long", "Map of column id to total count, including null and NaN"),
+      kvMapJson("null_value_counts", 110, 121, 122, "long", "Map of column id to null value count"),
+      kvMapJson("nan_value_counts", 137, 138, 139, "long", "Map of column id to number of NaN values in the column"),
+      kvMapJson("lower_bounds", 125, 126, 127, "bytes", "Map of column id to lower bound"),
+      kvMapJson("upper_bounds", 128, 129, 130, "bytes", "Map of column id to upper bound"),
+      s"""{"name":"key_metadata","type":["null","bytes"],"doc":"Encryption key metadata blob","default":null,"field-id":131}""",
+      s"""{"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"doc":"Splittable offsets","default":null,"field-id":132}""",
+      s"""{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"doc":"Equality comparison field IDs","default":null,"field-id":135}""",
+      s"""{"name":"sort_order_id","type":["null","int"],"doc":"Sort order ID","default":null,"field-id":140}""",
+      s"""{"name":"referenced_data_file","type":["null","string"],"doc":"Fully qualified location (URI with FS scheme) of a data file that all deletes reference","default":null,"field-id":143}"""
+    ).mkString(",")
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int","field-id":0},
+       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+       |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[$dataFileFields]},"field-id":2}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  /** manifest_file (manifest list entry) Avro schema, v2 layout. */
+  val manifestFileSchemaJson: String = {
+    val partitionSummary =
+      s"""{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
+         |{"name":"contains_null","type":"boolean","doc":"True if any file has a null partition value","field-id":509},
+         |{"name":"contains_nan","type":["null","boolean"],"doc":"True if any file has a nan partition value","default":null,"field-id":518},
+         |{"name":"lower_bound","type":["null","bytes"],"doc":"Partition lower bound for all files","default":null,"field-id":510},
+         |{"name":"upper_bound","type":["null","bytes"],"doc":"Partition upper bound for all files","default":null,"field-id":511}]},
+         |"element-id":508}],"doc":"Summary for each partition","default":null,"field-id":507}"""
+        .stripMargin.replaceAll("\n", "")
+    s"""{"type":"record","name":"manifest_file","fields":[
+       |{"name":"manifest_path","type":"string","doc":"Location URI with FS scheme","field-id":500},
+       |{"name":"manifest_length","type":"long","doc":"Total file size in bytes","field-id":501},
+       |{"name":"partition_spec_id","type":"int","doc":"Spec ID used to write","field-id":502},
+       |{"name":"content","type":"int","doc":"Contents of the manifest: 0=data, 1=deletes","field-id":517},
+       |{"name":"sequence_number","type":"long","doc":"Sequence number when the manifest was added","field-id":515},
+       |{"name":"min_sequence_number","type":"long","doc":"Lowest sequence number in the manifest","field-id":516},
+       |{"name":"added_snapshot_id","type":"long","doc":"Snapshot ID that added the manifest","field-id":503},
+       |{"name":"added_files_count","type":"int","doc":"Added entry count","field-id":504},
+       |{"name":"existing_files_count","type":"int","doc":"Existing entry count","field-id":505},
+       |{"name":"deleted_files_count","type":"int","doc":"Deleted entry count","field-id":506},
+       |{"name":"added_rows_count","type":"long","doc":"Added rows count","field-id":512},
+       |{"name":"existing_rows_count","type":"long","doc":"Existing rows count","field-id":513},
+       |{"name":"deleted_rows_count","type":"long","doc":"Deleted rows count","field-id":514},
+       |$partitionSummary,
+       |{"name":"key_metadata","type":["null","bytes"],"doc":"Encryption key metadata blob","default":null,"field-id":519}]}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  // ---------------- value conversion ----------------
+
+  /** Avro runtime value -> Iceberg runtime repr. */
+  private def fromAvro(v: Any, t: IcePrimitive): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: ByteBuffer => bbToBytes(bb)
+    case f: GenericFixed => t match {
+      case DecimalT(_, s) => new JBigDecimal(new BigInteger(f.bytes), s)
+      case UuidT =>
+        val bb = ByteBuffer.wrap(f.bytes)
+        new java.util.UUID(bb.getLong, bb.getLong)
+      case _ => f.bytes.clone()
+    }
+    case other => other
+  }
+
+  /** Iceberg runtime repr -> Avro value for the given schema. */
+  private def toAvro(v: Any, avroSchema: org.apache.avro.Schema): Any = {
+    if (v == null) return null
+    val s = nonNull(avroSchema)
+    s.getType match {
+      case org.apache.avro.Schema.Type.FIXED =>
+        val bytes: Array[Byte] = v match {
+          case d: JBigDecimal =>
+            val unscaled = d.unscaledValue.toByteArray
+            val size = s.getFixedSize
+            val out = new Array[Byte](size)
+            val sign: Byte = if (d.signum < 0) -1 else 0
+            java.util.Arrays.fill(out, sign)
+            System.arraycopy(unscaled, 0, out, size - unscaled.length, unscaled.length)
+            out
+          case u: java.util.UUID =>
+            ByteBuffer.allocate(16).putLong(u.getMostSignificantBits)
+              .putLong(u.getLeastSignificantBits).array()
+          case b: Array[Byte] => b
+        }
+        new GenericData.Fixed(s, bytes)
+      case org.apache.avro.Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _ => v
+    }
+  }
+
+  private def nonNull(s: org.apache.avro.Schema): org.apache.avro.Schema =
+    if (s.getType == org.apache.avro.Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL).get
+    else s
+
+  private def bbToBytes(bb: ByteBuffer): Array[Byte] = {
+    val dup = bb.duplicate()
+    val out = new Array[Byte](dup.remaining())
+    dup.get(out)
+    out
+  }
+
+  private def readIntLongMap(v: Any): Map[Int, Long] = v match {
+    case null => Map.empty
+    case arr: java.util.Collection[_] =>
+      arr.asScala.map { case r: GenericRecord =>
+        r.get("key").asInstanceOf[Int] -> r.get("value").asInstanceOf[Long]
+      }.toMap
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) =>
+        k.toString.toInt -> vv.asInstanceOf[Long]
+      }.toMap
+  }
+
+  private def readIntBytesMap(v: Any): Map[Int, Array[Byte]] = v match {
+    case null => Map.empty
+    case arr: java.util.Collection[_] =>
+      arr.asScala.map { case r: GenericRecord =>
+        r.get("key").asInstanceOf[Int] -> bbToBytes(r.get("value").asInstanceOf[ByteBuffer])
+      }.toMap
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) =>
+        k.toString.toInt -> bbToBytes(vv.asInstanceOf[ByteBuffer])
+      }.toMap
+  }
+
+  private def writeIntLongMap(m: Map[Int, Long], fieldSchema: org.apache.avro.Schema): Any = {
+    if (m.isEmpty) return null
+    val arrSchema = nonNull(fieldSchema)
+    val itemSchema = arrSchema.getElementType
+    val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k); r.put("value", v)
+      arr.add(r)
+    }
+    arr
+  }
+
+  private def writeIntBytesMap(m: Map[Int, Array[Byte]], fieldSchema: org.apache.avro.Schema): Any = {
+    if (m.isEmpty) return null
+    val arrSchema = nonNull(fieldSchema)
+    val itemSchema = arrSchema.getElementType
+    val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k); r.put("value", ByteBuffer.wrap(v))
+      arr.add(r)
+    }
+    arr
+  }
+
+  private def optLong(r: GenericRecord, name: String): Option[Long] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.asInstanceOf[Long])
+  private def optInt(r: GenericRecord, name: String): Option[Int] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.asInstanceOf[Int])
+  private def optStr(r: GenericRecord, name: String): Option[String] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.toString)
+  private def optBytes(r: GenericRecord, name: String): Option[Array[Byte]] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(v => bbToBytes(v.asInstanceOf[ByteBuffer]))
+  private def getOr[T](r: GenericRecord, name: String, default: T): T =
+    if (r.getSchema.getField(name) == null) default
+    else Option(r.get(name)).map(_.asInstanceOf[T]).getOrElse(default)
+
+  // ---------------- manifest list ----------------
+
+  /** Read a manifest list (S3; manifest_reader_internal.cc:551-579).
+    * Handles both v1 (missing content/sequence fields) and v2 layouts. */
+  def readManifestList(path: String): IndexedSeq[ManifestFile] = {
+    val reader = new DataFileReader[GenericRecord](
+      new File(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
+    try {
+      reader.iterator.asScala.map { r =>
+        val partitions = (r.get("partitions") match {
+          case null => IndexedSeq.empty[PartitionFieldSummary]
+          case arr: java.util.Collection[_] =>
+            arr.asScala.map { case p: GenericRecord =>
+              PartitionFieldSummary(
+                containsNull = p.get("contains_null").asInstanceOf[Boolean],
+                containsNan =
+                  if (p.getSchema.getField("contains_nan") == null) None
+                  else Option(p.get("contains_nan")).map(_.asInstanceOf[Boolean]),
+                lowerBound = Option(p.get("lower_bound")).map(v => bbToBytes(v.asInstanceOf[ByteBuffer])),
+                upperBound = Option(p.get("upper_bound")).map(v => bbToBytes(v.asInstanceOf[ByteBuffer])))
+            }.toIndexedSeq
+        })
+        ManifestFile(
+          manifestPath = r.get("manifest_path").toString,
+          manifestLength = r.get("manifest_length").asInstanceOf[Long],
+          partitionSpecId = r.get("partition_spec_id").asInstanceOf[Int],
+          content = getOr[Int](r, "content", ManifestContent.Data),
+          sequenceNumber = getOr[Long](r, "sequence_number", 0L),
+          minSequenceNumber = getOr[Long](r, "min_sequence_number", 0L),
+          addedSnapshotId = r.get("added_snapshot_id").asInstanceOf[Long],
+          addedFilesCount = optInt(r, "added_files_count")
+            .orElse(optInt(r, "added_data_files_count")),
+          existingFilesCount = optInt(r, "existing_files_count")
+            .orElse(optInt(r, "existing_data_files_count")),
+          deletedFilesCount = optInt(r, "deleted_files_count")
+            .orElse(optInt(r, "deleted_data_files_count")),
+          addedRowsCount = optLong(r, "added_rows_count"),
+          existingRowsCount = optLong(r, "existing_rows_count"),
+          deletedRowsCount = optLong(r, "deleted_rows_count"),
+          partitions = partitions,
+          keyMetadata = optBytes(r, "key_metadata"),
+          firstRowId = optLong(r, "first_row_id"))
+      }.toIndexedSeq
+    } finally reader.close()
+  }
+
+  /** Write a manifest list (S13; manifest_writer.cc:115-186). */
+  def writeManifestList(path: String, files: Seq[ManifestFile],
+      snapshotId: Long, parentSnapshotId: Option[Long], sequenceNumber: Long,
+      formatVersion: Int = 2): Unit = {
+    val schema = new AvroParser().parse(manifestFileSchemaJson)
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    writer.setMeta("format-version", formatVersion.toString)
+    writer.setMeta("snapshot-id", snapshotId.toString)
+    writer.setMeta("sequence-number", sequenceNumber.toString)
+    parentSnapshotId.foreach(p => writer.setMeta("parent-snapshot-id", p.toString))
+    writer.create(schema, new File(stripFileScheme(path)))
+    try {
+      files.foreach { m =>
+        val r = new GenericData.Record(schema)
+        r.put("manifest_path", m.manifestPath)
+        r.put("manifest_length", m.manifestLength)
+        r.put("partition_spec_id", m.partitionSpecId)
+        r.put("content", m.content)
+        r.put("sequence_number", m.sequenceNumber)
+        r.put("min_sequence_number", m.minSequenceNumber)
+        r.put("added_snapshot_id", m.addedSnapshotId)
+        r.put("added_files_count", m.addedFilesCount.getOrElse(0))
+        r.put("existing_files_count", m.existingFilesCount.getOrElse(0))
+        r.put("deleted_files_count", m.deletedFilesCount.getOrElse(0))
+        r.put("added_rows_count", m.addedRowsCount.getOrElse(0L))
+        r.put("existing_rows_count", m.existingRowsCount.getOrElse(0L))
+        r.put("deleted_rows_count", m.deletedRowsCount.getOrElse(0L))
+        if (m.partitions.nonEmpty) {
+          val fieldSchema = schema.getField("partitions").schema()
+          val arrSchema = nonNull(fieldSchema)
+          val itemSchema = arrSchema.getElementType
+          val arr = new GenericData.Array[GenericRecord](m.partitions.size, arrSchema)
+          m.partitions.foreach { p =>
+            val pr = new GenericData.Record(itemSchema)
+            pr.put("contains_null", p.containsNull)
+            pr.put("contains_nan", p.containsNan.map(Boolean.box).orNull)
+            pr.put("lower_bound", p.lowerBound.map(ByteBuffer.wrap).orNull)
+            pr.put("upper_bound", p.upperBound.map(ByteBuffer.wrap).orNull)
+            arr.add(pr)
+          }
+          r.put("partitions", arr)
+        }
+        r.put("key_metadata", m.keyMetadata.map(ByteBuffer.wrap).orNull)
+        writer.append(r)
+      }
+    } finally writer.close()
+  }
+
+  // ---------------- manifest (entries) ----------------
+
+  /** Read a manifest's entries (S4) with metadata inheritance applied
+    * when the containing ManifestFile is given (S5). `partitionType` types
+    * the r102 tuple (from the spec that wrote the manifest). */
+  def readManifest(path: String, partitionType: StructT,
+      parent: Option[ManifestFile] = None): IndexedSeq[ManifestEntry] = {
+    val reader = new DataFileReader[GenericRecord](
+      new File(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
+    try {
+      val inherit: ManifestEntry => ManifestEntry =
+        parent.map(InheritableMetadata.apply).getOrElse(identity)
+      reader.iterator.asScala.map { r =>
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        val partRec = df.get("partition").asInstanceOf[GenericRecord]
+        val partition: IndexedSeq[Any] = partitionType.fields.map { f =>
+          val avroName = sanitize(f.name)
+          val v = if (partRec != null && partRec.getSchema.getField(avroName) != null)
+            partRec.get(avroName) else null
+          fromAvro(v, f.fieldType.asInstanceOf[IcePrimitive])
+        }
+        val entry = ManifestEntry(
+          status = r.get("status").asInstanceOf[Int],
+          snapshotId = optLong(r, "snapshot_id"),
+          sequenceNumber = optLong(r, "sequence_number"),
+          fileSequenceNumber = optLong(r, "file_sequence_number"),
+          dataFile = DataFile(
+            content = getOr[Int](df, "content", FileContent.Data),
+            filePath = df.get("file_path").toString,
+            fileFormat = df.get("file_format").toString,
+            partition = partition,
+            recordCount = df.get("record_count").asInstanceOf[Long],
+            fileSizeInBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
+            columnSizes = readIntLongMap(if (df.getSchema.getField("column_sizes") == null) null else df.get("column_sizes")),
+            valueCounts = readIntLongMap(if (df.getSchema.getField("value_counts") == null) null else df.get("value_counts")),
+            nullValueCounts = readIntLongMap(if (df.getSchema.getField("null_value_counts") == null) null else df.get("null_value_counts")),
+            nanValueCounts = readIntLongMap(if (df.getSchema.getField("nan_value_counts") == null) null else df.get("nan_value_counts")),
+            lowerBounds = readIntBytesMap(if (df.getSchema.getField("lower_bounds") == null) null else df.get("lower_bounds")),
+            upperBounds = readIntBytesMap(if (df.getSchema.getField("upper_bounds") == null) null else df.get("upper_bounds")),
+            keyMetadata = optBytes(df, "key_metadata"),
+            splitOffsets = df.getSchema.getField("split_offsets") match {
+              case null => Nil
+              case _ => df.get("split_offsets") match {
+                case null => Nil
+                case c: java.util.Collection[_] => c.asScala.map(_.asInstanceOf[Long]).toSeq
+              }
+            },
+            equalityIds = df.getSchema.getField("equality_ids") match {
+              case null => Nil
+              case _ => df.get("equality_ids") match {
+                case null => Nil
+                case c: java.util.Collection[_] => c.asScala.map(_.asInstanceOf[Int]).toSeq
+              }
+            },
+            sortOrderId = optInt(df, "sort_order_id"),
+            firstRowId = optLong(df, "first_row_id"),
+            referencedDataFile = optStr(df, "referenced_data_file"),
+            contentOffset = optLong(df, "content_offset"),
+            contentSizeInBytes = optLong(df, "content_size_in_bytes")))
+        inherit(entry)
+      }.toIndexedSeq
+    } finally reader.close()
+  }
+
+  /** Write a manifest (S12). Returns the ManifestFile row describing it
+    * (length, counts, partition summaries), ready for the manifest list. */
+  def writeManifest(path: String, entries: Seq[ManifestEntry],
+      partitionType: StructT, specId: Int, snapshotId: Long,
+      sequenceNumber: Long, content: Int = ManifestContent.Data,
+      schemaJson: String = "", specFieldsJson: String = "",
+      formatVersion: Int = 2): ManifestFile = {
+    val schema = new AvroParser().parse(manifestEntrySchemaJson(partitionType))
+    val dataFileSchema = nonNull(schema.getField("data_file").schema())
+    val partSchema = nonNull(dataFileSchema.getField("partition").schema())
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    writer.setMeta("format-version", formatVersion.toString)
+    if (schemaJson.nonEmpty) writer.setMeta("schema", schemaJson)
+    writer.setMeta("partition-spec", if (specFieldsJson.nonEmpty) specFieldsJson else "[]")
+    writer.setMeta("partition-spec-id", specId.toString)
+    writer.setMeta("content", if (content == ManifestContent.Data) "data" else "deletes")
+    writer.create(schema, new File(stripFileScheme(path)))
+    try {
+      entries.foreach { e =>
+        val r = new GenericData.Record(schema)
+        r.put("status", e.status)
+        r.put("snapshot_id", e.snapshotId.map(Long.box).orNull)
+        r.put("sequence_number", e.sequenceNumber.map(Long.box).orNull)
+        r.put("file_sequence_number", e.fileSequenceNumber.map(Long.box).orNull)
+        val df = e.dataFile
+        val dr = new GenericData.Record(dataFileSchema)
+        dr.put("content", df.content)
+        dr.put("file_path", df.filePath)
+        dr.put("file_format", df.fileFormat)
+        val pr = new GenericData.Record(partSchema)
+        partitionType.fields.zipWithIndex.foreach { case (f, i) =>
+          val fieldSchema = partSchema.getField(sanitize(f.name)).schema()
+          pr.put(sanitize(f.name), toAvro(df.partition(i), fieldSchema))
+        }
+        dr.put("partition", pr)
+        dr.put("record_count", df.recordCount)
+        dr.put("file_size_in_bytes", df.fileSizeInBytes)
+        dr.put("column_sizes", writeIntLongMap(df.columnSizes, dataFileSchema.getField("column_sizes").schema()))
+        dr.put("value_counts", writeIntLongMap(df.valueCounts, dataFileSchema.getField("value_counts").schema()))
+        dr.put("null_value_counts", writeIntLongMap(df.nullValueCounts, dataFileSchema.getField("null_value_counts").schema()))
+        dr.put("nan_value_counts", writeIntLongMap(df.nanValueCounts, dataFileSchema.getField("nan_value_counts").schema()))
+        dr.put("lower_bounds", writeIntBytesMap(df.lowerBounds, dataFileSchema.getField("lower_bounds").schema()))
+        dr.put("upper_bounds", writeIntBytesMap(df.upperBounds, dataFileSchema.getField("upper_bounds").schema()))
+        dr.put("key_metadata", df.keyMetadata.map(ByteBuffer.wrap).orNull)
+        dr.put("split_offsets", if (df.splitOffsets.isEmpty) null else df.splitOffsets.map(Long.box).asJava)
+        dr.put("equality_ids", if (df.equalityIds.isEmpty) null else df.equalityIds.map(Int.box).asJava)
+        dr.put("sort_order_id", df.sortOrderId.map(Int.box).orNull)
+        dr.put("referenced_data_file", df.referencedDataFile.orNull)
+        r.put("data_file", dr)
+        writer.append(r)
+      }
+    } finally writer.close()
+
+    // summaries + counts for the manifest-list row
+    val added = entries.count(_.status == ManifestStatus.Added)
+    val existing = entries.count(_.status == ManifestStatus.Existing)
+    val deleted = entries.count(_.status == ManifestStatus.Deleted)
+    val summaries = partitionType.fields.zipWithIndex.map { case (f, i) =>
+      val pt = f.fieldType.asInstanceOf[IcePrimitive]
+      val values = entries.map(_.dataFile.partition(i))
+      val nonNullVals = values.filter(_ != null)
+      val hasNan = pt match {
+        case FloatT => nonNullVals.exists(v => v.asInstanceOf[Float].isNaN)
+        case DoubleT => nonNullVals.exists(v => v.asInstanceOf[Double].isNaN)
+        case _ => false
+      }
+      val comparable = nonNullVals.filter(v => pt match {
+        case FloatT => !v.asInstanceOf[Float].isNaN
+        case DoubleT => !v.asInstanceOf[Double].isNaN
+        case _ => true
+      }).map(v => Literal(LiteralValue.Value(v), pt))
+      val lower = comparable.reduceOption((a, b) => if (a.compareTo(b).exists(_ <= 0)) a else b)
+      val upper = comparable.reduceOption((a, b) => if (a.compareTo(b).exists(_ >= 0)) a else b)
+      PartitionFieldSummary(
+        containsNull = values.exists(_ == null),
+        containsNan = Some(hasNan),
+        lowerBound = lower.map(_.serialize),
+        upperBound = upper.map(_.serialize))
+    }
+    val minSeq = entries.flatMap(_.sequenceNumber).minOption.getOrElse(sequenceNumber)
+    ManifestFile(
+      manifestPath = path,
+      manifestLength = new File(stripFileScheme(path)).length(),
+      partitionSpecId = specId,
+      content = content,
+      sequenceNumber = sequenceNumber,
+      minSequenceNumber = minSeq,
+      addedSnapshotId = snapshotId,
+      addedFilesCount = Some(added),
+      existingFilesCount = Some(existing),
+      deletedFilesCount = Some(deleted),
+      addedRowsCount = Some(entries.filter(_.status == ManifestStatus.Added).map(_.dataFile.recordCount).sum),
+      existingRowsCount = Some(entries.filter(_.status == ManifestStatus.Existing).map(_.dataFile.recordCount).sum),
+      deletedRowsCount = Some(entries.filter(_.status == ManifestStatus.Deleted).map(_.dataFile.recordCount).sum),
+      partitions = summaries)
+  }
+
+  def stripFileScheme(path: String): String =
+    if (path.startsWith("file://")) path.substring("file://".length)
+    else if (path.startsWith("file:")) path.substring("file:".length)
+    else path
+}

@@ -70,8 +70,11 @@ final case class Literal(value: LiteralValue, tpe: IcePrimitive) {
         Some(Value(Math.floorDiv(raw.asInstanceOf[Long], 86400L * 1000000L).toInt))
       case (StringT, DateT) =>
         Some(Value(java.time.LocalDate.parse(raw.asInstanceOf[String]).toEpochDay.toInt))
-      case (StringT, TimestampT) =>
-        val ldt = java.time.LocalDateTime.parse(raw.asInstanceOf[String])
+      case (StringT, TimestampT | TimestampTzT) =>
+        val s = raw.asInstanceOf[String].replace(' ', 'T')
+        val ldt =
+          if (s.contains('T')) java.time.LocalDateTime.parse(s)
+          else java.time.LocalDate.parse(s).atStartOfDay
         Some(Value(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L))
       case (StringT, UuidT) =>
         Some(Value(java.util.UUID.fromString(raw.asInstanceOf[String])))

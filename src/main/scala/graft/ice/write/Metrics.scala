@@ -1,0 +1,229 @@
+package graft.ice.write
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+
+import graft.ice.transform.TruncateUtil
+import graft.ice.types._
+
+/** Per-file column metrics from parquet footers (reference: metrics.h:33-41;
+  * the reference's parquet writer returns empty metrics,
+  * parquet_writer.cc:139-144 — here we compute real ones, because bounds
+  * are what make manifest/file pruning work at scale).
+  *
+  * Footer-only: no data re-scan. At cluster scale this runs where the file
+  * was written (or in parallel on the driver for small commits); collecting
+  * a footer is O(KB) regardless of file size. String bounds are truncated
+  * to 16 chars with upper-bound increment (metrics mode truncate(16),
+  * table_properties.h metrics defaults). */
+object Metrics {
+
+  val BoundTruncateLength = 16
+
+  final case class FileMetrics(
+      rowCount: Long,
+      columnSizes: Map[Int, Long],
+      valueCounts: Map[Int, Long],
+      nullValueCounts: Map[Int, Long],
+      lowerBounds: Map[Int, Array[Byte]],
+      upperBounds: Map[Int, Array[Byte]],
+      splitOffsets: Seq[Long])
+
+  /** Read footer metrics for one parquet file. `schema` is the table
+    * schema; columns are matched by parquet field id when present, else
+    * by top-level name (name-mapping fallback, name_mapping.h). */
+  def fromParquetFooter(path: String, schema: Schema,
+      conf: Configuration = new Configuration()): FileMetrics = {
+    val in = HadoopInputFile.fromPath(new HPath(path), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val msgType = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala
+
+      // top-level leaf columns only (nested stats skipped; spec allows absence)
+      val topLevelLeaves: Map[String, (PrimitiveType, Option[Int])] =
+        msgType.getFields.asScala.filter(_.isPrimitive).map { f =>
+          val p = f.asPrimitiveType
+          f.getName -> (p, Option(f.getId).map(_.intValue))
+        }.toMap
+
+      def fieldFor(colName: String, parquetId: Option[Int]): Option[NestedField] =
+        parquetId.flatMap(schema.findFieldById)
+          .orElse(schema.fields.find(_.name == colName))
+
+      val colSizes = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      val valCounts = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      val nullCounts = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      val mins = collection.mutable.Map[Int, Literal]()
+      val maxs = collection.mutable.Map[Int, Literal]()
+      var statsComplete = collection.mutable.Set[Int]()
+      val statsBroken = collection.mutable.Set[Int]()
+
+      for (block <- blocks; chunk <- block.getColumns.asScala) {
+        val pathParts = chunk.getPath.toArray
+        if (pathParts.length == 1) { // top-level primitive
+          val name = pathParts(0)
+          topLevelLeaves.get(name).foreach { case (ptype, pid) =>
+            fieldFor(name, pid).foreach { field =>
+              field.fieldType match {
+                case prim: IcePrimitive =>
+                  val id = field.id
+                  colSizes(id) += chunk.getTotalSize
+                  valCounts(id) += chunk.getValueCount
+                  val stats = chunk.getStatistics
+                  if (stats != null && stats.isNumNullsSet) nullCounts(id) += stats.getNumNulls
+                  if (stats != null && stats.hasNonNullValue) {
+                    convertStat(stats.genericGetMin.asInstanceOf[AnyRef], ptype, prim).foreach { lit =>
+                      mins.get(id) match {
+                        case Some(cur) if cur.compareTo(lit).exists(_ <= 0) =>
+                        case _ => mins(id) = lit
+                      }
+                    }
+                    convertStat(stats.genericGetMax.asInstanceOf[AnyRef], ptype, prim).foreach { lit =>
+                      maxs.get(id) match {
+                        case Some(cur) if cur.compareTo(lit).exists(_ >= 0) =>
+                        case _ => maxs(id) = lit
+                      }
+                    }
+                  } else if (stats == null || !stats.isNumNullsSet || stats.getNumNulls < chunk.getValueCount) {
+                    // values exist but no usable stats -> bounds unreliable
+                    statsBroken += id
+                  }
+                case _ =>
+              }
+            }
+          }
+        }
+      }
+      statsBroken.foreach { id => mins.remove(id); maxs.remove(id) }
+
+      val lower = mins.view.mapValues(truncateLower).toMap
+        .collect { case (k, Some(l)) => k -> l.serialize }
+      val upper = maxs.view.mapValues(truncateUpper).toMap
+        .collect { case (k, Some(l)) => k -> l.serialize }
+
+      FileMetrics(
+        rowCount = blocks.map(_.getRowCount).sum,
+        columnSizes = colSizes.toMap,
+        valueCounts = valCounts.toMap,
+        nullValueCounts = nullCounts.toMap,
+        lowerBounds = lower,
+        upperBounds = upper,
+        splitOffsets = blocks.map(_.getStartingPos).toSeq.sorted)
+    } finally reader.close()
+  }
+
+  /** parquet statistics value -> Iceberg literal of the field's type. */
+  private def convertStat(v: AnyRef, ptype: PrimitiveType, target: IcePrimitive): Option[Literal] = {
+    import PrimitiveType.PrimitiveTypeName._
+    val logical = ptype.getLogicalTypeAnnotation
+    (ptype.getPrimitiveTypeName, target) match {
+      case (INT32, IntT) => Some(Literal.int(v.asInstanceOf[Number].intValue))
+      case (INT32, DateT) => Some(Literal.date(v.asInstanceOf[Number].intValue))
+      case (INT32, LongT) => Some(Literal.long(v.asInstanceOf[Number].longValue))
+      case (INT64, LongT) => Some(Literal.long(v.asInstanceOf[Number].longValue))
+      case (INT64, TimestampT | TimestampTzT) =>
+        val raw = v.asInstanceOf[Number].longValue
+        val micros = logical match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS => Math.floorDiv(raw, 1000L)
+              case _ => raw
+            }
+          case _ => raw
+        }
+        Some(Literal(LiteralValue.Value(micros), target))
+      case (INT64, TimeT) => Some(Literal.timeMicros(v.asInstanceOf[Number].longValue))
+      case (FLOAT, FloatT) =>
+        val f = v.asInstanceOf[Number].floatValue
+        if (f.isNaN) None else Some(Literal.float(f))
+      case (DOUBLE, DoubleT) =>
+        val d = v.asInstanceOf[Number].doubleValue
+        if (d.isNaN) None else Some(Literal.double(d))
+      case (BOOLEAN, BooleanT) => Some(Literal.bool(v.asInstanceOf[Boolean]))
+      case (BINARY, StringT) =>
+        Some(Literal.string(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+      case (BINARY, BinaryT) =>
+        Some(Literal.binary(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+      case (INT32, DecimalT(p, s)) =>
+        Some(Literal(LiteralValue.Value(JBigDecimal.valueOf(v.asInstanceOf[Number].longValue, s)), DecimalT(p, s)))
+      case (INT64, DecimalT(p, s)) =>
+        Some(Literal(LiteralValue.Value(JBigDecimal.valueOf(v.asInstanceOf[Number].longValue, s)), DecimalT(p, s)))
+      case (FIXED_LEN_BYTE_ARRAY, DecimalT(p, s)) =>
+        val bytes = v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+        Some(Literal(LiteralValue.Value(
+          new JBigDecimal(new java.math.BigInteger(bytes), s)), DecimalT(p, s)))
+      case _ => None
+    }
+  }
+
+  /** truncate(16) for lower bound: plain truncation is a valid lower bound. */
+  def truncateLower(l: Literal): Option[Literal] = l.tpe match {
+    case StringT =>
+      Some(Literal.string(TruncateUtil.truncateString(BoundTruncateLength, l.raw.asInstanceOf[String])))
+    case BinaryT =>
+      Some(Literal.binary(TruncateUtil.truncateBinary(BoundTruncateLength, l.raw.asInstanceOf[Array[Byte]])))
+    case _ => Some(l)
+  }
+
+  /** truncate(16) for upper bound: truncation must round UP — increment the
+    * last code point; drop the bound entirely if no increment is possible. */
+  def truncateUpper(l: Literal): Option[Literal] = l.tpe match {
+    case StringT =>
+      val s = l.raw.asInstanceOf[String]
+      if (s.codePointCount(0, s.length) <= BoundTruncateLength) Some(l)
+      else {
+        val t = TruncateUtil.truncateString(BoundTruncateLength, s)
+        incrementLastCodePoint(t).map(Literal.string)
+      }
+    case BinaryT =>
+      val b = l.raw.asInstanceOf[Array[Byte]]
+      if (b.length <= BoundTruncateLength) Some(l)
+      else {
+        val t = TruncateUtil.truncateBinary(BoundTruncateLength, b)
+        incrementBytes(t).map(Literal.binary)
+      }
+    case _ => Some(l)
+  }
+
+  private def incrementLastCodePoint(s: String): Option[String] = {
+    val cps = s.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < Character.MAX_CODE_POINT &&
+          !(cps(i) == Character.MIN_SURROGATE - 1)) {
+        val next = cps(i) + 1
+        // skip into surrogate range is invalid for code points; MIN..MAX
+        // surrogates are not valid standalone code points
+        val bumped = if (next >= Character.MIN_SURROGATE && next <= Character.MAX_SURROGATE)
+          Character.MAX_SURROGATE + 1 else next
+        val out = cps.take(i) :+ bumped
+        return Some(new String(out, 0, out.length))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  private def incrementBytes(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = b.clone()
+    var i = out.length - 1
+    while (i >= 0) {
+      if ((out(i) & 0xff) != 0xff) {
+        out(i) = (out(i) + 1).toByte
+        return Some(java.util.Arrays.copyOf(out, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+}

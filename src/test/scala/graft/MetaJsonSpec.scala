@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice.meta._
+import graft.ice.transform._
+import graft.ice.types._
+
+/** Golden-file metadata parsing, mirroring the reference's
+  * metadata_serde_test.cc over the test resources JSON files (read-only reuse). */
+class MetaJsonSpec extends AnyFunSuite {
+  private val res = "/root/reference/src/iceberg/test/resources"
+
+  test("TableMetadataV2Valid.json parses field-by-field") {
+    val m = TableMetadataIO.read(s"$res/TableMetadataV2Valid.json")
+    assert(m.formatVersion == 2)
+    assert(m.tableUuid == "9c12d441-03fe-4693-9a96-a0705ddf69c1")
+    assert(m.location == "s3://bucket/test/location")
+    assert(m.lastSequenceNumber == 34)
+    assert(m.lastColumnId == 3)
+    assert(m.schemas.size == 2)
+    assert(m.currentSchemaId == 1)
+    assert(m.currentSchema.fields.map(_.name) == Seq("x", "y", "z"))
+    assert(m.currentSchema.identifierFieldIds == Seq(1, 2))
+    assert(m.currentSchema.fields(1).doc == Some("comment"))
+    assert(m.defaultSpec.fields.head ==
+      PartitionField(1, 1000, "x", IdentityTransform))
+    assert(m.lastPartitionId == 1000)
+    assert(m.defaultSortOrderId == 3)
+    val so = m.defaultSortOrder
+    assert(so.fields(0) == SortField(2, IdentityTransform, ascending = true, nullsFirst = true))
+    assert(so.fields(1) == SortField(3, BucketTransform(4), ascending = false, nullsFirst = false))
+    assert(m.currentSnapshotId == Some(3055729675574597004L))
+    assert(m.snapshots.size == 2)
+    val snap = m.currentSnapshot.get
+    assert(snap.parentSnapshotId == Some(3051729675574597004L))
+    assert(snap.sequenceNumber == 1)
+    assert(snap.manifestList == "s3://a/b/2.avro")
+    assert(snap.schemaId == Some(1))
+    assert(snap.operation == Some("append"))
+    assert(m.snapshotLog.size == 2)
+  }
+
+  test("TableMetadataV1Valid.json parses (v1 single schema/flat spec)") {
+    val m = TableMetadataIO.read(s"$res/TableMetadataV1Valid.json")
+    assert(m.formatVersion == 1)
+    assert(m.schemas.nonEmpty)
+    assert(m.partitionSpecs.nonEmpty)
+  }
+
+  test("V2ValidMinimal and V3ValidMinimal parse") {
+    val m2 = TableMetadataIO.read(s"$res/TableMetadataV2ValidMinimal.json")
+    assert(m2.formatVersion == 2)
+    // NOTE: the reference's V3 fixture file actually says format-version 2
+    // (fixture quirk); just assert it parses.
+    val m3 = TableMetadataIO.read(s"$res/TableMetadataV3ValidMinimal.json")
+    assert(m3.formatVersion == 2)
+    assert(m3.currentSchema.fields.map(_.name) == Seq("x", "y", "z"))
+  }
+
+  test("statistics files parse (TableMetadataStatisticsFiles.json)") {
+    val m = TableMetadataIO.read(s"$res/TableMetadataStatisticsFiles.json")
+    assert(m.statistics.nonEmpty)
+    val m2 = TableMetadataIO.read(s"$res/TableMetadataPartitionStatisticsFiles.json")
+    assert(m2.partitionStatistics.nonEmpty)
+  }
+
+  test("negative cases throw (metadata_serde_test.cc negative fixtures)") {
+    assertThrows[IllegalArgumentException](
+      TableMetadataIO.read(s"$res/TableMetadataUnsupportedVersion.json"))
+    assertThrows[Exception](
+      TableMetadataIO.read(s"$res/TableMetadataV2MissingSchemas.json"))
+    assertThrows[Exception](
+      TableMetadataIO.read(s"$res/TableMetadataV2CurrentSchemaNotFound.json"))
+    assertThrows[Exception](
+      TableMetadataIO.read(s"$res/TableMetadataV2MissingPartitionSpecs.json"))
+    assertThrows[Exception](
+      TableMetadataIO.read(s"$res/TableMetadataV2MissingLastPartitionId.json"))
+    assertThrows[Exception](
+      TableMetadataIO.read(s"$res/TableMetadataV2MissingSortOrder.json"))
+  }
+
+  test("round-trip: toJson -> fromJson is identity (json_internal_test.cc pattern)") {
+    val m = TableMetadataIO.read(s"$res/TableMetadataV2Valid.json")
+    val back = MetaJson.fromJson(MetaJson.toJson(m))
+    assert(back == m)
+  }
+
+  test("atomic write + read back + gzip read (table_metadata.cc:165-195)") {
+    val dir = java.nio.file.Files.createTempDirectory("metajson").toString
+    val m = TableMetadata.newTable(s"$dir/tbl",
+      Schema(0, IndexedSeq(NestedField(1, "id", LongT, required = true))),
+      PartitionSpec(0, IndexedSeq(PartitionField(1, 1000, "id_bucket", BucketTransform(16)))))
+    TableMetadataIO.write(s"$dir/v1.metadata.json", m)
+    val back = TableMetadataIO.read(s"$dir/v1.metadata.json")
+    assert(back == m)
+    // gzip variant
+    val gz = s"$dir/v1.gz.metadata.json"
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write(MetaJson.toJson(m).getBytes("UTF-8")); out.close()
+    assert(TableMetadataIO.read(gz) == m)
+  }
+}

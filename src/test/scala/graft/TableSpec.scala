@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice._
+import graft.ice.catalog._
+import graft.ice.expr.{Expr => E}
+import graft.ice.meta._
+import graft.ice.transform._
+import graft.ice.types._
+
+/** End-to-end: catalog -> create -> append -> scan -> DataFrame, the
+  * reference's flagship path (demo_example.cc:41-78 / SURVEY §3.1),
+  * against real testdata. */
+class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpWarehouse(): String =
+    java.nio.file.Files.createTempDirectory("warehouse").toString
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("create + append unpartitioned + scan round trip (lineitem)") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.lineitem"), schema)
+
+    val snap = t.append(spark).appendDataFrame(raw)
+    assert(snap.operation == Some("append"))
+    assert(t.currentSnapshot.map(_.snapshotId) == Some(snap.snapshotId))
+
+    val df = t.newScan().toDF(spark)
+    assert(df.count() == raw.count())
+    // column values survive the round trip
+    val a = df.agg(org.apache.spark.sql.functions.sum("l_extendedprice")).head.getDouble(0)
+    val b = raw.agg(org.apache.spark.sql.functions.sum("l_extendedprice")).head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+
+  test("append twice -> snapshots chain + time travel") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.orders"), schema)
+
+    val s1 = t.append(spark).appendDataFrame(raw.limit(100))
+    val s2 = t.append(spark).appendDataFrame(raw.limit(50))
+    assert(t.snapshots.size == 2)
+    assert(s2.parentSnapshotId == Some(s1.snapshotId))
+    assert(s2.sequenceNumber == s1.sequenceNumber + 1)
+
+    assert(t.newScan().useSnapshot(s1.snapshotId).toDF(spark).count() == 100)
+    assert(t.newScan().toDF(spark).count() == 150)
+    // history log ordered
+    assert(t.history.map(_.snapshotId) == Seq(s1.snapshotId, s2.snapshotId))
+    // reload from catalog sees the same state
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.orders"))
+    assert(t2.currentSnapshot.map(_.snapshotId) == Some(s2.snapshotId))
+  }
+
+  test("partitioned append (bucket + day) + partition pruning") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val okId = schema.findFieldByName("l_orderkey").get.id
+    val sdId = schema.findFieldByName("l_shipdate").get.id
+    val spec = PartitionSpec(0, IndexedSeq(
+      PartitionField(okId, 1000, "ok_bucket", BucketTransform(4)),
+      PartitionField(sdId, 1001, "ship_year", YearTransform)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.lineitem_part"), schema, spec)
+    t.append(spark).appendDataFrame(raw)
+
+    val all = t.newScan().planFiles()
+    assert(all.nonEmpty)
+    // every file has a 2-element partition tuple
+    assert(all.forall(_.file.partition.size == 2))
+
+    // filter on the bucketed source column: eq predicate prunes to 1 bucket
+    val key = raw.select("l_orderkey").head.getLong(0)
+    val expectedBucket = BucketTransform(4)(key, LongT)
+    val prunedEq = t.newScan().filter(E.equal("l_orderkey", Literal.long(key))).planFiles()
+    assert(prunedEq.nonEmpty)
+    assert(prunedEq.forall(_.file.partition(0) == expectedBucket))
+    assert(prunedEq.size < all.size)
+
+    // year range prune
+    val pruned = t.newScan()
+      .filter(E.gtEq("l_shipdate", Literal.string("2001-01-01").castTo(TimestampT).get))
+      .planFiles()
+    assert(pruned.size < all.size)
+    assert(pruned.forall(_.file.partition(1).asInstanceOf[Int] >= 30)) // >= year 2000
+
+    // correctness: pruned scan == full filter on raw data
+    val cnt = t.newScan()
+      .filter(E.gtEq("l_shipdate", Literal.string("2001-01-01").castTo(TimestampT).get))
+      .toDF(spark).count()
+    val expected = raw.filter("l_shipdate >= timestamp_ntz'2001-01-01 00:00:00'").count()
+    assert(cnt == expected)
+  }
+
+  test("metrics-based file pruning on unpartitioned table") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.orders_m"), schema)
+    // two appends with disjoint key ranges -> bounds separate the files
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey < 1000"))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey >= 1000"))
+
+    val all = t.newScan().planFiles()
+    val pruned = t.newScan().filter(E.lt("o_orderkey", Literal.long(500))).planFiles()
+    assert(pruned.size < all.size, s"expected bounds pruning: ${pruned.size} < ${all.size}")
+
+    // pruning safety: row counts agree with raw
+    val cnt = t.newScan().filter(E.lt("o_orderkey", Literal.long(500))).toDF(spark).count()
+    assert(cnt == raw.filter("o_orderkey < 500").count())
+  }
+
+  test("projection reads only selected columns") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.nation"), schema)
+    t.append(spark).appendDataFrame(raw)
+    val df = t.newScan().select("n_name").toDF(spark)
+    assert(df.columns.toSeq == Seq("n_name"))
+    assert(df.count() == raw.count())
+  }
+
+  test("addFiles registers external parquet without rewrite") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.region"), schema)
+    t.append(spark).addFiles(Seq(s"$sfDir/region.parquet"))
+    val df = t.newScan().toDF(spark)
+    assert(df.count() == raw.count())
+    assert(df.columns.toSeq == raw.columns.toSeq)
+  }
+
+  test("concurrent-commit loser retries and succeeds") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t1 = IceTable.create(cat, TableIdentifier.parse("db.cc"), schema)
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.cc"))
+    // both handles commit; the second sees a stale version and must retry
+    t1.append(spark).addFiles(Seq(s"$sfDir/region.parquet"))
+    t2.append(spark).addFiles(Seq(s"$sfDir/region.parquet"))
+    val fresh = IceTable.load(cat, TableIdentifier.parse("db.cc"))
+    assert(fresh.snapshots.size == 2)
+    assert(fresh.newScan().toDF(spark).count() == raw.count() * 2)
+  }
+}

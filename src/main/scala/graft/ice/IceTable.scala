@@ -69,9 +69,26 @@ final class IceTable private (
   }
 
   def append(spark: SparkSession): AppendOp = new AppendOp(this, spark)
+  def updateSchema(): graft.ice.write.UpdateSchema = new graft.ice.write.UpdateSchema(this)
+  def delete(spark: SparkSession): graft.ice.write.RowDelete = new graft.ice.write.RowDelete(this, spark)
+  def compact(spark: SparkSession): graft.ice.write.Compaction = new graft.ice.write.Compaction(this, spark)
+  def overwrite(spark: SparkSession): graft.ice.write.Overwrite = new graft.ice.write.Overwrite(this, spark)
+  def manageSnapshots(): graft.ice.write.ManageSnapshots = new graft.ice.write.ManageSnapshots(this)
 
   def metadataFileDir: String = s"${meta.location}/metadata"
   def dataFileDir: String = s"${meta.location}/data"
+
+  /** Live delete-file entries of a snapshot (position + equality deletes,
+    * §2.8 — the reference models these but rejects them at plan time,
+    * table_scan.cc:288-291; here they feed the merge-on-read anti-joins). */
+  def planDeleteEntries(snapshot: Snapshot): Seq[ManifestEntry] = {
+    val manifests = ManifestAvro.readManifestList(snapshot.manifestList)
+    manifests.filter(_.content == ManifestContent.Deletes).flatMap { m =>
+      val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+      val partType = mSpec.partitionType(schema)
+      ManifestAvro.readManifest(m.manifestPath, partType, Some(m)).filter(_.isLive)
+    }
+  }
 
   /** All live data-file entries of a snapshot (driver-side plan). */
   def planEntries(snapshot: Snapshot, rowFilter: Option[Bound]): Seq[ManifestEntry] = {
@@ -129,7 +146,8 @@ object IceTable {
 
 /** One task ≈ one data file (+ its split offsets); maps to Spark input
   * splits (table_scan.h FileScanTask). */
-final case class FileScanTask(file: DataFile, specId: Int)
+final case class FileScanTask(file: DataFile, specId: Int,
+    dataSequenceNumber: Long = 0L)
 
 /** Fluent scan builder (reference: table_scan.cc:171-246). */
 final class ScanBuilder(table: IceTable) {
@@ -164,9 +182,15 @@ final class ScanBuilder(table: IceTable) {
   }
 
   def scanSchema: Schema = {
-    val snap = resolveSnapshot()
-    val base = snap.flatMap(_.schemaId).flatMap(table.metadata.schemaById)
-      .getOrElse(table.schema)
+    // snapshot schema pinning applies only to explicit time travel
+    // (table_scan.cc:217-220); a current-snapshot scan always uses the
+    // table's current schema so evolution is visible immediately.
+    val timeTraveling = snapshotId.isDefined || branchOrTag.isDefined
+    val base =
+      if (timeTraveling)
+        resolveSnapshot().flatMap(_.schemaId).flatMap(table.metadata.schemaById)
+          .getOrElse(table.schema)
+      else table.schema
     projection match {
       case Some(cols) => base.select(cols, caseSensitive)
       case None => base
@@ -178,7 +202,7 @@ final class ScanBuilder(table: IceTable) {
     case Some(snap) =>
       val bound = filterExpr.map(e => Binder.bind(e, table.schema, caseSensitive))
       table.planEntries(snap, bound)
-        .map(e => FileScanTask(e.dataFile, 0))
+        .map(e => FileScanTask(e.dataFile, 0, e.sequenceNumber.getOrElse(0L)))
   }
 
   /** Execute as a DataFrame: Spark's vectorized parquet reader over the
@@ -202,18 +226,68 @@ final class ScanBuilder(table: IceTable) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
     }
     val dataDirPrefix = ManifestAvro.stripFileScheme(table.dataFileDir)
-    val (internal, external) = tasks
-      .map(t => ManifestAvro.stripFileScheme(t.file.filePath))
-      .partition(p => p.startsWith(dataDirPrefix) || ScanBuilder.hasFieldIds(p, spark))
     val plainSchema = org.apache.spark.sql.types.StructType(
       sparkSchema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    var df = (internal, external) match {
-      case (ps, Nil) => spark.read.schema(sparkSchema).parquet(ps: _*)
-      case (Nil, ps) => spark.read.schema(plainSchema).parquet(ps: _*)
-      case (ips, eps) =>
-        spark.read.schema(sparkSchema).parquet(ips: _*)
-          .unionByName(spark.read.schema(plainSchema).parquet(eps: _*))
+
+    def readPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {
+      val (internal, external) = ts
+        .map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+        .partition(p => p.startsWith(dataDirPrefix) || ScanBuilder.hasFieldIds(p, spark))
+      def read(schema: org.apache.spark.sql.types.StructType, ps: Seq[String]) = {
+        val base = spark.read.schema(schema).parquet(ps: _*)
+        if (withPosCols)
+          base.withColumn("__file",
+            regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+            .withColumn("__pos", col("_metadata.row_index"))
+        else base
+      }
+      (internal, external) match {
+        case (ps, Nil) => read(sparkSchema, ps)
+        case (Nil, ps) => read(plainSchema, ps)
+        case (ips, eps) => read(sparkSchema, ips).unionByName(read(plainSchema, eps))
+      }
     }
+
+    // merge-on-read deletes (§2.8): position deletes anti-join on
+    // (_file, _pos); equality deletes null-safe anti-join on their id
+    // columns. Sequence-number visibility: position deletes apply to data
+    // files with dataSeq <= deleteSeq; equality deletes to dataSeq < deleteSeq.
+    val deleteEntries = resolveSnapshot().map(table.planDeleteEntries).getOrElse(Nil)
+    var df =
+      if (deleteEntries.isEmpty) readPaths(tasks, withPosCols = false)
+      else {
+        val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)
+        val eqDeletes = deleteEntries.filter(_.dataFile.content == FileContent.EqualityDeletes)
+        // group data files by the exact set of applicable delete files
+        val groups = tasks.groupBy { t =>
+          (posDeletes.filter(_.sequenceNumber.getOrElse(0L) >= t.dataSequenceNumber).map(_.dataFile.filePath),
+            eqDeletes.filter(_.sequenceNumber.getOrElse(0L) > t.dataSequenceNumber).map(_.dataFile.filePath))
+        }
+        groups.map { case ((posPaths, eqPaths), groupTasks) =>
+          val needPos = posPaths.nonEmpty
+          var g = readPaths(groupTasks, withPosCols = needPos)
+          if (needPos) {
+            val dels = spark.read
+              .parquet(posPaths.map(ManifestAvro.stripFileScheme): _*)
+              .select(
+                regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
+                col("pos").as("__dpos"))
+            g = g.join(dels,
+              g("__file") === dels("__dfile") && g("__pos") === dels("__dpos"),
+              "left_anti")
+          }
+          for (eqPath <- eqPaths) {
+            val eqEntry = eqDeletes.find(_.dataFile.filePath == eqPath).get
+            val eqCols = eqEntry.dataFile.equalityIds.flatMap(id =>
+              table.schema.findFieldById(id).map(_.name))
+            val dels = spark.read.parquet(ManifestAvro.stripFileScheme(eqPath))
+              .select(eqCols.map(col): _*)
+            g = g.join(dels, eqCols.map(c => g(c) <=> dels(c)).reduce(_ && _), "left_anti")
+          }
+          if (needPos) g = g.drop("__file", "__pos")
+          g
+        }.reduce(_ unionByName _)
+      }
     filterExpr.foreach { e =>
       // bind against the full snapshot schema: filters may reference
       // non-projected columns only if projected; keep it simple — bind on

@@ -1,0 +1,484 @@
+package graft.ice.write
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ice._
+import graft.ice.expr.{Binder, Expr, ToColumn}
+import graft.ice.manifest._
+import graft.ice.meta._
+import graft.ice.types._
+
+/** Write-surface operations beyond plain append: schema evolution,
+  * row-level deletes (copy-on-write and merge-on-read), compaction,
+  * overwrite, snapshot/ref management. These are the TableUpdate /
+  * Transaction pieces the reference declares but leaves unimplemented
+  * (table_update.h:41-360, transaction.h:31-51, C5-C7). */
+
+/** Shared snapshot production: build the next manifest list from the
+  * current one, removing `removedPaths` data files (manifests that lose
+  * entries are rewritten with survivors as EXISTING; untouched manifests
+  * are reused as-is — important at scale: a commit touching one partition
+  * rewrites one manifest, not thousands) and adding new manifests. */
+private[ice] object SnapshotProducer {
+
+  def commit(table: IceTable, spark: SparkSession, operation: String,
+      addedDataEntries: Seq[ManifestEntry],
+      removedPaths: Set[String] = Set.empty,
+      addedDeleteEntries: Seq[ManifestEntry] = Nil,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+    var result: Snapshot = null
+    table.commit { base =>
+      val commitUuid = UUID.randomUUID().toString
+      val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+      val seq = base.lastSequenceNumber + 1
+      val metaDir = s"${base.location}/metadata"
+      Files.createDirectories(Paths.get(metaDir))
+      val schema = base.currentSchema
+      val spec = base.defaultSpec
+      val partType = spec.partitionType(schema)
+      val schemaJson = MetaJson.schemaToJson(schema).toString
+      val specJson = MetaJson.specToJson(spec).get("fields").toString
+
+      val previous = base.currentSnapshot
+        .map(s => ManifestAvro.readManifestList(s.manifestList))
+        .getOrElse(IndexedSeq.empty)
+
+      var mIdx = 0
+      def nextManifestPath(): String = {
+        val p = s"$metaDir/$commitUuid-m$mIdx.avro"; mIdx += 1; p
+      }
+
+      // keep / rewrite previous manifests (data AND delete manifests —
+      // compaction removes folded-in delete files too)
+      val survivors: Seq[ManifestFile] = previous.flatMap { m =>
+        if (removedPaths.isEmpty) Some(m)
+        else {
+          val mSpec = base.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+          val mPartType = mSpec.partitionType(schema)
+          val entries = ManifestAvro.readManifest(m.manifestPath, mPartType, Some(m))
+            .filter(_.isLive)
+          val (removed, kept) = entries.partition(e => removedPaths.contains(e.dataFile.filePath))
+          if (removed.isEmpty) Some(m)
+          else if (kept.isEmpty) None
+          else Some(ManifestAvro.writeManifest(nextManifestPath(),
+            kept.map(_.copy(status = ManifestStatus.Existing)),
+            mPartType, mSpec.specId, snapshotId, m.sequenceNumber,
+            content = m.content,
+            schemaJson = schemaJson, specFieldsJson = specJson)
+            .copy(minSequenceNumber = m.minSequenceNumber))
+        }
+      }
+
+      val newManifests = Seq(
+        if (addedDataEntries.nonEmpty)
+          Some(ManifestAvro.writeManifest(nextManifestPath(), addedDataEntries,
+            partType, spec.specId, snapshotId, seq,
+            schemaJson = schemaJson, specFieldsJson = specJson))
+        else None,
+        if (addedDeleteEntries.nonEmpty)
+          Some(ManifestAvro.writeManifest(nextManifestPath(), addedDeleteEntries,
+            partType, spec.specId, snapshotId, seq,
+            content = ManifestContent.Deletes,
+            schemaJson = schemaJson, specFieldsJson = specJson))
+        else None).flatten
+
+      val all = newManifests ++ survivors
+      val listPath = s"$metaDir/snap-$snapshotId-1-$commitUuid.avro"
+      ManifestAvro.writeManifestList(listPath, all, snapshotId,
+        base.currentSnapshotId, seq)
+
+      val addedRecords = addedDataEntries.map(_.dataFile.recordCount).sum
+      val snap = Snapshot(
+        snapshotId = snapshotId,
+        parentSnapshotId = base.currentSnapshotId,
+        sequenceNumber = seq,
+        timestampMs = System.currentTimeMillis(),
+        manifestList = listPath,
+        summary = Map(
+          "operation" -> operation,
+          "added-data-files" -> addedDataEntries.size.toString,
+          "added-records" -> addedRecords.toString,
+          "removed-data-files" -> removedPaths.size.toString,
+          "added-delete-files" -> addedDeleteEntries.size.toString) ++ extraSummary,
+        schemaId = Some(base.currentSchemaId))
+      result = snap
+      base.withSnapshot(snap)
+    }
+    result
+  }
+
+  /** Write a DataFrame as data files using the table's layout and return
+    * manifest entries (shared by compaction/overwrite; same machinery as
+    * AppendOp but without committing). */
+  def writeDataFiles(table: IceTable, spark: SparkSession, df: DataFrame,
+      targetFileSizeBytes: Long = 0L): Seq[ManifestEntry] = {
+    val schema = table.schema
+    val spec = table.spec
+    val commitUuid = UUID.randomUUID().toString
+    val outDir = s"${table.dataFileDir}/$commitUuid"
+    val aligned = df.select(schema.fields.map { f =>
+      col(f.name).cast(SparkConv.toSparkType(f.fieldType))
+        .as(f.name, SparkConv.toSparkField(f).metadata)
+    }: _*)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
+    if (spec.isUnpartitioned) {
+      val sized =
+        if (targetFileSizeBytes > 0) {
+          // pick file count from input size so output files land near target
+          val inputBytes = table.newScan().planFiles().map(_.file.fileSizeInBytes).sum
+          val n = math.max(1, math.ceil(inputBytes.toDouble / targetFileSizeBytes).toInt)
+          aligned.repartition(n)
+        } else aligned
+      sized.write.mode("append").parquet(outDir)
+    } else {
+      val partCols = spec.fields.map { pf =>
+        val src = schema.findFieldById(pf.sourceId).get
+        pf.transform.toColumn(col(src.name), src.fieldType.asInstanceOf[IcePrimitive])
+          .as(pf.name)
+      }
+      aligned
+        .withColumns(spec.fields.map(_.name).zip(partCols).toMap)
+        .repartition(spec.fields.map(f => col(f.name)): _*)
+        .write.mode("append")
+        .partitionBy(spec.fields.map(_.name): _*)
+        .parquet(outDir)
+    }
+
+    val files = {
+      val root = Paths.get(outDir)
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator.asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { p =>
+      val m = Metrics.fromParquetFooter(p, schema, conf)
+      val partition = PartitionPaths.parse(p, outDir, spec, schema)
+      ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.Data, p, "PARQUET", partition,
+          recordCount = m.rowCount,
+          fileSizeInBytes = Files.size(Paths.get(p)),
+          columnSizes = m.columnSizes, valueCounts = m.valueCounts,
+          nullValueCounts = m.nullValueCounts,
+          lowerBounds = m.lowerBounds, upperBounds = m.upperBounds,
+          splitOffsets = m.splitOffsets,
+          sortOrderId = Some(table.metadata.defaultSortOrderId)))
+    }
+  }
+}
+
+/** Schema evolution builder (reference: TableUpdate AddSchema/
+  * SetCurrentSchema, table_update.h; promotion rules schema_util.cc:38-80).
+  * Renames and promotions are safe because files are resolved by field ID
+  * on read (P3). */
+final class UpdateSchema(table: IceTable) {
+  private var fields: IndexedSeq[NestedField] = table.schema.fields
+  private var nextId: Int = table.metadata.lastColumnId
+
+  def addColumn(name: String, t: IceType, doc: Option[String] = None): UpdateSchema = {
+    require(!fields.exists(_.name == name), s"column $name already exists")
+    nextId += 1
+    fields = fields :+ NestedField(nextId, name, t, required = false, doc)
+    this
+  }
+
+  def renameColumn(from: String, to: String): UpdateSchema = {
+    require(fields.exists(_.name == from), s"no such column $from")
+    fields = fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    this
+  }
+
+  def deleteColumn(name: String): UpdateSchema = {
+    fields = fields.filterNot(_.name == name)
+    this
+  }
+
+  def makeOptional(name: String): UpdateSchema = {
+    fields = fields.map(f => if (f.name == name) f.copy(required = false) else f)
+    this
+  }
+
+  /** Type promotion: int->long, float->double, decimal precision widen
+    * (schema_util.cc:38-80). */
+  def updateColumnType(name: String, t: IcePrimitive): UpdateSchema = {
+    fields = fields.map { f =>
+      if (f.name != name) f
+      else {
+        val ok = (f.fieldType, t) match {
+          case (IntT, LongT) => true
+          case (FloatT, DoubleT) => true
+          case (DecimalT(p1, s1), DecimalT(p2, s2)) => s1 == s2 && p2 >= p1
+          case _ => false
+        }
+        require(ok, s"illegal promotion ${f.fieldType} -> $t")
+        f.copy(fieldType = t)
+      }
+    }
+    this
+  }
+
+  def commit(): Schema = {
+    var committed: Schema = null
+    table.commit { base =>
+      val newId = base.schemas.map(_.schemaId).max + 1
+      val s = Schema(newId, fields)
+      committed = s
+      base.copy(
+        schemas = base.schemas :+ s,
+        currentSchemaId = newId,
+        lastColumnId = math.max(base.lastColumnId, nextId),
+        lastUpdatedMs = System.currentTimeMillis())
+    }
+    committed
+  }
+}
+
+/** Row-level delete (reference §2.8 — modeled but not executable there). */
+final class RowDelete(table: IceTable, spark: SparkSession) {
+
+  /** Copy-on-write: rewrite files containing matching rows without them.
+    * Files whose rows all match are simply dropped. */
+  def deleteWhere(filter: Expr): Snapshot = {
+    val bound = Binder.bind(filter, table.schema)
+    val cond = ToColumn(bound)
+    val matching = table.newScan().filter(filter).planFiles()
+    if (matching.isEmpty)
+      return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
+    val paths = matching.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+    val spark2 = spark
+    spark2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val sparkSchema = SparkConv.toSpark(table.schema)
+    val remaining = spark.read.schema(sparkSchema).parquet(paths: _*).filter(!cond)
+    val added =
+      if (remaining.isEmpty) Nil
+      else SnapshotProducer.writeDataFiles(table, spark, remaining)
+    SnapshotProducer.commit(table, spark, DataOperation.Delete, added,
+      removedPaths = matching.map(_.file.filePath).toSet)
+  }
+
+  /** Merge-on-read position delete: write (file_path, pos) tuples of
+    * matching rows as a delete file; scans anti-join them (§2.8).
+    * Reserved field ids 2147483546/2147483545 (metadata_columns.h). */
+  def deleteWherePositional(filter: Expr): Snapshot = {
+    val bound = Binder.bind(filter, table.schema)
+    val cond = ToColumn(bound)
+    val matching = table.newScan().filter(filter).planFiles()
+    if (matching.isEmpty)
+      return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
+    val paths = matching.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val sparkSchema = SparkConv.toSpark(table.schema)
+    val dels = spark.read.schema(sparkSchema).parquet(paths: _*)
+      .filter(cond)
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .orderBy("file_path", "pos")
+    val outDir = s"${table.dataFileDir}/${UUID.randomUUID()}-deletes"
+    dels.coalesce(1).write.parquet(outDir)
+    val file = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(outDir)).iterator.asScala
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.head
+    }
+    val rowCount = spark.read.parquet(file).count()
+    val entry = ManifestEntry(ManifestStatus.Added, None, None, None,
+      DataFile(FileContent.PositionDeletes, file, "PARQUET",
+        table.spec.fields.map(_ => null: Any).toIndexedSeq,
+        recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file))))
+    SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
+      addedDeleteEntries = Seq(entry))
+  }
+
+  /** Merge-on-read equality delete: delete every row whose key columns
+    * match a row of `keys` (e.g. GDPR-style deletes by id at 100 TB
+    * without rewriting data). */
+  def deleteByEquality(keys: DataFrame): Snapshot = {
+    val eqCols = keys.columns.toSeq
+    val eqIds = eqCols.map(c => table.schema.findFieldByName(c).getOrElse(
+      throw new IllegalArgumentException(s"no such column $c")).id)
+    val outDir = s"${table.dataFileDir}/${UUID.randomUUID()}-eqdeletes"
+    keys.coalesce(1).write.parquet(outDir)
+    val file = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(outDir)).iterator.asScala
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.head
+    }
+    val rowCount = spark.read.parquet(file).count()
+    val entry = ManifestEntry(ManifestStatus.Added, None, None, None,
+      DataFile(FileContent.EqualityDeletes, file, "PARQUET",
+        table.spec.fields.map(_ => null: Any).toIndexedSeq,
+        recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)),
+        equalityIds = eqIds))
+    SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
+      addedDeleteEntries = Seq(entry))
+  }
+}
+
+/** Compaction: rewrite small data files into target-sized ones
+  * (BASELINE.json north star: "Spark read/write Iceberg tables +
+  * compaction"). Merge-on-read deletes are applied during the rewrite,
+  * so compaction also purges delete files' effect. */
+final class Compaction(table: IceTable, spark: SparkSession) {
+
+  /** Rewrite all files smaller than `smallFileThreshold` (plus any file
+    * carrying applicable deletes) into ~`targetFileSizeBytes` files. */
+  def rewriteDataFiles(
+      targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      smallFileThreshold: Long = 96L * 1024 * 1024): Snapshot = {
+    val all = table.newScan().planFiles()
+    val hasDeletes = table.currentSnapshot.exists(s => table.planDeleteEntries(s).nonEmpty)
+    val toRewrite =
+      if (hasDeletes) all // deletes must be folded into every file group
+      else all.filter(_.file.fileSizeInBytes < smallFileThreshold)
+    if (toRewrite.size < 2 && !hasDeletes)
+      return table.currentSnapshot.getOrElse(
+        throw new IllegalStateException("empty table"))
+
+    val rewritePaths = toRewrite.map(_.file.filePath).toSet
+    val restricted =
+      if (hasDeletes) {
+        // read through the scan: applies merge-on-read deletes distributed
+        table.newScan().toDF(spark)
+      } else {
+        // plain re-read of just the files being rewritten (all internal)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(SparkConv.toSpark(table.schema))
+          .parquet(toRewrite.map(t => ManifestAvro.stripFileScheme(t.file.filePath)): _*)
+      }
+    val added = SnapshotProducer.writeDataFiles(table, spark, restricted, targetFileSizeBytes)
+    // removing ALL delete files once folded in: delete entries live in
+    // delete manifests; dropping them = rewriting those manifests away
+    val removedDeletePaths =
+      if (hasDeletes) table.planDeleteEntries(table.currentSnapshot.get).map(_.dataFile.filePath).toSet
+      else Set.empty[String]
+    SnapshotProducer.commit(table, spark, DataOperation.Replace, added,
+      removedPaths = rewritePaths ++ removedDeletePaths,
+      extraSummary = Map("compacted-files" -> toRewrite.size.toString))
+  }
+}
+
+/** Overwrite (reference TableUpdate overwrite semantics). */
+final class Overwrite(table: IceTable, spark: SparkSession) {
+
+  /** Dynamic partition overwrite: replace exactly the partitions the new
+    * data touches. */
+  def dynamic(df: DataFrame): Snapshot = {
+    val spec = table.spec
+    require(!spec.isUnpartitioned, "dynamic overwrite needs a partitioned table")
+    val schema = table.schema
+    val added = SnapshotProducer.writeDataFiles(table, spark, df)
+    val touched = added.map(_.dataFile.partition).toSet
+    val removed = table.newScan().planFiles()
+      .filter(t => touched.contains(t.file.partition))
+      .map(_.file.filePath).toSet
+    SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
+      removedPaths = removed)
+  }
+
+  /** Truncate-and-load: replace the whole table content. */
+  def replaceAll(df: DataFrame): Snapshot = {
+    val removed = table.newScan().planFiles().map(_.file.filePath).toSet
+    val added = SnapshotProducer.writeDataFiles(table, spark, df)
+    SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
+      removedPaths = removed)
+  }
+}
+
+/** Branch/tag refs + snapshot expiry (T2; snapshot.h:36-118 retention). */
+final class ManageSnapshots(table: IceTable) {
+
+  def createBranch(name: String, snapshotId: Long): ManageSnapshots = {
+    table.commit(base => base.copy(refs = base.refs.updated(name,
+      SnapshotRef(snapshotId, "branch"))))
+    this
+  }
+
+  def createTag(name: String, snapshotId: Long): ManageSnapshots = {
+    table.commit(base => base.copy(refs = base.refs.updated(name,
+      SnapshotRef(snapshotId, "tag"))))
+    this
+  }
+
+  def removeRef(name: String): ManageSnapshots = {
+    table.commit(base => base.copy(refs = base.refs - name))
+    this
+  }
+
+  /** Drop unreferenced snapshots older than `olderThanMs`, always keeping
+    * `retainLast` on main and every ref target (plus its ancestors are NOT
+    * chased — manifest reuse makes ancestor files reachable only via their
+    * own snapshots, which is why expiry must keep ref targets alive). */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): ManageSnapshots = {
+    table.commit { base =>
+      val keepIds = (base.refs.values.map(_.snapshotId) ++
+        base.currentSnapshotId.toSeq ++
+        base.snapshots.sortBy(_.timestampMs).takeRight(retainLast).map(_.snapshotId)).toSet
+      val (kept, _) = base.snapshots.partition(s =>
+        keepIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
+      base.copy(
+        snapshots = kept,
+        snapshotLog = base.snapshotLog.filter(e => kept.exists(_.snapshotId == e.snapshotId)))
+    }
+    this
+  }
+}
+
+/** Hive-style partition path parsing shared by append/rewrite. */
+private[ice] object PartitionPaths {
+  def parse(file: String, baseDir: String, spec: PartitionSpec,
+      schema: Schema): IndexedSeq[Any] = {
+    if (spec.isUnpartitioned) return IndexedSeq.empty
+    val rel = Paths.get(baseDir).relativize(Paths.get(file)).toString
+    val kv = rel.split('/').init.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) None else Some(seg.substring(0, i) -> unescape(seg.substring(i + 1)))
+    }.toMap
+    spec.fields.map { pf =>
+      kv.get(pf.name) match {
+        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+        case Some(raw) =>
+          val src = schema.findFieldById(pf.sourceId).get
+          val resType = pf.transform.resultType(src.fieldType.asInstanceOf[IcePrimitive])
+          parseValue(raw, resType)
+      }
+    }
+  }
+
+  def parseValue(raw: String, t: IcePrimitive): Any = t match {
+    case IntT => raw.toInt
+    case LongT => raw.toLong
+    case StringT => raw
+    case DateT => raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+    case BooleanT => raw.toBoolean
+    case DoubleT => raw.toDouble
+    case FloatT => raw.toFloat
+    case DecimalT(_, _) => new java.math.BigDecimal(raw)
+    case TimestampT | TimestampTzT =>
+      raw.toLongOption.getOrElse {
+        val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      }
+    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+  }
+
+  def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

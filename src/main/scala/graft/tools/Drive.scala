@@ -61,6 +61,26 @@ object Drive {
       TruncateTransform(3).toColumn(lit("Hello, World!"), StringT).as("trs"))
     tt.show(3, false)
 
+    // M5 surface: delete -> compact lifecycle on a real table
+    import graft.ice._
+    import graft.ice.catalog._
+    import graft.ice.expr.{Expr => E}
+    val wh = java.nio.file.Files.createTempDirectory("drive_wh").toString
+    val cat = new DirCatalog(wh)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val tbl = IceTable.create(cat, TableIdentifier.parse("db.orders"),
+      SparkConv.fromSpark(orders.schema))
+    tbl.append(spark).appendDataFrame(orders)
+    tbl.append(spark).appendDataFrame(orders.limit(20)) // small file
+    println(s"== files after 2 appends: ${tbl.newScan().planFiles().size}")
+    tbl.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(50)))
+    val afterDelete = tbl.newScan().toDF(spark).count()
+    println(s"== rows after MoR delete of o_orderkey<50: $afterDelete")
+    tbl.compact(spark).rewriteDataFiles(targetFileSizeBytes = 64L * 1024 * 1024)
+    val afterCompact = tbl.newScan().toDF(spark).count()
+    println(s"== files after compaction: ${tbl.newScan().planFiles().size}, rows: $afterCompact (match=${afterDelete == afterCompact})")
+    println(s"== snapshots: ${tbl.snapshots.map(_.operation.get).mkString(",")}")
+
     spark.stop()
     println("DRIVE OK")
   }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice._
+import graft.ice.catalog._
+import graft.ice.expr.{Expr => E}
+import graft.ice.meta._
+import graft.ice.transform._
+import graft.ice.types._
+
+/** M5 write surface: schema evolution, deletes (CoW + MoR), compaction,
+  * overwrite, branches/tags, snapshot expiry. */
+class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def freshTable(name: String, src: String = "orders",
+      spec: Schema => PartitionSpec = _ => PartitionSpec.unpartitioned): (IceTable, org.apache.spark.sql.DataFrame) = {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/$src.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse(s"db.$name"), schema, spec(schema))
+    t.append(spark).appendDataFrame(raw)
+    (t, raw)
+  }
+
+  test("copy-on-write delete rewrites matching files") {
+    val (t, raw) = freshTable("cow")
+    val before = t.newScan().toDF(spark).count()
+    t.delete(spark).deleteWhere(E.lt("o_orderkey", Literal.long(1000)))
+    val after = t.newScan().toDF(spark)
+    val expected = raw.filter("o_orderkey >= 1000")
+    assert(after.count() == expected.count())
+    assert(after.count() < before)
+    assert(after.filter("o_orderkey < 1000").count() == 0)
+    assert(t.currentSnapshot.get.operation == Some("delete"))
+  }
+
+  test("merge-on-read position delete via anti-join") {
+    val (t, raw) = freshTable("mor_pos")
+    t.delete(spark).deleteWherePositional(E.equal("o_orderstatus", Literal.string("F")))
+    val after = t.newScan().toDF(spark)
+    assert(after.count() == raw.filter("o_orderstatus <> 'F'").count())
+    assert(after.filter("o_orderstatus = 'F'").count() == 0)
+    // data files untouched (no rewrite): snapshot added a delete file only
+    assert(t.currentSnapshot.get.summary("added-delete-files") == "1")
+    assert(t.currentSnapshot.get.summary("removed-data-files") == "0")
+  }
+
+  test("merge-on-read equality delete by key") {
+    val (t, raw) = freshTable("mor_eq")
+    import spark.implicits._
+    val keys = raw.select("o_custkey").distinct().limit(10)
+    val keyVals = keys.as[Long].collect().toSet
+    t.delete(spark).deleteByEquality(keys)
+    val after = t.newScan().toDF(spark)
+    assert(after.filter(col("o_custkey").isin(keyVals.toSeq: _*)).count() == 0)
+    assert(after.count() == raw.filter(!col("o_custkey").isin(keyVals.toSeq: _*)).count())
+    // a subsequent append is NOT affected by the older equality delete
+    val reinserted = raw.filter(col("o_custkey").isin(keyVals.toSeq: _*)).limit(5)
+    val n = reinserted.count()
+    t.append(spark).appendDataFrame(reinserted)
+    assert(t.newScan().toDF(spark).count() ==
+      raw.filter(!col("o_custkey").isin(keyVals.toSeq: _*)).count() + n)
+  }
+
+  test("compaction merges small files and folds in deletes") {
+    val (t, raw) = freshTable("compact")
+    // create small files: 3 more tiny appends
+    t.append(spark).appendDataFrame(raw.limit(10))
+    t.append(spark).appendDataFrame(raw.limit(10))
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(100)))
+    val expected = t.newScan().toDF(spark).count()
+    val filesBefore = t.newScan().planFiles().size
+
+    t.compact(spark).rewriteDataFiles(targetFileSizeBytes = 64L * 1024 * 1024)
+
+    val filesAfter = t.newScan().planFiles().size
+    assert(filesAfter < filesBefore, s"$filesAfter < $filesBefore")
+    assert(t.newScan().toDF(spark).count() == expected)
+    // delete files are gone after compaction
+    assert(t.planDeleteEntries(t.currentSnapshot.get).isEmpty)
+    assert(t.currentSnapshot.get.operation == Some("replace"))
+  }
+
+  test("schema evolution: add, rename, promote int->long survive on read") {
+    val (t, raw) = freshTable("evolve", "nation")
+    t.updateSchema()
+      .addColumn("comment", StringT)
+      .renameColumn("n_name", "nation_name")
+      .updateColumnType("n_nationkey", LongT)
+      .commit()
+    assert(t.schema.fields.map(_.name).contains("nation_name"))
+    val df = t.newScan().toDF(spark)
+    // renamed column resolves by field id against old files
+    assert(df.select("nation_name").distinct().count() ==
+      raw.select("n_name").distinct().count())
+    // promoted column reads as long
+    assert(df.schema("n_nationkey").dataType.typeName == "long")
+    assert(df.agg(sum("n_nationkey")).head.getLong(0) ==
+      raw.agg(sum(col("n_nationkey").cast("long"))).head.getLong(0))
+    // new column is null for old data
+    assert(df.filter(col("comment").isNotNull).count() == 0)
+    // appends under the new schema coexist with old files
+    val extra = df.limit(3).withColumn("comment", lit("hello"))
+    t.append(spark).appendDataFrame(extra)
+    val df2 = t.newScan().toDF(spark)
+    assert(df2.count() == raw.count() + 3)
+    assert(df2.filter("comment = 'hello'").count() == 3)
+  }
+
+  test("dynamic partition overwrite replaces only touched partitions") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val od = schema.findFieldByName("o_orderdate").get.id
+    val spec = PartitionSpec(0, IndexedSeq(PartitionField(od, 1000, "order_year", YearTransform)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.dynov"), schema, spec)
+    t.append(spark).appendDataFrame(raw)
+
+    // overwrite year 2000 with a modified slice
+    val slice = raw.filter("year(o_orderdate) = 2000")
+      .withColumn("o_totalprice", lit(1.0))
+    t.overwrite(spark).dynamic(slice)
+    val df = t.newScan().toDF(spark)
+    assert(df.count() == raw.count())
+    assert(df.filter("year(o_orderdate) = 2000 and o_totalprice <> 1.0").count() == 0)
+    assert(df.filter("year(o_orderdate) <> 2000 and o_totalprice = 1.0").count() == 0)
+    assert(t.currentSnapshot.get.operation == Some("overwrite"))
+  }
+
+  test("branch + tag refs and expiry keep referenced snapshots") {
+    val (t, raw) = freshTable("refs")
+    val s1 = t.currentSnapshot.get
+    t.manageSnapshots().createTag("v1", s1.snapshotId)
+    t.append(spark).appendDataFrame(raw.limit(10))
+    val s2 = t.currentSnapshot.get
+    t.manageSnapshots().createBranch("dev", s2.snapshotId)
+    assert(t.refs.keySet == Set("main", "v1", "dev"))
+    // scan a tag
+    assert(t.newScan().useRef("v1").toDF(spark).count() == raw.count())
+    // expire everything old; tag target must survive
+    t.manageSnapshots().expireSnapshots(System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(t.snapshots.exists(_.snapshotId == s1.snapshotId)) // kept by tag
+    assert(t.newScan().useRef("v1").toDF(spark).count() == raw.count())
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ice
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ice.manifest._
+import graft.ice.meta.PartitionSpec
+
+/** Inspection ("metadata") tables: snapshots / manifests / files / history
+  * as DataFrames (C4/T4 + S3/S4 read surface). Metadata-plane only —
+  * these materialize driver-side structs, which are manifest-sized, not
+  * data-sized. */
+object MetadataTables {
+
+  def snapshots(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    table.snapshots.map { s =>
+      (s.snapshotId, s.parentSnapshotId, s.sequenceNumber, s.timestampMs,
+        s.operation.getOrElse(""), s.manifestList,
+        s.summary.getOrElse("added-records", ""),
+        s.summary.getOrElse("added-data-files", ""))
+    }.toDF("snapshot_id", "parent_id", "sequence_number", "committed_at_ms",
+      "operation", "manifest_list", "added_records", "added_data_files")
+  }
+
+  def history(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    table.history.map(e => (e.timestampMs, e.snapshotId))
+      .toDF("made_current_at_ms", "snapshot_id")
+  }
+
+  def refs(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    table.refs.toSeq.map { case (name, r) => (name, r.refType, r.snapshotId) }
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  def manifests(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    val ms = table.currentSnapshot
+      .map(s => ManifestAvro.readManifestList(s.manifestList))
+      .getOrElse(IndexedSeq.empty)
+    ms.map { m =>
+      (m.manifestPath, m.manifestLength, m.partitionSpecId, m.content,
+        m.sequenceNumber, m.addedSnapshotId,
+        m.addedFilesCount.getOrElse(-1), m.existingFilesCount.getOrElse(-1),
+        m.deletedFilesCount.getOrElse(-1))
+    }.toDF("path", "length", "partition_spec_id", "content", "sequence_number",
+      "added_snapshot_id", "added_files_count", "existing_files_count",
+      "deleted_files_count")
+  }
+
+  def files(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    val entries = table.currentSnapshot
+      .map(s => table.planEntries(s, None)).getOrElse(Nil)
+    entries.map { e =>
+      val f = e.dataFile
+      (f.filePath, f.fileFormat, f.content, f.recordCount, f.fileSizeInBytes,
+        f.partition.map(v => if (v == null) "null" else v.toString).mkString("/"),
+        e.sequenceNumber.getOrElse(0L), e.snapshotId.getOrElse(0L))
+    }.toDF("file_path", "file_format", "content", "record_count",
+      "file_size_in_bytes", "partition", "sequence_number", "snapshot_id")
+  }
+
+  /** all_delete_files equivalent. */
+  def deleteFiles(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    val entries = table.currentSnapshot
+      .map(table.planDeleteEntries).getOrElse(Nil)
+    entries.map { e =>
+      val f = e.dataFile
+      (f.filePath, f.content, f.recordCount, f.equalityIds.mkString(","),
+        e.sequenceNumber.getOrElse(0L))
+    }.toDF("file_path", "content", "record_count", "equality_ids", "sequence_number")
+  }
+
+  def partitions(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    val entries = table.currentSnapshot
+      .map(s => table.planEntries(s, None)).getOrElse(Nil)
+    entries.groupBy(_.dataFile.partition).toSeq.map { case (part, es) =>
+      (part.map(v => if (v == null) "null" else v.toString).mkString("/"),
+        es.size, es.map(_.dataFile.recordCount).sum,
+        es.map(_.dataFile.fileSizeInBytes).sum)
+    }.toDF("partition", "file_count", "record_count", "total_size")
+  }
+}

@@ -33,6 +33,7 @@ object InclusiveProjection {
       case (a, b) => BOr(a, b)
     }
     case BNot(_) => BTrue // cannot project a residual Not inclusively
+    case BRaw(_) => BTrue // opaque: cannot prune
     case p: BPred =>
       if (p.transform != graft.ice.transform.IdentityTransform) BTrue
       else {
@@ -99,7 +100,8 @@ final class PartitionTupleEvaluator(spec: PartitionSpec) {
     case BFalse => false
     case BAnd(l, r) => eval(l, tuple) && eval(r, tuple)
     case BOr(l, r) => eval(l, tuple) || eval(r, tuple)
-    case BNot(c) => !eval(c, tuple)
+    case BRaw(_) => true // opaque: might match
+    case BNot(c) => if (Bound.hasRaw(c)) true else !eval(c, tuple)
     case p: BPred =>
       fieldPos.get(p.fieldId) match {
         case None => true // unknown field: cannot prune
@@ -158,7 +160,8 @@ final class ManifestEvaluator(spec: PartitionSpec) {
       case BFalse => false
       case BAnd(l, r) => eval(l, sums) && eval(r, sums)
       case BOr(l, r) => eval(l, sums) || eval(r, sums)
-      case BNot(c) => !eval(c, sums) // only safe for exact children; conservative use
+      case BRaw(_) => true // opaque: might match
+      case BNot(c) => if (Bound.hasRaw(c)) true else !eval(c, sums)
       case p: BPred =>
         fieldPos.get(p.fieldId).filter(_ < sums.size) match {
           case None => true
@@ -216,6 +219,7 @@ final class MetricsEvaluator {
     case BFalse => false
     case BAnd(l, r) => eval(l, f) && eval(r, f)
     case BOr(l, r) => eval(l, f) || eval(r, f)
+    case BRaw(_) => true // opaque: might match
     case BNot(_) => true // conservative
     case p: BPred =>
       if (p.transform != graft.ice.transform.IdentityTransform) true

@@ -67,6 +67,9 @@ final case class AndE(left: Expr, right: Expr) extends Expr
 final case class OrE(left: Expr, right: Expr) extends Expr
 final case class NotE(child: Expr) extends Expr
 final case class Predicate(op: Op, term: Term, literals: Seq[Literal] = Nil) extends Expr
+/** Opaque Spark-SQL predicate: executes exactly, but is invisible to the
+  * pruning evaluators (they treat it as "might match" — safe, unprunable). */
+final case class RawE(sql: String) extends Expr
 
 /** Factory with constant folding at construction (expressions.h:44-102). */
 object Expr {
@@ -104,6 +107,7 @@ object Expr {
   def notIn(name: String, vs: Seq[Literal]): Expr = Predicate(Op.NotIn, Term(name), vs)
   def startsWith(name: String, v: String): Expr =
     Predicate(Op.StartsWith, Term(name), Seq(Literal.string(v)))
+  def raw(sql: String): Expr = RawE(sql)
 }
 
 // ---------------- bound ----------------
@@ -114,6 +118,19 @@ case object BFalse extends Bound
 final case class BAnd(left: Bound, right: Bound) extends Bound
 final case class BOr(left: Bound, right: Bound) extends Bound
 final case class BNot(child: Bound) extends Bound
+final case class BRaw(sql: String) extends Bound
+
+object Bound {
+  /** Does this subtree contain an opaque predicate? Evaluators must not
+    * negate a subtree whose truth value is only "might match". */
+  def hasRaw(b: Bound): Boolean = b match {
+    case BRaw(_) => true
+    case BAnd(l, r) => hasRaw(l) || hasRaw(r)
+    case BOr(l, r) => hasRaw(l) || hasRaw(r)
+    case BNot(c) => hasRaw(c)
+    case _ => false
+  }
+}
 /** A bound predicate: resolved field + op + literals cast to the term's
   * result type. `sourceName`/`sourceType` describe the raw column;
   * `transform` may wrap it (BoundTransform, term.h:239). */
@@ -137,6 +154,7 @@ object Binder {
   def bind(expr: Expr, schema: Schema, caseSensitive: Boolean = true): Bound = expr match {
     case TrueE => BTrue
     case FalseE => BFalse
+    case RawE(sql) => BRaw(sql)
     case AndE(l, r) => (bind(l, schema, caseSensitive), bind(r, schema, caseSensitive)) match {
       case (BFalse, _) | (_, BFalse) => BFalse
       case (BTrue, x) => x
@@ -238,6 +256,7 @@ object ToColumn {
   def apply(b: Bound): Column = b match {
     case BTrue => lit(true)
     case BFalse => lit(false)
+    case BRaw(sql) => org.apache.spark.sql.functions.expr(sql)
     case BAnd(l, r) => apply(l) && apply(r)
     case BOr(l, r) => apply(l) || apply(r)
     case BNot(c) => !apply(c)

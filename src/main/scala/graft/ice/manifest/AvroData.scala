@@ -1,0 +1,102 @@
+package graft.ice.manifest
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema.{Parser => AvroParser}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro data read/write (S9/S11) built on Avro core — the environment has
+  * no spark-avro module, so rows bridge through the driver. Intended for
+  * metadata-plane-sized data (manifests, dims, fixtures); the 100 TB data
+  * plane stays parquet (S8/S10), matching the reference where Avro is the
+  * manifest format and parquet the default data format
+  * (table_properties.h: write.format.default=parquet). */
+object AvroData {
+
+  private def avroType(dt: DataType): String = dt match {
+    case BooleanType => "\"boolean\""
+    case IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case StringType => "\"string\""
+    case BinaryType => "\"bytes\""
+    case TimestampType | TimestampNTZType =>
+      """{"type":"long","logicalType":"timestamp-micros"}"""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
+  }
+
+  def avroSchemaJson(schema: StructType, name: String = "row"): String = {
+    val fields = schema.fields.map { f =>
+      s"""{"name":"${f.name}","type":["null",${avroType(f.dataType)}],"default":null}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"$name","fields":[$fields]}"""
+  }
+
+  /** Write a (small) DataFrame to one Avro file. */
+  def write(df: DataFrame, path: String): Unit = {
+    val sparkSchema = df.schema
+    val schema = new AvroParser().parse(avroSchemaJson(sparkSchema))
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, new File(path))
+    try {
+      df.collect().foreach { row =>
+        val r = new GenericData.Record(schema)
+        sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
+          val v = if (row.isNullAt(i)) null else f.dataType match {
+            case TimestampType =>
+              val inst = row.getAs[java.time.Instant](i)
+              java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+            case TimestampNTZType =>
+              val ldt = row.getAs[java.time.LocalDateTime](i)
+              java.lang.Long.valueOf(
+                ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+            case DateType =>
+              Integer.valueOf(row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+            case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+            case _ => row.get(i)
+          }
+          r.put(f.name, v)
+        }
+        writer.append(r)
+      }
+    } finally writer.close()
+  }
+
+  /** Read an Avro file back into a DataFrame with the given Spark schema. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val reader = new DataFileReader[GenericRecord](
+      new File(path), new GenericDatumReader[GenericRecord]())
+    val rows = try {
+      reader.iterator.asScala.map { r =>
+        Row.fromSeq(schema.fields.map { f =>
+          val v = r.get(f.name)
+          if (v == null) null else f.dataType match {
+            case StringType => v.toString
+            case TimestampType =>
+              val us = v.asInstanceOf[Long]
+              java.time.Instant.ofEpochSecond(
+                Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+            case TimestampNTZType =>
+              val us = v.asInstanceOf[Long]
+              java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+                (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+            case DateType =>
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+            case BinaryType =>
+              val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+              val out = new Array[Byte](bb.remaining()); bb.get(out); out
+            case _ => v
+          }
+        }.toSeq)
+      }.toSeq
+    } finally reader.close()
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY §2.11 north-star). All shapes are shuffle-lean:
+  *  - exact dedup shuffles a 64-bit hash, never the document text;
+  *  - minhash/LSH shuffles (doc_id, band_hash) pairs only;
+  *  - candidate verification joins shingle sets for candidate pairs only,
+  *    never all-pairs (the all-pairs join is the thing that cannot exist
+  *    at 100 TB).
+  * Everything is built from codegen'd functions (xxhash64, explode,
+  * groupBy) — no Scala UDF in a hot path. */
+object Dedup {
+
+  /** Exact dedup: one representative row (min id) per distinct text.
+    * Shuffle key is xxhash64(text): map-side combine + 8-byte keys.
+    * Collision risk at 64-bit is ~n^2/2^65 — negligible below ~10^9 docs;
+    * use `exactByContent` to re-verify if that matters. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Rows that survive exact dedup (the pipeline-facing shape). */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Tokenize + lowercase: the canonical normalization for shingling. */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "\\W+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as an array column (distinct). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = tokens(textCol)
+    // sliding n-grams via transform over indices; codegen'd, no UDF
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")),
+        s => length(s) > 0))
+  }
+
+  /** (doc_id, signature[k]) minhash signatures. k independent hash
+    * functions are xxhash64(shingle, seed_i); one explode + one groupBy —
+    * the shuffle carries k longs per doc. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, shingleN: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    exploded.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: emit (doc_id, band, band_hash); docs sharing a
+    * (band, band_hash) cell are near-dup candidates. */
+  def lshBuckets(signatures: DataFrame, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    signatures.select(col(idCol),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(
+            transform(slice(col("signature"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
+              h => h.cast("string")), ",")))).as(Seq("band", "band_hash")))
+
+  /** Candidate pairs from shared LSH cells (a < b). `maxBucket` caps
+    * degenerate buckets — a bucket of m docs yields m^2/2 pairs, so a few
+    * mega-buckets can dominate the join at scale; capped buckets are
+    * dropped (their members are caught by other bands). */
+  def lshCandidatePairs(buckets: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val sized = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val l = sized.select(col("band"), col("band_hash"), col(idCol).as("a"))
+    val r = sized.select(col("band"), col("band_hash"), col(idCol).as("b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs: join each side's shingle set,
+    * |intersection| via groupBy, |union| = |A|+|B|-|I|. */
+  def jaccardVerify(df: DataFrame, textCol: String, idCol: String,
+      pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleN).as("__sh"))
+      .select(col("__id"), size(col("__sh")).as("__n"), explode(col("__sh")).as("__s"))
+    val a = sh.withColumnRenamed("__id", "a")
+      .withColumnRenamed("__n", "na").withColumnRenamed("__s", "sa")
+    val b = sh.withColumnRenamed("__id", "b")
+      .withColumnRenamed("__n", "nb").withColumnRenamed("__s", "sb")
+    pairs.join(a, "a").join(b, "b")
+      .filter(col("sa") === col("sb"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a"), col("b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Near-dup pairs: minhash -> LSH -> exact-Jaccard gate. */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, k: Int = 64, shingleN: Int = 3,
+      bands: Int = 16): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol, k, shingleN)
+    val cands = lshCandidatePairs(lshBuckets(sig, idCol, bands, k / bands), idCol)
+    jaccardVerify(df, textCol, idCol, cands, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash: per-token hash votes on each bit; the sign of the
+    * vote sum sets the bit. One explode + one groupBy; the 64 bit-sums
+    * ride a single shuffle. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
+    }
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** Hamming distance between simhash values (for near-dup by simhash). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding near-dup: pairs with cosine >= threshold among LSH-bucketed
+    * candidates (random-hyperplane signatures; see Similarity.planes). */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 12): DataFrame = {
+    val sig = emb.withColumn("__sig", Similarity.signature(col(vecCol), nPlanes))
+    val l = sig.select(col("__sig"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = sig.select(col("__sig"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, "__sig").filter(col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

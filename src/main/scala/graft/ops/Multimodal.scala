@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY §2.11): image/audio/video payloads
+  * travel as opaque `binary` columns with a typed metadata struct; decode
+  * / feature-extraction runs as a partition-wise batch transform.
+  *
+  * The actual codec step is a STUB — no image/audio libraries exist in
+  * this environment — replaced by a deterministic fake that derives
+  * "features" from the bytes. Everything around it (schema, batching,
+  * partition-preserving execution, column pruning before the heavy
+  * stage) is the real production shape: swap `stubDecode` for a JNI/
+  * library call and nothing else changes. */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("magic", StringType)))
+
+  val featureType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Attach a binary payload column + typed metadata from any source
+    * column (for the testdata, documents.text bytes stand in for media). */
+  def asMedia(df: DataFrame, srcCol: String): DataFrame =
+    df.withColumn("payload", encode(col(srcCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit("application/octet-stream").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("magic")))
+
+  /** STUB decode: deterministic pseudo-features from bytes. A real
+    * implementation would decode the image and pool pixel features; the
+    * signature (bytes -> fixed-width struct) is what the pipeline relies
+    * on. Runs per-partition over grouped batches, mirroring a
+    * mapInPandas/Arrow-batch deployment. */
+  private def stubDecode(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, Array.fill(8)(0.0))
+    val width = 1 + (math.abs(bytes.head.toInt) % 64)
+    val height = 1 + (math.abs(bytes.last.toInt) % 64)
+    // 8 "pooled" features: mean byte value per 1/8th slice
+    val features = Array.tabulate(8) { i =>
+      val start = i * bytes.length / 8
+      val end = math.max(start + 1, (i + 1) * bytes.length / 8)
+      val slice = bytes.slice(start, end)
+      slice.map(b => (b & 0xff).toDouble).sum / slice.length
+    }
+    (width, height, features)
+  }
+
+  /** Partition-wise decode/feature-extract over the payload column.
+    * Only (id, payload) flow into this stage — prune other columns
+    * upstream and join features back by id, so the wide decode stage
+    * never shuffles full rows. */
+  def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false)) ++ featureType.fields)
+    val pruned = df.select(col(idCol), col("payload"))
+    val rdd = pruned.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h, f) = stubDecode(r.getAs[Array[Byte]](1))
+        Row(id, w, h, f.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame-sampling stub for video-like payloads: fixed-stride byte
+    * windows standing in for decoded frames (same batch shape as real
+    * frame extraction: one row in, n frame rows out). */
+  def sampleFrames(df: DataFrame, idCol: String, nFrames: Int = 4): DataFrame =
+    df.select(col(idCol), col("payload"),
+      posexplode(transform(sequence(lit(0), lit(nFrames - 1)),
+        i => substring_index(base64(col("payload")), "=", 1))).as(Seq("frame_idx", "frame_stub")))
+      .select(col(idCol), col("frame_idx"),
+        xxhash64(col("frame_stub"), col("frame_idx")).as("frame_fingerprint"))
+}

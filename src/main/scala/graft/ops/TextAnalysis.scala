@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.11):
+  * token counting, quality scoring, language ID, fingerprinting. All
+  * pure column expressions (codegen'd, no UDF, no shuffle at all — these
+  * are map-only and scale linearly). */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: words + digits + punctuation runs, the usual
+    * pre-tokenizer regex family. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=\\W)|(?=\\W)"), t => length(trim(t)) > 0))
+
+  /** Quality metrics: length, tokens, mean word length, punctuation
+    * ratio, alpha ratio, stopword ratio (tiny embedded English list),
+    * uppercase ratio. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(lower(t), "\\W+"), x => length(x) > 0)
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "at", "by")
+    df.withColumn("n_chars_calc", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("mean_word_len",
+        when(size(toks) > 0,
+          aggregate(transform(toks, x => length(x).cast("double")), lit(0.0d), _ + _) / size(toks))
+          .otherwise(lit(0.0d)))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double") /
+          greatest(length(t), lit(1)))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") /
+          greatest(length(t), lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, x => x.isin(stop.map(lit): _*))).cast("double") /
+          greatest(size(toks), lit(1)))
+      .withColumn("upper_ratio",
+        length(regexp_replace(t, "[^A-Z]", "")).cast("double") /
+          greatest(length(t), lit(1)))
+  }
+
+  /** Composite quality score in [0,1] — the usual "keep if score > x"
+    * pipeline gate. Weights are arbitrary but fixed. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityMetrics(df, textCol).withColumn("quality_score",
+      least(greatest(
+        lit(0.3) * least(col("n_tokens") / lit(50.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_ratio") * 4) +
+          lit(0.2) * col("alpha_ratio") +
+          lit(0.2) * least(col("stopword_ratio") * 3, lit(1.0)),
+        lit(0.0)), lit(1.0)))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "was", "on", "are"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "für", "auf", "des", "ein", "eine"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "est", "pour", "que", "dans", "sur"))
+
+  /** N-gram/stopword-heuristic language ID: CJK-ratio shortcut for zh,
+    * else argmax of per-language stopword hits; "und" (undetermined)
+    * when nothing matches. Pure expressions — runs in the scan stage. */
+  def langId(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^\\p{L}]+"), x => length(x) > 0)
+    val cjkRatio = (length(text) -
+      length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, x => x.isin(words.map(lit): _*)))
+    }
+    val best = scores.toSeq.sortBy(_._1).map { case (lang, s) =>
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    val top = greatest(best: _*)
+    when(cjkRatio > 0.05, lit("zh"))
+      .when(top.getField("score") > 0, top.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Language-ID evaluation against a labeled column. */
+  def langIdEval(df: DataFrame, textCol: String, labelCol: String): DataFrame =
+    df.withColumn("predicted", langId(col(textCol)))
+      .groupBy(col(labelCol).as("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Rolling-hash document fingerprint (winnowing-style): Karp-Rabin hash
+    * of token 4-grams, fingerprint = min hash (robust to small edits;
+    * equal fingerprints => likely shared content). */
+  def fingerprint(text: Column, gram: Int = 4): Column = {
+    val toks = filter(split(lower(text), "\\W+"), x => length(x) > 0)
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(toks) - gram, lit(0))),
+        i => array_join(slice(toks, i + lit(1), lit(gram)), " ")),
+      s => length(s) > 0)
+    when(size(grams) > 0,
+      array_min(transform(grams, g => xxhash64(g)))).otherwise(xxhash64(text))
+  }
+}

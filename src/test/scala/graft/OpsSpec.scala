@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** North-star ops: dedup, similarity, text analysis, multimodal, events. */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+  private val sfDir = "/root/testdata/sf0.001"
+  import scala.jdk.CollectionConverters._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("exact dedup finds duplicates when present") {
+    val withDups = docs.unionByName(
+      docs.limit(5).withColumn("doc_id", col("doc_id") + 100000))
+    val deduped = Dedup.exact(withDups, "text", "doc_id")
+    assert(deduped.count() == docs.count()) // 5 dup texts collapse
+    assert(deduped.filter("copies = 2").count() == 5)
+    // representative = min id (the original)
+    assert(deduped.filter("copies = 2").filter("keep_id >= 100000").count() == 0)
+    val survivors = Dedup.exactSurvivors(withDups, "text", "doc_id")
+    assert(survivors.count() == docs.count())
+  }
+
+  test("near-identical docs land in the same LSH bucket and verify high") {
+    import spark.implicits._
+    // doc B = doc A with one word changed -> jaccard close to 1
+    val base = docs.limit(3).select("doc_id", "text").as[(Long, String)].collect()
+    val variants = base.map { case (id, t) =>
+      (id + 5000, t.replaceFirst("\\w+", "zzz")) }
+    val df = (base ++ variants).toSeq.toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "text", "doc_id",
+      threshold = 0.5, k = 32, bands = 16).collect()
+    // each original should pair with its variant
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { case (id, _) =>
+      assert(found.contains((id, id + 5000)), s"missing pair for $id: ${found.mkString(",")}")
+    }
+  }
+
+  test("simhash: identical docs same hash, variants nearby") {
+    import spark.implicits._
+    val base = docs.limit(3).select("doc_id", "text").as[(Long, String)].collect()
+    val df = (base ++ base.map { case (id, t) => (id + 5000, t) }).toSeq.toDF("doc_id", "text")
+    val hashes = Dedup.simhash(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.foreach { case (id, _) => assert(hashes(id) == hashes(id + 5000)) }
+  }
+
+  test("brute-force kNN matches naive computation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "emb", "qid", "qv", 3)
+      .collect().map(r => r.getAs[Long]("neighbor_id"))
+    // naive driver-side check
+    val all = emb.select("vec_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+    assert(topk.toSeq == expected.toSeq)
+  }
+
+  test("ANN recall against brute force is reasonable") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5, nPlanes = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    // random near-orthogonal vectors are LSH-hostile; just require signal
+    assert(recall > 0.1, s"recall=$recall")
+    assert(ann.nonEmpty)
+  }
+
+  test("quality metrics and token counts are sane") {
+    val m = TextAnalysis.qualityScore(docs, "text")
+    val row = m.filter(col("n_tokens") > 0).head
+    assert(row.getAs[Double]("quality_score") >= 0.0)
+    assert(row.getAs[Double]("quality_score") <= 1.0)
+    assert(m.filter(col("n_tokens") <= 0).count() == 0)
+    // n_chars matches the dataset's own column
+    assert(m.filter(col("n_chars_calc") =!= col("n_chars")).count() == 0)
+  }
+
+  test("language ID classifies real multilingual text correctly") {
+    import spark.implicits._
+    // NOTE: the testdata documents' `lang` column is a synthetic label —
+    // every text is the same English-ish word salad — so corpus accuracy
+    // is not meaningful; assert on genuinely multilingual sentences.
+    val samples = Seq(
+      ("the cat is on the table and it is quick", "en"),
+      ("el perro que vive en la casa es un amigo de los niños", "es"),
+      ("der Hund ist mit der Katze im Haus und das ist gut", "de"),
+      ("le chat est dans la maison et les jours sont pour une vie", "fr"),
+      ("这是一个完整的中文句子用来测试语言识别", "zh"))
+    val df = samples.toDF("text", "expected")
+    val out = df.withColumn("predicted", TextAnalysis.langId(col("text"))).collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("predicted") == r.getAs[String]("expected"),
+        s"text='${r.getString(0)}'")
+    }
+    // and the corpus-level eval at least runs and covers all labels
+    val eval = TextAnalysis.langIdEval(docs, "text", "lang").collect()
+    assert(eval.map(_.getString(0)).toSet == Set("en", "es", "de", "fr", "zh"))
+  }
+
+  test("multimodal stub plumbing: payload -> meta -> features") {
+    val media = Multimodal.asMedia(docs, "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id")
+    assert(feats.count() == docs.count())
+    val r = feats.head
+    assert(r.getSeq[Double](r.fieldIndex("features")).size == 8)
+    assert(r.getAs[Int]("width") > 0)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(spark, media, "doc_id")
+      .filter(col("doc_id") === r.getAs[Long]("doc_id")).head
+    assert(again.getSeq[Double](again.fieldIndex("features")).toSeq ==
+      r.getSeq[Double](r.fieldIndex("features")).toSeq)
+  }
+
+  test("sessionization splits on the gap and stats add up") {
+    val ev = Events.load(spark, sfDir)
+    val sessions = Events.sessionStats(ev, gapMinutes = 30)
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == ev.count())
+    assert(sessions.filter(col("duration_s") < 0).count() == 0)
+  }
+}

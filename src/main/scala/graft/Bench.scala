@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // long-running driver with a big heap: GC almost never fires, so the
+      // ContextCleaner never reclaims accumulated broadcast/shuffle state
+      // and per-query overhead grows without bound. Clean aggressively.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -30,14 +34,25 @@ object Bench {
         Right(())
       } catch { case e: Throwable => Left(e.getMessage) }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (sys.env.contains("SPARK_GRAFT_REVERSE")) names0.reverse else names0
     // warm-up (builds Iceberg tables + fixtures; untimed)
     names.foreach(force)
 
-    val results = names.map { name =>
+    // optional degradation probe: a fixed micro-job timed after each query
+    val probe = sys.env.contains("SPARK_GRAFT_PROBE")
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000L).selectExpr("sum(id * 2)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i % 8 == 0) System.gc() // let the ContextCleaner's weak refs fire
       val t0 = System.nanoTime()
       val ok = force(name)
       val sec = (System.nanoTime() - t0) / 1e9
+      if (probe) System.err.println(f"[probe] $name%-28s q=$sec%7.2f sentinel=${sentinel()}%6.3f")
       ok match {
         case Right(_) => name -> sec
         case Left(_) => name -> -1.0

@@ -339,7 +339,7 @@ object SparkEntry {
     // ---------- §2.11 text analysis ----------
 
     "x1_token_count" -> ((s, dir) =>
-      Tables.scan(s, dir, "documents")
+      Par.ensure(Tables.scan(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           length(col("text")).as("n_chars_calc"))),
 
@@ -353,8 +353,7 @@ object SparkEntry {
       TextAnalysis.langIdEval(Tables.scan(s, dir, "documents"), "text", "lang")),
 
     "x4_fingerprint" -> ((s, dir) =>
-      Tables.scan(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+      TextAnalysis.fingerprintDF(Tables.scan(s, dir, "documents"), "text", "doc_id")),
 
     // ---------- §2.11 multimodal ----------
 
@@ -378,7 +377,9 @@ object SparkEntry {
 
     "ev_hourly_counts" -> ((s, dir) =>
       Events.hourlyCounts(Events.load(s, dir))
-        .select(col("hour_start"), col("event_type"), col("n"),
+        // window().start is session-TZ TIMESTAMP; the oracle's is naive
+        .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n"),
           round(col("total_value"), 2).as("total_value")))
   )
 

@@ -111,7 +111,11 @@ final class IceTable private (
 
     val metricsEval = new MetricsEvaluator
 
-    pruned.flatMap { m =>
+    // manifests are independent — read them in parallel on the driver
+    // (the reference is single-threaded here; at 100 TB a snapshot can
+    // have thousands of manifests and sequential reads dominate planning)
+    import scala.collection.parallel.CollectionConverters._
+    pruned.par.flatMap { m =>
       val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
       val partType = mSpec.partitionType(scanSchema)
       val entries = ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
@@ -126,7 +130,7 @@ final class IceTable private (
               metricsEval.canContainRows(bound, e.dataFile)
           }
       }
-    }
+    }.seq
   }
 }
 
@@ -363,9 +367,11 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     }
 
     val files = listParquetFiles(outDir)
-    val entries = files.map { p =>
-      val m = Metrics.fromParquetFooter(p, schema,
-        spark.sessionState.newHadoopConf())
+    // footer reads are independent driver-side IO — parallelize
+    import scala.collection.parallel.CollectionConverters._
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val entries = files.par.map { p =>
+      val m = Metrics.fromParquetFooter(p, schema, hadoopConf)
       val partition = parsePartitionTuple(p, outDir, spec, schema)
       ManifestEntry(ManifestStatus.Added, None, None, None,
         DataFile(FileContent.Data, p, "PARQUET", partition,
@@ -378,7 +384,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           upperBounds = m.upperBounds,
           splitOffsets = m.splitOffsets,
           sortOrderId = Some(table.metadata.defaultSortOrderId)))
-    }
+    }.seq
     commitAppend(entries, commitUuid)
   }
 

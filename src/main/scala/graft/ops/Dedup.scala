@@ -31,28 +31,37 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Tokenize + lowercase: the canonical normalization for shingling. */
+  /** Tokenize + lowercase: the canonical normalization for shingling.
+    * IMPORTANT: materialize this into its own column before building
+    * n-grams from it — higher-order functions evaluate interpreted, and
+    * an inlined split() re-runs the regex once per sequence element
+    * (quadratic per row; found via jstack at sf0.1). */
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "\\W+"), t => length(t) > 0)
 
-  /** Word n-gram shingles as an array column (distinct). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = tokens(textCol)
-    // sliding n-grams via transform over indices; codegen'd, no UDF
+  /** N-gram shingles from an ALREADY-MATERIALIZED tokens column. */
+  def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
           i => array_join(slice(toks, i + lit(1), lit(n)), " ")),
         s => length(s) > 0))
-  }
+
+  /** Word n-gram shingles straight from text — fine for one-shot use,
+    * but prefer tokens->shinglesOf when toks is referenced repeatedly. */
+  def shingles(textCol: Column, n: Int): Column = shinglesOf(tokens(textCol), n)
+
+  private def ensureParallelism(df: DataFrame): DataFrame = Par.ensure(df)
 
   /** (doc_id, signature[k]) minhash signatures. k independent hash
     * functions are xxhash64(shingle, seed_i); one explode + one groupBy —
     * the shuffle carries k longs per doc. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, shingleN: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
+    val toksDF = ensureParallelism(
+      df.select(col(idCol), tokens(col(textCol)).as("__toks")))
+    val exploded = toksDF
+      .select(col(idCol), explode(shinglesOf(col("__toks"), shingleN)).as("shingle"))
     val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     exploded.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -91,8 +100,9 @@ object Dedup {
     * |intersection| via groupBy, |union| = |A|+|B|-|I|. */
   def jaccardVerify(df: DataFrame, textCol: String, idCol: String,
       pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleN).as("__sh"))
+    val sh = ensureParallelism(
+      df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks")))
+      .select(col("__id"), shinglesOf(col("__toks"), shingleN).as("__sh"))
       .select(col("__id"), size(col("__sh")).as("__n"), explode(col("__sh")).as("__s"))
     val a = sh.withColumnRenamed("__id", "a")
       .withColumnRenamed("__n", "na").withColumnRenamed("__s", "sa")
@@ -120,8 +130,9 @@ object Dedup {
     * vote sum sets the bit. One explode + one groupBy; the 64 bit-sums
     * ride a single shuffle. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("tok"))
+    val toks = ensureParallelism(
+      df.select(col(idCol), tokens(col(textCol)).as("__toks")))
+      .select(col(idCol), explode(col("__toks")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"b$b")
@@ -138,8 +149,9 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine >= threshold among LSH-bucketed
     * candidates (random-hyperplane signatures; see Similarity.planes). */
-  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+  def embeddingNearDups(emb0: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 12): DataFrame = {
+    val emb = Par.ensure(emb0)
     val sig = emb.withColumn("__sig", Similarity.signature(col(vecCol), nPlanes))
     val l = sig.select(col("__sig"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = sig.select(col("__sig"), col(idCol).as("b"), col(vecCol).as("vb"))

@@ -25,9 +25,10 @@ object Similarity {
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * (it is broadcast to every executor); the corpus streams through one
     * narrow pass, then a per-query top-k window. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+  def bruteForceTopK(corpus0: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val corpus = Par.ensure(corpus0)
     var joined = corpus.crossJoin(broadcast(queries))
     if (excludeSelf) joined = joined.filter(col(idCol) =!= col(qIdCol))
     val scored = joined.withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
@@ -60,9 +61,10 @@ object Similarity {
     * 1-bit-flip neighbor buckets (multi-probe), exact cosine within the
     * candidate set. Trades recall for touching ~(nPlanes+1)/2^nPlanes of
     * the corpus per query. */
-  def annTopK(corpus: DataFrame, queries: DataFrame,
+  def annTopK(corpus0: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nPlanes: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+    val corpus = Par.ensure(corpus0)
     val bucketed = corpus.withColumn("__b", signature(col(vecCol), nPlanes))
     // query probes: own bucket + 1-bit flips
     val probes = queries

@@ -21,12 +21,16 @@ object TextAnalysis {
   /** Quality metrics: length, tokens, mean word length, punctuation
     * ratio, alpha ratio, stopword ratio (tiny embedded English list),
     * uppercase ratio. */
-  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+  def qualityMetrics(df0: DataFrame, textCol: String): DataFrame = {
+    val df = Par.ensure(df0)
     val t = col(textCol)
-    val toks = filter(split(lower(t), "\\W+"), x => length(x) > 0)
+    // materialize the token array once; the metrics below reference it
+    // repeatedly and must not re-run the regex split per reference
+    val toks = col("__toks")
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
       "it", "that", "for", "on", "with", "as", "at", "by")
-    df.withColumn("n_chars_calc", length(t))
+    df.withColumn("__toks", filter(split(lower(t), "\\W+"), x => length(x) > 0))
+      .withColumn("n_chars_calc", length(t))
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("mean_word_len",
         when(size(toks) > 0,
@@ -44,6 +48,7 @@ object TextAnalysis {
       .withColumn("upper_ratio",
         length(regexp_replace(t, "[^A-Z]", "")).cast("double") /
           greatest(length(t), lit(1)))
+      .drop("__toks")
   }
 
   /** Composite quality score in [0,1] — the usual "keep if score > x"
@@ -85,20 +90,34 @@ object TextAnalysis {
 
   /** Language-ID evaluation against a labeled column. */
   def langIdEval(df: DataFrame, textCol: String, labelCol: String): DataFrame =
-    df.withColumn("predicted", langId(col(textCol)))
+    Par.ensure(df).withColumn("predicted", langId(col(textCol)))
       .groupBy(col(labelCol).as("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
 
   /** Rolling-hash document fingerprint (winnowing-style): Karp-Rabin hash
     * of token 4-grams, fingerprint = min hash (robust to small edits;
     * equal fingerprints => likely shared content). */
-  def fingerprint(text: Column, gram: Int = 4): Column = {
-    val toks = filter(split(lower(text), "\\W+"), x => length(x) > 0)
+  def fingerprint(text: Column, gram: Int = 4): Column =
+    fingerprintOfTokens(filter(split(lower(text), "\\W+"), x => length(x) > 0),
+      text, gram)
+
+  /** Fingerprint from a materialized tokens column — the scalable form
+    * (an inlined split re-runs per n-gram element; see Dedup.tokens). */
+  def fingerprintOfTokens(toks: Column, fallback: Column, gram: Int = 4): Column = {
     val grams = filter(
       transform(sequence(lit(0), greatest(size(toks) - gram, lit(0))),
         i => array_join(slice(toks, i + lit(1), lit(gram)), " ")),
       s => length(s) > 0)
     when(size(grams) > 0,
-      array_min(transform(grams, g => xxhash64(g)))).otherwise(xxhash64(text))
+      array_min(transform(grams, g => xxhash64(g)))).otherwise(xxhash64(fallback))
   }
+
+  /** DataFrame-level fingerprinting: tokens materialized once per row. */
+  def fingerprintDF(df: DataFrame, textCol: String, idCol: String,
+      gram: Int = 4): DataFrame =
+    Par.ensure(df).select(col(idCol),
+      filter(split(lower(col(textCol)), "\\W+"), x => length(x) > 0).as("__toks"),
+      col(textCol).as("__text"))
+      .select(col(idCol),
+        fingerprintOfTokens(col("__toks"), col("__text"), gram).as("fingerprint"))
 }

@@ -375,6 +375,25 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("duration_s"), round(col("total_value"), 2).as("total_value"))),
 
+    // §2.9 extension: the SAME hourly aggregation as a Structured
+    // Streaming job (readStream + watermark + window, AvailableNow) —
+    // its output must equal the batch oracle exactly
+    "st_hourly_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // readStream needs a directory; glob-filter to the events file
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val counts = graft.streaming.StreamOps.hourlyCounts(stream)
+      graft.streaming.StreamOps.runToMemory(s, counts,
+        s"st_hourly_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
     "ev_hourly_counts" -> ((s, dir) =>
       Events.hourlyCounts(Events.load(s, dir))
         // window().start is session-TZ TIMESTAMP; the oracle's is naive
@@ -536,6 +555,10 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
     "ev_hourly_counts" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st_hourly_stream" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin

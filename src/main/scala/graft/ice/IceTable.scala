@@ -160,6 +160,7 @@ final class ScanBuilder(table: IceTable) {
   private var filterExpr: Option[Expr] = None
   private var projection: Option[Seq[String]] = None
   private var caseSensitive: Boolean = true
+  private var limitRows: Option[Long] = None
 
   def useSnapshot(id: Long): ScanBuilder = { snapshotId = Some(id); this }
   def useRef(name: String): ScanBuilder = { branchOrTag = Some(name); this }
@@ -175,6 +176,12 @@ final class ScanBuilder(table: IceTable) {
   }
   def select(cols: String*): ScanBuilder = { projection = Some(cols); this }
   def withCaseSensitive(cs: Boolean): ScanBuilder = { caseSensitive = cs; this }
+  /** Row limit — enforced, unlike the reference where
+    * TableScanContext::limit is carried but never applied
+    * (table_scan.h:90). With no residual filter the FILE LIST itself is
+    * truncated using manifest record counts, so a limit-1000 scan of a
+    * million-file table opens a handful of files. */
+  def limit(n: Long): ScanBuilder = { limitRows = Some(n); this }
 
   def resolveSnapshot(): Option[Snapshot] = {
     val byRef = branchOrTag.flatMap(r => table.refs.get(r).map(_.snapshotId))
@@ -205,8 +212,21 @@ final class ScanBuilder(table: IceTable) {
     case None => Nil
     case Some(snap) =>
       val bound = filterExpr.map(e => Binder.bind(e, table.schema, caseSensitive))
-      table.planEntries(snap, bound)
+      val tasks = table.planEntries(snap, bound)
         .map(e => FileScanTask(e.dataFile, 0, e.sequenceNumber.getOrElse(0L)))
+      limitRows match {
+        // metadata-level truncation is only sound when every planned row
+        // is a result row: no residual filter, no pending deletes
+        case Some(n) if filterExpr.isEmpty &&
+            resolveSnapshot().forall(s => table.planDeleteEntries(s).isEmpty) =>
+          var acc = 0L
+          tasks.takeWhile { t =>
+            val take = acc < n
+            acc += t.file.recordCount
+            take
+          }
+        case _ => tasks
+      }
   }
 
   /** Execute as a DataFrame: Spark's vectorized parquet reader over the
@@ -302,6 +322,8 @@ final class ScanBuilder(table: IceTable) {
       }
       df = df.filter(ToColumn(Binder.bind(e, bindSchema, caseSensitive)))
     }
+    limitRows.foreach(n => df = df.limit(
+      math.min(n, Int.MaxValue.toLong).toInt))
     df
   }
 }

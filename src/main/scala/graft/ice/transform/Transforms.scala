@@ -148,44 +148,17 @@ final case class BucketTransform(numBuckets: Int) extends Transform {
     if (value == null) null
     else Integer.valueOf((hash(value, sourceType) & Int.MaxValue) % numBuckets)
 
+  /** Codegen'd Catalyst expression (BucketExpr) over the canonical
+    * pre-hash representation of each source type. */
   def toColumn(input: Column, sourceType: IcePrimitive): Column = {
     val n = numBuckets
     sourceType match {
-      case IntT | LongT =>
-        val f = udf((v: java.lang.Long) =>
-          if (v == null) null
-          else Integer.valueOf((BucketUtil.hashLong(v) & Int.MaxValue) % n))
-        f(input.cast("long"))
-      case DateT =>
-        val f = udf((days: java.lang.Integer) =>
-          if (days == null) null
-          else Integer.valueOf((BucketUtil.hashInt(days) & Int.MaxValue) % n))
-        f(datediff(input, to_date(lit("1970-01-01"))))
+      case IntT | LongT | TimeT => BucketExpr.column(input.cast("long"), n)
+      case DateT => BucketExpr.column(datediff(input, to_date(lit("1970-01-01"))), n)
       case TimestampT | TimestampTzT =>
-        val f = udf((us: java.lang.Long) =>
-          if (us == null) null
-          else Integer.valueOf((BucketUtil.hashLong(us) & Int.MaxValue) % n))
-        f(unix_micros(input.cast("timestamp")))
-      case TimeT =>
-        val f = udf((us: java.lang.Long) =>
-          if (us == null) null
-          else Integer.valueOf((BucketUtil.hashLong(us) & Int.MaxValue) % n))
-        f(input.cast("long"))
-      case StringT | UuidT =>
-        val f = udf((s: String) =>
-          if (s == null) null
-          else Integer.valueOf((BucketUtil.hashString(s) & Int.MaxValue) % n))
-        f(input)
-      case BinaryT | FixedT(_) =>
-        val f = udf((b: Array[Byte]) =>
-          if (b == null) null
-          else Integer.valueOf((BucketUtil.hashBytes(b) & Int.MaxValue) % n))
-        f(input)
-      case DecimalT(_, _) =>
-        val f = udf((d: JBigDecimal) =>
-          if (d == null) null
-          else Integer.valueOf((BucketUtil.hashDecimal(d) & Int.MaxValue) % n))
-        f(input)
+        BucketExpr.column(unix_micros(input.cast("timestamp")), n)
+      case StringT | UuidT | BinaryT | FixedT(_) | DecimalT(_, _) =>
+        BucketExpr.column(input, n)
       case t => throw new IllegalArgumentException(s"bucket unsupported for $t")
     }
   }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (the reference has no streaming at all —
+  * SURVEY §2.9; these are the Spark-native stream forms of the Events
+  * batch operators, sharing their semantics).
+  *
+  * Scale shape: watermarks bound state; session state is per-key and
+  * O(active sessions); both aggregations shuffle once on their keys —
+  * identical plan shape on a 1000-executor cluster. */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double, closed: Boolean)
+
+  final case class SessionState(start: Long, lastTs: Long,
+      n: Long, total: Double)
+
+  /** Watermarked tumbling-window counts — the canonical streaming agg
+    * (readStream -> withWatermark -> window -> agg). */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Declarative session windows (session_window with a gap). */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Custom per-key state: sessionization via mapGroupsWithState with a
+    * processing-time timeout — the KeyValueGroupedDataset state API the
+    * north-star asks for. Emits the running session per user; a timeout
+    * closes it. */
+  def sessionizeWithState(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, new java.sql.Timestamp(s.start), s.n, s.total, closed = true)
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var s = state.getOption.getOrElse(
+              SessionState(events.head.ts.getTime, events.head.ts.getTime, 0L, 0.0))
+            for (e <- events) {
+              s =
+                if (e.ts.getTime - s.lastTs > gapMs)
+                  SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value) // new session
+                else s.copy(lastTs = e.ts.getTime, n = s.n + 1, total = s.total + e.value)
+            }
+            state.update(s)
+            state.setTimeoutDuration(gapMs)
+            SessionUpdate(userId, new java.sql.Timestamp(s.start), s.n, s.total, closed = false)
+          }
+      }
+  }
+
+  /** Streaming exact dedup on a key with watermarked state
+    * (dropDuplicates over a stream — the training-pipeline ingest gate). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Wire a streaming DataFrame to an in-memory sink and process all
+    * currently-available data (test/demo harness). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+}

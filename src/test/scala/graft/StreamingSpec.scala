@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min.toLong))
+
+  test("watermarked hourly counts over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    input.addData(
+      (ts(5), "click", 1.0), (ts(10), "click", 2.0),
+      (ts(65), "view", 3.0), (ts(70), "click", 4.0))
+    // Append mode only emits watermark-closed windows; with a finite
+    // MemoryStream nothing closes, so read the running state instead
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.hourlyCounts(events), "hourly_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val rows = out.collect().map(r =>
+      (r.getAs[java.sql.Timestamp]("hour_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 01:00:00.0", "view", 1L),
+      ("2024-01-01 01:00:00.0", "click", 1L)))
+  }
+
+  test("session windows with gap close after inactivity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    // user 1: two events 10min apart (one session), then one 2h later
+    input.addData((ts(0), 1L, 1.0), (ts(10), 1L, 1.0), (ts(130), 1L, 5.0))
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.sessionWindows(events, gapMinutes = 30), "sessions_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val sessions = out.filter(col("user_id") === 1).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState sessionization carries custom state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    input.addData(
+      StreamOps.Event(1, ts(0), 7L, "click", 1.0),
+      StreamOps.Event(2, ts(5), 7L, "click", 2.0),
+      StreamOps.Event(3, ts(2), 8L, "view", 9.0))
+    val updates = StreamOps.sessionizeWithState(input.toDS(), gapMinutes = 30)
+    val q = updates.writeStream.format("memory").queryName("state_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("state_test").collect()
+    val u7 = rows.find(_.getAs[Long]("user_id") == 7L).get
+    assert(u7.getAs[Long]("n_events") == 2L)
+    assert(u7.getAs[Double]("total_value") == 3.0)
+    assert(!u7.getAs[Boolean]("closed"))
+    assert(rows.exists(_.getAs[Long]("user_id") == 8L))
+  }
+
+  test("streaming dedup within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "event_id")
+    input.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.streamingDedup(events, Seq("event_id")), "dedup_test")
+    assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
+
+class BucketExprSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  override def afterAll(): Unit = spark.stop()
+
+  test("codegen bucket expression matches spec vectors and driver-side apply") {
+    import spark.implicits._
+    import graft.ice.transform._
+    import graft.ice.types._
+    // spec vectors (transform_test.cc): int 34 -> 3, string iceberg -> 1
+    val df = Seq((34L, "iceberg")).toDF("l", "s")
+    val row = df.select(
+      BucketTransform(4).toColumn(col("l"), LongT).as("bl"),
+      BucketTransform(4).toColumn(col("s"), StringT).as("bs")).head
+    assert(row.getInt(0) == 3)
+    assert(row.getInt(1) == 1)
+    // stays in whole-stage codegen (no UDF / CodegenFallback node)
+    val plan = df.select(BucketTransform(8).toColumn(col("l"), LongT))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // distributed vs driver agreement over a range of values
+    val vals = spark.range(1000).select(col("id"))
+    val got = vals.select(col("id"),
+      BucketTransform(16).toColumn(col("id"), LongT).as("b")).collect()
+    got.foreach { r =>
+      assert(BucketTransform(16)(r.getLong(0), LongT) == r.getInt(1))
+    }
+  }
+
+  test("scan limit truncates the planned file list") {
+    import graft.ice._, graft.ice.catalog._, graft.ice.types._
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whl").toString)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.lim"),
+      SparkConv.fromSpark(raw.schema))
+    // 3 separate appends -> >= 3 files
+    t.append(spark).appendDataFrame(raw.limit(100))
+    t.append(spark).appendDataFrame(raw.limit(100))
+    t.append(spark).appendDataFrame(raw.limit(100))
+    val all = t.newScan().planFiles()
+    assert(all.size >= 3)
+    val limited = t.newScan().limit(50)
+    assert(limited.planFiles().size == 1) // first file already covers 50 rows
+    assert(limited.toDF(spark).count() == 50)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice._
+import graft.ice.catalog._
+import graft.ice.expr.{Expr => E, _}
+import graft.ice.meta._
+import graft.ice.transform._
+import graft.ice.types._
+
+/** FIXTURES.md §5 pruning-safety property: for random predicates, a
+  * pruned scan returns exactly the rows the raw data filter returns —
+  * pruning may only skip files that cannot contain matches, never rows.
+  * Deterministic pseudo-random predicate generation (seed fixed). */
+class PruningPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("pruned scans lose no rows over 40 random predicates (bucket+month table)") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whp").toString)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ok = schema.findFieldByName("l_orderkey").get.id
+    val sd = schema.findFieldByName("l_shipdate").get.id
+    val spec = PartitionSpec(0, IndexedSeq(
+      PartitionField(ok, 1000, "okb", BucketTransform(4)),
+      PartitionField(sd, 1001, "sm", MonthTransform)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.prop"), schema, spec)
+    // two appends so bounds/files vary
+    t.append(spark).appendDataFrame(raw.filter("l_orderkey % 2 = 0"))
+    t.append(spark).appendDataFrame(raw.filter("l_orderkey % 2 = 1"))
+
+    val rnd = new scala.util.Random(42)
+    val totalFiles = t.newScan().planFiles().size
+    var prunedAtLeastOnce = false
+
+    def randomPredicate(): (E.type => Unit, graft.ice.expr.Expr, String) = {
+      val keys = Seq(1L, 500L, 2000L, 4000L, 6000L)
+      val dates = Seq("1997-01-01", "1999-06-15", "2001-01-01", "2003-12-31")
+      rnd.nextInt(6) match {
+        case 0 =>
+          val k = keys(rnd.nextInt(keys.size))
+          (null, E.equal("l_orderkey", Literal.long(k)), s"l_orderkey = $k")
+        case 1 =>
+          val k = keys(rnd.nextInt(keys.size))
+          (null, E.lt("l_orderkey", Literal.long(k)), s"l_orderkey < $k")
+        case 2 =>
+          val d = dates(rnd.nextInt(dates.size))
+          (null, E.gtEq("l_shipdate", Literal.string(d)),
+            s"l_shipdate >= timestamp_ntz'$d 00:00:00'")
+        case 3 =>
+          val d = dates(rnd.nextInt(dates.size))
+          (null, E.lt("l_shipdate", Literal.string(d)),
+            s"l_shipdate < timestamp_ntz'$d 00:00:00'")
+        case 4 =>
+          val f = Seq("A", "N", "R")(rnd.nextInt(3))
+          (null, E.equal("l_returnflag", Literal.string(f)), s"l_returnflag = '$f'")
+        case 5 =>
+          val k = keys(rnd.nextInt(keys.size))
+          val d = dates(rnd.nextInt(dates.size))
+          (null, E.lt("l_orderkey", Literal.long(k))
+            .and(E.gtEq("l_shipdate", Literal.string(d))),
+            s"l_orderkey < $k AND l_shipdate >= timestamp_ntz'$d 00:00:00'")
+      }
+    }
+
+    for (_ <- 1 to 40) {
+      val (_, expr, sql) = randomPredicate()
+      val scan = t.newScan().filter(expr)
+      val planned = scan.planFiles().size
+      if (planned < totalFiles) prunedAtLeastOnce = true
+      val got = scan.toDF(spark).count()
+      val expected = raw.filter(sql).count()
+      assert(got == expected, s"predicate [$sql]: pruned scan $got != raw $expected " +
+        s"(planned $planned/$totalFiles files)")
+    }
+    assert(prunedAtLeastOnce, "no predicate ever pruned — evaluators inert?")
+  }
+
+  test("literal serde round-trips for random values (property)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val lit = rnd.nextInt(6) match {
+        case 0 => Literal.int(rnd.nextInt())
+        case 1 => Literal.long(rnd.nextLong())
+        case 2 => Literal.double(rnd.nextDouble() * 1e6 - 5e5)
+        case 3 => Literal.string(rnd.alphanumeric.take(rnd.nextInt(20)).mkString)
+        case 4 => Literal.date(rnd.nextInt(40000) - 10000)
+        case 5 => Literal.decimal(
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(rnd.nextLong() % 1000000000L), 2), 18)
+      }
+      val back = Literal.deserialize(lit.tpe, lit.serialize)
+      assert(back.compareTo(lit).contains(0), s"round trip failed for ${lit.tpe}: ${lit.raw}")
+    }
+  }
+}

@@ -72,16 +72,24 @@ object ManifestAvro {
        |{"name":"value","type":"$valueType","field-id":$valueId}]},"logicalType":"map"}],
        |"doc":"$doc","default":null,"field-id":$fieldId}""".stripMargin.replaceAll("\n", "")
 
-  /** manifest_entry Avro schema, v2 layout (v2_metadata.cc; verified
-    * byte-identical field list vs the reference golden manifests). */
-  def manifestEntrySchemaJson(partitionType: StructT): String = {
-    val dataFileFields = Seq(
-      s"""{"name":"content","type":"int","doc":"Contents of the file: 0=data, 1=position deletes, 2=equality deletes","field-id":134}""",
+  /** manifest_entry Avro schema, versioned layout (manifest_adapter.h:62-100;
+    * v1_metadata.cc / v2_metadata.cc / v3_metadata.cc adapters pick the
+    * field subset):
+    *  - v1: no sequence numbers / content / equality_ids; adds the legacy
+    *    required block_size_in_bytes (field id 105); snapshot_id required
+    *  - v2: the layout verified byte-identical vs the reference goldens
+    *  - v3: v2 + first_row_id (142), content_offset (144),
+    *    content_size_in_bytes (145) */
+  def manifestEntrySchemaJson(partitionType: StructT, formatVersion: Int = 2): String = {
+    val common = Seq(
       s"""{"name":"file_path","type":"string","doc":"Location URI with FS scheme","field-id":100}""",
       s"""{"name":"file_format","type":"string","doc":"File format name: avro, orc, or parquet","field-id":101}""",
       s"""{"name":"partition","type":${partitionRecordJson(partitionType)},"doc":"Partition data tuple, schema based on the partition spec","field-id":102}""",
       s"""{"name":"record_count","type":"long","doc":"Number of records in the file","field-id":103}""",
-      s"""{"name":"file_size_in_bytes","type":"long","doc":"Total file size in bytes","field-id":104}""",
+      s"""{"name":"file_size_in_bytes","type":"long","doc":"Total file size in bytes","field-id":104}""")
+    val v1Only = Seq(
+      s"""{"name":"block_size_in_bytes","type":"long","doc":"Deprecated. Always write a default","field-id":105}""")
+    val metrics = Seq(
       kvMapJson("column_sizes", 108, 117, 118, "long", "Map of column id to total size on disk"),
       kvMapJson("value_counts", 109, 119, 120, "long", "Map of column id to total count, including null and NaN"),
       kvMapJson("null_value_counts", 110, 121, 122, "long", "Map of column id to null value count"),
@@ -89,22 +97,46 @@ object ManifestAvro {
       kvMapJson("lower_bounds", 125, 126, 127, "bytes", "Map of column id to lower bound"),
       kvMapJson("upper_bounds", 128, 129, 130, "bytes", "Map of column id to upper bound"),
       s"""{"name":"key_metadata","type":["null","bytes"],"doc":"Encryption key metadata blob","default":null,"field-id":131}""",
-      s"""{"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"doc":"Splittable offsets","default":null,"field-id":132}""",
-      s"""{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"doc":"Equality comparison field IDs","default":null,"field-id":135}""",
-      s"""{"name":"sort_order_id","type":["null","int"],"doc":"Sort order ID","default":null,"field-id":140}""",
-      s"""{"name":"referenced_data_file","type":["null","string"],"doc":"Fully qualified location (URI with FS scheme) of a data file that all deletes reference","default":null,"field-id":143}"""
-    ).mkString(",")
+      s"""{"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"doc":"Splittable offsets","default":null,"field-id":132}""")
+    val v2Plus = Seq(
+      s"""{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"doc":"Equality comparison field IDs","default":null,"field-id":135}""")
+    val sortOrder = Seq(
+      s"""{"name":"sort_order_id","type":["null","int"],"doc":"Sort order ID","default":null,"field-id":140}""")
+    val v2Tail = Seq(
+      s"""{"name":"referenced_data_file","type":["null","string"],"doc":"Fully qualified location (URI with FS scheme) of a data file that all deletes reference","default":null,"field-id":143}""")
+    val v3Tail = Seq(
+      s"""{"name":"first_row_id","type":["null","long"],"doc":"Starting row ID to assign to new rows","default":null,"field-id":142}""",
+      s"""{"name":"content_offset","type":["null","long"],"doc":"The offset in the file where the content starts","default":null,"field-id":144}""",
+      s"""{"name":"content_size_in_bytes","type":["null","long"],"doc":"The length of referenced content stored in the file","default":null,"field-id":145}""")
+    val contentField =
+      s"""{"name":"content","type":"int","doc":"Contents of the file: 0=data, 1=position deletes, 2=equality deletes","field-id":134}"""
+
+    val dataFileFields = (formatVersion match {
+      case 1 => common ++ v1Only ++ metrics ++ sortOrder
+      case 2 => Seq(contentField) ++ common ++ metrics ++ v2Plus ++ sortOrder ++ v2Tail
+      case 3 => Seq(contentField) ++ common ++ metrics ++ v2Plus ++ sortOrder ++ v2Tail ++ v3Tail
+      case v => throw new IllegalArgumentException(s"unsupported manifest version $v")
+    }).mkString(",")
+
+    val entryFields = formatVersion match {
+      case 1 =>
+        s"""{"name":"status","type":"int","field-id":0},
+           |{"name":"snapshot_id","type":"long","field-id":1},""".stripMargin
+      case _ =>
+        s"""{"name":"status","type":"int","field-id":0},
+           |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+           |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+           |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},""".stripMargin
+    }
     s"""{"type":"record","name":"manifest_entry","fields":[
-       |{"name":"status","type":"int","field-id":0},
-       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-       |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+       |$entryFields
        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[$dataFileFields]},"field-id":2}]}"""
       .stripMargin.replaceAll("\n", "")
   }
 
-  /** manifest_file (manifest list entry) Avro schema, v2 layout. */
-  val manifestFileSchemaJson: String = {
+  /** manifest_file (manifest list entry) Avro schema, versioned:
+    * v1 drops content/sequence fields; v3 adds first_row_id (520). */
+  def manifestFileSchemaJson(formatVersion: Int = 2): String = {
     val partitionSummary =
       s"""{"name":"partitions","type":["null",{"type":"array","items":{"type":"record","name":"r508","fields":[
          |{"name":"contains_null","type":"boolean","doc":"True if any file has a null partition value","field-id":509},
@@ -113,13 +145,21 @@ object ManifestAvro {
          |{"name":"upper_bound","type":["null","bytes"],"doc":"Partition upper bound for all files","default":null,"field-id":511}]},
          |"element-id":508}],"doc":"Summary for each partition","default":null,"field-id":507}"""
         .stripMargin.replaceAll("\n", "")
+    val versioned = formatVersion match {
+      case 1 => ""
+      case _ =>
+        """{"name":"content","type":"int","doc":"Contents of the manifest: 0=data, 1=deletes","field-id":517},
+          |{"name":"sequence_number","type":"long","doc":"Sequence number when the manifest was added","field-id":515},
+          |{"name":"min_sequence_number","type":"long","doc":"Lowest sequence number in the manifest","field-id":516},""".stripMargin.replaceAll("\n", "")
+    }
+    val v3Tail = if (formatVersion >= 3)
+      """,{"name":"first_row_id","type":["null","long"],"doc":"Starting row ID","default":null,"field-id":520}"""
+    else ""
     s"""{"type":"record","name":"manifest_file","fields":[
        |{"name":"manifest_path","type":"string","doc":"Location URI with FS scheme","field-id":500},
        |{"name":"manifest_length","type":"long","doc":"Total file size in bytes","field-id":501},
        |{"name":"partition_spec_id","type":"int","doc":"Spec ID used to write","field-id":502},
-       |{"name":"content","type":"int","doc":"Contents of the manifest: 0=data, 1=deletes","field-id":517},
-       |{"name":"sequence_number","type":"long","doc":"Sequence number when the manifest was added","field-id":515},
-       |{"name":"min_sequence_number","type":"long","doc":"Lowest sequence number in the manifest","field-id":516},
+       |$versioned
        |{"name":"added_snapshot_id","type":"long","doc":"Snapshot ID that added the manifest","field-id":503},
        |{"name":"added_files_count","type":"int","doc":"Added entry count","field-id":504},
        |{"name":"existing_files_count","type":"int","doc":"Existing entry count","field-id":505},
@@ -128,7 +168,7 @@ object ManifestAvro {
        |{"name":"existing_rows_count","type":"long","doc":"Existing rows count","field-id":513},
        |{"name":"deleted_rows_count","type":"long","doc":"Deleted rows count","field-id":514},
        |$partitionSummary,
-       |{"name":"key_metadata","type":["null","bytes"],"doc":"Encryption key metadata blob","default":null,"field-id":519}]}"""
+       |{"name":"key_metadata","type":["null","bytes"],"doc":"Encryption key metadata blob","default":null,"field-id":519}$v3Tail]}"""
       .stripMargin.replaceAll("\n", "")
   }
 
@@ -303,7 +343,7 @@ object ManifestAvro {
   def writeManifestList(path: String, files: Seq[ManifestFile],
       snapshotId: Long, parentSnapshotId: Option[Long], sequenceNumber: Long,
       formatVersion: Int = 2): Unit = {
-    val schema = new AvroParser().parse(manifestFileSchemaJson)
+    val schema = new AvroParser().parse(manifestFileSchemaJson(formatVersion))
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     writer.setMeta("format-version", formatVersion.toString)
     writer.setMeta("snapshot-id", snapshotId.toString)
@@ -313,12 +353,15 @@ object ManifestAvro {
     try {
       files.foreach { m =>
         val r = new GenericData.Record(schema)
+        def putIf(name: String, v: Any): Unit =
+          if (schema.getField(name) != null) r.put(name, v)
         r.put("manifest_path", m.manifestPath)
         r.put("manifest_length", m.manifestLength)
         r.put("partition_spec_id", m.partitionSpecId)
-        r.put("content", m.content)
-        r.put("sequence_number", m.sequenceNumber)
-        r.put("min_sequence_number", m.minSequenceNumber)
+        putIf("content", m.content)
+        putIf("sequence_number", m.sequenceNumber)
+        putIf("min_sequence_number", m.minSequenceNumber)
+        putIf("first_row_id", m.firstRowId.map(Long.box).orNull)
         r.put("added_snapshot_id", m.addedSnapshotId)
         r.put("added_files_count", m.addedFilesCount.getOrElse(0))
         r.put("existing_files_count", m.existingFilesCount.getOrElse(0))
@@ -418,7 +461,7 @@ object ManifestAvro {
       sequenceNumber: Long, content: Int = ManifestContent.Data,
       schemaJson: String = "", specFieldsJson: String = "",
       formatVersion: Int = 2): ManifestFile = {
-    val schema = new AvroParser().parse(manifestEntrySchemaJson(partitionType))
+    val schema = new AvroParser().parse(manifestEntrySchemaJson(partitionType, formatVersion))
     val dataFileSchema = nonNull(schema.getField("data_file").schema())
     val partSchema = nonNull(dataFileSchema.getField("partition").schema())
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -432,12 +475,19 @@ object ManifestAvro {
       entries.foreach { e =>
         val r = new GenericData.Record(schema)
         r.put("status", e.status)
-        r.put("snapshot_id", e.snapshotId.map(Long.box).orNull)
-        r.put("sequence_number", e.sequenceNumber.map(Long.box).orNull)
-        r.put("file_sequence_number", e.fileSequenceNumber.map(Long.box).orNull)
+        if (formatVersion == 1)
+          r.put("snapshot_id", Long.box(e.snapshotId.getOrElse(snapshotId))) // required in v1
+        else {
+          r.put("snapshot_id", e.snapshotId.map(Long.box).orNull)
+          r.put("sequence_number", e.sequenceNumber.map(Long.box).orNull)
+          r.put("file_sequence_number", e.fileSequenceNumber.map(Long.box).orNull)
+        }
         val df = e.dataFile
         val dr = new GenericData.Record(dataFileSchema)
-        dr.put("content", df.content)
+        def dput(name: String, v: Any): Unit =
+          if (dataFileSchema.getField(name) != null) dr.put(name, v)
+        dput("content", df.content)
+        dput("block_size_in_bytes", Long.box(64L * 1024 * 1024)) // v1 legacy
         dr.put("file_path", df.filePath)
         dr.put("file_format", df.fileFormat)
         val pr = new GenericData.Record(partSchema)
@@ -456,9 +506,12 @@ object ManifestAvro {
         dr.put("upper_bounds", writeIntBytesMap(df.upperBounds, dataFileSchema.getField("upper_bounds").schema()))
         dr.put("key_metadata", df.keyMetadata.map(ByteBuffer.wrap).orNull)
         dr.put("split_offsets", if (df.splitOffsets.isEmpty) null else df.splitOffsets.map(Long.box).asJava)
-        dr.put("equality_ids", if (df.equalityIds.isEmpty) null else df.equalityIds.map(Int.box).asJava)
+        dput("equality_ids", if (df.equalityIds.isEmpty) null else df.equalityIds.map(Int.box).asJava)
         dr.put("sort_order_id", df.sortOrderId.map(Int.box).orNull)
-        dr.put("referenced_data_file", df.referencedDataFile.orNull)
+        dput("referenced_data_file", df.referencedDataFile.orNull)
+        dput("first_row_id", df.firstRowId.map(Long.box).orNull)
+        dput("content_offset", df.contentOffset.map(Long.box).orNull)
+        dput("content_size_in_bytes", df.contentSizeInBytes.map(Long.box).orNull)
         r.put("data_file", dr)
         writer.append(r)
       }

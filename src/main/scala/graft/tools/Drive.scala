@@ -81,6 +81,21 @@ object Drive {
     println(s"== files after compaction: ${tbl.newScan().planFiles().size}, rows: $afterCompact (match=${afterDelete == afterCompact})")
     println(s"== snapshots: ${tbl.snapshots.map(_.operation.get).mkString(",")}")
 
+    // versioned manifest writers: v1 and v3 write -> read through the
+    // public ManifestAvro API
+    import graft.ice.manifest._
+    val mdir = java.nio.file.Files.createTempDirectory("drive_manifest").toString
+    val pt = graft.ice.types.StructT(IndexedSeq(
+      graft.ice.types.NestedField(1000, "b", graft.ice.types.IntT, required = false)))
+    val ent = ManifestEntry(ManifestStatus.Added, None, None, None,
+      DataFile(FileContent.Data, "/d/f.parquet", "PARQUET", IndexedSeq(1), 5, 100))
+    for (v <- Seq(1, 2, 3)) {
+      val mf = ManifestAvro.writeManifest(s"$mdir/m$v.avro", Seq(ent), pt, 0, 9L, 1L,
+        formatVersion = v)
+      val back = ManifestAvro.readManifest(s"$mdir/m$v.avro", pt, Some(mf))
+      println(s"== manifest v$v round trip: entries=${back.size} snap=${back.head.snapshotId.orNull} part=${back.head.dataFile.partition}")
+    }
+
     spark.stop()
     println("DRIVE OK")
   }

@@ -370,10 +370,17 @@ object SparkEntry {
 
     // ---------- §2.9-adjacent event processing ----------
 
+    // total_value as per-row-rounded cents summed as longs: double-sum
+    // order differs between engines, so a double total can drift in the
+    // last ulp and flip round(..,2) at a half boundary
     "ev_sessionize" -> ((s, dir) =>
-      Events.sessionStats(Events.load(s, dir), gapMinutes = 30)
+      Events.sessionize(Events.load(s, dir), gapMinutes = 30)
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("duration_s"),
+          sum(round(col("value") * 100, 0).cast("long")).as("total_value_cents"))
         .select(col("user_id"), col("session_seq"), col("n_events"),
-          col("duration_s"), round(col("total_value"), 2).as("total_value"))),
+          col("duration_s"), col("total_value_cents"))),
 
     // §2.9 extension: the SAME hourly aggregation as a Structured
     // Streaming job (readStream + watermark + window, AvailableNow) —
@@ -542,17 +549,17 @@ object SparkEntry {
         |FROM embeddings, q WHERE vec_id <> query_id
         |QUALIFY rank <= 5""".stripMargin,
     "ev_sessionize" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        | s AS (SELECT user_id, ts, value,
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | s AS (SELECT user_id, event_id, ts, value,
         |   CASE WHEN lag(ts) OVER w IS NULL
         |        OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s
-        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         | t AS (SELECT user_id, ts, value,
-        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
         |   FROM s)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  date_diff('second', min(ts), max(ts)) AS duration_s,
-        |  round(sum(value), 2) AS total_value
+        |  sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_value_cents
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
     "ev_hourly_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,

@@ -377,14 +377,16 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       val partCols = spec.fields.map { pf =>
         val src = schema.findFieldById(pf.sourceId).get
         pf.transform.toColumn(col(src.name), src.fieldType.asInstanceOf[IcePrimitive])
-          .as(pf.name)
       }
-      // cluster by partition tuple so each task writes whole partitions
+      // cluster by partition tuple so each task writes whole partitions;
+      // __gp_-prefixed dir columns keep identity-partition source columns
+      // inside the data files (partition values are metadata in Iceberg)
+      val dirCols = spec.fields.map(pf => graft.ice.write.PartitionPaths.dirCol(pf.name))
       aligned
-        .withColumns(spec.fields.map(_.name).zip(partCols).toMap)
-        .repartition(spec.fields.map(f => col(f.name)): _*)
+        .withColumns(dirCols.zip(partCols).toMap)
+        .repartition(dirCols.map(col): _*)
         .write.mode("append")
-        .partitionBy(spec.fields.map(_.name): _*)
+        .partitionBy(dirCols: _*)
         .parquet(outDir)
     }
 
@@ -490,58 +492,8 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
   }
 
   /** Parse the partition tuple back out of the Hive-style path the Spark
-    * writer produced (name=value dirs, Iceberg runtime repr). */
+    * writer produced (shared with compaction/overwrite). */
   private def parsePartitionTuple(file: String, baseDir: String,
-      spec: PartitionSpec, schema: Schema): IndexedSeq[Any] = {
-    if (spec.isUnpartitioned) return IndexedSeq.empty
-    val rel = Paths.get(baseDir).relativize(Paths.get(file)).toString
-    val kv = rel.split('/').init.flatMap { seg =>
-      val i = seg.indexOf('=')
-      if (i < 0) None else Some(seg.substring(0, i) -> unescapePath(seg.substring(i + 1)))
-    }.toMap
-    spec.fields.map { pf =>
-      kv.get(pf.name) match {
-        case None | Some("__HIVE_DEFAULT_PARTITION__") => null
-        case Some(raw) =>
-          val src = schema.findFieldById(pf.sourceId).get
-          val resType = pf.transform.resultType(src.fieldType.asInstanceOf[IcePrimitive])
-          parsePartitionValue(raw, resType)
-      }
-    }
-  }
-
-  private def parsePartitionValue(raw: String, t: IcePrimitive): Any = t match {
-    case IntT => raw.toInt
-    case LongT => raw.toLong
-    case StringT => raw
-    case DateT =>
-      raw.toIntOption.getOrElse(java.time.LocalDate.parse(raw).toEpochDay.toInt)
-    case BooleanT => raw.toBoolean
-    case DoubleT => raw.toDouble
-    case FloatT => raw.toFloat
-    case DecimalT(_, _) => new java.math.BigDecimal(raw)
-    case TimestampT | TimestampTzT =>
-      // written as int/long by our transform columns
-      raw.toLongOption.getOrElse {
-        val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
-        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
-      }
-    case other => throw new IllegalArgumentException(s"unsupported partition type $other")
-  }
-
-  /** Hive-style %xx unescaping (Spark's ExternalCatalogUtils.escapePathName dual). */
-  private def unescapePath(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+      spec: PartitionSpec, schema: Schema): IndexedSeq[Any] =
+    graft.ice.write.PartitionPaths.parse(file, baseDir, spec, schema)
 }

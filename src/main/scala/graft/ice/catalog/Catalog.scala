@@ -50,9 +50,10 @@ final case class TableRef(ident: TableIdentifier, metadata: TableMetadata,
   *   warehouse/ns1/ns2/table/metadata/v<N>.metadata.json
   *   warehouse/ns1/ns2/table/metadata/version-hint.text
   *   warehouse/ns1/ns2/table/data/...
-  * Commit atomicity: Files.move(ATOMIC_MOVE) without REPLACE — the first
-  * committer of version N+1 wins, losers get CommitFailedException and
-  * must refresh + retry (commit.retry.* semantics, table_properties.h:80-93). */
+  * Commit atomicity: write to a temp file, then publish via hard link
+  * (create-new semantics) — the first committer of version N+1 wins,
+  * losers get CommitFailedException and must refresh + retry
+  * (commit.retry.* semantics, table_properties.h:80-93). */
 class DirCatalog(val warehouse: String) extends Catalog {
 
   private def tableDir(ident: TableIdentifier): Path =
@@ -160,12 +161,15 @@ class DirCatalog(val warehouse: String) extends Catalog {
         s"$ident: version $next already committed by a concurrent writer")
     val tmp = Files.createTempFile(metadataDir(ident), ".tmp-v", ".metadata.json")
     Files.writeString(tmp, MetaJson.toJson(updated))
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // POSIX rename silently REPLACES an existing target, so ATOMIC_MOVE
+    // cannot arbitrate the race. A hard link is atomic, publishes the
+    // fully-written content, and fails if the target already exists —
+    // exactly first-committer-wins.
+    try Files.createLink(target, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw new CommitFailedException(s"$ident: lost race committing version $next")
-    }
+    } finally Files.deleteIfExists(tmp)
     Files.writeString(hintFile(ident), next.toString) // best-effort pointer
     next
   }

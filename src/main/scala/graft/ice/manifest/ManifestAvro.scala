@@ -343,6 +343,12 @@ object ManifestAvro {
   def writeManifestList(path: String, files: Seq[ManifestFile],
       snapshotId: Long, parentSnapshotId: Option[Long], sequenceNumber: Long,
       formatVersion: Int = 2): Unit = {
+    // v1 list schema has no content field (517): a delete manifest written
+    // into a v1 list would read back as Data and its delete files would be
+    // planned as data files — v1 tables cannot contain delete manifests
+    if (formatVersion == 1)
+      require(files.forall(_.content == ManifestContent.Data),
+        "v1 manifest lists cannot reference delete manifests")
     val schema = new AvroParser().parse(manifestFileSchemaJson(formatVersion))
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     writer.setMeta("format-version", formatVersion.toString)

@@ -250,6 +250,12 @@ object MetaJson {
     o.put("last-updated-ms", m.lastUpdatedMs)
     o.put("last-column-id", m.lastColumnId)
     o.put("current-schema-id", m.currentSchemaId)
+    // v1 spec requires writers to ALSO emit the single "schema" and flat
+    // "partition-spec" fields — strict v1 readers reject files without them
+    if (m.formatVersion == 1) {
+      o.set[ObjectNode]("schema", schemaToJson(m.currentSchema))
+      o.set[ObjectNode]("partition-spec", specToJson(m.defaultSpec).get("fields"))
+    }
     val schemasArr = o.putArray("schemas")
     m.schemas.foreach(s => schemasArr.add(schemaToJson(s)))
     o.put("default-spec-id", m.defaultSpecId)

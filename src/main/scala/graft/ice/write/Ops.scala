@@ -140,13 +140,16 @@ private[ice] object SnapshotProducer {
       val partCols = spec.fields.map { pf =>
         val src = schema.findFieldById(pf.sourceId).get
         pf.transform.toColumn(col(src.name), src.fieldType.asInstanceOf[IcePrimitive])
-          .as(pf.name)
       }
+      // partition dirs use a reserved __gp_ prefix: an identity partition
+      // field named like its source column would otherwise be stripped
+      // from file contents by partitionBy and read back as null
+      val dirCols = spec.fields.map(pf => PartitionPaths.dirCol(pf.name))
       aligned
-        .withColumns(spec.fields.map(_.name).zip(partCols).toMap)
-        .repartition(spec.fields.map(f => col(f.name)): _*)
+        .withColumns(dirCols.zip(partCols).toMap)
+        .repartition(dirCols.map(col): _*)
         .write.mode("append")
-        .partitionBy(spec.fields.map(_.name): _*)
+        .partitionBy(dirCols: _*)
         .parquet(outDir)
     }
 
@@ -255,7 +258,10 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     val spark2 = spark
     spark2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val sparkSchema = SparkConv.toSpark(table.schema)
-    val remaining = spark.read.schema(sparkSchema).parquet(paths: _*).filter(!cond)
+    // keep rows where the predicate is NOT TRUE: a NULL predicate result
+    // (e.g. Eq on a null value) must keep the row, not silently drop it
+    val remaining = spark.read.schema(sparkSchema).parquet(paths: _*)
+      .filter(!coalesce(cond, lit(false)))
     val added =
       if (remaining.isEmpty) Nil
       else SnapshotProducer.writeDataFiles(table, spark, remaining)
@@ -433,6 +439,11 @@ final class ManageSnapshots(table: IceTable) {
 
 /** Hive-style partition path parsing shared by append/rewrite. */
 private[ice] object PartitionPaths {
+  /** Physical directory-column name for a partition field: reserved
+    * prefix keeps partitionBy from swallowing a source data column when
+    * an identity partition field shares its name (the Iceberg default). */
+  def dirCol(name: String): String = "__gp_" + name
+
   def parse(file: String, baseDir: String, spec: PartitionSpec,
       schema: Schema): IndexedSeq[Any] = {
     if (spec.isUnpartitioned) return IndexedSeq.empty
@@ -442,7 +453,7 @@ private[ice] object PartitionPaths {
       if (i < 0) None else Some(seg.substring(0, i) -> unescape(seg.substring(i + 1)))
     }.toMap
     spec.fields.map { pf =>
-      kv.get(pf.name) match {
+      kv.get(dirCol(pf.name)).orElse(kv.get(pf.name)) match {
         case None | Some("__HIVE_DEFAULT_PARTITION__") => null
         case Some(raw) =>
           val src = schema.findFieldById(pf.sourceId).get

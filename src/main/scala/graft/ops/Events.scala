@@ -22,7 +22,9 @@ object Events {
     * inactivity per user. Batch form of the classic
     * mapGroupsWithState session-window; one shuffle on user_id. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // event_id tie-break: events share timestamps, and a ROWS-framed
+    // running sum over an ambiguous order is engine-dependent
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",

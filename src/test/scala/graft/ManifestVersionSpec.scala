@@ -74,5 +74,17 @@ class ManifestVersionSpec extends AnyFunSuite {
     val v3back = ManifestAvro.readManifestList(s"$dir/v3.avro")
     assert(v3back.head.sequenceNumber == 5L)
     assert(v3back.head.firstRowId == Some(1000L))
+
+    // a delete manifest cannot be written into a v1 list (no content
+    // field — it would read back as Data and be planned as data files)
+    val delMf = mf.copy(content = ManifestContent.Deletes)
+    assertThrows[IllegalArgumentException](
+      ManifestAvro.writeManifestList(s"$dir/v1-del.avro", Seq(delMf), 7L, None, 0L,
+        formatVersion = 1))
+    // but v2 accepts it and round-trips the content marker
+    ManifestAvro.writeManifestList(s"$dir/v2-del.avro", Seq(delMf), 7L, None, 0L,
+      formatVersion = 2)
+    assert(ManifestAvro.readManifestList(s"$dir/v2-del.avro").head.content ==
+      ManifestContent.Deletes)
   }
 }

@@ -58,6 +58,21 @@ class MetaJsonSpec extends AnyFunSuite {
     assert(m3.currentSchema.fields.map(_.name) == Seq("x", "y", "z"))
   }
 
+  test("v1 toJson also emits single 'schema' and flat 'partition-spec'") {
+    // the v1 spec REQUIRES writers to emit both forms; strict v1 readers
+    // reject metadata carrying only the v2-style arrays
+    val m = TableMetadataIO.read(s"$res/TableMetadataV1Valid.json")
+    assert(m.formatVersion == 1)
+    val json = MetaJson.toJson(m)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(n.has("schema"), "v1 writer must emit single 'schema'")
+    assert(n.has("partition-spec"), "v1 writer must emit flat 'partition-spec'")
+    assert(n.get("partition-spec").isArray)
+    assert(n.get("schema").get("fields").size == m.currentSchema.fields.size)
+    // and the round-trip still parses to the same metadata
+    assert(MetaJson.fromJson(json) == m)
+  }
+
   test("statistics files parse (TableMetadataStatisticsFiles.json)") {
     val m = TableMetadataIO.read(s"$res/TableMetadataStatisticsFiles.json")
     assert(m.statistics.nonEmpty)

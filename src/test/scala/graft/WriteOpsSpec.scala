@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -139,6 +141,75 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter("year(o_orderdate) = 2000 and o_totalprice <> 1.0").count() == 0)
     assert(df.filter("year(o_orderdate) <> 2000 and o_totalprice = 1.0").count() == 0)
     assert(t.currentSnapshot.get.operation == Some("overwrite"))
+  }
+
+  test("copy-on-write delete keeps rows where predicate is NULL") {
+    // rows with a null delete-key column must survive a CoW delete: the
+    // predicate evaluates NULL there, and NULL is not TRUE
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("maybe_status",
+        when(col("o_orderkey") % 3 === 0, col("o_orderstatus")))
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.cownull"), schema)
+    t.append(spark).appendDataFrame(raw)
+    val nNull = raw.filter(col("maybe_status").isNull).count()
+    assert(nNull > 0)
+    t.delete(spark).deleteWhere(E.equal("maybe_status", Literal.string("F")))
+    val after = t.newScan().toDF(spark)
+    assert(after.filter(col("maybe_status").isNull).count() == nNull,
+      "null-predicate rows must not be silently deleted")
+    assert(after.filter("maybe_status = 'F'").count() == 0)
+    assert(after.count() == raw.filter("maybe_status IS NULL OR maybe_status <> 'F'").count())
+  }
+
+  test("identity partition field named like its source column round-trips") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val st = schema.findFieldByName("o_orderstatus").get.id
+    // the Iceberg DEFAULT naming for identity partitions: same name
+    val spec = PartitionSpec(0, IndexedSeq(
+      PartitionField(st, 1000, "o_orderstatus", IdentityTransform)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.idpart"), schema, spec)
+    t.append(spark).appendDataFrame(raw)
+    val df = t.newScan().toDF(spark)
+    assert(df.count() == raw.count())
+    // the source column must come back with real values, not nulls
+    assert(df.filter(col("o_orderstatus").isNull).count() == 0)
+    assert(df.select("o_orderstatus").distinct().count() ==
+      raw.select("o_orderstatus").distinct().count())
+    // partition pruning on the identity column still works
+    val pruned = t.newScan().filter(E.equal("o_orderstatus", Literal.string("F"))).planFiles()
+    assert(pruned.nonEmpty && pruned.size < t.newScan().planFiles().size)
+  }
+
+  test("concurrent commits: exactly one racer wins the version") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ident = TableIdentifier.parse("db.race")
+    val t = IceTable.create(cat, ident, schema)
+    val base = cat.loadTable(ident)
+    // two writers race the SAME base version through the barrier
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        val updated = base.metadata.copy(
+          properties = base.metadata.properties + ("writer" -> i.toString))
+        barrier.await()
+        try results.add(Right(cat.commit(ident, base.version, updated)))
+        catch { case e: Throwable => results.add(Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (losers, winners) = results.asScala.partition(_.isLeft)
+    assert(winners.size == 1, s"exactly one commit must win, got $results")
+    assert(losers.size == 1 && losers.forall(_.left.exists(_.isInstanceOf[CommitFailedException])))
+    // winner's content is what's on disk (no silent replace)
+    val reloaded = cat.loadTable(ident)
+    assert(reloaded.metadata.properties.contains("writer"))
   }
 
   test("branch + tag refs and expiry keep referenced snapshots") {

@@ -29,6 +29,9 @@ object Bench {
 
     def force(name: String): Either[String, Unit] =
       try {
+        // stderr marker: lets any Spark ERROR (e.g. a codegen compile
+        // failure) be attributed to the query that triggered it
+        System.err.println(s"[bench-query] $name")
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         Right(())

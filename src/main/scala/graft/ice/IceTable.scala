@@ -445,10 +445,14 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       val manifestPath = s"${table.metadataFileDir}/$commitUuid-m0.avro"
       val spec = base.defaultSpec
       val partType = spec.partitionType(base.currentSchema)
+      // manifests are written in the table's format-version
+      // (manifest_writer.h:36-93 adapter selection)
+      val fv = base.formatVersion
       val mf = ManifestAvro.writeManifest(manifestPath, entries, partType,
         spec.specId, snapshotId, seq,
         schemaJson = MetaJson.schemaToJson(base.currentSchema).toString,
-        specFieldsJson = MetaJson.specToJson(spec).get("fields").toString)
+        specFieldsJson = MetaJson.specToJson(spec).get("fields").toString,
+        formatVersion = fv)
 
       // fast append: new manifest list = new manifest + previous manifests
       val previous = base.currentSnapshot
@@ -456,7 +460,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
         .getOrElse(IndexedSeq.empty)
       val listPath = s"${table.metadataFileDir}/snap-$snapshotId-1-$commitUuid.avro"
       ManifestAvro.writeManifestList(listPath, mf +: previous, snapshotId,
-        previous.headOption.map(_.addedSnapshotId), seq)
+        previous.headOption.map(_.addedSnapshotId), seq, formatVersion = fv)
 
       val addedRecords = entries.map(_.dataFile.recordCount).sum
       val addedFilesSize = entries.map(_.dataFile.fileSizeInBytes).sum

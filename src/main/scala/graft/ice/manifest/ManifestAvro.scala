@@ -297,6 +297,16 @@ object ManifestAvro {
 
   /** Read a manifest list (S3; manifest_reader_internal.cc:551-579).
     * Handles both v1 (missing content/sequence fields) and v2 layouts. */
+  /** Avro file-level metadata (e.g. "format-version") of a manifest or
+    * manifest list. */
+  def fileMetadata(path: String): Map[String, String] = {
+    val reader = new DataFileReader[GenericRecord](
+      new File(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
+    try reader.getMetaKeys.asScala
+      .map(k => k -> Option(reader.getMetaString(k)).getOrElse("")).toMap
+    finally reader.close()
+  }
+
   def readManifestList(path: String): IndexedSeq[ManifestFile] = {
     val reader = new DataFileReader[GenericRecord](
       new File(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())

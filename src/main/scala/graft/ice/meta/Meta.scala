@@ -152,8 +152,12 @@ object TableMetadata {
       properties: Map[String, String] = Map.empty,
       formatVersion: Int = 2): TableMetadata = {
     val schema0 = if (schema.schemaId == 0) schema else schema.copy(schemaId = 0)
+    // "format-version" is a CREATE-time property that selects the spec
+    // version, then is consumed rather than stored (table_metadata.h:69)
+    val fv = properties.get("format-version").map(_.trim.toInt).getOrElse(formatVersion)
+    require(SupportedVersions.contains(fv), s"unsupported format version: $fv")
     TableMetadata(
-      formatVersion = formatVersion,
+      formatVersion = fv,
       tableUuid = java.util.UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = InitialSequenceNumber,
@@ -165,7 +169,7 @@ object TableMetadata {
       defaultSpecId = spec.specId,
       lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.PartitionDataIdStart - 1
         else spec.fields.map(_.fieldId).max,
-      properties = properties,
+      properties = properties - "format-version",
       currentSnapshotId = None,
       snapshots = IndexedSeq.empty,
       snapshotLog = IndexedSeq.empty,

@@ -43,7 +43,11 @@ final case class BucketExpr(child: Expression, numBuckets: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val util = BucketUtil.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // call the object's STATIC FORWARDERS (class BucketUtil) — Janino
+    // rejects the `BucketUtil.MODULE$` spelling ("neither a method, a
+    // field, nor a member class") and Spark silently falls back to
+    // interpreted execution for the whole stage
+    val util = BucketUtil.getClass.getName.stripSuffix("$")
     val hashCall: String => String = child.dataType match {
       case IntegerType => c => s"$util.hashInt($c)"
       case LongType => c => s"$util.hashLong($c)"

@@ -35,6 +35,11 @@ private[ice] object SnapshotProducer {
       val commitUuid = UUID.randomUUID().toString
       val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
       val seq = base.lastSequenceNumber + 1
+      // the table's format-version selects the manifest schema version on
+      // every write (reference: manifest_writer.h:36-93 adapter choice)
+      val fv = base.formatVersion
+      if (addedDeleteEntries.nonEmpty)
+        require(fv >= 2, "row-level deletes require format-version >= 2")
       val metaDir = s"${base.location}/metadata"
       Files.createDirectories(Paths.get(metaDir))
       val schema = base.currentSchema
@@ -68,7 +73,8 @@ private[ice] object SnapshotProducer {
             kept.map(_.copy(status = ManifestStatus.Existing)),
             mPartType, mSpec.specId, snapshotId, m.sequenceNumber,
             content = m.content,
-            schemaJson = schemaJson, specFieldsJson = specJson)
+            schemaJson = schemaJson, specFieldsJson = specJson,
+            formatVersion = fv)
             .copy(minSequenceNumber = m.minSequenceNumber))
         }
       }
@@ -77,19 +83,21 @@ private[ice] object SnapshotProducer {
         if (addedDataEntries.nonEmpty)
           Some(ManifestAvro.writeManifest(nextManifestPath(), addedDataEntries,
             partType, spec.specId, snapshotId, seq,
-            schemaJson = schemaJson, specFieldsJson = specJson))
+            schemaJson = schemaJson, specFieldsJson = specJson,
+            formatVersion = fv))
         else None,
         if (addedDeleteEntries.nonEmpty)
           Some(ManifestAvro.writeManifest(nextManifestPath(), addedDeleteEntries,
             partType, spec.specId, snapshotId, seq,
             content = ManifestContent.Deletes,
-            schemaJson = schemaJson, specFieldsJson = specJson))
+            schemaJson = schemaJson, specFieldsJson = specJson,
+            formatVersion = fv))
         else None).flatten
 
       val all = newManifests ++ survivors
       val listPath = s"$metaDir/snap-$snapshotId-1-$commitUuid.avro"
       ManifestAvro.writeManifestList(listPath, all, snapshotId,
-        base.currentSnapshotId, seq)
+        base.currentSnapshotId, seq, formatVersion = fv)
 
       val addedRecords = addedDataEntries.map(_.dataFile.recordCount).sum
       val snap = Snapshot(

@@ -53,20 +53,16 @@ object Dedup {
 
   private def ensureParallelism(df: DataFrame): DataFrame = Par.ensure(df)
 
-  /** (doc_id, signature[k]) minhash signatures. k independent hash
-    * functions are xxhash64(shingle, seed_i); one explode + one groupBy —
-    * the shuffle carries k longs per doc. */
+  /** (doc_id, signature[k]) minhash signatures, computed entirely
+    * per-row by a codegen Expression (TextExprs.minhash): MAP-ONLY — no
+    * explode, no shuffle, no interpreted HOF. Hash i of a shingle is
+    * xxhash64(shingle, seed=i), identical to the agg formulation
+    * min(xxhash64(shingle, lit(i))) it replaces (pinned by OpsSpec). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 64, shingleN: Int = 3): DataFrame = {
-    val toksDF = ensureParallelism(
-      df.select(col(idCol), tokens(col(textCol)).as("__toks")))
-    val exploded = toksDF
-      .select(col(idCol), explode(shinglesOf(col("__toks"), shingleN)).as("shingle"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    exploded.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"h$i")): _*).as("signature"))
-  }
+      k: Int = 64, shingleN: Int = 3): DataFrame =
+    ensureParallelism(df)
+      .select(col(idCol), TextExprs.minhash(col(textCol), shingleN, k).as("signature"))
+      .where(col("signature").isNotNull) // docs with no shingles drop, as before
 
   /** LSH banding: emit (doc_id, band, band_hash); docs sharing a
     * (band, band_hash) cell are near-dup candidates. */
@@ -101,8 +97,7 @@ object Dedup {
   def jaccardVerify(df: DataFrame, textCol: String, idCol: String,
       pairs: DataFrame, shingleN: Int = 3): DataFrame = {
     val sh = ensureParallelism(
-      df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks")))
-      .select(col("__id"), shinglesOf(col("__toks"), shingleN).as("__sh"))
+      df.select(col(idCol).as("__id"), TextExprs.shingles(col(textCol), shingleN).as("__sh")))
       .select(col("__id"), size(col("__sh")).as("__n"), explode(col("__sh")).as("__s"))
     val a = sh.withColumnRenamed("__id", "a")
       .withColumnRenamed("__n", "na").withColumnRenamed("__s", "sa")

@@ -1,0 +1,162 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen-friendly text hashing for dedup (SURVEY §2.11).
+  *
+  * The HOF formulation (filter/transform/sequence/slice/array_join) is
+  * interpreted in Spark — measured 10+ s for 500 docs at sf0.1 — and the
+  * minhash groupBy shipped every (doc, shingle) pair through a shuffle
+  * with 64 aggregate columns. Computing the whole signature per row in
+  * one compiled static call makes minhash a MAP-ONLY projection: no
+  * explode, no shuffle, no interpreted expression anywhere. At 100 TB
+  * that is the difference between a pipeline stage and a cluster melt. */
+object TextHashUtil {
+
+  /** Tokenize: lowercase + split on non-word runs, drop empties
+    * (parity with Dedup.tokens). */
+  def tokens(text: UTF8String): Array[String] = {
+    val parts = text.toLowerCase.toString.split("\\W+")
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (!parts(i).isEmpty) n += 1; i += 1 }
+    if (n == parts.length) parts
+    else {
+      val out = new Array[String](n)
+      var j = 0; i = 0
+      while (i < parts.length) {
+        if (!parts(i).isEmpty) { out(j) = parts(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Distinct word n-gram shingles, space-joined
+    * (parity with Dedup.shinglesOf∘tokens). */
+  private def shingleStrings(text: UTF8String, n: Int): Array[String] = {
+    val toks = tokens(text)
+    if (toks.length == 0) return EmptyStrings
+    val count = math.max(toks.length - n, 0) + 1
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+      if (sb.length > 0) seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(EmptyStrings)
+  }
+
+  private val EmptyStrings = new Array[String](0)
+
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val arr = shingleStrings(text, n)
+    val out = new Array[Any](arr.length)
+    var i = 0
+    while (i < arr.length) { out(i) = UTF8String.fromString(arr(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** k-wise minhash signature over n-gram shingles. Hash function i
+    * replicates Spark's xxhash64(shingle, lit(i)) exactly: xxhash64
+    * CHAINS its arguments — hash(shingle, seed=42) feeds as the seed for
+    * hash(i) — so signatures equal the agg formulation
+    * min(xxhash64(shingle, lit(i))) they replace. Returns null when the
+    * document yields no shingles. */
+  def minhash(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val arr = shingleStrings(text, n)
+    if (arr.length == 0) return null
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < arr.length) {
+      val bytes = arr(i).getBytes(StandardCharsets.UTF_8)
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      var s = 0
+      while (s < k) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(s, base)
+        if (h < sig(s)) sig(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** array<string> of distinct word n-gram shingles; whole-stage-codegen
+  * via one static call (same pattern as BucketExpr). */
+final case class ShinglesExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.shingles(v.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // static forwarder call (class name without the module '$'): Janino
+    // cannot resolve the `Obj.MODULE$` spelling
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$util.shingles($c, $shingleN)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** array<long> minhash signature, computed entirely within the row —
+  * null for documents with no shingles. */
+final case class MinhashExpr(child: Expression, shingleN: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // shingle-less docs yield null
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.minhash(v.asInstanceOf[UTF8String], shingleN, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $util.minhash($c, $shingleN, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashExpr =
+    copy(child = newChild)
+}
+
+object TextExprs {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def shingles(text: Column, n: Int): Column = column(ShinglesExpr(expression(text), n))
+  def minhash(text: Column, shingleN: Int, k: Int): Column =
+    column(MinhashExpr(expression(text), shingleN, k))
+}

@@ -51,6 +51,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("codegen minhash equals the agg formulation and pins spec values") {
+    import spark.implicits._
+    val df = docs.limit(20).select("doc_id", "text")
+    val k = 16; val n = 3
+    // reference formulation: explode shingles, min(xxhash64(shingle, i))
+    val exploded = df.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), n)).as("shingle"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val viaAgg = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaExpr = Dedup.minhashSignatures(df, "text", "doc_id", k, n)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr.keySet == viaAgg.keySet)
+    viaExpr.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
+    // pinned vector: stable across refactors (xxhash64 seed-i of shingles)
+    val pinned = Seq(("a b c d")).toDF("text").withColumn("doc_id", lit(1L))
+    val sig = Dedup.minhashSignatures(pinned, "text", "doc_id", 4, 3)
+      .as[(Long, Seq[Long])].head._2
+    val shingleSet = Seq("a b c", "b c d")
+    val expected = (0 until 4).map { i =>
+      shingleSet.map(s => Seq(s).toDF("s")
+        .select(xxhash64(col("s"), lit(i))).as[Long].head).min
+    }
+    assert(sig == expected)
+    // shingles expression matches the HOF formulation
+    val hofSh = df.select(col("doc_id"), Dedup.shingles(col("text"), n).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val exprSh = df.select(col("doc_id"), TextExprs.shingles(col("text"), n).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    hofSh.foreach { case (id, sh) => assert(exprSh(id).sorted == sh.sorted, s"doc $id") }
+    // codegen actually compiles (no silent interpreted fallback)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(Dedup.minhashSignatures(df, "text", "doc_id", k, n).count() == 20)
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("simhash: identical docs same hash, variants nearby") {
     import spark.implicits._
     val base = docs.limit(3).select("doc_id", "text").as[(Long, String)].collect()

@@ -115,6 +115,16 @@ class BucketExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.select(BucketTransform(8).toColumn(col("l"), LongT))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // and the generated Java actually COMPILES — with fallback disabled a
+    // Janino error (e.g. a bad static-call spelling) surfaces instead of
+    // silently degrading the whole stage to interpreted execution
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = spark.range(100)
+        .select(BucketTransform(8).toColumn(col("id"), LongT).as("b"))
+        .groupBy("b").count().count()
+      assert(n == 8)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
     // distributed vs driver agreement over a range of values
     val vals = spark.range(1000).select(col("id"))
     val got = vals.select(col("id"),

@@ -212,6 +212,44 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reloaded.metadata.properties.contains("writer"))
   }
 
+  test("format-version property selects manifest writer version on commit") {
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    for (fv <- Seq(1, 3)) {
+      val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+      val t = IceTable.create(cat, TableIdentifier.parse(s"db.fv$fv"), schema,
+        properties = Map("format-version" -> fv.toString))
+      assert(t.metadata.formatVersion == fv)
+      assert(!t.properties.contains("format-version"), "creation property is consumed")
+      t.append(spark).appendDataFrame(raw)
+      t.append(spark).appendDataFrame(raw.limit(5))
+      // manifests and list were written with the table's version
+      val listPath = t.currentSnapshot.get.manifestList
+      val listMeta = graft.ice.manifest.ManifestAvro.fileMetadata(listPath)
+      assert(listMeta.get("format-version").contains(fv.toString),
+        s"manifest list should be v$fv, got $listMeta")
+      val mf = graft.ice.manifest.ManifestAvro.readManifestList(listPath).head
+      val mMeta = graft.ice.manifest.ManifestAvro.fileMetadata(mf.manifestPath)
+      assert(mMeta.get("format-version").contains(fv.toString))
+      // data still reads back complete
+      assert(t.newScan().toDF(spark).count() == raw.count() + 5)
+      // v1 metadata JSON carries the version
+      val reloaded = IceTable.load(cat, TableIdentifier.parse(s"db.fv$fv"))
+      assert(reloaded.metadata.formatVersion == fv)
+      assert(reloaded.newScan().toDF(spark).count() == raw.count() + 5)
+    }
+    // v1 tables reject merge-on-read deletes (no delete manifests in v1)
+    val cat1 = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val t1 = IceTable.create(cat1, TableIdentifier.parse("db.fv1del"), schema,
+      properties = Map("format-version" -> "1"))
+    t1.append(spark).appendDataFrame(raw)
+    assertThrows[IllegalArgumentException](
+      t1.delete(spark).deleteWherePositional(E.lt("n_nationkey", Literal.long(3))))
+    // but copy-on-write deletes (no delete files) still work on v1
+    t1.delete(spark).deleteWhere(E.lt("n_nationkey", Literal.long(3)))
+    assert(t1.newScan().toDF(spark).count() == raw.filter("n_nationkey >= 3").count())
+  }
+
   test("branch + tag refs and expiry keep referenced snapshots") {
     val (t, raw) = freshTable("refs")
     val s1 = t.currentSnapshot.get

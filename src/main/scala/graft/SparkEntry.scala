@@ -42,12 +42,14 @@ object SparkEntry {
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
         .toDF(s)),
 
-    // S9/S11: avro sink + source round trip (Avro core; no spark-avro in env)
+    // S9/S11: avro sink + source round trip (Avro core; no spark-avro in
+    // env). writeDir is the distributed sink: executors write their own
+    // files, nothing routes through the driver.
     "s9_avro_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("avro_rt").toString + "/nation.avro"
+      val out = java.nio.file.Files.createTempDirectory("avro_rt").toString
       val df = Tables.scan(s, dir, "nation")
-      graft.ice.manifest.AvroData.write(df, out)
-      graft.ice.manifest.AvroData.read(s, out, df.schema)
+      graft.ice.manifest.AvroData.writeDir(df, out)
+      graft.ice.manifest.AvroData.readDir(s, out, df.schema)
     }),
 
     // S10: parquet sink + read back
@@ -191,10 +193,13 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))),
 
+    // true scalar subquery: the 1-row agg broadcast-cross-joins into the
+    // filter, keeping the plan lazy and re-optimizable (no driver .head)
     "q_scalar_subquery" -> ((s, dir) => {
       val o = Tables.scan(s, dir, "orders")
-      val avgPrice = o.agg(avg("o_totalprice")).head.getDouble(0)
-      o.filter(col("o_totalprice") > avgPrice)
+      val avgPrice = o.agg(avg("o_totalprice").as("__avg"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("__avg"))
         .select("o_orderkey", "o_totalprice")
     }),
 

@@ -161,6 +161,7 @@ final class ScanBuilder(table: IceTable) {
   private var projection: Option[Seq[String]] = None
   private var caseSensitive: Boolean = true
   private var limitRows: Option[Long] = None
+  private var restrictPaths: Option[Set[String]] = None
 
   def useSnapshot(id: Long): ScanBuilder = { snapshotId = Some(id); this }
   def useRef(name: String): ScanBuilder = { branchOrTag = Some(name); this }
@@ -182,6 +183,10 @@ final class ScanBuilder(table: IceTable) {
     * truncated using manifest record counts, so a limit-1000 scan of a
     * million-file table opens a handful of files. */
   def limit(n: Long): ScanBuilder = { limitRows = Some(n); this }
+  /** Restrict the scan to an explicit set of data-file paths (used by
+    * compaction to rewrite only the files a delete touches, with
+    * merge-on-read semantics still applied). */
+  def restrictFiles(paths: Set[String]): ScanBuilder = { restrictPaths = Some(paths); this }
 
   def resolveSnapshot(): Option[Snapshot] = {
     val byRef = branchOrTag.flatMap(r => table.refs.get(r).map(_.snapshotId))
@@ -212,8 +217,12 @@ final class ScanBuilder(table: IceTable) {
     case None => Nil
     case Some(snap) =>
       val bound = filterExpr.map(e => Binder.bind(e, table.schema, caseSensitive))
-      val tasks = table.planEntries(snap, bound)
+      val tasks0 = table.planEntries(snap, bound)
         .map(e => FileScanTask(e.dataFile, 0, e.sequenceNumber.getOrElse(0L)))
+      val tasks = restrictPaths match {
+        case Some(ps) => tasks0.filter(t => ps.contains(t.file.filePath))
+        case None => tasks0
+      }
       limitRows match {
         // metadata-level truncation is only sound when every planned row
         // is a result row: no residual filter, no pending deletes
@@ -458,8 +467,55 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       val previous = base.currentSnapshot
         .map(s => ManifestAvro.readManifestList(s.manifestList))
         .getOrElse(IndexedSeq.empty)
+
+      // manifest merging (commit.manifest.* semantics,
+      // table_properties.h:97-101): without it every fast-append grows the
+      // list by one — at 10k commits planning reads 10k avro files. When
+      // the list passes min-count-to-merge, small data manifests are
+      // compacted into one per spec; entries keep their explicit
+      // snapshot/sequence numbers so visibility rules are unchanged.
+      val props = base.properties
+      val mergeEnabled = props.getOrElse("commit.manifest-merge.enabled", "true").toBoolean
+      val minCountToMerge = props.getOrElse("commit.manifest.min-count-to-merge", "100").toInt
+      val targetSizeBytes = props.getOrElse("commit.manifest.target-size-bytes",
+        (8L * 1024 * 1024).toString).toLong
+      val list0 = mf +: previous
+      val list =
+        if (!mergeEnabled || list0.size < minCountToMerge) list0
+        else {
+          val (dataMs, deleteMs) = list0.partition(_.content == ManifestContent.Data)
+          val (small, big) = dataMs.partition(_.manifestLength < targetSizeBytes)
+          if (small.size < 2) list0
+          else {
+            val merged = small.groupBy(_.partitionSpecId).toSeq.sortBy(_._1)
+              .flatMap { case (sid, ms) =>
+                if (ms.size == 1) ms
+                else {
+                  val mSpec = base.specById(sid).getOrElse(PartitionSpec.unpartitioned)
+                  val mPartType = mSpec.partitionType(base.currentSchema)
+                  val merged0 = ms.flatMap(m =>
+                    ManifestAvro.readManifest(m.manifestPath, mPartType, Some(m))
+                      .filter(_.isLive))
+                    .map(e => if (e.status == ManifestStatus.Added)
+                      e.copy(status = ManifestStatus.Existing) else e)
+                  if (merged0.isEmpty) Nil
+                  else {
+                    val mergedPath = s"${table.metadataFileDir}/$commitUuid-merged-$sid.avro"
+                    Seq(ManifestAvro.writeManifest(mergedPath, merged0, mPartType,
+                      sid, snapshotId, seq,
+                      schemaJson = MetaJson.schemaToJson(base.currentSchema).toString,
+                      specFieldsJson = MetaJson.specToJson(mSpec).get("fields").toString,
+                      formatVersion = fv)
+                      .copy(minSequenceNumber = ms.map(_.minSequenceNumber).min))
+                  }
+                }
+              }
+            merged ++ big ++ deleteMs
+          }
+        }
+
       val listPath = s"${table.metadataFileDir}/snap-$snapshotId-1-$commitUuid.avro"
-      ManifestAvro.writeManifestList(listPath, mf +: previous, snapshotId,
+      ManifestAvro.writeManifestList(listPath, list, snapshotId,
         previous.headOption.map(_.addedSnapshotId), seq, formatVersion = fv)
 
       val addedRecords = entries.map(_.dataFile.recordCount).sum

@@ -214,6 +214,25 @@ final class ManifestEvaluator(spec: PartitionSpec) {
 final class MetricsEvaluator {
   def canContainRows(expr: Bound, f: DataFile): Boolean = eval(expr, f)
 
+  /** Do the data file's bounds for field `id` intersect the serialized
+    * range [lo, hi] (e.g. an equality-delete file's key bounds)? Missing
+    * metrics or non-primitive types answer true — cannot prune. */
+  def boundsIntersect(f: DataFile, id: Int, lo: Array[Byte], hi: Array[Byte],
+      schema: Schema): Boolean =
+    schema.findFieldById(id).map(_.fieldType) match {
+      case Some(p: IcePrimitive) =>
+        val keyLo = Literal.deserialize(p, lo)
+        val keyHi = Literal.deserialize(p, hi)
+        val fileLo = f.lowerBounds.get(id).map(b => Literal.deserialize(p, b))
+        val fileHi = f.upperBounds.get(id).map(b => Literal.deserialize(p, b))
+        // disjoint iff fileHi < keyLo or fileLo > keyHi; unknown -> overlap
+        val disjoint =
+          fileHi.exists(u => u.compareTo(keyLo).exists(_ < 0)) ||
+            fileLo.exists(l => l.compareTo(keyHi).exists(_ > 0))
+        !disjoint
+      case _ => true
+    }
+
   private def eval(expr: Bound, f: DataFile): Boolean = expr match {
     case BTrue => true
     case BFalse => false

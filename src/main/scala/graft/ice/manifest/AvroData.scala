@@ -39,34 +39,70 @@ object AvroData {
     s"""{"type":"record","name":"$name","fields":[$fields]}"""
   }
 
-  /** Write a (small) DataFrame to one Avro file. */
+  private def rowToRecord(schema: org.apache.avro.Schema,
+      fields: Array[StructField], row: Row): GenericRecord = {
+    val r = new GenericData.Record(schema)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val v = if (row.isNullAt(i)) null else f.dataType match {
+        case TimestampType =>
+          val inst = row.getAs[java.time.Instant](i)
+          java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+        case TimestampNTZType =>
+          val ldt = row.getAs[java.time.LocalDateTime](i)
+          java.lang.Long.valueOf(
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+        case DateType =>
+          Integer.valueOf(row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
+        case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+        case _ => row.get(i)
+      }
+      r.put(f.name, v)
+    }
+    r
+  }
+
+  /** Write a (small, driver-sized) DataFrame to ONE Avro file — for
+    * metadata-plane data. Use writeDir for anything data-plane-sized. */
   def write(df: DataFrame, path: String): Unit = {
     val sparkSchema = df.schema
     val schema = new AvroParser().parse(avroSchemaJson(sparkSchema))
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     writer.create(schema, new File(path))
-    try {
-      df.collect().foreach { row =>
-        val r = new GenericData.Record(schema)
-        sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
-          val v = if (row.isNullAt(i)) null else f.dataType match {
-            case TimestampType =>
-              val inst = row.getAs[java.time.Instant](i)
-              java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
-            case TimestampNTZType =>
-              val ldt = row.getAs[java.time.LocalDateTime](i)
-              java.lang.Long.valueOf(
-                ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
-            case DateType =>
-              Integer.valueOf(row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
-            case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-            case _ => row.get(i)
-          }
-          r.put(f.name, v)
-        }
-        writer.append(r)
+    try df.collect().foreach(row =>
+      writer.append(rowToRecord(schema, sparkSchema.fields, row)))
+    finally writer.close()
+  }
+
+  /** Distributed Avro sink (S11 at scale): each partition writes its own
+    * file under `dir` on the executors — nothing moves through the
+    * driver. Returns the written file paths. */
+  def writeDir(df: DataFrame, dir: String): Seq[String] = {
+    val sparkSchema = df.schema
+    val schemaJson = avroSchemaJson(sparkSchema)
+    val fields = sparkSchema.fields
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val schema = new AvroParser().parse(schemaJson)
+        val writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        val path = f"$dir/part-$idx%05d.avro"
+        writer.create(schema, new File(path))
+        try it.foreach(row => writer.append(rowToRecord(schema, fields, row)))
+        finally writer.close()
+        Iterator.single(path)
       }
-    } finally writer.close()
+    }.collect().toSeq.sorted
+  }
+
+  /** Read a directory of Avro files (the writeDir dual). */
+  def readDir(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator.asScala.map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted
+    files.map(f => read(spark, f, schema)).reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema))
   }
 
   /** Read an Avro file back into a DataFrame with the given Spark schema. */

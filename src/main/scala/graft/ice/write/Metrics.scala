@@ -36,6 +36,14 @@ object Metrics {
       upperBounds: Map[Int, Array[Byte]],
       splitOffsets: Seq[Long])
 
+  /** Footer row count only (cheap; e.g. for delete files whose schema is
+    * not the table schema). */
+  def parquetRowCount(path: String, conf: Configuration = new Configuration()): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   /** Read footer metrics for one parquet file. `schema` is the table
     * schema; columns are matched by parquet field id when present, else
     * by top-level name (name-mapping fallback, name_mapping.h). */

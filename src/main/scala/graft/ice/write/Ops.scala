@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ice._
-import graft.ice.expr.{Binder, Expr, ToColumn}
+import graft.ice.expr.{Binder, Expr, MetricsEvaluator, ToColumn}
 import graft.ice.manifest._
 import graft.ice.meta._
 import graft.ice.types._
@@ -289,26 +289,36 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     val paths = matching.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val sparkSchema = SparkConv.toSpark(table.schema)
+    // distributed delete-file write: hash-cluster the (file,pos) tuples by
+    // file_path so each output delete file covers a disjoint set of data
+    // files (spec ordering (file_path, pos) within each) — a wide delete
+    // at 100 TB writes through every core, not one
+    val nParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, paths.size))
     val dels = spark.read.schema(sparkSchema).parquet(paths: _*)
       .filter(cond)
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
         col("_metadata.row_index").as("pos"))
-      .orderBy("file_path", "pos")
+      .repartition(nParts, col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
     val outDir = s"${table.dataFileDir}/${UUID.randomUUID()}-deletes"
-    dels.coalesce(1).write.parquet(outDir)
-    val file = {
+    dels.write.parquet(outDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = {
       import scala.jdk.CollectionConverters._
       Files.walk(Paths.get(outDir)).iterator.asScala
-        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.head
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    }.flatMap { file =>
+      val rowCount = Metrics.parquetRowCount(file, conf)
+      if (rowCount == 0) None // empty shuffle partitions write empty files
+      else Some(ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.PositionDeletes, file, "PARQUET",
+          table.spec.fields.map(_ => null: Any).toIndexedSeq,
+          recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)))))
     }
-    val rowCount = spark.read.parquet(file).count()
-    val entry = ManifestEntry(ManifestStatus.Added, None, None, None,
-      DataFile(FileContent.PositionDeletes, file, "PARQUET",
-        table.spec.fields.map(_ => null: Any).toIndexedSeq,
-        recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file))))
     SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
-      addedDeleteEntries = Seq(entry))
+      addedDeleteEntries = entries)
   }
 
   /** Merge-on-read equality delete: delete every row whose key columns
@@ -316,23 +326,36 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     * without rewriting data). */
   def deleteByEquality(keys: DataFrame): Snapshot = {
     val eqCols = keys.columns.toSeq
-    val eqIds = eqCols.map(c => table.schema.findFieldByName(c).getOrElse(
-      throw new IllegalArgumentException(s"no such column $c")).id)
+    val eqFields = eqCols.map(c => table.schema.findFieldByName(c).getOrElse(
+      throw new IllegalArgumentException(s"no such column $c")))
+    val eqIds = eqFields.map(_.id)
     val outDir = s"${table.dataFileDir}/${UUID.randomUUID()}-eqdeletes"
-    keys.coalesce(1).write.parquet(outDir)
-    val file = {
+    // carry field ids so footer metrics yield key BOUNDS per delete file —
+    // compaction uses them to skip data files whose column ranges cannot
+    // contain any deleted key
+    val aligned = keys.select(eqFields.map { f =>
+      col(f.name).cast(SparkConv.toSparkType(f.fieldType))
+        .as(f.name, SparkConv.toSparkField(f).metadata)
+    }: _*)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    aligned.write.parquet(outDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val entries = {
       import scala.jdk.CollectionConverters._
       Files.walk(Paths.get(outDir)).iterator.asScala
-        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.head
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    }.flatMap { file =>
+      val m = Metrics.fromParquetFooter(file, table.schema, conf)
+      if (m.rowCount == 0) None
+      else Some(ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.EqualityDeletes, file, "PARQUET",
+          table.spec.fields.map(_ => null: Any).toIndexedSeq,
+          recordCount = m.rowCount, fileSizeInBytes = Files.size(Paths.get(file)),
+          lowerBounds = m.lowerBounds, upperBounds = m.upperBounds,
+          equalityIds = eqIds)))
     }
-    val rowCount = spark.read.parquet(file).count()
-    val entry = ManifestEntry(ManifestStatus.Added, None, None, None,
-      DataFile(FileContent.EqualityDeletes, file, "PARQUET",
-        table.spec.fields.map(_ => null: Any).toIndexedSeq,
-        recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)),
-        equalityIds = eqIds))
     SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
-      addedDeleteEntries = Seq(entry))
+      addedDeleteEntries = entries)
   }
 }
 
@@ -343,36 +366,78 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
 final class Compaction(table: IceTable, spark: SparkSession) {
 
   /** Rewrite all files smaller than `smallFileThreshold` (plus any file
-    * carrying applicable deletes) into ~`targetFileSizeBytes` files. */
+    * carrying applicable deletes) into ~`targetFileSizeBytes` files.
+    *
+    * Delete scoping (the 100-TB property): one position delete touching a
+    * single partition must NOT trigger a full-table rewrite. Files are
+    * rewritten only when a delete actually applies to them:
+    *  - position deletes: the file is referenced in a delete file's
+    *    file_path column (one distributed DISTINCT over the delete files
+    *    — output is bounded by the live file count) and the
+    *    sequence-number visibility rule holds;
+    *  - equality deletes: dataSeq < deleteSeq AND the file's column
+    *    bounds intersect the delete keys' min/max (bounds-disjoint files
+    *    cannot contain a deleted key, so the delete file can still be
+    *    dropped after the rewrite — sound pruning). */
   def rewriteDataFiles(
       targetFileSizeBytes: Long = 128L * 1024 * 1024,
       smallFileThreshold: Long = 96L * 1024 * 1024): Snapshot = {
     val all = table.newScan().planFiles()
-    val hasDeletes = table.currentSnapshot.exists(s => table.planDeleteEntries(s).nonEmpty)
-    val toRewrite =
-      if (hasDeletes) all // deletes must be folded into every file group
-      else all.filter(_.file.fileSizeInBytes < smallFileThreshold)
-    if (toRewrite.size < 2 && !hasDeletes)
+    val deleteEntries = table.currentSnapshot.map(table.planDeleteEntries).getOrElse(Nil)
+    val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)
+    val eqDeletes = deleteEntries.filter(_.dataFile.content == FileContent.EqualityDeletes)
+    val hasDeletes = deleteEntries.nonEmpty
+
+    // data files actually referenced by position-delete tuples
+    val posTouched: Set[String] =
+      if (posDeletes.isEmpty) Set.empty
+      else spark.read
+        .parquet(posDeletes.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
+        .select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+
+    // per-equality-delete (seq, key mins/maxs) for bounds pruning
+    val metricsEval = new MetricsEvaluator
+    def eqApplies(t: FileScanTask): Boolean = eqDeletes.exists { e =>
+      e.sequenceNumber.getOrElse(0L) > t.dataSequenceNumber && {
+        val eqIds = e.dataFile.equalityIds
+        eqIds.isEmpty || eqIds.forall { id =>
+          // key bounds unknown -> conservatively applicable
+          (e.dataFile.lowerBounds.get(id), e.dataFile.upperBounds.get(id)) match {
+            case (Some(lo), Some(hi)) =>
+              metricsEval.boundsIntersect(t.file, id, lo, hi, table.schema)
+            case _ => true
+          }
+        }
+      }
+    }
+
+    def deleteApplies(t: FileScanTask): Boolean =
+      (posTouched.contains(ManifestAvro.stripFileScheme(t.file.filePath)) &&
+        posDeletes.exists(_.sequenceNumber.getOrElse(0L) >= t.dataSequenceNumber)) ||
+        eqApplies(t)
+
+    val toRewrite = all.filter(t =>
+      t.file.fileSizeInBytes < smallFileThreshold || (hasDeletes && deleteApplies(t)))
+    if (toRewrite.size < 2 && !(hasDeletes && toRewrite.nonEmpty))
       return table.currentSnapshot.getOrElse(
         throw new IllegalStateException("empty table"))
 
     val rewritePaths = toRewrite.map(_.file.filePath).toSet
     val restricted =
-      if (hasDeletes) {
-        // read through the scan: applies merge-on-read deletes distributed
-        table.newScan().toDF(spark)
-      } else {
+      if (hasDeletes)
+        // restricted scan with merge-on-read deletes applied, distributed
+        table.newScan().restrictFiles(rewritePaths).toDF(spark)
+      else {
         // plain re-read of just the files being rewritten (all internal)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         spark.read.schema(SparkConv.toSpark(table.schema))
           .parquet(toRewrite.map(t => ManifestAvro.stripFileScheme(t.file.filePath)): _*)
       }
     val added = SnapshotProducer.writeDataFiles(table, spark, restricted, targetFileSizeBytes)
-    // removing ALL delete files once folded in: delete entries live in
-    // delete manifests; dropping them = rewriting those manifests away
-    val removedDeletePaths =
-      if (hasDeletes) table.planDeleteEntries(table.currentSnapshot.get).map(_.dataFile.filePath).toSet
-      else Set.empty[String]
+    // every file a delete applied to was rewritten, so all delete files
+    // are folded in and their manifests can be dropped
+    val removedDeletePaths = deleteEntries.map(_.dataFile.filePath).toSet
     SnapshotProducer.commit(table, spark, DataOperation.Replace, added,
       removedPaths = rewritePaths ++ removedDeletePaths,
       extraSummary = Map("compacted-files" -> toRewrite.size.toString))

@@ -9,6 +9,16 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def ensure(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    // count the LEAF input splits from the planned scan instead of
+    // forcing a df.rdd plan conversion (which detaches the lineage from
+    // Catalyst and costs a planning pass per call)
+    // sparkPlan, not executedPlan: under AQE the executed plan is one
+    // opaque adaptive node whose leaves hide the scans
+    val splits = df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions
+      case other => other.outputPartitioning.numPartitions
+    }.sum
+    if (splits > 0 && splits < want) df.repartition(want) else df
   }
 }

@@ -212,6 +212,67 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reloaded.metadata.properties.contains("writer"))
   }
 
+  test("compaction rewrites only files a delete applies to") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val od = schema.findFieldByName("o_orderdate").get.id
+    val spec = PartitionSpec(0, IndexedSeq(PartitionField(od, 1000, "order_year", YearTransform)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.scoped"), schema, spec)
+    t.append(spark).appendDataFrame(raw)
+    val nPartitions = t.newScan().planFiles().map(_.file.partition).toSet.size
+    assert(nPartitions > 2)
+
+    // delete touches rows in exactly one year-partition
+    t.delete(spark).deleteWherePositional(E.and(
+      E.gtEq("o_orderdate", Literal.date(java.time.LocalDate.of(2000, 1, 1).toEpochDay.toInt)),
+      E.lt("o_orderdate", Literal.date(java.time.LocalDate.of(2001, 1, 1).toEpochDay.toInt))))
+    val expected = t.newScan().toDF(spark).count()
+    val before = t.newScan().planFiles().map(_.file.filePath).toSet
+
+    // threshold 0: nothing qualifies as "small" — only delete-touched
+    // files may be rewritten
+    t.compact(spark).rewriteDataFiles(smallFileThreshold = 0L)
+
+    val after = t.newScan().planFiles().map(_.file.filePath).toSet
+    val untouchedSurvivors = before & after
+    val rewritten = before -- after
+    assert(rewritten.nonEmpty, "the touched partition must be rewritten")
+    assert(untouchedSurvivors.nonEmpty, "untouched partitions keep their files")
+    assert(t.planDeleteEntries(t.currentSnapshot.get).isEmpty, "deletes folded in")
+    assert(t.newScan().toDF(spark).count() == expected)
+    assert(t.newScan().toDF(spark).filter(
+      "o_orderdate >= '2000-01-01' and o_orderdate < '2001-01-01'").count() == 0)
+  }
+
+  test("equality-delete bounds let compaction skip disjoint files") {
+    import spark.implicits._
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ok = schema.findFieldByName("o_orderkey").get.id
+    // bucket the table into ranges via truncate so files have disjoint
+    // o_orderkey bounds
+    val spec = PartitionSpec(0, IndexedSeq(
+      PartitionField(ok, 1000, "okey_range", TruncateTransform(250))))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.eqscope"), schema, spec)
+    t.append(spark).appendDataFrame(raw)
+    assert(t.newScan().planFiles().size > 2)
+    val lowKeys = raw.filter("o_orderkey < 250").select("o_orderkey").limit(20)
+    t.delete(spark).deleteByEquality(lowKeys)
+    val expected = t.newScan().toDF(spark).count()
+    val before = t.newScan().planFiles().map(_.file.filePath).toSet
+
+    t.compact(spark).rewriteDataFiles(smallFileThreshold = 0L)
+
+    val after = t.newScan().planFiles().map(_.file.filePath).toSet
+    assert((before & after).nonEmpty,
+      "files with bounds disjoint from the deleted keys must survive untouched")
+    assert((before -- after).nonEmpty)
+    assert(t.planDeleteEntries(t.currentSnapshot.get).isEmpty)
+    assert(t.newScan().toDF(spark).count() == expected)
+  }
+
   test("format-version property selects manifest writer version on commit") {
     val raw = spark.read.parquet(s"$sfDir/nation.parquet")
     val schema = SparkConv.fromSpark(raw.schema)
@@ -248,6 +309,24 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // but copy-on-write deletes (no delete files) still work on v1
     t1.delete(spark).deleteWhere(E.lt("n_nationkey", Literal.long(3)))
     assert(t1.newScan().toDF(spark).count() == raw.filter("n_nationkey >= 3").count())
+  }
+
+  test("manifest merging bounds the manifest list across many appends") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.merge"), schema,
+      properties = Map("commit.manifest.min-count-to-merge" -> "8"))
+    val slices = (0 until 20).map(i => raw.limit(1))
+    slices.foreach(s => t.append(spark).appendDataFrame(s))
+    val list = graft.ice.manifest.ManifestAvro.readManifestList(
+      t.currentSnapshot.get.manifestList)
+    assert(list.size < 20, s"list has ${list.size} manifests — merging never fired")
+    // every row is still visible exactly once
+    assert(t.newScan().toDF(spark).count() == 20)
+    // and a fresh load sees the same
+    val re = IceTable.load(cat, TableIdentifier.parse("db.merge"))
+    assert(re.newScan().toDF(spark).count() == 20)
   }
 
   test("branch + tag refs and expiry keep referenced snapshots") {

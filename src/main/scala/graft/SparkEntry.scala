@@ -252,6 +252,12 @@ object SparkEntry {
           .toColumn(col("o_orderkey"), graft.ice.types.LongT).as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    "t_transform_hour" -> ((s, dir) =>
+      Events.load(s, dir)
+        .groupBy(graft.ice.transform.HourTransform
+          .toColumn(col("ts"), TimestampT).as("event_hour"))
+        .agg(count(lit(1)).as("n"))),
+
     // ---------- §2.6 snapshots / time travel ----------
 
     "t3_time_travel" -> ((s, dir) => {
@@ -277,6 +283,71 @@ object SparkEntry {
       val t = Tables.ice(s, dir, "orders")
       MetadataTables.files(s, t).agg(sum("record_count").as("total_records"))
     }),
+
+    // one manifest per fast-append; files = one per month partition
+    // (writes cluster by partition tuple, one task per month)
+    "m_manifests" -> ((s, dir) =>
+      MetadataTables.manifests(s, Tables.ice(s, dir, "orders"))
+        .agg(count(lit(1)).as("n_manifests"),
+          sum("added_files_count").as("n_files"))),
+
+    "m_partitions" -> ((s, dir) =>
+      MetadataTables.partitions(s, Tables.ice(s, dir, "orders"))
+        .select(col("partition"), col("record_count"))),
+
+    // snapshot expiry: 3 appends -> expire -> exactly 1 snapshot remains,
+    // all rows still visible
+    "m_expire" -> ((s, dir) => {
+      val t = ExpireFixture.table(s, dir)
+      val snaps = t.snapshots.size
+      t.newScan().toDF(s).agg(count(lit(1)).as("n_rows"))
+        .withColumn("n_snapshots", lit(snaps.toLong))
+    }),
+
+    // register raw (id-less) parquet as table data without rewrite; the
+    // scan falls back to name-based column resolution
+    "c_addfiles" -> ((s, dir) =>
+      AddFilesFixture.table(s, dir).newScan().toDF(s)),
+
+    // register an existing metadata JSON under a new identity
+    "c_register" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      val cat = Tables.catalog(dir)
+      Tables.ice(s, dir, "region") // ensure source table exists
+      val src = TableIdentifier(Seq("tpch"), "region")
+      val ident = TableIdentifier(Seq("tpch"), "region_registered")
+      val t =
+        if (cat.tableExists(ident)) IceTable.load(cat, ident)
+        else IceTable.from(cat.registerTable(ident,
+          s"${Tables.warehouseDir(dir)}/tpch/region/metadata/v${cat.currentVersion(src)}.metadata.json"))
+      t.newScan().toDF(s)
+    }),
+
+    // scan as-of timestamp resolves through the snapshot log
+    "t_as_of_timestamp" -> ((s, dir) => {
+      val t = TimeTravelFixture.table(s, dir)
+      val firstCommitMs = t.history.head.timestampMs
+      t.newScan().asOfTimestamp(firstCommitMs).toDF(s)
+    }),
+
+    // P6 metadata columns over addFiles data: _file is the registered
+    // parquet itself, _pos the row index within it
+    "p6_metadata_cols" -> ((s, dir) =>
+      AddFilesFixture.table(s, dir).newScan()
+        .withMetadataColumns("_file", "_pos").toDF(s)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("_file")).as("n_files"),
+          min("_pos").as("p0"), max("_pos").as("p1"))),
+
+    // ---------- §2.8 overwrite ----------
+
+    "ov_dynamic" -> ((s, dir) =>
+      OverwriteFixture.dynamic(s, dir).newScan().toDF(s)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "ov_replace_all" -> ((s, dir) =>
+      OverwriteFixture.replaced(s, dir).newScan().toDF(s)
+        .select(col("o_orderkey"), col("o_orderstatus"))),
 
     // ---------- §2.8 row-level deletes ----------
 
@@ -514,8 +585,37 @@ object SparkEntry {
       """SELECT p_partkey, substr(p_name, 1, 3) AS name_trunc3,
         |  p_size - ((p_size % 100 + 100) % 100) AS size_trunc100
         |FROM part""".stripMargin,
+    "t_transform_hour" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS INT) AS event_hour,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "t3_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t2_branch_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
+    "t_as_of_timestamp" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
+    "m_manifests" ->
+      """SELECT CAST(1 AS BIGINT) AS n_manifests,
+        |  CAST(count(DISTINCT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS n_files
+        |FROM orders""".stripMargin,
+    "m_partitions" ->
+      """SELECT CAST((year(CAST(o_orderdate AS TIMESTAMP)) - 1970) * 12
+        |    + month(CAST(o_orderdate AS TIMESTAMP)) - 1 AS VARCHAR) AS partition,
+        |  CAST(count(*) AS BIGINT) AS record_count
+        |FROM orders GROUP BY 1""".stripMargin,
+    "m_expire" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS n_snapshots FROM orders",
+    "c_addfiles" -> "SELECT * FROM nation",
+    "c_register" -> "SELECT * FROM region",
+    "p6_metadata_cols" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(0 AS BIGINT) AS p0, CAST(count(*) - 1 AS BIGINT) AS p1
+        |FROM nation""".stripMargin,
+    "ov_dynamic" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) = 2000
+        |       THEN 1.0 ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
+    "ov_replace_all" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0",
     "m_snapshots_table" ->
       """SELECT 'append' AS operation,
         |  CAST(count(*) FILTER (WHERE o_orderkey % 10 < 5) AS VARCHAR) AS added_records
@@ -544,6 +644,23 @@ object SparkEntry {
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
         |  length(text) AS n_chars_calc
         |FROM documents""".stripMargin,
+    "x2_quality_score" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS alpha_ratio,
+        |    CAST(len(list_filter(
+        |        list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by'], x))) AS DOUBLE)
+        |      / greatest(len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)), 1) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, round(punct_ratio, 4) AS punct_ratio,
+        |  round(least(greatest(0.3 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio * 4)
+        |    + 0.2 * alpha_ratio + 0.2 * least(stopword_ratio * 3, 1.0), 0.0), 1.0), 4) AS quality_score
+        |FROM m""".stripMargin,
     "mm1_media_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents",
     "e1_knn_bruteforce" ->
@@ -680,6 +797,101 @@ object DeleteFixture {
       val keys = raw.filter("o_custkey % 50 = 0").select("o_custkey").distinct()
       t.delete(spark).deleteByEquality(keys)
     }
+}
+
+/** Snapshot-expiry fixture: orders in 3 appends, then everything but the
+  * newest snapshot expired — content equals plain orders, history is 1. */
+object ExpireFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_expired")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        for (i <- 0 until 3)
+          t.append(spark).appendDataFrame(raw.filter(s"o_orderkey % 3 = $i"))
+        t.manageSnapshots().expireSnapshots(
+          System.currentTimeMillis() + 3600_000L, retainLast = 1)
+        t
+      }
+    })
+}
+
+/** addFiles fixture: the RAW testdata parquet registered as a data file —
+  * no rewrite, no field ids, name-resolved on read. */
+object AddFilesFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "nation_addfiles")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "nation")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        t.append(spark).addFiles(Seq(s"$sfDir/nation.parquet"))
+        t
+      }
+    })
+}
+
+/** Overwrite fixtures: dynamic partition overwrite (year 2000 rewritten
+  * with o_totalprice=1.0) and replaceAll (even orderkeys only). */
+object OverwriteFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.meta.{PartitionField, PartitionSpec}
+  import graft.ice.transform.YearTransform
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def dynamic(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/dyn", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_dynov")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val schema = SparkConv.fromSpark(raw.schema)
+        val od = schema.findFieldByName("o_orderdate").get.id
+        val spec = PartitionSpec(0, IndexedSeq(
+          PartitionField(od, 1000, "order_year", YearTransform)))
+        val t = IceTable.create(cat, ident, schema, spec)
+        t.append(spark).appendDataFrame(raw)
+        t.overwrite(spark).dynamic(
+          raw.filter("year(o_orderdate) = 2000")
+            .withColumn("o_totalprice", lit(1.0)))
+        t
+      }
+    })
+
+  def replaced(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/rep", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_replaced")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        t.append(spark).appendDataFrame(raw)
+        t.overwrite(spark).replaceAll(raw.filter("o_orderkey % 2 = 0"))
+        t
+      }
+    })
 }
 
 /** Compaction fixture: orders + two tiny appends of EXTRA rows would change

@@ -162,6 +162,7 @@ final class ScanBuilder(table: IceTable) {
   private var caseSensitive: Boolean = true
   private var limitRows: Option[Long] = None
   private var restrictPaths: Option[Set[String]] = None
+  private var metaCols: Seq[String] = Nil
 
   def useSnapshot(id: Long): ScanBuilder = { snapshotId = Some(id); this }
   def useRef(name: String): ScanBuilder = { branchOrTag = Some(name); this }
@@ -187,6 +188,17 @@ final class ScanBuilder(table: IceTable) {
     * compaction to rewrite only the files a delete touches, with
     * merge-on-read semantics still applied). */
   def restrictFiles(paths: Set[String]): ScanBuilder = { restrictPaths = Some(paths); this }
+
+  /** Opt-in metadata columns (P6; reserved ids metadata_columns.h:38-115):
+    * `_file` (path), `_pos` (row index in file), `_spec_id`,
+    * `_partition` (tuple as `a/b` string). */
+  def withMetadataColumns(cols: String*): ScanBuilder = {
+    val known = Set("_file", "_pos", "_spec_id", "_partition")
+    val bad = cols.filterNot(known)
+    require(bad.isEmpty, s"unknown metadata columns: ${bad.mkString(",")}")
+    metaCols = cols.toSeq
+    this
+  }
 
   def resolveSnapshot(): Option[Snapshot] = {
     val byRef = branchOrTag.flatMap(r => table.refs.get(r).map(_.snapshotId))
@@ -281,13 +293,18 @@ final class ScanBuilder(table: IceTable) {
       }
     }
 
+    // metadata columns (P6): _file/_pos ride the parquet reader's
+    // _metadata struct; _spec_id/_partition broadcast-join a driver-built
+    // (file -> spec/partition) lookup, which is metadata-sized
+    val wantFilePos = metaCols.nonEmpty
+
     // merge-on-read deletes (§2.8): position deletes anti-join on
     // (_file, _pos); equality deletes null-safe anti-join on their id
     // columns. Sequence-number visibility: position deletes apply to data
     // files with dataSeq <= deleteSeq; equality deletes to dataSeq < deleteSeq.
     val deleteEntries = resolveSnapshot().map(table.planDeleteEntries).getOrElse(Nil)
     var df =
-      if (deleteEntries.isEmpty) readPaths(tasks, withPosCols = false)
+      if (deleteEntries.isEmpty) readPaths(tasks, withPosCols = wantFilePos)
       else {
         val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)
         val eqDeletes = deleteEntries.filter(_.dataFile.content == FileContent.EqualityDeletes)
@@ -298,7 +315,7 @@ final class ScanBuilder(table: IceTable) {
         }
         groups.map { case ((posPaths, eqPaths), groupTasks) =>
           val needPos = posPaths.nonEmpty
-          var g = readPaths(groupTasks, withPosCols = needPos)
+          var g = readPaths(groupTasks, withPosCols = needPos || wantFilePos)
           if (needPos) {
             val dels = spark.read
               .parquet(posPaths.map(ManifestAvro.stripFileScheme): _*)
@@ -317,10 +334,26 @@ final class ScanBuilder(table: IceTable) {
               .select(eqCols.map(col): _*)
             g = g.join(dels, eqCols.map(c => g(c) <=> dels(c)).reduce(_ && _), "left_anti")
           }
-          if (needPos) g = g.drop("__file", "__pos")
+          if (needPos && !wantFilePos) g = g.drop("__file", "__pos")
           g
         }.reduce(_ unionByName _)
       }
+    if (wantFilePos) {
+      if (metaCols.contains("_spec_id") || metaCols.contains("_partition")) {
+        import spark.implicits._
+        val lookup = tasks.map { t =>
+          (ManifestAvro.stripFileScheme(t.file.filePath), t.specId,
+            t.file.partition.map(v => if (v == null) "null" else v.toString)
+              .mkString("/"))
+        }.toDF("__lookup_file", "_spec_id", "_partition")
+        df = df.join(broadcast(lookup), df("__file") === lookup("__lookup_file"), "left")
+          .drop("__lookup_file")
+      }
+      if (metaCols.contains("_file")) df = df.withColumnRenamed("__file", "_file")
+      if (metaCols.contains("_pos")) df = df.withColumnRenamed("__pos", "_pos")
+      df = df.drop("__file", "__pos")
+        .drop(Seq("_spec_id", "_partition").filterNot(metaCols.contains): _*)
+    }
     filterExpr.foreach { e =>
       // bind against the full snapshot schema: filters may reference
       // non-projected columns only if projected; keep it simple — bind on

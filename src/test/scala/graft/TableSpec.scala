@@ -150,6 +150,38 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.columns.toSeq == raw.columns.toSeq)
   }
 
+  test("metadata columns _file/_pos/_spec_id/_partition are selectable") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val od = schema.findFieldByName("o_orderdate").get.id
+    val spec = PartitionSpec(0, IndexedSeq(PartitionField(od, 1000, "order_year", YearTransform)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.metacols"), schema, spec)
+    t.append(spark).appendDataFrame(raw)
+    val df = t.newScan()
+      .withMetadataColumns("_file", "_pos", "_spec_id", "_partition").toDF(spark)
+    assert(df.count() == raw.count())
+    val files = t.newScan().planFiles()
+    // _file values are exactly the planned data files
+    val fileVals = df.select("_file").distinct().collect().map(_.getString(0)).toSet
+    assert(fileVals == files.map(f =>
+      graft.ice.manifest.ManifestAvro.stripFileScheme(f.file.filePath)).toSet)
+    // _pos is a per-file row index starting at 0
+    import org.apache.spark.sql.functions._
+    val posAgg = df.groupBy("_file").agg(min("_pos").as("p0"), max("_pos").as("p1"),
+      count(lit(1)).as("n")).collect()
+    posAgg.foreach { r =>
+      assert(r.getLong(r.fieldIndex("p0")) == 0L)
+      assert(r.getLong(r.fieldIndex("p1")) == r.getLong(r.fieldIndex("n")) - 1)
+    }
+    // _partition carries the year transform value; _spec_id is 0
+    assert(df.select("_spec_id").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    val parts = df.select("_partition").distinct().collect().map(_.getString(0)).toSet
+    assert(parts == files.map(_.file.partition.head.toString).toSet)
+    // non-requested scans are unchanged
+    assert(!t.newScan().toDF(spark).columns.contains("_file"))
+  }
+
   test("concurrent-commit loser retries and succeeds") {
     val cat = new DirCatalog(tmpWarehouse())
     val raw = spark.read.parquet(s"$sfDir/region.parquet")

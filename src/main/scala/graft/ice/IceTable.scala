@@ -49,9 +49,21 @@ final class IceTable private (
   /** Optimistic commit with retry (commit.retry.* defaults,
     * table_properties.h:80-93): re-applies `update` on a fresh base when
     * a concurrent commit wins the version race. */
-  def commit(update: TableMetadata => TableMetadata, retries: Int = 4): TableMetadata = {
+  def commit(update: TableMetadata => TableMetadata, retries: Int = 4): TableMetadata =
+    commit(Nil, update, retries)
+
+  /** Commit with requirements (C5, table_requirement.h:43-189): each
+    * attempt first validates `requirements` against the current base —
+    * including after a lost race + refresh. A version race retries; a
+    * requirement violation is a REAL conflict and aborts immediately
+    * (the update closure was derived from state that no longer holds). */
+  def commit(requirements: Seq[graft.ice.meta.TableRequirement],
+      update: TableMetadata => TableMetadata, retries: Int): TableMetadata = {
     var attempt = 0
     while (true) {
+      requirements.flatMap(_.check(meta)).headOption.foreach { violation =>
+        throw new graft.ice.meta.RequirementFailedException(s"$ident: $violation")
+      }
       val updated = update(meta)
       try {
         val v = catalog.commit(ident, version, updated)
@@ -274,6 +286,12 @@ final class ScanBuilder(table: IceTable) {
     val plainSchema = org.apache.spark.sql.types.StructType(
       sparkSchema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
 
+    // spec name mapping (C8): id-less external files resolve their
+    // columns through schema.name-mapping.default before falling back to
+    // pure current-name matching
+    val nameMapping = table.properties.get(NameMapping.PropertyKey)
+      .map(NameMapping.fromJson)
+
     def readPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {
       val (internal, external) = ts
         .map(t => ManifestAvro.stripFileScheme(t.file.filePath))
@@ -286,10 +304,31 @@ final class ScanBuilder(table: IceTable) {
             .withColumn("__pos", col("_metadata.row_index"))
         else base
       }
+      def readExternal(ps: Seq[String]): DataFrame = nameMapping match {
+        case None => read(plainSchema, ps)
+        case Some(nm) =>
+          // group files by their footer column set; within a group each
+          // target field reads from the first mapped name present
+          ps.groupBy(p => ScanBuilder.footerColumns(p, spark)).map {
+            case (fileCols, files) =>
+              val srcFor = plainSchema.fields.toSeq.zip(s.fields).map {
+                case (sf, f) =>
+                  val candidates = nm.namesFor(f.id) :+ f.name
+                  (sf, candidates.find(fileCols.contains))
+              }
+              val readSchema = org.apache.spark.sql.types.StructType(
+                srcFor.collect { case (sf, Some(src)) => sf.copy(name = src) })
+              val base = read(readSchema, files)
+              base.select(srcFor.map {
+                case (sf, Some(src)) => col(src).as(sf.name)
+                case (sf, None) => lit(null).cast(sf.dataType).as(sf.name)
+              } ++ (if (withPosCols) Seq(col("__file"), col("__pos")) else Nil): _*)
+          }.reduce(_ unionByName _)
+      }
       (internal, external) match {
         case (ps, Nil) => read(sparkSchema, ps)
-        case (Nil, ps) => read(plainSchema, ps)
-        case (ips, eps) => read(sparkSchema, ips).unionByName(read(plainSchema, eps))
+        case (Nil, ps) => readExternal(ps)
+        case (ips, eps) => read(sparkSchema, ips).unionByName(readExternal(eps))
       }
     }
 
@@ -386,11 +425,33 @@ object ScanBuilder {
         } finally r.close()
       } catch { case _: Exception => false }
     })
+
+  /** Cached top-level footer column names of an external parquet file
+    * (drives name-mapping resolution). */
+  private val footerColsCache = new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  def footerColumns(path: String, spark: SparkSession): Set[String] =
+    footerColsCache.computeIfAbsent(path, { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally r.close()
+      } catch { case _: Exception => Set.empty }
+    })
 }
 
 /** Append operation (the commit path the reference declares but leaves
   * unimplemented — transaction.h:31-51, SURVEY §3.3 steps 1-5). */
 final class AppendOp(table: IceTable, spark: SparkSession) {
+
+  private var branch: String = "main"
+
+  /** Target a branch other than main: the new snapshot parents off the
+    * branch head and only moves that branch's ref, so writers on
+    * different branches never conflict semantically. */
+  def toBranch(name: String): AppendOp = { branch = name; this }
 
   /** Full write path: partition-transform clustering -> parquet files ->
     * footer metrics -> manifest -> manifest list -> snapshot -> commit. */
@@ -481,6 +542,10 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
   private def commitAppend(entries: Seq[ManifestEntry], commitUuid: String): Snapshot = {
     var result: Snapshot = null
     table.commit { base =>
+      // parent off the target branch's head (falling back to the current
+      // snapshot for main on legacy metadata without a main ref)
+      val head = base.ref(branch).flatMap(r => base.snapshotById(r.snapshotId))
+        .orElse(if (branch == "main") base.currentSnapshot else None)
       val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
       val seq = base.lastSequenceNumber + 1
       Files.createDirectories(Paths.get(table.metadataFileDir))
@@ -497,7 +562,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
         formatVersion = fv)
 
       // fast append: new manifest list = new manifest + previous manifests
-      val previous = base.currentSnapshot
+      val previous = head
         .map(s => ManifestAvro.readManifestList(s.manifestList))
         .getOrElse(IndexedSeq.empty)
 
@@ -557,7 +622,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
         previous.flatMap(_.existingRowsCount).sum + addedRecords
       val snap = Snapshot(
         snapshotId = snapshotId,
-        parentSnapshotId = base.currentSnapshotId,
+        parentSnapshotId = head.map(_.snapshotId),
         sequenceNumber = seq,
         timestampMs = System.currentTimeMillis(),
         manifestList = listPath,
@@ -571,7 +636,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
             previous.flatMap(_.existingFilesCount).sum + entries.size).toString),
         schemaId = Some(base.currentSchemaId))
       result = snap
-      base.withSnapshot(snap)
+      base.withSnapshot(snap, branch)
     }
     result
   }

@@ -190,6 +190,7 @@ private[ice] object SnapshotProducer {
   * Renames and promotions are safe because files are resolved by field ID
   * on read (P3). */
 final class UpdateSchema(table: IceTable) {
+  private val baseSchemaId: Int = table.metadata.currentSchemaId
   private var fields: IndexedSeq[NestedField] = table.schema.fields
   private var nextId: Int = table.metadata.lastColumnId
 
@@ -237,7 +238,11 @@ final class UpdateSchema(table: IceTable) {
 
   def commit(): Schema = {
     var committed: Schema = null
-    table.commit { base =>
+    // the field list was computed against the schema current at builder
+    // creation — a concurrent schema change makes re-applying it silently
+    // destructive, so it must FAIL, not retry (AssertCurrentSchemaID,
+    // table_requirement.h:120-135)
+    table.commit(Seq(AssertCurrentSchemaId(baseSchemaId)), base => {
       val newId = base.schemas.map(_.schemaId).max + 1
       val s = Schema(newId, fields)
       committed = s
@@ -246,7 +251,7 @@ final class UpdateSchema(table: IceTable) {
         currentSchemaId = newId,
         lastColumnId = math.max(base.lastColumnId, nextId),
         lastUpdatedMs = System.currentTimeMillis())
-    }
+    }, 4)
     committed
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -180,6 +182,49 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts == files.map(_.file.partition.head.toString).toSet)
     // non-requested scans are unchanged
     assert(!t.newScan().toDF(spark).columns.contains("_file"))
+  }
+
+  test("name mapping resolves id-less files after a rename") {
+    import graft.ice.meta.{MappedField, NameMapping}
+    // id-less parquet with the ORIGINAL column names
+    val dir = java.nio.file.Files.createTempDirectory("nm").toString
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    spark.range(10).selectExpr("id", "concat('row-', id) AS name")
+      .coalesce(1).write.parquet(s"$dir/data")
+    val file = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/data"))
+      .iterator.asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+
+    // table whose CURRENT names differ (as after a rename); the mapping
+    // records the names the files were written under
+    val mapping = NameMapping(Seq(
+      MappedField(Some(1), Seq("id")),
+      MappedField(Some(2), Seq("name"))))
+    val schema = Schema(0, IndexedSeq(
+      NestedField(1, "record_id", LongT, required = false),
+      NestedField(2, "label", StringT, required = false)))
+    val cat = new DirCatalog(tmpWarehouse())
+    val t = IceTable.create(cat, TableIdentifier.parse("db.nm"), schema,
+      properties = Map(NameMapping.PropertyKey -> mapping.toJson))
+    t.append(spark).addFiles(Seq(file))
+
+    val df = t.newScan().toDF(spark)
+    assert(df.columns.toSeq == Seq("record_id", "label"))
+    assert(df.count() == 10)
+    assert(df.where("record_id = 3").select("label").head.getString(0) == "row-3")
+    assert(df.where("label IS NULL").count() == 0, "mapping must resolve columns")
+
+    // WITHOUT the mapping the same file name-matches nothing -> nulls
+    val t2 = IceTable.create(cat, TableIdentifier.parse("db.nm2"), schema)
+    t2.append(spark).addFiles(Seq(file))
+    assert(t2.newScan().toDF(spark).where("label IS NULL").count() == 10)
+
+    // serde round-trips the spec JSON shape (name_mapping.h:40-144)
+    val json = mapping.toJson
+    assert(NameMapping.fromJson(json) == mapping)
+    val nested = NameMapping.fromJson(
+      """[{"field-id":5,"names":["loc"],"fields":[{"field-id":6,"names":["lat","latitude"]}]}]""")
+    assert(nested.fields.head.fields.head.names == Seq("lat", "latitude"))
+    assert(NameMapping.fromJson(nested.toJson) == nested)
   }
 
   test("concurrent-commit loser retries and succeeds") {

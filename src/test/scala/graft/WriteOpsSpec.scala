@@ -311,6 +311,45 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t1.newScan().toDF(spark).count() == raw.filter("n_nationkey >= 3").count())
   }
 
+  test("writers on different branches both succeed; schema races fail fast") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ident = TableIdentifier.parse("db.branches")
+    val t = IceTable.create(cat, ident, schema)
+    val s0 = t.append(spark).appendDataFrame(raw)
+    t.manageSnapshots().createBranch("dev", s0.snapshotId)
+
+    // two handles, each writing to a DIFFERENT branch from the same base
+    val tMain = IceTable.load(cat, ident)
+    val tDev = IceTable.load(cat, ident)
+    tMain.append(spark).appendDataFrame(raw.limit(3))
+    tDev.append(spark).toBranch("dev").appendDataFrame(raw.limit(7))
+    val fresh = IceTable.load(cat, ident)
+    assert(fresh.newScan().toDF(spark).count() == raw.count() + 3, "main kept its append")
+    assert(fresh.newScan().useRef("dev").toDF(spark).count() == raw.count() + 7,
+      "dev kept its independent append")
+    // dev's snapshot parents off the branch head, not main's head
+    val devHead = fresh.refs("dev").snapshotId
+    assert(fresh.metadata.snapshotById(devHead).get.parentSnapshotId == Some(s0.snapshotId))
+
+    // an append racing a schema change retries against the NEW schema
+    val tAppend = IceTable.load(cat, ident) // stale handle
+    fresh.updateSchema().addColumn("note", StringT).commit()
+    tAppend.append(spark).appendDataFrame(raw.limit(2)) // retries internally
+    val after = IceTable.load(cat, ident)
+    assert(after.schema.fields.exists(_.name == "note"))
+    assert(after.newScan().toDF(spark).count() == raw.count() + 5)
+
+    // but a schema BUILDER from a stale schema must fail, not clobber
+    val staleBuilder = IceTable.load(cat, ident).updateSchema().addColumn("a", StringT)
+    IceTable.load(cat, ident).updateSchema().addColumn("b", StringT).commit()
+    assertThrows[graft.ice.meta.RequirementFailedException](staleBuilder.commit())
+    val finalT = IceTable.load(cat, ident)
+    assert(finalT.schema.fields.exists(_.name == "b"))
+    assert(!finalT.schema.fields.exists(_.name == "a"))
+  }
+
   test("manifest merging bounds the manifest list across many appends") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/nation.parquet")

@@ -49,7 +49,7 @@ final class IceTable private (
   /** Optimistic commit with retry (commit.retry.* defaults,
     * table_properties.h:80-93): re-applies `update` on a fresh base when
     * a concurrent commit wins the version race. */
-  def commit(update: TableMetadata => TableMetadata, retries: Int = 4): TableMetadata =
+  def commit(update: TableMetadata => TableMetadata, retries: Int = -1): TableMetadata =
     commit(Nil, update, retries)
 
   /** Commit with requirements (C5, table_requirement.h:43-189): each
@@ -59,6 +59,11 @@ final class IceTable private (
     * (the update closure was derived from state that no longer holds). */
   def commit(requirements: Seq[graft.ice.meta.TableRequirement],
       update: TableMetadata => TableMetadata, retries: Int): TableMetadata = {
+    // negative retries = use the table's commit.retry.num-retries property
+    val maxRetries = if (retries >= 0) retries
+      else meta.property(TableProperties.CommitNumRetries)
+    val minWait = meta.property(TableProperties.CommitMinWaitMs)
+    val maxWait = meta.property(TableProperties.CommitMaxWaitMs)
     var attempt = 0
     while (true) {
       requirements.flatMap(_.check(meta)).headOption.foreach { violation =>
@@ -72,8 +77,8 @@ final class IceTable private (
       } catch {
         case e: CommitFailedException =>
           attempt += 1
-          if (attempt > retries) throw e
-          Thread.sleep(math.min(100L << (attempt - 1), 60000L))
+          if (attempt > maxRetries) throw e
+          Thread.sleep(math.min(minWait << (attempt - 1), maxWait))
           refresh()
       }
     }
@@ -572,11 +577,9 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       // the list passes min-count-to-merge, small data manifests are
       // compacted into one per spec; entries keep their explicit
       // snapshot/sequence numbers so visibility rules are unchanged.
-      val props = base.properties
-      val mergeEnabled = props.getOrElse("commit.manifest-merge.enabled", "true").toBoolean
-      val minCountToMerge = props.getOrElse("commit.manifest.min-count-to-merge", "100").toInt
-      val targetSizeBytes = props.getOrElse("commit.manifest.target-size-bytes",
-        (8L * 1024 * 1024).toString).toLong
+      val mergeEnabled = base.property(TableProperties.ManifestMergeEnabled)
+      val minCountToMerge = base.property(TableProperties.ManifestMinCountToMerge)
+      val targetSizeBytes = base.property(TableProperties.ManifestTargetSizeBytes)
       val list0 = mf +: previous
       val list =
         if (!mergeEnabled || list0.size < minCountToMerge) list0

@@ -21,6 +21,8 @@ class CommitFailedException(msg: String) extends RuntimeException(msg)
 class NoSuchTableException(msg: String) extends RuntimeException(msg)
 class AlreadyExistsException(msg: String) extends RuntimeException(msg)
 
+class NoSuchNamespaceException(msg: String) extends RuntimeException(msg)
+
 /** Catalog interface (reference: src/iceberg/catalog.h:39-236). */
 trait Catalog {
   def createTable(ident: TableIdentifier, schema: Schema,
@@ -31,7 +33,15 @@ trait Catalog {
   def tableExists(ident: TableIdentifier): Boolean
   def dropTable(ident: TableIdentifier, purge: Boolean = false): Boolean
   def listTables(namespace: Seq[String]): Seq[TableIdentifier]
-  def listNamespaces(): Seq[Seq[String]]
+  /** Child namespaces of `parent` (catalog.h:64-112); Nil parent = roots. */
+  def listNamespaces(parent: Seq[String] = Nil): Seq[Seq[String]]
+  def createNamespace(namespace: Seq[String],
+      properties: Map[String, String] = Map.empty): Unit
+  def dropNamespace(namespace: Seq[String]): Boolean
+  def namespaceExists(namespace: Seq[String]): Boolean
+  def loadNamespaceProperties(namespace: Seq[String]): Map[String, String]
+  def updateNamespaceProperties(namespace: Seq[String],
+      updates: Map[String, String], removals: Set[String] = Set.empty): Unit
   def registerTable(ident: TableIdentifier, metadataLocation: String): TableRef
   /** Optimistic swap: commit `updated` iff the table's current metadata
     * file is still `baseVersion`. Throws CommitFailedException otherwise. */
@@ -131,14 +141,68 @@ class DirCatalog(val warehouse: String) extends Catalog {
       .toSeq.sortBy(_.name)
   }
 
-  override def listNamespaces(): Seq[Seq[String]] = {
-    val root = Paths.get(warehouse)
+  private def nsDir(namespace: Seq[String]): Path =
+    Paths.get((warehouse +: namespace).mkString("/"))
+  private def nsMarker(namespace: Seq[String]): Path =
+    nsDir(namespace).resolve(".namespace.properties")
+  private def isTableDir(p: Path): Boolean =
+    Files.isDirectory(p.resolve("metadata"))
+
+  override def listNamespaces(parent: Seq[String]): Seq[Seq[String]] = {
+    val root = nsDir(parent)
     if (!Files.isDirectory(root)) return Nil
     Files.list(root).iterator.asScala
       .filter(Files.isDirectory(_))
-      .filterNot(p => Files.isDirectory(p.resolve("metadata"))) // top-level tables aren't namespaces
-      .map(p => Seq(p.getFileName.toString))
-      .toSeq.sortBy(_.mkString)
+      .filterNot(isTableDir) // table dirs aren't namespaces
+      .map(p => parent :+ p.getFileName.toString)
+      .toSeq.sortBy(_.mkString("."))
+  }
+
+  override def namespaceExists(namespace: Seq[String]): Boolean =
+    namespace.nonEmpty && Files.isDirectory(nsDir(namespace)) &&
+      !isTableDir(nsDir(namespace))
+
+  override def createNamespace(namespace: Seq[String],
+      properties: Map[String, String]): Unit = {
+    require(namespace.nonEmpty, "namespace must have at least one level")
+    if (namespaceExists(namespace))
+      throw new AlreadyExistsException(s"namespace ${namespace.mkString(".")} already exists")
+    Files.createDirectories(nsDir(namespace))
+    writeNsProperties(namespace, properties)
+  }
+
+  override def dropNamespace(namespace: Seq[String]): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    Files.deleteIfExists(nsMarker(namespace))
+    Files.deleteIfExists(nsDir(namespace))
+    true
+  }
+
+  override def loadNamespaceProperties(namespace: Seq[String]): Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(s"no such namespace: ${namespace.mkString(".")}")
+    val marker = nsMarker(namespace)
+    if (!Files.exists(marker)) return Map.empty
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(marker)
+    try props.load(in) finally in.close()
+    props.stringPropertyNames.asScala.map(k => k -> props.getProperty(k)).toMap
+  }
+
+  override def updateNamespaceProperties(namespace: Seq[String],
+      updates: Map[String, String], removals: Set[String]): Unit = {
+    val current = loadNamespaceProperties(namespace)
+    writeNsProperties(namespace, current -- removals ++ updates)
+  }
+
+  private def writeNsProperties(namespace: Seq[String], props: Map[String, String]): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val out = Files.newOutputStream(nsMarker(namespace))
+    try p.store(out, null) finally out.close()
   }
 
   /** Register an existing metadata JSON as a table (the one InMemoryCatalog

@@ -138,6 +138,10 @@ final case class TableMetadata(
 
   def withProperties(props: Map[String, String]): TableMetadata =
     copy(properties = properties ++ props)
+
+  /** Typed property access with registry defaults (C9). */
+  def property[T](key: TableProperties.Key[T]): T =
+    TableProperties.get(properties, key)
 }
 
 object TableMetadata {
@@ -154,7 +158,8 @@ object TableMetadata {
     val schema0 = if (schema.schemaId == 0) schema else schema.copy(schemaId = 0)
     // "format-version" is a CREATE-time property that selects the spec
     // version, then is consumed rather than stored (table_metadata.h:69)
-    val fv = properties.get("format-version").map(_.trim.toInt).getOrElse(formatVersion)
+    val fv = TableProperties.get(properties,
+      TableProperties.FormatVersion.copy(default = formatVersion))
     require(SupportedVersions.contains(fv), s"unsupported format version: $fv")
     TableMetadata(
       formatVersion = fv,
@@ -169,7 +174,7 @@ object TableMetadata {
       defaultSpecId = spec.specId,
       lastPartitionId = if (spec.fields.isEmpty) PartitionSpec.PartitionDataIdStart - 1
         else spec.fields.map(_.fieldId).max,
-      properties = properties - "format-version",
+      properties = properties - TableProperties.FormatVersion.name,
       currentSnapshotId = None,
       snapshots = IndexedSeq.empty,
       snapshotLog = IndexedSeq.empty,

@@ -1,0 +1,38 @@
+package graft.ice.meta
+
+/** Typed table-property registry (C9; reference table_properties.h:38-128):
+  * one place for every property key and its default, replacing inlined
+  * constants at call sites. `metadata.property(Key)` parses or falls back
+  * to the default. */
+object TableProperties {
+
+  final case class Key[T](name: String, default: T, parse: String => T)
+
+  // creation
+  val FormatVersion: Key[Int] = Key("format-version", 2, _.trim.toInt)
+
+  // commit / retry (table_properties.h:80-93)
+  val CommitNumRetries: Key[Int] = Key("commit.retry.num-retries", 4, _.trim.toInt)
+  val CommitMinWaitMs: Key[Long] = Key("commit.retry.min-wait-ms", 100L, _.trim.toLong)
+  val CommitMaxWaitMs: Key[Long] = Key("commit.retry.total-timeout-ms", 60000L, _.trim.toLong)
+
+  // manifest maintenance (table_properties.h:97-101)
+  val ManifestMergeEnabled: Key[Boolean] =
+    Key("commit.manifest-merge.enabled", true, _.trim.toBoolean)
+  val ManifestMinCountToMerge: Key[Int] =
+    Key("commit.manifest.min-count-to-merge", 100, _.trim.toInt)
+  val ManifestTargetSizeBytes: Key[Long] =
+    Key("commit.manifest.target-size-bytes", 8L * 1024 * 1024, _.trim.toLong)
+
+  // write shape
+  val WriteTargetFileSizeBytes: Key[Long] =
+    Key("write.target-file-size-bytes", 128L * 1024 * 1024, _.trim.toLong)
+  val WriteFormatDefault: Key[String] = Key("write.format.default", "parquet", _.trim)
+
+  // maintenance
+  val CompactSmallFileThresholdBytes: Key[Long] =
+    Key("write.compact.small-file-threshold-bytes", 96L * 1024 * 1024, _.trim.toLong)
+
+  def get[T](props: Map[String, String], key: Key[T]): T =
+    props.get(key.name).map(key.parse).getOrElse(key.default)
+}

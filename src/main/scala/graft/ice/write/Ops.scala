@@ -251,7 +251,7 @@ final class UpdateSchema(table: IceTable) {
         currentSchemaId = newId,
         lastColumnId = math.max(base.lastColumnId, nextId),
         lastUpdatedMs = System.currentTimeMillis())
-    }, 4)
+    }, -1)
     committed
   }
 }
@@ -385,8 +385,13 @@ final class Compaction(table: IceTable, spark: SparkSession) {
     *    cannot contain a deleted key, so the delete file can still be
     *    dropped after the rewrite — sound pruning). */
   def rewriteDataFiles(
-      targetFileSizeBytes: Long = 128L * 1024 * 1024,
-      smallFileThreshold: Long = 96L * 1024 * 1024): Snapshot = {
+      targetFileSizeBytes: Long = -1L,
+      smallFileThreshold: Long = -1L): Snapshot = {
+    // negative = use the table-properties registry defaults (C9)
+    val targetSize = if (targetFileSizeBytes >= 0) targetFileSizeBytes
+      else table.metadata.property(TableProperties.WriteTargetFileSizeBytes)
+    val smallThreshold = if (smallFileThreshold >= 0) smallFileThreshold
+      else table.metadata.property(TableProperties.CompactSmallFileThresholdBytes)
     val all = table.newScan().planFiles()
     val deleteEntries = table.currentSnapshot.map(table.planDeleteEntries).getOrElse(Nil)
     val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)
@@ -423,7 +428,7 @@ final class Compaction(table: IceTable, spark: SparkSession) {
         eqApplies(t)
 
     val toRewrite = all.filter(t =>
-      t.file.fileSizeInBytes < smallFileThreshold || (hasDeletes && deleteApplies(t)))
+      t.file.fileSizeInBytes < smallThreshold || (hasDeletes && deleteApplies(t)))
     if (toRewrite.size < 2 && !(hasDeletes && toRewrite.nonEmpty))
       return table.currentSnapshot.getOrElse(
         throw new IllegalStateException("empty table"))
@@ -439,7 +444,7 @@ final class Compaction(table: IceTable, spark: SparkSession) {
         spark.read.schema(SparkConv.toSpark(table.schema))
           .parquet(toRewrite.map(t => ManifestAvro.stripFileScheme(t.file.filePath)): _*)
       }
-    val added = SnapshotProducer.writeDataFiles(table, spark, restricted, targetFileSizeBytes)
+    val added = SnapshotProducer.writeDataFiles(table, spark, restricted, targetSize)
     // every file a delete applied to was rewritten, so all delete files
     // are folded in and their manifests can be dropped
     val removedDeletePaths = deleteEntries.map(_.dataFile.filePath).toSet

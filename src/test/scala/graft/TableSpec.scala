@@ -184,6 +184,33 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t.newScan().toDF(spark).columns.contains("_file"))
   }
 
+  test("namespace CRUD: create, list nested, properties, drop") {
+    val cat = new DirCatalog(tmpWarehouse())
+    cat.createNamespace(Seq("a"), Map("owner" -> "etl"))
+    cat.createNamespace(Seq("a", "b"))
+    cat.createNamespace(Seq("c"))
+    assert(cat.namespaceExists(Seq("a")))
+    assert(cat.listNamespaces().map(_.mkString(".")) == Seq("a", "c"))
+    assert(cat.listNamespaces(Seq("a")) == Seq(Seq("a", "b")))
+    assert(cat.loadNamespaceProperties(Seq("a")) == Map("owner" -> "etl"))
+    cat.updateNamespaceProperties(Seq("a"), Map("retention" -> "30d"), Set("owner"))
+    assert(cat.loadNamespaceProperties(Seq("a")) == Map("retention" -> "30d"))
+    assertThrows[AlreadyExistsException](cat.createNamespace(Seq("a")))
+    assertThrows[NoSuchNamespaceException](cat.loadNamespaceProperties(Seq("zz")))
+    // non-empty namespaces refuse to drop; tables are not namespaces
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("a.b.reg"),
+      SparkConv.fromSpark(raw.schema))
+    assert(cat.listTables(Seq("a", "b")) == Seq(TableIdentifier(Seq("a", "b"), "reg")))
+    assert(cat.listNamespaces(Seq("a", "b")).isEmpty)
+    assertThrows[IllegalStateException](cat.dropNamespace(Seq("a", "b")))
+    assertThrows[IllegalStateException](cat.dropNamespace(Seq("a")))
+    cat.dropTable(TableIdentifier.parse("a.b.reg"), purge = true)
+    assert(cat.dropNamespace(Seq("a", "b")))
+    assert(cat.dropNamespace(Seq("a")))
+    assert(!cat.namespaceExists(Seq("a")))
+  }
+
   test("name mapping resolves id-less files after a rename") {
     import graft.ice.meta.{MappedField, NameMapping}
     // id-less parquet with the ORIGINAL column names

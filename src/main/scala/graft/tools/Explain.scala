@@ -24,19 +24,33 @@ object Explain {
       "q_join_broadcast",       // wants BroadcastHashJoin
       "q5_join5",               // wants broadcast dims + shuffle facts
       "q1_agg",                 // wants partial agg + WholeStageCodegen
-      "x1_token_count")         // wants map-only, no shuffle
+      "x1_token_count",         // wants map-only, no shuffle
+      "d2_minhash_signatures",  // wants map-only after codegen rewrite
+      "q_scalar_subquery",      // wants broadcast nested-loop, lazy agg
+      "del_mor_position")       // wants anti-join on (_file,_pos)
 
     for (name <- interesting) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
+      // execute THIS queryExecution (a noop write would plan a copy):
+      // under AQE the pre-execution plan is a placeholder
+      // (isFinalPlan=false) that hides codegen spans and the real joins
+      df.collect()
+      val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val finalPlan = df.queryExecution.executedPlan.toString
       println(s"\n======== $name ========")
-      println(plan.take(4000))
+      println(formatted.take(4000))
+      println("---- final (post-AQE) ----")
+      println(finalPlan.take(2500))
+      // the `*(n)` operator prefix marks a WholeStageCodegen span
+      val codegenSpans =
+        "\\*\\((\\d+)\\)".r.findAllMatchIn(finalPlan).map(_.group(1)).toSet.size
       val checks = Seq(
-        "PushedFilters" -> plan.contains("PushedFilters: ["),
-        "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
-        "WholeStageCodegen" -> plan.contains("WholeStageCodegen"),
-        "Exchange" -> plan.contains("Exchange"))
+        "PushedFilters" -> formatted.contains("PushedFilters: ["),
+        "BroadcastJoin" -> (finalPlan.contains("BroadcastHashJoin") ||
+          finalPlan.contains("BroadcastNestedLoopJoin")),
+        s"WholeStageCodegenSpans=$codegenSpans" -> (codegenSpans > 0),
+        "Exchange" -> finalPlan.contains("Exchange"))
       println("CHECKS " + name + ": " +
         checks.map { case (k, v) => s"$k=$v" }.mkString(" "))
     }

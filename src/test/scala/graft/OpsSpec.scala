@@ -88,6 +88,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("SQL function registration: iceberg_bucket / graft_minhash / graft_shingles") {
+    GraftFunctions.register(spark)
+    // spec vector: bucket[4] of long 34 -> 3 (transform_test.cc)
+    assert(spark.sql("SELECT iceberg_bucket(CAST(34 AS BIGINT), 4)").head.getInt(0) == 3)
+    val row = spark.sql(
+      "SELECT graft_minhash('a b c d', 3, 4) AS sig, graft_shingles('a b c d', 3) AS sh").head
+    assert(row.getSeq[Long](0).size == 4)
+    assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
+    // SQL and Column API produce identical signatures
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT graft_minhash(text, 3, 8) AS s FROM " +
+      "(SELECT 'the quick brown fox jumps' AS text)").as[Seq[Long]].head
+    val viaCol = Seq("the quick brown fox jumps").toDF("text")
+      .select(TextExprs.minhash(col("text"), 3, 8)).as[Seq[Long]].head
+    assert(viaSql == viaCol)
+    // the extensions entry point wires the same builders
+    assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
   test("simhash: identical docs same hash, variants nearby") {
     import spark.implicits._
     val base = docs.limit(3).select("doc_id", "text").as[(Long, String)].collect()

@@ -370,6 +370,15 @@ object SparkEntry {
       Dedup.exact(Tables.scan(s, dir, "documents"), "text", "doc_id")
         .select("keep_id", "copies")),
 
+    // survivors of exact dedup over a corpus with planted duplicates
+    "d6_dedup_survivors" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents").select("doc_id", "text")
+      val withDups = docs.unionByName(
+        docs.filter("doc_id % 100 = 0")
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exactSurvivors(withDups, "text", "doc_id").select("doc_id")
+    }),
+
     "d2_minhash_signatures" -> ((s, dir) =>
       Dedup.minhashSignatures(Tables.scan(s, dir, "documents"), "text", "doc_id", k = 16)
         .select(col("doc_id"), size(col("signature")).as("sig_len"),
@@ -400,6 +409,17 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("emb").as("qv"))
       Similarity.bruteForceTopK(emb, queries, "vec_id", "emb", "qid", "qv", k = 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // IVF: k-means cells + nProbe probing — the big-corpus ANN shape
+    "e3_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.raw(s, dir, "embeddings")
+        .withColumn("emb", col("embedding").cast("array<double>"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb").as("qv"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "emb", "qid", "qv",
+        k = 5, nClusters = 16, nProbe = 4)
         .select("query_id", "neighbor_id", "rank")
     }),
 
@@ -639,6 +659,13 @@ object SparkEntry {
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
+    "d6_dedup_survivors" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0)
+        |SELECT doc_id FROM u
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
     "x1_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,

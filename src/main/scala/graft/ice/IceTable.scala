@@ -479,8 +479,12 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
+    val order = table.metadata.defaultSortOrder
     if (spec.isUnpartitioned) {
-      aligned.write.mode("append").parquet(outDir)
+      // a declared sort order range-clusters the write so per-file bounds
+      // are disjoint — the pruning lever at scale
+      graft.ice.write.WriteShape.clusterUnpartitioned(aligned, schema, order)
+        .write.mode("append").parquet(outDir)
     } else {
       val partCols = spec.fields.map { pf =>
         val src = schema.findFieldById(pf.sourceId).get
@@ -490,9 +494,11 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       // __gp_-prefixed dir columns keep identity-partition source columns
       // inside the data files (partition values are metadata in Iceberg)
       val dirCols = spec.fields.map(pf => graft.ice.write.PartitionPaths.dirCol(pf.name))
-      aligned
-        .withColumns(dirCols.zip(partCols).toMap)
-        .repartition(dirCols.map(col): _*)
+      graft.ice.write.WriteShape.sortForPartitionedWrite(
+        aligned
+          .withColumns(dirCols.zip(partCols).toMap)
+          .repartition(dirCols.map(col): _*),
+        schema, order, dirCols)
         .write.mode("append")
         .partitionBy(dirCols: _*)
         .parquet(outDir)

@@ -135,15 +135,23 @@ private[ice] object SnapshotProducer {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
+    val order = table.metadata.defaultSortOrder
     if (spec.isUnpartitioned) {
-      val sized =
+      // pick file count from input size so output files land near target
+      val n =
         if (targetFileSizeBytes > 0) {
-          // pick file count from input size so output files land near target
           val inputBytes = table.newScan().planFiles().map(_.file.fileSizeInBytes).sum
-          val n = math.max(1, math.ceil(inputBytes.toDouble / targetFileSizeBytes).toInt)
-          aligned.repartition(n)
-        } else aligned
-      sized.write.mode("append").parquet(outDir)
+          math.max(1, math.ceil(inputBytes.toDouble / targetFileSizeBytes).toInt)
+        } else 0
+      val shaped =
+        if (order.fields.nonEmpty) {
+          val cols = WriteShape.sortCols(schema, order)
+          val ranged = if (n > 0) aligned.repartitionByRange(n, cols: _*)
+            else aligned.repartitionByRange(cols: _*)
+          ranged.sortWithinPartitions(cols: _*)
+        } else if (n > 0) aligned.repartition(n)
+        else aligned
+      shaped.write.mode("append").parquet(outDir)
     } else {
       val partCols = spec.fields.map { pf =>
         val src = schema.findFieldById(pf.sourceId).get
@@ -153,9 +161,11 @@ private[ice] object SnapshotProducer {
       // field named like its source column would otherwise be stripped
       // from file contents by partitionBy and read back as null
       val dirCols = spec.fields.map(pf => PartitionPaths.dirCol(pf.name))
-      aligned
-        .withColumns(dirCols.zip(partCols).toMap)
-        .repartition(dirCols.map(col): _*)
+      WriteShape.sortForPartitionedWrite(
+        aligned
+          .withColumns(dirCols.zip(partCols).toMap)
+          .repartition(dirCols.map(col): _*),
+        schema, order, dirCols)
         .write.mode("append")
         .partitionBy(dirCols: _*)
         .parquet(outDir)
@@ -518,6 +528,43 @@ final class ManageSnapshots(table: IceTable) {
     }
     this
   }
+}
+
+/** Write-shape helpers: sort-order application shared by append and
+  * rewrite. A table sort order is the 100-TB pruning lever — range
+  * clustering makes per-file min/max bounds disjoint, so a point or
+  * range filter opens a handful of files instead of all of them. */
+private[ice] object WriteShape {
+
+  def sortCols(schema: Schema, order: SortOrder): Seq[org.apache.spark.sql.Column] =
+    order.fields.map { sf =>
+      val src = schema.findFieldById(sf.sourceId).getOrElse(
+        throw new IllegalArgumentException(s"sort source ${sf.sourceId} not in schema"))
+      val c = sf.transform.toColumn(col(src.name), src.fieldType.asInstanceOf[IcePrimitive])
+      (sf.ascending, sf.nullsFirst) match {
+        case (true, true) => c.asc_nulls_first
+        case (true, false) => c.asc_nulls_last
+        case (false, true) => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+
+  /** Unpartitioned: range-repartition on the sort key (global clustering,
+    * disjoint file bounds), then sort within each task. */
+  def clusterUnpartitioned(df: DataFrame, schema: Schema, order: SortOrder): DataFrame =
+    if (order.fields.isEmpty) df
+    else {
+      val cols = sortCols(schema, order)
+      df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+    }
+
+  /** Partitioned: keep the partition clustering, add the sort order as a
+    * SECONDARY key so the file writer's required partition-column
+    * ordering is already satisfied and our sort survives. */
+  def sortForPartitionedWrite(df: DataFrame, schema: Schema, order: SortOrder,
+      dirCols: Seq[String]): DataFrame =
+    if (order.fields.isEmpty) df
+    else df.sortWithinPartitions(dirCols.map(col) ++ sortCols(schema, order): _*)
 }
 
 /** Hive-style partition path parsing shared by append/rewrite. */

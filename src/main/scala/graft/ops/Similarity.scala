@@ -57,6 +57,45 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * each vector assigned to its nearest centroid ONCE; queries probe the
+    * `nProbe` nearest centroids and run exact cosine only within those
+    * cells. The classic big-corpus scale path: corpus work is one
+    * clustering pass + one assignment column, per-query work is
+    * nProbe/nClusters of the data. Centroids are tiny and broadcast. */
+  def ivfTopK(corpus0: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, nClusters: Int = 64, nProbe: Int = 8,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus0.sparkSession
+    val corpus = Par.ensure(corpus0)
+      .withColumn("__fv", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nClusters).setSeed(7L)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+      .fit(corpus.select("__fv"))
+    val assigned = model.transform(corpus).drop("__fv")
+    // centroid table: tiny (nClusters rows), broadcast to rank cells/query
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("__cell", "__centroid")
+    val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("__cdist"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__cdist", -cosine(col(qVecCol), col("__centroid")))
+      .withColumn("__crank", row_number().over(probeW))
+      .filter(col("__crank") <= nProbe)
+      .select(col(qIdCol), col(qVecCol), col("__cell"))
+    var cands = assigned.join(broadcast(probes), "__cell")
+    if (excludeSelf) cands = cands.filter(col(idCol) =!= col(qIdCol))
+    val scored = cands.withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** ANN top-k: LSH-bucket the corpus, probe each query's bucket plus all
     * 1-bit-flip neighbor buckets (multi-probe), exact cosine within the
     * candidate set. Trades recall for touching ~(nPlanes+1)/2^nPlanes of

@@ -154,6 +154,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN recall against brute force is reasonable") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe half the cells -> expect solid recall even on LSH-hostile data
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5,
+      nClusters = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"recall=$recall")
+    // every query returns exactly k ranked candidates
+    assert(ivf.size == 50)
+  }
+
   test("quality metrics and token counts are sane") {
     val m = TextAnalysis.qualityScore(docs, "text")
     val row = m.filter(col("n_tokens") > 0).head

@@ -350,6 +350,38 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!finalT.schema.fields.exists(_.name == "a"))
   }
 
+  test("sort order range-clusters writes into bound-disjoint files") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ok = schema.findFieldByName("o_orderkey").get.id
+    val order = SortOrder(1, IndexedSeq(
+      SortField(ok, IdentityTransform, ascending = true, nullsFirst = true)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.sorted"), schema,
+      PartitionSpec.unpartitioned, order)
+    // shuffle the input so clustering must come from the write path
+    // (AQE would coalesce this tiny range-shuffle to one partition,
+    // hiding the multi-file clustering under test)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.append(spark).appendDataFrame(raw.repartition(8))
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val files = t.newScan().planFiles()
+    assert(files.size > 1, "range repartition should emit multiple files")
+    // per-file o_orderkey bounds are pairwise disjoint
+    val bounds = files.map { f =>
+      (Literal.deserialize(LongT, f.file.lowerBounds(ok)).raw.asInstanceOf[Long],
+        Literal.deserialize(LongT, f.file.upperBounds(ok)).raw.asInstanceOf[Long])
+    }.sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"overlapping bounds: $a vs $b")
+      case _ =>
+    }
+    // a point filter opens exactly one file; content stays complete
+    val pruned = t.newScan().filter(E.equal("o_orderkey", Literal.long(42))).planFiles()
+    assert(pruned.size == 1)
+    assert(t.newScan().toDF(spark).count() == raw.count())
+  }
+
   test("manifest merging bounds the manifest list across many appends") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/nation.parquet")

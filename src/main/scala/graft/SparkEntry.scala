@@ -487,7 +487,7 @@ object SparkEntry {
       // readStream needs a directory; glob-filter to the events file
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val counts = graft.streaming.StreamOps.hourlyCounts(stream)
       graft.streaming.StreamOps.runToMemory(s, counts,
         s"st_hourly_${System.nanoTime()}",
@@ -502,7 +502,28 @@ object SparkEntry {
         // window().start is session-TZ TIMESTAMP; the oracle's is naive
         .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
           col("event_type"), col("n"),
-          round(col("total_value"), 2).as("total_value")))
+          round(col("total_value"), 2).as("total_value"))),
+
+    // declarative session_window over a STREAM: new session when
+    // ts >= prev + gap; per-row cents keep the sum engine-stable
+    "st_session_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      val sessions = stream
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_value_cents"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"), col("total_value_cents"))
+      graft.streaming.StreamOps.runToMemory(s, sessions,
+        s"st_sessions_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -708,7 +729,7 @@ object SparkEntry {
         |   FROM s)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  date_diff('second', min(ts), max(ts)) AS duration_s,
-        |  sum(CAST(round(value * 100, 0) AS BIGINT)) AS total_value_cents
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
     "ev_hourly_counts" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
@@ -717,11 +738,27 @@ object SparkEntry {
     "st_hourly_stream" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // session_window semantics: a new session starts when ts >= prev + gap
+    // (strict > in ev_sessionize vs >= here — sub-second timestamps make
+    // exact-1800s gaps a measure-zero case, and the tie-break fixes order)
+    "st_session_stream" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        | s AS (SELECT user_id, event_id, ts, cents,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | t AS (SELECT user_id, ts, cents,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |   FROM s)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_value_cents
+        |FROM t GROUP BY user_id, session_seq""".stripMargin
     // no oracle (weaker rows-only check): t_transform_bucket (murmur3 seed-0
-    // not expressible in DuckDB), d2/d3/d4/d5 (hash-defined), e2_ann_lsh
-    // (approximate), x2/x3/x4 (heuristic-defined), mm2 (stub features),
-    // t2 branch/m_snapshots covered via deterministic fixtures.
+    // not expressible in DuckDB), d2/d3/d4/d5 (hash-defined), e2_ann_lsh/
+    // e3_ann_ivf (approximate), x3/x4 (heuristic-defined), mm2 (stub
+    // features); t2 branch/m_snapshots covered via deterministic fixtures.
   )
 }
 

@@ -14,8 +14,10 @@ object Events {
     * Spark 4 rejects outright — read nanos as long and convert to µs. */
   def load(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000`, NOT `ts / 1000`: epoch-ns values exceed 2^53, so the
+    // double division `/` loses microseconds
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Sessionization: a new session starts after `gapMinutes` of

@@ -735,6 +735,35 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // langId replicated: token stopword hits per language, argmax with
+    // the lexicographically-largest language winning ties (greatest on
+    // (score, lang) structs in Spark), CJK-ratio shortcut for zh
+    "x3_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> len(x) > 0) AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS cjk
+        |  FROM documents),
+        | sc AS (
+        |  SELECT lang, cjk,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for','with','was','on','are'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con','para','es'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','mit','den','im','für','auf','des','ein','eine'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','de','des','et','un','une','du','est','pour','que','dans','sur'], x))) AS s_fr
+        |  FROM t),
+        | p AS (
+        |  SELECT lang,
+        |    CASE WHEN cjk > 0.05 THEN 'zh'
+        |         WHEN greatest(s_en, s_es, s_de, s_fr) > 0 THEN
+        |           CASE WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+        |                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |                ELSE 'de' END
+        |         ELSE 'und' END AS predicted
+        |  FROM sc)
+        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "st_hourly_stream" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

@@ -72,9 +72,11 @@ object Similarity {
     val spark = corpus0.sparkSession
     val corpus = Par.ensure(corpus0)
       .withColumn("__fv", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nClusters).setSeed(7L)
+    // fit on a bounded sample: the quantizer needs cluster SHAPE, not
+    // every row — at corpus scale a full fit would dominate the query
+    val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
-      .fit(corpus.select("__fv"))
+      .fit(corpus.select("__fv").limit(65536))
     val assigned = model.transform(corpus).drop("__fv")
     // centroid table: tiny (nClusters rows), broadcast to rank cells/query
     import spark.implicits._

@@ -566,11 +566,22 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       // manifests are written in the table's format-version
       // (manifest_writer.h:36-93 adapter selection)
       val fv = base.formatVersion
-      val mf = ManifestAvro.writeManifest(manifestPath, entries, partType,
+      // v3 row lineage: every added file gets a first_row_id range off the
+      // table's next-row-id counter (spec v3 "Row Lineage")
+      val baseRowId = if (fv >= 3) Some(base.nextRowId.getOrElse(0L)) else None
+      var rowCursor = baseRowId.getOrElse(0L)
+      val assigned =
+        if (fv >= 3) entries.map { e =>
+          val w = e.copy(dataFile = e.dataFile.copy(firstRowId = Some(rowCursor)))
+          rowCursor += e.dataFile.recordCount
+          w
+        } else entries
+      val mf = ManifestAvro.writeManifest(manifestPath, assigned, partType,
         spec.specId, snapshotId, seq,
         schemaJson = MetaJson.schemaToJson(base.currentSchema).toString,
         specFieldsJson = MetaJson.specToJson(spec).get("fields").toString,
         formatVersion = fv)
+        .copy(firstRowId = baseRowId)
 
       // fast append: new manifest list = new manifest + previous manifests
       val previous = head
@@ -643,9 +654,11 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           "total-records" -> totalRecords.toString,
           "total-data-files" -> (previous.flatMap(_.addedFilesCount).sum +
             previous.flatMap(_.existingFilesCount).sum + entries.size).toString),
-        schemaId = Some(base.currentSchemaId))
+        schemaId = Some(base.currentSchemaId),
+        firstRowId = baseRowId)
       result = snap
-      base.withSnapshot(snap, branch)
+      val next = base.withSnapshot(snap, branch)
+      if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next
     }
     result
   }

@@ -79,12 +79,23 @@ private[ice] object SnapshotProducer {
         }
       }
 
+      // v3 row lineage: added files get first_row_id ranges (spec v3)
+      val baseRowId = if (fv >= 3) Some(base.nextRowId.getOrElse(0L)) else None
+      var rowCursor = baseRowId.getOrElse(0L)
+      val assignedData =
+        if (fv >= 3) addedDataEntries.map { e =>
+          val w = e.copy(dataFile = e.dataFile.copy(firstRowId = Some(rowCursor)))
+          rowCursor += e.dataFile.recordCount
+          w
+        } else addedDataEntries
+
       val newManifests = Seq(
-        if (addedDataEntries.nonEmpty)
-          Some(ManifestAvro.writeManifest(nextManifestPath(), addedDataEntries,
+        if (assignedData.nonEmpty)
+          Some(ManifestAvro.writeManifest(nextManifestPath(), assignedData,
             partType, spec.specId, snapshotId, seq,
             schemaJson = schemaJson, specFieldsJson = specJson,
-            formatVersion = fv))
+            formatVersion = fv)
+            .copy(firstRowId = baseRowId))
         else None,
         if (addedDeleteEntries.nonEmpty)
           Some(ManifestAvro.writeManifest(nextManifestPath(), addedDeleteEntries,
@@ -112,9 +123,11 @@ private[ice] object SnapshotProducer {
           "added-records" -> addedRecords.toString,
           "removed-data-files" -> removedPaths.size.toString,
           "added-delete-files" -> addedDeleteEntries.size.toString) ++ extraSummary,
-        schemaId = Some(base.currentSchemaId))
+        schemaId = Some(base.currentSchemaId),
+        firstRowId = baseRowId)
       result = snap
-      base.withSnapshot(snap)
+      val next = base.withSnapshot(snap)
+      if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next
     }
     result
   }

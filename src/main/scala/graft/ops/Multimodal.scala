@@ -54,22 +54,29 @@ object Multimodal {
     (width, height, features)
   }
 
+  final case class MediaIn(id: Long, payload: Array[Byte])
+  final case class MediaFeatures(id: Long, width: Int, height: Int,
+      features: Array[Double])
+
   /** Partition-wise decode/feature-extract over the payload column.
     * Only (id, payload) flow into this stage — prune other columns
     * upstream and join features back by id, so the wide decode stage
-    * never shuffles full rows. */
+    * never shuffles full rows.
+    *
+    * Typed Dataset.mapPartitions with case-class encoders: rows stay in
+    * Tungsten binary form at the stage boundary (no Row boxing, no
+    * schema-at-runtime RDD bridge) — the JVM-native analogue of the
+    * mapInPandas/Arrow-batch deployment this stands in for. */
   def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false)) ++ featureType.fields)
-    val pruned = df.select(col(idCol), col("payload"))
-    val rdd = pruned.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val (w, h, f) = stubDecode(r.getAs[Array[Byte]](1))
-        Row(id, w, h, f.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val (w, h, f) = stubDecode(m.payload)
+        MediaFeatures(m.id, w, h, f)
+      })
+      .toDF("id", "width", "height", "features")
+      .withColumnRenamed("id", idCol)
   }
 
   /** Frame-sampling stub for video-like payloads: fixed-stride byte

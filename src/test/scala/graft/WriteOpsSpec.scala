@@ -298,6 +298,19 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val reloaded = IceTable.load(cat, TableIdentifier.parse(s"db.fv$fv"))
       assert(reloaded.metadata.formatVersion == fv)
       assert(reloaded.newScan().toDF(spark).count() == raw.count() + 5)
+      if (fv >= 3) {
+        // row lineage: first_row_id assigned per file, next-row-id advanced
+        assert(reloaded.metadata.nextRowId == Some(raw.count() + 5))
+        val entries = reloaded.planEntries(reloaded.currentSnapshot.get, None)
+        val ids = entries.map(_.dataFile.firstRowId)
+        assert(ids.forall(_.isDefined), "every v3 data file carries first_row_id")
+        assert(ids.flatten.distinct.size == ids.size, "ranges are distinct")
+        val snaps = reloaded.snapshots.sortBy(_.sequenceNumber)
+        assert(snaps.head.firstRowId == Some(0L))
+        assert(snaps(1).firstRowId == Some(raw.count()))
+      } else {
+        assert(reloaded.metadata.nextRowId.isEmpty)
+      }
     }
     // v1 tables reject merge-on-read deletes (no delete manifests in v1)
     val cat1 = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)

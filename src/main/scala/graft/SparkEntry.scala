@@ -323,6 +323,14 @@ object SparkEntry {
       t.newScan().toDF(s)
     }),
 
+    // incremental append scan: only rows added AFTER the first snapshot
+    "t_incremental_scan" -> ((s, dir) => {
+      val t = TimeTravelFixture.table(s, dir)
+      val snaps = t.snapshots.sortBy(_.sequenceNumber)
+      t.newScan().appendsBetween(snaps.head.snapshotId, snaps.last.snapshotId)
+        .toDF(s)
+    }),
+
     // scan as-of timestamp resolves through the snapshot log
     "t_as_of_timestamp" -> ((s, dir) => {
       val t = TimeTravelFixture.table(s, dir)
@@ -633,6 +641,7 @@ object SparkEntry {
     "t3_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t2_branch_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t_as_of_timestamp" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
+    "t_incremental_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 >= 5",
     "m_manifests" ->
       """SELECT CAST(1 AS BIGINT) AS n_manifests,
         |  CAST(count(DISTINCT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS n_files

@@ -46,6 +46,42 @@ final class IceTable private (
 
   def newScan(): ScanBuilder = new ScanBuilder(this)
 
+  /** Incremental append scan: entries ADDED by snapshots in
+    * (fromSnapshotId, toSnapshotId], following parent links — the CDC
+    * "what arrived since" read (Iceberg IncrementalAppendScan). */
+  def planAppendsBetween(fromSnapshotId: Long, toSnapshotId: Long): Seq[ManifestEntry] = {
+    val chain = Iterator.iterate(meta.snapshotById(toSnapshotId))(
+      _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+      .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == fromSnapshotId))
+      .flatten.toSeq
+    chain.filter(_.operation.contains(DataOperation.Append)).flatMap { s =>
+      ManifestAvro.readManifestList(s.manifestList)
+        .filter(m => m.content == ManifestContent.Data &&
+          m.addedSnapshotId == s.snapshotId)
+        .flatMap { m =>
+          val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+          val partType = mSpec.partitionType(schema)
+          ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
+            .filter(e => e.status == ManifestStatus.Added &&
+              e.snapshotId.contains(s.snapshotId))
+        }
+    }
+  }
+
+  /** UpgradeFormatVersion (table_update.h:41-360): one-way bump; later
+    * commits write the new manifest/metadata versions. */
+  def upgradeFormatVersion(v: Int): IceTable = {
+    commit { base =>
+      require(TableMetadata.SupportedVersions.contains(v),
+        s"unsupported format version: $v")
+      require(v >= base.formatVersion,
+        s"cannot downgrade format version ${base.formatVersion} -> $v")
+      if (v == base.formatVersion) base
+      else base.copy(formatVersion = v, lastUpdatedMs = System.currentTimeMillis())
+    }
+    this
+  }
+
   /** Optimistic commit with retry (commit.retry.* defaults,
     * table_properties.h:80-93): re-applies `update` on a fresh base when
     * a concurrent commit wins the version race. */
@@ -180,6 +216,14 @@ final class ScanBuilder(table: IceTable) {
   private var limitRows: Option[Long] = None
   private var restrictPaths: Option[Set[String]] = None
   private var metaCols: Seq[String] = Nil
+  private var incremental: Option[(Long, Long)] = None
+
+  /** Incremental append scan over (fromSnapshotId, toSnapshotId] —
+    * returns only rows ADDED in that snapshot range (no deletes applied;
+    * append-only semantics). */
+  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long): ScanBuilder = {
+    incremental = Some((fromSnapshotId, toSnapshotId)); this
+  }
 
   def useSnapshot(id: Long): ScanBuilder = { snapshotId = Some(id); this }
   def useRef(name: String): ScanBuilder = { branchOrTag = Some(name); this }
@@ -208,9 +252,10 @@ final class ScanBuilder(table: IceTable) {
 
   /** Opt-in metadata columns (P6; reserved ids metadata_columns.h:38-115):
     * `_file` (path), `_pos` (row index in file), `_spec_id`,
-    * `_partition` (tuple as `a/b` string). */
+    * `_partition` (tuple as `a/b` string), `_row_id` (v3 row lineage:
+    * file first_row_id + position; null for pre-lineage files). */
   def withMetadataColumns(cols: String*): ScanBuilder = {
-    val known = Set("_file", "_pos", "_spec_id", "_partition")
+    val known = Set("_file", "_pos", "_spec_id", "_partition", "_row_id")
     val bad = cols.filterNot(known)
     require(bad.isEmpty, s"unknown metadata columns: ${bad.mkString(",")}")
     metaCols = cols.toSeq
@@ -246,8 +291,13 @@ final class ScanBuilder(table: IceTable) {
     case None => Nil
     case Some(snap) =>
       val bound = filterExpr.map(e => Binder.bind(e, table.schema, caseSensitive))
-      val tasks0 = table.planEntries(snap, bound)
-        .map(e => FileScanTask(e.dataFile, 0, e.sequenceNumber.getOrElse(0L)))
+      val tasks0 = incremental match {
+        case Some((from, to)) =>
+          table.planAppendsBetween(from, to)
+            .map(e => FileScanTask(e.dataFile, 0, e.sequenceNumber.getOrElse(0L)))
+        case None => table.planEntries(snap, bound)
+          .map(e => FileScanTask(e.dataFile, 0, e.sequenceNumber.getOrElse(0L)))
+      }
       val tasks = restrictPaths match {
         case Some(ps) => tasks0.filter(t => ps.contains(t.file.filePath))
         case None => tasks0
@@ -346,7 +396,9 @@ final class ScanBuilder(table: IceTable) {
     // (_file, _pos); equality deletes null-safe anti-join on their id
     // columns. Sequence-number visibility: position deletes apply to data
     // files with dataSeq <= deleteSeq; equality deletes to dataSeq < deleteSeq.
-    val deleteEntries = resolveSnapshot().map(table.planDeleteEntries).getOrElse(Nil)
+    val deleteEntries =
+      if (incremental.isDefined) Nil // append-only semantics
+      else resolveSnapshot().map(table.planDeleteEntries).getOrElse(Nil)
     var df =
       if (deleteEntries.isEmpty) readPaths(tasks, withPosCols = wantFilePos)
       else {
@@ -383,15 +435,19 @@ final class ScanBuilder(table: IceTable) {
         }.reduce(_ unionByName _)
       }
     if (wantFilePos) {
-      if (metaCols.contains("_spec_id") || metaCols.contains("_partition")) {
+      if (metaCols.exists(Set("_spec_id", "_partition", "_row_id"))) {
         import spark.implicits._
         val lookup = tasks.map { t =>
           (ManifestAvro.stripFileScheme(t.file.filePath), t.specId,
             t.file.partition.map(v => if (v == null) "null" else v.toString)
-              .mkString("/"))
-        }.toDF("__lookup_file", "_spec_id", "_partition")
+              .mkString("/"),
+            t.file.firstRowId)
+        }.toDF("__lookup_file", "_spec_id", "_partition", "__first_row_id")
         df = df.join(broadcast(lookup), df("__file") === lookup("__lookup_file"), "left")
           .drop("__lookup_file")
+        if (metaCols.contains("_row_id"))
+          df = df.withColumn("_row_id", col("__first_row_id") + col("__pos"))
+        df = df.drop("__first_row_id")
       }
       if (metaCols.contains("_file")) df = df.withColumnRenamed("__file", "_file")
       if (metaCols.contains("_pos")) df = df.withColumnRenamed("__pos", "_pos")

@@ -363,6 +363,55 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!finalT.schema.fields.exists(_.name == "a"))
   }
 
+  test("incremental append scan returns exactly the rows added in range") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.inc"),
+      SparkConv.fromSpark(raw.schema))
+    val s1 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 0"))
+    val s2 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 1"))
+    val s3 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 2"))
+    // (s1, s3] = the second and third appends
+    val inc = t.newScan().appendsBetween(s1.snapshotId, s3.snapshotId).toDF(spark)
+    assert(inc.count() == raw.filter("o_orderkey % 3 <> 0").count())
+    assert(inc.filter("o_orderkey % 3 = 0").count() == 0)
+    // (s2, s3] = only the third
+    val inc2 = t.newScan().appendsBetween(s2.snapshotId, s3.snapshotId).toDF(spark)
+    assert(inc2.count() == raw.filter("o_orderkey % 3 = 2").count())
+    // a delete between appends does not leak into the incremental view
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(100)))
+    val s5 = t.append(spark).appendDataFrame(raw.limit(7))
+    val inc3 = t.newScan().appendsBetween(s3.snapshotId, s5.snapshotId).toDF(spark)
+    assert(inc3.count() == 7)
+  }
+
+  test("upgradeFormatVersion bumps manifests written by later commits") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.upg"),
+      SparkConv.fromSpark(raw.schema),
+      properties = Map("format-version" -> "1"))
+    t.append(spark).appendDataFrame(raw)
+    assert(graft.ice.manifest.ManifestAvro.fileMetadata(
+      t.currentSnapshot.get.manifestList).get("format-version").contains("1"))
+    t.upgradeFormatVersion(2)
+    assert(t.metadata.formatVersion == 2)
+    t.append(spark).appendDataFrame(raw.limit(3))
+    assert(graft.ice.manifest.ManifestAvro.fileMetadata(
+      t.currentSnapshot.get.manifestList).get("format-version").contains("2"))
+    assert(t.newScan().toDF(spark).count() == raw.count() + 3)
+    assertThrows[IllegalArgumentException](t.upgradeFormatVersion(1))
+    // v3 upgrade starts row lineage for subsequent commits
+    t.upgradeFormatVersion(3)
+    val s = t.append(spark).appendDataFrame(raw.limit(2))
+    assert(s.firstRowId == Some(0L))
+    assert(t.metadata.nextRowId == Some(2L))
+    // _row_id selects lineage where assigned, null for pre-upgrade files
+    val withRowId = t.newScan().withMetadataColumns("_row_id").toDF(spark)
+    assert(withRowId.filter(col("_row_id").isNotNull).count() == 2)
+    assert(withRowId.count() == raw.count() + 5)
+  }
+
   test("sort order range-clusters writes into bound-disjoint files") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/orders.parquet")

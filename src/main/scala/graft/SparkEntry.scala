@@ -323,6 +323,12 @@ object SparkEntry {
       t.newScan().toDF(s)
     }),
 
+    // partition-spec evolution: half the rows under a year spec, half
+    // under its month successor; one scan reads and prunes across both
+    "t_spec_evolution" -> ((s, dir) =>
+      SpecEvolutionFixture.table(s, dir).newScan().toDF(s)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
     // incremental append scan: only rows added AFTER the first snapshot
     "t_incremental_scan" -> ((s, dir) => {
       val t = TimeTravelFixture.table(s, dir)
@@ -642,6 +648,8 @@ object SparkEntry {
     "t2_branch_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t_as_of_timestamp" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t_incremental_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 >= 5",
+    "t_spec_evolution" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "m_manifests" ->
       """SELECT CAST(1 AS BIGINT) AS n_manifests,
         |  CAST(count(DISTINCT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS n_files
@@ -899,6 +907,37 @@ object DeleteFixture {
       val keys = raw.filter("o_custkey % 50 = 0").select("o_custkey").distinct()
       t.delete(spark).deleteByEquality(keys)
     }
+}
+
+/** Spec-evolution fixture: even orderkeys appended under a YEAR spec,
+  * the spec evolved to MONTH, odd orderkeys appended under it — content
+  * equals plain orders, files span two partition specs. */
+object SpecEvolutionFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.meta.{PartitionField, PartitionSpec}
+  import graft.ice.transform.{MonthTransform, YearTransform}
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_specevo")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val schema = SparkConv.fromSpark(raw.schema)
+        val od = schema.findFieldByName("o_orderdate").get.id
+        val t = IceTable.create(cat, ident, schema, PartitionSpec(0,
+          IndexedSeq(PartitionField(od, 1000, "order_year", YearTransform))))
+        t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+        t.updateSpec().addField("order_month", "o_orderdate", MonthTransform).commit()
+        t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+        t
+      }
+    })
 }
 
 /** Snapshot-expiry fixture: orders in 3 appends, then everything but the

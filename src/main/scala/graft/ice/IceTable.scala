@@ -123,6 +123,7 @@ final class IceTable private (
 
   def append(spark: SparkSession): AppendOp = new AppendOp(this, spark)
   def updateSchema(): graft.ice.write.UpdateSchema = new graft.ice.write.UpdateSchema(this)
+  def updateSpec(): graft.ice.write.UpdateSpec = new graft.ice.write.UpdateSpec(this)
   def delete(spark: SparkSession): graft.ice.write.RowDelete = new graft.ice.write.RowDelete(this, spark)
   def compact(spark: SparkSession): graft.ice.write.Compaction = new graft.ice.write.Compaction(this, spark)
   def overwrite(spark: SparkSession): graft.ice.write.Overwrite = new graft.ice.write.Overwrite(this, spark)

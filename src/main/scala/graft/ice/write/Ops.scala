@@ -279,6 +279,42 @@ final class UpdateSchema(table: IceTable) {
   }
 }
 
+/** Partition-spec evolution (reference: TableUpdate AddPartitionSpecs /
+  * SetDefaultPartitionSpec, table_update.h). Old files keep their spec;
+  * every read-side consumer (manifest pruning, partition tuples, merge
+  * grouping, survivors rewrite) already resolves specs per manifest via
+  * specById, so evolution is purely additive. */
+final class UpdateSpec(table: IceTable) {
+  private val baseSpecId: Int = table.metadata.defaultSpecId
+  private var fields: IndexedSeq[PartitionField] = IndexedSeq.empty
+  private var nextFieldId: Int =
+    math.max(table.metadata.lastPartitionId, PartitionSpec.PartitionDataIdStart - 1)
+
+  def addField(name: String, sourceName: String,
+      transform: graft.ice.transform.Transform): UpdateSpec = {
+    val src = table.schema.findFieldByName(sourceName).getOrElse(
+      throw new IllegalArgumentException(s"no such column $sourceName"))
+    nextFieldId += 1
+    fields = fields :+ PartitionField(src.id, nextFieldId, name, transform)
+    this
+  }
+
+  def commit(): PartitionSpec = {
+    var committed: PartitionSpec = null
+    table.commit(Seq(AssertDefaultSpecId(baseSpecId)), base => {
+      val newSpecId = base.partitionSpecs.map(_.specId).max + 1
+      val spec = PartitionSpec(newSpecId, fields)
+      committed = spec
+      base.copy(
+        partitionSpecs = base.partitionSpecs :+ spec,
+        defaultSpecId = newSpecId,
+        lastPartitionId = math.max(base.lastPartitionId, nextFieldId),
+        lastUpdatedMs = System.currentTimeMillis())
+    }, -1)
+    committed
+  }
+}
+
 /** Row-level delete (reference §2.8 — modeled but not executable there). */
 final class RowDelete(table: IceTable, spark: SparkSession) {
 

@@ -363,6 +363,42 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!finalT.schema.fields.exists(_.name == "a"))
   }
 
+  test("partition spec evolution: old files keep their spec, both prune") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val od = schema.findFieldByName("o_orderdate").get.id
+    val yearSpec = PartitionSpec(0, IndexedSeq(PartitionField(od, 1000, "order_year", YearTransform)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.specevo"), schema, yearSpec)
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+
+    val newSpec = t.updateSpec()
+      .addField("order_month", "o_orderdate", MonthTransform).commit()
+    assert(t.spec.specId == newSpec.specId)
+    assert(t.metadata.partitionSpecs.size == 2)
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+
+    // full content across both specs
+    assert(t.newScan().toDF(spark).count() == raw.count())
+    // a date filter prunes files written under BOTH specs
+    val all = t.newScan().planFiles().size
+    val pruned = t.newScan().filter(E.and(
+      E.gtEq("o_orderdate", Literal.string("2000-01-01")),
+      E.lt("o_orderdate", Literal.string("2000-02-01")))).planFiles()
+    assert(pruned.size < all)
+    // pruning loses no rows
+    assert(t.newScan()
+      .filter(E.gtEq("o_orderdate", Literal.string("2000-01-01")))
+      .filter(E.lt("o_orderdate", Literal.string("2000-02-01")))
+      .toDF(spark).count() ==
+      raw.filter("o_orderdate >= '2000-01-01' and o_orderdate < '2000-02-01'").count())
+    // a stale spec builder fails fast after a concurrent spec change
+    val stale = IceTable.load(cat, TableIdentifier.parse("db.specevo"))
+      .updateSpec().addField("order_day", "o_orderdate", DayTransform)
+    t.updateSpec().addField("okey_b", "o_orderkey", BucketTransform(4)).commit()
+    assertThrows[graft.ice.meta.RequirementFailedException](stale.commit())
+  }
+
   test("incremental append scan returns exactly the rows added in range") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -254,9 +254,10 @@ final class ScanBuilder(table: IceTable) {
   /** Opt-in metadata columns (P6; reserved ids metadata_columns.h:38-115):
     * `_file` (path), `_pos` (row index in file), `_spec_id`,
     * `_partition` (tuple as `a/b` string), `_row_id` (v3 row lineage:
-    * file first_row_id + position; null for pre-lineage files). */
+    * file first_row_id + position; null for pre-lineage files),
+    * `_deleted` (merge-on-read deletes mark rows instead of filtering). */
   def withMetadataColumns(cols: String*): ScanBuilder = {
-    val known = Set("_file", "_pos", "_spec_id", "_partition", "_row_id")
+    val known = Set("_file", "_pos", "_spec_id", "_partition", "_row_id", "_deleted")
     val bad = cols.filterNot(known)
     require(bad.isEmpty, s"unknown metadata columns: ${bad.mkString(",")}")
     metaCols = cols.toSeq
@@ -400,9 +401,14 @@ final class ScanBuilder(table: IceTable) {
     val deleteEntries =
       if (incremental.isDefined) Nil // append-only semantics
       else resolveSnapshot().map(table.planDeleteEntries).getOrElse(Nil)
+    // `_deleted` switches MoR from filtering to MARKING: every row stays,
+    // with a flag saying whether a delete applies (metadata_columns.h)
+    val wantDeleted = metaCols.contains("_deleted")
     var df =
-      if (deleteEntries.isEmpty) readPaths(tasks, withPosCols = wantFilePos)
-      else {
+      if (deleteEntries.isEmpty) {
+        val base = readPaths(tasks, withPosCols = wantFilePos)
+        if (wantDeleted) base.withColumn("_deleted", lit(false)) else base
+      } else {
         val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)
         val eqDeletes = deleteEntries.filter(_.dataFile.content == FileContent.EqualityDeletes)
         // group data files by the exact set of applicable delete files
@@ -413,24 +419,46 @@ final class ScanBuilder(table: IceTable) {
         groups.map { case ((posPaths, eqPaths), groupTasks) =>
           val needPos = posPaths.nonEmpty
           var g = readPaths(groupTasks, withPosCols = needPos || wantFilePos)
+          var markers = Seq.empty[String]
           if (needPos) {
             val dels = spark.read
               .parquet(posPaths.map(ManifestAvro.stripFileScheme): _*)
               .select(
                 regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
                 col("pos").as("__dpos"))
-            g = g.join(dels,
-              g("__file") === dels("__dfile") && g("__pos") === dels("__dpos"),
-              "left_anti")
+            val cond = g("__file") === dels("__dfile") && g("__pos") === dels("__dpos")
+            g =
+              if (!wantDeleted) g.join(dels, cond, "left_anti")
+              else {
+                markers :+= "__pd"
+                g.join(dels.withColumn("__pd", lit(1)), cond, "left")
+                  .drop("__dfile", "__dpos")
+              }
           }
-          for (eqPath <- eqPaths) {
+          for ((eqPath, i) <- eqPaths.zipWithIndex) {
             val eqEntry = eqDeletes.find(_.dataFile.filePath == eqPath).get
             val eqCols = eqEntry.dataFile.equalityIds.flatMap(id =>
               table.schema.findFieldById(id).map(_.name))
             val dels = spark.read.parquet(ManifestAvro.stripFileScheme(eqPath))
               .select(eqCols.map(col): _*)
-            g = g.join(dels, eqCols.map(c => g(c) <=> dels(c)).reduce(_ && _), "left_anti")
+            if (!wantDeleted)
+              g = g.join(dels, eqCols.map(c => g(c) <=> dels(c)).reduce(_ && _), "left_anti")
+            else {
+              // distinct: a duplicated key must mark, not multiply, rows
+              val marked = dels.distinct()
+                .select(eqCols.map(c => col(c).as(s"__eq${i}_$c")) :+
+                  lit(1).as(s"__ed$i"): _*)
+              markers :+= s"__ed$i"
+              g = g.join(marked,
+                eqCols.map(c => g(c) <=> marked(s"__eq${i}_$c")).reduce(_ && _), "left")
+                .drop(eqCols.map(c => s"__eq${i}_$c"): _*)
+            }
           }
+          if (wantDeleted)
+            g = g.withColumn("_deleted",
+              if (markers.isEmpty) lit(false)
+              else markers.map(m => col(m).isNotNull).reduce(_ || _))
+              .drop(markers: _*)
           if (needPos && !wantFilePos) g = g.drop("__file", "__pos")
           g
         }.reduce(_ unionByName _)

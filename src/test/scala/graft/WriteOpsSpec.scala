@@ -363,6 +363,29 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!finalT.schema.fields.exists(_.name == "a"))
   }
 
+  test("_deleted metadata column marks rows instead of filtering them") {
+    val (t, raw) = freshTable("marked")
+    t.delete(spark).deleteWherePositional(E.equal("o_orderstatus", Literal.string("F")))
+    val keys = raw.filter("o_custkey % 97 = 0").select("o_custkey").distinct()
+    t.delete(spark).deleteByEquality(keys)
+    val visible = t.newScan().toDF(spark)
+    val marked = t.newScan().withMetadataColumns("_deleted").toDF(spark)
+    // marking keeps EVERY physical row
+    assert(marked.count() == raw.count())
+    // non-deleted rows equal the filtered scan
+    assert(marked.filter(!col("_deleted")).count() == visible.count())
+    // every 'F' row is marked; so is every eq-deleted key's row
+    assert(marked.filter(col("o_orderstatus") === "F" && !col("_deleted")).count() == 0)
+    val keyVals = keys.collect().map(_.getLong(0)).toSeq
+    if (keyVals.nonEmpty)
+      assert(marked.filter(col("o_custkey").isin(keyVals: _*) && !col("_deleted")).count() == 0)
+    // no-delete tables mark everything false
+    val (t2, raw2) = freshTable("marked_clean", "nation")
+    val m2 = t2.newScan().withMetadataColumns("_deleted").toDF(spark)
+    assert(m2.filter(col("_deleted")).count() == 0)
+    assert(m2.count() == raw2.count())
+  }
+
   test("partition spec evolution: old files keep their spec, both prune") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/orders.parquet")

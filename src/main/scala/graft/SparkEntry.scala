@@ -172,6 +172,32 @@ object SparkEntry {
         building.except(big)).distinct()
     }),
 
+    "q_cube" -> ((s, dir) =>
+      Tables.scan(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))),
+
+    // pivot: wide counts per status; coalesce because Spark pivots missing
+    // combinations to null while FILTERed counts give 0
+    "q_pivot" -> ((s, dir) =>
+      Tables.scan(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
+    // exact percentiles (Spark `percentile` = type-7 interpolation =
+    // DuckDB quantile_cont)
+    "q_percentile" -> ((s, dir) =>
+      Tables.scan(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))),
+
     "q_semi_anti" -> ((s, dir) => {
       val c = Tables.scan(s, dir, "customer")
       val o = Tables.scan(s, dir, "orders")
@@ -518,6 +544,22 @@ object SparkEntry {
           col("event_type"), col("n"),
           round(col("total_value"), 2).as("total_value"))),
 
+    // streaming exact dedup: the ingest gate — count surviving keys (which
+    // physical row survives per key is arrival-order-dependent; the KEY
+    // SET is deterministic)
+    "st_dedup_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = graft.streaming.StreamOps.streamingDedup(
+        stream, Seq("user_id", "event_type"))
+      graft.streaming.StreamOps.runToMemory(s, deduped,
+        s"st_dedup_${System.nanoTime()}")
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
     // declarative session_window over a STREAM: new session when
     // ts >= prev + gap; per-row cents keep the sum engine-stable
     "st_session_stream" -> ((s, dir) => {
@@ -602,6 +644,22 @@ object SparkEntry {
         | inter AS (SELECT k FROM big INTERSECT SELECT k FROM building),
         | exc AS (SELECT k FROM building EXCEPT SELECT k FROM big)
         |SELECT DISTINCT k FROM (SELECT k FROM inter UNION ALL SELECT k FROM exc)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_semi_anti" ->
       """SELECT count(*) AS n, 'with_orders' AS kind FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -785,6 +843,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st_dedup_stream" ->
+      "SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_keys FROM events",
     // session_window semantics: a new session starts when ts >= prev + gap
     // (strict > in ev_sessionize vs >= here — sub-second timestamps make
     // exact-1800s gaps a measure-zero case, and the tie-break fixes order)

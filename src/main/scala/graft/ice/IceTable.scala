@@ -128,6 +128,7 @@ final class IceTable private (
   def compact(spark: SparkSession): graft.ice.write.Compaction = new graft.ice.write.Compaction(this, spark)
   def overwrite(spark: SparkSession): graft.ice.write.Overwrite = new graft.ice.write.Overwrite(this, spark)
   def manageSnapshots(): graft.ice.write.ManageSnapshots = new graft.ice.write.ManageSnapshots(this)
+  def maintenance(): graft.ice.write.TableMaintenance = new graft.ice.write.TableMaintenance(this)
 
   def metadataFileDir: String = s"${meta.location}/metadata"
   def dataFileDir: String = s"${meta.location}/data"

@@ -513,6 +513,93 @@ final class Compaction(table: IceTable, spark: SparkSession) {
   }
 }
 
+/** Manifest + file maintenance beyond data compaction. */
+final class TableMaintenance(table: IceTable) {
+
+  /** Explicitly merge ALL data manifests into one per partition spec
+    * (Iceberg's rewrite_manifests): bounds planning cost when many small
+    * commits accumulated below the auto-merge threshold. */
+  def rewriteManifests(): Unit = {
+    table.commit { base =>
+      base.currentSnapshot match {
+        case None => base
+        case Some(snap) =>
+          val fv = base.formatVersion
+          val all = ManifestAvro.readManifestList(snap.manifestList)
+          val (dataMs, deleteMs) = all.partition(_.content == ManifestContent.Data)
+          if (dataMs.size < 2) base
+          else {
+            val uuid = UUID.randomUUID().toString
+            val merged = dataMs.groupBy(_.partitionSpecId).toSeq.sortBy(_._1)
+              .flatMap { case (sid, ms) =>
+                val mSpec = base.specById(sid).getOrElse(PartitionSpec.unpartitioned)
+                val mPartType = mSpec.partitionType(base.currentSchema)
+                val entries = ms.flatMap(m =>
+                  ManifestAvro.readManifest(m.manifestPath, mPartType, Some(m))
+                    .filter(_.isLive))
+                  .map(e => if (e.status == ManifestStatus.Added)
+                    e.copy(status = ManifestStatus.Existing) else e)
+                if (entries.isEmpty) Nil
+                else Seq(ManifestAvro.writeManifest(
+                  s"${table.metadataFileDir}/$uuid-rm$sid.avro", entries,
+                  mPartType, sid, snap.snapshotId, snap.sequenceNumber,
+                  schemaJson = MetaJson.schemaToJson(base.currentSchema).toString,
+                  specFieldsJson = MetaJson.specToJson(mSpec).get("fields").toString,
+                  formatVersion = fv)
+                  .copy(minSequenceNumber = ms.map(_.minSequenceNumber).min))
+              }
+            val listPath = s"${table.metadataFileDir}/snap-${snap.snapshotId}-rm-$uuid.avro"
+            ManifestAvro.writeManifestList(listPath, merged ++ deleteMs,
+              snap.snapshotId, snap.parentSnapshotId, snap.sequenceNumber,
+              formatVersion = fv)
+            // same snapshot id/content, new (smaller) manifest list
+            val updated = snap.copy(manifestList = listPath)
+            base.copy(snapshots = base.snapshots.map(s =>
+              if (s.snapshotId == snap.snapshotId) updated else s))
+          }
+      }
+    }
+  }
+
+  /** Delete files under the table location that no snapshot references
+    * and that are older than `olderThanMs` (Iceberg remove_orphan_files;
+    * the age guard protects in-flight writes). Driver-side listing — at
+    * true scale the listing itself becomes a distributed job, but the
+    * reachability set is metadata-sized either way. */
+  def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis() - 3 * 24 * 3600 * 1000L): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val meta = table.metadata
+    val reachable = collection.mutable.Set[String]()
+    def norm(p: String): String = ManifestAvro.stripFileScheme(p)
+    meta.snapshots.foreach { s =>
+      reachable += norm(s.manifestList)
+      val manifests = ManifestAvro.readManifestList(s.manifestList)
+      manifests.foreach { m =>
+        reachable += norm(m.manifestPath)
+        val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+        val partType = mSpec.partitionType(meta.currentSchema)
+        // ALL entries, not just live: Existing/Deleted entries' files may
+        // be referenced by other snapshots' manifests
+        ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
+          .foreach(e => reachable += norm(e.dataFile.filePath))
+      }
+    }
+    val root = Paths.get(norm(meta.location))
+    if (!Files.exists(root)) return Nil
+    val deleted = Files.walk(root).iterator.asScala
+      .filter(Files.isRegularFile(_))
+      .filter { p =>
+        val sp = p.toString
+        !reachable.contains(sp) &&
+          !sp.contains("/metadata/v") && !sp.endsWith("version-hint.text") &&
+          Files.getLastModifiedTime(p).toMillis < olderThanMs
+      }
+      .map(_.toString).toVector
+    deleted.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deleted.sorted
+  }
+}
+
 /** Overwrite (reference TableUpdate overwrite semantics). */
 final class Overwrite(table: IceTable, spark: SparkSession) {
 

@@ -521,6 +521,41 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.newScan().toDF(spark).count() == 20)
   }
 
+  test("rewriteManifests merges to one data manifest; orphan removal is safe") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.maint"),
+      SparkConv.fromSpark(raw.schema),
+      properties = Map("commit.manifest-merge.enabled" -> "false"))
+    for (i <- 0 until 5) t.append(spark).appendDataFrame(raw.limit(2))
+    val before = graft.ice.manifest.ManifestAvro.readManifestList(
+      t.currentSnapshot.get.manifestList)
+    assert(before.size == 5)
+
+    t.maintenance().rewriteManifests()
+    val after = graft.ice.manifest.ManifestAvro.readManifestList(
+      t.currentSnapshot.get.manifestList)
+    assert(after.size == 1, s"expected one merged manifest, got ${after.size}")
+    assert(t.newScan().toDF(spark).count() == 10)
+    // reload sees the rewritten list too
+    assert(IceTable.load(cat, TableIdentifier.parse("db.maint"))
+      .newScan().toDF(spark).count() == 10)
+
+    // orphan removal: a stray file in the data dir goes, data files stay
+    val stray = java.nio.file.Paths.get(t.dataFileDir, "stray-leftover.parquet")
+    java.nio.file.Files.createDirectories(stray.getParent)
+    java.nio.file.Files.writeString(stray, "junk")
+    val removed = t.maintenance().removeOrphanFiles(
+      olderThanMs = System.currentTimeMillis() + 1000)
+    assert(removed.exists(_.endsWith("stray-leftover.parquet")))
+    assert(!java.nio.file.Files.exists(stray))
+    assert(t.newScan().toDF(spark).count() == 10, "live data untouched")
+    // files referenced only by OLDER snapshots also survive
+    assert(t.snapshots.size == 5)
+    val oldSnap = t.snapshots.minBy(_.sequenceNumber)
+    assert(t.newScan().useSnapshot(oldSnap.snapshotId).toDF(spark).count() == 2)
+  }
+
   test("branch + tag refs and expiry keep referenced snapshots") {
     val (t, raw) = freshTable("refs")
     val s1 = t.currentSnapshot.get

@@ -504,6 +504,22 @@ object SparkEntry {
           round(element_at(col("features"), 1), 4).as("f0"))
     }),
 
+    // resize stub: byte truncation standing in for pixel resampling
+    "mm3_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.asMedia(Tables.scan(s, dir, "documents"), "text"),
+        "doc_id", 64, 64)
+        .select("doc_id", "width", "height", "n_bytes_resized")),
+
+    // frame sampling: one row in, n frame rows out
+    "mm4_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(Tables.scan(s, dir, "documents"), "text"),
+        "doc_id", nFrames = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("frame_fingerprint")).as("n_distinct_fp"))),
+
     // ---------- §2.9-adjacent event processing ----------
 
     // total_value as per-row-rounded cents summed as longs: double-sum
@@ -553,8 +569,10 @@ object SparkEntry {
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // prune to the key + watermark columns before the stateful op: the
+      // dedup state and the sink only ever need these
       val deduped = graft.streaming.StreamOps.streamingDedup(
-        stream, Seq("user_id", "event_type"))
+        stream.select("ts", "user_id", "event_type"), Seq("user_id", "event_type"))
       graft.streaming.StreamOps.runToMemory(s, deduped,
         s"st_dedup_${System.nanoTime()}")
         .agg(count(lit(1)).as("n_keys"))
@@ -786,6 +804,12 @@ object SparkEntry {
         |FROM m""".stripMargin,
     "mm1_media_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents",
+    "mm3_resize" ->
+      """SELECT doc_id, 64 AS width, 64 AS height,
+        |  CAST(least(octet_length(CAST(text AS BLOB)), 4096) AS BIGINT) AS n_bytes_resized
+        |FROM documents""".stripMargin,
+    "mm4_frames" ->
+      "SELECT doc_id, CAST(4 AS BIGINT) AS n_frames, CAST(4 AS BIGINT) AS n_distinct_fp FROM documents",
     "e1_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
         |SELECT query_id, vec_id AS neighbor_id,

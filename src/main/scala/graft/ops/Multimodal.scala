@@ -79,6 +79,15 @@ object Multimodal {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Resize stub: deterministic byte-truncation standing in for a pixel
+    * resample — the real shape is payload -> payload with new dims. Pure
+    * column expressions, map-only. */
+  def resize(df: DataFrame, idCol: String, targetW: Int, targetH: Int): DataFrame =
+    df.select(col(idCol),
+      lit(targetW).as("width"), lit(targetH).as("height"),
+      substring(col("payload"), 1, targetW * targetH).as("payload_resized"))
+      .withColumn("n_bytes_resized", length(col("payload_resized")).cast("long"))
+
   /** Frame-sampling stub for video-like payloads: fixed-stride byte
     * windows standing in for decoded frames (same batch shape as real
     * frame extraction: one row in, n frame rows out). */

@@ -54,7 +54,9 @@ final class IceTable private (
       _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
       .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == fromSnapshotId))
       .flatten.toSeq
-    chain.filter(_.operation.contains(DataOperation.Append)).flatMap { s =>
+    // independent manifest reads — parallel on the driver, like planEntries
+    import scala.collection.parallel.CollectionConverters._
+    chain.filter(_.operation.contains(DataOperation.Append)).par.flatMap { s =>
       ManifestAvro.readManifestList(s.manifestList)
         .filter(m => m.content == ManifestContent.Data &&
           m.addedSnapshotId == s.snapshotId)
@@ -65,7 +67,7 @@ final class IceTable private (
             .filter(e => e.status == ManifestStatus.Added &&
               e.snapshotId.contains(s.snapshotId))
         }
-    }
+    }.seq
   }
 
   /** UpgradeFormatVersion (table_update.h:41-360): one-way bump; later

@@ -87,6 +87,46 @@ class PruningPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prunedAtLeastOnce, "no predicate ever pruned — evaluators inert?")
   }
 
+  test("pruned scans lose no rows across an evolved partition spec") {
+    // same property over a table whose files span TWO specs (year -> month
+    // -> plus a sorted-write unpartitioned tail): per-manifest spec
+    // resolution must stay sound for every predicate
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whp2").toString)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val od = schema.findFieldByName("o_orderdate").get.id
+    val t = IceTable.create(cat, TableIdentifier.parse("db.prop2"), schema,
+      PartitionSpec(0, IndexedSeq(PartitionField(od, 1000, "oy", YearTransform))))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 0"))
+    t.updateSpec().addField("om", "o_orderdate", MonthTransform).commit()
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 1"))
+    t.updateSpec().commit() // unpartitioned tail
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 2"))
+
+    val rnd = new scala.util.Random(11)
+    val totalFiles = t.newScan().planFiles().size
+    var prunedAtLeastOnce = false
+    val dates = Seq("1997-06-01", "1999-01-01", "2001-07-04", "2003-01-01")
+    for (_ <- 1 to 30) {
+      val d = dates(rnd.nextInt(dates.size))
+      val k = 1 + rnd.nextInt(1500)
+      val (expr, sql) = rnd.nextInt(3) match {
+        case 0 => (E.gtEq("o_orderdate", Literal.string(d)),
+          s"o_orderdate >= timestamp_ntz'$d 00:00:00'")
+        case 1 => (E.lt("o_orderdate", Literal.string(d)),
+          s"o_orderdate < timestamp_ntz'$d 00:00:00'")
+        case 2 => (E.lt("o_orderkey", Literal.long(k))
+          .and(E.gtEq("o_orderdate", Literal.string(d))),
+          s"o_orderkey < $k AND o_orderdate >= timestamp_ntz'$d 00:00:00'")
+      }
+      val scan = t.newScan().filter(expr)
+      if (scan.planFiles().size < totalFiles) prunedAtLeastOnce = true
+      assert(scan.toDF(spark).count() == raw.filter(sql).count(),
+        s"predicate [$sql] lost rows across evolved specs")
+    }
+    assert(prunedAtLeastOnce)
+  }
+
   test("literal serde round-trips for random values (property)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {

@@ -321,6 +321,11 @@ object SparkEntry {
       MetadataTables.partitions(s, Tables.ice(s, dir, "orders"))
         .select(col("partition"), col("record_count"))),
 
+    "m_refs" -> ((s, dir) => {
+      val t = TimeTravelFixture.table(s, dir)
+      MetadataTables.refs(s, t).select("name", "type")
+    }),
+
     // snapshot expiry: 3 appends -> expire -> exactly 1 snapshot remains,
     // all rows still visible
     "m_expire" -> ((s, dir) => {
@@ -737,6 +742,8 @@ object SparkEntry {
         |FROM orders GROUP BY 1""".stripMargin,
     "m_expire" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS n_snapshots FROM orders",
+    "m_refs" ->
+      "SELECT 'main' AS name, 'branch' AS type UNION ALL SELECT 'v1', 'tag'",
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
     "p6_metadata_cols" ->

@@ -70,6 +70,98 @@ final class IceTable private (
     }.seq
   }
 
+  /** CDC changes scan over (fromSnapshotId, toSnapshotId]: one row per
+    * changed row with a `_change_type` column ("insert" | "delete").
+    * Inserts come from append snapshots' added files; deletes from
+    * merge-on-read delete snapshots — position deletes resolve their
+    * (file, pos) tuples back to rows, equality deletes join their keys
+    * against the pre-delete table state. Copy-on-write deletes,
+    * overwrites, and replaces are rejected: their row-level diff would
+    * require comparing rewritten file contents. */
+  def planChanges(spark: SparkSession, fromSnapshotId: Long,
+      toSnapshotId: Long): DataFrame = {
+    val chain = Iterator.iterate(meta.snapshotById(toSnapshotId))(
+      _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+      .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == fromSnapshotId))
+      .flatten.toSeq.reverse // oldest first
+    val unsupported = chain.filterNot(s =>
+      s.operation.forall(op => op == DataOperation.Append || op == DataOperation.Delete))
+    require(unsupported.isEmpty,
+      s"changes scan cannot diff snapshots with operations " +
+        s"${unsupported.flatMap(_.operation).distinct.mkString(",")}")
+    val sparkSchema = SparkConv.toSpark(schema)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      sparkSchema.add("_change_type", org.apache.spark.sql.types.StringType))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    val parts: Seq[DataFrame] = chain.flatMap { s =>
+      s.operation match {
+        case Some(DataOperation.Append) =>
+          val entries = planAppendsBetween(
+            s.parentSnapshotId.getOrElse(-1L), s.snapshotId)
+          if (entries.isEmpty) None
+          else Some(spark.read.schema(sparkSchema)
+            .parquet(entries.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
+            .withColumn("_change_type", lit("insert")))
+        case Some(DataOperation.Delete) =>
+          // delete files ADDED by this snapshot
+          val added = ManifestAvro.readManifestList(s.manifestList)
+            .filter(m => m.content == ManifestContent.Deletes &&
+              m.addedSnapshotId == s.snapshotId)
+            .flatMap { m =>
+              val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+              ManifestAvro.readManifest(m.manifestPath,
+                mSpec.partitionType(schema), Some(m))
+                .filter(e => e.status == ManifestStatus.Added)
+            }
+          val pos = added.filter(_.dataFile.content == FileContent.PositionDeletes)
+          val eq = added.filter(_.dataFile.content == FileContent.EqualityDeletes)
+          val posRows =
+            if (pos.isEmpty) None
+            else {
+              val dels = spark.read
+                .parquet(pos.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
+                .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
+                  col("pos").as("__dpos"))
+              // read only the referenced data files, join on (file, pos)
+              val files = dels.select("__dfile").distinct()
+                .collect().map(_.getString(0)).toSeq
+              val data = spark.read.schema(sparkSchema).parquet(files: _*)
+                .withColumn("__file",
+                  regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+                .withColumn("__pos", col("_metadata.row_index"))
+              Some(data.join(dels,
+                data("__file") === dels("__dfile") && data("__pos") === dels("__dpos"))
+                .drop("__file", "__pos", "__dfile", "__dpos")
+                .withColumn("_change_type", lit("delete")))
+            }
+          val eqRows = eq.map { e =>
+            val eqCols = e.dataFile.equalityIds.flatMap(id =>
+              schema.findFieldById(id).map(_.name))
+            val keys = spark.read
+              .parquet(ManifestAvro.stripFileScheme(e.dataFile.filePath))
+              .select(eqCols.map(c => col(c).as(s"__k_$c")): _*).distinct()
+            // rows as of the PARENT snapshot that match the deleted keys
+            val before = newScan()
+              .useSnapshot(s.parentSnapshotId.getOrElse(
+                throw new IllegalStateException("delete snapshot without parent")))
+              .toDF(spark)
+            before.join(keys,
+              eqCols.map(c => before(c) <=> keys(s"__k_$c")).reduce(_ && _), "left_semi")
+              .withColumn("_change_type", lit("delete"))
+          }
+          Seq(posRows, Some(eqRows.reduceOption(_ unionByName _)).flatten).flatten match {
+            case Nil => None
+            case one :: Nil => Some(one)
+            case many => Some(many.reduce(_ unionByName _))
+          }
+        case _ => None
+      }
+    }
+    parts.reduceOption(_ unionByName _).getOrElse(empty)
+  }
+
   /** UpgradeFormatVersion (table_update.h:41-360): one-way bump; later
     * commits write the new manifest/metadata versions. */
   def upgradeFormatVersion(v: Int): IceTable = {

@@ -422,6 +422,37 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[graft.ice.meta.RequirementFailedException](stale.commit())
   }
 
+  test("changes scan emits inserts and deletes between snapshots") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.cdc"),
+      SparkConv.fromSpark(raw.schema))
+    val s1 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+    t.delete(spark).deleteWherePositional(
+      E.lt("o_orderkey", Literal.long(100)))
+    val s3 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+    val keys = raw.filter("o_custkey % 101 = 0").select("o_custkey").distinct()
+    t.delete(spark).deleteByEquality(keys)
+    val s4 = t.currentSnapshot.get
+
+    val changes = t.planChanges(spark, s1.snapshotId, s4.snapshotId)
+    assert(changes.columns.contains("_change_type"))
+    val inserts = changes.filter("_change_type = 'insert'")
+    val deletes = changes.filter("_change_type = 'delete'")
+    assert(inserts.count() == raw.filter("o_orderkey % 2 = 1").count())
+    // position deletes: even keys < 100; equality deletes: rows visible at
+    // s3 whose custkey matches (deletes can overlap the pos-deleted rows)
+    val posDeleted = raw.filter("o_orderkey % 2 = 0 and o_orderkey < 100").count()
+    val keyVals = keys.collect().map(_.getLong(0)).toSeq
+    val eqDeleted = t.newScan().useSnapshot(s3.snapshotId).toDF(spark)
+      .filter(col("o_custkey").isin(keyVals: _*)).count()
+    assert(deletes.count() == posDeleted + eqDeleted)
+    // CoW-style operations refuse a row diff
+    t.compact(spark).rewriteDataFiles()
+    assertThrows[IllegalArgumentException](
+      t.planChanges(spark, s1.snapshotId, t.currentSnapshot.get.snapshotId))
+  }
+
   test("incremental append scan returns exactly the rows added in range") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -409,6 +409,14 @@ object SparkEntry {
     "maint_compaction" -> ((s, dir) => CompactionFixture.table(s, dir).newScan().toDF(s)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")),
 
+    // CDC: the rows the MoR position-delete snapshot deleted
+    "cdc_changes" -> ((s, dir) => {
+      val t = DeleteFixture.morPos(s, dir)
+      val snaps = t.snapshots.sortBy(_.sequenceNumber)
+      t.planChanges(s, snaps.head.snapshotId, snaps.last.snapshotId)
+        .select("o_orderkey", "o_orderstatus", "_change_type")
+    }),
+
     // ---------- §2.11 dedup ----------
 
     "d1_dedup_exact" -> ((s, dir) =>
@@ -744,6 +752,9 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS n_snapshots FROM orders",
     "m_refs" ->
       "SELECT 'main' AS name, 'branch' AS type UNION ALL SELECT 'v1', 'tag'",
+    "cdc_changes" ->
+      """SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
     "p6_metadata_cols" ->

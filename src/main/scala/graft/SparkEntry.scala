@@ -591,6 +591,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_keys"))
     }),
 
+    // custom per-key state (mapGroupsWithState): the handler's FINAL
+    // running session per user — ms-precision timestamps (Timestamp
+    // .getTime), sessions split on gap > 30min
+    "st_mgws_sessions" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.StreamOps.Event]
+      val updates = graft.streaming.StreamOps.sessionizeWithState(stream, 30)
+      val mem = graft.streaming.StreamOps.runToMemory(s, updates.toDF(),
+        s"st_mgws_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      // multiple micro-batches can emit several updates per user: keep the
+      // final state (latest session start, most events)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("session_start").desc, col("n_events").desc)
+      mem.filter(!col("closed"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+    }),
+
     // declarative session_window over a STREAM: new session when
     // ts >= prev + gap; per-row cents keep the sum engine-stable
     "st_session_stream" -> ((s, dir) => {
@@ -887,6 +914,21 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st_dedup_stream" ->
       "SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_keys FROM events",
+    // the handler works on Timestamp.getTime -> millisecond precision
+    "st_mgws_sessions" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS ts FROM events),
+        | s AS (SELECT user_id, event_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |        OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000 THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | t AS (SELECT user_id, ts,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |   FROM s),
+        | sess AS (SELECT user_id, session_seq, min(ts) AS session_start,
+        |   CAST(count(*) AS BIGINT) AS n_events FROM t GROUP BY 1, 2)
+        |SELECT user_id, session_start, n_events FROM sess
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY session_seq DESC) = 1""".stripMargin,
     // session_window semantics: a new session starts when ts >= prev + gap
     // (strict > in ev_sessionize vs >= here — sub-second timestamps make
     // exact-1800s gaps a measure-zero case, and the tie-break fixes order)

@@ -190,7 +190,9 @@ object SparkEntry {
           coalesce(col("P"), lit(0L)).as("n_p"))),
 
     // exact percentiles (Spark `percentile` = type-7 interpolation =
-    // DuckDB quantile_cont)
+    // DuckDB quantile_cont). Exact percentile buffers each group's values
+    // — correct here and oracle-matchable; at 100 TB swap for
+    // approx_percentile (t-digest, bounded memory, same call shape).
     "q_percentile" -> ((s, dir) =>
       Tables.scan(s, dir, "lineitem")
         .groupBy("l_returnflag")

@@ -873,7 +873,7 @@ object SparkEntry {
         | t AS (SELECT user_id, ts, value,
         |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
         |   FROM s)
-        |SELECT user_id, session_seq, count(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
         |  date_diff('second', min(ts), max(ts)) AS duration_s,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
         |FROM t GROUP BY user_id, session_seq""".stripMargin,

@@ -24,6 +24,12 @@ object Bench {
       // ContextCleaner never reclaims accumulated broadcast/shuffle state
       // and per-query overhead grows without bound. Clean aggressively.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // streaming state-store maintenance runs on a JVM-global pool that
+      // outlives its queries; if the timer fires during spark.stop() it
+      // throws RpcEnvStoppedException stacks that interleave with (and
+      // corrupt) the final JSON metrics line. The bench finishes in well
+      // under this interval, so maintenance simply never fires.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "6h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -64,7 +70,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // shut Spark down COMPLETELY before printing the metrics line: any
+    // late background thread (state-store maintenance, executor shutdown)
+    // logging mid-line would corrupt the one line the driver parses
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    spark.sparkContext.setLogLevel("OFF")
+    try spark.stop() catch { case _: Throwable => () }
+    System.err.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }

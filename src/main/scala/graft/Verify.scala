@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // see Bench.scala: keep the JVM-global state-store maintenance
+      // timer from firing during shutdown
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "6h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -44,6 +47,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
   }
 }

@@ -75,7 +75,12 @@ object Bench {
     // logging mid-line would corrupt the one line the driver parses
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
     spark.sparkContext.setLogLevel("OFF")
-    try spark.stop() catch { case _: Throwable => () }
+    try spark.stop() catch { case e: Throwable =>
+      // swallowed so a noisy teardown can't corrupt the metrics line, but
+      // logged: a genuinely broken shutdown must stay visible in stderr
+      System.err.println(s"[bench] spark.stop() failed: " +
+        s"${e.getClass.getName}: ${e.getMessage}")
+    }
     System.err.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()

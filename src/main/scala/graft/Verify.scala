@@ -10,6 +10,14 @@ object Verify {
     // the driver always passes exactly two args)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: filter names not in " +
+          s"SparkEntry.queries (will run nothing for them): ${unknown.toSeq.sorted.mkString(",")}")
+      System.err.println(s"[verify] WARNING: filtered run — $outDir is " +
+        "PARTIAL/STALE for unfiltered queries; do not use it for a full driver compare")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

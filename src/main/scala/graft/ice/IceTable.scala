@@ -124,6 +124,9 @@ final class IceTable private (
                 .parquet(pos.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
                 .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
                   col("pos").as("__dpos"))
+                // two delete files may cover the same (file, pos): dedupe so
+                // the join marks each row once, not once per covering file
+                .distinct()
               // read only the referenced data files, join on (file, pos)
               val files = dels.select("__dfile").distinct()
                 .collect().map(_.getString(0)).toSeq
@@ -391,9 +394,9 @@ final class ScanBuilder(table: IceTable) {
       val tasks0 = incremental match {
         case Some((from, to)) =>
           table.planAppendsBetween(from, to)
-            .map(e => FileScanTask(e.dataFile, 0, e.sequenceNumber.getOrElse(0L)))
+            .map(e => FileScanTask(e.dataFile, e.specId, e.sequenceNumber.getOrElse(0L)))
         case None => table.planEntries(snap, bound)
-          .map(e => FileScanTask(e.dataFile, 0, e.sequenceNumber.getOrElse(0L)))
+          .map(e => FileScanTask(e.dataFile, e.specId, e.sequenceNumber.getOrElse(0L)))
       }
       val tasks = restrictPaths match {
         case Some(ps) => tasks0.filter(t => ps.contains(t.file.filePath))
@@ -521,6 +524,9 @@ final class ScanBuilder(table: IceTable) {
               .select(
                 regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
                 col("pos").as("__dpos"))
+              // distinct: overlapping position-delete files must mark, not
+              // multiply, rows in `_deleted` marking mode (left join below)
+              .distinct()
             val cond = g("__file") === dels("__dfile") && g("__pos") === dels("__dpos")
             g =
               if (!wantDeleted) g.join(dels, cond, "left_anti")
@@ -778,10 +784,16 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       val minCountToMerge = base.property(TableProperties.ManifestMinCountToMerge)
       val targetSizeBytes = base.property(TableProperties.ManifestTargetSizeBytes)
       val list0 = mf +: previous
+      // merge candidates are PREVIOUS manifests only: the committing
+      // snapshot's own manifest must keep its Added status, or
+      // planAppendsBetween (status==Added && snapshotId==this snapshot)
+      // would silently see nothing for every commit past the merge
+      // threshold. Older snapshots read their own immutable manifest
+      // lists, so rewriting previous Added->Existing here is safe.
       val list =
         if (!mergeEnabled || list0.size < minCountToMerge) list0
         else {
-          val (dataMs, deleteMs) = list0.partition(_.content == ManifestContent.Data)
+          val (dataMs, deleteMs) = previous.partition(_.content == ManifestContent.Data)
           val (small, big) = dataMs.partition(_.manifestLength < targetSizeBytes)
           if (small.size < 2) list0
           else {
@@ -808,7 +820,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
                   }
                 }
               }
-            merged ++ big ++ deleteMs
+            mf +: (merged ++ big ++ deleteMs)
           }
         }
 

@@ -44,13 +44,17 @@ final case class DataFile(
     contentSizeInBytes: Option[Long] = None)
 
 /** ManifestEntry (manifest_entry.h:276-315). Nullable tracking fields
-  * inherit from the containing manifest (inheritable_metadata.h:40-109). */
+  * inherit from the containing manifest (inheritable_metadata.h:40-109);
+  * `specId` is the containing manifest's partition-spec id (not stored in
+  * the entry itself — inherited at read time, like the C++ reference's
+  * inheritable metadata). */
 final case class ManifestEntry(
     status: Int,
     snapshotId: Option[Long],
     sequenceNumber: Option[Long],
     fileSequenceNumber: Option[Long],
-    dataFile: DataFile) {
+    dataFile: DataFile,
+    specId: Int = 0) {
   def isLive: Boolean = status != ManifestStatus.Deleted
 }
 
@@ -108,6 +112,7 @@ object InheritableMetadata {
           Some(manifest.sequenceNumber)
         else e.fileSequenceNumber
       } else e.fileSequenceNumber
-    e.copy(snapshotId = snap, sequenceNumber = seq, fileSequenceNumber = fileSeq)
+    e.copy(snapshotId = snap, sequenceNumber = seq, fileSequenceNumber = fileSeq,
+      specId = manifest.partitionSpecId)
   }
 }

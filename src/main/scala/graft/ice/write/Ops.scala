@@ -136,7 +136,7 @@ private[ice] object SnapshotProducer {
     * manifest entries (shared by compaction/overwrite; same machinery as
     * AppendOp but without committing). */
   def writeDataFiles(table: IceTable, spark: SparkSession, df: DataFrame,
-      targetFileSizeBytes: Long = 0L): Seq[ManifestEntry] = {
+      targetFileSizeBytes: Long = 0L, inputBytes: Long = -1L): Seq[ManifestEntry] = {
     val schema = table.schema
     val spec = table.spec
     val commitUuid = UUID.randomUUID().toString
@@ -150,11 +150,16 @@ private[ice] object SnapshotProducer {
 
     val order = table.metadata.defaultSortOrder
     if (spec.isUnpartitioned) {
-      // pick file count from input size so output files land near target
+      // pick file count from input size so output files land near target;
+      // callers rewriting a SUBSET pass its byte size explicitly — sizing
+      // from the whole table would scatter a small rewrite over many
+      // near-empty files
       val n =
         if (targetFileSizeBytes > 0) {
-          val inputBytes = table.newScan().planFiles().map(_.file.fileSizeInBytes).sum
-          math.max(1, math.ceil(inputBytes.toDouble / targetFileSizeBytes).toInt)
+          val bytes =
+            if (inputBytes >= 0) inputBytes
+            else table.newScan().planFiles().map(_.file.fileSizeInBytes).sum
+          math.max(1, math.ceil(bytes.toDouble / targetFileSizeBytes).toInt)
         } else 0
       val shaped =
         if (order.fields.nonEmpty) {
@@ -503,7 +508,8 @@ final class Compaction(table: IceTable, spark: SparkSession) {
         spark.read.schema(SparkConv.toSpark(table.schema))
           .parquet(toRewrite.map(t => ManifestAvro.stripFileScheme(t.file.filePath)): _*)
       }
-    val added = SnapshotProducer.writeDataFiles(table, spark, restricted, targetSize)
+    val added = SnapshotProducer.writeDataFiles(table, spark, restricted, targetSize,
+      inputBytes = toRewrite.map(_.file.fileSizeInBytes).sum)
     // every file a delete applied to was rewritten, so all delete files
     // are folded in and their manifests can be dropped
     val removedDeletePaths = deleteEntries.map(_.dataFile.filePath).toSet
@@ -571,6 +577,10 @@ final class TableMaintenance(table: IceTable) {
     val meta = table.metadata
     val reachable = collection.mutable.Set[String]()
     def norm(p: String): String = ManifestAvro.stripFileScheme(p)
+    // Puffin statistics files (C11) are table-referenced, not
+    // snapshot-manifest-referenced — without these the sweep deletes them
+    meta.statistics.foreach(s => reachable += norm(s.path))
+    meta.partitionStatistics.foreach(s => reachable += norm(s.path))
     meta.snapshots.foreach { s =>
       reachable += norm(s.manifestList)
       val manifests = ManifestAvro.readManifestList(s.manifestList)

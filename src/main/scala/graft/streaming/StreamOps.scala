@@ -43,17 +43,24 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
-  /** Custom per-key state: sessionization via mapGroupsWithState with a
-    * processing-time timeout — the KeyValueGroupedDataset state API the
-    * north-star asks for. Emits the running session per user; a timeout
-    * closes it. */
-  def sessionizeWithState(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+  /** Custom per-key state: sessionization via mapGroupsWithState — the
+    * KeyValueGroupedDataset state API the north-star asks for. Emits the
+    * running session per user.
+    *
+    * Timeout mode matters for the trigger: under `Trigger.AvailableNow`
+    * a ProcessingTimeTimeout keeps the query scheduling batches until the
+    * wall-clock timeout fires, so a finite replay never terminates — use
+    * the default `NoTimeout` there (the final-state query doesn't need
+    * timeout-closed sessions). Pass `ProcessingTimeTimeout` for a real
+    * continuous stream where idle sessions must be emitted as closed. */
+  def sessionizeWithState(events: Dataset[Event], gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    val timed = timeout != GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -70,7 +77,7 @@ object StreamOps {
                 else s.copy(lastTs = e.ts.getTime, n = s.n + 1, total = s.total + e.value)
             }
             state.update(s)
-            state.setTimeoutDuration(gapMs)
+            if (timed) state.setTimeoutDuration(gapMs)
             SessionUpdate(userId, new java.sql.Timestamp(s.start), s.n, s.total, closed = false)
           }
       }

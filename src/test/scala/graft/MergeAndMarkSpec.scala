@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice._
+import graft.ice.catalog._
+import graft.ice.expr.{Expr => E}
+import graft.ice.manifest._
+import graft.ice.meta._
+import graft.ice.transform._
+import graft.ice.types._
+
+/** Round-4 regression coverage for the latent bugs the round-3 audit
+  * flagged: manifest-merge vs incremental scans, `_spec_id` threading,
+  * duplicate `_deleted` marking, compaction output sizing, and orphan
+  * sweeps vs statistics files. */
+class MergeAndMarkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("manifest merge keeps the committing snapshot's entries Added (incremental scan survives)") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    // low threshold so the merge path triggers within a handful of commits
+    // (same code path as the default 100 — just reachable in test time)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.merge_inc"), schema,
+      properties = Map("commit.manifest.min-count-to-merge" -> "4"))
+    val slices = (0 until 10).map(i => raw.filter(col("o_orderkey") % 10 === i))
+    val snaps = slices.map(s => t.append(spark).appendDataFrame(s))
+
+    // the merge actually fired: final manifest list is smaller than the
+    // number of commits
+    val manifests = ManifestAvro.readManifestList(t.currentSnapshot.get.manifestList)
+    assert(manifests.size < snaps.size, s"merge never fired: ${manifests.size}")
+
+    // every post-merge incremental window still sees exactly its append
+    for (i <- 1 until snaps.size) {
+      val entries = t.planAppendsBetween(snaps(i - 1).snapshotId, snaps(i).snapshotId)
+      val got = entries.map(_.dataFile.recordCount).sum
+      val want = slices(i).count()
+      assert(got == want, s"appendsBetween(${i - 1}, $i): $got != $want")
+    }
+    // and a full scan still sees every row exactly once
+    assert(t.newScan().toDF(spark).count() == raw.count())
+  }
+
+  test("_spec_id metadata column reflects each file's actual partition spec") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.specid"), schema)
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+    t.updateSpec().addField("order_year", "o_orderdate", YearTransform).commit()
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+
+    val df = t.newScan().withMetadataColumns("_spec_id").toDF(spark)
+    val bySpec = df.groupBy("_spec_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySpec.keySet == Set(0, 1), s"spec ids seen: ${bySpec.keySet}")
+    assert(bySpec(0) == raw.filter("o_orderkey % 2 = 0").count())
+    assert(bySpec(1) == raw.filter("o_orderkey % 2 = 1").count())
+  }
+
+  test("overlapping position deletes mark rows once, not once per delete file") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.overlap"), schema)
+    t.append(spark).appendDataFrame(raw)
+    // both predicates cover o_orderkey < 1000: those (file,pos) tuples
+    // appear in BOTH delete files
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(1000)))
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(2000)))
+
+    val marked = t.newScan().withMetadataColumns("_deleted").toDF(spark)
+    assert(marked.count() == raw.count(),
+      "marking mode must keep exactly one copy of every row")
+    assert(marked.filter(col("_deleted")).count() ==
+      raw.filter("o_orderkey < 2000").count())
+    // filtering mode agrees
+    assert(t.newScan().toDF(spark).count() ==
+      raw.filter("o_orderkey >= 2000").count())
+  }
+
+  test("delete-scoped compaction sizes output from the rewritten subset, not the table") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.sizing"), schema)
+    // two files with disjoint key ranges; the delete touches only the first
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey < 7500").coalesce(1))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey >= 7500").coalesce(1))
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(100)))
+    val expected = t.newScan().toDF(spark).count()
+    val files = t.newScan().planFiles()
+    assert(files.size == 2)
+    // target = the larger file's size: sizing from the SUBSET (one file)
+    // yields exactly 1 replacement file; sizing from the whole table
+    // (both files) would yield 2
+    val touched = files.map(_.file.fileSizeInBytes).max
+    t.compact(spark).rewriteDataFiles(
+      targetFileSizeBytes = touched, smallFileThreshold = 1)
+    val after = t.newScan().planFiles()
+    assert(t.newScan().toDF(spark).count() == expected)
+    assert(after.size == 2,
+      s"subset rewrite should produce exactly 1 replacement file (2 total), got ${after.size}")
+  }
+
+  test("removeOrphanFiles keeps statistics and partition-statistics files") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.orphstats"), schema)
+    val snap = t.append(spark).appendDataFrame(raw)
+    // register a Puffin statistics file + partition stats file in metadata
+    val statsPath = s"${t.metadataFileDir}/stats-${snap.snapshotId}.puffin"
+    val pstatsPath = s"${t.metadataFileDir}/pstats-${snap.snapshotId}.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(statsPath), "PFA1".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(pstatsPath), "x".getBytes)
+    t.commit { base =>
+      base.copy(
+        statistics = Seq(StatisticsFile(snap.snapshotId, statsPath, 4L, 4L, Nil)),
+        partitionStatistics = Seq(PartitionStatisticsFile(snap.snapshotId, pstatsPath, 1L)))
+    }
+    // a genuine orphan, to prove the sweep still works
+    val orphan = s"${t.dataFileDir}/orphan.parquet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t.dataFileDir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(orphan), "junk".getBytes)
+
+    val deleted = t.maintenance().removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(deleted.contains(orphan), s"orphan not swept: $deleted")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)),
+      "statistics file was deleted by the orphan sweep")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(pstatsPath)),
+      "partition statistics file was deleted by the orphan sweep")
+  }
+}

@@ -13,25 +13,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
-      // long-running driver with a big heap: GC almost never fires, so the
-      // ContextCleaner never reclaims accumulated broadcast/shuffle state
-      // and per-query overhead grows without bound. Clean aggressively.
-      .config("spark.cleaner.periodicGC.interval", "1min")
-      // streaming state-store maintenance runs on a JVM-global pool that
-      // outlives its queries; if the timer fires during spark.stop() it
-      // throws RpcEnvStoppedException stacks that interleave with (and
-      // corrupt) the final JSON metrics line. The bench finishes in well
-      // under this interval, so maintenance simply never fires.
-      .config("spark.sql.streaming.stateStore.maintenanceInterval", "6h")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+        // long-running driver with a big heap: GC almost never fires, so the
+        // ContextCleaner never reclaims accumulated broadcast/shuffle state
+        // and per-query overhead grows without bound. Clean aggressively.
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        // streaming state-store maintenance runs on a JVM-global pool that
+        // outlives its queries; if the timer fires during spark.stop() it
+        // throws RpcEnvStoppedException stacks that interleave with (and
+        // corrupt) the final JSON metrics line. The bench finishes in well
+        // under this interval, so maintenance simply never fires.
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "6h")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     def force(name: String): Either[String, Unit] =
       try {
@@ -43,10 +47,28 @@ object Bench {
         Right(())
       } catch { case e: Throwable => Left(e.getMessage) }
 
-    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names0 = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want.diff(SparkEntry.queries.keySet)
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] WARNING: unknown query names ignored: " +
+            unknown.toSeq.sorted.mkString(","))
+        SparkEntry.queries.keys.toSeq.filter(want).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val names = if (sys.env.contains("SPARK_GRAFT_REVERSE")) names0.reverse else names0
     // warm-up (builds Iceberg tables + fixtures; untimed)
     names.foreach(force)
+
+    // Per-query session isolation (default ON, SPARK_GRAFT_SHARED=1 for the
+    // legacy shared-session mode): a 70+-query session accumulates driver
+    // state — listener-bus backlog, broadcast pieces, streaming memory
+    // sinks — that inflated every query ~2-3x by the end of a run. A fresh
+    // session per timed query (rebuilt OUTSIDE the timer; fixtures are
+    // on-disk and survive) measures each query the way a real cluster job
+    // runs it: warm JVM, clean driver.
+    val isolate = !sys.env.contains("SPARK_GRAFT_SHARED")
 
     // optional degradation probe: a fixed micro-job timed after each query
     val probe = sys.env.contains("SPARK_GRAFT_PROBE")
@@ -57,7 +79,11 @@ object Bench {
     }
 
     val results = names.zipWithIndex.map { case (name, i) =>
-      if (i % 8 == 0) System.gc() // let the ContextCleaner's weak refs fire
+      if (isolate) {
+        spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+        spark.stop()
+        spark = newSession()
+      } else if (i % 8 == 0) System.gc() // let the ContextCleaner's weak refs fire
       val t0 = System.nanoTime()
       val ok = force(name)
       val sec = (System.nanoTime() - t0) / 1e9

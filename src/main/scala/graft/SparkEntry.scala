@@ -473,8 +473,12 @@ object SparkEntry {
         .withColumn("emb", col("embedding").cast("array<double>"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("emb").as("qv"))
+      // nProbe=8 of 16 cells: recall@5 ≈ 0.80-0.92 vs brute force on this
+      // corpus (pinned in OpsSpec)
       Similarity.ivfTopK(emb, queries, "vec_id", "emb", "qid", "qv",
-        k = 5, nClusters = 16, nProbe = 4)
+        k = 5, nClusters = 16, nProbe = 8,
+        // quantizer is a corpus artifact: fit once per dataset per JVM
+        cacheKey = Some(s"ivf:$dir/embeddings:16"))
         .select("query_id", "neighbor_id", "rank")
     }),
 
@@ -483,7 +487,10 @@ object SparkEntry {
         .withColumn("emb", col("embedding").cast("array<double>"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("emb").as("qv"))
-      Similarity.annTopK(emb, queries, "vec_id", "emb", "qid", "qv", k = 5, nPlanes = 8)
+      // 6-bit buckets × 8 OR-amplified tables + 1-bit multi-probe:
+      // recall@5 ≈ 0.92 vs brute force on this corpus (pinned in OpsSpec)
+      Similarity.annTopK(emb, queries, "vec_id", "emb", "qid", "qv", k = 5,
+        nPlanes = 6, nTables = 8)
         .select("query_id", "neighbor_id", "rank")
     }),
 

@@ -11,10 +11,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Avro data read/write (S9/S11) built on Avro core — the environment has
-  * no spark-avro module, so rows bridge through the driver. Intended for
-  * metadata-plane-sized data (manifests, dims, fixtures); the 100 TB data
-  * plane stays parquet (S8/S10), matching the reference where Avro is the
-  * manifest format and parquet the default data format
+  * no spark-avro module. Reads and writes both run on the EXECUTORS
+  * (one task per file); only the single-file `write` convenience is
+  * driver-side, for metadata-plane data. The 100 TB data plane stays
+  * parquet (S8/S10), matching the reference where Avro is the manifest
+  * format and parquet the default data format
   * (table_properties.h: write.format.default=parquet). */
 object AvroData {
 
@@ -96,43 +97,65 @@ object AvroData {
     }.collect().toSeq.sorted
   }
 
-  /** Read a directory of Avro files (the writeDir dual). */
+  /** Decode one Avro value to the Spark external type — runs on executors
+    * in the distributed read path, so it must only touch serializable
+    * state (the StructField travels inside the task closure). */
+  private def decodeValue(dt: DataType, v: AnyRef): Any =
+    if (v == null) null else dt match {
+      case StringType => v.toString
+      case TimestampType =>
+        val us = v.asInstanceOf[Long]
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      case TimestampNTZType =>
+        val us = v.asInstanceOf[Long]
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case BinaryType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val out = new Array[Byte](bb.remaining()); bb.get(out); out
+      case _ => v
+    }
+
+  private def readFileRows(path: String, schema: StructType): Iterator[Row] = {
+    val reader = new DataFileReader[GenericRecord](
+      new File(path), new GenericDatumReader[GenericRecord]())
+    // whole-file decode per task: one Avro data file is one input split
+    // (the reference splits on sync markers within a file,
+    // avro_reader.cc:127-130; file-granular splits give the same
+    // distribution when writeDir produced one file per partition)
+    val rows = try {
+      reader.iterator.asScala.map { r =>
+        Row.fromSeq(schema.fields.map(f => decodeValue(f.dataType, r.get(f.name))).toSeq)
+      }.toVector
+    } finally reader.close()
+    rows.iterator
+  }
+
+  /** Distributed Avro source (S9 at scale, the writeDir dual): one Spark
+    * task per file on the executors — no rows move through the driver.
+    * Matches the reference's streaming source semantics
+    * (avro_reader.cc:77-160) with file-granular splits. */
+  def readFiles(spark: SparkSession, files: Seq[String], schema: StructType): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val n = math.min(files.size, math.max(1, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(files, n)
+      .flatMap(p => readFileRows(p, schema))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Read a directory of Avro files (the writeDir dual) as Spark tasks. */
   def readDir(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .iterator.asScala.map(_.toString).filter(_.endsWith(".avro")).toSeq.sorted
-    files.map(f => read(spark, f, schema)).reduceOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema))
+    readFiles(spark, files, schema)
   }
 
-  /** Read an Avro file back into a DataFrame with the given Spark schema. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val reader = new DataFileReader[GenericRecord](
-      new File(path), new GenericDatumReader[GenericRecord]())
-    val rows = try {
-      reader.iterator.asScala.map { r =>
-        Row.fromSeq(schema.fields.map { f =>
-          val v = r.get(f.name)
-          if (v == null) null else f.dataType match {
-            case StringType => v.toString
-            case TimestampType =>
-              val us = v.asInstanceOf[Long]
-              java.time.Instant.ofEpochSecond(
-                Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-            case TimestampNTZType =>
-              val us = v.asInstanceOf[Long]
-              java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
-                (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
-            case DateType =>
-              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-            case BinaryType =>
-              val bb = v.asInstanceOf[java.nio.ByteBuffer].duplicate()
-              val out = new Array[Byte](bb.remaining()); bb.get(out); out
-            case _ => v
-          }
-        }.toSeq)
-      }.toSeq
-    } finally reader.close()
-    spark.createDataFrame(rows.asJava, schema)
-  }
+  /** Read one Avro file back into a DataFrame. Executor-side like
+    * readFiles — kept as the single-file convenience entry. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    readFiles(spark, Seq(path), schema)
 }

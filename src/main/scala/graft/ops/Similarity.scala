@@ -45,16 +45,57 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
 
-  /** Random-hyperplane LSH signature (nPlanes bits) of a vector column. */
-  def signature(vec: Column, nPlanes: Int): Column = {
+  /** Random-hyperplane LSH signature (nPlanes bits) of a vector column.
+    * `table` selects an independent plane set — the OR-amplification
+    * tables of classic E2LSH-style search. */
+  def signature(vec: Column, nPlanes: Int, table: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
+          (x, i) => x * planeComponent(table * 10007 + p, i)),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** JVM-global centroid cache: a fitted coarse quantizer is an artifact
+    * of the CORPUS, not of the query — refitting per query (or per
+    * session) wastes ~10 KMeans jobs. Keyed by caller-chosen identity
+    * (table uuid + snapshot, or a dataset path). Survives SparkSession
+    * restarts: centroids are plain doubles. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  /** Diagnostic/test hook: total quantizer fits performed in this JVM. */
+  val quantizerFits = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Nearest-centroid cell by squared euclidean distance, as a pure
+    * Catalyst expression over a centroid literal — assignment needs no
+    * model object and no per-row UDF. */
+  private def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val centLit = typedlit(cents)
+    aggregate(
+      sequence(lit(0), lit(cents.length - 1)),
+      struct(lit(-1).as("i"), lit(Double.MaxValue).as("d")),
+      (acc, i) => {
+        val c = element_at(centLit, i + 1)
+        val d = aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (a, x) => a + x)
+        when(d < acc.getField("d"), struct(i.as("i"), d.as("d"))).otherwise(acc)
+      }
+    ).getField("i")
+  }
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cell").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+
+  private def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, cents: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
@@ -62,26 +103,47 @@ object Similarity {
     * `nProbe` nearest centroids and run exact cosine only within those
     * cells. The classic big-corpus scale path: corpus work is one
     * clustering pass + one assignment column, per-query work is
-    * nProbe/nClusters of the data. Centroids are tiny and broadcast. */
+    * nProbe/nClusters of the data. Centroids are tiny and broadcast.
+    *
+    * `cacheKey` / `persistPath` make the quantizer a persistent corpus
+    * artifact: pass the owning table's uuid+snapshot (or dataset path) as
+    * the key and a sidecar location to skip the KMeans fit on every run
+    * after the first — at 100 TB the fit is amortized across all queries
+    * against that snapshot. */
   def ivfTopK(corpus0: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nClusters: Int = 64, nProbe: Int = 8,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      cacheKey: Option[String] = None,
+      persistPath: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus0.sparkSession
     val corpus = Par.ensure(corpus0)
-      .withColumn("__fv", array_to_vector(col(vecCol)))
-    // fit on a bounded sample: the quantizer needs cluster SHAPE, not
-    // every row — at corpus scale a full fit would dominate the query
-    val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(10)
-      .setFeaturesCol("__fv").setPredictionCol("__cell")
-      .fit(corpus.select("__fv").limit(65536))
-    val assigned = model.transform(corpus).drop("__fv")
+    val cents: Array[Array[Double]] =
+      cacheKey.flatMap(key => Option(centroidCache.get(key)))
+        .orElse(persistPath
+          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .map(p => loadCentroids(spark, p)))
+        .getOrElse {
+          quantizerFits.incrementAndGet()
+          // fit on a bounded sample: the quantizer needs cluster SHAPE,
+          // not every row — at corpus scale a full fit would dominate
+          val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(10)
+            .setFeaturesCol("__fv").setPredictionCol("__cell")
+            .fit(corpus.withColumn("__fv", array_to_vector(col(vecCol)))
+              .select("__fv").limit(65536))
+          val c = model.clusterCenters.map(_.toArray)
+          persistPath.foreach(p => saveCentroids(spark, p, c))
+          c
+        }
+    cacheKey.foreach(key => centroidCache.putIfAbsent(key, cents))
+    val centSeq = cents.map(_.toSeq).toSeq
+    val assigned = corpus.withColumn("__cell", nearestCell(col(vecCol), centSeq))
     // centroid table: tiny (nClusters rows), broadcast to rank cells/query
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("__cell", "__centroid")
+    val centroids = centSeq.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("__cell", "__centroid")
     val probeW = Window.partitionBy(col(qIdCol)).orderBy(col("__cdist"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("__cdist", -cosine(col(qVecCol), col("__centroid")))
@@ -100,20 +162,37 @@ object Similarity {
 
   /** ANN top-k: LSH-bucket the corpus, probe each query's bucket plus all
     * 1-bit-flip neighbor buckets (multi-probe), exact cosine within the
-    * candidate set. Trades recall for touching ~(nPlanes+1)/2^nPlanes of
-    * the corpus per query. */
+    * candidate set. `nTables` independent plane sets OR-amplify recall
+    * (candidate = same/adjacent bucket in ANY table) at proportional
+    * candidate cost — the standard L-tables LSH trade. Per-table scan
+    * fraction is ~(nPlanes+1)/2^nPlanes of the corpus per query.
+    *
+    * Scale shape: the per-table bucketing is MAP-ONLY on the corpus
+    * (explode ×nTables, no shuffle — probes broadcast); the only shuffle
+    * is the final per-(query,candidate) max + top-k window. */
   def annTopK(corpus0: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      k: Int, nPlanes: Int = 10, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, nPlanes: Int = 10, nTables: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
     val corpus = Par.ensure(corpus0)
-    val bucketed = corpus.withColumn("__b", signature(col(vecCol), nPlanes))
-    // query probes: own bucket + 1-bit flips
+    val bucketed = corpus.withColumn("__tb", explode(array(
+      (0 until nTables).map(t =>
+        struct(lit(t).as("t"), signature(col(vecCol), nPlanes, t).as("b"))): _*)))
+      .withColumn("__t", col("__tb.t")).withColumn("__b", col("__tb.b"))
+      .drop("__tb")
+    // query probes per table: own bucket + 1-bit flips (each signature
+    // computed once, then expanded from the column reference)
     val probes = queries
-      .withColumn("__sig", signature(col(qVecCol), nPlanes))
-      .withColumn("__b", explode(array(
-        col("__sig") +: (0 until nPlanes).map(p => col("__sig").bitwiseXOR(lit(1L << p))): _*)))
-      .drop("__sig")
-    var cands = bucketed.join(broadcast(probes), "__b")
+      .withColumns((0 until nTables)
+        .map(t => s"__sig$t" -> signature(col(qVecCol), nPlanes, t)).toMap)
+      .withColumn("__tb", explode(array((for {
+        t <- 0 until nTables
+        probe <- col(s"__sig$t") +:
+          (0 until nPlanes).map(p => col(s"__sig$t").bitwiseXOR(lit(1L << p)))
+      } yield struct(lit(t).as("t"), probe.as("b"))): _*)))
+      .withColumn("__t", col("__tb.t")).withColumn("__b", col("__tb.b"))
+      .drop("__tb" +: (0 until nTables).map(t => s"__sig$t"): _*)
+    var cands = bucketed.join(broadcast(probes), Seq("__t", "__b"))
     if (excludeSelf) cands = cands.filter(col(idCol) =!= col(qIdCol))
     val scored = cands
       .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))

@@ -137,40 +137,73 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topk.toSeq == expected.toSeq)
   }
 
-  test("ANN recall against brute force is reasonable") {
+  test("e2 ANN recall@5 vs brute force is pinned at the query's settings") {
+    // EXACT e2_ann_lsh settings (SparkEntry): nPlanes=6, nTables=8, k=5,
+    // queries vec_id < 5. Measured recall 0.92 on this corpus (fixed data,
+    // fixed hash seeds -> deterministic); 0.75 leaves noise margin only.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("emb").as("qv"))
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.annTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5, nPlanes = 8)
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5,
+      nPlanes = 6, nTables = 8)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ann).size.toDouble / bf.size
-    // random near-orthogonal vectors are LSH-hostile; just require signal
-    assert(recall > 0.1, s"recall=$recall")
-    assert(ann.nonEmpty)
+    assert(recall >= 0.75, s"e2 recall@5=$recall < 0.75")
   }
 
-  test("IVF ANN recall against brute force is reasonable") {
+  test("e3 IVF recall@5 vs brute force is pinned at the query's settings") {
+    // EXACT e3_ann_ivf settings (SparkEntry): nClusters=16, nProbe=8, k=5.
+    // Measured recall 0.80 (sf0.001); KMeans seed is fixed so this is
+    // deterministic on the fixture data.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("emb").as("qv"))
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // probe half the cells -> expect solid recall even on LSH-hostile data
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5,
-      nClusters = 8, nProbe = 4)
+      nClusters = 16, nProbe = 8)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
-    assert(recall > 0.3, s"recall=$recall")
+    assert(recall >= 0.65, s"e3 recall@5=$recall < 0.65")
     // every query returns exactly k ranked candidates
-    assert(ivf.size == 50)
+    assert(ivf.size == 25)
+  }
+
+  test("IVF centroid cache skips the quantizer fit on reuse") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val key = s"ivf-test-${System.nanoTime()}"
+    val before = Similarity.quantizerFits.get()
+    val r1 = Similarity.ivfTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5,
+      nClusters = 8, nProbe = 8, cacheKey = Some(key)).collect()
+    assert(Similarity.quantizerFits.get() == before + 1)
+    val r2 = Similarity.ivfTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5,
+      nClusters = 8, nProbe = 8, cacheKey = Some(key)).collect()
+    // second run: same result, NO additional fit
+    assert(Similarity.quantizerFits.get() == before + 1,
+      "cached centroids should skip the KMeans fit")
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    // persisted sidecar: a fresh key loads centroids from disk, no fit
+    val sidecar = java.nio.file.Files.createTempDirectory("ivf_cent").toString + "/cents"
+    val r3 = Similarity.ivfTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5,
+      nClusters = 8, nProbe = 8, persistPath = Some(sidecar)).collect()
+    val afterPersistFit = Similarity.quantizerFits.get()
+    assert(afterPersistFit == before + 2) // fitted once, then wrote sidecar
+    val r4 = Similarity.ivfTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5,
+      nClusters = 8, nProbe = 8, persistPath = Some(sidecar)).collect()
+    assert(Similarity.quantizerFits.get() == afterPersistFit,
+      "sidecar centroids should skip the KMeans fit")
+    assert(r3.map(_.toSeq).toSeq == r4.map(_.toSeq).toSeq)
   }
 
   test("quality metrics and token counts are sane") {

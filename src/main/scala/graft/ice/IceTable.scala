@@ -219,6 +219,8 @@ final class IceTable private (
   }
 
   def append(spark: SparkSession): AppendOp = new AppendOp(this, spark)
+  def newTransaction(spark: SparkSession): graft.ice.write.Transaction =
+    new graft.ice.write.Transaction(this, spark)
   def updateSchema(): graft.ice.write.UpdateSchema = new graft.ice.write.UpdateSchema(this)
   def updateSpec(): graft.ice.write.UpdateSpec = new graft.ice.write.UpdateSpec(this)
   def delete(spark: SparkSession): graft.ice.write.RowDelete = new graft.ice.write.RowDelete(this, spark)
@@ -287,6 +289,10 @@ final class IceTable private (
 }
 
 object IceTable {
+  /** Snapshot-summary key recording whether the commit's files carry
+    * parquet field ids: "all" | "none" | "mixed" (stamped by addFiles). */
+  val FieldIdsSummaryKey = "graft.field-ids"
+
   def from(ref: TableRef): IceTable =
     new IceTable(ref.catalog, ref.ident, ref.metadata, ref.version)
 
@@ -301,9 +307,10 @@ object IceTable {
 }
 
 /** One task ≈ one data file (+ its split offsets); maps to Spark input
-  * splits (table_scan.h FileScanTask). */
+  * splits (table_scan.h FileScanTask). `snapshotId` = the snapshot that
+  * added the file (threads the per-commit field-id summary to the read). */
 final case class FileScanTask(file: DataFile, specId: Int,
-    dataSequenceNumber: Long = 0L)
+    dataSequenceNumber: Long = 0L, snapshotId: Option[Long] = None)
 
 /** Fluent scan builder (reference: table_scan.cc:171-246). */
 final class ScanBuilder(table: IceTable) {
@@ -394,9 +401,11 @@ final class ScanBuilder(table: IceTable) {
       val tasks0 = incremental match {
         case Some((from, to)) =>
           table.planAppendsBetween(from, to)
-            .map(e => FileScanTask(e.dataFile, e.specId, e.sequenceNumber.getOrElse(0L)))
+            .map(e => FileScanTask(e.dataFile, e.specId,
+              e.sequenceNumber.getOrElse(0L), e.snapshotId))
         case None => table.planEntries(snap, bound)
-          .map(e => FileScanTask(e.dataFile, e.specId, e.sequenceNumber.getOrElse(0L)))
+          .map(e => FileScanTask(e.dataFile, e.specId,
+            e.sequenceNumber.getOrElse(0L), e.snapshotId))
       }
       val tasks = restrictPaths match {
         case Some(ps) => tasks0.filter(t => ps.contains(t.file.filePath))
@@ -447,10 +456,26 @@ final class ScanBuilder(table: IceTable) {
     val nameMapping = table.properties.get(NameMapping.PropertyKey)
       .map(NameMapping.fromJson)
 
+    // Does this file carry parquet field ids? Internal files always do;
+    // external (addFiles-registered) files resolve through the per-commit
+    // summary stamped at registration time — footer probes at PLAN time
+    // are a fallback for legacy snapshots only (at 100 TB, O(files)
+    // driver footer reads during planning would dominate).
+    def fileHasIds(t: FileScanTask, p: String): Boolean =
+      p.startsWith(dataDirPrefix) || {
+        t.snapshotId.flatMap(table.metadata.snapshotById)
+          .flatMap(_.summary.get(IceTable.FieldIdsSummaryKey)) match {
+          case Some("all") => true
+          case Some("none") => false
+          case _ => ScanBuilder.hasFieldIds(p, spark)
+        }
+      }
     def readPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {
-      val (internal, external) = ts
-        .map(t => ManifestAvro.stripFileScheme(t.file.filePath))
-        .partition(p => p.startsWith(dataDirPrefix) || ScanBuilder.hasFieldIds(p, spark))
+      val (internal, external) = {
+        val (i, e) = ts.map(t => (t, ManifestAvro.stripFileScheme(t.file.filePath)))
+          .partition { case (t, p) => fileHasIds(t, p) }
+        (i.map(_._2), e.map(_._2))
+      }
       def read(schema: org.apache.spark.sql.types.StructType, ps: Seq[String]) = {
         val base = spark.read.schema(schema).parquet(ps: _*)
         if (withPosCols)
@@ -604,7 +629,12 @@ object ScanBuilder {
   /** Driver-side cache: does this (external) parquet file carry field ids?
     * Probed once per path; internal files skip the probe entirely. */
   private val fieldIdCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  def hasFieldIds(path: String, spark: SparkSession): Boolean =
+  /** Diagnostic/test hook: how often the probe was consulted at all
+    * (cached or not) — planning paths should not call this when the
+    * snapshot summary already records id presence. */
+  val fieldIdProbeCalls = new java.util.concurrent.atomic.AtomicLong()
+  def hasFieldIds(path: String, spark: SparkSession): Boolean = {
+    fieldIdProbeCalls.incrementAndGet()
     fieldIdCache.computeIfAbsent(path, { p =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -616,6 +646,7 @@ object ScanBuilder {
         } finally r.close()
       } catch { case _: Exception => false }
     })
+  }
 
   /** Cached top-level footer column names of an external parquet file
     * (drives name-mapping resolution). */
@@ -647,6 +678,14 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
   /** Full write path: partition-transform clustering -> parquet files ->
     * footer metrics -> manifest -> manifest list -> snapshot -> commit. */
   def appendDataFrame(df: DataFrame): Snapshot = {
+    val (entries, commitUuid) = writeEntries(df)
+    commitAppend(entries, commitUuid)
+  }
+
+  /** Write the data files and build manifest entries WITHOUT committing —
+    * the Transaction building block (everything up to the metadata swap;
+    * files are invisible until a snapshot references them). */
+  private[ice] def writeEntries(df: DataFrame): (Seq[ManifestEntry], String) = {
     val schema = table.schema
     val spec = table.spec
     val sparkSchema = SparkConv.toSpark(schema)
@@ -709,7 +748,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           splitOffsets = m.splitOffsets,
           sortOrderId = Some(table.metadata.defaultSortOrderId)))
     }.seq
-    commitAppend(entries, commitUuid)
+    (entries, commitUuid)
   }
 
   /** Register existing parquet files as table data (no rewrite) — the
@@ -733,12 +772,32 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           upperBounds = m.upperBounds,
           splitOffsets = m.splitOffsets))
     }
-    commitAppend(entries, commitUuid)
+    // stamp field-id presence NOW (footers are open anyway for metrics):
+    // the scan then partitions id-matched vs name-mapped files from the
+    // snapshot summary instead of probing O(files) footers at plan time
+    val withIds = paths.count(p => ScanBuilder.hasFieldIds(p, spark))
+    val idSummary =
+      if (withIds == paths.size) "all"
+      else if (withIds == 0) "none"
+      else "mixed"
+    commitAppend(entries, commitUuid,
+      Map(IceTable.FieldIdsSummaryKey -> idSummary))
   }
 
-  private def commitAppend(entries: Seq[ManifestEntry], commitUuid: String): Snapshot = {
+  private def commitAppend(entries: Seq[ManifestEntry], commitUuid: String,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     var result: Snapshot = null
-    table.commit { base =>
+    table.commit(appendUpdate(entries, commitUuid, s => result = s, extraSummary))
+    result
+  }
+
+  /** The append as a pure metadata update — composable into a
+    * multi-operation Transaction (transaction.h:31-51). Re-applied from
+    * scratch on a lost version race; `onSnapshot` observes the snapshot
+    * of the attempt that actually committed. */
+  private[ice] def appendUpdate(entries: Seq[ManifestEntry], commitUuid: String,
+      onSnapshot: Snapshot => Unit = _ => (),
+      extraSummary: Map[String, String] = Map.empty): TableMetadata => TableMetadata = { base =>
       // parent off the target branch's head (falling back to the current
       // snapshot for main on legacy metadata without a main ref)
       val head = base.ref(branch).flatMap(r => base.snapshotById(r.snapshotId))
@@ -845,14 +904,13 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           "added-files-size" -> addedFilesSize.toString,
           "total-records" -> totalRecords.toString,
           "total-data-files" -> (previous.flatMap(_.addedFilesCount).sum +
-            previous.flatMap(_.existingFilesCount).sum + entries.size).toString),
+            previous.flatMap(_.existingFilesCount).sum + entries.size).toString)
+          ++ extraSummary,
         schemaId = Some(base.currentSchemaId),
         firstRowId = baseRowId)
-      result = snap
+      onSnapshot(snap)
       val next = base.withSnapshot(snap, branch)
       if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next
-    }
-    result
   }
 
   private def listParquetFiles(dir: String): Seq[String] = {

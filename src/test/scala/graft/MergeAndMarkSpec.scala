@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -117,6 +119,80 @@ class MergeAndMarkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().toDF(spark).count() == expected)
     assert(after.size == 2,
       s"subset rewrite should produce exactly 1 replacement file (2 total), got ${after.size}")
+  }
+
+  test("transaction: append + setProperty commit atomically under a concurrent committer") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ident = TableIdentifier.parse("db.txn")
+    val t = IceTable.create(cat, ident, schema)
+    t.append(spark).appendDataFrame(raw.limit(100))
+
+    // stage the transaction (files written, nothing visible yet)
+    val tx = t.newTransaction(spark)
+      .append(raw.limit(50))
+      .setProperty("graft.txn-test", "yes")
+    assert(!IceTable.load(cat, ident).metadata.properties.contains("graft.txn-test"))
+
+    // a concurrent committer wins the next version before we commit
+    val t2 = IceTable.load(cat, ident)
+    t2.append(spark).appendDataFrame(raw.limit(30))
+    val vAfterConcurrent = cat.loadTable(ident).version
+
+    tx.commitTransaction()
+    val fin = cat.loadTable(ident)
+    // exactly ONE version bump for the whole transaction
+    assert(fin.version == vAfterConcurrent + 1,
+      s"expected ${vAfterConcurrent + 1}, got ${fin.version}")
+    val tFin = IceTable.from(fin)
+    // both effects landed, plus the concurrent append survived the retry
+    assert(tFin.metadata.properties.get("graft.txn-test").contains("yes"))
+    assert(tFin.newScan().toDF(spark).count() == 180)
+    assert(tx.committedSnapshot.isDefined)
+  }
+
+  test("transaction: a failed requirement aborts every staged effect") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ident = TableIdentifier.parse("db.txnfail")
+    val t = IceTable.create(cat, ident, schema)
+    t.append(spark).appendDataFrame(raw)
+    val before = cat.loadTable(ident)
+
+    val tx = t.newTransaction(spark)
+      .append(raw.limit(2))
+      .setProperty("graft.should-not-land", "x")
+      .requirement(AssertTableUuid("not-the-real-uuid"))
+    intercept[RequirementFailedException] { tx.commitTransaction() }
+
+    val after = cat.loadTable(ident)
+    assert(after.version == before.version) // no version bump
+    assert(!after.metadata.properties.contains("graft.should-not-land"))
+    assert(IceTable.from(after).newScan().toDF(spark).count() == raw.count())
+  }
+
+  test("addFiles stamps field-id presence; planning does not probe footers") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    // external parquet WITHOUT field ids (plain Spark write)
+    val ext = java.nio.file.Files.createTempDirectory("ext").toString
+    raw.coalesce(1).write.mode("overwrite").parquet(ext)
+    val extFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ext))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.idsum"), schema)
+    val snap = t.append(spark).addFiles(extFiles)
+    // registration stamped the summary (these files lack ids)
+    assert(snap.summary.get(IceTable.FieldIdsSummaryKey).contains("none"))
+
+    val probesBefore = ScanBuilder.fieldIdProbeCalls.get()
+    val df = t.newScan().toDF(spark)
+    assert(df.count() == raw.count())
+    assert(ScanBuilder.fieldIdProbeCalls.get() == probesBefore,
+      "plan/read must resolve id presence from the snapshot summary, not footer probes")
   }
 
   test("removeOrphanFiles keeps statistics and partition-statistics files") {

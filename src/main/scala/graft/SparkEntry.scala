@@ -342,6 +342,28 @@ object SparkEntry {
     "c_addfiles" -> ((s, dir) =>
       AddFilesFixture.table(s, dir).newScan().toDF(s)),
 
+    // staged CREATE TABLE AS SELECT: table + data become visible in ONE
+    // v1 commit (catalog.h StageCreateTable + TableBuilder)
+    "c_stage_create" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("tpch"), "region_ctas")
+      val t =
+        if (cat.tableExists(ident)) IceTable.load(cat, ident)
+        else {
+          val raw = Tables.raw(s, dir, "region")
+          val ref = cat.buildTable(ident, SparkConv.fromSpark(raw.schema))
+            .withProperty("graft.ctas", "true")
+            .stageCreate()
+          val (staged, tx) = IceTable.stageCreate(ref, s)
+          tx.append(raw)
+          tx.commitTransaction()
+          staged
+        }
+      t.newScan().toDF(s)
+    }),
+
     // register an existing metadata JSON under a new identity
     "c_register" -> ((s, dir) => {
       import graft.ice._, graft.ice.catalog._
@@ -793,6 +815,7 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
+    "c_stage_create" -> "SELECT * FROM region",
     "p6_metadata_cols" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS n_files,
         |  CAST(0 AS BIGINT) AS p0, CAST(count(*) - 1 AS BIGINT) AS p1

@@ -304,6 +304,19 @@ object IceTable {
 
   def load(catalog: Catalog, ident: TableIdentifier): IceTable =
     from(catalog.loadTable(ident))
+
+  /** Stage-create as a transaction (catalog.h StageCreateTable + CTAS):
+    * the staged table is invisible until the transaction commits; data
+    * written through it publishes together with the creation in ONE v1
+    * commit. A concurrent create of the same identifier wins the race
+    * and ABORTS this transaction (uuid requirement) — never merges. */
+  def stageCreate(ref: TableRef, spark: SparkSession): (IceTable, graft.ice.write.Transaction) = {
+    require(ref.version == 0, s"ref is already committed at version ${ref.version}")
+    val t = from(ref)
+    val tx = t.newTransaction(spark)
+      .requirement(graft.ice.meta.AssertTableUuid(ref.metadata.tableUuid))
+    (t, tx)
+  }
 }
 
 /** One task ≈ one data file (+ its split offsets); maps to Spark input

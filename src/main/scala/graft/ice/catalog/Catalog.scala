@@ -47,6 +47,47 @@ trait Catalog {
     * file is still `baseVersion`. Throws CommitFailedException otherwise. */
   def commit(ident: TableIdentifier, baseVersion: Int, updated: TableMetadata): Int
   def currentVersion(ident: TableIdentifier): Int
+
+  /** Stage a table creation (catalog.h:144-149 StageCreateTable): build
+    * the initial metadata WITHOUT publishing it. The returned ref has
+    * version 0; the first `commit(ident, 0, …)` publishes v1 atomically,
+    * first-committer-wins against any concurrent create. */
+  def stageCreateTable(ident: TableIdentifier, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      sortOrder: SortOrder = SortOrder.unsorted,
+      properties: Map[String, String] = Map.empty,
+      location: Option[String] = None): TableRef
+
+  /** Fluent table builder (catalog.h:157-236). */
+  def buildTable(ident: TableIdentifier, schema: Schema): TableBuilder =
+    new TableBuilder(this, ident, schema)
+}
+
+/** TableBuilder (catalog.h:157-236): collect spec / sort order / location
+  * / properties, then `create()` (immediate publish) or `stageCreate()`
+  * (invisible until the returned transaction commits — the CTAS pattern:
+  * stage, write data through the staged handle, commit once). */
+final class TableBuilder(catalog: Catalog, ident: TableIdentifier, schema: Schema) {
+  private var spec: PartitionSpec = PartitionSpec.unpartitioned
+  private var sortOrder: SortOrder = SortOrder.unsorted
+  private var location: Option[String] = None
+  private var props: Map[String, String] = Map.empty
+
+  def withPartitionSpec(s: PartitionSpec): TableBuilder = { spec = s; this }
+  def withSortOrder(o: SortOrder): TableBuilder = { sortOrder = o; this }
+  def withLocation(loc: String): TableBuilder = { location = Some(loc); this }
+  def withProperties(ps: Map[String, String]): TableBuilder = { props ++= ps; this }
+  def withProperty(k: String, v: String): TableBuilder = { props += (k -> v); this }
+
+  /** Create and publish the table now. */
+  def create(): TableRef =
+    catalog.createTable(ident, schema, spec, sortOrder, props)
+
+  /** Stage the creation: nothing is visible in the catalog until the
+    * returned ref's first commit (use `IceTable.from(ref)` and a
+    * Transaction to write data into the staged table). */
+  def stageCreate(): TableRef =
+    catalog.stageCreateTable(ident, schema, spec, sortOrder, props, location)
 }
 
 /** A loaded table handle: metadata + where it came from. */
@@ -114,6 +155,19 @@ class DirCatalog(val warehouse: String) extends Catalog {
     if (v == 0) throw new NoSuchTableException(s"no such table: $ident")
     val meta = TableMetadataIO.read(versionFile(ident, v).toString)
     TableRef(ident, meta, v, this)
+  }
+
+  override def stageCreateTable(ident: TableIdentifier, schema: Schema,
+      spec: PartitionSpec, sortOrder: SortOrder,
+      properties: Map[String, String], location: Option[String]): TableRef = {
+    if (tableExists(ident))
+      throw new AlreadyExistsException(s"table $ident already exists")
+    val loc = location.getOrElse(tableDir(ident).toAbsolutePath.toString)
+    val meta = TableMetadata.newTable(loc, schema, spec, sortOrder, properties)
+    // the metadata DIRECTORY must exist for the eventual commit's temp
+    // file; an empty dir does not make the table visible (version stays 0)
+    Files.createDirectories(metadataDir(ident))
+    TableRef(ident, meta, 0, this)
   }
 
   override def dropTable(ident: TableIdentifier, purge: Boolean): Boolean = {

@@ -195,6 +195,50 @@ class MergeAndMarkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "plan/read must resolve id presence from the snapshot summary, not footer probes")
   }
 
+  test("stageCreate: table + data publish in one commit (CTAS), invisible before") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ident = TableIdentifier.parse("db.staged")
+
+    val ref = cat.buildTable(ident, schema)
+      .withProperty("graft.ctas", "yes")
+      .stageCreate()
+    val (staged, tx) = IceTable.stageCreate(ref, spark)
+    tx.append(raw)
+    // files are written but the table is NOT visible yet
+    assert(!cat.tableExists(ident))
+    intercept[NoSuchTableException] { cat.loadTable(ident) }
+
+    tx.commitTransaction()
+    val loaded = IceTable.load(cat, ident)
+    assert(cat.loadTable(ident).version == 1) // creation + data = ONE commit
+    assert(loaded.metadata.properties.get("graft.ctas").contains("yes"))
+    assert(loaded.newScan().toDF(spark).count() == raw.count())
+    assert(staged.currentSnapshot.isDefined)
+  }
+
+  test("stageCreate: a concurrent create of the same name aborts the staged transaction") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val ident = TableIdentifier.parse("db.race")
+
+    val ref = cat.buildTable(ident, schema).stageCreate()
+    val (_, tx) = IceTable.stageCreate(ref, spark)
+    tx.append(raw.limit(2))
+    // someone else creates (and fills) the table first
+    val winner = IceTable.create(cat, ident, schema)
+    winner.append(spark).appendDataFrame(raw.limit(3))
+    val winnerRows = winner.newScan().toDF(spark).count()
+
+    intercept[RequirementFailedException] { tx.commitTransaction() }
+    // the winner's table is untouched
+    val fin = IceTable.load(cat, ident)
+    assert(fin.metadata.tableUuid == winner.metadata.tableUuid)
+    assert(fin.newScan().toDF(spark).count() == winnerRows)
+  }
+
   test("removeOrphanFiles keeps statistics and partition-statistics files") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/region.parquet")

@@ -210,6 +210,11 @@ object SparkEntry {
       semi.unionByName(anti)
     }),
 
+    // two distincts -> Catalyst's Expand plan: ONE scan, 2x rows in
+    // flight, partial aggregation before the shuffle. At 100 TB the
+    // exact form stays viable (shuffle bytes bound by distinct
+    // cardinality, not row count); approx_count_distinct is the
+    // cheaper drop-in when +-2% is acceptable.
     "q_distinct_agg" -> ((s, dir) =>
       Tables.scan(s, dir, "lineitem")
         .groupBy("l_returnflag")

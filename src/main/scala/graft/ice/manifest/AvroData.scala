@@ -33,9 +33,18 @@ object AvroData {
     case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
   }
 
+  /** Iceberg's Avro field-id attribute (spec: Avro "field-id"); carried
+    * when the Spark schema has parquet.field.id metadata so reads can
+    * resolve renames by id, like the reference (avro_reader.cc:103-118). */
+  private def sparkFieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains("parquet.field.id"))
+      Some(f.metadata.getLong("parquet.field.id"))
+    else None
+
   def avroSchemaJson(schema: StructType, name: String = "row"): String = {
     val fields = schema.fields.map { f =>
-      s"""{"name":"${f.name}","type":["null",${avroType(f.dataType)}],"default":null}"""
+      val idAttr = sparkFieldId(f).map(id => s""","field-id":$id""").getOrElse("")
+      s"""{"name":"${f.name}","type":["null",${avroType(f.dataType)}],"default":null$idAttr}"""
     }.mkString(",")
     s"""{"type":"record","name":"$name","fields":[$fields]}"""
   }
@@ -119,31 +128,61 @@ object AvroData {
       case _ => v
     }
 
-  private def readFileRows(path: String, schema: StructType): Iterator[Row] = {
+  private def readFileRows(path: String, schema: StructType,
+      start: Long, end: Long): Iterator[Row] = {
     val reader = new DataFileReader[GenericRecord](
       new File(path), new GenericDatumReader[GenericRecord]())
-    // whole-file decode per task: one Avro data file is one input split
-    // (the reference splits on sync markers within a file,
-    // avro_reader.cc:127-130; file-granular splits give the same
-    // distribution when writeDir produced one file per partition)
+    // sync-marker split (the reference's split unit, avro_reader.cc:
+    // 127-130, same protocol as avro-mapred): advance to the first block
+    // boundary at/after `start`, stop once the reader passes `end` — each
+    // block is consumed by exactly one split
     val rows = try {
-      reader.iterator.asScala.map { r =>
-        Row.fromSeq(schema.fields.map(f => decodeValue(f.dataType, r.get(f.name))).toSeq)
-      }.toVector
+      if (start > 0L) reader.sync(start)
+      // field resolution (avro_reader.cc:103-118): prefer the file's
+      // "field-id" attributes matched to the request schema's ids
+      // (rename-safe), fall back to name matching; absent fields -> null
+      val fileFields = reader.getSchema.getFields.asScala
+      val byId = fileFields.flatMap(ff =>
+        Option(ff.getObjectProp("field-id"))
+          .collect { case n: Number => n.longValue -> ff.name }).toMap
+      val resolved: Array[Option[String]] = schema.fields.map { f =>
+        sparkFieldId(f).flatMap(byId.get)
+          .orElse(fileFields.find(_.name == f.name).map(_.name))
+      }
+      val out = Vector.newBuilder[Row]
+      while (reader.hasNext && !reader.pastSync(end)) {
+        val r = reader.next()
+        out += Row.fromSeq(schema.fields.zip(resolved).map {
+          case (f, Some(src)) => decodeValue(f.dataType, r.get(src))
+          case (_, None) => null
+        }.toSeq)
+      }
+      out.result()
     } finally reader.close()
     rows.iterator
   }
 
-  /** Distributed Avro source (S9 at scale, the writeDir dual): one Spark
-    * task per file on the executors — no rows move through the driver.
-    * Matches the reference's streaming source semantics
-    * (avro_reader.cc:77-160) with file-granular splits. */
-  def readFiles(spark: SparkSession, files: Seq[String], schema: StructType): DataFrame = {
+  /** Distributed Avro source (S9 at scale, the writeDir dual): Spark
+    * tasks on the executors — no rows move through the driver. Matches
+    * the reference's source semantics (avro_reader.cc:77-160): files
+    * larger than `splitSizeBytes` split into byte ranges resolved to
+    * sync-marker block boundaries, so one huge Avro file still reads
+    * in parallel. */
+  def readFiles(spark: SparkSession, files: Seq[String], schema: StructType,
+      splitSizeBytes: Long = 32L * 1024 * 1024): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val n = math.min(files.size, math.max(1, spark.sparkContext.defaultParallelism))
-    val rdd = spark.sparkContext.parallelize(files, n)
-      .flatMap(p => readFileRows(p, schema))
+    val splits = files.flatMap { p =>
+      val len = java.nio.file.Files.size(java.nio.file.Paths.get(p))
+      // end is a real offset, never Long.MaxValue: DataFileReader.pastSync
+      // adds SYNC_SIZE to it and would overflow
+      if (len <= splitSizeBytes) Seq((p, 0L, len))
+      else (0L until len by splitSizeBytes)
+        .map(s => (p, s, math.min(s + splitSizeBytes, len)))
+    }
+    val n = math.min(splits.size, math.max(1, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(splits, n)
+      .flatMap { case (p, s, e) => readFileRows(p, schema, s, e) }
     spark.createDataFrame(rdd, schema)
   }
 

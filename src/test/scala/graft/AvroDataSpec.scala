@@ -52,6 +52,44 @@ class AvroDataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.schema == schema)
   }
 
+  test("one large Avro file splits on sync markers and reads complete in parallel") {
+    val dir = java.nio.file.Files.createTempDirectory("avro_split").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val files = AvroData.writeDir(df.coalesce(1), dir) // ONE file
+    assert(files.size == 1)
+    val len = java.nio.file.Files.size(java.nio.file.Paths.get(files.head))
+    val splitSize = math.max(1L, len / 7) // force ~7 ranges
+    val back = AvroData.readFiles(spark, files, df.schema, splitSizeBytes = splitSize)
+    assert(back.rdd.getNumPartitions > 1, "expected a multi-split read")
+    assert(back.count() == df.count(), "sync-split read lost or duplicated blocks")
+    assert(back.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0) ==
+      df.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0))
+  }
+
+  test("field-id resolution survives a rename between write and read") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("avro_ids").toString
+    def meta(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    val writeSchema = StructType(Seq(
+      StructField("old_name", LongType, nullable = true, meta(1)),
+      StructField("stable", StringType, nullable = true, meta(2))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(10L, "a"),
+        org.apache.spark.sql.Row(20L, "b")), writeSchema)
+    AvroData.writeDir(df, dir)
+    // read with a RENAMED field (same field id) + a brand-new field
+    val readSchema = StructType(Seq(
+      StructField("new_name", LongType, nullable = true, meta(1)),
+      StructField("stable", StringType, nullable = true, meta(2)),
+      StructField("added", DoubleType, nullable = true, meta(3))))
+    val back = AvroData.readDir(spark, dir, readSchema).orderBy("new_name").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(10L, 20L)) // resolved by id
+    assert(back.map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(back.forall(_.isNullAt(2))) // absent field -> null
+  }
+
   test("timestamp/date/binary values survive the executor-side decode") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("avro_types").toString

@@ -299,6 +299,13 @@ object SparkEntry {
       t.newScan().useSnapshot(firstSnap).toDF(s)
     }),
 
+    // rollback: main moves BACK to the first snapshot; a plain scan (no
+    // time-travel clause) then sees only the first append
+    "t_rollback" -> ((s, dir) => {
+      val t = RollbackFixture.table(s, dir)
+      t.newScan().toDF(s)
+    }),
+
     "t2_branch_scan" -> ((s, dir) => {
       val t = TimeTravelFixture.table(s, dir)
       t.newScan().useRef("v1").toDF(s)
@@ -797,6 +804,7 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "t3_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
+    "t_rollback" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t2_branch_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t_as_of_timestamp" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t_incremental_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 >= 5",
@@ -1010,6 +1018,32 @@ object TimeTravelFixture {
         val s1 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 10 < 5"))
         t.manageSnapshots().createTag("v1", s1.snapshotId)
         t.append(spark).appendDataFrame(raw.filter("o_orderkey % 10 >= 5"))
+        t
+      }
+    })
+}
+
+/** Rollback fixture: two appends, then main rolled back to the first
+  * snapshot — a plain scan must see only the first append while the
+  * second snapshot stays addressable by id until expiry. */
+object RollbackFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_rollback")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        val s1 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 10 < 5"))
+        t.append(spark).appendDataFrame(raw.filter("o_orderkey % 10 >= 5"))
+        t.manageSnapshots().rollbackTo(s1.snapshotId)
         t
       }
     })

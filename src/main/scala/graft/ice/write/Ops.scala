@@ -657,6 +657,24 @@ final class ManageSnapshots(table: IceTable) {
     this
   }
 
+  /** Roll main back to an existing snapshot (Iceberg
+    * rollback_to_snapshot): current state becomes `snapshotId`, history
+    * gets a new log entry, NOTHING is deleted — the abandoned snapshots
+    * stay addressable by id/tag until expiry. */
+  def rollbackTo(snapshotId: Long): ManageSnapshots = {
+    table.commit { base =>
+      require(base.snapshotById(snapshotId).isDefined,
+        s"cannot roll back to unknown snapshot $snapshotId")
+      base.copy(
+        currentSnapshotId = Some(snapshotId),
+        refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")),
+        snapshotLog = base.snapshotLog :+
+          SnapshotLogEntry(System.currentTimeMillis(), snapshotId),
+        lastUpdatedMs = System.currentTimeMillis())
+    }
+    this
+  }
+
   /** Drop unreferenced snapshots older than `olderThanMs`, always keeping
     * `retainLast` on main and every ref target (plus its ancestors are NOT
     * chased — manifest reuse makes ancestor files reachable only via their

@@ -239,6 +239,26 @@ class MergeAndMarkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin.newScan().toDF(spark).count() == winnerRows)
   }
 
+  test("rollbackTo moves main back without deleting the abandoned snapshot") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.rb"), schema)
+    val s1 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+    val s2 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+
+    t.manageSnapshots().rollbackTo(s1.snapshotId)
+    assert(t.currentSnapshot.map(_.snapshotId).contains(s1.snapshotId))
+    assert(t.newScan().toDF(spark).count() == raw.filter("o_orderkey % 2 = 0").count())
+    // the abandoned snapshot is still addressable (recovery window)
+    assert(t.newScan().useSnapshot(s2.snapshotId).toDF(spark).count() == raw.count())
+    // a new append parents off the rolled-back head
+    val s3 = t.append(spark).appendDataFrame(raw.limit(7))
+    assert(s3.parentSnapshotId.contains(s1.snapshotId))
+    // unknown snapshot refuses
+    intercept[IllegalArgumentException] { t.manageSnapshots().rollbackTo(12345L) }
+  }
+
   test("removeOrphanFiles keeps statistics and partition-statistics files") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/region.parquet")

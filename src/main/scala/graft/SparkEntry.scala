@@ -1055,7 +1055,14 @@ object StreamIngestFixture {
           SparkConv.fromSpark(stream.schema))
         val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
         val q = graft.streaming.StreamOps.appendStream(stream, t, ckpt)
-        q.awaitTermination(120000)
+        // a timed-out ingest must NOT persist a truncated table that every
+        // later run would silently reuse
+        if (!q.awaitTermination(120000)) {
+          try q.stop() catch { case _: Throwable => () }
+          cat.dropTable(ident, purge = true)
+          throw new IllegalStateException(
+            "st_ingest_table fixture: streaming ingest did not finish in 120s")
+        }
         t.refresh()
         t
       }

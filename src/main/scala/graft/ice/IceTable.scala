@@ -473,11 +473,15 @@ final class ScanBuilder(table: IceTable) {
     // external (addFiles-registered) files resolve through the per-commit
     // summary stamped at registration time — footer probes at PLAN time
     // are a fallback for legacy snapshots only (at 100 TB, O(files)
-    // driver footer reads during planning would dominate).
+    // driver footer reads during planning would dominate). The summary
+    // map is built ONCE per scan: a per-task snapshotById would be
+    // O(files x snapshots) on a long-lived table.
+    val idSummaryBySnap: Map[Long, String] = table.metadata.snapshots
+      .flatMap(s => s.summary.get(IceTable.FieldIdsSummaryKey)
+        .map(s.snapshotId -> _)).toMap
     def fileHasIds(t: FileScanTask, p: String): Boolean =
       p.startsWith(dataDirPrefix) || {
-        t.snapshotId.flatMap(table.metadata.snapshotById)
-          .flatMap(_.summary.get(IceTable.FieldIdsSummaryKey)) match {
+        t.snapshotId.flatMap(idSummaryBySnap.get) match {
           case Some("all") => true
           case Some("none") => false
           case _ => ScanBuilder.hasFieldIds(p, spark)

@@ -28,7 +28,8 @@ trait Catalog {
   def createTable(ident: TableIdentifier, schema: Schema,
       spec: PartitionSpec = PartitionSpec.unpartitioned,
       sortOrder: SortOrder = SortOrder.unsorted,
-      properties: Map[String, String] = Map.empty): TableRef
+      properties: Map[String, String] = Map.empty,
+      location: Option[String] = None): TableRef
   def loadTable(ident: TableIdentifier): TableRef
   def tableExists(ident: TableIdentifier): Boolean
   def dropTable(ident: TableIdentifier, purge: Boolean = false): Boolean
@@ -81,7 +82,7 @@ final class TableBuilder(catalog: Catalog, ident: TableIdentifier, schema: Schem
 
   /** Create and publish the table now. */
   def create(): TableRef =
-    catalog.createTable(ident, schema, spec, sortOrder, props)
+    catalog.createTable(ident, schema, spec, sortOrder, props, location)
 
   /** Stage the creation: nothing is visible in the catalog until the
     * returned ref's first commit (use `IceTable.from(ref)` and a
@@ -140,11 +141,11 @@ class DirCatalog(val warehouse: String) extends Catalog {
 
   override def createTable(ident: TableIdentifier, schema: Schema,
       spec: PartitionSpec, sortOrder: SortOrder,
-      properties: Map[String, String]): TableRef = {
+      properties: Map[String, String], location: Option[String]): TableRef = {
     if (tableExists(ident))
       throw new AlreadyExistsException(s"table $ident already exists")
-    val meta = TableMetadata.newTable(
-      tableDir(ident).toAbsolutePath.toString, schema, spec, sortOrder, properties)
+    val loc = location.getOrElse(tableDir(ident).toAbsolutePath.toString)
+    val meta = TableMetadata.newTable(loc, schema, spec, sortOrder, properties)
     Files.createDirectories(metadataDir(ident))
     writeVersion(ident, 1, meta)
     TableRef(ident, meta, 1, this)
@@ -164,9 +165,9 @@ class DirCatalog(val warehouse: String) extends Catalog {
       throw new AlreadyExistsException(s"table $ident already exists")
     val loc = location.getOrElse(tableDir(ident).toAbsolutePath.toString)
     val meta = TableMetadata.newTable(loc, schema, spec, sortOrder, properties)
-    // the metadata DIRECTORY must exist for the eventual commit's temp
-    // file; an empty dir does not make the table visible (version stays 0)
-    Files.createDirectories(metadataDir(ident))
+    // NO directory is created here: an abandoned staged create must leave
+    // zero catalog footprint (listTables classifies on metadata/ presence);
+    // commit() creates the directory when the table actually publishes
     TableRef(ident, meta, 0, this)
   }
 
@@ -273,6 +274,8 @@ class DirCatalog(val warehouse: String) extends Catalog {
   override def commit(ident: TableIdentifier, baseVersion: Int,
       updated: TableMetadata): Int = {
     val next = baseVersion + 1
+    // v1 of a staged create arrives before any directory exists
+    if (baseVersion == 0) Files.createDirectories(metadataDir(ident))
     val target = versionFile(ident, next)
     if (Files.exists(target))
       throw new CommitFailedException(

@@ -146,8 +146,14 @@ object AvroData {
         Option(ff.getObjectProp("field-id"))
           .collect { case n: Number => n.longValue -> ff.name }).toMap
       val resolved: Array[Option[String]] = schema.fields.map { f =>
-        sparkFieldId(f).flatMap(byId.get)
-          .orElse(fileFields.find(_.name == f.name).map(_.name))
+        (sparkFieldId(f), byId.nonEmpty) match {
+          // file carries ids and the request field has one: id resolution
+          // ONLY — a name hit would mis-bind a dropped-and-recreated
+          // column to the old column's data (Iceberg resolution rules)
+          case (Some(id), true) => byId.get(id)
+          // id-less file or id-less request field: name matching
+          case _ => fileFields.find(_.name == f.name).map(_.name)
+        }
       }
       val out = Vector.newBuilder[Row]
       while (reader.hasNext && !reader.pastSync(end)) {

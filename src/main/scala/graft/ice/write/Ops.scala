@@ -665,9 +665,21 @@ final class ManageSnapshots(table: IceTable) {
     table.commit { base =>
       require(base.snapshotById(snapshotId).isDefined,
         s"cannot roll back to unknown snapshot $snapshotId")
+      // the target must be an ANCESTOR of the current main head —
+      // rolling onto another branch's lineage would make main show rows
+      // never committed to main (Iceberg rollback_to_snapshot contract)
+      val ancestors = Iterator.iterate(base.currentSnapshot)(
+        _.flatMap(_.parentSnapshotId).flatMap(base.snapshotById))
+        .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+      require(ancestors.contains(snapshotId),
+        s"snapshot $snapshotId is not an ancestor of the current main head")
+      // preserve the main ref's retention settings across the move
+      val mainRef = base.refs.get("main")
+        .map(_.copy(snapshotId = snapshotId))
+        .getOrElse(SnapshotRef(snapshotId, "branch"))
       base.copy(
         currentSnapshotId = Some(snapshotId),
-        refs = base.refs.updated("main", SnapshotRef(snapshotId, "branch")),
+        refs = base.refs.updated("main", mainRef),
         snapshotLog = base.snapshotLog :+
           SnapshotLogEntry(System.currentTimeMillis(), snapshotId),
         lastUpdatedMs = System.currentTimeMillis())

@@ -101,7 +101,16 @@ object StreamOps {
     * Scale shape: the micro-batch append is the same distributed write
     * path as batch appends (partition clustering, footer metrics); state
     * here is ONE table property, not per-row bookkeeping. */
-  val LastBatchIdProp = "graft.stream.last-batch-id"
+  val LastBatchIdPropPrefix = "graft.stream.last-batch-id"
+
+  /** Idempotence property for one streaming query: batch ids restart at 0
+    * for every new checkpoint, so the marker must be scoped by the query
+    * id (stable across restarts FROM THE SAME checkpoint — the standard
+    * (queryId, epochId) transactional-sink key). A second, fresh-
+    * checkpoint stream into the same table gets its own property and is
+    * never silently skipped. */
+  def lastBatchIdProp(queryId: String): String =
+    s"$LastBatchIdPropPrefix.$queryId"
 
   def appendStream(stream: DataFrame, table: graft.ice.IceTable,
       checkpointDir: String,
@@ -112,12 +121,18 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Spark sets the owning query's id as a local property on the
+        // micro-batch thread; it is persisted in the checkpoint, so a
+        // restart reuses it and a new checkpoint gets a fresh one
+        val queryId = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("default")
+        val prop = lastBatchIdProp(queryId)
         table.refresh()
-        val done = table.metadata.properties.get(LastBatchIdProp).map(_.toLong)
+        val done = table.metadata.properties.get(prop).map(_.toLong)
         if (!done.exists(_ >= batchId)) {
           table.newTransaction(batch.sparkSession)
             .append(batch)
-            .setProperty(LastBatchIdProp, batchId.toString)
+            .setProperty(prop, batchId.toString)
             .commitTransaction()
         }
         ()

@@ -206,9 +206,11 @@ class MergeAndMarkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .stageCreate()
     val (staged, tx) = IceTable.stageCreate(ref, spark)
     tx.append(raw)
-    // files are written but the table is NOT visible yet
+    // files are written but the table is NOT visible yet — not even to
+    // listTables (no phantom metadata/ directory)
     assert(!cat.tableExists(ident))
     intercept[NoSuchTableException] { cat.loadTable(ident) }
+    assert(!cat.listTables(Seq("db")).contains(ident))
 
     tx.commitTransaction()
     val loaded = IceTable.load(cat, ident)

@@ -92,29 +92,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       SparkConv.fromSpark(stream.schema))
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
 
+    def lastBatch(): Map[String, Long] = t.metadata.properties
+      .collect { case (k, v) if k.startsWith(StreamOps.LastBatchIdPropPrefix) =>
+        k -> v.toLong }
+
     input.addData((1L, "a"), (2L, "b"))
     val q1 = StreamOps.appendStream(stream, t, ckpt)
-    q1.awaitTermination(120000)
+    assert(q1.awaitTermination(120000), "ingest query did not finish in time")
     t.refresh()
     assert(t.newScan().toDF(spark).count() == 2)
-    val batchId = t.metadata.properties(StreamOps.LastBatchIdProp)
+    val marks1 = lastBatch()
+    assert(marks1.size == 1)
 
-    // restart from the same checkpoint with more data: only NEW rows land
+    // restart from the same checkpoint with more data: only NEW rows
+    // land, and the SAME query-scoped property advances (the query id is
+    // persisted in the checkpoint)
     input.addData((3L, "c"))
     val q2 = StreamOps.appendStream(stream, t, ckpt)
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "restarted ingest did not finish in time")
     t.refresh()
     assert(t.newScan().toDF(spark).count() == 3)
-    assert(t.metadata.properties(StreamOps.LastBatchIdProp).toLong > batchId.toLong)
+    val marks2 = lastBatch()
+    assert(marks2.size == 1 && marks2.keySet == marks1.keySet)
+    assert(marks2.head._2 > marks1.head._2)
 
-    // a REPLAYED batch id is a no-op (exactly-once on replay)
-    val replayed = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
-    val lastId = t.metadata.properties(StreamOps.LastBatchIdProp).toLong
-    // simulate the foreachBatch body re-running with an already-seen id
+    // a FRESH checkpoint means a fresh query id: its batch 0 must NOT be
+    // swallowed by the old query's marker
+    input.addData((4L, "d"))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    val q3 = StreamOps.appendStream(stream, t, ckpt2)
+    assert(q3.awaitTermination(120000), "fresh-checkpoint ingest did not finish in time")
     t.refresh()
-    val done = t.metadata.properties.get(StreamOps.LastBatchIdProp).map(_.toLong)
-    assert(done.exists(_ >= lastId)) // guard takes the no-op branch
-    assert(t.newScan().toDF(spark).count() == 3)
+    // the new query starts at batch 0 — with the OLD un-scoped marker
+    // (last id 1 >= 0) its first batch would be silently swallowed.
+    // Prove it landed: the new row is present and the new query wrote
+    // its OWN marker (exactly-once holds per query; replay volume from
+    // MemoryStream depends on its commit trimming, so don't pin it)
+    assert(t.newScan().toDF(spark).filter(col("id") === 4L).count() >= 1)
+    assert(t.newScan().toDF(spark).count() >= 4)
+    assert(lastBatch().size == 2)
   }
 
   test("streaming dedup within watermark") {

@@ -20,7 +20,11 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen kernel (VectorExprs.CosineExpr): one
+    * fused pass, stays in whole-stage codegen — the HOF formulation
+    * (aggregate/zip_with) is CodegenFallback and walks the arrays three
+    * times. Same math, same left-to-right accumulation order. */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosine(a, b)
 
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * (it is broadcast to every executor); the corpus streams through one

@@ -116,6 +116,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     base.foreach { case (id, _) => assert(hashes(id) == hashes(id + 5000)) }
   }
 
+  test("codegen cosine kernel matches the HOF formulation and compiles") {
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>")).limit(50)
+    val pairs = emb.select(col("vec_id").as("ia"), col("emb").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("emb").as("vb")))
+      .limit(500)
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = agg_(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+      def nrm(v: org.apache.spark.sql.Column) =
+        sqrt(agg_(transform(v, x => x * x), lit(0.0d), (s, x) => s + x))
+      dot / (nrm(a) * nrm(b))
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("fast"),
+        hofCosine(col("va"), col("vb")).as("ref")).collect()
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+          s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // the kernel itself stays codegen (no ScalaUDF / BatchEvalPython)
+    val plan = pairs.select(Similarity.cosine(col("va"), col("vb")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("brute-force kNN matches naive computation") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))

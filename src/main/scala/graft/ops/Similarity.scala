@@ -51,8 +51,15 @@ object Similarity {
 
   /** Random-hyperplane LSH signature (nPlanes bits) of a vector column.
     * `table` selects an independent plane set — the OR-amplification
-    * tables of classic E2LSH-style search. */
-  def signature(vec: Column, nPlanes: Int, table: Int = 0): Column = {
+    * tables of classic E2LSH-style search. Computed by the native
+    * codegen kernel (SignatureExpr): one vector traversal for all
+    * planes; bit-exact with the HOF formulation below. */
+  def signature(vec: Column, nPlanes: Int, table: Int = 0): Column =
+    VectorExprs.signature(vec, nPlanes, table)
+
+  /** The HOF reference formulation of [[signature]] — kept as the
+    * equality oracle for the kernel (pinned in OpsSpec). */
+  private[graft] def signatureHof(vec: Column, nPlanes: Int, table: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -33,6 +33,32 @@ object VectorUtil {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Random-hyperplane LSH signature, one traversal of the vector.
+    * Bit-exact with the Column formulation it replaces:
+    * `xxhash64(lit(plane), dim)` chains to
+    * `XXH64.hashInt(dim, XXH64.hashInt(plane, 42))`, and `pmod(h,2)==0`
+    * is `(h & 1) == 0`. `seeds(p)` carries the per-plane outer hash. */
+  def signature(v: ArrayData, seeds: Array[Long]): Long = {
+    val n = v.numElements()
+    val nPlanes = seeds.length
+    val proj = new Array[Double](nPlanes)
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      var p = 0
+      while (p < nPlanes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, seeds(p))
+        proj(p) += (if ((h & 1L) == 0L) x else -x)
+        p += 1
+      }
+      i += 1
+    }
+    var bits = 0L
+    var p = 0
+    while (p < nPlanes) { if (proj(p) >= 0) bits |= 1L << p; p += 1 }
+    bits
+  }
 }
 
 /** Whole-stage-codegen cosine similarity over two `array<double>`
@@ -72,8 +98,46 @@ final case class CosineExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Whole-stage-codegen hyperplane-LSH signature over an `array<double>`
+  * column — the corpus-side hot loop of the bucketed ANN path. One
+  * traversal computes all `nPlanes` projections; the HOF formulation is
+  * CodegenFallback and walks the vector once PER PLANE. */
+final case class SignatureExpr(child: Expression, nPlanes: Int, table: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes out of range: $nPlanes")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_lsh_signature"
+
+  // per-plane outer hash, fixed at plan time (plane ids are literals)
+  private lazy val seeds: Array[Long] = Array.tabulate(nPlanes)(p =>
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(table * 10007 + p, 42L))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_signature expects array<double>, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorUtil.signature(v.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = VectorUtil.getClass.getName.stripSuffix("$")
+    val seedsRef = ctx.addReferenceObj("sigSeeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c => s"$util.signature($c, $seedsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignatureExpr =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftColumnBridge._
   def cosine(a: Column, b: Column): Column =
     column(CosineExpr(expression(a), expression(b)))
+  def signature(vec: Column, nPlanes: Int, table: Int = 0): Column =
+    column(SignatureExpr(expression(vec), nPlanes, table))
 }

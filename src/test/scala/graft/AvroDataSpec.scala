@@ -67,6 +67,23 @@ class AvroDataSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0))
   }
 
+  test("property: any split size preserves the row multiset") {
+    val dir = java.nio.file.Files.createTempDirectory("avro_prop").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_name")
+    val files = AvroData.writeDir(df.coalesce(1), dir)
+    val len = java.nio.file.Files.size(java.nio.file.Paths.get(files.head))
+    val expected = df.count()
+    val expectedSum = df.agg(org.apache.spark.sql.functions.sum("c_custkey")).head.getLong(0)
+    // sweep split sizes incl. pathological ones (1 byte, larger than file)
+    for (split <- Seq(1L, 64L, 1024L, len / 3, len / 2, len - 1, len, len + 100)) {
+      val back = AvroData.readFiles(spark, files, df.schema, splitSizeBytes = split)
+      assert(back.count() == expected, s"splitSize=$split lost/duplicated rows")
+      assert(back.agg(org.apache.spark.sql.functions.sum("c_custkey")).head.getLong(0)
+        == expectedSum, s"splitSize=$split corrupted values")
+    }
+  }
+
   test("field-id resolution survives a rename between write and read") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("avro_ids").toString

@@ -145,6 +145,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
   }
 
+  test("codegen LSH signature kernel is bit-exact with the HOF formulation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>")).limit(200)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for ((np, t) <- Seq((6, 0), (6, 7), (10, 3), (63, 1))) {
+        val rows = emb.select(
+          Similarity.signature(col("emb"), np, t).as("fast"),
+          Similarity.signatureHof(col("emb"), np, t).as("ref")).collect()
+        rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+          s"np=$np t=$t: ${r.getLong(0)} != ${r.getLong(1)}"))
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("brute-force kNN matches naive computation") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))

@@ -639,6 +639,23 @@ object SparkEntry {
     // the source exactly (exactly-once contents)
     "st_ingest_table" -> ((s, dir) => StreamIngestFixture.table(s, dir).newScan().toDF(s)),
 
+    // stream-stream INNER interval join: same-user event pairs within 15
+    // minutes — inner matches emit eagerly per micro-batch, so the finite
+    // AvailableNow replay equals the batch self-join exactly
+    "st_interval_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream = s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id")
+      val joined = graft.streaming.StreamOps.intervalJoin(stream, stream, "user_id", 15)
+        .select(col("l.user_id").as("user_id"),
+          col("l.event_id").as("e1"), col("r.event_id").as("e2"))
+      graft.streaming.StreamOps.runToMemory(s, joined,
+        s"st_ivj_${System.nanoTime()}")
+    }),
+
     // custom per-key state (mapGroupsWithState): the handler's FINAL
     // running session per user — ms-precision timestamps (Timestamp
     // .getTime), sessions split on gap > 30min
@@ -966,6 +983,11 @@ object SparkEntry {
       "SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_keys FROM events",
     "st_ingest_table" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "st_interval_join" ->
+      """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE""".stripMargin,
     // the handler works on Timestamp.getTime -> millisecond precision
     "st_mgws_sessions" ->
       """WITH e AS (SELECT user_id, event_id,

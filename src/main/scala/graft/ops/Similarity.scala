@@ -80,10 +80,15 @@ object Similarity {
   /** Diagnostic/test hook: total quantizer fits performed in this JVM. */
   val quantizerFits = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Nearest-centroid cell by squared euclidean distance, as a pure
-    * Catalyst expression over a centroid literal — assignment needs no
-    * model object and no per-row UDF. */
-  private def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
+  /** Nearest-centroid cell by squared euclidean distance via the native
+    * codegen kernel (NearestCellExpr) — assignment needs no model
+    * object, no per-row UDF, and stays in whole-stage codegen. */
+  private def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column =
+    VectorExprs.nearestCell(vec, cents.map(_.toArray).toArray)
+
+  /** The HOF reference formulation of [[nearestCell]] — kept as the
+    * equality oracle for the kernel (pinned in OpsSpec). */
+  private[graft] def nearestCellHof(vec: Column, cents: Seq[Seq[Double]]): Column = {
     val centLit = typedlit(cents)
     aggregate(
       sequence(lit(0), lit(cents.length - 1)),

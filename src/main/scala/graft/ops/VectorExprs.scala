@@ -34,6 +34,25 @@ object VectorUtil {
     s
   }
 
+  /** Nearest centroid by squared euclidean distance; ties resolve to the
+    * LOWEST index (strict less-than scan in ascending order — same as
+    * the aggregate-over-sequence formulation it replaces). */
+  def nearestCell(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = v.getDouble(i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Random-hyperplane LSH signature, one traversal of the vector.
     * Bit-exact with the Column formulation it replaces:
     * `xxhash64(lit(plane), dim)` chains to
@@ -134,10 +153,53 @@ final case class SignatureExpr(child: Expression, nPlanes: Int, table: Int)
     copy(child = newChild)
 }
 
+/** Whole-stage-codegen IVF cell assignment over an `array<double>`
+  * column — the corpus-side hot loop of the inverted-file ANN path
+  * (O(nClusters x dim) per row). Centroids travel as a plan-time
+  * reference object, not per-row data. */
+final case class NearestCellExpr(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cell expects array<double>, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorUtil.nearestCell(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = VectorUtil.getClass.getName.stripSuffix("$")
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"$util.nearestCell($c, $centsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
+    copy(child = newChild)
+
+  // Array-typed case-class fields break default equals/hash — compare by
+  // content so plan canonicalization stays sane
+  override def equals(other: Any): Boolean = other match {
+    case NearestCellExpr(c, cs) =>
+      c == child && cs.length == cents.length &&
+        cs.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + cents.map(java.util.Arrays.hashCode).toSeq.hashCode()
+}
+
 object VectorExprs {
   import org.apache.spark.sql.GraftColumnBridge._
   def cosine(a: Column, b: Column): Column =
     column(CosineExpr(expression(a), expression(b)))
   def signature(vec: Column, nPlanes: Int, table: Int = 0): Column =
     column(SignatureExpr(expression(vec), nPlanes, table))
+  def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    column(NearestCellExpr(expression(vec), cents))
 }

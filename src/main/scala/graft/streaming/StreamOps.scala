@@ -83,6 +83,21 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream INNER interval join: (left, right) pairs sharing a key
+    * with right.ts in (left.ts, left.ts + within]. Inner matches emit as
+    * soon as both sides have arrived — no watermark closure gates
+    * emission — while the watermarks bound each side's buffered state to
+    * the join window plus the lateness allowance, which is what makes a
+    * stream-stream join viable on an unbounded stream (state is
+    * O(events in window), not O(stream)). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      withinMinutes: Int, watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.ts > l.ts AND r.ts <= l.ts + interval $withinMinutes minutes"))
+  }
+
   /** Streaming exact dedup on a key with watermarked state
     * (dropDuplicates over a stream — the training-pipeline ingest gate). */
   def streamingDedup(events: DataFrame, keyCols: Seq[String],

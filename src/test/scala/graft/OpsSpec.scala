@@ -160,6 +160,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("codegen nearest-cell kernel matches the HOF formulation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>")).limit(200)
+    // deterministic fake centroids spanning the data range
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("emb")))
+      .head.getInt(0)
+    val cents: Seq[Seq[Double]] = (0 until 9).map(c =>
+      (0 until dim).map(i => math.sin(c * 37 + i) * 0.5))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = emb.select(
+        graft.ops.VectorExprs.nearestCell(col("emb"),
+          cents.map(_.toArray).toArray).as("fast"),
+        Similarity.nearestCellHof(col("emb"), cents).as("ref")).collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"${r.getInt(0)} != ${r.getInt(1)}"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("brute-force kNN matches naive computation") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))

@@ -133,6 +133,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastBatch().size == 2)
   }
 
+  test("stream-stream interval join emits exactly the batch pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def df = input.toDF().toDF("event_id", "ts", "user_id")
+    // user 1: events at 0, 10, 40 min -> pairs (1,2) only within 15 min;
+    // user 2: events at 0, 12 -> pair (4,5)
+    input.addData(
+      (1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(40), 1L),
+      (4L, ts(0), 2L), (5L, ts(12), 2L))
+    val joined = StreamOps.intervalJoin(df, df, "user_id", 15)
+      .select(col("l.event_id").as("e1"), col("r.event_id").as("e2"))
+    val out = StreamOps.runToMemory(spark, joined, "ivj_test")
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (4L, 5L)), pairs.toString)
+  }
+
   test("streaming dedup within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

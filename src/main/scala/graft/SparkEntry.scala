@@ -481,6 +481,13 @@ object SparkEntry {
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.scan(s, dir, "documents"), "text", "doc_id")),
 
+    // exact word-trigram Jaccard pairs (>= 0.8) blocked by lang: the
+    // fully-oracled baseline the LSH path (d3) approximates. Integer
+    // counts only — no floats to drift between engines.
+    "d7_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardExactPairs(Tables.scan(s, dir, "documents"),
+        "text", "doc_id", "lang")),
+
     "d5_embedding_neardup" -> ((s, dir) => {
       val emb = Tables.raw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -924,6 +931,27 @@ object SparkEntry {
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0)
         |SELECT doc_id FROM u
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+    // mirrors Dedup.jaccardExactPairs exactly: same tokenization
+    // (lower + \W+ split, empties dropped), same trigram construction
+    // (docs under 3 tokens emit none), same integer threshold algebra.
+    "d7_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM toks WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS n_common,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, n_common, n_union FROM pairs
+        |WHERE n_common * 5 >= n_union * 4""".stripMargin,
     "x1_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,

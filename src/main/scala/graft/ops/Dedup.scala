@@ -121,6 +121,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard near-dup pairs within a blocking key — the
+    * oracle-able verification baseline for the approximate paths (d3's
+    * minhash-LSH plays the role e2/e3 play against e1's brute force).
+    *
+    * Shape is an inverted-index similarity join, NOT blocked all-pairs:
+    * explode (block, shingle) postings, self-join on the posting key, and
+    * count matches per (id_a, id_b) — |intersection| directly, |union| =
+    * |A|+|B|-|I|. Only pairs sharing >=1 shingle ever materialize, and a
+    * pair sharing no shingle cannot pass any threshold > 0, so the output
+    * equals the all-pairs formulation exactly. Threshold compares as
+    * integer cross-multiplication (n_common * den >= n_union * num): no
+    * floating point anywhere, so results are hash-stable across engines.
+    *
+    * At 100 TB the refinement is PPJoin-style prefix filtering (order
+    * shingles by global frequency, join only on each set's prefix) which
+    * preserves exactness while shrinking the posting join; the posting
+    * shape here is the same, so that lands as a filter on `postings`. */
+  def jaccardExactPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, shingleN: Int = 3,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    // materialize tokens before shingling (see tokens() warning)
+    val tokd = Par.ensure(df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+        tokens(col(textCol)).as("__toks")))
+      .filter(size(col("__toks")) >= shingleN) // <n tokens => no shingles => no pair survives
+    val sh = tokd.select(col("__blk"), col("__id"),
+      array_distinct(transform(sequence(lit(1), size(col("__toks")) - (shingleN - 1)),
+        i => array_join(slice(col("__toks"), i, lit(shingleN)), " "))).as("__sh"))
+    val postings = sh.select(col("__blk"), col("__id"),
+      size(col("__sh")).cast("long").as("__n"), explode(col("__sh")).as("__s"))
+    val a = postings.select(col("__blk"), col("__s"),
+      col("__id").as("id_a"), col("__n").as("na"))
+    val b = postings.select(col("__blk"), col("__s"),
+      col("__id").as("id_b"), col("__n").as("nb"))
+    a.join(b, Seq("__blk", "__s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"))
+      .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
+  }
+
   /** 64-bit SimHash: per-token hash votes on each bit; the sign of the
     * vote sum sets the bit. One explode + one groupBy; the 64 bit-sums
     * ride a single shuffle. */

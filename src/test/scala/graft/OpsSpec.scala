@@ -51,6 +51,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact Jaccard pairs: hand-computed counts, blocking, short docs") {
+    import spark.implicits._
+    val df = Seq(
+      // en block: a/b share 3 of 4+4 trigrams -> J = 3/5 (>= 1/2, < 4/5)
+      (1L, "en", "the quick brown fox jumps over"),
+      (2L, "en", "the quick brown fox jumps far"),
+      // identical pair -> J = 1
+      (3L, "en", "pack my box with five dozen jugs"),
+      (4L, "en", "pack my box with five dozen jugs"),
+      // same text as 1 but different block -> must NOT pair with 1
+      (5L, "fr", "the quick brown fox jumps over"),
+      // under 3 tokens: no shingles, never appears
+      (6L, "en", "two words")
+    ).toDF("doc_id", "lang", "text")
+    val half = Dedup.jaccardExactPairs(df, "text", "doc_id", "lang",
+      thresholdNum = 1, thresholdDen = 2).collect()
+    val got = half.map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(got((1L, 2L)) == ((3L, 5L)))   // trigram sets overlap 3, union 5
+    assert(got((3L, 4L)) == ((5L, 5L)))   // 7 tokens -> 5 trigrams, identical
+    val strict = Dedup.jaccardExactPairs(df, "text", "doc_id", "lang",
+      thresholdNum = 4, thresholdDen = 5).collect()
+    assert(strict.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
+  }
+
   test("codegen minhash equals the agg formulation and pins spec values") {
     import spark.implicits._
     val df = docs.limit(20).select("doc_id", "text")

@@ -52,6 +52,12 @@ object SparkEntry {
       graft.ice.manifest.AvroData.readDir(s, out, df.schema)
     }),
 
+    // S16: format registry end-to-end — a table whose data files are
+    // AVRO (written by the registry's avro writer, registered via
+    // addFiles(format=AVRO), scanned through per-format dispatch)
+    "s16_avro_scan" -> ((s, dir) =>
+      AvroScanFixture.table(s, dir).newScan().toDF(s)),
+
     // S10: parquet sink + read back
     "s10_parquet_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("pq_sink").toString
@@ -749,6 +755,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'""".stripMargin,
     "s9_avro_roundtrip" -> "SELECT * FROM nation",
+    "s16_avro_scan" -> "SELECT * FROM region",
     "s10_parquet_sink" -> "SELECT * FROM region",
     "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "p3_schema_evolution" ->
@@ -1341,6 +1348,31 @@ object AddFilesFixture {
         val raw = Tables.raw(spark, sfDir, "nation")
         val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
         t.append(spark).addFiles(Seq(s"$sfDir/nation.parquet"))
+        t
+      }
+    })
+}
+
+/** S16 fixture: a table whose data files are AVRO — written by the
+  * FormatRegistry avro writer, registered with addFiles(format=AVRO),
+  * scanned back through the registry's per-format dispatch. */
+object AvroScanFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "region_avro")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "region")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        val files = FormatRegistry.writer("AVRO")(raw, s"${t.location}/data")
+        t.append(spark).addFiles(files, format = "AVRO")
         t
       }
     })

@@ -487,7 +487,25 @@ final class ScanBuilder(table: IceTable) {
           case _ => ScanBuilder.hasFieldIds(p, spark)
         }
       }
-    def readPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {
+    // per-format dispatch (S16): parquet keeps the specialized path below
+    // (field-id projection, _metadata cols); everything else reads through
+    // the FormatRegistry. _file/_pos ride the PARQUET reader's _metadata
+    // struct, so metadata columns and MoR position deletes require
+    // parquet data files — a non-parquet file in such a scan fails loudly.
+    def readPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame =
+      ts.groupBy(_.file.fileFormat.toUpperCase(java.util.Locale.ROOT))
+        .toSeq.sortBy(_._1).map {
+          case ("PARQUET", pts) => readParquetPaths(pts, withPosCols)
+          case (fmt, fts) =>
+            require(!withPosCols,
+              s"metadata columns and position deletes require parquet data files; got $fmt")
+            // sparkSchema keeps field-id metadata so the Avro reader can
+            // resolve columns by id (rename-safe) before name fallback
+            FormatRegistry.reader(fmt)(spark, sparkSchema,
+              fts.map(t => ManifestAvro.stripFileScheme(t.file.filePath)))
+        }.reduce(_ unionByName _)
+
+    def readParquetPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {
       val (internal, external) = {
         val (i, e) = ts.map(t => (t, ManifestAvro.stripFileScheme(t.file.filePath)))
           .partition { case (t, p) => fileHasIds(t, p) }
@@ -768,20 +786,29 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     (entries, commitUuid)
   }
 
-  /** Register existing parquet files as table data (no rewrite) — the
-    * migration path for external data; metrics still from footers. */
-  def addFiles(paths: Seq[String]): Snapshot = {
+  /** Register existing files as table data (no rewrite) — the migration
+    * path for external data. PARQUET files yield full column metrics from
+    * their footers; other registered formats (AVRO via the registry) get
+    * record counts only, so file-metric pruning treats them as unknown
+    * (included) — safe, just unprunable. */
+  def addFiles(paths: Seq[String], format: String = "PARQUET"): Snapshot = {
     require(table.spec.isUnpartitioned,
       "addFiles on a partitioned table requires explicit partition tuples")
+    val fmt = format.toUpperCase(java.util.Locale.ROOT)
+    require(FormatRegistry.supportedFormats.contains(fmt),
+      s"addFiles: no reader registered for format '$format'")
     val schema = table.schema
     val commitUuid = UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
     val entries = paths.map { p =>
-      val m = Metrics.fromParquetFooter(p, schema, conf)
+      val local = ManifestAvro.stripFileScheme(p)
+      val m =
+        if (fmt == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
+        else Metrics.rowCountOnly(AvroData.countRecords(local))
       ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.Data, p, "PARQUET", IndexedSeq.empty,
+        DataFile(FileContent.Data, p, fmt, IndexedSeq.empty,
           recordCount = m.rowCount,
-          fileSizeInBytes = Files.size(Paths.get(ManifestAvro.stripFileScheme(p))),
+          fileSizeInBytes = Files.size(Paths.get(local)),
           columnSizes = m.columnSizes,
           valueCounts = m.valueCounts,
           nullValueCounts = m.nullValueCounts,
@@ -789,14 +816,19 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           upperBounds = m.upperBounds,
           splitOffsets = m.splitOffsets))
     }
-    // stamp field-id presence NOW (footers are open anyway for metrics):
-    // the scan then partitions id-matched vs name-mapped files from the
-    // snapshot summary instead of probing O(files) footers at plan time
-    val withIds = paths.count(p => ScanBuilder.hasFieldIds(p, spark))
+    // stamp field-id presence NOW (parquet footers are open anyway for
+    // metrics): the scan then partitions id-matched vs name-mapped files
+    // from the snapshot summary instead of probing O(files) footers at
+    // plan time. Avro files resolve ids per-file inside the reader, so
+    // the parquet-path summary is irrelevant for them.
     val idSummary =
-      if (withIds == paths.size) "all"
-      else if (withIds == 0) "none"
-      else "mixed"
+      if (fmt != "PARQUET") "none"
+      else {
+        val withIds = paths.count(p => ScanBuilder.hasFieldIds(p, spark))
+        if (withIds == paths.size) "all"
+        else if (withIds == 0) "none"
+        else "mixed"
+      }
     commitAppend(entries, commitUuid,
       Map(IceTable.FieldIdsSummaryKey -> idSummary))
   }

@@ -1,0 +1,76 @@
+package graft.ice.io
+
+import java.io.OutputStream
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.avro.file.{SeekableFileInput, SeekableInput}
+
+/** Pluggable file IO for the METADATA plane (S15) — the reference's
+  * `FileIO` seam (file_io.h): metadata JSON, manifests, and manifest
+  * lists go through one swappable interface, so an object-store backend
+  * is one implementation away. The DATA plane deliberately does NOT go
+  * through this: data files are read/written by Spark's distributed
+  * sources (parquet/avro readers on executors), where a driver-side
+  * byte-stream interface would be the scale bug.
+  *
+  * Avro-shaped accessors (`newInput`/`newOutput`) exist because
+  * manifests are Avro object-container files needing seekable reads;
+  * `readBytes`/`writeAtomic` serve the (small) metadata JSON. */
+trait FileIO {
+  /** Seekable handle for Avro container reads. */
+  def newInput(path: String): SeekableInput
+  /** Overwriting output stream; creates parent directories. */
+  def newOutput(path: String): OutputStream
+  def readBytes(path: String): Array[Byte]
+  /** Full-file atomic replace (commit safety: readers never observe a
+    * torn metadata file). */
+  def writeAtomic(path: String, bytes: Array[Byte]): Unit
+  def delete(path: String): Unit
+  def exists(path: String): Boolean
+  def length(path: String): Long
+}
+
+/** Local-filesystem FileIO (the default everywhere). */
+object LocalFileIO extends FileIO {
+  private def p(path: String) = Paths.get(path)
+  override def newInput(path: String): SeekableInput =
+    new SeekableFileInput(new java.io.File(path))
+  override def newOutput(path: String): OutputStream = {
+    Option(p(path).getParent).foreach(Files.createDirectories(_))
+    Files.newOutputStream(p(path))
+  }
+  override def readBytes(path: String): Array[Byte] = Files.readAllBytes(p(path))
+  override def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val target = p(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = Files.createTempFile(target.getParent, ".tmp-io", ".bin")
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+  override def delete(path: String): Unit = Files.deleteIfExists(p(path))
+  override def exists(path: String): Boolean = Files.exists(p(path))
+  override def length(path: String): Long = Files.size(p(path))
+}
+
+/** Map-backed FileIO proving the metadata plane is fully abstracted
+  * (used by FileIOSpec; an S3/GCS impl would slot in the same way). */
+final class InMemoryFileIO extends FileIO {
+  private val store = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private def get(path: String): Array[Byte] = {
+    val b = store.get(path)
+    if (b == null) throw new java.io.FileNotFoundException(path)
+    b
+  }
+  override def newInput(path: String): SeekableInput =
+    new org.apache.avro.file.SeekableByteArrayInput(get(path))
+  override def newOutput(path: String): OutputStream =
+    new java.io.ByteArrayOutputStream() {
+      override def close(): Unit = { super.close(); store.put(path, toByteArray) }
+    }
+  override def readBytes(path: String): Array[Byte] = get(path)
+  override def writeAtomic(path: String, bytes: Array[Byte]): Unit = store.put(path, bytes)
+  override def delete(path: String): Unit = store.remove(path)
+  override def exists(path: String): Boolean = store.containsKey(path)
+  override def length(path: String): Long = get(path).length.toLong
+  def paths: Set[String] = { import scala.jdk.CollectionConverters._; store.keySet.asScala.toSet }
+}

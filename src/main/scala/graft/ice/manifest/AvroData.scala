@@ -203,4 +203,17 @@ object AvroData {
     * readFiles — kept as the single-file convenience entry. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     readFiles(spark, Seq(path), schema)
+
+  /** Record count from block headers only — no datum decoding (each Avro
+    * block header carries its object count). Driver-side migration
+    * helper for addFiles; at write time prefer recording counts. */
+  def countRecords(path: String): Long = {
+    val reader = new DataFileReader[GenericRecord](
+      new File(path), new GenericDatumReader[GenericRecord]())
+    try {
+      var n = 0L
+      while (reader.hasNext) { n += reader.getBlockCount; reader.nextBlock() }
+      n
+    } finally reader.close()
+  }
 }

@@ -10,6 +10,7 @@ import org.apache.avro.Schema.{Parser => AvroParser}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
 
+import graft.ice.io.{FileIO, LocalFileIO}
 import graft.ice.types._
 
 /** Avro read/write for manifests and manifest lists (reference:
@@ -299,17 +300,17 @@ object ManifestAvro {
     * Handles both v1 (missing content/sequence fields) and v2 layouts. */
   /** Avro file-level metadata (e.g. "format-version") of a manifest or
     * manifest list. */
-  def fileMetadata(path: String): Map[String, String] = {
+  def fileMetadata(path: String, io: FileIO = LocalFileIO): Map[String, String] = {
     val reader = new DataFileReader[GenericRecord](
-      new File(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
+      io.newInput(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
     try reader.getMetaKeys.asScala
       .map(k => k -> Option(reader.getMetaString(k)).getOrElse("")).toMap
     finally reader.close()
   }
 
-  def readManifestList(path: String): IndexedSeq[ManifestFile] = {
+  def readManifestList(path: String, io: FileIO = LocalFileIO): IndexedSeq[ManifestFile] = {
     val reader = new DataFileReader[GenericRecord](
-      new File(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
+      io.newInput(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
     try {
       reader.iterator.asScala.map { r =>
         val partitions = (r.get("partitions") match {
@@ -352,7 +353,7 @@ object ManifestAvro {
   /** Write a manifest list (S13; manifest_writer.cc:115-186). */
   def writeManifestList(path: String, files: Seq[ManifestFile],
       snapshotId: Long, parentSnapshotId: Option[Long], sequenceNumber: Long,
-      formatVersion: Int = 2): Unit = {
+      formatVersion: Int = 2, io: FileIO = LocalFileIO): Unit = {
     // v1 list schema has no content field (517): a delete manifest written
     // into a v1 list would read back as Data and its delete files would be
     // planned as data files — v1 tables cannot contain delete manifests
@@ -365,7 +366,7 @@ object ManifestAvro {
     writer.setMeta("snapshot-id", snapshotId.toString)
     writer.setMeta("sequence-number", sequenceNumber.toString)
     parentSnapshotId.foreach(p => writer.setMeta("parent-snapshot-id", p.toString))
-    writer.create(schema, new File(stripFileScheme(path)))
+    writer.create(schema, io.newOutput(stripFileScheme(path)))
     try {
       files.foreach { m =>
         val r = new GenericData.Record(schema)
@@ -412,9 +413,10 @@ object ManifestAvro {
     * when the containing ManifestFile is given (S5). `partitionType` types
     * the r102 tuple (from the spec that wrote the manifest). */
   def readManifest(path: String, partitionType: StructT,
-      parent: Option[ManifestFile] = None): IndexedSeq[ManifestEntry] = {
+      parent: Option[ManifestFile] = None,
+      io: FileIO = LocalFileIO): IndexedSeq[ManifestEntry] = {
     val reader = new DataFileReader[GenericRecord](
-      new File(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
+      io.newInput(stripFileScheme(path)), new GenericDatumReader[GenericRecord]())
     try {
       val inherit: ManifestEntry => ManifestEntry =
         parent.map(InheritableMetadata.apply).getOrElse(identity)
@@ -476,7 +478,7 @@ object ManifestAvro {
       partitionType: StructT, specId: Int, snapshotId: Long,
       sequenceNumber: Long, content: Int = ManifestContent.Data,
       schemaJson: String = "", specFieldsJson: String = "",
-      formatVersion: Int = 2): ManifestFile = {
+      formatVersion: Int = 2, io: FileIO = LocalFileIO): ManifestFile = {
     val schema = new AvroParser().parse(manifestEntrySchemaJson(partitionType, formatVersion))
     val dataFileSchema = nonNull(schema.getField("data_file").schema())
     val partSchema = nonNull(dataFileSchema.getField("partition").schema())
@@ -486,7 +488,7 @@ object ManifestAvro {
     writer.setMeta("partition-spec", if (specFieldsJson.nonEmpty) specFieldsJson else "[]")
     writer.setMeta("partition-spec-id", specId.toString)
     writer.setMeta("content", if (content == ManifestContent.Data) "data" else "deletes")
-    writer.create(schema, new File(stripFileScheme(path)))
+    writer.create(schema, io.newOutput(stripFileScheme(path)))
     try {
       entries.foreach { e =>
         val r = new GenericData.Record(schema)
@@ -562,7 +564,7 @@ object ManifestAvro {
     val minSeq = entries.flatMap(_.sequenceNumber).minOption.getOrElse(sequenceNumber)
     ManifestFile(
       manifestPath = path,
-      manifestLength = new File(stripFileScheme(path)).length(),
+      manifestLength = io.length(stripFileScheme(path)),
       partitionSpecId = specId,
       content = content,
       sequenceNumber = sequenceNumber,

@@ -399,12 +399,13 @@ object MetaJson {
 }
 
 /** Read/write (optionally gzip'd) *.metadata.json
-  * (reference: table_metadata.cc:165-195 codec sniff + read). */
+  * (reference: table_metadata.cc:165-195 codec sniff + read).
+  * All bytes flow through the FileIO seam (S15). */
 object TableMetadataIO {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import graft.ice.io.{FileIO, LocalFileIO}
 
-  def read(path: String): TableMetadata = {
-    val raw = Files.readAllBytes(Paths.get(path))
+  def read(path: String, io: FileIO = LocalFileIO): TableMetadata = {
+    val raw = io.readBytes(path)
     val text =
       if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
         val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw))
@@ -414,12 +415,8 @@ object TableMetadataIO {
     MetaJson.fromJson(text)
   }
 
-  /** Atomic write: temp file + ATOMIC_MOVE (commit safety on local/HDFS-like FS). */
-  def write(path: String, m: TableMetadata): Unit = {
-    val p = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    val tmp = Files.createTempFile(p.getParent, ".tmp-metadata", ".json")
-    Files.writeString(tmp, MetaJson.toJson(m))
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-  }
+  /** Atomic write (commit safety: readers never see a torn file). */
+  def write(path: String, m: TableMetadata, io: FileIO = LocalFileIO): Unit =
+    io.writeAtomic(path,
+      MetaJson.toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }

@@ -36,6 +36,12 @@ object Metrics {
       upperBounds: Map[Int, Array[Byte]],
       splitOffsets: Seq[Long])
 
+  /** Metrics carrying only a row count — for registered file formats
+    * without footer statistics (e.g. Avro): pruning treats absent bounds
+    * as unknown, so such files are always included, never skipped. */
+  def rowCountOnly(rows: Long): FileMetrics =
+    FileMetrics(rows, Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, Nil)
+
   /** Footer row count only (cheap; e.g. for delete files whose schema is
     * not the table schema). */
   def parquetRowCount(path: String, conf: Configuration = new Configuration()): Long = {

@@ -141,13 +141,17 @@ object Dedup {
   def jaccardExactPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, shingleN: Int = 3,
       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
-    // materialize tokens before shingling (see tokens() warning)
-    val tokd = Par.ensure(df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
-        tokens(col(textCol)).as("__toks")))
-      .filter(size(col("__toks")) >= shingleN) // <n tokens => no shingles => no pair survives
-    val sh = tokd.select(col("__blk"), col("__id"),
-      array_distinct(transform(sequence(lit(1), size(col("__toks")) - (shingleN - 1)),
-        i => array_join(slice(col("__toks"), i, lit(shingleN)), " "))).as("__sh"))
+    // shingling via the compiled kernel (TextExprs.shingles: one static
+    // call inside whole-stage codegen) instead of interpreted HOFs. The
+    // kernel emits one TRUNCATED shingle for docs under n tokens where
+    // this operator's contract says "no shingles"; such a doc always
+    // yields exactly one shingle of fewer than n words, so the filter
+    // below excludes precisely those docs (tokens never contain spaces).
+    val sh = Par.ensure(df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+        TextExprs.shingles(col(textCol), shingleN).as("__sh")))
+      .filter(size(col("__sh")) > 1 ||
+        (size(col("__sh")) === 1 &&
+          size(split(element_at(col("__sh"), 1), " ")) === lit(shingleN)))
     val postings = sh.select(col("__blk"), col("__id"),
       size(col("__sh")).cast("long").as("__n"), explode(col("__sh")).as("__s"))
     val a = postings.select(col("__blk"), col("__s"),

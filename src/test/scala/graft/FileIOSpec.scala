@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice.io.{InMemoryFileIO, LocalFileIO}
+import graft.ice.manifest._
+import graft.ice.meta._
+import graft.ice.types._
+
+/** S15: the metadata plane (metadata JSON, manifests, manifest lists)
+  * runs entirely through the FileIO seam — proven by round-tripping every
+  * artifact against a map-backed store with no filesystem underneath
+  * (reference file_io.h: the same seam an object-store impl plugs into). */
+class FileIOSpec extends AnyFunSuite {
+
+  private val partType = StructT(IndexedSeq(
+    NestedField(1000, "bkt", IntT, required = false)))
+
+  private def entry = ManifestEntry(ManifestStatus.Added, None, None, None,
+    DataFile(FileContent.Data, "/data/f1.parquet", "PARQUET",
+      IndexedSeq(3), recordCount = 10, fileSizeInBytes = 1234,
+      valueCounts = Map(1 -> 10L),
+      lowerBounds = Map(1 -> Literal.long(1).serialize),
+      upperBounds = Map(1 -> Literal.long(9).serialize)))
+
+  test("manifest + manifest list round-trip through a memory-only FileIO") {
+    val io = new InMemoryFileIO
+    val mf = ManifestAvro.writeManifest("/mem/m.avro", Seq(entry), partType,
+      specId = 0, snapshotId = 7L, sequenceNumber = 1L, io = io)
+    assert(io.exists("/mem/m.avro"))
+    assert(mf.manifestLength == io.length("/mem/m.avro"))
+    val back = ManifestAvro.readManifest("/mem/m.avro", partType, Some(mf), io = io)
+    assert(back.size == 1 && back.head.dataFile.partition == IndexedSeq(3))
+    assert(ManifestAvro.fileMetadata("/mem/m.avro", io = io)
+      .get("format-version").contains("2"))
+
+    ManifestAvro.writeManifestList("/mem/list.avro", Seq(mf), 7L, None, 1L, io = io)
+    val files = ManifestAvro.readManifestList("/mem/list.avro", io = io)
+    assert(files.size == 1 && files.head.manifestPath == "/mem/m.avro")
+
+    // nothing leaked to the local filesystem
+    assert(!LocalFileIO.exists("/mem/m.avro") && !LocalFileIO.exists("/mem/list.avro"))
+    assert(io.paths == Set("/mem/m.avro", "/mem/list.avro"))
+  }
+
+  test("format registry: parquet+avro registered, orc/puffin fail loudly") {
+    import graft.ice.FormatRegistry
+    assert(FormatRegistry.supportedFormats == Set("PARQUET", "AVRO"))
+    FormatRegistry.reader("avro") // case-insensitive lookup
+    val e = intercept[UnsupportedOperationException](FormatRegistry.reader("ORC"))
+    assert(e.getMessage.contains("ORC") || e.getMessage.contains("orc"))
+    intercept[UnsupportedOperationException](FormatRegistry.writer("PUFFIN"))
+  }
+
+  test("metadata JSON round-trips through a memory-only FileIO") {
+    val io = new InMemoryFileIO
+    val schema = Schema(0, IndexedSeq(
+      NestedField(1, "id", LongT, required = true)))
+    val m = TableMetadata.newTable("/mem/tbl", schema,
+      properties = Map("k" -> "v"))
+    TableMetadataIO.write("/mem/tbl/metadata/v1.metadata.json", m, io = io)
+    val back = TableMetadataIO.read("/mem/tbl/metadata/v1.metadata.json", io = io)
+    assert(back.tableUuid == m.tableUuid)
+    assert(back.properties.get("k").contains("v"))
+    assert(!LocalFileIO.exists("/mem/tbl/metadata/v1.metadata.json"))
+  }
+}

@@ -58,6 +58,11 @@ object SparkEntry {
     "s16_avro_scan" -> ((s, dir) =>
       AvroScanFixture.table(s, dir).newScan().toDF(s)),
 
+    // S16 write side: the ENGINE writes avro data files because the
+    // table says write.format.default=avro; scans dispatch by format
+    "s16_avro_write" -> ((s, dir) =>
+      AvroScanFixture.written(s, dir).newScan().toDF(s)),
+
     // S10: parquet sink + read back
     "s10_parquet_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("pq_sink").toString
@@ -756,6 +761,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'""".stripMargin,
     "s9_avro_roundtrip" -> "SELECT * FROM nation",
     "s16_avro_scan" -> "SELECT * FROM region",
+    "s16_avro_write" -> "SELECT * FROM supplier",
     "s10_parquet_sink" -> "SELECT * FROM region",
     "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "p3_schema_evolution" ->
@@ -1353,9 +1359,10 @@ object AddFilesFixture {
     })
 }
 
-/** S16 fixture: a table whose data files are AVRO — written by the
-  * FormatRegistry avro writer, registered with addFiles(format=AVRO),
-  * scanned back through the registry's per-format dispatch. */
+/** S16 fixtures: tables whose data files are AVRO — one registered
+  * externally (FormatRegistry avro writer + addFiles(format=AVRO)), one
+  * written by the engine itself via write.format.default=avro. Both scan
+  * back through the registry's per-format dispatch. */
 object AvroScanFixture {
   import graft.ice._
   import graft.ice.catalog._
@@ -1373,6 +1380,20 @@ object AvroScanFixture {
         val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
         val files = FormatRegistry.writer("AVRO")(raw, s"${t.location}/data")
         t.append(spark).addFiles(files, format = "AVRO")
+        t
+      }
+    })
+
+  def written(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/written", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "supplier_avrowrite")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "supplier")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map("write.format.default" -> "avro"))
+        t.append(spark).appendDataFrame(raw)
         t
       }
     })

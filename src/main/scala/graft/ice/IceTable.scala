@@ -739,12 +739,27 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
+    // write.format.default selects the data-file format (S16 registry);
+    // non-parquet formats are unpartitioned-only (partitioned layouts
+    // lean on Spark's parquet partitionBy machinery)
+    val writeFormat = TableProperties.get(table.properties,
+      TableProperties.WriteFormatDefault).toUpperCase(java.util.Locale.ROOT)
+    require(writeFormat == "PARQUET" || spec.isUnpartitioned,
+      s"write.format.default=$writeFormat supports unpartitioned tables only")
+    var avroCounts: Map[String, Long] = Map.empty
+
     val order = table.metadata.defaultSortOrder
     if (spec.isUnpartitioned) {
       // a declared sort order range-clusters the write so per-file bounds
       // are disjoint — the pruning lever at scale
-      graft.ice.write.WriteShape.clusterUnpartitioned(aligned, schema, order)
-        .write.mode("append").parquet(outDir)
+      val shaped = graft.ice.write.WriteShape.clusterUnpartitioned(aligned, schema, order)
+      writeFormat match {
+        case "PARQUET" => shaped.write.mode("append").parquet(outDir)
+        case "AVRO" => avroCounts = AvroData.writeDirWithCounts(shaped, outDir).toMap
+        case other => throw new UnsupportedOperationException(
+          s"no writer registered for file format '$other' " +
+            "(PARQUET and AVRO; ORC/PUFFIN are enum-only in the reference)")
+      }
     } else {
       val partCols = spec.fields.map { pf =>
         val src = schema.findFieldById(pf.sourceId).get
@@ -764,15 +779,20 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
         .parquet(outDir)
     }
 
-    val files = listParquetFiles(outDir)
+    val files =
+      if (writeFormat == "AVRO") avroCounts.keys.toSeq.sorted
+      else listParquetFiles(outDir)
     // footer reads are independent driver-side IO — parallelize
     import scala.collection.parallel.CollectionConverters._
     val hadoopConf = spark.sessionState.newHadoopConf()
     val entries = files.par.map { p =>
-      val m = Metrics.fromParquetFooter(p, schema, hadoopConf)
+      val m =
+        if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, hadoopConf)
+        // counts recorded at write time; no column bounds -> never pruned
+        else Metrics.rowCountOnly(avroCounts(p))
       val partition = parsePartitionTuple(p, outDir, spec, schema)
       ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.Data, p, "PARQUET", partition,
+        DataFile(FileContent.Data, p, writeFormat, partition,
           recordCount = m.rowCount,
           fileSizeInBytes = Files.size(Paths.get(p)),
           columnSizes = m.columnSizes,

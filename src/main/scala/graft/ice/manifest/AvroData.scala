@@ -85,8 +85,9 @@ object AvroData {
 
   /** Distributed Avro sink (S11 at scale): each partition writes its own
     * file under `dir` on the executors — nothing moves through the
-    * driver. Returns the written file paths. */
-  def writeDir(df: DataFrame, dir: String): Seq[String] = {
+    * driver. Returns (path, row count) per file; counts are recorded at
+    * write time so manifest entries never re-read the files. */
+  def writeDirWithCounts(df: DataFrame, dir: String): Seq[(String, Long)] = {
     val sparkSchema = df.schema
     val schemaJson = avroSchemaJson(sparkSchema)
     val fields = sparkSchema.fields
@@ -99,12 +100,18 @@ object AvroData {
           new GenericDatumWriter[GenericRecord](schema))
         val path = f"$dir/part-$idx%05d.avro"
         writer.create(schema, new File(path))
-        try it.foreach(row => writer.append(rowToRecord(schema, fields, row)))
-        finally writer.close()
-        Iterator.single(path)
+        var n = 0L
+        try it.foreach { row =>
+          writer.append(rowToRecord(schema, fields, row)); n += 1
+        } finally writer.close()
+        Iterator.single((path, n))
       }
-    }.collect().toSeq.sorted
+    }.collect().toSeq.sortBy(_._1)
   }
+
+  /** writeDirWithCounts without the counts (the registry Writer shape). */
+  def writeDir(df: DataFrame, dir: String): Seq[String] =
+    writeDirWithCounts(df, dir).map(_._1)
 
   /** Decode one Avro value to the Spark external type — runs on executors
     * in the distributed read path, so it must only touch serializable

@@ -141,6 +141,14 @@ private[ice] object SnapshotProducer {
     val spec = table.spec
     val commitUuid = UUID.randomUUID().toString
     val outDir = s"${table.dataFileDir}/$commitUuid"
+    // write.format.default selects the data-file format (S16 registry).
+    // Partitioned layouts lean on Spark's parquet partitionBy machinery;
+    // non-parquet formats are unpartitioned-only for now.
+    val writeFormat = TableProperties.get(table.properties,
+      TableProperties.WriteFormatDefault).toUpperCase(java.util.Locale.ROOT)
+    require(writeFormat == "PARQUET" || spec.isUnpartitioned,
+      s"write.format.default=$writeFormat supports unpartitioned tables only")
+    var avroCounts: Map[String, Long] = Map.empty
     val aligned = df.select(schema.fields.map { f =>
       col(f.name).cast(SparkConv.toSparkType(f.fieldType))
         .as(f.name, SparkConv.toSparkField(f).metadata)
@@ -169,7 +177,15 @@ private[ice] object SnapshotProducer {
           ranged.sortWithinPartitions(cols: _*)
         } else if (n > 0) aligned.repartition(n)
         else aligned
-      shaped.write.mode("append").parquet(outDir)
+      writeFormat match {
+        case "PARQUET" => shaped.write.mode("append").parquet(outDir)
+        case "AVRO" =>
+          avroCounts = AvroData.writeDirWithCounts(shaped, outDir).toMap
+        case other =>
+          throw new UnsupportedOperationException(
+            s"no writer registered for file format '$other' " +
+              "(PARQUET and AVRO; ORC/PUFFIN are enum-only in the reference)")
+      }
     } else {
       val partCols = spec.fields.map { pf =>
         val src = schema.findFieldById(pf.sourceId).get
@@ -189,19 +205,24 @@ private[ice] object SnapshotProducer {
         .parquet(outDir)
     }
 
+    val suffix = if (writeFormat == "AVRO") ".avro" else ".parquet"
     val files = {
       val root = Paths.get(outDir)
       import scala.jdk.CollectionConverters._
       Files.walk(root).iterator.asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(suffix))
         .map(_.toString).toSeq.sorted
     }
     val conf = spark.sessionState.newHadoopConf()
     files.map { p =>
-      val m = Metrics.fromParquetFooter(p, schema, conf)
+      val m =
+        if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
+        // counts were recorded by the executors at write time; avro files
+        // carry no column bounds, so pruning includes them (never skips)
+        else Metrics.rowCountOnly(avroCounts(p))
       val partition = PartitionPaths.parse(p, outDir, spec, schema)
       ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.Data, p, "PARQUET", partition,
+        DataFile(FileContent.Data, p, writeFormat, partition,
           recordCount = m.rowCount,
           fileSizeInBytes = Files.size(Paths.get(p)),
           columnSizes = m.columnSizes, valueCounts = m.valueCounts,

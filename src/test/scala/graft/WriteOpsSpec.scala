@@ -38,6 +38,30 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (t, raw)
   }
 
+  test("write.format.default=avro: engine writes avro files, scan dispatches") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whav").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.avw"), schema,
+      properties = Map("write.format.default" -> "avro"))
+    t.append(spark).appendDataFrame(raw)
+    val entries = t.newScan().planFiles()
+    assert(entries.nonEmpty)
+    assert(entries.forall(_.file.fileFormat == "AVRO"))
+    assert(entries.forall(_.file.filePath.endsWith(".avro")))
+    // counts were recorded at write time, no re-read
+    assert(entries.map(_.file.recordCount).sum == raw.count())
+    val back = t.newScan().toDF(spark)
+    assert(back.count() == raw.count())
+    assert(back.schema.fieldNames.sameElements(raw.schema.fieldNames))
+    // partitioned avro writes are rejected loudly
+    val t2 = IceTable.create(cat, TableIdentifier.parse("db.avwpart"), schema,
+      spec = PartitionSpec(0, IndexedSeq(graft.ice.meta.PartitionField(
+        schema.fields.head.id, 1000, "p", graft.ice.transform.IdentityTransform))),
+      properties = Map("write.format.default" -> "avro"))
+    intercept[IllegalArgumentException](t2.append(spark).appendDataFrame(raw))
+  }
+
   test("copy-on-write delete rewrites matching files") {
     val (t, raw) = freshTable("cow")
     val before = t.newScan().toDF(spark).count()

@@ -62,6 +62,24 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](t2.append(spark).appendDataFrame(raw))
   }
 
+  test("avro data files resolve renamed columns by field id") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whavr").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.avren"), schema,
+      properties = Map("write.format.default" -> "avro"))
+    t.append(spark).appendDataFrame(raw)
+    // rename AFTER the files were written: the files still carry the old
+    // name but the same field id, so id resolution must find the column
+    t.updateSchema().renameColumn("n_name", "nation_name").commit()
+    val back = t.newScan().toDF(spark)
+    assert(back.schema.fieldNames.contains("nation_name"))
+    import scala.jdk.CollectionConverters._
+    val names = back.select("nation_name").collect().map(_.getString(0)).sorted
+    val want = raw.select("n_name").collect().map(_.getString(0)).sorted
+    assert(names.sameElements(want))
+  }
+
   test("copy-on-write delete rewrites matching files") {
     val (t, raw) = freshTable("cow")
     val before = t.newScan().toDF(spark).count()

@@ -19,19 +19,29 @@ import graft.ice.manifest.AvroData
   * them in a manifest. */
 object FormatRegistry {
 
-  /** (session, read schema, file paths) => DataFrame over those files. */
-  type Reader = (SparkSession, StructType, Seq[String]) => DataFrame
+  /** (session, read schema, file paths, name mapping) => DataFrame over
+    * those files. The mapping (fieldId -> acceptable file-column names,
+    * from schema.name-mapping.default) resolves id-less files; readers
+    * that resolve purely by id/name may ignore it. */
+  type Reader =
+    (SparkSession, StructType, Seq[String], Map[Long, Seq[String]]) => DataFrame
   /** (rows, target dir) => paths of the files written. */
   type Writer = (DataFrame, String) => Seq[String]
 
   private val readers: Map[String, Reader] = Map(
-    "PARQUET" -> ((s, schema, paths) => s.read.schema(schema).parquet(paths: _*)),
-    "AVRO" -> ((s, schema, paths) => AvroData.readFiles(s, paths, schema)))
+    "PARQUET" -> ((s, schema, paths, _) => s.read.schema(schema).parquet(paths: _*)),
+    "AVRO" -> ((s, schema, paths, nm) =>
+      AvroData.readFiles(s, paths, schema, mappedNames = nm)))
 
   private val writers: Map[String, Writer] = Map(
     "PARQUET" -> { (df, dir) =>
-      df.write.mode("append").parquet(dir)
-      val d = java.nio.file.Paths.get(dir)
+      // each invocation writes a unique subdirectory (same scheme as
+      // AppendOp's commitUuid dirs): the target dir may already hold files
+      // from earlier writes, and a post-write listing of the whole dir
+      // would hand those back to the caller for re-registration
+      val sub = s"$dir/${java.util.UUID.randomUUID()}"
+      df.write.parquet(sub)
+      val d = java.nio.file.Paths.get(sub)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(d).iterator.asScala.map(_.toString)
         .filter(_.endsWith(".parquet")).toSeq.sorted

@@ -500,9 +500,13 @@ final class ScanBuilder(table: IceTable) {
             require(!withPosCols,
               s"metadata columns and position deletes require parquet data files; got $fmt")
             // sparkSchema keeps field-id metadata so the Avro reader can
-            // resolve columns by id (rename-safe) before name fallback
+            // resolve columns by id (rename-safe); id-less files fall back
+            // to the table's name mapping, then current names
             FormatRegistry.reader(fmt)(spark, sparkSchema,
-              fts.map(t => ManifestAvro.stripFileScheme(t.file.filePath)))
+              fts.map(t => ManifestAvro.stripFileScheme(t.file.filePath)),
+              nameMapping.map(nm => nm.fields.flatMap(mf =>
+                mf.fieldId.map(id => id.toLong -> mf.names)).toMap)
+                .getOrElse(Map.empty))
         }.reduce(_ unionByName _)
 
     def readParquetPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {

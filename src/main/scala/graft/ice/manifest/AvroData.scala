@@ -99,11 +99,22 @@ object AvroData {
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         val path = f"$dir/part-$idx%05d.avro"
-        writer.create(schema, new File(path))
+        // task-commit protocol: write to an attempt-unique temp name and
+        // atomically publish on success, so a retried or speculative
+        // attempt can never expose a half-written part-NNNNN.avro (the
+        // final rename wins with a complete file whose count matches)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId).getOrElse(0L)
+        val tmp = new File(s"$path.$attempt.tmp")
+        writer.create(schema, tmp)
         var n = 0L
         try it.foreach { row =>
           writer.append(rowToRecord(schema, fields, row)); n += 1
         } finally writer.close()
+        java.nio.file.Files.move(tmp.toPath,
+          java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         Iterator.single((path, n))
       }
     }.collect().toSeq.sortBy(_._1)
@@ -136,7 +147,8 @@ object AvroData {
     }
 
   private def readFileRows(path: String, schema: StructType,
-      start: Long, end: Long): Iterator[Row] = {
+      start: Long, end: Long,
+      mappedNames: Map[Long, Seq[String]]): Iterator[Row] = {
     val reader = new DataFileReader[GenericRecord](
       new File(path), new GenericDatumReader[GenericRecord]())
     // sync-marker split (the reference's split unit, avro_reader.cc:
@@ -149,6 +161,7 @@ object AvroData {
       // "field-id" attributes matched to the request schema's ids
       // (rename-safe), fall back to name matching; absent fields -> null
       val fileFields = reader.getSchema.getFields.asScala
+      val fileNames = fileFields.map(_.name).toSet
       val byId = fileFields.flatMap(ff =>
         Option(ff.getObjectProp("field-id"))
           .collect { case n: Number => n.longValue -> ff.name }).toMap
@@ -158,7 +171,12 @@ object AvroData {
           // ONLY — a name hit would mis-bind a dropped-and-recreated
           // column to the old column's data (Iceberg resolution rules)
           case (Some(id), true) => byId.get(id)
-          // id-less file or id-less request field: name matching
+          // id-less file: consult schema.name-mapping.default first
+          // (rename-safe, same candidate order as the parquet external
+          // path: mapped names then current name), then current name
+          case (Some(id), false) =>
+            (mappedNames.getOrElse(id, Nil) :+ f.name).find(fileNames)
+          // id-less request field: name matching
           case _ => fileFields.find(_.name == f.name).map(_.name)
         }
       }
@@ -182,7 +200,8 @@ object AvroData {
     * sync-marker block boundaries, so one huge Avro file still reads
     * in parallel. */
   def readFiles(spark: SparkSession, files: Seq[String], schema: StructType,
-      splitSizeBytes: Long = 32L * 1024 * 1024): DataFrame = {
+      splitSizeBytes: Long = 32L * 1024 * 1024,
+      mappedNames: Map[Long, Seq[String]] = Map.empty): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val splits = files.flatMap { p =>
@@ -195,7 +214,7 @@ object AvroData {
     }
     val n = math.min(splits.size, math.max(1, spark.sparkContext.defaultParallelism))
     val rdd = spark.sparkContext.parallelize(splits, n)
-      .flatMap { case (p, s, e) => readFileRows(p, schema, s, e) }
+      .flatMap { case (p, s, e) => readFileRows(p, schema, s, e, mappedNames) }
     spark.createDataFrame(rdd, schema)
   }
 

@@ -205,16 +205,23 @@ private[ice] object SnapshotProducer {
         .parquet(outDir)
     }
 
-    val suffix = if (writeFormat == "AVRO") ".avro" else ".parquet"
-    val files = {
-      val root = Paths.get(outDir)
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator.asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(suffix))
-        .map(_.toString).toSeq.sorted
-    }
+    // avro: the writer already returned exact (path, count) pairs — keying
+    // a fresh directory walk back against interpolated paths would break on
+    // non-normalized table locations (double slashes)
+    val files =
+      if (writeFormat == "AVRO") avroCounts.keys.toSeq.sorted
+      else {
+        val root = Paths.get(outDir)
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator.asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq.sorted
+      }
     val conf = spark.sessionState.newHadoopConf()
-    files.map { p =>
+    // footer reads are independent driver-side IO: a 10k-file compaction
+    // commit should be bounded by cores, not files
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { p =>
       val m =
         if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
         // counts were recorded by the executors at write time; avro files
@@ -230,7 +237,7 @@ private[ice] object SnapshotProducer {
           lowerBounds = m.lowerBounds, upperBounds = m.upperBounds,
           splitOffsets = m.splitOffsets,
           sortOrderId = Some(table.metadata.defaultSortOrderId)))
-    }
+    }.seq
   }
 }
 

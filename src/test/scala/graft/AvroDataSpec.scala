@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -105,6 +107,36 @@ class AvroDataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.map(_.getLong(0)).toSeq == Seq(10L, 20L)) // resolved by id
     assert(back.map(_.getString(1)).toSeq == Seq("a", "b"))
     assert(back.forall(_.isNullAt(2))) // absent field -> null
+  }
+
+  test("id-less files resolve through the name mapping before current names") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("avro_nm").toString
+    // file written WITHOUT field ids, under the original column names
+    val fileSchema = StructType(Seq(
+      StructField("legacy_key", LongType, nullable = true),
+      StructField("val", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "x"),
+        org.apache.spark.sql.Row(2L, "y")), fileSchema)
+    AvroData.writeDir(df, dir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".avro")).toSeq
+    // table schema renamed legacy_key -> k; the name mapping carries the
+    // old spelling (schema.name-mapping.default semantics)
+    def meta(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+    val readSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true, meta(1)),
+      StructField("val", StringType, nullable = true, meta(2))))
+    val mapping = Map(1L -> Seq("legacy_key"), 2L -> Seq("val"))
+    val back = AvroData.readFiles(spark, files, readSchema, mappedNames = mapping)
+      .orderBy("k").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back.map(_.getString(1)).toSeq == Seq("x", "y"))
+    // without the mapping the renamed column cannot resolve -> null
+    val bare = AvroData.readFiles(spark, files, readSchema).collect()
+    assert(bare.forall(_.isNullAt(0)))
   }
 
   test("timestamp/date/binary values survive the executor-side decode") {

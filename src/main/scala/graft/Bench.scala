@@ -109,6 +109,13 @@ object Bench {
     }
     System.err.flush()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // second, compact line: the driver artifact keeps only the output
+    // TAIL, which can truncate the head of the full metrics line above —
+    // repeat the total + the 10 slowest queries so a parseable summary
+    // always survives truncation
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${results.size},"top10":$top,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -685,6 +685,33 @@ final class ManageSnapshots(table: IceTable) {
     this
   }
 
+  private def updateRef(name: String)(f: SnapshotRef => SnapshotRef): ManageSnapshots = {
+    table.commit { base =>
+      val ref = base.refs.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown ref '$name'"))
+      base.copy(refs = base.refs.updated(name, f(ref)))
+    }
+    this
+  }
+
+  /** Per-branch retention (snapshot.h:70-77): minimum number of this
+    * branch's ancestors expiry must keep. */
+  def setMinSnapshotsToKeep(branch: String, n: Int): ManageSnapshots =
+    updateRef(branch)(r => { require(r.refType == "branch",
+      s"'$branch' is not a branch"); r.copy(minSnapshotsToKeep = Some(n)) })
+
+  /** Per-branch retention (snapshot.h:73-75): max age of this branch's
+    * ancestors to keep when expiring — overrides the global cutoff. */
+  def setMaxSnapshotAgeMs(branch: String, ms: Long): ManageSnapshots =
+    updateRef(branch)(r => { require(r.refType == "branch",
+      s"'$branch' is not a branch"); r.copy(maxSnapshotAgeMs = Some(ms)) })
+
+  /** Ref expiry (snapshot.h:78-81, 95-98): max age of a tag/branch ref
+    * itself; an aged-out ref is removed by expireSnapshots. The main
+    * branch never expires. */
+  def setMaxRefAgeMs(ref: String, ms: Long): ManageSnapshots =
+    updateRef(ref)(_.copy(maxRefAgeMs = Some(ms)))
+
   /** Roll main back to an existing snapshot (Iceberg
     * rollback_to_snapshot): current state becomes `snapshotId`, history
     * gets a new log entry, NOTHING is deleted — the abandoned snapshots
@@ -715,18 +742,49 @@ final class ManageSnapshots(table: IceTable) {
     this
   }
 
-  /** Drop unreferenced snapshots older than `olderThanMs`, always keeping
-    * `retainLast` on main and every ref target (plus its ancestors are NOT
-    * chased — manifest reuse makes ancestor files reachable only via their
-    * own snapshots, which is why expiry must keep ref targets alive). */
+  /** Drop unreferenced snapshots older than `olderThanMs`, honoring each
+    * ref's retention policy (snapshot.h:36-118):
+    *  - a non-main ref whose referenced snapshot is older than its
+    *    `maxRefAgeMs` is removed (main never expires);
+    *  - each surviving branch keeps its head plus ancestors newer than
+    *    its `maxSnapshotAgeMs` cutoff (global `olderThanMs` otherwise)
+    *    and never fewer than `minSnapshotsToKeep` ancestors;
+    *  - each surviving tag keeps its referenced snapshot.
+    * Ancestors outside every policy are NOT chased — manifest reuse makes
+    * ancestor files reachable only via their own snapshots, which is why
+    * expiry must keep ref targets alive. */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): ManageSnapshots = {
+    val nowMs = System.currentTimeMillis()
     table.commit { base =>
-      val keepIds = (base.refs.values.map(_.snapshotId) ++
+      // newest-first ancestor chain of a ref head
+      def ancestors(id: Long): Seq[Snapshot] =
+        Iterator.iterate(base.snapshotById(id))(
+          _.flatMap(_.parentSnapshotId).flatMap(base.snapshotById))
+          .takeWhile(_.isDefined).flatten.toSeq
+      val liveRefs = base.refs.filter { case (name, ref) =>
+        name == "main" || ref.maxRefAgeMs.forall(maxAge =>
+          base.snapshotById(ref.snapshotId)
+            .forall(s => nowMs - s.timestampMs <= maxAge))
+      }
+      val perRefKeep = liveRefs.flatMap { case (name, ref) =>
+        if (ref.refType == "tag") Seq(ref.snapshotId)
+        else {
+          val chain = ancestors(ref.snapshotId)
+          val cutoff = ref.maxSnapshotAgeMs.map(nowMs - _).getOrElse(olderThanMs)
+          val minKeep = math.max(ref.minSnapshotsToKeep.getOrElse(1),
+            if (name == "main") retainLast else 1)
+          (chain.filter(_.timestampMs >= cutoff) ++ chain.take(minKeep))
+            .map(_.snapshotId)
+        }
+      }.toSet
+      val keepIds = perRefKeep ++
+        liveRefs.values.map(_.snapshotId) ++
         base.currentSnapshotId.toSeq ++
-        base.snapshots.sortBy(_.timestampMs).takeRight(retainLast).map(_.snapshotId)).toSet
+        base.snapshots.sortBy(_.timestampMs).takeRight(retainLast).map(_.snapshotId)
       val (kept, _) = base.snapshots.partition(s =>
         keepIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
       base.copy(
+        refs = liveRefs,
         snapshots = kept,
         snapshotLog = base.snapshotLog.filter(e => kept.exists(_.snapshotId == e.snapshotId)))
     }

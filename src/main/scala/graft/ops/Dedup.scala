@@ -134,37 +134,71 @@ object Dedup {
     * integer cross-multiplication (n_common * den >= n_union * num): no
     * floating point anywhere, so results are hash-stable across engines.
     *
-    * At 100 TB the refinement is PPJoin-style prefix filtering (order
-    * shingles by global frequency, join only on each set's prefix) which
-    * preserves exactness while shrinking the posting join; the posting
-    * shape here is the same, so that lands as a filter on `postings`. */
+    * Skew safety at 100 TB: the posting join is PPJoin-prefix-filtered
+    * (Xiao et al., WWW'08). Shingles get a canonical total order (global
+    * frequency ascending, ties by value); a set of size n only posts its
+    * (n − ⌈t·n⌉ + 1) RAREST shingles. Any pair at or above threshold t
+    * must share a prefix shingle under this order, so candidate recall
+    * is exact, while a block-common shingle (the m² degeneracy) lands at
+    * the END of every order and never joins unless a document is so
+    * small the threshold genuinely needs it. Candidates are then
+    * verified with an exact set intersection — only candidate pairs ever
+    * carry full shingle arrays. */
   def jaccardExactPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, shingleN: Int = 3,
       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
-    // shingling via the compiled kernel (TextExprs.shingles: one static
-    // call inside whole-stage codegen) instead of interpreted HOFs. The
-    // kernel emits one TRUNCATED shingle for docs under n tokens where
-    // this operator's contract says "no shingles"; such a doc always
-    // yields exactly one shingle of fewer than n words, so the filter
-    // below excludes precisely those docs (tokens never contain spaces).
-    val sh = Par.ensure(df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+    val sh = shingleSets(df, textCol, idCol, blockCol, shingleN)
+    val cands = jaccardCandidates(sh, thresholdNum, thresholdDen)
+    val sets = sh.select(col("__id"), col("__sh"))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("n_common"),
+        (size(col("__sa")) + size(col("__sb"))).cast("long").as("__tot"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        (col("__tot") - col("n_common")).as("n_union"))
+      .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
+  }
+
+  /** (__blk, __id, __sh) distinct-shingle sets — the shared input of
+    * candidate generation and verification.
+    *
+    * Shingling via the compiled kernel (TextExprs.shingles: one static
+    * call inside whole-stage codegen) instead of interpreted HOFs. The
+    * kernel emits one TRUNCATED shingle for docs under n tokens where
+    * this operator's contract says "no shingles"; such a doc always
+    * yields exactly one shingle of fewer than n words, so the filter
+    * below excludes precisely those docs (tokens never contain spaces). */
+  private[graft] def shingleSets(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, shingleN: Int): DataFrame =
+    Par.ensure(df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
         TextExprs.shingles(col(textCol), shingleN).as("__sh")))
       .filter(size(col("__sh")) > 1 ||
         (size(col("__sh")) === 1 &&
           size(split(element_at(col("__sh"), 1), " ")) === lit(shingleN)))
+
+  /** PPJoin candidate pairs: distinct (id_a, id_b) that could reach the
+    * threshold — every qualifying pair is present (exact recall), and
+    * posting-list skew is bounded because only each set's rarest
+    * (n − ⌈t·n⌉ + 1) shingles enter the join. */
+  private[graft] def jaccardCandidates(sh: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val postings = sh.select(col("__blk"), col("__id"),
       size(col("__sh")).cast("long").as("__n"), explode(col("__sh")).as("__s"))
-    val a = postings.select(col("__blk"), col("__s"),
-      col("__id").as("id_a"), col("__n").as("na"))
-    val b = postings.select(col("__blk"), col("__s"),
-      col("__id").as("id_b"), col("__n").as("nb"))
+    val freq = postings.groupBy("__s").agg(count(lit(1)).as("__f"))
+    // canonical order: global frequency ascending, ties by shingle value
+    val ranked = postings.join(freq, "__s")
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("__blk", "__id").orderBy(col("__f"), col("__s"))))
+    // prefix length n - ceil(t*n) + 1 in exact integer arithmetic
+    val prefix = ranked.filter(col("__rank") <=
+      col("__n") - expr(s"(__n * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
+    val a = prefix.select(col("__blk"), col("__s"), col("__id").as("id_a"))
+    val b = prefix.select(col("__blk"), col("__s"), col("__id").as("id_b"))
     a.join(b, Seq("__blk", "__s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("n_common"))
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        (col("na") + col("nb") - col("n_common")).as("n_union"))
-      .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
+      .select("id_a", "id_b").distinct()
   }
 
   /** 64-bit SimHash: per-token hash votes on each bit; the sign of the

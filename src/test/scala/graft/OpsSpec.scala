@@ -77,6 +77,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strict.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
   }
 
+  test("prefix filter bounds a degenerate block-common shingle") {
+    import spark.implicits._
+    // 500 docs that all share the same opening trigram but are otherwise
+    // unique: raw posting self-join on the shared shingle alone would be
+    // 500*499/2 ≈ 125k rows; the PPJoin prefix must exclude it (it is the
+    // most frequent shingle, so it never lands in any doc's rare prefix)
+    val df = (0 until 500).map { i =>
+      (i.toLong, "xx", s"aaa bbb ccc u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    }.toDF("doc_id", "lang", "text")
+    val sh = Dedup.shingleSets(df, "text", "doc_id", "lang", 3)
+    val cands = Dedup.jaccardCandidates(sh, 4, 5).count()
+    assert(cands < 2000, s"posting skew not bounded: $cands candidate pairs")
+    // and no pair actually qualifies at 4/5
+    assert(Dedup.jaccardExactPairs(df, "text", "doc_id", "lang").count() == 0)
+  }
+
+  test("PPJoin path equals brute-force all-pairs jaccard on real docs") {
+    val df = docs.select("doc_id", "lang", "text")
+    for ((num, den) <- Seq((4, 5), (1, 2))) {
+      val fast = Dedup.jaccardExactPairs(df, "text", "doc_id", "lang",
+        thresholdNum = num, thresholdDen = den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // brute force: all pairs within a block, exact set intersection
+      val sh = Dedup.shingleSets(df, "text", "doc_id", "lang", 3)
+      val l = sh.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("sa"))
+      val r = sh.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("sb"))
+      val brute = l.join(r, "__blk").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("nc"),
+          (size(col("sa")) + size(col("sb"))).cast("long").as("tot"))
+        .select(col("id_a"), col("id_b"), col("nc"), (col("tot") - col("nc")).as("nu"))
+        .filter(col("nc") * den >= col("nu") * num)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+      assert(fast == brute, s"t=$num/$den: fast ${fast.size} vs brute ${brute.size}")
+    }
+  }
+
   test("codegen minhash equals the agg formulation and pins spec values") {
     import spark.implicits._
     val df = docs.limit(20).select("doc_id", "text")

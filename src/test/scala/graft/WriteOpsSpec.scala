@@ -629,6 +629,59 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().useSnapshot(oldSnap.snapshotId).toDF(spark).count() == 2)
   }
 
+  test("expiry honors minSnapshotsToKeep on a branch while main expires") {
+    val (t, raw) = freshTable("retmin")
+    val s1 = t.currentSnapshot.get
+    t.append(spark).appendDataFrame(raw.limit(5))
+    t.append(spark).appendDataFrame(raw.limit(5))
+    t.append(spark).appendDataFrame(raw.limit(5))
+    val head = t.currentSnapshot.get // s4: chain s4->s3->s2->s1
+    t.manageSnapshots()
+      .createBranch("dev", head.snapshotId)
+      .setMinSnapshotsToKeep("dev", 3)
+      .rollbackTo(s1.snapshotId) // main back to s1
+    assert(t.snapshots.size == 4)
+    t.manageSnapshots().expireSnapshots(System.currentTimeMillis() + 1000)
+    // dev keeps its 3 newest ancestors even though all are "old"
+    val keptIds = t.snapshots.map(_.snapshotId).toSet
+    val chain = Iterator.iterate(Option(head))(
+      _.flatMap(_.parentSnapshotId).flatMap(id => t.snapshots.find(_.snapshotId == id)))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSeq
+    assert(chain.size >= 3, s"dev lost configured history: kept $keptIds")
+    assert(keptIds.contains(s1.snapshotId)) // main head always kept
+  }
+
+  test("expiry honors per-branch maxSnapshotAgeMs over the global cutoff") {
+    val (t, raw) = freshTable("retage")
+    t.append(spark).appendDataFrame(raw.limit(5))
+    t.append(spark).appendDataFrame(raw.limit(5))
+    val head = t.currentSnapshot.get
+    t.manageSnapshots()
+      .createBranch("dev", head.snapshotId)
+      .setMaxSnapshotAgeMs("dev", 24L * 3600 * 1000) // keep a day of history
+    // a global cutoff that would expire everything
+    t.manageSnapshots().expireSnapshots(System.currentTimeMillis() + 1000)
+    // all three snapshots are within dev's one-day window -> all survive
+    assert(t.snapshots.size == 3,
+      s"branch age policy ignored: ${t.snapshots.size} kept")
+  }
+
+  test("an aged-out tag is removed by expiry; main never expires") {
+    val (t, raw) = freshTable("retref")
+    val s1 = t.currentSnapshot.get
+    t.manageSnapshots().createTag("old-tag", s1.snapshotId)
+      .setMaxRefAgeMs("old-tag", 1L)
+      .setMaxRefAgeMs("main", 1L) // must be ignored for main
+    t.append(spark).appendDataFrame(raw.limit(5))
+    Thread.sleep(10) // let the tag age past 1 ms
+    t.manageSnapshots().expireSnapshots(System.currentTimeMillis() + 1000)
+    assert(!t.refs.contains("old-tag"), "aged-out tag should be removed")
+    assert(t.refs.contains("main"), "main must never expire")
+    // with the tag gone its snapshot is unreferenced and old -> dropped
+    assert(!t.snapshots.exists(_.snapshotId == s1.snapshotId))
+    assert(t.newScan().toDF(spark).count() == raw.count() + 5)
+  }
+
   test("branch + tag refs and expiry keep referenced snapshots") {
     val (t, raw) = freshTable("refs")
     val s1 = t.currentSnapshot.get

@@ -114,6 +114,75 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d3 emits zero false positives: every pair re-verifies at exact jaccard") {
+    // the LSH gate claims exact-jaccard >= threshold for every emitted
+    // pair; recompute from scratch with the set-intersection formulation
+    val threshold = 0.2
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      threshold = threshold, k = 16, bands = 8)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val recomputed = pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+      .select(col("a"), col("b"), col("jaccard"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb")))).cast("double")).as("exact"))
+      .collect()
+    assert(recomputed.nonEmpty, "fixture produced no pairs — gate untested")
+    recomputed.foreach { r =>
+      assert(r.getDouble(3) >= threshold,
+        s"false positive: (${r.get(0)},${r.get(1)}) exact=${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9,
+        s"gate jaccard ${r.getDouble(2)} != recomputed ${r.getDouble(3)}")
+    }
+  }
+
+  test("d5 emits zero false positives: every pair re-verifies at exact cosine") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val threshold = 0.25
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      threshold = threshold, nPlanes = 6)
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val recomputed = pairs
+      .join(v.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      .join(v.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      .select(col("a"), col("b"), col("cosine"),
+        (aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(col("va"), lit(0.0), (acc, x) => acc + x * x)) *
+           sqrt(aggregate(col("vb"), lit(0.0), (acc, x) => acc + x * x)))).as("exact"))
+      .collect()
+    assert(recomputed.nonEmpty, "fixture produced no pairs — gate untested")
+    recomputed.foreach { r =>
+      assert(r.getDouble(3) >= threshold,
+        s"false positive: (${r.get(0)},${r.get(1)}) exact=${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6,
+        s"gate cosine ${r.getDouble(2)} != recomputed ${r.getDouble(3)}")
+    }
+  }
+
+  test("mm2 stub features are pinned to golden values") {
+    import spark.implicits._
+    // golden vectors computed from the documented stub semantics: width
+    // = 1 + |first| % 64, height = 1 + |last| % 64, features = mean byte
+    // (unsigned) per 1/8th slice — a change to stubDecode fails here
+    val df = Seq(
+      (1L, "abc".getBytes("UTF-8")),
+      (2L, "0123456789ABCDEF".getBytes("UTF-8")),
+      (3L, Array[Byte](-128, -1)),
+      (4L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.extractFeatures(spark, df, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getSeq[Double](3).toList))).toMap
+    assert(got(1L) == ((34, 36, List(97.0, 97.0, 97.0, 98.0, 98.0, 98.0, 99.0, 99.0))))
+    assert(got(2L) == ((49, 7, List(48.5, 50.5, 52.5, 54.5, 56.5, 65.5, 67.5, 69.5))))
+    assert(got(3L) == ((1, 2, List(128.0, 128.0, 128.0, 128.0, 255.0, 255.0, 255.0, 255.0))))
+    assert(got(4L) == ((0, 0, List(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))))
+  }
+
   test("codegen minhash equals the agg formulation and pins spec values") {
     import spark.implicits._
     val df = docs.limit(20).select("doc_id", "text")

@@ -452,6 +452,10 @@ object SparkEntry {
     "del_mor_equality" -> ((s, dir) => DeleteFixture.morEq(s, dir).newScan().toDF(s)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")),
 
+    // v3 deletion vectors (puffin roaring bitmaps) applied on scan
+    "del_dv" -> ((s, dir) => DeleteFixture.morDV(s, dir).newScan().toDF(s)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
     // compaction preserves content (north-star maintenance op)
     "maint_compaction" -> ((s, dir) => CompactionFixture.table(s, dir).newScan().toDF(s)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")),
@@ -933,6 +937,9 @@ object SparkEntry {
     "del_mor_equality" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey % 50 = 0)""".stripMargin,
+    "del_dv" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)""".stripMargin,
     "maint_compaction" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "d1_dedup_exact" ->
@@ -1270,6 +1277,17 @@ object DeleteFixture {
       t.delete(spark).deleteWherePositional(
         E.equal("o_orderstatus", graft.ice.types.Literal.string("F"))
           .and(E.raw("o_orderkey % 3 = 0")))
+    }
+
+  /** v3 deletion vectors: roaring bitmaps in a puffin file, one vector
+    * per touched data file (exceeds the reference, which cannot execute
+    * any delete — table_scan.cc:288-291). */
+  def morDV(spark: SparkSession, sfDir: String): IceTable =
+    build(spark, sfDir, "orders_del_dv") { (t, _) =>
+      t.upgradeFormatVersion(3)
+      t.delete(spark).deleteWhereDV(
+        E.equal("o_orderstatus", graft.ice.types.Literal.string("O"))
+          .and(E.raw("o_orderkey % 5 = 0")))
     }
 
   def morEq(spark: SparkSession, sfDir: String): IceTable =

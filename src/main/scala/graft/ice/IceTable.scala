@@ -573,21 +573,58 @@ final class ScanBuilder(table: IceTable) {
       } else {
         val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)
         val eqDeletes = deleteEntries.filter(_.dataFile.content == FileContent.EqualityDeletes)
-        // group data files by the exact set of applicable delete files
+        // group data files by the exact set of applicable delete files;
+        // deletion vectors key on (puffin path, blob offset) — one puffin
+        // file holds many per-data-file vectors
         val groups = tasks.groupBy { t =>
-          (posDeletes.filter(_.sequenceNumber.getOrElse(0L) >= t.dataSequenceNumber).map(_.dataFile.filePath),
+          (posDeletes.filter(_.sequenceNumber.getOrElse(0L) >= t.dataSequenceNumber)
+            .map(e => (e.dataFile.filePath, e.dataFile.contentOffset)),
             eqDeletes.filter(_.sequenceNumber.getOrElse(0L) > t.dataSequenceNumber).map(_.dataFile.filePath))
         }
-        groups.map { case ((posPaths, eqPaths), groupTasks) =>
-          val needPos = posPaths.nonEmpty
+        groups.map { case ((posKeys, eqPaths), groupTasks) =>
+          val needPos = posKeys.nonEmpty
           var g = readPaths(groupTasks, withPosCols = needPos || wantFilePos)
           var markers = Seq.empty[String]
           if (needPos) {
-            val dels = spark.read
-              .parquet(posPaths.map(ManifestAvro.stripFileScheme): _*)
-              .select(
-                regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
-                col("pos").as("__dpos"))
+            val (dvKeys, pqKeys) = posKeys.partition(_._2.isDefined)
+            // v3 deletion vectors: expand each puffin blob to (file,pos)
+            // rows ON THE EXECUTORS — one task per vector; the driver only
+            // ships (path, offset, length, referenced-file) descriptors
+            val dvDels: Option[DataFrame] =
+              if (dvKeys.isEmpty) None
+              else {
+                import spark.implicits._
+                val refs = dvKeys.map { case (p, off) =>
+                  val e = posDeletes.find(x => x.dataFile.filePath == p &&
+                    x.dataFile.contentOffset == off).get
+                  (ManifestAvro.stripFileScheme(p), off.get,
+                    e.dataFile.contentSizeInBytes.getOrElse(
+                      throw new IllegalStateException(
+                        s"DV entry $p@$off missing content_size_in_bytes")),
+                    ManifestAvro.stripFileScheme(
+                      e.dataFile.referencedDataFile.getOrElse(
+                        throw new IllegalStateException(
+                          s"DV entry $p@$off missing referenced_data_file"))))
+                }
+                Some(spark.createDataset(refs)
+                  .repartition(math.min(refs.size,
+                    spark.sparkContext.defaultParallelism))
+                  .flatMap { case (path, off, len, refFile) =>
+                    val it = manifest.Puffin.readDV(path, off, len).iterator()
+                    new Iterator[(String, Long)] {
+                      def hasNext: Boolean = it.hasNext
+                      def next(): (String, Long) = (refFile, it.next())
+                    }
+                  }.toDF("__dfile", "__dpos"))
+              }
+            val pqDels: Option[DataFrame] =
+              if (pqKeys.isEmpty) None
+              else Some(spark.read
+                .parquet(pqKeys.map(k => ManifestAvro.stripFileScheme(k._1)): _*)
+                .select(
+                  regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
+                  col("pos").as("__dpos")))
+            val dels = (pqDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
               // distinct: overlapping position-delete files must mark, not
               // multiply, rows in `_deleted` marking mode (left join below)
               .distinct()

@@ -418,6 +418,72 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
       addedDeleteEntries = entries)
   }
 
+  /** Merge-on-read delete as v3 DELETION VECTORS: one roaring bitmap of
+    * deleted positions per data file, all vectors in one puffin file
+    * (manifest_entry.h:162-176 semantics; the reference cannot execute
+    * these — table_scan.cc:288-291 errors on any delete file).
+    *
+    * Distributed shape: the (file,pos) scan and the per-file bitmap
+    * builds run on executors (positions for one file are clustered into
+    * one partition, so each bitmap is built whole with no merge step);
+    * only the COMPRESSED bitmaps travel to the driver, which concatenates
+    * them into the puffin file at commit. */
+  def deleteWhereDV(filter: Expr): Snapshot = {
+    require(table.metadata.formatVersion >= 3,
+      s"deletion vectors require format-version 3, table is v${table.metadata.formatVersion}")
+    val bound = Binder.bind(filter, table.schema)
+    val cond = ToColumn(bound)
+    val matching = table.newScan().filter(filter).planFiles()
+    if (matching.isEmpty)
+      return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
+    val paths = matching.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val sparkSchema = SparkConv.toSpark(table.schema)
+    val nParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, paths.size))
+    import spark.implicits._
+    val dvs: Seq[(String, Array[Byte], Long)] = spark.read
+      .schema(sparkSchema).parquet(paths: _*)
+      .filter(cond)
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .repartition(nParts, col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val byFile = scala.collection.mutable.LinkedHashMap
+          .empty[String, org.roaringbitmap.longlong.Roaring64Bitmap]
+        it.foreach { case (f, p) =>
+          byFile.getOrElseUpdate(f,
+            new org.roaringbitmap.longlong.Roaring64Bitmap()).addLong(p)
+        }
+        byFile.iterator.map { case (f, bm) =>
+          bm.runOptimize()
+          val out = new java.io.ByteArrayOutputStream()
+          bm.serialize(new java.io.DataOutputStream(out))
+          (f, out.toByteArray, bm.getLongCardinality)
+        }
+      }.collect().toSeq.sortBy(_._1)
+    if (dvs.isEmpty)
+      return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
+    val puffinPath = s"${table.dataFileDir}/${UUID.randomUUID()}-deletes.puffin"
+    Files.createDirectories(Paths.get(table.dataFileDir))
+    val refs = Puffin.writeDVFile(puffinPath, dvs)
+    val entries = refs.map { r =>
+      ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.PositionDeletes, puffinPath, "PUFFIN",
+          table.spec.fields.map(_ => null: Any).toIndexedSeq,
+          recordCount = r.cardinality,
+          fileSizeInBytes = Files.size(Paths.get(puffinPath)),
+          referencedDataFile = Some(r.referencedDataFile),
+          contentOffset = Some(r.offset),
+          contentSizeInBytes = Some(r.length)))
+    }
+    SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
+      addedDeleteEntries = entries)
+  }
+
   /** Merge-on-read equality delete: delete every row whose key columns
     * match a row of `keys` (e.g. GDPR-style deletes by id at 100 TB
     * without rewriting data). */
@@ -490,13 +556,19 @@ final class Compaction(table: IceTable, spark: SparkSession) {
     val eqDeletes = deleteEntries.filter(_.dataFile.content == FileContent.EqualityDeletes)
     val hasDeletes = deleteEntries.nonEmpty
 
-    // data files actually referenced by position-delete tuples
+    // data files actually referenced by position-delete tuples; deletion
+    // vectors name their data file in the manifest itself (no file read)
+    val (dvDeletes, pqPosDeletes) =
+      posDeletes.partition(_.dataFile.contentOffset.isDefined)
     val posTouched: Set[String] =
-      if (posDeletes.isEmpty) Set.empty
-      else spark.read
-        .parquet(posDeletes.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
-        .select("file_path").distinct()
-        .collect().map(_.getString(0)).toSet
+      dvDeletes.flatMap(_.dataFile.referencedDataFile)
+        .map(ManifestAvro.stripFileScheme).toSet ++ {
+        if (pqPosDeletes.isEmpty) Set.empty[String]
+        else spark.read
+          .parquet(pqPosDeletes.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
+          .select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
 
     // per-equality-delete (seq, key mins/maxs) for bounds pruning
     val metricsEval = new MetricsEvaluator

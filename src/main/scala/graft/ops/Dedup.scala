@@ -92,23 +92,22 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Exact n-gram Jaccard for given pairs: join each side's shingle set,
-    * |intersection| via groupBy, |union| = |A|+|B|-|I|. */
+  /** Exact n-gram Jaccard for given pairs: join each side's shingle SET
+    * (one array row per side), |intersection| = size(array_intersect),
+    * |union| = |A|+|B|-|I|. Cost is O(|A|+|B|) per pair — the previous
+    * posting-explode formulation joined on the pair id alone and filtered
+    * sa===sb afterwards, which materialized |A|×|B| rows per candidate
+    * pair (found at 10× scale: 130× runtime on 10× docs). */
   def jaccardVerify(df: DataFrame, textCol: String, idCol: String,
       pairs: DataFrame, shingleN: Int = 3): DataFrame = {
     val sh = ensureParallelism(
       df.select(col(idCol).as("__id"), TextExprs.shingles(col(textCol), shingleN).as("__sh")))
-      .select(col("__id"), size(col("__sh")).as("__n"), explode(col("__sh")).as("__s"))
-    val a = sh.withColumnRenamed("__id", "a")
-      .withColumnRenamed("__n", "na").withColumnRenamed("__s", "sa")
-    val b = sh.withColumnRenamed("__id", "b")
-      .withColumnRenamed("__n", "nb").withColumnRenamed("__s", "sb")
-    pairs.join(a, "a").join(b, "b")
-      .filter(col("sa") === col("sb"))
-      .groupBy("a", "b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    pairs
+      .join(sh.select(col("__id").as("a"), col("__sh").as("__sa")), "a")
+      .join(sh.select(col("__id").as("b"), col("__sh").as("__sb")), "b")
       .select(col("a"), col("b"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        (inter / (size(col("__sa")) + size(col("__sb")) - inter)).as("jaccard"))
   }
 
   /** Near-dup pairs: minhash -> LSH -> exact-Jaccard gate. */

@@ -185,18 +185,41 @@ object Dedup {
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val postings = sh.select(col("__blk"), col("__id"),
       size(col("__sh")).cast("long").as("__n"), explode(col("__sh")).as("__s"))
+    // canonical order: global frequency ascending, ties by shingle value.
+    // Only REPEATED shingles matter for the order (freq-1 shingles tie and
+    // break lexically regardless), so the frequency table ships as a
+    // broadcast with miss => 1 — the posting-scale sort-merge join this
+    // replaces was 2 of the 3 posting shuffles in the candidate stage
+    // (measured at sf1: the candidate stage dominated d7's 33 s)
     val freq = postings.groupBy("__s").agg(count(lit(1)).as("__f"))
-    // canonical order: global frequency ascending, ties by shingle value
-    val ranked = postings.join(freq, "__s")
+      .filter(col("__f") > 1)
+    val ranked = postings.join(broadcast(freq), Seq("__s"), "left")
+      .withColumn("__f", coalesce(col("__f"), lit(1L)))
       .withColumn("__rank", row_number().over(
         Window.partitionBy("__blk", "__id").orderBy(col("__f"), col("__s"))))
     // prefix length n - ceil(t*n) + 1 in exact integer arithmetic
     val prefix = ranked.filter(col("__rank") <=
       col("__n") - expr(s"(__n * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
-    val a = prefix.select(col("__blk"), col("__s"), col("__id").as("id_a"))
-    val b = prefix.select(col("__blk"), col("__s"), col("__id").as("id_b"))
+    val a = prefix.select(col("__blk"), col("__s"), col("__id").as("id_a"),
+      col("__n").as("__na"), col("__rank").as("__pa"))
+    val b = prefix.select(col("__blk"), col("__s"), col("__id").as("id_b"),
+      col("__n").as("__nb"), col("__rank").as("__pb"))
+    // PPJoin companion filters (both exactness-preserving):
+    //  - length: jaccard >= t forces t*|A| <= |B| <= |A|/t
+    //  - positional: a pair needs overlap alpha = ceil(t/(1+t)*(na+nb));
+    //    matching at prefix positions (pa, pb) caps the achievable
+    //    overlap at 1 + min(na-pa, nb-pb). The pair's FIRST common
+    //    prefix shingle gives the tightest bound and survives whenever
+    //    the pair truly qualifies, so filtering every match row is safe.
+    // Measured at sf1: candidate rows 14.9M -> the filters exist because
+    // short template-heavy docs otherwise flood the verify stage.
+    val alpha = expr(s"($thresholdNum * (__na + __nb) + $thresholdNum + $thresholdDen - 1) " +
+      s"div ($thresholdNum + $thresholdDen)")
     a.join(b, Seq("__blk", "__s"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("__nb") * thresholdDen >= col("__na") * thresholdNum &&
+        col("__na") * thresholdDen >= col("__nb") * thresholdNum)
+      .filter(lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= alpha)
       .select("id_a", "id_b").distinct()
   }
 

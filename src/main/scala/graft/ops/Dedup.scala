@@ -183,8 +183,16 @@ object Dedup {
     * (n − ⌈t·n⌉ + 1) shingles enter the join. */
   private[graft] def jaccardCandidates(sh: DataFrame,
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    // candidate generation runs in 64-bit hash space: the frequency agg,
+    // the rank window and the self-join all shuffle 8-byte keys instead
+    // of ~30-byte shingle strings. Correctness: hash-jaccard >= shingle-
+    // jaccard (collisions only merge elements), so every qualifying pair
+    // still shares a prefix hash — candidates are a superset, and the
+    // exact array_intersect verification removes any collision artifact.
     val postings = sh.select(col("__blk"), col("__id"),
-      size(col("__sh")).cast("long").as("__n"), explode(col("__sh")).as("__s"))
+      size(col("__sh")).cast("long").as("__n"),
+      explode(col("__sh")).as("__s0"))
+      .withColumn("__s", xxhash64(col("__s0"))).drop("__s0")
     // canonical order: global frequency ascending, ties by shingle value.
     // Only REPEATED shingles matter for the order (freq-1 shingles tie and
     // break lexically regardless), so the frequency table ships as a

@@ -35,6 +35,17 @@ object Prof {
     time("candidates")(println("  candidate pairs: " + cands.count()))
     val d7 = Dedup.jaccardExactPairs(docs, "text", "doc_id", "lang")
     time("full d7")(println("  result pairs: " + d7.count()))
+
+    // d3 (minhash-LSH near-dup) breakdown
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3)
+    time("minhash signatures")(noop(sig))
+    val buckets = Dedup.lshBuckets(sig, "doc_id", 8, 2)
+    time("lsh buckets")(noop(buckets))
+    val lshCands = Dedup.lshCandidatePairs(buckets, "doc_id")
+    time("lsh candidates")(println("  lsh candidate pairs: " + lshCands.count()))
+    val d3 = Dedup.nearDupPairs(docs, "text", "doc_id",
+      threshold = 0.2, k = 16, bands = 8)
+    time("full d3")(println("  d3 pairs: " + d3.count()))
     spark.stop()
   }
 }

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * customer replica, lineitem references shifted orders/part/supplier)
   * so join/agg plans scale the way real data growth would.
   *
-  * documents.text is salted per replica (a replica token between every
-  * pair of words): within-replica near-dup structure is preserved
-  * exactly, while EVERY trigram shingle of replica i differs from
-  * replica j — cross-replica jaccard is 0, so dedup outputs scale
-  * linearly instead of exploding quadratically in the replica count.
+  * documents.text gets a per-replica INJECTIVE token rename (every word
+  * suffixed `_rN`): an alphabet renaming preserves every within-replica
+  * set relation exactly (shingle sets, jaccard, minhash collision
+  * structure, token counts), while replica i and j share no token at
+  * all — cross-replica jaccard is 0, so dedup outputs scale exactly
+  * linearly in the replica count. (A first attempt interspersed a salt
+  * token BETWEEN words; that creates bridge shingles `rN w rN` shared
+  * by any two same-replica docs with one common word, which inflates
+  * low-threshold near-dup pair counts ~800x. Renaming has no such
+  * artifact.)
   *
   * Usage: ScaleGen <srcSfDir> <dstDir> <copies>
   * (e.g. /root/testdata/sf0.1 /tmp/testdata/sf1 10) */
@@ -96,8 +101,8 @@ object ScaleGen {
     val salted = replicate(docs, Map("doc_id" -> maxOf(docs, "doc_id")),
         keepRep = true)
       .withColumn("text",
-        regexp_replace(col("text"), lit(" "),
-          concat(lit(" r"), col("__rep").cast("string"), lit(" "))))
+        regexp_replace(col("text"), lit("(\\w+)"),
+          concat(lit("$1_r"), col("__rep").cast("string"))))
       .drop("__rep")
     write(salted.withColumn("n_chars", length(col("text")).cast("long")),
       "documents", 4)

@@ -120,10 +120,18 @@ final class IceTable private (
           val posRows =
             if (pos.isEmpty) None
             else {
-              val dels = spark.read
-                .parquet(pos.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
-                .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
-                  col("pos").as("__dpos"))
+              // deletion vectors expand executor-side; parquet delete
+              // files read natively — union both into one (file,pos) set
+              val (dvPos, pqPos) = pos.partition(_.dataFile.contentOffset.isDefined)
+              val pqDels =
+                if (pqPos.isEmpty) None
+                else Some(spark.read
+                  .parquet(pqPos.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
+                  .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
+                    col("pos").as("__dpos")))
+              val dels = (pqDels.toSeq ++
+                IceTable.expandDeletionVectors(spark, dvPos).toSeq)
+                .reduce(_ unionByName _)
                 // two delete files may cover the same (file, pos): dedupe so
                 // the join marks each row once, not once per covering file
                 .distinct()
@@ -292,6 +300,35 @@ object IceTable {
   /** Snapshot-summary key recording whether the commit's files carry
     * parquet field ids: "all" | "none" | "mixed" (stamped by addFiles). */
   val FieldIdsSummaryKey = "graft.field-ids"
+
+  /** v3 deletion vectors: expand puffin blobs to (__dfile, __dpos) rows
+    * ON THE EXECUTORS — one task per vector; the driver only ships
+    * (path, offset, length, referenced-file) descriptors. Shared by the
+    * scan's delete application and the CDC changes scan. */
+  private[ice] def expandDeletionVectors(spark: SparkSession,
+      entries: Seq[graft.ice.manifest.ManifestEntry]): Option[DataFrame] = {
+    if (entries.isEmpty) return None
+    import spark.implicits._
+    val refs = entries.map { e =>
+      val p = e.dataFile.filePath
+      (ManifestAvro.stripFileScheme(p),
+        e.dataFile.contentOffset.getOrElse(
+          throw new IllegalStateException(s"DV entry $p missing content_offset")),
+        e.dataFile.contentSizeInBytes.getOrElse(
+          throw new IllegalStateException(s"DV entry $p missing content_size_in_bytes")),
+        ManifestAvro.stripFileScheme(e.dataFile.referencedDataFile.getOrElse(
+          throw new IllegalStateException(s"DV entry $p missing referenced_data_file"))))
+    }
+    Some(spark.createDataset(refs)
+      .repartition(math.min(refs.size, spark.sparkContext.defaultParallelism))
+      .flatMap { case (path, off, len, refFile) =>
+        val it = graft.ice.manifest.Puffin.readDV(path, off, len).iterator()
+        new Iterator[(String, Long)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (String, Long) = (refFile, it.next())
+        }
+      }.toDF("__dfile", "__dpos"))
+  }
 
   def from(ref: TableRef): IceTable =
     new IceTable(ref.catalog, ref.ident, ref.metadata, ref.version)
@@ -587,36 +624,11 @@ final class ScanBuilder(table: IceTable) {
           var markers = Seq.empty[String]
           if (needPos) {
             val (dvKeys, pqKeys) = posKeys.partition(_._2.isDefined)
-            // v3 deletion vectors: expand each puffin blob to (file,pos)
-            // rows ON THE EXECUTORS — one task per vector; the driver only
-            // ships (path, offset, length, referenced-file) descriptors
-            val dvDels: Option[DataFrame] =
-              if (dvKeys.isEmpty) None
-              else {
-                import spark.implicits._
-                val refs = dvKeys.map { case (p, off) =>
-                  val e = posDeletes.find(x => x.dataFile.filePath == p &&
-                    x.dataFile.contentOffset == off).get
-                  (ManifestAvro.stripFileScheme(p), off.get,
-                    e.dataFile.contentSizeInBytes.getOrElse(
-                      throw new IllegalStateException(
-                        s"DV entry $p@$off missing content_size_in_bytes")),
-                    ManifestAvro.stripFileScheme(
-                      e.dataFile.referencedDataFile.getOrElse(
-                        throw new IllegalStateException(
-                          s"DV entry $p@$off missing referenced_data_file"))))
-                }
-                Some(spark.createDataset(refs)
-                  .repartition(math.min(refs.size,
-                    spark.sparkContext.defaultParallelism))
-                  .flatMap { case (path, off, len, refFile) =>
-                    val it = manifest.Puffin.readDV(path, off, len).iterator()
-                    new Iterator[(String, Long)] {
-                      def hasNext: Boolean = it.hasNext
-                      def next(): (String, Long) = (refFile, it.next())
-                    }
-                  }.toDF("__dfile", "__dpos"))
-              }
+            val dvDels: Option[DataFrame] = IceTable.expandDeletionVectors(
+              spark, dvKeys.map { case (p, off) =>
+                posDeletes.find(x => x.dataFile.filePath == p &&
+                  x.dataFile.contentOffset == off).get
+              })
             val pqDels: Option[DataFrame] =
               if (pqKeys.isEmpty) None
               else Some(spark.read

@@ -683,6 +683,30 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().toDF(spark).count() == kept)
   }
 
+  test("changes scan and orphan removal handle deletion-vector tables") {
+    val (t, raw) = freshTable("dvcdc")
+    t.upgradeFormatVersion(3)
+    val s0 = t.currentSnapshot.get
+    t.delete(spark).deleteWhereDV(graft.ice.expr.Expr.raw("o_orderkey % 10 = 2"))
+    val s1 = t.currentSnapshot.get
+    // CDC: the DV snapshot's deletes surface as _change_type='delete'
+    val changes = t.planChanges(spark, s0.snapshotId, s1.snapshotId)
+    val deleted = changes.filter(col("_change_type") === "delete").count()
+    assert(deleted == raw.filter("o_orderkey % 10 = 2").count(),
+      s"CDC deletes $deleted != predicate matches")
+    assert(changes.filter(col("_change_type") === "insert").count() == 0)
+    // orphan removal treats the puffin file as reachable
+    val dataDir = java.nio.file.Paths.get(t.dataFileDir)
+    import scala.jdk.CollectionConverters._
+    def puffins = java.nio.file.Files.walk(dataDir).iterator.asScala
+      .count(_.toString.endsWith(".puffin"))
+    assert(puffins == 1)
+    val removed = t.maintenance().removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(puffins == 1, s"orphan removal deleted the DV file (removed: $removed)")
+    assert(t.newScan().toDF(spark).count() ==
+      raw.count() - raw.filter("o_orderkey % 10 = 2").count())
+  }
+
   test("expiry honors minSnapshotsToKeep on a branch while main expires") {
     val (t, raw) = freshTable("retmin")
     val s1 = t.currentSnapshot.get

@@ -183,6 +183,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((0, 0, List(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))))
   }
 
+  test("jaccard plans: no cartesian product, frequency table broadcasts") {
+    // regression guards for the round-5 scale fixes: the verify stage
+    // must never re-grow a per-pair |A|x|B| blowup (shows up as a
+    // CartesianProduct or a join keyed on one id only), and the
+    // candidate stage's frequency join must stay a broadcast
+    val d7 = Dedup.jaccardExactPairs(docs, "text", "doc_id", "lang")
+    val d7Plan = d7.queryExecution.executedPlan.toString
+    assert(!d7Plan.contains("CartesianProduct"), d7Plan.linesIterator.take(5).mkString("\n"))
+    assert(d7Plan.contains("BroadcastHashJoin"), "freq join should broadcast")
+    val d3 = Dedup.nearDupPairs(docs, "text", "doc_id",
+      threshold = 0.2, k = 16, bands = 8)
+    val d3Plan = d3.queryExecution.executedPlan.toString
+    assert(!d3Plan.contains("CartesianProduct"), d3Plan.linesIterator.take(5).mkString("\n"))
+  }
+
   test("codegen minhash equals the agg formulation and pins spec values") {
     import spark.implicits._
     val df = docs.limit(20).select("doc_id", "text")

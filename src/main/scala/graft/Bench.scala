@@ -46,6 +46,16 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         Right(())
       } catch { case e: Throwable => Left(e.getMessage) }
+      finally {
+        // the state-store provider registry is JVM-global and outlives
+        // both the session AND the SparkContext — without this, a run
+        // with several stateful streaming queries accumulates every
+        // query's state maps + checkpoint thread pools until the shared
+        // JVM OOMs (seen at 10x bench scale: ~16 MB tasks + heap death)
+        try org.apache.spark.sql.execution.streaming.state
+          .GraftStateStoreBridge.unloadAll()
+        catch { case _: Throwable => () }
+      }
 
     val names0 = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(list) =>

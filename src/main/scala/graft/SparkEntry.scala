@@ -623,8 +623,7 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val counts = graft.streaming.StreamOps.hourlyCounts(stream)
-      graft.streaming.StreamOps.runToMemory(s, counts,
-        s"st_hourly_${System.nanoTime()}",
+      graft.streaming.StreamOps.runToParquet(s, counts,
         org.apache.spark.sql.streaming.OutputMode.Complete())
         .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
           col("event_type"), col("n"),
@@ -651,8 +650,7 @@ object SparkEntry {
       // dedup state and the sink only ever need these
       val deduped = graft.streaming.StreamOps.streamingDedup(
         stream.select("ts", "user_id", "event_type"), Seq("user_id", "event_type"))
-      graft.streaming.StreamOps.runToMemory(s, deduped,
-        s"st_dedup_${System.nanoTime()}")
+      graft.streaming.StreamOps.runToParquet(s, deduped)
         .agg(count(lit(1)).as("n_keys"))
     }),
 
@@ -705,8 +703,7 @@ object SparkEntry {
       // dominates, so run the join narrow and restore the session default
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.StreamOps.runToMemory(s, joined,
-        s"st_ivj_${System.nanoTime()}")
+      try graft.streaming.StreamOps.runToParquet(s, joined)
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
@@ -723,8 +720,7 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[graft.streaming.StreamOps.Event]
       val updates = graft.streaming.StreamOps.sessionizeWithState(stream, 30)
-      val mem = graft.streaming.StreamOps.runToMemory(s, updates.toDF(),
-        s"st_mgws_${System.nanoTime()}",
+      val mem = graft.streaming.StreamOps.runToParquet(s, updates.toDF(),
         org.apache.spark.sql.streaming.OutputMode.Update())
       // multiple micro-batches can emit several updates per user: keep the
       // final state (latest session start, most events)
@@ -753,8 +749,7 @@ object SparkEntry {
         .select(col("user_id"),
           col("session_window.start").cast("timestamp_ntz").as("session_start"),
           col("n_events"), col("total_value_cents"))
-      graft.streaming.StreamOps.runToMemory(s, sessions,
-        s"st_sessions_${System.nanoTime()}",
+      graft.streaming.StreamOps.runToParquet(s, sessions,
         org.apache.spark.sql.streaming.OutputMode.Complete())
     })
   )

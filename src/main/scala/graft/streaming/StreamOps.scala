@@ -167,4 +167,34 @@ object StreamOps {
     q.awaitTermination(120000)
     spark.table(name)
   }
+
+  /** Drain a streaming query into parquet files via foreachBatch and
+    * read the result back as a DISTRIBUTED DataFrame.
+    *
+    * This replaces the memory sink for the driver-facing harness
+    * queries: a memory sink collects every result row into the driver
+    * and hands consumers a LocalRelation whose rows are serialized into
+    * EVERY downstream task closure. At 10x bench scale one streaming
+    * result reached ~16 MB per task and the task-serialization OOM
+    * killed the scheduler backend (wedging all later jobs). foreachBatch
+    * keeps each batch a distributed write: Complete mode overwrites with
+    * the latest full result, Append/Update modes accumulate emitted
+    * rows — the same rows the memory sink would have collected. */
+  def runToParquet(spark: SparkSession, df: DataFrame,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("st_sink").toString + "/out"
+    val complete = outputMode == OutputMode.Complete()
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode(if (complete) "overwrite" else "append").parquet(dir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      spark.read.schema(df.schema).parquet(dir)
+    else // a stream that emitted nothing never created the sink dir
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+  }
 }

@@ -683,6 +683,25 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().toDF(spark).count() == kept)
   }
 
+  test("parquet position deletes and deletion vectors compose in one scan") {
+    val (t, raw) = freshTable("dvmix")
+    t.upgradeFormatVersion(3)
+    t.delete(spark).deleteWherePositional(
+      graft.ice.expr.Expr.raw("o_orderkey % 6 = 1"))
+    t.delete(spark).deleteWhereDV(
+      graft.ice.expr.Expr.raw("o_orderkey % 6 = 2"))
+    val expected = raw.filter("NOT (o_orderkey % 6 = 1 OR o_orderkey % 6 = 2)").count()
+    assert(t.newScan().toDF(spark).count() == expected)
+    // overlapping deletes (same rows in both formats) must not double-drop
+    t.delete(spark).deleteWhereDV(
+      graft.ice.expr.Expr.raw("o_orderkey % 6 = 1"))
+    assert(t.newScan().toDF(spark).count() == expected)
+    // and _deleted marking counts each row once
+    val marked = t.newScan().withMetadataColumns("_deleted").toDF(spark)
+    assert(marked.count() == raw.count())
+    assert(marked.filter(col("_deleted")).count() == raw.count() - expected)
+  }
+
   test("changes scan and orphan removal handle deletion-vector tables") {
     val (t, raw) = freshTable("dvcdc")
     t.upgradeFormatVersion(3)

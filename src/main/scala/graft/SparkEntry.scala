@@ -63,6 +63,12 @@ object SparkEntry {
     "s16_avro_write" -> ((s, dir) =>
       AvroScanFixture.written(s, dir).newScan().toDF(s)),
 
+    // S16 third format: ORC registered via addFiles / engine-written
+    "s17_orc_scan" -> ((s, dir) =>
+      OrcScanFixture.table(s, dir).newScan().toDF(s)),
+    "s17_orc_write" -> ((s, dir) =>
+      OrcScanFixture.written(s, dir).newScan().toDF(s)),
+
     // S10: parquet sink + read back
     "s10_parquet_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("pq_sink").toString
@@ -761,6 +767,8 @@ object SparkEntry {
     "s9_avro_roundtrip" -> "SELECT * FROM nation",
     "s16_avro_scan" -> "SELECT * FROM region",
     "s16_avro_write" -> "SELECT * FROM supplier",
+    "s17_orc_scan" -> "SELECT * FROM nation",
+    "s17_orc_write" -> "SELECT * FROM part",
     "s10_parquet_sink" -> "SELECT * FROM region",
     "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "p3_schema_evolution" ->
@@ -1406,6 +1414,45 @@ object AvroScanFixture {
         val raw = Tables.raw(spark, sfDir, "supplier")
         val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
           properties = Map("write.format.default" -> "avro"))
+        t.append(spark).appendDataFrame(raw)
+        t
+      }
+    })
+}
+
+/** S16 third format: ORC data files registered and engine-written
+  * (exceeds the reference, where ORC is an enum value with no reader,
+  * file_format.h:34-40). */
+object OrcScanFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "nation_orc")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "nation")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        val files = FormatRegistry.writer("ORC")(raw, s"${t.location}/data")
+        t.append(spark).addFiles(files, format = "ORC")
+        t
+      }
+    })
+
+  def written(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/written", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "part_orcwrite")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "part")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map("write.format.default" -> "orc"))
         t.append(spark).appendDataFrame(raw)
         t
       }

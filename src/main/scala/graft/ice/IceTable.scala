@@ -809,9 +809,10 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       writeFormat match {
         case "PARQUET" => shaped.write.mode("append").parquet(outDir)
         case "AVRO" => avroCounts = AvroData.writeDirWithCounts(shaped, outDir).toMap
+        case "ORC" => shaped.write.mode("append").orc(outDir)
         case other => throw new UnsupportedOperationException(
           s"no writer registered for file format '$other' " +
-            "(PARQUET and AVRO; ORC/PUFFIN are enum-only in the reference)")
+            "(PARQUET, AVRO and ORC; PUFFIN is not a row format)")
       }
     } else {
       val partCols = spec.fields.map { pf =>
@@ -834,13 +835,18 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
 
     val files =
       if (writeFormat == "AVRO") avroCounts.keys.toSeq.sorted
+      else if (writeFormat == "ORC") listDataFiles(outDir, ".orc")
       else listParquetFiles(outDir)
+    val orcCounts: Map[String, Long] =
+      if (writeFormat == "ORC") FormatRegistry.orcRowCounts(spark, files)
+      else Map.empty
     // footer reads are independent driver-side IO — parallelize
     import scala.collection.parallel.CollectionConverters._
     val hadoopConf = spark.sessionState.newHadoopConf()
     val entries = files.par.map { p =>
       val m =
         if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, hadoopConf)
+        else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts(p))
         // counts recorded at write time; no column bounds -> never pruned
         else Metrics.rowCountOnly(avroCounts(p))
       val partition = parsePartitionTuple(p, outDir, spec, schema)
@@ -873,10 +879,15 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     val schema = table.schema
     val commitUuid = UUID.randomUUID().toString
     val conf = spark.sessionState.newHadoopConf()
+    val orcCounts: Map[String, Long] =
+      if (fmt == "ORC")
+        FormatRegistry.orcRowCounts(spark, paths.map(ManifestAvro.stripFileScheme))
+      else Map.empty
     val entries = paths.map { p =>
       val local = ManifestAvro.stripFileScheme(p)
       val m =
         if (fmt == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
+        else if (fmt == "ORC") Metrics.rowCountOnly(orcCounts(local))
         else Metrics.rowCountOnly(AvroData.countRecords(local))
       ManifestEntry(ManifestStatus.Added, None, None, None,
         DataFile(FileContent.Data, p, fmt, IndexedSeq.empty,
@@ -1035,11 +1046,14 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next
   }
 
-  private def listParquetFiles(dir: String): Seq[String] = {
+  private def listParquetFiles(dir: String): Seq[String] =
+    listDataFiles(dir, ".parquet")
+
+  private def listDataFiles(dir: String, suffix: String): Seq[String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return Nil
     Files.walk(root).iterator.asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(suffix))
       .map(_.toString).toSeq.sorted
   }
 

@@ -181,10 +181,11 @@ private[ice] object SnapshotProducer {
         case "PARQUET" => shaped.write.mode("append").parquet(outDir)
         case "AVRO" =>
           avroCounts = AvroData.writeDirWithCounts(shaped, outDir).toMap
+        case "ORC" => shaped.write.mode("append").orc(outDir)
         case other =>
           throw new UnsupportedOperationException(
             s"no writer registered for file format '$other' " +
-              "(PARQUET and AVRO; ORC/PUFFIN are enum-only in the reference)")
+              "(PARQUET, AVRO and ORC; PUFFIN is not a row format)")
       }
     } else {
       val partCols = spec.fields.map { pf =>
@@ -211,12 +212,16 @@ private[ice] object SnapshotProducer {
     val files =
       if (writeFormat == "AVRO") avroCounts.keys.toSeq.sorted
       else {
+        val suffix = if (writeFormat == "ORC") ".orc" else ".parquet"
         val root = Paths.get(outDir)
         import scala.jdk.CollectionConverters._
         Files.walk(root).iterator.asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(suffix))
           .map(_.toString).toSeq.sorted
       }
+    val orcCounts: Map[String, Long] =
+      if (writeFormat == "ORC") FormatRegistry.orcRowCounts(spark, files)
+      else Map.empty
     val conf = spark.sessionState.newHadoopConf()
     // footer reads are independent driver-side IO: a 10k-file compaction
     // commit should be bounded by cores, not files
@@ -224,8 +229,9 @@ private[ice] object SnapshotProducer {
     files.par.map { p =>
       val m =
         if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
-        // counts were recorded by the executors at write time; avro files
-        // carry no column bounds, so pruning includes them (never skips)
+        else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts(p))
+        // counts were recorded by the executors at write time; avro/orc
+        // files carry no footer bounds here, so pruning includes them
         else Metrics.rowCountOnly(avroCounts(p))
       val partition = PartitionPaths.parse(p, outDir, spec, schema)
       ManifestEntry(ManifestStatus.Added, None, None, None,

@@ -80,6 +80,26 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.sameElements(want))
   }
 
+  test("write.format.default=orc: engine writes orc files, scan dispatches") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whorc").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.orcw"),
+      SparkConv.fromSpark(raw.schema),
+      properties = Map("write.format.default" -> "orc"))
+    t.append(spark).appendDataFrame(raw)
+    val files = t.newScan().planFiles()
+    assert(files.nonEmpty && files.forall(_.file.fileFormat == "ORC"))
+    assert(files.map(_.file.recordCount).sum == raw.count())
+    val back = t.newScan().toDF(spark)
+    assert(back.count() == raw.count())
+    assert(back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq ==
+      raw.orderBy("n_nationkey").collect().map(_.toSeq).toSeq)
+    // registered external orc files work too (addFiles path)
+    val ext = FormatRegistry.writer("ORC")(raw.limit(5), s"${t.location}/ext")
+    t.append(spark).addFiles(ext, format = "ORC")
+    assert(t.newScan().toDF(spark).count() == raw.count() + 5)
+  }
+
   test("copy-on-write delete rewrites matching files") {
     val (t, raw) = freshTable("cow")
     val before = t.newScan().toDF(spark).count()

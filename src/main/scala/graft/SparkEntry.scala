@@ -513,8 +513,9 @@ object SparkEntry {
       val emb = Tables.raw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
       // synthetic embeddings are near-orthogonal (max pairwise cosine ≈0.48)
-      // — a low threshold + few planes so the demo yields candidate pairs
-      Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.25, nPlanes = 6)
+      // — low threshold so the demo yields pairs; plane count is sized
+      // from the corpus (log2(n/64)) so candidate volume stays linear
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.25)
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
     }),
 

@@ -253,11 +253,24 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Embedding near-dup: pairs with cosine >= threshold among LSH-bucketed
-    * candidates (random-hyperplane signatures; see Similarity.planes). */
+    * candidates (random-hyperplane signatures; see Similarity.planes).
+    *
+    * nPlanes <= 0 (the scale default) sizes the signature from the corpus:
+    * planes = log2(count/64), so expected bucket occupancy stays ~64 and
+    * the candidate join stays ~64·n pairs — FIXED planes make bucket
+    * occupancy grow linearly with the corpus and the join quadratically
+    * (measured: 22× runtime on 10× vectors at 10x bench scale). The
+    * recall trade of a single-table LSH at higher planes is inherent;
+    * raise `threshold`-adjacent recall with multiple tables (e2's
+    * multi-probe path) when it matters. */
   def embeddingNearDups(emb0: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 12): DataFrame = {
+      threshold: Double, nPlanes: Int = 0): DataFrame = {
     val emb = Par.ensure(emb0)
-    val sig = emb.withColumn("__sig", Similarity.signature(col(vecCol), nPlanes))
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else math.max(4, math.ceil(
+        math.log(math.max(1.0, emb.count() / 64.0)) / math.log(2)).toInt)
+    val sig = emb.withColumn("__sig", Similarity.signature(col(vecCol), planes))
     val l = sig.select(col("__sig"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = sig.select(col("__sig"), col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, "__sig").filter(col("a") < col("b"))

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   * low-threshold near-dup pair counts ~800x. Renaming has no such
   * artifact.)
   *
-  * Usage: ScaleGen <srcSfDir> <dstDir> <copies>
+  * Usage: ScaleGen <srcSfDir> <dstDir> <copies> [onlyTable]
   * (e.g. /root/testdata/sf0.1 /tmp/testdata/sf1 10) */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val (src, dst, copies) = (args(0), args(1), args(2).toInt)
+    val only = args.lift(3)
+    def want(name: String): Boolean = only.forall(_ == name)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -55,6 +57,7 @@ object ScaleGen {
     // queries glob `events.parquet` as a FILE name; scans still
     // parallelize over row groups)
     def write(df: DataFrame, name: String, files: Int): Unit = {
+      if (!want(name)) return
       val tmp = s"$dst/.__$name"
       // 16 MB row groups keep the single file splittable 32+ ways
       df.coalesce(1).write.mode("overwrite")
@@ -107,8 +110,27 @@ object ScaleGen {
     write(salted.withColumn("n_chars", length(col("text")).cast("long")),
       "documents", 4)
 
+    // embeddings get a per-replica deterministic ±1 sign flip per
+    // dimension (replica 0 = identity). A diagonal ±1 matrix is
+    // orthogonal: every within-replica cosine is preserved EXACTLY
+    // (negation is exact in IEEE float), while cross-replica pairs
+    // decorrelate to the corpus noise floor — scaling adds NEW vectors
+    // instead of exact clones. (Verbatim replication makes every
+    // vector's dup cluster grow with the copy count, so near-dup PAIR
+    // output grows as C(copies,2) per source vector — quadratic by
+    // construction, ~10.8M pairs at 100 copies — which benchmarks the
+    // fixture, not the engine.)
     val emb = read("embeddings")
-    write(replicate(emb, Map("vec_id" -> maxOf(emb, "vec_id"))), "embeddings", 4)
+    val embScaled = replicate(emb, Map("vec_id" -> maxOf(emb, "vec_id")),
+        keepRep = true)
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => when(pmod(xxhash64(col("__rep"), i), lit(2)) === 0, x)
+              .otherwise(-x))))
+      .drop("__rep")
+    write(embScaled, "embeddings", 4)
 
     println(s"[scalegen] DONE -> $dst (${copies}x $src)")
     spark.stop()

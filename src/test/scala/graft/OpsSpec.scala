@@ -143,7 +143,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("embedding", col("embedding").cast("array<double>"))
     val threshold = 0.25
     val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
-      threshold = threshold, nPlanes = 6)
+      threshold = threshold)
     val v = emb.select(col("vec_id"), col("embedding"))
     val recomputed = pairs
       .join(v.select(col("vec_id").as("a"), col("embedding").as("va")), "a")

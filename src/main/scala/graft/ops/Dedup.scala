@@ -263,13 +263,17 @@ object Dedup {
     * recall trade of a single-table LSH at higher planes is inherent;
     * raise `threshold`-adjacent recall with multiple tables (e2's
     * multi-probe path) when it matters. */
+  /** Corpus-sized signature width: smallest planes with expected bucket
+    * occupancy <= 64, floored at 4 (buckets = 2^planes, occupancy = n/2^planes).
+    * Candidate-join volume is then bounded by ~64·n at any corpus size. */
+  private[graft] def autoPlanes(n: Long): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt)
+
   def embeddingNearDups(emb0: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 0): DataFrame = {
     val emb = Par.ensure(emb0)
-    val planes =
-      if (nPlanes > 0) nPlanes
-      else math.max(4, math.ceil(
-        math.log(math.max(1.0, emb.count() / 64.0)) / math.log(2)).toInt)
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(emb.count())
     val sig = emb.withColumn("__sig", Similarity.signature(col(vecCol), planes))
     val l = sig.select(col("__sig"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = sig.select(col("__sig"), col(idCol).as("b"), col(vecCol).as("vb"))

@@ -23,6 +23,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("autoPlanes bounds expected LSH bucket occupancy at ~64 for any corpus") {
+    // floor: tiny corpora still spread across 2^4 buckets
+    assert(Dedup.autoPlanes(0) == 4)
+    assert(Dedup.autoPlanes(1000) == 4)
+    // occupancy n/2^planes stays in (32, 64] once past the floor, so the
+    // candidate self-join is bounded by ~64*n rows at ANY corpus size —
+    // a fixed plane count is quadratic in n instead
+    for (n <- Seq(10000L, 200000L, 10000000L, 1000000000L, 100000000000L)) {
+      val p = Dedup.autoPlanes(n)
+      val occ = n.toDouble / (1L << p)
+      assert(occ <= 64.0, s"n=$n planes=$p occupancy=$occ")
+      assert(occ > 32.0, s"n=$n planes=$p occupancy=$occ (oversharded)")
+      assert(p < 63, s"n=$n planes=$p must fit a long signature")
+    }
+    // monotone: more corpus never means fewer planes
+    assert(Dedup.autoPlanes(200000) >= Dedup.autoPlanes(20000))
+  }
+
   test("exact dedup finds duplicates when present") {
     val withDups = docs.unionByName(
       docs.limit(5).withColumn("doc_id", col("doc_id") + 100000))

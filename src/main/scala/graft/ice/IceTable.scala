@@ -129,12 +129,28 @@ final class IceTable private (
                   .parquet(pqPos.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
                   .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
                     col("pos").as("__dpos")))
-              val dels = (pqDels.toSeq ++
+              val rawDels = (pqDels.toSeq ++
                 IceTable.expandDeletionVectors(spark, dvPos).toSeq)
                 .reduce(_ unionByName _)
                 // two delete files may cover the same (file, pos): dedupe so
                 // the join marks each row once, not once per covering file
                 .distinct()
+              // a replacement DV carries the CUMULATIVE bitmap (it ORs the
+              // superseded vector in — v3's one-DV-per-file invariant), so
+              // the snapshot's row-level delta is new minus the parent's
+              // vector for the same data files
+              val dvRefFiles = dvPos.flatMap(_.dataFile.referencedDataFile)
+                .map(ManifestAvro.stripFileScheme).toSet
+              val parentDV =
+                if (dvRefFiles.isEmpty) Nil
+                else s.parentSnapshotId.flatMap(meta.snapshotById).toSeq
+                  .flatMap(planDeleteEntries)
+                  .filter(e => e.dataFile.content == FileContent.PositionDeletes &&
+                    e.dataFile.contentOffset.isDefined &&
+                    e.dataFile.referencedDataFile.exists(r =>
+                      dvRefFiles.contains(ManifestAvro.stripFileScheme(r))))
+              val dels = IceTable.expandDeletionVectors(spark, parentDV)
+                .map(prior => rawDels.except(prior)).getOrElse(rawDels)
               // read only the referenced data files, join on (file, pos)
               val files = dels.select("__dfile").distinct()
                 .collect().map(_.getString(0)).toSeq

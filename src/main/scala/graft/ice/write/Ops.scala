@@ -29,6 +29,7 @@ private[ice] object SnapshotProducer {
       addedDataEntries: Seq[ManifestEntry],
       removedPaths: Set[String] = Set.empty,
       addedDeleteEntries: Seq[ManifestEntry] = Nil,
+      removedDVForFiles: Set[String] = Set.empty,
       extraSummary: Map[String, String] = Map.empty): Snapshot = {
     var result: Snapshot = null
     table.commit { base =>
@@ -59,14 +60,25 @@ private[ice] object SnapshotProducer {
 
       // keep / rewrite previous manifests (data AND delete manifests —
       // compaction removes folded-in delete files too)
+      // a DV entry is superseded when a NEW deletion vector replaces it for
+      // the same data file (v3 invariant: at most one DV per data file —
+      // the new vector ORs the old one in, so dropping the old entry loses
+      // nothing; manifest_entry.h:157-177)
+      def dvSuperseded(e: ManifestEntry): Boolean =
+        e.dataFile.content == FileContent.PositionDeletes &&
+          e.dataFile.referencedDataFile.exists(r =>
+            removedDVForFiles.contains(ManifestAvro.stripFileScheme(r)))
       val survivors: Seq[ManifestFile] = previous.flatMap { m =>
-        if (removedPaths.isEmpty) Some(m)
+        val mayShrink = removedPaths.nonEmpty ||
+          (removedDVForFiles.nonEmpty && m.content == ManifestContent.Deletes)
+        if (!mayShrink) Some(m)
         else {
           val mSpec = base.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
           val mPartType = mSpec.partitionType(schema)
           val entries = ManifestAvro.readManifest(m.manifestPath, mPartType, Some(m))
             .filter(_.isLive)
-          val (removed, kept) = entries.partition(e => removedPaths.contains(e.dataFile.filePath))
+          val (removed, kept) = entries.partition(e =>
+            removedPaths.contains(e.dataFile.filePath) || dvSuperseded(e))
           if (removed.isEmpty) Some(m)
           else if (kept.isEmpty) None
           else Some(ManifestAvro.writeManifest(nextManifestPath(),
@@ -425,15 +437,23 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
   }
 
   /** Merge-on-read delete as v3 DELETION VECTORS: one roaring bitmap of
-    * deleted positions per data file, all vectors in one puffin file
-    * (manifest_entry.h:162-176 semantics; the reference cannot execute
-    * these — table_scan.cc:288-291 errors on any delete file).
+    * deleted positions per data file (manifest_entry.h:162-176 semantics;
+    * the reference cannot execute these — table_scan.cc:288-291 errors on
+    * any delete file).
     *
-    * Distributed shape: the (file,pos) scan and the per-file bitmap
-    * builds run on executors (positions for one file are clustered into
-    * one partition, so each bitmap is built whole with no merge step);
-    * only the COMPRESSED bitmaps travel to the driver, which concatenates
-    * them into the puffin file at commit. */
+    * Distributed shape: the (file,pos) scan, the per-file bitmap builds
+    * AND the puffin writes all run on executors — positions for one data
+    * file are clustered into one partition, each partition writes its own
+    * puffin file via the task-commit rename protocol, and only the blob
+    * DESCRIPTORS (path, offset, length, cardinality) travel back to the
+    * driver. A broad delete over billions of rows never moves a bitmap
+    * byte through the driver.
+    *
+    * v3 invariant (one DV per data file): when a data file already has a
+    * deletion vector, the executor ORs the prior bitmap into the new one
+    * and the commit drops the superseded entry — re-deletes never
+    * double-count and spec-compliant external readers see at most one DV
+    * per file. */
   def deleteWhereDV(filter: Expr): Snapshot = {
     require(table.metadata.formatVersion >= 3,
       s"deletion vectors require format-version 3, table is v${table.metadata.formatVersion}")
@@ -443,12 +463,30 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     if (matching.isEmpty)
       return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
     val paths = matching.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+    // prior DVs per referenced data file (metadata-sized): executors read
+    // and union these so each new vector fully replaces its predecessor
+    val priorDV: Map[String, Seq[(String, Long, Long)]] =
+      table.currentSnapshot.map(table.planDeleteEntries).getOrElse(Nil)
+        .filter(e => e.dataFile.content == FileContent.PositionDeletes &&
+          e.dataFile.fileFormat == "PUFFIN" && e.dataFile.referencedDataFile.isDefined)
+        .groupBy(e => ManifestAvro.stripFileScheme(e.dataFile.referencedDataFile.get))
+        .view.mapValues(_.map(e => (
+          ManifestAvro.stripFileScheme(e.dataFile.filePath),
+          e.dataFile.contentOffset.getOrElse(throw new IllegalStateException(
+            s"DV entry for ${e.dataFile.filePath} missing content_offset")),
+          e.dataFile.contentSizeInBytes.getOrElse(throw new IllegalStateException(
+            s"DV entry for ${e.dataFile.filePath} missing content_size_in_bytes")))))
+        .toMap
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val sparkSchema = SparkConv.toSpark(table.schema)
     val nParts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions, paths.size))
+    val dataDir = table.dataFileDir
+    Files.createDirectories(Paths.get(dataDir))
+    val commitUuid = UUID.randomUUID().toString
     import spark.implicits._
-    val dvs: Seq[(String, Array[Byte], Long)] = spark.read
+    // per-ref descriptor rows: (puffinPath, puffinSize, refFile, offset, length, cardinality)
+    val refRows: Seq[(String, Long, String, Long, Long, Long)] = spark.read
       .schema(sparkSchema).parquet(paths: _*)
       .filter(cond)
       .select(
@@ -464,30 +502,54 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
           byFile.getOrElseUpdate(f,
             new org.roaringbitmap.longlong.Roaring64Bitmap()).addLong(p)
         }
-        byFile.iterator.map { case (f, bm) =>
-          bm.runOptimize()
-          val out = new java.io.ByteArrayOutputStream()
-          bm.serialize(new java.io.DataOutputStream(out))
-          (f, out.toByteArray, bm.getLongCardinality)
+        if (byFile.isEmpty) Iterator.empty
+        else {
+          // union in the prior vector (if any) so the new DV supersedes it
+          byFile.foreach { case (f, bm) =>
+            priorDV.getOrElse(f, Nil).foreach { case (pp, off, len) =>
+              bm.or(Puffin.readDV(pp, off, len))
+            }
+          }
+          val dvs = byFile.iterator.map { case (f, bm) =>
+            bm.runOptimize()
+            val out = new java.io.ByteArrayOutputStream()
+            bm.serialize(new java.io.DataOutputStream(out))
+            (f, out.toByteArray, bm.getLongCardinality)
+          }.toSeq.sortBy(_._1)
+          val ctx = org.apache.spark.TaskContext.get()
+          val idx = Option(ctx).map(_.partitionId()).getOrElse(0)
+          val attempt = Option(ctx).map(_.taskAttemptId).getOrElse(0L)
+          val path = f"$dataDir/$commitUuid-deletes-p$idx%05d.puffin"
+          // task-commit protocol: attempt-unique temp + atomic publish, so
+          // a retried/speculative attempt never exposes a torn puffin file
+          val tmp = s"$path.$attempt.tmp"
+          val refs = Puffin.writeDVFile(tmp, dvs)
+          Files.move(Paths.get(tmp), Paths.get(path),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val size = Files.size(Paths.get(path))
+          refs.iterator.map(r =>
+            (path, size, r.referencedDataFile, r.offset, r.length, r.cardinality))
         }
-      }.collect().toSeq.sortBy(_._1)
-    if (dvs.isEmpty)
+      }.collect().toSeq.sortBy(r => (r._1, r._3))
+    if (refRows.isEmpty)
       return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
-    val puffinPath = s"${table.dataFileDir}/${UUID.randomUUID()}-deletes.puffin"
-    Files.createDirectories(Paths.get(table.dataFileDir))
-    val refs = Puffin.writeDVFile(puffinPath, dvs)
-    val entries = refs.map { r =>
+    val entries = refRows.map { case (puffinPath, size, refFile, off, len, card) =>
       ManifestEntry(ManifestStatus.Added, None, None, None,
         DataFile(FileContent.PositionDeletes, puffinPath, "PUFFIN",
           table.spec.fields.map(_ => null: Any).toIndexedSeq,
-          recordCount = r.cardinality,
-          fileSizeInBytes = Files.size(Paths.get(puffinPath)),
-          referencedDataFile = Some(r.referencedDataFile),
-          contentOffset = Some(r.offset),
-          contentSizeInBytes = Some(r.length)))
+          recordCount = card,
+          fileSizeInBytes = size,
+          referencedDataFile = Some(refFile),
+          contentOffset = Some(off),
+          contentSizeInBytes = Some(len)))
     }
+    val superseded = refRows.map(_._3).toSet.filter(priorDV.contains)
     SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
-      addedDeleteEntries = entries)
+      addedDeleteEntries = entries, removedDVForFiles = superseded,
+      extraSummary =
+        if (superseded.isEmpty) Map.empty
+        else Map("replaced-deletion-vectors" -> superseded.size.toString))
   }
 
   /** Merge-on-read equality delete: delete every row whose key columns

@@ -221,6 +221,8 @@ final class IceTable private (
       else meta.property(TableProperties.CommitNumRetries)
     val minWait = meta.property(TableProperties.CommitMinWaitMs)
     val maxWait = meta.property(TableProperties.CommitMaxWaitMs)
+    val totalTimeout = meta.property(TableProperties.CommitTotalTimeoutMs)
+    val deadline = System.currentTimeMillis() + totalTimeout
     var attempt = 0
     while (true) {
       requirements.flatMap(_.check(meta)).headOption.foreach { violation =>
@@ -235,7 +237,15 @@ final class IceTable private (
         case e: CommitFailedException =>
           attempt += 1
           if (attempt > maxRetries) throw e
-          Thread.sleep(math.min(minWait << (attempt - 1), maxWait))
+          // exponential backoff capped per-sleep by max-wait-ms, and the
+          // WHOLE loop bounded by total-timeout-ms (the two are distinct
+          // keys in the reference, table_properties.h:80-93)
+          val sleep = math.min(minWait << (attempt - 1), maxWait)
+          if (System.currentTimeMillis() + sleep > deadline)
+            throw new CommitFailedException(
+              s"$ident: commit retry budget exhausted after $attempt attempts " +
+                s"(commit.retry.total-timeout-ms=$totalTimeout): ${e.getMessage}")
+          Thread.sleep(sleep)
           refresh()
       }
     }

@@ -11,10 +11,14 @@ object TableProperties {
   // creation
   val FormatVersion: Key[Int] = Key("format-version", 2, _.trim.toInt)
 
-  // commit / retry (table_properties.h:80-93)
+  // commit / retry (table_properties.h:80-93): max-wait caps ONE sleep,
+  // total-timeout bounds the WHOLE retry loop (both keys exist in the
+  // reference with these defaults — 60 s and 30 min)
   val CommitNumRetries: Key[Int] = Key("commit.retry.num-retries", 4, _.trim.toInt)
   val CommitMinWaitMs: Key[Long] = Key("commit.retry.min-wait-ms", 100L, _.trim.toLong)
-  val CommitMaxWaitMs: Key[Long] = Key("commit.retry.total-timeout-ms", 60000L, _.trim.toLong)
+  val CommitMaxWaitMs: Key[Long] = Key("commit.retry.max-wait-ms", 60000L, _.trim.toLong)
+  val CommitTotalTimeoutMs: Key[Long] =
+    Key("commit.retry.total-timeout-ms", 30L * 60 * 1000, _.trim.toLong)
 
   // manifest maintenance (table_properties.h:97-101)
   val ManifestMergeEnabled: Key[Boolean] =

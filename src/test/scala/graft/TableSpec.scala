@@ -254,6 +254,55 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(NameMapping.fromJson(nested.toJson) == nested)
   }
 
+  test("commit retry: max-wait caps one sleep, total-timeout bounds the loop") {
+    // a catalog that loses every race once armed: the retry loop can only
+    // end via num-retries or the total-timeout deadline
+    class ConflictCatalog(dir: String) extends DirCatalog(dir) {
+      @volatile var armed = false
+      @volatile var attempts = 0
+      override def commit(ident: TableIdentifier, baseVersion: Int,
+          updated: graft.ice.meta.TableMetadata): Int = {
+        if (armed) { attempts += 1; throw new CommitFailedException("induced conflict") }
+        else super.commit(ident, baseVersion, updated)
+      }
+    }
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+
+    // per-sleep cap: 4 retries at min-wait 50ms would back off 50+100+200+400
+    // = 750ms uncapped; max-wait-ms 60 caps it at 50+60+60 = 170ms of sleep
+    val cat1 = new ConflictCatalog(tmpWarehouse())
+    val t1 = IceTable.create(cat1, TableIdentifier.parse("db.rw"), schema,
+      properties = Map(
+        "commit.retry.num-retries" -> "3",
+        "commit.retry.min-wait-ms" -> "50",
+        "commit.retry.max-wait-ms" -> "60"))
+    cat1.armed = true
+    val start1 = System.currentTimeMillis()
+    intercept[CommitFailedException](t1.updateSchema().addColumn("x", IntT).commit())
+    val elapsed1 = System.currentTimeMillis() - start1
+    assert(cat1.attempts == 4) // 1 initial + 3 retries
+    assert(elapsed1 < 600, s"uncapped backoff would sleep 750ms; took ${elapsed1}ms")
+
+    // total-timeout: effectively unlimited retries, but the 150ms budget
+    // must end the loop with a loud budget-exhausted failure
+    val cat2 = new ConflictCatalog(tmpWarehouse())
+    val t2 = IceTable.create(cat2, TableIdentifier.parse("db.rw2"), schema,
+      properties = Map(
+        "commit.retry.num-retries" -> "1000000",
+        "commit.retry.min-wait-ms" -> "20",
+        "commit.retry.max-wait-ms" -> "20",
+        "commit.retry.total-timeout-ms" -> "150"))
+    cat2.armed = true
+    val start2 = System.currentTimeMillis()
+    val e = intercept[CommitFailedException](
+      t2.updateSchema().addColumn("x", IntT).commit())
+    val elapsed2 = System.currentTimeMillis() - start2
+    assert(e.getMessage.contains("total-timeout"), e.getMessage)
+    assert(elapsed2 < 5000, s"deadline not enforced: ${elapsed2}ms")
+    assert(cat2.attempts < 100, s"made ${cat2.attempts} attempts in 150ms budget")
+  }
+
   test("concurrent-commit loser retries and succeeds") {
     val cat = new DirCatalog(tmpWarehouse())
     val raw = spark.read.parquet(s"$sfDir/region.parquet")

@@ -34,7 +34,40 @@ object FormatRegistry {
     "PARQUET" -> ((s, schema, paths, _) => s.read.schema(schema).parquet(paths: _*)),
     "AVRO" -> ((s, schema, paths, nm) =>
       AvroData.readFiles(s, paths, schema, mappedNames = nm)),
-    "ORC" -> ((s, schema, paths, _) => s.read.schema(schema).orc(paths: _*)))
+    "ORC" -> readOrc _)
+
+  /** ORC resolves columns BY NAME (the format carries no field ids), so a
+    * file written before a rename still holds the OLD column name. With a
+    * mapping (fieldId -> previous/alternate names — the scan threads both
+    * schema-history renames and schema.name-mapping.default), the read
+    * merges every file schema and COALESCEs each target field across its
+    * current + mapped names: old-name files and new-name files resolve
+    * row-by-row in one distributed read. Without a relevant mapping the
+    * fast path (fixed read schema, no footer merge) is unchanged. */
+  private def readOrc(s: SparkSession, schema: StructType, paths: Seq[String],
+      nm: Map[Long, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import graft.ice.types.SparkConv
+    def altsFor(f: org.apache.spark.sql.types.StructField): Seq[String] =
+      if (f.metadata.contains(SparkConv.FieldIdKey))
+        nm.getOrElse(f.metadata.getLong(SparkConv.FieldIdKey), Nil)
+          .filterNot(_ == f.name)
+      else Nil
+    if (schema.fields.forall(altsFor(_).isEmpty)) s.read.schema(schema).orc(paths: _*)
+    else {
+      val inferred = s.read.option("mergeSchema", "true").orc(paths: _*)
+      val have = inferred.schema.fieldNames.toSet
+      val cols = schema.fields.map { f =>
+        val candidates = (f.name +: altsFor(f)).distinct.filter(have.contains)
+        candidates match {
+          case Seq() => lit(null).cast(f.dataType).as(f.name)
+          case Seq(one) => col(one).cast(f.dataType).as(f.name)
+          case many => coalesce(many.map(n => col(n).cast(f.dataType)): _*).as(f.name)
+        }
+      }
+      inferred.select(cols.toIndexedSeq: _*)
+    }
+  }
 
   private val writers: Map[String, Writer] = Map(
     "PARQUET" -> { (df, dir) =>
@@ -82,7 +115,18 @@ object FormatRegistry {
     else spark.read.orc(paths: _*)
       .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("__n"))
       .collect()
-      .map(r => (r.getString(0).replaceFirst("^file:/*", "/"), r.getLong(1)))
+      .map(r => (normalizeInputFileName(r.getString(0)), r.getLong(1)))
       .toMap
+  }
+
+  /** input_file_name() returns a percent-encoded file URI; decode it so
+    * paths with spaces/%-chars match the plain paths callers key by. A
+    * zero-row file produces NO group at all — callers must getOrElse(0L),
+    * never apply(). */
+  private[ice] def normalizeInputFileName(raw: String): String = {
+    val decoded =
+      try Option(new java.net.URI(raw).getPath).getOrElse(raw)
+      catch { case _: java.net.URISyntaxException => raw }
+    decoded.replaceFirst("^file:/*", "/")
   }
 }

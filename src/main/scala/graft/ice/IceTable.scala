@@ -564,12 +564,27 @@ final class ScanBuilder(table: IceTable) {
               s"metadata columns and position deletes require parquet data files; got $fmt")
             // sparkSchema keeps field-id metadata so the Avro reader can
             // resolve columns by id (rename-safe); id-less files fall back
-            // to the table's name mapping, then current names
+            // to the table's name mapping, then current names. BY-NAME
+            // formats (ORC carries no field ids) additionally get every
+            // name each field id carried across SCHEMA HISTORY, so rename
+            // evolution resolves old-name files instead of nulling the
+            // column (metadata-sized: schemas live in table metadata)
+            val explicitNm = nameMapping.map(nm => nm.fields.flatMap(mf =>
+              mf.fieldId.map(id => id.toLong -> mf.names)).toMap)
+              .getOrElse(Map.empty)
+            val currentNames = s.fields.map(f => f.id -> f.name).toMap
+            val historicalNm: Map[Long, Seq[String]] =
+              table.metadata.schemas.flatMap(_.fields)
+                .groupBy(_.id)
+                .collect { case (id, fs) if currentNames.contains(id) =>
+                  id.toLong -> fs.map(_.name).distinct.filterNot(_ == currentNames(id))
+                }
+                .filter(_._2.nonEmpty).toMap
+            val mergedNm = (explicitNm.keySet ++ historicalNm.keySet).map(id =>
+              id -> (explicitNm.getOrElse(id, Nil) ++ historicalNm.getOrElse(id, Nil)).distinct)
+              .toMap
             FormatRegistry.reader(fmt)(spark, sparkSchema,
-              fts.map(t => ManifestAvro.stripFileScheme(t.file.filePath)),
-              nameMapping.map(nm => nm.fields.flatMap(mf =>
-                mf.fieldId.map(id => id.toLong -> mf.names)).toMap)
-                .getOrElse(Map.empty))
+              fts.map(t => ManifestAvro.stripFileScheme(t.file.filePath)), mergedNm)
         }.reduce(_ unionByName _)
 
     def readParquetPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {
@@ -872,7 +887,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     val entries = files.par.map { p =>
       val m =
         if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, hadoopConf)
-        else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts(p))
+        else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts.getOrElse(p, 0L))
         // counts recorded at write time; no column bounds -> never pruned
         else Metrics.rowCountOnly(avroCounts(p))
       val partition = parsePartitionTuple(p, outDir, spec, schema)
@@ -913,7 +928,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       val local = ManifestAvro.stripFileScheme(p)
       val m =
         if (fmt == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
-        else if (fmt == "ORC") Metrics.rowCountOnly(orcCounts(local))
+        else if (fmt == "ORC") Metrics.rowCountOnly(orcCounts.getOrElse(local, 0L))
         else Metrics.rowCountOnly(AvroData.countRecords(local))
       ManifestEntry(ManifestStatus.Added, None, None, None,
         DataFile(FileContent.Data, p, fmt, IndexedSeq.empty,

@@ -241,7 +241,7 @@ private[ice] object SnapshotProducer {
     files.par.map { p =>
       val m =
         if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
-        else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts(p))
+        else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts.getOrElse(p, 0L))
         // counts were recorded by the executors at write time; avro/orc
         // files carry no footer bounds here, so pruning includes them
         else Metrics.rowCountOnly(avroCounts(p))

@@ -100,6 +100,33 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().toDF(spark).count() == raw.count() + 5)
   }
 
+  test("orc data files resolve renamed columns via schema history") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whorcr").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.orcren"),
+      SparkConv.fromSpark(raw.schema),
+      properties = Map("write.format.default" -> "orc"))
+    t.append(spark).appendDataFrame(raw)
+    // rename AFTER the files were written: ORC resolves by NAME, so the
+    // old-name files must resolve through the schema-history mapping
+    t.updateSchema().renameColumn("n_name", "nation_name").commit()
+    val back = t.newScan().toDF(spark)
+    assert(back.schema.fieldNames.contains("nation_name"))
+    val names = back.select("nation_name").collect().map(_.getString(0)).sorted
+    val want = raw.select("n_name").collect().map(_.getString(0)).sorted
+    assert(names.sameElements(want), "renamed column must not be nulled on ORC files")
+    // MIXED files: append again post-rename (files carry the new name) —
+    // per-row coalesce resolves old-name and new-name files in one scan
+    val raw2 = raw.withColumnRenamed("n_name", "nation_name")
+    t.append(spark).appendDataFrame(raw2.limit(5))
+    val mixed = t.newScan().toDF(spark)
+    assert(mixed.count() == raw.count() + 5)
+    assert(mixed.filter(col("nation_name").isNull).count() == 0)
+    // double rename still resolves the oldest files
+    t.updateSchema().renameColumn("nation_name", "nm2").commit()
+    assert(t.newScan().toDF(spark).filter(col("nm2").isNull).count() == 0)
+  }
+
   test("copy-on-write delete rewrites matching files") {
     val (t, raw) = freshTable("cow")
     val before = t.newScan().toDF(spark).count()

@@ -921,8 +921,23 @@ final class ManageSnapshots(table: IceTable) {
         liveRefs.values.map(_.snapshotId) ++
         base.currentSnapshotId.toSeq ++
         base.snapshots.sortBy(_.timestampMs).takeRight(retainLast).map(_.snapshotId)
+      // a branch's own maxSnapshotAgeMs OVERRIDES the global cutoff for
+      // its ancestors (snapshot.h:73-75): snapshots reachable ONLY via
+      // branches with their own age policy must not be resurrected by the
+      // global timestamp rule, or aggressive per-branch retention could
+      // never expire anything the global cutoff keeps
+      val branchChains = liveRefs.toSeq.collect {
+        case (_, ref) if ref.refType == "branch" =>
+          (ref.maxSnapshotAgeMs.isDefined,
+            ancestors(ref.snapshotId).map(_.snapshotId).toSet)
+      }
+      val underDefaultPolicy = branchChains.collect { case (false, ids) => ids }
+        .flatten.toSet
+      val aggressiveOnly = branchChains.collect { case (true, ids) => ids }
+        .flatten.toSet -- underDefaultPolicy
       val (kept, _) = base.snapshots.partition(s =>
-        keepIds.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
+        keepIds.contains(s.snapshotId) ||
+          (s.timestampMs >= olderThanMs && !aggressiveOnly.contains(s.snapshotId)))
       base.copy(
         refs = liveRefs,
         snapshots = kept,

@@ -185,10 +185,14 @@ object Dedup {
       thresholdNum: Int, thresholdDen: Int): DataFrame = {
     // candidate generation runs in 64-bit hash space: the frequency agg,
     // the rank window and the self-join all shuffle 8-byte keys instead
-    // of ~30-byte shingle strings. Correctness: hash-jaccard >= shingle-
-    // jaccard (collisions only merge elements), so every qualifying pair
-    // still shares a prefix hash — candidates are a superset, and the
-    // exact array_intersect verification removes any collision artifact.
+    // of ~30-byte shingle strings. Recall bound: a qualifying pair can
+    // only be missed if two of its SHARED shingles collide under
+    // xxhash64 (merging two shared elements lowers hash-jaccard:
+    // (i-1)/(u-1) < i/u), i.e. a specific 2^-64-scale collision inside
+    // one document's shingle set — negligible, but not exactly zero.
+    // Collisions that merge non-shared elements only RAISE hash-jaccard,
+    // which adds candidates; the exact array_intersect verification
+    // removes any such false positive, so precision is exact.
     val postings = sh.select(col("__blk"), col("__id"),
       size(col("__sh")).cast("long").as("__n"),
       explode(col("__sh")).as("__s0"))

@@ -56,7 +56,7 @@ object ScaleGen {
     // single flat file per table, like the driver layout (the streaming
     // queries glob `events.parquet` as a FILE name; scans still
     // parallelize over row groups)
-    def write(df: DataFrame, name: String, files: Int): Unit = {
+    def write(df: DataFrame, name: String): Unit = {
       if (!want(name)) return
       val tmp = s"$dst/.__$name"
       // 16 MB row groups keep the single file splittable 32+ ways
@@ -76,20 +76,20 @@ object ScaleGen {
     }
 
     // dimensions stay fixed
-    for (d <- Seq("region", "nation")) write(read(d), d, 1)
+    for (d <- Seq("region", "nation")) write(read(d), d)
 
     val cust = read("customer"); val custStride = maxOf(cust, "c_custkey")
     val supp = read("supplier"); val suppStride = maxOf(supp, "s_suppkey")
     val part = read("part"); val partStride = maxOf(part, "p_partkey")
     val ord = read("orders"); val ordStride = maxOf(ord, "o_orderkey")
-    write(replicate(cust, Map("c_custkey" -> custStride)), "customer", 4)
-    write(replicate(supp, Map("s_suppkey" -> suppStride)), "supplier", 1)
-    write(replicate(part, Map("p_partkey" -> partStride)), "part", 2)
+    write(replicate(cust, Map("c_custkey" -> custStride)), "customer")
+    write(replicate(supp, Map("s_suppkey" -> suppStride)), "supplier")
+    write(replicate(part, Map("p_partkey" -> partStride)), "part")
     write(replicate(ord, Map(
-      "o_orderkey" -> ordStride, "o_custkey" -> custStride)), "orders", 8)
+      "o_orderkey" -> ordStride, "o_custkey" -> custStride)), "orders")
     write(replicate(read("lineitem"), Map(
       "l_orderkey" -> ordStride, "l_partkey" -> partStride,
-      "l_suppkey" -> suppStride)), "lineitem", 16)
+      "l_suppkey" -> suppStride)), "lineitem")
 
     // events carries parquet TIMESTAMP(NANOS); Spark 4 reads it only as
     // long (ns since epoch) — every consumer already goes through that
@@ -98,7 +98,7 @@ object ScaleGen {
     val ev = read("events")
     write(replicate(ev, Map(
       "event_id" -> maxOf(ev, "event_id"), "user_id" -> maxOf(ev, "user_id"))),
-      "events", 8)
+      "events")
 
     val docs = read("documents")
     val salted = replicate(docs, Map("doc_id" -> maxOf(docs, "doc_id")),
@@ -108,7 +108,7 @@ object ScaleGen {
           concat(lit("$1_r"), col("__rep").cast("string"))))
       .drop("__rep")
     write(salted.withColumn("n_chars", length(col("text")).cast("long")),
-      "documents", 4)
+      "documents")
 
     // embeddings get a per-replica deterministic ±1 sign flip per
     // dimension (replica 0 = identity). A diagonal ±1 matrix is
@@ -130,7 +130,7 @@ object ScaleGen {
             (x, i) => when(pmod(xxhash64(col("__rep"), i), lit(2)) === 0, x)
               .otherwise(-x))))
       .drop("__rep")
-    write(embScaled, "embeddings", 4)
+    write(embScaled, "embeddings")
 
     println(s"[scalegen] DONE -> $dst (${copies}x $src)")
     spark.stop()

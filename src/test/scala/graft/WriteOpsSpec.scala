@@ -841,6 +841,30 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes02.filter(col("_change_type") === "delete").count() == delExpected)
   }
 
+  test("per-branch maxSnapshotAgeMs overrides the global expiry cutoff") {
+    val (t, raw) = freshTable("retage")
+    val s1 = t.currentSnapshot.get
+    t.append(spark).appendDataFrame(raw.limit(5))
+    val s2 = t.currentSnapshot.get
+    t.append(spark).appendDataFrame(raw.limit(5))
+    val head = t.currentSnapshot.get // chain head->s2->s1
+    t.manageSnapshots()
+      .createBranch("dev", head.snapshotId)
+      .setMaxSnapshotAgeMs("dev", 1) // expire dev ancestors older than 1ms
+      .rollbackTo(s1.snapshotId) // main back to s1; s2/head now dev-exclusive
+    Thread.sleep(10)
+    // the global cutoff keeps EVERYTHING (olderThanMs=0); the branch's own
+    // age policy must still expire its exclusive ancestors — previously
+    // the global timestamp rule resurrected them and per-branch aggressive
+    // retention never expired anything
+    t.manageSnapshots().expireSnapshots(olderThanMs = 0L)
+    val ids = t.snapshots.map(_.snapshotId).toSet
+    assert(ids.contains(s1.snapshotId), "main's head must survive")
+    assert(ids.contains(head.snapshotId), "the dev ref target must survive")
+    assert(!ids.contains(s2.snapshotId),
+      "dev's maxSnapshotAgeMs must expire its aged dev-exclusive ancestor")
+  }
+
   test("expiry honors minSnapshotsToKeep on a branch while main expires") {
     val (t, raw) = freshTable("retmin")
     val s1 = t.currentSnapshot.get

@@ -278,7 +278,12 @@ final class IceTable private (
     }
   }
 
-  /** All live data-file entries of a snapshot (driver-side plan). */
+  /** All live data-file entries of a snapshot. Driver-side for typical
+    * metadata; past `graft.plan.distributed-threshold` estimated entries
+    * the manifest reads AND the per-entry pruning move to EXECUTORS
+    * (bounded-memory planning: a 100-TB snapshot with millions of data
+    * files must not materialize every entry as driver objects — reference
+    * anchor: PlanFiles, table_scan.cc:264-296, which has no such bound). */
   def planEntries(snapshot: Snapshot, rowFilter: Option[Bound]): Seq[ManifestEntry] = {
     val manifests = ManifestAvro.readManifestList(snapshot.manifestList)
     val dataManifests = manifests.filter(_.content == ManifestContent.Data)
@@ -297,28 +302,87 @@ final class IceTable private (
         }
     }
 
-    val metricsEval = new MetricsEvaluator
+    // estimated entry count drives the driver/distributed choice: use the
+    // manifest-list counts when present, else a conservative bytes/entry
+    // guess from the manifest length
+    val estimatedEntries = pruned.map(m =>
+      (m.addedFilesCount, m.existingFilesCount) match {
+        case (Some(a), Some(e)) => (a + e).toLong
+        case _ => math.max(1L, m.manifestLength / 64)
+      }).sum
+    val threshold = meta.property(TableProperties.PlanDistributedThreshold)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
 
-    // manifests are independent — read them in parallel on the driver
-    // (the reference is single-threaded here; at 100 TB a snapshot can
-    // have thousands of manifests and sequential reads dominate planning)
-    import scala.collection.parallel.CollectionConverters._
-    pruned.par.flatMap { m =>
-      val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
-      val partType = mSpec.partitionType(scanSchema)
-      val entries = ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
-        .filter(_.isLive)
-      rowFilter match {
-        case None => entries
-        case Some(bound) =>
-          val partExpr = InclusiveProjection.project(bound, mSpec)
-          val tupleEval = new PartitionTupleEvaluator(mSpec)
-          entries.filter { e =>
-            tupleEval.eval(partExpr, e.dataFile.partition) &&
-              metricsEval.canContainRows(bound, e.dataFile)
+    session match {
+      case Some(spark) if estimatedEntries > threshold =>
+        planEntriesDistributed(spark, pruned, scanSchema, rowFilter)
+      case _ =>
+        val metricsEval = new MetricsEvaluator
+        // manifests are independent — read them in parallel on the driver
+        // (the reference is single-threaded here; at 100 TB a snapshot can
+        // have thousands of manifests and sequential reads dominate planning)
+        import scala.collection.parallel.CollectionConverters._
+        pruned.par.flatMap { m =>
+          val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+          val partType = mSpec.partitionType(scanSchema)
+          val entries = ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
+            .filter(_.isLive)
+          rowFilter match {
+            case None => entries
+            case Some(bound) =>
+              val partExpr = InclusiveProjection.project(bound, mSpec)
+              val tupleEval = new PartitionTupleEvaluator(mSpec)
+              entries.filter { e =>
+                tupleEval.eval(partExpr, e.dataFile.partition) &&
+                  metricsEval.canContainRows(bound, e.dataFile)
+              }
           }
-      }
-    }.seq
+        }.seq
+    }
+  }
+
+  /** Executor-side planning: one task per manifest group reads, inherits
+    * and prunes entries with the SAME evaluators as the driver path (the
+    * evaluator classes are plain Scala over case classes — they run
+    * anywhere), then strips the per-column metric maps before results
+    * travel: after pruning the bounds have done their job, and they are
+    * the dominant share of entry memory. Driver memory = surviving slim
+    * entries only. */
+  private def planEntriesDistributed(spark: SparkSession,
+      manifests: Seq[ManifestFile], scanSchema: Schema,
+      rowFilter: Option[Bound]): Seq[ManifestEntry] = {
+    val specs: Map[Int, PartitionSpec] =
+      manifests.map(_.partitionSpecId).distinct
+        .map(id => id -> meta.specById(id).getOrElse(PartitionSpec.unpartitioned))
+        .toMap
+    // locals only: the closure must not drag the table/catalog along
+    val schemaLocal = scanSchema
+    val filterLocal = rowFilter
+    val work = manifests.map(m => (m, specs(m.partitionSpecId)))
+    spark.sparkContext
+      .parallelize(work, math.max(1, math.min(work.size,
+        spark.sparkContext.defaultParallelism * 2)))
+      .flatMap { case (m, mSpec) =>
+        val partType = mSpec.partitionType(schemaLocal)
+        val entries = ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
+          .filter(_.isLive)
+        val keep = filterLocal match {
+          case None => entries
+          case Some(bound) =>
+            val partExpr = InclusiveProjection.project(bound, mSpec)
+            val tupleEval = new PartitionTupleEvaluator(mSpec)
+            val metricsEval = new MetricsEvaluator
+            entries.filter { e =>
+              tupleEval.eval(partExpr, e.dataFile.partition) &&
+                metricsEval.canContainRows(bound, e.dataFile)
+            }
+        }
+        keep.map(e => e.copy(dataFile = e.dataFile.copy(
+          columnSizes = Map.empty, valueCounts = Map.empty,
+          nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+          lowerBounds = Map.empty, upperBounds = Map.empty)))
+      }.collect().toSeq
   }
 }
 

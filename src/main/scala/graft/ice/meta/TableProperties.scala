@@ -37,6 +37,12 @@ object TableProperties {
   val CompactSmallFileThresholdBytes: Key[Long] =
     Key("write.compact.small-file-threshold-bytes", 96L * 1024 * 1024, _.trim.toLong)
 
+  // scan planning (graft extension): beyond this many estimated manifest
+  // entries, planning reads + prunes manifests on executors and returns
+  // only surviving entries (with metric maps stripped) to the driver
+  val PlanDistributedThreshold: Key[Long] =
+    Key("graft.plan.distributed-threshold", 200000L, _.trim.toLong)
+
   def get[T](props: Map[String, String], key: Key[T]): T =
     props.get(key.name).map(key.parse).getOrElse(key.default)
 }

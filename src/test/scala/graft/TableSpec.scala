@@ -254,6 +254,79 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(NameMapping.fromJson(nested.toJson) == nested)
   }
 
+  test("distributed planning matches driver planning and bounds driver memory") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val okId = schema.findFieldByName("l_orderkey").get.id
+    val spec = PartitionSpec(0, IndexedSeq(
+      PartitionField(okId, 1000, "ok_bucket", BucketTransform(4))))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.plandist"), schema, spec)
+    t.append(spark).appendDataFrame(raw)
+    t.append(spark).appendDataFrame(raw.limit(500))
+    val filter = E.lt("l_orderkey", Literal.long(1000))
+    val driverPlan = t.newScan().filter(filter).planFiles()
+    assert(driverPlan.nonEmpty)
+    // force the distributed path: same pruning decisions, same files, and
+    // the surviving entries come back with metric maps STRIPPED (bounds
+    // have served their purpose on the executors; at millions of files
+    // they are the dominant share of driver planning memory)
+    t.newTransaction(spark)
+      .setProperty("graft.plan.distributed-threshold", "0").commitTransaction()
+    val distPlan = t.newScan().filter(filter).planFiles()
+    assert(distPlan.map(_.file.filePath).sorted == driverPlan.map(_.file.filePath).sorted)
+    assert(distPlan.map(t => (t.specId, t.dataSequenceNumber, t.snapshotId)).toSet ==
+      driverPlan.map(t => (t.specId, t.dataSequenceNumber, t.snapshotId)).toSet)
+    assert(distPlan.forall(e => e.file.lowerBounds.isEmpty && e.file.upperBounds.isEmpty
+      && e.file.valueCounts.isEmpty))
+    // scan results identical through the distributed plan
+    val cnt = t.newScan().filter(filter).toDF(spark).count()
+    assert(cnt == raw.filter("l_orderkey < 1000").count() +
+      raw.limit(500).filter("l_orderkey < 1000").count())
+  }
+
+  test("distributed planning handles a 100k-entry manifest") {
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.bigplan"), schema)
+    t.append(spark).appendDataFrame(raw)
+    // hand-build a snapshot whose single manifest holds 100k FAT entries
+    // (per-column bounds maps) — the shape of a ~10 TB single-partition
+    // append — and plan it through the executor path
+    import graft.ice.manifest._
+    import graft.ice.meta.MetaJson
+    val keyId = schema.fields.head.id
+    val entries = (0 until 100000).map { i =>
+      ManifestEntry(ManifestStatus.Added, Some(99L), Some(9L), Some(9L),
+        DataFile(FileContent.Data, f"/data/big/f$i%06d.parquet", "PARQUET",
+          IndexedSeq.empty, recordCount = 10L, fileSizeInBytes = 1000L,
+          valueCounts = Map(keyId -> 10L),
+          lowerBounds = Map(keyId -> Array[Byte](0, 0, 0, i.toByte)),
+          upperBounds = Map(keyId -> Array[Byte](0, 0, 0, 127))))
+    }
+    val schemaJson = MetaJson.schemaToJson(schema).toString
+    val specJson = MetaJson.specToJson(PartitionSpec.unpartitioned).get("fields").toString
+    val mf = ManifestAvro.writeManifest(s"${t.metadataFileDir}/big-m0.avro",
+      entries, graft.ice.types.StructT(IndexedSeq.empty), 0, 99L, 9L,
+      schemaJson = schemaJson, specFieldsJson = specJson, formatVersion = 2)
+    val listPath = s"${t.metadataFileDir}/snap-99-big.avro"
+    ManifestAvro.writeManifestList(listPath, IndexedSeq(mf), 99L,
+      t.currentSnapshot.map(_.snapshotId), 9L, formatVersion = 2)
+    val snap = Snapshot(99L, t.currentSnapshot.map(_.snapshotId), 9L,
+      System.currentTimeMillis(), listPath, Map("operation" -> "append"),
+      schemaId = Some(0))
+    t.commit(base => base.withSnapshot(snap))
+    t.newTransaction(spark)
+      .setProperty("graft.plan.distributed-threshold", "1000").commitTransaction()
+    val planned = t.newScan().planFiles()
+    // the crafted manifest list REPLACES the append's (hand-built snapshot)
+    assert(planned.size == 100000)
+    assert(planned.forall(e => e.file.lowerBounds.isEmpty && e.file.valueCounts.isEmpty),
+      "entries must come back slim")
+    assert(planned.map(_.file.recordCount).sum == 100000L * 10)
+  }
+
   test("commit retry: max-wait caps one sleep, total-timeout bounds the loop") {
     // a catalog that loses every race once armed: the retry loop can only
     // end via num-retries or the total-timeout deadline

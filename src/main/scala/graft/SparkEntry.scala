@@ -550,10 +550,11 @@ object SparkEntry {
         .withColumn("emb", col("embedding").cast("array<double>"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("emb").as("qv"))
-      // 6-bit buckets × 8 OR-amplified tables + 1-bit multi-probe:
-      // recall@5 ≈ 0.92 vs brute force on this corpus (pinned in OpsSpec)
+      // corpus-sized buckets (occupancy ~64 at any scale) × 8 OR-amplified
+      // tables + 2-bit multi-probe: per-query candidate volume is a
+      // CONSTANT (~64 x probes x tables), recall@5 pinned in OpsSpec
       Similarity.annTopK(emb, queries, "vec_id", "emb", "qid", "qv", k = 5,
-        nPlanes = 6, nTables = 8)
+        nPlanes = 0, nTables = 8, probeBits = 2)
         .select("query_id", "neighbor_id", "rank")
     }),
 

@@ -177,11 +177,18 @@ object Similarity {
   }
 
   /** ANN top-k: LSH-bucket the corpus, probe each query's bucket plus all
-    * 1-bit-flip neighbor buckets (multi-probe), exact cosine within the
-    * candidate set. `nTables` independent plane sets OR-amplify recall
-    * (candidate = same/adjacent bucket in ANY table) at proportional
-    * candidate cost — the standard L-tables LSH trade. Per-table scan
-    * fraction is ~(nPlanes+1)/2^nPlanes of the corpus per query.
+    * `probeBits`-or-fewer bit-flip neighbor buckets (multi-probe), exact
+    * cosine within the candidate set. `nTables` independent plane sets
+    * OR-amplify recall (candidate = same/adjacent bucket in ANY table) at
+    * proportional candidate cost — the standard L-tables LSH trade.
+    *
+    * nPlanes <= 0 (the scale default) sizes the signature from the corpus
+    * (Dedup.autoPlanes): planes = log2(count/64), so expected bucket
+    * occupancy stays ~64 at ANY corpus size and the per-query candidate
+    * volume is ~64 x probes x tables — a CONSTANT per query, instead of
+    * the n/2^planes-per-bucket growth fixed planes give. Wider signatures
+    * lower per-bucket recall, so the auto path pairs with 2-bit probing
+    * (probes/table = 1 + P + C(P,2)) to hold recall.
     *
     * Scale shape: the per-table bucketing is MAP-ONLY on the corpus
     * (explode ×nTables, no shuffle — probes broadcast); the only shuffle
@@ -189,27 +196,11 @@ object Similarity {
   def annTopK(corpus0: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nPlanes: Int = 10, nTables: Int = 1,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, probeBits: Int = 1): DataFrame = {
     val corpus = Par.ensure(corpus0)
-    val bucketed = corpus.withColumn("__tb", explode(array(
-      (0 until nTables).map(t =>
-        struct(lit(t).as("t"), signature(col(vecCol), nPlanes, t).as("b"))): _*)))
-      .withColumn("__t", col("__tb.t")).withColumn("__b", col("__tb.b"))
-      .drop("__tb")
-    // query probes per table: own bucket + 1-bit flips (each signature
-    // computed once, then expanded from the column reference)
-    val probes = queries
-      .withColumns((0 until nTables)
-        .map(t => s"__sig$t" -> signature(col(qVecCol), nPlanes, t)).toMap)
-      .withColumn("__tb", explode(array((for {
-        t <- 0 until nTables
-        probe <- col(s"__sig$t") +:
-          (0 until nPlanes).map(p => col(s"__sig$t").bitwiseXOR(lit(1L << p)))
-      } yield struct(lit(t).as("t"), probe.as("b"))): _*)))
-      .withColumn("__t", col("__tb.t")).withColumn("__b", col("__tb.b"))
-      .drop("__tb" +: (0 until nTables).map(t => s"__sig$t"): _*)
-    var cands = bucketed.join(broadcast(probes), Seq("__t", "__b"))
-    if (excludeSelf) cands = cands.filter(col(idCol) =!= col(qIdCol))
+    val planes = if (nPlanes > 0) nPlanes else Dedup.autoPlanes(corpus.count())
+    val cands = annCandidates(corpus, queries, idCol, vecCol, qIdCol, qVecCol,
+      planes, nTables, excludeSelf, probeBits)
     val scored = cands
       .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
       // a (query, candidate) pair can match in several probe buckets
@@ -220,5 +211,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
         col("cosine"), col("rank"))
+  }
+
+  /** Candidate (corpus row, query) pairs of [[annTopK]] before scoring —
+    * factored out so units can pin the per-query candidate volume. */
+  private[graft] def annCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      nPlanes: Int, nTables: Int, excludeSelf: Boolean,
+      probeBits: Int): DataFrame = {
+    val bucketed = corpus.withColumn("__tb", explode(array(
+      (0 until nTables).map(t =>
+        struct(lit(t).as("t"), signature(col(vecCol), nPlanes, t).as("b"))): _*)))
+      .withColumn("__t", col("__tb.t")).withColumn("__b", col("__tb.b"))
+      .drop("__tb")
+    // probe masks: identity, every 1-bit flip, and (probeBits >= 2) every
+    // 2-bit flip — masks are plain longs, XOR'd onto the signature column
+    val masks: Seq[Long] = 0L +:
+      ((0 until nPlanes).map(p => 1L << p) ++
+        (if (probeBits >= 2)
+          for { p <- 0 until nPlanes; q <- p + 1 until nPlanes }
+            yield (1L << p) | (1L << q)
+        else Nil))
+    // query probes per table: each signature computed once, then expanded
+    // from the column reference
+    val probes = queries
+      .withColumns((0 until nTables)
+        .map(t => s"__sig$t" -> signature(col(qVecCol), nPlanes, t)).toMap)
+      .withColumn("__tb", explode(array((for {
+        t <- 0 until nTables
+        m <- masks
+      } yield struct(lit(t).as("t"),
+        col(s"__sig$t").bitwiseXOR(lit(m)).as("b"))): _*)))
+      .withColumn("__t", col("__tb.t")).withColumn("__b", col("__tb.b"))
+      .drop("__tb" +: (0 until nTables).map(t => s"__sig$t"): _*)
+    val cands = bucketed.join(broadcast(probes), Seq("__t", "__b"))
+    if (excludeSelf) cands.filter(col(idCol) =!= col(qIdCol)) else cands
   }
 }

@@ -386,9 +386,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("e2 ANN recall@5 vs brute force is pinned at the query's settings") {
-    // EXACT e2_ann_lsh settings (SparkEntry): nPlanes=6, nTables=8, k=5,
-    // queries vec_id < 5. Measured recall 0.92 on this corpus (fixed data,
-    // fixed hash seeds -> deterministic); 0.75 leaves noise margin only.
+    // EXACT e2_ann_lsh settings (SparkEntry): corpus-sized planes
+    // (nPlanes=0 -> autoPlanes), nTables=8, probeBits=2, k=5, queries
+    // vec_id < 5 (fixed data, fixed hash seeds -> deterministic);
+    // 0.75 leaves noise margin only.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))
     val queries = emb.filter(col("vec_id") < 5)
@@ -397,11 +398,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Similarity.annTopK(emb, queries, "vec_id", "emb", "qid", "qv", 5,
-      nPlanes = 6, nTables = 8)
+      nPlanes = 0, nTables = 8, probeBits = 2)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & ann).size.toDouble / bf.size
     assert(recall >= 0.75, s"e2 recall@5=$recall < 0.75")
+  }
+
+  test("e2 ANN candidate volume per query is bounded by occupancy x probes") {
+    // the scale contract of corpus-sized planes: expected bucket occupancy
+    // ~64, so candidates/query <= occupancy x probes x tables x slack —
+    // CONSTANT in corpus size (fixed planes would scale it with n)
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    val planes = graft.ops.Dedup.autoPlanes(n)
+    // the sizing is monotone in the corpus: occupancy n/2^planes <= 64 at
+    // any n (the 100-TB contract — a 64M-vector corpus gets 20 planes)
+    assert(n.toDouble / (1L << planes) <= 64.0)
+    assert(graft.ops.Dedup.autoPlanes(64L * 1024 * 1024) == 20)
+    assert(graft.ops.Dedup.autoPlanes(10L * n) >= planes + 3)
+    val nTables = 8
+    val probes = 1 + planes + planes * (planes - 1) / 2 // 2-bit multi-probe
+    val cands = Similarity.annCandidates(emb, queries, "vec_id", "emb",
+      "qid", "qv", planes, nTables, excludeSelf = true, probeBits = 2)
+      .groupBy("qid").count().collect().map(_.getLong(1))
+    assert(cands.nonEmpty)
+    // occupancy n/2^planes <= 64 by construction; slack 4x for bucket skew
+    val bound = 64L * probes * nTables * 4
+    assert(cands.max <= bound,
+      s"candidates/query ${cands.max} exceeds bound $bound (planes=$planes)")
   }
 
   test("e3 IVF recall@5 vs brute force is pinned at the query's settings") {

@@ -366,6 +366,15 @@ object SparkEntry {
         .withColumn("n_snapshots", lit(snaps.toLong))
     }),
 
+    // per-column NDV sketches as real puffin blobs: KMV is exact below k,
+    // so every oracled column matches count(DISTINCT ...) exactly
+    "m_statistics" -> ((s, dir) => {
+      val t = Tables.ice(s, dir, "orders")
+      t.maintenance().computeStatistics(s,
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"))
+      MetadataTables.statistics(s, t).select("column_name", "ndv")
+    }),
+
     // register raw (id-less) parquet as table data without rewrite; the
     // scan falls back to name-based column resolution
     "c_addfiles" -> ((s, dir) =>
@@ -933,6 +942,11 @@ object SparkEntry {
         |FROM orders
         |ORDER BY added_records""".stripMargin,
     "m_files_rowcount" -> "SELECT count(*) AS total_records FROM orders",
+    "m_statistics" ->
+      """SELECT 'o_orderstatus' AS column_name, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv FROM orders
+        |UNION ALL SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'o_orderdate', CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders""".stripMargin,
     "del_cow" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (o_orderkey % 7 = 0)""".stripMargin,

@@ -74,6 +74,25 @@ object MetadataTables {
     }.toDF("file_path", "content", "record_count", "equality_ids", "sequence_number")
   }
 
+  /** `statistics` metadata table: one row per sketch blob — which column,
+    * which snapshot, the NDV carried in the blob properties, and where
+    * the sketch lives (readable back via Puffin.readBlob). */
+  def statistics(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    val schema = table.schema
+    table.metadata.statistics.flatMap { sf =>
+      sf.blobMetadata.map { b =>
+        val colName = b.properties.get("column-name")
+          .orElse(b.fields.headOption.flatMap(id =>
+            schema.findFieldById(id).map(_.name)))
+          .getOrElse("")
+        (sf.snapshotId, sf.path, b.blobType, colName,
+          b.properties.get(graft.ice.write.Statistics.NdvProperty)
+            .map(_.toLong).getOrElse(-1L))
+      }
+    }.toDF("snapshot_id", "path", "blob_type", "column_name", "ndv")
+  }
+
   def partitions(spark: SparkSession, table: IceTable): DataFrame = {
     import spark.implicits._
     val entries = table.currentSnapshot

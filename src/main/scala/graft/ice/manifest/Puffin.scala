@@ -31,6 +31,16 @@ object Puffin {
   final case class DVRef(referencedDataFile: String, offset: Long,
       length: Long, cardinality: Long)
 
+  /** A generic blob to write (statistics sketches, deletion vectors). */
+  final case class BlobSpec(blobType: String, fields: Seq[Int],
+      snapshotId: Long, sequenceNumber: Long,
+      properties: Map[String, String], data: Array[Byte])
+
+  /** A written blob: footer metadata + where it landed. */
+  final case class BlobRef(blobType: String, offset: Long, length: Long,
+      fields: Seq[Int], snapshotId: Long, sequenceNumber: Long,
+      properties: Map[String, String])
+
   /** Serialize one DV blob (length prefix + magic + portable bitmap + crc). */
   private[manifest] def dvBlobBytes(bitmapPortable: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -56,43 +66,43 @@ object Puffin {
     (out.toByteArray, bm.getLongCardinality)
   }
 
-  /** Write ONE puffin file holding a deletion vector per referenced data
-    * file. `dvs` = (referenced data file, portable bitmap bytes,
-    * cardinality); returns blob refs whose offset/length go into the
-    * manifest entry verbatim (they must match the footer, and do). */
-  def writeDVFile(path: String,
-      dvs: Seq[(String, Array[Byte], Long)]): Seq[DVRef] = {
+  /** Write ONE puffin file holding arbitrary blobs (spec layout: magic,
+    * concatenated blob bytes, footer). Returns the blob refs (offsets/
+    * lengths match the footer exactly) and the footer size in bytes
+    * (magic + payload + 8 — the StatisticsFile footer-size field). */
+  def writeBlobFile(path: String, blobs: Seq[BlobSpec]): (Seq[BlobRef], Long) = {
     val mapper = new ObjectMapper()
     val raf = new java.io.FileOutputStream(path)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(raf))
     try {
       out.write(FileMagic)
       var pos = FileMagic.length.toLong
-      val refs = dvs.map { case (refFile, bmBytes, card) =>
-        val blob = dvBlobBytes(bmBytes)
-        out.write(blob)
-        val r = DVRef(refFile, pos, blob.length.toLong, card)
-        pos += blob.length
+      val refs = blobs.map { b =>
+        out.write(b.data)
+        val r = BlobRef(b.blobType, pos, b.data.length.toLong, b.fields,
+          b.snapshotId, b.sequenceNumber, b.properties)
+        pos += b.data.length
         r
       }
       // footer payload: blob metadata (offset/length must equal the refs)
       val root = mapper.createObjectNode()
-      val blobs = mapper.createArrayNode()
+      val arr = mapper.createArrayNode()
       refs.foreach { r =>
         val b = mapper.createObjectNode()
-        b.put("type", DVBlobType)
-        b.set("fields", mapper.createArrayNode())
-        b.put("snapshot-id", -1L)
-        b.put("sequence-number", -1L)
+        b.put("type", r.blobType)
+        val fs = mapper.createArrayNode()
+        r.fields.foreach(fs.add)
+        b.set("fields", fs)
+        b.put("snapshot-id", r.snapshotId)
+        b.put("sequence-number", r.sequenceNumber)
         b.put("offset", r.offset)
         b.put("length", r.length)
         val props = mapper.createObjectNode()
-        props.put("referenced-data-file", r.referencedDataFile)
-        props.put("cardinality", r.cardinality.toString)
+        r.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
         b.set("properties", props)
-        blobs.add(b)
+        arr.add(b)
       }
-      root.set("blobs", blobs)
+      root.set("blobs", arr)
       val payload = mapper.writeValueAsBytes(root)
       out.write(FileMagic)
       out.write(payload)
@@ -102,8 +112,23 @@ object Puffin {
         ((payload.length >> 16) & 0xff).toByte, ((payload.length >> 24) & 0xff).toByte))
       out.write(Array[Byte](0, 0, 0, 0))
       out.write(FileMagic)
-      refs
+      (refs, FileMagic.length.toLong + payload.length + 8)
     } finally out.close()
+  }
+
+  /** Write ONE puffin file holding a deletion vector per referenced data
+    * file. `dvs` = (referenced data file, portable bitmap bytes,
+    * cardinality); returns blob refs whose offset/length go into the
+    * manifest entry verbatim (they must match the footer, and do). */
+  def writeDVFile(path: String,
+      dvs: Seq[(String, Array[Byte], Long)]): Seq[DVRef] = {
+    val (refs, _) = writeBlobFile(path, dvs.map { case (refFile, bmBytes, card) =>
+      BlobSpec(DVBlobType, Nil, -1L, -1L,
+        Map("referenced-data-file" -> refFile, "cardinality" -> card.toString),
+        dvBlobBytes(bmBytes))
+    })
+    refs.map(r => DVRef(r.properties("referenced-data-file"), r.offset,
+      r.length, r.properties("cardinality").toLong))
   }
 
   /** Direct-access read of one deletion vector given the manifest's
@@ -137,9 +162,10 @@ object Puffin {
     } finally raf.close()
   }
 
-  /** Footer-driven listing of DV blobs (completeness / inspection path;
-    * the scan itself uses direct access via the manifest). */
-  def listDVBlobs(path: String): Seq[DVRef] = {
+  /** Footer-driven listing of every blob in a puffin file (completeness /
+    * inspection path; scans use direct access via manifest/statistics
+    * metadata offsets). */
+  def listBlobs(path: String): Seq[BlobRef] = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val len = raf.length()
@@ -160,12 +186,36 @@ object Puffin {
       val blobs = root.get("blobs")
       (0 until blobs.size()).map { i =>
         val b = blobs.get(i)
-        DVRef(
-          b.get("properties").get("referenced-data-file").asText(),
+        val props = b.get("properties")
+        import scala.jdk.CollectionConverters._
+        BlobRef(
+          b.get("type").asText(),
           b.get("offset").asLong(),
           b.get("length").asLong(),
-          b.get("properties").get("cardinality").asText().toLong)
+          Option(b.get("fields")).map(f =>
+            (0 until f.size()).map(f.get(_).asInt()): Seq[Int]).getOrElse(Nil),
+          Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L),
+          Option(b.get("sequence-number")).map(_.asLong()).getOrElse(-1L),
+          Option(props).map(_.properties().asScala.map(e =>
+            e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
       }
+    } finally raf.close()
+  }
+
+  /** Footer listing narrowed to deletion-vector blobs. */
+  def listDVBlobs(path: String): Seq[DVRef] =
+    listBlobs(path).filter(_.blobType == DVBlobType).map(r =>
+      DVRef(r.properties("referenced-data-file"), r.offset, r.length,
+        r.properties("cardinality").toLong))
+
+  /** Direct-access read of a blob's raw bytes (statistics sketches). */
+  def readBlob(path: String, offset: Long, length: Long): Array[Byte] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      raf.seek(offset)
+      val b = new Array[Byte](length.toInt)
+      raf.readFully(b)
+      b
     } finally raf.close()
   }
 }

@@ -735,6 +735,13 @@ final class TableMaintenance(table: IceTable) {
     }
   }
 
+  /** Compute + commit per-column NDV sketches as a real puffin statistics
+    * file (Iceberg compute_table_stats; exceeds the reference's
+    * metadata-only StatisticsFile, statistics_file.h:35-81). */
+  def computeStatistics(spark: SparkSession, columns: Seq[String] = Nil,
+      k: Int = 16384): graft.ice.meta.StatisticsFile =
+    Statistics.compute(table, spark, columns, k)
+
   /** Delete files under the table location that no snapshot references
     * and that are older than `olderThanMs` (Iceberg remove_orphan_files;
     * the age guard protects in-flight writes). Driver-side listing — at

@@ -1,0 +1,124 @@
+package graft.ice.write
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ice.IceTable
+import graft.ice.manifest.Puffin
+import graft.ice.meta.{BlobMetadata, StatisticsFile}
+
+/** Table statistics as REAL puffin sketch blobs (C11+; the reference
+  * models StatisticsFile metadata only, statistics_file.h:35-81 — here
+  * the sketches are computed, written and readable back).
+  *
+  * Sketch: KMV (k-minimum-values) over xxhash64 of the column — the k
+  * smallest distinct hashes. Below k distinct values the sketch IS the
+  * distinct hash set and the NDV is exact; above, the classic estimator
+  * ndv ≈ (k-1)/u(h_k) applies (u = fraction of the hash space below the
+  * k-th smallest). KMV sketches are mergeable (union, keep k smallest),
+  * deterministic (no RNG), and a few KB per column at k=16384.
+  *
+  * Scale shape: ONE distributed pass over the scan computes every
+  * column's sketch — hash per column, posexplode, distinct, per-column
+  * ascending top-k window; only nColumns × k longs reach the driver. */
+object Statistics {
+
+  val KmvBlobType = "graft-kmv-v1"
+  val NdvProperty = "ndv"
+
+  /** Serialized KMV blob: k, count, then `count` sorted hashes. */
+  def kmvBytes(k: Int, hashes: Array[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.writeInt(k)
+    d.writeInt(hashes.length)
+    hashes.foreach(d.writeLong)
+    d.flush()
+    out.toByteArray
+  }
+
+  /** Parse a KMV blob back to (k, sorted hashes). */
+  def kmvFromBytes(bytes: Array[Byte]): (Int, Array[Long]) = {
+    val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val k = d.readInt()
+    val n = d.readInt()
+    (k, Array.fill(n)(d.readLong()))
+  }
+
+  /** NDV from a KMV sketch: exact below k, estimated at k. Hashes are
+    * signed longs; u(h) = (h - Long.MinValue)/2^64 maps them monotonically
+    * onto [0,1), so "k smallest signed" == "k smallest in u". */
+  def kmvNdv(k: Int, hashes: Array[Long]): Long =
+    if (hashes.length < k) hashes.length.toLong
+    else {
+      val u = (hashes.last.toDouble - Long.MinValue.toDouble) /
+        math.pow(2.0, 64)
+      math.round((k - 1).toDouble / math.max(u, Double.MinPositiveValue))
+    }
+
+  /** Merge two sketches (union, keep the k smallest) — the property that
+    * lets per-file or per-partition sketches roll up without rescanning. */
+  def kmvMerge(k: Int, a: Array[Long], b: Array[Long]): Array[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** Compute per-column KMV sketches over the table's CURRENT snapshot in
+    * one distributed pass, write them as one puffin statistics file under
+    * the metadata dir, and commit the StatisticsFile entry (replacing any
+    * prior statistics of the same snapshot — Iceberg SetStatistics
+    * semantics). Returns the committed entry. */
+  def compute(table: IceTable, spark: SparkSession,
+      columns: Seq[String] = Nil, k: Int = 16384): StatisticsFile = {
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException("computeStatistics: table has no snapshot"))
+    val schema = table.schema
+    val targets =
+      if (columns.nonEmpty) columns.map(c => schema.findFieldByName(c).getOrElse(
+        throw new IllegalArgumentException(s"no such column $c")))
+      else schema.fields.filter(_.fieldType.isInstanceOf[graft.ice.types.IcePrimitive]).toSeq
+    require(targets.nonEmpty, "computeStatistics: no columns to sketch")
+
+    // one pass: hash every target column, posexplode to (column idx, hash),
+    // distinct, then per-column k smallest — shuffles 8-byte hashes only.
+    // NULLs are masked per column BEFORE the explode: xxhash64(NULL) is a
+    // seed constant that would otherwise pollute every sketch.
+    val df = table.newScan().select(targets.map(_.name): _*).toDF(spark)
+    val perCol = df.select(posexplode(array(targets.map(f =>
+      struct(col(f.name).isNull.as("n"), xxhash64(col(f.name)).as("h"))): _*))
+      .as(Seq("__c", "__z")))
+      .where(!col("__z.n"))
+      .select(col("__c"), col("__z.h").as("__h"))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__c").orderBy("__h")
+    val topk = perCol.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select("__c", "__h")
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rows) => c -> rows.map(_.getLong(1)).sorted }
+
+    val blobs = targets.zipWithIndex.map { case (f, i) =>
+      val hashes = topk.getOrElse(i, Array.empty[Long])
+      Puffin.BlobSpec(KmvBlobType, Seq(f.id), snap.snapshotId,
+        snap.sequenceNumber,
+        Map(NdvProperty -> kmvNdv(k, hashes).toString,
+          "column-name" -> f.name),
+        kmvBytes(k, hashes))
+    }
+    val path = s"${table.metadataFileDir}/${java.util.UUID.randomUUID()}-stats.puffin"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(table.metadataFileDir))
+    val (refs, footerSize) = Puffin.writeBlobFile(path, blobs)
+    val statsFile = StatisticsFile(snap.snapshotId, path,
+      java.nio.file.Files.size(java.nio.file.Paths.get(path)), footerSize,
+      refs.map(r => BlobMetadata(r.blobType, r.snapshotId, r.sequenceNumber,
+        r.fields, r.properties)))
+    table.commit(base => base.copy(
+      statistics = base.statistics.filterNot(_.snapshotId == snap.snapshotId)
+        :+ statsFile,
+      lastUpdatedMs = System.currentTimeMillis()))
+    statsFile
+  }
+}

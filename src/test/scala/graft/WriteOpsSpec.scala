@@ -774,6 +774,54 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       raw.count() - raw.filter("o_orderkey % 10 = 2").count())
   }
 
+  test("puffin statistics: KMV sketches round-trip, NDV exact below k") {
+    import graft.ice.write.Statistics
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whst").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.stats"), schema)
+    t.append(spark).appendDataFrame(raw)
+    val sf = t.maintenance().computeStatistics(spark,
+      Seq("o_orderstatus", "o_custkey"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(sf.path)))
+    assert(sf.blobMetadata.size == 2)
+    // footer listing agrees with the committed blob metadata
+    val blobs = graft.ice.manifest.Puffin.listBlobs(sf.path)
+    assert(blobs.map(_.blobType) == Seq(Statistics.KmvBlobType, Statistics.KmvBlobType))
+    assert(blobs.map(_.snapshotId).distinct == Seq(t.currentSnapshot.get.snapshotId))
+    // sketch bytes read back and re-estimate EXACTLY (ndv < k here)
+    val exact = Map(
+      "o_orderstatus" -> raw.select("o_orderstatus").distinct().count(),
+      "o_custkey" -> raw.select("o_custkey").distinct().count())
+    blobs.foreach { b =>
+      val (k, hashes) = Statistics.kmvFromBytes(
+        graft.ice.manifest.Puffin.readBlob(sf.path, b.offset, b.length))
+      val name = b.properties("column-name")
+      assert(Statistics.kmvNdv(k, hashes) == exact(name), s"ndv mismatch for $name")
+      assert(b.properties(Statistics.NdvProperty).toLong == exact(name))
+      assert(hashes.sorted.sameElements(hashes), "sketch hashes must be sorted")
+      // mergeability: splitting the sketch and re-merging is lossless
+      val (a, c) = hashes.splitAt(hashes.length / 2)
+      assert(Statistics.kmvMerge(k, a, c).sameElements(hashes))
+    }
+    // metadata JSON round-trip: a fresh load sees the same statistics
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.stats"))
+    assert(t2.metadata.statistics.map(s => (s.snapshotId, s.path)) ==
+      Seq((sf.snapshotId, sf.path)))
+    // statistics metadata table surfaces (column, ndv)
+    val rows = MetadataTables.statistics(spark, t2)
+      .select("column_name", "ndv").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == exact)
+    // recompute on the same snapshot REPLACES (one entry per snapshot)
+    t.maintenance().computeStatistics(spark, Seq("o_orderstatus"))
+    assert(t.metadata.statistics.count(_.snapshotId == sf.snapshotId) == 1)
+    // orphan sweep keeps the (new) statistics file
+    val kept = t.metadata.statistics.head.path
+    t.maintenance().removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(kept)))
+  }
+
   test("DV writes are distributed: executors write per-partition puffin files") {
     val (t, raw) = freshTable("dvdist")
     t.upgradeFormatVersion(3)

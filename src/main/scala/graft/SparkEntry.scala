@@ -416,6 +416,32 @@ object SparkEntry {
       t.newScan().toDF(s)
     }),
 
+    // C3: the same create→append→scan path, but EVERY catalog operation
+    // travels over the Iceberg REST protocol to an in-process localhost
+    // server fronting the warehouse (the reference's REST catalog is a
+    // 2-endpoint stub, rest_catalog.h:28-39; here the full Catalog trait
+    // is wire-real). Data-plane reads never touch the catalog, so the
+    // server can stop once planning is done — catalog traffic is
+    // metadata-sized by construction.
+    "c_rest" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      val server = new RestCatalogServer(Tables.catalog(dir))
+      try {
+        val cat = new RestCatalog(server.baseUrl)
+        val ident = TableIdentifier(Seq("tpch"), "region_rest")
+        val t =
+          if (cat.tableExists(ident)) IceTable.load(cat, ident)
+          else {
+            val raw = Tables.raw(s, dir, "region")
+            val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+            created.append(s).appendDataFrame(raw)
+            created
+          }
+        t.newScan().toDF(s)
+      } finally server.stop()
+    }),
+
     // partition-spec evolution: half the rows under a year spec, half
     // under its month successor; one scan reads and prunes across both
     "t_spec_evolution" -> ((s, dir) =>
@@ -920,6 +946,7 @@ object SparkEntry {
         |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
+    "c_rest" -> "SELECT * FROM region",
     "c_stage_create" -> "SELECT * FROM region",
     "p6_metadata_cols" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS n_files,

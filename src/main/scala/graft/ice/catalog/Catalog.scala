@@ -49,6 +49,11 @@ trait Catalog {
   def commit(ident: TableIdentifier, baseVersion: Int, updated: TableMetadata): Int
   def currentVersion(ident: TableIdentifier): Int
 
+  /** Physical location of the current metadata file, when the catalog
+    * stores one (REST LoadTableResult.metadata_location; None for
+    * catalogs that only hold metadata in memory). */
+  def metadataLocation(ident: TableIdentifier): Option[String] = None
+
   /** Stage a table creation (catalog.h:144-149 StageCreateTable): build
     * the initial metadata WITHOUT publishing it. The returned ref has
     * version 0; the first `commit(ident, 0, …)` publishes v1 atomically,
@@ -138,6 +143,11 @@ class DirCatalog(val warehouse: String) extends Catalog {
 
   override def tableExists(ident: TableIdentifier): Boolean =
     currentVersion(ident) > 0
+
+  override def metadataLocation(ident: TableIdentifier): Option[String] = {
+    val v = currentVersion(ident)
+    if (v == 0) None else Some(versionFile(ident, v).toAbsolutePath.toString)
+  }
 
   override def createTable(ident: TableIdentifier, schema: Schema,
       spec: PartitionSpec, sortOrder: SortOrder,

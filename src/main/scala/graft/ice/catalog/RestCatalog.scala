@@ -1,0 +1,281 @@
+package graft.ice.catalog
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import graft.ice.meta._
+import graft.ice.types.Schema
+import RestJson._
+
+/** Iceberg REST catalog client (C3; reference: rest_catalog.h:28-39 —
+  * which implements only GetConfig + ListNamespaces over cpr). This
+  * client implements the FULL [[Catalog]] interface over the public REST
+  * protocol, so every table-layer operation (scans, appends, deletes,
+  * streaming ingest, maintenance) runs unchanged against a remote
+  * catalog: `IceTable` never knows its commits travel over HTTP.
+  *
+  * Commits are change-based: the client diffs its base metadata against
+  * the updated metadata (RestJson.diff) and POSTs requirements + updates;
+  * the server applies them to ITS current base. Because requirements —
+  * not a version CAS — arbitrate conflicts, two writers touching
+  * different refs can both commit without a retry, which a plain
+  * version-CAS catalog would serialize. A 409 from the server surfaces as
+  * CommitFailedException, feeding IceTable's optimistic retry loop.
+  *
+  * Scale note: the client holds one cached (version, metadata) pair per
+  * table — metadata-sized, never data-sized — and every call is a single
+  * round-trip except list paging. Safe to construct per-executor, but
+  * intended for the driver: plan state flows through broadcast, not
+  * through catalog calls.
+  */
+final class RestCatalog(baseUrl: String, token: Option[String] = None)
+  extends Catalog {
+
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+  /** Last server metadata seen per table: the diff base for commits. */
+  private val cache = new ConcurrentHashMap[TableIdentifier, (Int, TableMetadata)]()
+
+  /** GET /v1/config on first use (rest_catalog.cc:33-37); merged
+    * defaults < overrides, kept for client configuration. */
+  lazy val config: Map[String, String] = {
+    val n = parse(send(get(s"$baseUrl/v1/config"), ok = Set(200)))
+    propertiesFromNode(n, "defaults") ++ propertiesFromNode(n, "overrides")
+  }
+
+  // ---------- namespaces ----------
+
+  override def listNamespaces(parent: Seq[String]): Seq[Seq[String]] = {
+    val base = s"$baseUrl/v1/namespaces" +
+      (if (parent.nonEmpty) s"?parent=${nsSeg(parent)}" else "")
+    paged(base, "namespaces")(_.elements.asScala.map(e =>
+      e.elements.asScala.map(_.asText).toSeq).toSeq)
+  }
+
+  override def createNamespace(namespace: Seq[String],
+      properties: Map[String, String]): Unit = {
+    val o = newObject()
+    val a = o.putArray("namespace"); namespace.foreach(a.add)
+    propertiesToNode(o, "properties", properties)
+    send(post(s"$baseUrl/v1/namespaces", o.toString), ok = Set(200))
+  }
+
+  override def namespaceExists(namespace: Seq[String]): Boolean =
+    head(s"$baseUrl/v1/namespaces/${nsSeg(namespace)}")
+
+  override def dropNamespace(namespace: Seq[String]): Boolean =
+    try { send(delete(s"$baseUrl/v1/namespaces/${nsSeg(namespace)}"), ok = Set(204)); true }
+    catch { case _: NoSuchNamespaceException => false }
+
+  override def loadNamespaceProperties(namespace: Seq[String]): Map[String, String] = {
+    val n = parse(send(get(s"$baseUrl/v1/namespaces/${nsSeg(namespace)}"), ok = Set(200)))
+    propertiesFromNode(n, "properties")
+  }
+
+  override def updateNamespaceProperties(namespace: Seq[String],
+      updates: Map[String, String], removals: Set[String]): Unit = {
+    val o = newObject()
+    val rm = o.putArray("removals"); removals.toSeq.sorted.foreach(rm.add)
+    propertiesToNode(o, "updates", updates)
+    send(post(s"$baseUrl/v1/namespaces/${nsSeg(namespace)}/properties", o.toString),
+      ok = Set(200))
+  }
+
+  // ---------- tables ----------
+
+  override def listTables(namespace: Seq[String]): Seq[TableIdentifier] =
+    paged(s"$baseUrl/v1/namespaces/${nsSeg(namespace)}/tables", "identifiers")(
+      _.elements.asScala.map(identifierFromJson).toSeq)
+
+  override def tableExists(ident: TableIdentifier): Boolean =
+    head(tableUrl(ident))
+
+  override def loadTable(ident: TableIdentifier): TableRef = {
+    val (v, m) = parseLoadResult(send(get(tableUrl(ident)), ok = Set(200)))
+    cache.put(ident, (v, m))
+    TableRef(ident, m, v, this)
+  }
+
+  override def dropTable(ident: TableIdentifier, purge: Boolean): Boolean = {
+    val url = tableUrl(ident) + (if (purge) "?purgeRequested=true" else "")
+    try { send(delete(url), ok = Set(204)); cache.remove(ident); true }
+    catch { case _: NoSuchTableException => false }
+  }
+
+  override def createTable(ident: TableIdentifier, schema: Schema,
+      spec: PartitionSpec, sortOrder: SortOrder,
+      properties: Map[String, String], location: Option[String]): TableRef =
+    createImpl(ident, schema, spec, sortOrder, properties, location, staged = false)
+
+  override def stageCreateTable(ident: TableIdentifier, schema: Schema,
+      spec: PartitionSpec, sortOrder: SortOrder,
+      properties: Map[String, String], location: Option[String]): TableRef =
+    createImpl(ident, schema, spec, sortOrder, properties, location, staged = true)
+
+  private def createImpl(ident: TableIdentifier, schema: Schema,
+      spec: PartitionSpec, sortOrder: SortOrder, properties: Map[String, String],
+      location: Option[String], staged: Boolean): TableRef = {
+    val o = newObject()
+    o.put("name", ident.name)
+    location.foreach(o.put("location", _))
+    o.set[JsonNode]("schema", MetaJson.schemaToJson(schema))
+    if (spec.fields.nonEmpty) o.set[JsonNode]("partition-spec", MetaJson.specToJson(spec))
+    if (sortOrder.fields.nonEmpty)
+      o.set[JsonNode]("write-order", MetaJson.sortOrderToJson(sortOrder))
+    if (staged) o.put("stage-create", true)
+    propertiesToNode(o, "properties", properties)
+    val body = send(
+      post(s"$baseUrl/v1/namespaces/${nsSeg(ident.namespace)}/tables", o.toString),
+      ok = Set(200))
+    val (v, m) = parseLoadResult(body)
+    if (!staged) cache.put(ident, (v, m))
+    TableRef(ident, m, v, this)
+  }
+
+  override def registerTable(ident: TableIdentifier, metadataLocation: String): TableRef = {
+    val o = newObject()
+    o.put("name", ident.name)
+    o.put("metadata-location", metadataLocation)
+    val body = send(
+      post(s"$baseUrl/v1/namespaces/${nsSeg(ident.namespace)}/register", o.toString),
+      ok = Set(200))
+    val (v, m) = parseLoadResult(body)
+    cache.put(ident, (v, m))
+    TableRef(ident, m, v, this)
+  }
+
+  override def currentVersion(ident: TableIdentifier): Int =
+    try loadTable(ident).version catch { case _: NoSuchTableException => 0 }
+
+  override def metadataLocation(ident: TableIdentifier): Option[String] = {
+    val n = parse(send(get(tableUrl(ident)), ok = Set(200)))
+    Option(n.get("metadata-location")).map(_.asText)
+  }
+
+  // ---------- commit ----------
+
+  override def commit(ident: TableIdentifier, baseVersion: Int,
+      updated: TableMetadata): Int = {
+    val (base, requirements) =
+      if (baseVersion == 0) {
+        // first commit of a staged create: rebuild from zero, guarded by
+        // assert-create — the server holds no staged state
+        (emptyBase, Seq(AssertCreate: TableRequirement))
+      } else {
+        val b = Option(cache.get(ident)).filter(_._1 == baseVersion).map(_._2)
+          .getOrElse {
+            val loaded = loadTable(ident)
+            if (loaded.version != baseVersion)
+              throw new CommitFailedException(
+                s"$ident: base version $baseVersion is stale (current ${loaded.version})")
+            loaded.metadata
+          }
+        // uuid always; plus one ref assert per ref this commit moves —
+        // the server rejects if a concurrent writer moved the same ref
+        val refAsserts = updated.refs.toSeq.sortBy(_._1).collect {
+          case (name, r) if !b.refs.get(name).contains(r) =>
+            AssertRefSnapshotId(name, b.refs.get(name).map(_.snapshotId)): TableRequirement
+        }
+        val removedRefAsserts = (b.refs.keySet -- updated.refs.keySet).toSeq.sorted.map {
+          name => AssertRefSnapshotId(name, b.refs.get(name).map(_.snapshotId)): TableRequirement
+        }
+        (b, (AssertTableUuid(b.tableUuid): TableRequirement) +: (refAsserts ++ removedRefAsserts))
+      }
+    val updates = diff(base, updated)
+    val o = newObject()
+    o.set[JsonNode]("identifier", identifierToJson(ident))
+    val reqArr = o.putArray("requirements")
+    requirements.foreach(r => reqArr.add(requirementToJson(r)))
+    val upArr = o.putArray("updates")
+    updates.foreach(u => upArr.add(updateToJson(u)))
+    val body = send(post(tableUrl(ident), o.toString), ok = Set(200))
+    val (v, serverMeta) = parseLoadResult(body)
+    cache.put(ident, (v, serverMeta))
+    v
+  }
+
+  // ---------- wire helpers ----------
+
+  private def tableUrl(ident: TableIdentifier): String =
+    s"$baseUrl/v1/namespaces/${nsSeg(ident.namespace)}/tables/${enc(ident.name)}"
+
+  /** Namespace URL segment: percent-encoded levels joined by %1F. */
+  private def nsSeg(ns: Seq[String]): String = ns.map(enc).mkString("%1F")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, UTF_8).replace("+", "%20")
+
+  private def parseLoadResult(body: String): (Int, TableMetadata) = {
+    val n = parse(body)
+    val m = metadataFromNode(n.get("metadata"))
+    val v = propertiesFromNode(n, "config").get("graft.version").flatMap(_.toIntOption)
+      .orElse(Option(n.get("metadata-location")).map(_.asText)
+        .flatMap(loc => "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(loc).map(_.group(1).toInt)))
+      .getOrElse(1)
+    (v, m)
+  }
+
+  private def paged[T](url: String, field: String)(parseRows: JsonNode => Seq[T]): Seq[T] = {
+    val sep = if (url.contains("?")) "&" else "?"
+    val out = Seq.newBuilder[T]
+    var tok: Option[String] = Some("")
+    while (tok.isDefined) {
+      val u = url + (if (tok.get.isEmpty) "" else s"${sep}pageToken=${enc(tok.get)}")
+      val n = parse(send(get(u), ok = Set(200)))
+      out ++= parseRows(n.get(field))
+      tok = Option(n.get("next-page-token")).map(_.asText)
+    }
+    out.result()
+  }
+
+  private def get(url: String) = base(url).GET().build()
+  private def delete(url: String) = base(url).DELETE().build()
+  private def post(url: String, body: String) =
+    base(url).header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build()
+
+  private def base(url: String): HttpRequest.Builder = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(60))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    b
+  }
+
+  private def head(url: String): Boolean = {
+    val req = base(url).method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    resp.statusCode match {
+      case 200 | 204 => true
+      case 404 => false
+      case code => throw raise(code, resp.body)
+    }
+  }
+
+  private def send(req: HttpRequest, ok: Set[Int]): String = {
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (ok.contains(resp.statusCode)) resp.body
+    else throw raise(resp.statusCode, resp.body)
+  }
+
+  /** Map the spec error model back to the catalog exception hierarchy. */
+  private def raise(code: Int, body: String): RuntimeException = {
+    val (errType, msg) =
+      try {
+        val e = parse(body).get("error")
+        (e.get("type").asText, e.get("message").asText)
+      } catch { case _: Throwable => ("", s"HTTP $code: $body") }
+    errType match {
+      case "NoSuchTableException" => new NoSuchTableException(msg)
+      case "NoSuchNamespaceException" => new NoSuchNamespaceException(msg)
+      case "AlreadyExistsException" => new AlreadyExistsException(msg)
+      case "CommitFailedException" => new CommitFailedException(msg)
+      case _ => new RuntimeException(s"REST catalog error $code ($errType): $msg")
+    }
+  }
+}

@@ -1,0 +1,379 @@
+package graft.ice.catalog
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.ice.meta._
+
+/** Iceberg REST catalog protocol serde (C3). The reference declares the
+  * request/response surface (catalog/rest/types.h:37-121) but implements
+  * only GetConfig/ListNamespaces over cpr (rest_catalog.cc:31-43); here
+  * the full surface is wire-real, including the change-based commit the
+  * reference has no type for: a commit travels as TableRequirement +
+  * MetadataUpdate lists (the public rest-catalog-open-api.yaml shapes),
+  * NOT as a whole metadata JSON — the server owns the authoritative
+  * metadata and applies updates to its current base.
+  *
+  * Namespace levels inside a URL path are joined by the unit separator
+  * 0x1F and percent-encoded (`a%1Fb`), per the public REST spec.
+  */
+object RestJson {
+  private val mapper = MetaJson.mapper
+
+  // ---------- metadata updates (change-based commit) ----------
+
+  /** One metadata change (public spec MetadataUpdate union). */
+  sealed trait MetadataUpdate
+  final case class AssignUuid(uuid: String) extends MetadataUpdate
+  final case class UpgradeFormatVersion(formatVersion: Int) extends MetadataUpdate
+  final case class AddSchema(schema: graft.ice.types.Schema) extends MetadataUpdate
+  /** -1 = the schema added last in this same commit. */
+  final case class SetCurrentSchema(schemaId: Int) extends MetadataUpdate
+  final case class AddPartitionSpec(spec: PartitionSpec) extends MetadataUpdate
+  final case class SetDefaultSpec(specId: Int) extends MetadataUpdate
+  final case class AddSortOrder(order: SortOrder) extends MetadataUpdate
+  final case class SetDefaultSortOrder(orderId: Int) extends MetadataUpdate
+  final case class AddSnapshot(snapshot: Snapshot) extends MetadataUpdate
+  final case class SetSnapshotRef(name: String, ref: SnapshotRef) extends MetadataUpdate
+  final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends MetadataUpdate
+  final case class RemoveSnapshotRef(name: String) extends MetadataUpdate
+  final case class SetLocation(location: String) extends MetadataUpdate
+  final case class SetProperties(updates: Map[String, String]) extends MetadataUpdate
+  final case class RemoveProperties(removals: Seq[String]) extends MetadataUpdate
+  final case class SetStatistics(statistics: StatisticsFile) extends MetadataUpdate
+  final case class RemoveStatistics(snapshotId: Long) extends MetadataUpdate
+
+  def updateToJson(u: MetadataUpdate): ObjectNode = {
+    val o = mapper.createObjectNode()
+    u match {
+      case AssignUuid(uuid) =>
+        o.put("action", "assign-uuid"); o.put("uuid", uuid)
+      case UpgradeFormatVersion(v) =>
+        o.put("action", "upgrade-format-version"); o.put("format-version", v)
+      case AddSchema(s) =>
+        o.put("action", "add-schema"); o.set[ObjectNode]("schema", MetaJson.schemaToJson(s))
+      case SetCurrentSchema(id) =>
+        o.put("action", "set-current-schema"); o.put("schema-id", id)
+      case AddPartitionSpec(s) =>
+        o.put("action", "add-spec"); o.set[ObjectNode]("spec", MetaJson.specToJson(s))
+      case SetDefaultSpec(id) =>
+        o.put("action", "set-default-spec"); o.put("spec-id", id)
+      case AddSortOrder(s) =>
+        o.put("action", "add-sort-order"); o.set[ObjectNode]("sort-order", MetaJson.sortOrderToJson(s))
+      case SetDefaultSortOrder(id) =>
+        o.put("action", "set-default-sort-order"); o.put("sort-order-id", id)
+      case AddSnapshot(s) =>
+        o.put("action", "add-snapshot"); o.set[ObjectNode]("snapshot", MetaJson.snapshotToJson(s))
+      case SetSnapshotRef(name, r) =>
+        o.put("action", "set-snapshot-ref"); o.put("ref-name", name)
+        val rj = MetaJson.refToJson(r)
+        rj.properties.asScala.foreach(e => o.set[ObjectNode](e.getKey, e.getValue))
+      case RemoveSnapshots(ids) =>
+        o.put("action", "remove-snapshots")
+        val a = o.putArray("snapshot-ids"); ids.foreach(a.add)
+      case RemoveSnapshotRef(name) =>
+        o.put("action", "remove-snapshot-ref"); o.put("ref-name", name)
+      case SetLocation(loc) =>
+        o.put("action", "set-location"); o.put("location", loc)
+      case SetProperties(m) =>
+        o.put("action", "set-properties")
+        val p = o.putObject("updates"); m.foreach { case (k, v) => p.put(k, v) }
+      case RemoveProperties(ks) =>
+        o.put("action", "remove-properties")
+        val a = o.putArray("removals"); ks.foreach(a.add)
+      case SetStatistics(sf) =>
+        o.put("action", "set-statistics")
+        o.put("snapshot-id", sf.snapshotId)
+        o.set[ObjectNode]("statistics", MetaJson.statisticsToJson(sf))
+      case RemoveStatistics(id) =>
+        o.put("action", "remove-statistics"); o.put("snapshot-id", id)
+    }
+    o
+  }
+
+  def updateFromJson(n: JsonNode): MetadataUpdate = n.get("action").asText match {
+    case "assign-uuid" => AssignUuid(n.get("uuid").asText)
+    case "upgrade-format-version" => UpgradeFormatVersion(n.get("format-version").asInt)
+    case "add-schema" => AddSchema(MetaJson.schemaFromJson(n.get("schema")))
+    case "set-current-schema" => SetCurrentSchema(n.get("schema-id").asInt)
+    case "add-spec" => AddPartitionSpec(MetaJson.specFromJson(n.get("spec")))
+    case "set-default-spec" => SetDefaultSpec(n.get("spec-id").asInt)
+    case "add-sort-order" => AddSortOrder(MetaJson.sortOrderFromJson(n.get("sort-order")))
+    case "set-default-sort-order" => SetDefaultSortOrder(n.get("sort-order-id").asInt)
+    case "add-snapshot" => AddSnapshot(MetaJson.snapshotFromJson(n.get("snapshot")))
+    case "set-snapshot-ref" => SetSnapshotRef(n.get("ref-name").asText, MetaJson.refFromJson(n))
+    case "remove-snapshots" =>
+      RemoveSnapshots(n.get("snapshot-ids").elements.asScala.map(_.asLong).toSeq)
+    case "remove-snapshot-ref" => RemoveSnapshotRef(n.get("ref-name").asText)
+    case "set-location" => SetLocation(n.get("location").asText)
+    case "set-properties" =>
+      SetProperties(n.get("updates").properties.asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap)
+    case "remove-properties" =>
+      RemoveProperties(n.get("removals").elements.asScala.map(_.asText).toSeq)
+    case "set-statistics" => SetStatistics(MetaJson.statisticsFromJson(n.get("statistics")))
+    case "remove-statistics" => RemoveStatistics(n.get("snapshot-id").asLong)
+    case other => throw new IllegalArgumentException(s"unknown metadata update: $other")
+  }
+
+  // ---------- requirements ----------
+
+  def requirementToJson(r: TableRequirement): ObjectNode = {
+    val o = mapper.createObjectNode()
+    r match {
+      case AssertCreate => o.put("type", "assert-create")
+      case AssertTableUuid(uuid) =>
+        o.put("type", "assert-table-uuid"); o.put("uuid", uuid)
+      case AssertRefSnapshotId(ref, id) =>
+        o.put("type", "assert-ref-snapshot-id"); o.put("ref", ref)
+        id match { case Some(v) => o.put("snapshot-id", v); case None => o.putNull("snapshot-id") }
+      case AssertCurrentSchemaId(id) =>
+        o.put("type", "assert-current-schema-id"); o.put("current-schema-id", id)
+      case AssertDefaultSpecId(id) =>
+        o.put("type", "assert-default-spec-id"); o.put("default-spec-id", id)
+      case AssertDefaultSortOrderId(id) =>
+        o.put("type", "assert-default-sort-order-id"); o.put("default-sort-order-id", id)
+      case AssertLastAssignedFieldId(id) =>
+        o.put("type", "assert-last-assigned-field-id"); o.put("last-assigned-field-id", id)
+      case AssertLastAssignedPartitionId(id) =>
+        o.put("type", "assert-last-assigned-partition-id"); o.put("last-assigned-partition-id", id)
+    }
+    o
+  }
+
+  def requirementFromJson(n: JsonNode): TableRequirement = n.get("type").asText match {
+    case "assert-create" => AssertCreate
+    case "assert-table-uuid" => AssertTableUuid(n.get("uuid").asText)
+    case "assert-ref-snapshot-id" =>
+      val id = Option(n.get("snapshot-id")).filterNot(_.isNull).map(_.asLong)
+      AssertRefSnapshotId(n.get("ref").asText, id)
+    case "assert-current-schema-id" => AssertCurrentSchemaId(n.get("current-schema-id").asInt)
+    case "assert-default-spec-id" => AssertDefaultSpecId(n.get("default-spec-id").asInt)
+    case "assert-default-sort-order-id" =>
+      AssertDefaultSortOrderId(n.get("default-sort-order-id").asInt)
+    case "assert-last-assigned-field-id" =>
+      AssertLastAssignedFieldId(n.get("last-assigned-field-id").asInt)
+    case "assert-last-assigned-partition-id" =>
+      AssertLastAssignedPartitionId(n.get("last-assigned-partition-id").asInt)
+    case other => throw new IllegalArgumentException(s"unknown requirement: $other")
+  }
+
+  // ---------- diff: base → target as a MetadataUpdate list ----------
+
+  /** A neutral zero-state base for staged creates: the first commit of a
+    * stage-created table diffs against this, so its update list rebuilds
+    * the whole table (assign-uuid, add-schema, …) server-side — the REST
+    * server holds NO staged state between requests. */
+  val emptyBase: TableMetadata = TableMetadata(
+    formatVersion = 1, tableUuid = "", location = "",
+    lastSequenceNumber = 0L, lastUpdatedMs = 0L, lastColumnId = 0,
+    schemas = IndexedSeq.empty, currentSchemaId = -1,
+    partitionSpecs = IndexedSeq.empty, defaultSpecId = -1, lastPartitionId = -1,
+    properties = Map.empty, currentSnapshotId = None,
+    snapshots = IndexedSeq.empty, snapshotLog = IndexedSeq.empty,
+    metadataLog = IndexedSeq.empty, sortOrders = IndexedSeq.empty,
+    defaultSortOrderId = -1, refs = Map.empty)
+
+  /** Express `target` as changes against `base`. The inverse of
+    * `applyUpdates`: applyUpdates(base, diff(base, target)) equals
+    * `target` on every durable field (timestamps the server stamps
+    * itself — lastUpdatedMs — may differ; nothing else does). */
+  def diff(base: TableMetadata, target: TableMetadata): Seq[MetadataUpdate] = {
+    val ups = ArrayBuffer.empty[MetadataUpdate]
+    if (base.tableUuid != target.tableUuid) ups += AssignUuid(target.tableUuid)
+    if (base.formatVersion != target.formatVersion)
+      ups += UpgradeFormatVersion(target.formatVersion)
+    if (base.location != target.location) ups += SetLocation(target.location)
+
+    target.schemas.filterNot(s => base.schemas.exists(_.schemaId == s.schemaId))
+      .foreach(s => ups += AddSchema(s))
+    if (base.currentSchemaId != target.currentSchemaId)
+      ups += SetCurrentSchema(target.currentSchemaId)
+    target.partitionSpecs.filterNot(s => base.partitionSpecs.exists(_.specId == s.specId))
+      .foreach(s => ups += AddPartitionSpec(s))
+    if (base.defaultSpecId != target.defaultSpecId)
+      ups += SetDefaultSpec(target.defaultSpecId)
+    target.sortOrders.filterNot(s => base.sortOrders.exists(_.orderId == s.orderId))
+      .foreach(s => ups += AddSortOrder(s))
+    if (base.defaultSortOrderId != target.defaultSortOrderId)
+      ups += SetDefaultSortOrder(target.defaultSortOrderId)
+
+    val baseSnapIds = base.snapshots.map(_.snapshotId).toSet
+    val targetSnapIds = target.snapshots.map(_.snapshotId).toSet
+    target.snapshots.filterNot(s => baseSnapIds(s.snapshotId))
+      .sortBy(_.sequenceNumber).foreach(s => ups += AddSnapshot(s))
+    val removed = base.snapshots.map(_.snapshotId).filterNot(targetSnapIds)
+    if (removed.nonEmpty) ups += RemoveSnapshots(removed)
+
+    target.refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+      if (!base.refs.get(name).contains(r)) ups += SetSnapshotRef(name, r)
+    }
+    (base.refs.keySet -- target.refs.keySet).toSeq.sorted
+      .foreach(name => ups += RemoveSnapshotRef(name))
+
+    val propUpdates = target.properties.filter { case (k, v) =>
+      !base.properties.get(k).contains(v) }
+    if (propUpdates.nonEmpty) ups += SetProperties(propUpdates)
+    val propRemovals = (base.properties.keySet -- target.properties.keySet).toSeq.sorted
+    if (propRemovals.nonEmpty) ups += RemoveProperties(propRemovals)
+
+    target.statistics.filterNot(base.statistics.contains)
+      .foreach(sf => ups += SetStatistics(sf))
+    val targetStatIds = target.statistics.map(_.snapshotId).toSet
+    base.statistics.map(_.snapshotId).distinct.filterNot(targetStatIds)
+      .foreach(id => ups += RemoveStatistics(id))
+
+    ups.toSeq
+  }
+
+  // ---------- apply: server-side interpretation of an update list ----------
+
+  /** Apply updates to the server's current base. Deterministic — derived
+    * fields (lastColumnId, lastPartitionId, lastSequenceNumber, nextRowId,
+    * snapshotLog, currentSnapshotId) are recomputed from the updates, so
+    * the committed metadata is reproducible from (base, updates) alone. */
+  def applyUpdates(base: TableMetadata, updates: Seq[MetadataUpdate]): TableMetadata = {
+    var m = base
+    var lastAddedSchema = -1
+    var lastAddedSpec = -1
+    var lastAddedOrder = -1
+    updates.foreach {
+      case AssignUuid(uuid) => m = m.copy(tableUuid = uuid)
+      case UpgradeFormatVersion(v) =>
+        require(TableMetadata.SupportedVersions.contains(v), s"unsupported format version $v")
+        require(v >= m.formatVersion, s"cannot downgrade format version ${m.formatVersion} -> $v")
+        m = m.copy(formatVersion = v)
+      case AddSchema(s) =>
+        require(!m.schemas.exists(_.schemaId == s.schemaId),
+          s"schema ${s.schemaId} already exists")
+        m = m.copy(schemas = m.schemas :+ s,
+          lastColumnId = math.max(m.lastColumnId, s.highestFieldId))
+        lastAddedSchema = s.schemaId
+      case SetCurrentSchema(id) =>
+        val target = if (id == -1) lastAddedSchema else id
+        require(m.schemas.exists(_.schemaId == target), s"no schema $target")
+        m = m.copy(currentSchemaId = target)
+      case AddPartitionSpec(s) =>
+        require(!m.partitionSpecs.exists(_.specId == s.specId),
+          s"spec ${s.specId} already exists")
+        val maxField = (s.fields.map(_.fieldId) :+ (PartitionSpec.PartitionDataIdStart - 1)).max
+        m = m.copy(partitionSpecs = m.partitionSpecs :+ s,
+          lastPartitionId = math.max(m.lastPartitionId, maxField))
+        lastAddedSpec = s.specId
+      case SetDefaultSpec(id) =>
+        val target = if (id == -1) lastAddedSpec else id
+        require(m.partitionSpecs.exists(_.specId == target), s"no spec $target")
+        m = m.copy(defaultSpecId = target)
+      case AddSortOrder(s) =>
+        require(!m.sortOrders.exists(_.orderId == s.orderId),
+          s"sort order ${s.orderId} already exists")
+        m = m.copy(sortOrders = m.sortOrders :+ s)
+        lastAddedOrder = s.orderId
+      case SetDefaultSortOrder(id) =>
+        val target = if (id == -1) lastAddedOrder else id
+        require(m.sortOrders.exists(_.orderId == target), s"no sort order $target")
+        m = m.copy(defaultSortOrderId = target)
+      case AddSnapshot(s) =>
+        require(!m.snapshots.exists(_.snapshotId == s.snapshotId),
+          s"snapshot ${s.snapshotId} already exists")
+        val nextRow = (m.nextRowId, s.firstRowId) match {
+          case (cur, Some(first)) =>
+            Some(math.max(cur.getOrElse(0L), first + s.addedRows.getOrElse(0L)))
+          case (cur, None) => cur
+        }
+        m = m.copy(snapshots = m.snapshots :+ s,
+          lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
+          lastUpdatedMs = math.max(m.lastUpdatedMs, s.timestampMs),
+          nextRowId = nextRow)
+      case SetSnapshotRef(name, r) =>
+        val snap = m.snapshotById(r.snapshotId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"ref $name -> unknown snapshot ${r.snapshotId}"))
+        val moved = !m.refs.get(name).exists(_.snapshotId == r.snapshotId)
+        m = m.copy(refs = m.refs.updated(name, r),
+          currentSnapshotId = if (name == "main") Some(r.snapshotId) else m.currentSnapshotId,
+          snapshotLog =
+            if (name == "main" && moved)
+              m.snapshotLog :+ SnapshotLogEntry(snap.timestampMs, snap.snapshotId)
+            else m.snapshotLog)
+      case RemoveSnapshots(ids) =>
+        val drop = ids.toSet
+        m = m.copy(snapshots = m.snapshots.filterNot(s => drop(s.snapshotId)),
+          snapshotLog = m.snapshotLog.filterNot(e => drop(e.snapshotId)))
+      case RemoveSnapshotRef(name) =>
+        m = m.copy(refs = m.refs - name,
+          currentSnapshotId = if (name == "main") None else m.currentSnapshotId)
+      case SetLocation(loc) => m = m.copy(location = loc)
+      case SetProperties(ups) => m = m.copy(properties = m.properties ++ ups)
+      case RemoveProperties(ks) => m = m.copy(properties = m.properties -- ks)
+      case SetStatistics(sf) =>
+        m = m.copy(statistics =
+          m.statistics.filterNot(_.snapshotId == sf.snapshotId) :+ sf)
+      case RemoveStatistics(id) =>
+        m = m.copy(statistics = m.statistics.filterNot(_.snapshotId == id))
+    }
+    m
+  }
+
+  // ---------- request/response bodies (types.h:37-121) ----------
+
+  def metadataToNode(m: TableMetadata): JsonNode = mapper.readTree(MetaJson.toJson(m))
+  def metadataFromNode(n: JsonNode): TableMetadata = MetaJson.fromJson(n.toString)
+
+  /** LoadTableResult (types.h:76-85): metadata-location + metadata +
+    * config. The catalog version travels in `config("graft.version")` —
+    * the spec's client-config escape hatch — so the client can keep its
+    * optimistic-commit version without parsing the location path. */
+  def loadTableResult(metadataLocation: Option[String], m: TableMetadata,
+      version: Int): String = {
+    val o = mapper.createObjectNode()
+    metadataLocation.foreach(o.put("metadata-location", _))
+    o.set[ObjectNode]("metadata", metadataToNode(m).asInstanceOf[ObjectNode])
+    o.putObject("config").put("graft.version", version.toString)
+    o.toString
+  }
+
+  def namespaceArray(levels: Seq[Seq[String]], field: String): String = {
+    val o = mapper.createObjectNode()
+    val arr = o.putArray(field)
+    levels.foreach { ns => val a = arr.addArray(); ns.foreach(a.add) }
+    o.toString
+  }
+
+  def identifierToJson(ident: TableIdentifier): ObjectNode = {
+    val o = mapper.createObjectNode()
+    val a = o.putArray("namespace"); ident.namespace.foreach(a.add)
+    o.put("name", ident.name)
+    o
+  }
+
+  def identifierFromJson(n: JsonNode): TableIdentifier =
+    TableIdentifier(n.get("namespace").elements.asScala.map(_.asText).toSeq,
+      n.get("name").asText)
+
+  def propertiesToNode(o: ObjectNode, field: String, props: Map[String, String]): Unit = {
+    val p = o.putObject(field)
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+  }
+
+  def propertiesFromNode(n: JsonNode, field: String): Map[String, String] =
+    Option(n.get(field)).map(_.properties.asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+
+  def stringSeq(n: JsonNode, field: String): Seq[String] =
+    Option(n.get(field)).map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+
+  /** ErrorResponse: {"error": {"message","type","code"}}. */
+  def errorBody(message: String, errType: String, code: Int): String = {
+    val o = mapper.createObjectNode()
+    val e = o.putObject("error")
+    e.put("message", message); e.put("type", errType); e.put("code", code)
+    o.toString
+  }
+
+  def parse(s: String): JsonNode = mapper.readTree(s)
+  def newObject(): ObjectNode = mapper.createObjectNode()
+}

@@ -12,7 +12,7 @@ import graft.ice.types._
   * (reference: src/iceberg/json_internal.cc, ~1150 LoC). Uses the Jackson
   * tree model shipped in /opt/spark/jars. */
 object MetaJson {
-  private val mapper = new ObjectMapper()
+  private[graft] val mapper = new ObjectMapper()
 
   // ---------- types ----------
 
@@ -200,7 +200,7 @@ object MetaJson {
       maxSnapshotAgeMs = Option(n.get("max-snapshot-age-ms")).map(_.asLong),
       maxRefAgeMs = Option(n.get("max-ref-age-ms")).map(_.asLong))
 
-  private def statisticsFromJson(n: JsonNode): StatisticsFile =
+  def statisticsFromJson(n: JsonNode): StatisticsFile =
     StatisticsFile(
       snapshotId = n.get("snapshot-id").asLong,
       path = n.get("statistics-path").asText,
@@ -217,7 +217,7 @@ object MetaJson {
             .getOrElse(Map.empty))
       }.toSeq).getOrElse(Nil))
 
-  private def statisticsToJson(s: StatisticsFile): ObjectNode = {
+  def statisticsToJson(s: StatisticsFile): ObjectNode = {
     val o = mapper.createObjectNode()
     o.put("snapshot-id", s.snapshotId)
     o.put("statistics-path", s.path)

@@ -12,6 +12,15 @@ sealed trait TableRequirement {
   def check(base: TableMetadata): Option[String]
 }
 
+/** The table must NOT exist yet — the first commit of a staged create
+  * (REST `assert-create`). Checking it against any existing metadata is
+  * by definition a violation; the REST server short-circuits it before
+  * loading (a missing table cannot produce a base to check against). */
+case object AssertCreate extends TableRequirement {
+  def check(base: TableMetadata): Option[String] =
+    Some("table already exists (assert-create)")
+}
+
 final case class AssertTableUuid(uuid: String) extends TableRequirement {
   def check(base: TableMetadata): Option[String] =
     if (base.tableUuid == uuid) None

@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice._
+import graft.ice.catalog._
+import graft.ice.meta._
+import graft.ice.types._
+
+/** C3: REST catalog client + in-process localhost server (the reference
+  * tests the same way: httplib server bound to 127.0.0.1,
+  * rest_catalog_test.cc:36-44). Every table-layer operation runs through
+  * HTTP; the backing store is a DirCatalog the client never touches
+  * directly. */
+class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-rest-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmpWarehouse(): String =
+    java.nio.file.Files.createTempDirectory("rest-warehouse").toString
+
+  /** Run `f` with a live server + client pair, always stopping the server. */
+  private def withRest[T](token: Option[String] = None)(
+      f: (RestCatalog, RestCatalogServer, DirCatalog) => T): T = {
+    val backing = new DirCatalog(tmpWarehouse())
+    val server = new RestCatalogServer(backing, token = token)
+    try f(new RestCatalog(server.baseUrl, token), server, backing)
+    finally server.stop()
+  }
+
+  private def sampleSchema: Schema =
+    SparkConv.fromSpark(spark.read.parquet(s"$sfDir/region.parquet").schema)
+
+  test("config endpoint answers (reference GetConfig, rest_catalog.cc:33-37)") {
+    withRest() { (cat, _, _) => assert(cat.config.isEmpty) }
+  }
+
+  test("namespace CRUD + properties over the wire") {
+    withRest() { (cat, _, _) =>
+      assert(cat.listNamespaces() == Nil)
+      cat.createNamespace(Seq("prod"), Map("owner" -> "graft"))
+      cat.createNamespace(Seq("prod", "raw"))
+      cat.createNamespace(Seq("dev"))
+      assert(cat.listNamespaces() == Seq(Seq("dev"), Seq("prod")))
+      assert(cat.listNamespaces(Seq("prod")) == Seq(Seq("prod", "raw")))
+      assert(cat.namespaceExists(Seq("prod")))
+      assert(!cat.namespaceExists(Seq("nope")))
+      assert(cat.loadNamespaceProperties(Seq("prod")) == Map("owner" -> "graft"))
+
+      cat.updateNamespaceProperties(Seq("prod"),
+        updates = Map("retention" -> "30d"), removals = Set("owner"))
+      assert(cat.loadNamespaceProperties(Seq("prod")) == Map("retention" -> "30d"))
+
+      intercept[AlreadyExistsException] { cat.createNamespace(Seq("dev")) }
+      intercept[NoSuchNamespaceException] { cat.loadNamespaceProperties(Seq("nope")) }
+      assert(cat.dropNamespace(Seq("dev")))
+      assert(!cat.dropNamespace(Seq("dev")))
+      // non-empty namespace refuses to drop
+      intercept[RuntimeException] { cat.dropNamespace(Seq("prod")) }
+    }
+  }
+
+  test("create + load + list + exists + drop table over the wire") {
+    withRest() { (cat, _, backing) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "region")
+      val ref = cat.createTable(ident, sampleSchema)
+      assert(ref.version == 1)
+      assert(cat.tableExists(ident))
+      assert(cat.listTables(Seq("db")) == Seq(ident))
+      // the table is real in the backing store, not a client-side illusion
+      assert(backing.tableExists(ident))
+
+      val loaded = cat.loadTable(ident)
+      assert(loaded.metadata.tableUuid == ref.metadata.tableUuid)
+      assert(loaded.metadata.currentSchema.fields.map(_.name) ==
+        ref.metadata.currentSchema.fields.map(_.name))
+
+      intercept[AlreadyExistsException] { cat.createTable(ident, sampleSchema) }
+      assert(cat.dropTable(ident))
+      assert(!cat.tableExists(ident))
+      assert(!cat.dropTable(TableIdentifier(Seq("db"), "ghost")))
+      intercept[NoSuchTableException] { cat.loadTable(ident) }
+    }
+  }
+
+  test("append + scan through the REST catalog (IceTable end to end)") {
+    withRest() { (cat, server, _) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "region")
+      val raw = spark.read.parquet(s"$sfDir/region.parquet")
+      val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+      t.append(spark).appendDataFrame(raw)
+
+      // a FRESH client sees the committed data (nothing client-local)
+      val t2 = IceTable.load(new RestCatalog(server.baseUrl), ident)
+      assert(t2.newScan().toDF(spark).count() == raw.count())
+      // second append advances the version through the wire
+      t.append(spark).appendDataFrame(raw.limit(2))
+      assert(cat.loadTable(ident).version == 3)
+      assert(IceTable.load(cat, ident).newScan().toDF(spark).count() == raw.count() + 2)
+    }
+  }
+
+  test("staged create (CTAS): invisible until the assert-create commit") {
+    withRest() { (cat, _, backing) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "ctas")
+      val raw = spark.read.parquet(s"$sfDir/region.parquet")
+      val ref = cat.buildTable(ident, SparkConv.fromSpark(raw.schema))
+        .withProperty("graft.ctas", "true")
+        .stageCreate()
+      assert(ref.version == 0)
+      assert(!backing.tableExists(ident)) // nothing published yet
+
+      val (staged, tx) = IceTable.stageCreate(ref, spark)
+      tx.append(raw)
+      tx.commitTransaction()
+
+      assert(backing.tableExists(ident))
+      val t = IceTable.load(cat, ident)
+      assert(t.newScan().toDF(spark).count() == raw.count())
+      assert(t.metadata.properties.get("graft.ctas").contains("true"))
+      // staging the same name again is refused outright
+      intercept[AlreadyExistsException] {
+        cat.stageCreateTable(ident, SparkConv.fromSpark(raw.schema))
+      }
+      // and a staged create that LOSES the publish race fails assert-create
+      val ident2 = TableIdentifier(Seq("db"), "ctas2")
+      val ref2 = cat.stageCreateTable(ident2, SparkConv.fromSpark(raw.schema))
+      cat.createTable(ident2, SparkConv.fromSpark(raw.schema)) // rival publishes first
+      intercept[AlreadyExistsException] { cat.commit(ident2, 0, ref2.metadata) }
+    }
+  }
+
+  test("register table round-trips through the wire") {
+    withRest() { (cat, _, backing) =>
+      cat.createNamespace(Seq("db"))
+      val src = TableIdentifier(Seq("db"), "src")
+      val raw = spark.read.parquet(s"$sfDir/region.parquet")
+      val t = IceTable.create(cat, src, SparkConv.fromSpark(raw.schema))
+      t.append(spark).appendDataFrame(raw)
+      val loc = backing.metadataLocation(src).get
+      val dst = TableIdentifier(Seq("db"), "registered")
+      val ref = cat.registerTable(dst, loc)
+      assert(ref.metadata.currentSnapshotId == t.metadata.currentSnapshotId)
+      assert(IceTable.load(cat, dst).newScan().toDF(spark).count() == raw.count())
+    }
+  }
+
+  test("concurrent commits: loser gets 409 and IceTable's retry wins") {
+    withRest() { (cat, server, _) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "race")
+      val raw = spark.read.parquet(s"$sfDir/region.parquet")
+      IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+
+      // two independent clients loaded the SAME base version
+      val a = IceTable.load(cat, ident)
+      val b = IceTable.load(new RestCatalog(server.baseUrl), ident)
+      a.append(spark).appendDataFrame(raw.limit(3))
+      // b's base is stale; its commit must retry internally and still land
+      b.append(spark).appendDataFrame(raw.limit(2))
+      assert(IceTable.load(cat, ident).newScan().toDF(spark).count() == 5)
+    }
+  }
+
+  test("requirement violation surfaces as CommitFailedException (409)") {
+    withRest() { (cat, server, _) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "reqfail")
+      cat.createTable(ident, sampleSchema)
+      // a commit whose ref assert cannot hold (main is unborn, assert says 12345)
+      val body = """{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+        "snapshot-id":12345}],"updates":[]}""".stripMargin
+      val http = java.net.http.HttpClient.newHttpClient()
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"${server.baseUrl}/v1/namespaces/db/tables/reqfail"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode == 409)
+      assert(resp.body.contains("CommitFailedException"))
+    }
+  }
+
+  test("bearer-token auth: wrong token is rejected, right token works") {
+    withRest(token = Some("sekrit")) { (cat, server, _) =>
+      cat.createNamespace(Seq("db"))
+      assert(cat.listNamespaces() == Seq(Seq("db")))
+      val bad = new RestCatalog(server.baseUrl, token = Some("wrong"))
+      val e = intercept[RuntimeException] { bad.listNamespaces() }
+      assert(e.getMessage.contains("401"))
+      val none = new RestCatalog(server.baseUrl, token = None)
+      intercept[RuntimeException] { none.listNamespaces() }
+    }
+  }
+
+  test("list pagination: server pages, client reassembles") {
+    withRest() { (cat, server, _) =>
+      cat.createNamespace(Seq("db"))
+      (1 to 7).foreach(i => cat.createTable(TableIdentifier(Seq("db"), f"t$i%02d"), sampleSchema))
+      // raw page: 3 rows + a continuation token
+      val http = java.net.http.HttpClient.newHttpClient()
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"${server.baseUrl}/v1/namespaces/db/tables?pageSize=3")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.body.contains("next-page-token"))
+      assert("\"name\"".r.findAllIn(resp.body).size == 3)
+      // client walks every page
+      assert(cat.listTables(Seq("db")).map(_.name) == (1 to 7).map(i => f"t$i%02d"))
+    }
+  }
+
+  test("multi-level namespaces travel as %1F-joined segments") {
+    withRest() { (cat, _, _) =>
+      cat.createNamespace(Seq("a"))
+      cat.createNamespace(Seq("a", "b c")) // space forces percent-encoding
+      assert(cat.listNamespaces(Seq("a")) == Seq(Seq("a", "b c")))
+      assert(cat.namespaceExists(Seq("a", "b c")))
+      val ident = TableIdentifier(Seq("a", "b c"), "t1")
+      cat.createTable(ident, sampleSchema)
+      assert(cat.listTables(Seq("a", "b c")) == Seq(ident))
+      assert(cat.loadTable(ident).metadata.schemas.nonEmpty)
+    }
+  }
+
+  test("diff/applyUpdates round-trips every durable metadata field") {
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val cat = new DirCatalog(tmpWarehouse())
+    val ident = TableIdentifier(Seq("db"), "roundtrip")
+    val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+    t.manageSnapshots().createBranch("audit", t.currentSnapshot.get.snapshotId)
+    t.append(spark).appendDataFrame(raw.limit(1))
+    val target = t.metadata
+
+    // a consistent earlier state: one snapshot, main pointing at it
+    val first = t.metadata.snapshots.minBy(_.sequenceNumber)
+    val base = IceTable.load(cat, ident).metadata.copy(
+      snapshots = IndexedSeq(first),
+      refs = Map("main" -> SnapshotRef(first.snapshotId, "branch")),
+      currentSnapshotId = Some(first.snapshotId),
+      snapshotLog = t.metadata.snapshotLog.take(1),
+      properties = t.metadata.properties + ("stale" -> "yes"))
+    val ups = RestJson.diff(base, target)
+    val rebuilt = RestJson.applyUpdates(base, ups)
+    assert(rebuilt.copy(lastUpdatedMs = 0, snapshotLog = IndexedSeq.empty) ==
+      target.copy(lastUpdatedMs = 0, snapshotLog = IndexedSeq.empty))
+    // snapshot log: same ids in order (timestamps come from the snapshots)
+    assert(rebuilt.snapshotLog.map(_.snapshotId) == target.snapshotLog.map(_.snapshotId))
+  }
+
+  test("update + requirement JSON serde round-trips") {
+    val sf = StatisticsFile(7L, "/tmp/s.puffin", 10L, 4L,
+      Seq(BlobMetadata("apache-datasketches-theta-v1", 7L, 1L, Seq(1), Map("ndv" -> "5"))))
+    val ups: Seq[RestJson.MetadataUpdate] = Seq(
+      RestJson.AssignUuid("u-1"),
+      RestJson.UpgradeFormatVersion(3),
+      RestJson.SetCurrentSchema(-1),
+      RestJson.SetDefaultSpec(2),
+      RestJson.AddSnapshot(Snapshot(1L, None, 1L, 42L, "ml.avro",
+        Map("operation" -> "append"), Some(0), Some(0L), Some(10L))),
+      RestJson.SetSnapshotRef("main", SnapshotRef(1L, "branch", Some(3), None, Some(99L))),
+      RestJson.RemoveSnapshots(Seq(4L, 5L)),
+      RestJson.RemoveSnapshotRef("old"),
+      RestJson.SetLocation("/w/t"),
+      RestJson.SetProperties(Map("a" -> "1")),
+      RestJson.RemoveProperties(Seq("b")),
+      RestJson.SetStatistics(sf),
+      RestJson.RemoveStatistics(7L))
+    ups.foreach { u =>
+      assert(RestJson.updateFromJson(RestJson.updateToJson(u)) == u, s"serde broke: $u")
+    }
+    val reqs: Seq[TableRequirement] = Seq(
+      AssertCreate, AssertTableUuid("u"), AssertRefSnapshotId("main", Some(3L)),
+      AssertRefSnapshotId("gone", None), AssertCurrentSchemaId(1),
+      AssertDefaultSpecId(0), AssertDefaultSortOrderId(0),
+      AssertLastAssignedFieldId(9), AssertLastAssignedPartitionId(1000))
+    reqs.foreach { r =>
+      assert(RestJson.requirementFromJson(RestJson.requirementToJson(r)) == r)
+    }
+  }
+}

@@ -54,6 +54,16 @@ trait Catalog {
     * catalogs that only hold metadata in memory). */
   def metadataLocation(ident: TableIdentifier): Option[String] = None
 
+  /** Rename a table (REST RenameTableRequest, types.h:68-72). Optional:
+    * catalogs whose identity is coupled to the storage path — like this
+    * repo's DirCatalog and the public HadoopCatalog it mirrors — cannot
+    * rename without breaking absolute manifest paths, and refuse loudly
+    * rather than corrupt; pointer-based catalogs can override. */
+  def renameTable(source: TableIdentifier, destination: TableIdentifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$getClass does not support renameTable ($source -> $destination): " +
+        "table identity is coupled to the storage path")
+
   /** Stage a table creation (catalog.h:144-149 StageCreateTable): build
     * the initial metadata WITHOUT publishing it. The returned ref has
     * version 0; the first `commit(ident, 0, …)` publishes v1 atomically,

@@ -150,6 +150,15 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
     TableRef(ident, m, v, this)
   }
 
+  override def renameTable(source: TableIdentifier,
+      destination: TableIdentifier): Unit = {
+    val o = newObject()
+    o.set[JsonNode]("source", identifierToJson(source))
+    o.set[JsonNode]("destination", identifierToJson(destination))
+    send(post(s"$baseUrl/v1/tables/rename", o.toString), ok = Set(200, 204))
+    cache.remove(source); ()
+  }
+
   override def currentVersion(ident: TableIdentifier): Int =
     try loadTable(ident).version catch { case _: NoSuchTableException => 0 }
 
@@ -275,6 +284,7 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
       case "NoSuchNamespaceException" => new NoSuchNamespaceException(msg)
       case "AlreadyExistsException" => new AlreadyExistsException(msg)
       case "CommitFailedException" => new CommitFailedException(msg)
+      case "UnsupportedOperationException" => new UnsupportedOperationException(msg)
       case _ => new RuntimeException(s"REST catalog error $code ($errType): $msg")
     }
   }

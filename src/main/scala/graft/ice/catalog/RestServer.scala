@@ -152,6 +152,18 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     case ("POST", List("namespaces", nsSeg, "tables")) =>
       createTable(ex, splitNs(nsSeg))
 
+    case ("POST", List("tables", "rename")) =>
+      val req = readJson(ex)
+      val src = identifierFromJson(req.get("source"))
+      val dst = identifierFromJson(req.get("destination"))
+      try {
+        backing.renameTable(src, dst)
+        reply(ex, 204, "")
+      } catch {
+        case e: UnsupportedOperationException =>
+          throw HttpError(406, "UnsupportedOperationException", e.getMessage)
+      }
+
     case ("POST", List("namespaces", nsSeg, "register")) =>
       val ns = splitNs(nsSeg)
       val req = readJson(ex)

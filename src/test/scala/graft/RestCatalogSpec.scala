@@ -239,6 +239,21 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rename travels the wire; path-coupled catalogs refuse loudly (406)") {
+    withRest() { (cat, _, _) =>
+      cat.createNamespace(Seq("db"))
+      val src = TableIdentifier(Seq("db"), "a")
+      cat.createTable(src, sampleSchema)
+      // DirCatalog mirrors HadoopCatalog: renaming would break absolute
+      // manifest paths, so it refuses — and the refusal survives the wire
+      val e = intercept[UnsupportedOperationException] {
+        cat.renameTable(src, TableIdentifier(Seq("db"), "b"))
+      }
+      assert(e.getMessage.contains("renameTable"))
+      assert(cat.tableExists(src)) // nothing half-renamed
+    }
+  }
+
   test("diff/applyUpdates round-trips every durable metadata field") {
     val raw = spark.read.parquet(s"$sfDir/region.parquet")
     val cat = new DirCatalog(tmpWarehouse())

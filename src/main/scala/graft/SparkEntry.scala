@@ -442,6 +442,34 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // MERGE INTO (upsert, CoW): update every 10th order's totalprice and
+    // insert shifted copies of every 100th-key-ending-in-7 order, in ONE
+    // atomic overwrite snapshot; only files containing a matched key are
+    // rewritten. The reference models no row-level op at all.
+    "mrg_upsert" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_merge")
+      val t =
+        if (cat.tableExists(ident)) IceTable.load(cat, ident)
+        else {
+          val raw = Tables.raw(s, dir, "orders")
+          val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+          created.append(s).appendDataFrame(raw)
+          val src = raw.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+            .unionByName(raw.filter(col("o_orderkey") % 100 === 7)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+          created.merge(s, src, Seq("o_orderkey"))
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .commit()
+          created
+        }
+      t.newScan().toDF(s)
+    }),
+
     // partition-spec evolution: half the rows under a year spec, half
     // under its month successor; one scan reads and prunes across both
     "t_spec_evolution" -> ((s, dir) =>
@@ -947,6 +975,16 @@ object SparkEntry {
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
     "c_rest" -> "SELECT * FROM region",
+    "mrg_upsert" -> ("""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 7
+    """).stripMargin.trim,
     "c_stage_create" -> "SELECT * FROM region",
     "p6_metadata_cols" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS n_files,

@@ -258,6 +258,10 @@ final class IceTable private (
   def updateSchema(): graft.ice.write.UpdateSchema = new graft.ice.write.UpdateSchema(this)
   def updateSpec(): graft.ice.write.UpdateSpec = new graft.ice.write.UpdateSpec(this)
   def delete(spark: SparkSession): graft.ice.write.RowDelete = new graft.ice.write.RowDelete(this, spark)
+  /** MERGE INTO builder: `t.merge(spark, src, Seq("id")).whenMatchedUpdateAll()
+    * .whenNotMatchedInsertAll().commit()` — one atomic overwrite snapshot. */
+  def merge(spark: SparkSession, source: DataFrame, on: Seq[String]): graft.ice.write.MergeInto =
+    new graft.ice.write.MergeInto(this, spark, source, on)
   def compact(spark: SparkSession): graft.ice.write.Compaction = new graft.ice.write.Compaction(this, spark)
   def overwrite(spark: SparkSession): graft.ice.write.Overwrite = new graft.ice.write.Overwrite(this, spark)
   def manageSnapshots(): graft.ice.write.ManageSnapshots = new graft.ice.write.ManageSnapshots(this)

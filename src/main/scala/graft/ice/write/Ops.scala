@@ -590,6 +590,140 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
   }
 }
 
+/** MERGE INTO (upsert), copy-on-write — §2.8 extension; the reference
+  * models no row-level operation at all (table_scan.cc:288-291 rejects
+  * even reading deletes). ANSI MERGE semantics with one WHEN MATCHED
+  * clause (update-all / update-set / delete) and an optional WHEN NOT
+  * MATCHED INSERT.
+  *
+  * Scale shape (the part that matters at 100 TB): only target files
+  * containing at least one matched key are rewritten — discovered with a
+  * column-pruned semi-join reading just the key columns plus
+  * `_metadata.file_path` — and the rewrite + insert lands as ONE atomic
+  * "overwrite" snapshot. The unmatched remainder of the table is never
+  * read twice and never rewritten. The source is scanned thrice
+  * (cardinality check, matches, inserts); it is the small side by
+  * construction and broadcast-eligible under AQE.
+  *
+  * Like every CoW op here, the rewrite reads raw data files; tables
+  * carrying live merge-on-read delete files must compact first — merge
+  * refuses loudly instead of silently resurrecting deleted rows. */
+final class MergeInto(table: IceTable, spark: SparkSession,
+    source: DataFrame, on: Seq[String]) {
+
+  private sealed trait MatchedAction
+  private case object UpdateAll extends MatchedAction
+  private final case class UpdateSet(set: Map[String, String]) extends MatchedAction
+  private case object DeleteMatched extends MatchedAction
+
+  private var matched: MatchedAction = UpdateAll
+  private var insertUnmatched = false
+
+  /** Matched rows are replaced column-for-column by the source row. */
+  def whenMatchedUpdateAll(): MergeInto = { matched = UpdateAll; this }
+
+  /** Matched rows are updated per SQL expressions over aliases `t`
+    * (target row) and `s` (source row), e.g.
+    * `Map("o_totalprice" -> "t.o_totalprice + s.o_totalprice")`;
+    * unlisted columns keep their target values. */
+  def whenMatchedUpdate(set: Map[String, String]): MergeInto = {
+    matched = UpdateSet(set); this
+  }
+
+  /** Matched rows are deleted. */
+  def whenMatchedDelete(): MergeInto = { matched = DeleteMatched; this }
+
+  /** Source rows matching no target row are inserted. */
+  def whenNotMatchedInsertAll(): MergeInto = { insertUnmatched = true; this }
+
+  def commit(): Snapshot = {
+    require(on.nonEmpty, "merge requires at least one ON column")
+    on.foreach { c =>
+      require(table.schema.findFieldByName(c).isDefined, s"no target column $c")
+      require(source.columns.contains(c), s"no source column $c")
+    }
+    table.currentSnapshot.foreach { snap =>
+      require(table.planDeleteEntries(snap).isEmpty,
+        "mergeInto is copy-on-write and the table carries live merge-on-read " +
+          "delete files; run compact().binPack() first so the rewrite cannot " +
+          "resurrect deleted rows")
+    }
+    // ANSI cardinality rule: a target row matched by >1 source row is an
+    // error, not a nondeterministic pick. One agg over the (small) source.
+    val dupKeys = source.groupBy(on.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"source has duplicate ON keys (e.g. ${dupKeys.headOption.mkString})")
+
+    val sparkSchema = SparkConv.toSpark(table.schema)
+    val allTasks = table.newScan().planFiles()
+    val allPaths = allTasks.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+    if (allPaths.isEmpty && !insertUnmatched)
+      return SnapshotProducer.commit(table, spark, DataOperation.Overwrite, Nil)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    def readRaw(paths: Seq[String]): DataFrame =
+      spark.read.schema(sparkSchema).parquet(paths: _*)
+
+    // pass 1 (column-pruned: keys + file path only): which files hold a match?
+    val affected: Seq[String] =
+      if (allPaths.isEmpty) Nil
+      else readRaw(allPaths)
+        .select((on.map(col) :+
+          regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("__file")): _*)
+        .join(source.select(on.map(col): _*).distinct(), on, "left_semi")
+        .select("__file").distinct().collect().map(_.getString(0)).toSeq.sorted
+
+    val tgtCols = table.schema.fields.map(_.name)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    if (affected.nonEmpty) {
+      val aff = readRaw(affected)
+      // unmatched rows of rewritten files survive as-is
+      parts += aff.join(source.select(on.map(col): _*).distinct(), on, "left_anti")
+        .select(tgtCols.map(col): _*)
+      matched match {
+        case UpdateAll =>
+          tgtCols.foreach(c => require(source.columns.contains(c),
+            s"whenMatchedUpdateAll needs source column $c"))
+          // every source row matching SOME target row, as target-shaped rows
+          parts += source.join(aff.select(on.map(col): _*).distinct(), on, "left_semi")
+            .select(tgtCols.map(col): _*)
+        case UpdateSet(set) =>
+          set.keys.foreach(c => require(tgtCols.contains(c),
+            s"whenMatchedUpdate sets unknown column $c"))
+          val joined = aff.as("t").join(source.as("s"),
+            on.map(c => col(s"t.$c") === col(s"s.$c")).reduce(_ && _), "inner")
+          parts += joined.select(tgtCols.map { c =>
+            set.get(c).map(sql =>
+              org.apache.spark.sql.functions.expr(sql).as(c)).getOrElse(col(s"t.$c"))
+          }: _*)
+        case DeleteMatched => // matched rows simply don't reappear
+      }
+    }
+    if (insertUnmatched) {
+      tgtCols.foreach(c => require(source.columns.contains(c),
+        s"whenNotMatchedInsertAll needs source column $c"))
+      val tgtKeys =
+        if (allPaths.isEmpty) null
+        else readRaw(allPaths).select(on.map(col): _*)
+      parts += (if (tgtKeys == null) source.select(tgtCols.map(col): _*)
+        else source.join(tgtKeys, on, "left_anti").select(tgtCols.map(col): _*))
+    }
+
+    val out = parts.reduceOption(_ unionByName _)
+    val added = out match {
+      case Some(df) => SnapshotProducer.writeDataFiles(table, spark, df)
+      case None => Nil
+    }
+    // manifests record the ORIGINAL (possibly scheme-carrying) paths
+    val origByStripped = allTasks
+      .map(t => ManifestAvro.stripFileScheme(t.file.filePath) -> t.file.filePath).toMap
+    SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
+      removedPaths = affected.map(p => origByStripped.getOrElse(p, p)).toSet)
+  }
+}
+
 /** Compaction: rewrite small data files into target-sized ones
   * (BASELINE.json north star: "Spark read/write Iceberg tables +
   * compaction"). Merge-on-read deletes are applied during the rewrite,

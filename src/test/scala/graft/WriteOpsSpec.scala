@@ -139,6 +139,66 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.currentSnapshot.get.operation == Some("delete"))
   }
 
+  test("mergeInto updateAll + insertAll rewrites only matched files") {
+    // multiple files so the affected-file pruning is observable
+    val (t, raw) = freshTable("mrg1")
+    // second append: a file guaranteed to contain NO matched key
+    val spare = raw.withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+    t.append(spark).appendDataFrame(spare)
+    val before = t.newScan().planFiles().map(_.file.filePath).toSet
+
+    val src = raw.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", lit(42.5))
+      .unionByName(raw.limit(3).withColumn("o_orderkey", col("o_orderkey") + 9000000L))
+    val snap = t.merge(spark, src, Seq("o_orderkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().commit()
+    assert(snap.operation.contains("overwrite"))
+
+    val after = t.newScan().toDF(spark)
+    val n = raw.count(); val matched = raw.filter(col("o_orderkey") % 7 === 0).count()
+    assert(after.count() == 2 * n + 3)
+    assert(after.filter(col("o_totalprice") === 42.5).count() == matched)
+    assert(after.filter(col("o_orderkey") >= 9000000L).count() == 3)
+    // the spare file held no matched key: it must survive UNREWRITTEN
+    val survivors = t.newScan().planFiles().map(_.file.filePath).toSet
+    assert(before.intersect(survivors).nonEmpty,
+      "unmatched files must not be rewritten")
+  }
+
+  test("mergeInto updateSet expressions and delete actions") {
+    val (t, raw) = freshTable("mrg2")
+    val src = raw.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit(7.0).as("bump"))
+    t.merge(spark, src, Seq("o_orderkey"))
+      .whenMatchedUpdate(Map("o_totalprice" -> "t.o_totalprice + s.bump"))
+      .commit()
+    val base = raw.select(sum("o_totalprice")).head.getDouble(0)
+    val got = t.newScan().toDF(spark).select(sum("o_totalprice")).head.getDouble(0)
+    val matched = raw.filter(col("o_orderkey") % 5 === 0).count()
+    assert(math.abs(got - (base + 7.0 * matched)) < 1e-4)
+
+    // delete action: matched rows vanish, row count drops exactly
+    val delKeys = raw.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+    t.merge(spark, delKeys, Seq("o_orderkey")).whenMatchedDelete().commit()
+    assert(t.newScan().toDF(spark).count() ==
+      raw.count() - delKeys.count())
+  }
+
+  test("mergeInto refuses duplicate source keys and MoR-laden tables") {
+    val (t, raw) = freshTable("mrg3")
+    val dup = raw.limit(1).unionByName(raw.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      t.merge(spark, dup, Seq("o_orderkey")).whenMatchedUpdateAll().commit()
+    }
+    assert(e.getMessage.contains("duplicate"))
+
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(10)))
+    val e2 = intercept[IllegalArgumentException] {
+      t.merge(spark, raw.limit(2), Seq("o_orderkey")).whenMatchedUpdateAll().commit()
+    }
+    assert(e2.getMessage.contains("merge-on-read"))
+  }
+
   test("merge-on-read position delete via anti-join") {
     val (t, raw) = freshTable("mor_pos")
     t.delete(spark).deleteWherePositional(E.equal("o_orderstatus", Literal.string("F")))

@@ -730,6 +730,12 @@ object SparkEntry {
     // the source exactly (exactly-once contents)
     "st_ingest_table" -> ((s, dir) => StreamIngestFixture.table(s, dir).newScan().toDF(s)),
 
+    // streaming CDC upsert: per-batch merge-on-read MERGE with the
+    // exactly-once marker inside each merge's atomic commit; the scan
+    // must apply the accumulated position deletes to converge on the
+    // raw events (seeded corruption updated away, remainder inserted)
+    "st_upsert_table" -> ((s, dir) => StreamUpsertFixture.table(s, dir).newScan().toDF(s)),
+
     // as-of join (point-in-time lookup): each odd event picks the LATEST
     // even event at-or-before its timestamp for the same user — the
     // union+window single-shuffle formulation, oracled by DuckDB's
@@ -1147,6 +1153,8 @@ object SparkEntry {
       "SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_keys FROM events",
     "st_ingest_table" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "st_upsert_table" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     "st_interval_join" ->
       """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2
         |FROM events a JOIN events b
@@ -1262,6 +1270,49 @@ object StreamIngestFixture {
           cat.dropTable(ident, purge = true)
           throw new IllegalStateException(
             "st_ingest_table fixture: streaming ingest did not finish in 120s")
+        }
+        t.refresh()
+        t
+      }
+    })
+}
+
+/** Streaming-upsert fixture: the table is seeded with a CORRUPTED subset
+  * (every third event carries value = -1), then the full event stream is
+  * upserted through StreamOps.upsertStream (merge-on-read MERGE per
+  * micro-batch, exactly-once marker inside each merge commit). The final
+  * table must equal the raw events — every seeded row updated back,
+  * every other row inserted — which makes the oracle a plain SELECT. */
+object StreamUpsertFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "events_upserted")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+          .select("event_id", "user_id", "event_type", "value")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        t.append(spark).appendDataFrame(
+          raw.filter(col("event_id") % 3 === 0).withColumn("value", lit(-1.0)))
+        val stream = spark.readStream.schema(
+          spark.read.parquet(s"$sfDir/events.parquet").schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .select("event_id", "user_id", "event_type", "value")
+        val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+        val q = graft.streaming.StreamOps.upsertStream(stream, t, Seq("event_id"), ckpt)
+        if (!q.awaitTermination(120000)) {
+          try q.stop() catch { case _: Throwable => () }
+          cat.dropTable(ident, purge = true)
+          throw new IllegalStateException(
+            "st_upsert_table fixture: streaming upsert did not finish in 120s")
         }
         t.refresh()
         t

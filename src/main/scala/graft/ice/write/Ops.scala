@@ -30,7 +30,8 @@ private[ice] object SnapshotProducer {
       removedPaths: Set[String] = Set.empty,
       addedDeleteEntries: Seq[ManifestEntry] = Nil,
       removedDVForFiles: Set[String] = Set.empty,
-      extraSummary: Map[String, String] = Map.empty): Snapshot = {
+      extraSummary: Map[String, String] = Map.empty,
+      extraProps: Map[String, String] = Map.empty): Snapshot = {
     var result: Snapshot = null
     table.commit { base =>
       val commitUuid = UUID.randomUUID().toString
@@ -138,7 +139,11 @@ private[ice] object SnapshotProducer {
         schemaId = Some(base.currentSchemaId),
         firstRowId = baseRowId)
       result = snap
-      val next = base.withSnapshot(snap)
+      // extraProps ride the SAME atomic commit (transactional-sink
+      // markers: the (queryId, batchId) key of a streaming upsert)
+      val next0 = base.withSnapshot(snap)
+      val next = if (extraProps.isEmpty) next0
+        else next0.copy(properties = next0.properties ++ extraProps)
       if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next
     }
     result
@@ -408,30 +413,12 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     // file_path so each output delete file covers a disjoint set of data
     // files (spec ordering (file_path, pos) within each) — a wide delete
     // at 100 TB writes through every core, not one
-    val nParts = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions, paths.size))
     val dels = spark.read.schema(sparkSchema).parquet(paths: _*)
       .filter(cond)
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
         col("_metadata.row_index").as("pos"))
-      .repartition(nParts, col("file_path"))
-      .sortWithinPartitions("file_path", "pos")
-    val outDir = s"${table.dataFileDir}/${UUID.randomUUID()}-deletes"
-    dels.write.parquet(outDir)
-    val conf = spark.sessionState.newHadoopConf()
-    val entries = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(outDir)).iterator.asScala
-        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
-    }.flatMap { file =>
-      val rowCount = Metrics.parquetRowCount(file, conf)
-      if (rowCount == 0) None // empty shuffle partitions write empty files
-      else Some(ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.PositionDeletes, file, "PARQUET",
-          table.spec.fields.map(_ => null: Any).toIndexedSeq,
-          recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)))))
-    }
+    val entries = RowDelete.writePositionDeleteEntries(table, spark, dels, paths.size)
     SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
       addedDeleteEntries = entries)
   }
@@ -590,6 +577,37 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
   }
 }
 
+object RowDelete {
+  /** Distributed position-delete-file write shared by deleteWherePositional
+    * and the merge-on-read MERGE path: hash-cluster (file_path, pos)
+    * tuples by file_path so each output delete file covers a disjoint set
+    * of data files (spec ordering (file_path, pos) within each) — a wide
+    * delete at 100 TB writes through every core, not one. */
+  private[write] def writePositionDeleteEntries(table: IceTable,
+      spark: SparkSession, dels: DataFrame, nFiles: Int): Seq[ManifestEntry] = {
+    val nParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, math.max(nFiles, 1)))
+    val outDir = s"${table.dataFileDir}/${UUID.randomUUID()}-deletes"
+    dels.repartition(nParts, col("file_path"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.parquet(outDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(outDir)).iterator.asScala
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    }
+    files.flatMap { file =>
+      val rowCount = Metrics.parquetRowCount(file, conf)
+      if (rowCount == 0) None // empty shuffle partitions write empty files
+      else Some(ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.PositionDeletes, file, "PARQUET",
+          table.spec.fields.map(_ => null: Any).toIndexedSeq,
+          recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)))))
+    }
+  }
+}
+
 /** MERGE INTO (upsert), copy-on-write — §2.8 extension; the reference
   * models no row-level operation at all (table_scan.cc:288-291 rejects
   * even reading deletes). ANSI MERGE semantics with one WHEN MATCHED
@@ -636,17 +654,35 @@ final class MergeInto(table: IceTable, spark: SparkSession,
   /** Source rows matching no target row are inserted. */
   def whenNotMatchedInsertAll(): MergeInto = { insertUnmatched = true; this }
 
+  /** Merge-on-read: matched target rows are superseded by POSITION
+    * DELETE files instead of rewriting their data files — the
+    * streaming-upsert shape. A broad merge (every file holds a match)
+    * under CoW rewrites the whole table; under MoR it writes keys-sized
+    * delete files plus only the new row versions. The matched-row scan
+    * reads `(_file, _pos)` through the delete-aware table scan, so
+    * merging repeatedly onto an already-MoR table composes correctly
+    * (compaction folds the accumulated deletes back in). */
+  def withMergeOnRead(): MergeInto = { mor = true; this }
+  private var mor = false
+
+  /** Table property set atomically WITH the merge commit (transactional
+    * streaming-sink markers). */
+  def withProperty(key: String, value: String): MergeInto = {
+    props += (key -> value); this
+  }
+  private var props: Map[String, String] = Map.empty
+
   def commit(): Snapshot = {
     require(on.nonEmpty, "merge requires at least one ON column")
     on.foreach { c =>
       require(table.schema.findFieldByName(c).isDefined, s"no target column $c")
       require(source.columns.contains(c), s"no source column $c")
     }
-    table.currentSnapshot.foreach { snap =>
+    if (!mor) table.currentSnapshot.foreach { snap =>
       require(table.planDeleteEntries(snap).isEmpty,
-        "mergeInto is copy-on-write and the table carries live merge-on-read " +
-          "delete files; run compact().binPack() first so the rewrite cannot " +
-          "resurrect deleted rows")
+        "copy-on-write mergeInto on a table carrying live merge-on-read " +
+          "delete files would resurrect deleted rows; use withMergeOnRead() " +
+          "or compact().rewriteDataFiles() first")
     }
     // ANSI cardinality rule: a target row matched by >1 source row is an
     // error, not a nondeterministic pick. One agg over the (small) source.
@@ -654,7 +690,57 @@ final class MergeInto(table: IceTable, spark: SparkSession,
       .filter(col("count") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
       s"source has duplicate ON keys (e.g. ${dupKeys.headOption.mkString})")
+    if (mor) commitMoR() else commitCoW()
+  }
 
+  /** Merge-on-read commit: one pass discovers matched (_file, _pos) and
+    * builds updated rows; inserts anti-join the (key-pruned) scan; both
+    * the new data files and the position-delete files land in ONE
+    * overwrite snapshot. */
+  private def commitMoR(): Snapshot = {
+    val tgtCols = table.schema.fields.map(_.name)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var delEntries: Seq[ManifestEntry] = Nil
+    if (table.currentSnapshot.isDefined) {
+      val scanDF = table.newScan().withMetadataColumns("_file", "_pos").toDF(spark)
+      val joined = scanDF.as("t").join(source.as("s"),
+        on.map(c => col(s"t.$c") === col(s"s.$c")).reduce(_ && _), "inner")
+      val dels = joined.select(col("t._file").as("file_path"), col("t._pos").as("pos"))
+      delEntries = RowDelete.writePositionDeleteEntries(table, spark, dels,
+        table.newScan().planFiles().size)
+      matched match {
+        case UpdateAll =>
+          tgtCols.foreach(c => require(source.columns.contains(c),
+            s"whenMatchedUpdateAll needs source column $c"))
+          parts += source.join(scanDF.select(on.map(col): _*), on, "left_semi")
+            .select(tgtCols.map(col): _*)
+        case UpdateSet(set) =>
+          set.keys.foreach(c => require(tgtCols.contains(c),
+            s"whenMatchedUpdate sets unknown column $c"))
+          parts += joined.select(tgtCols.map { c =>
+            set.get(c).map(sql =>
+              org.apache.spark.sql.functions.expr(sql).as(c)).getOrElse(col(s"t.$c"))
+          }: _*)
+        case DeleteMatched => // superseded rows simply aren't re-added
+      }
+      if (insertUnmatched) {
+        tgtCols.foreach(c => require(source.columns.contains(c),
+          s"whenNotMatchedInsertAll needs source column $c"))
+        parts += source.join(scanDF.select(on.map(col): _*), on, "left_anti")
+          .select(tgtCols.map(col): _*)
+      }
+    } else if (insertUnmatched) {
+      parts += source.select(tgtCols.map(col): _*)
+    }
+    val added = parts.reduceOption(_ unionByName _) match {
+      case Some(df) => SnapshotProducer.writeDataFiles(table, spark, df)
+      case None => Nil
+    }
+    SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
+      addedDeleteEntries = delEntries)
+  }
+
+  private def commitCoW(): Snapshot = {
     val sparkSchema = SparkConv.toSpark(table.schema)
     val allTasks = table.newScan().planFiles()
     val allPaths = allTasks.map(t => ManifestAvro.stripFileScheme(t.file.filePath))

@@ -154,6 +154,41 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming upsert (the CDC-ingest shape): each micro-batch MERGEs
+    * into the table keyed by `on`, merge-on-read — a batch writes
+    * keys-sized position-delete files plus the new row versions, never
+    * rewriting data files in the hot path (compaction folds the deletes
+    * back in off the hot path). Exactly-once: the (queryId, batchId)
+    * marker commits INSIDE the merge's atomic overwrite snapshot, same
+    * discipline as appendStream — a replayed batch is skipped and a
+    * half-applied batch cannot exist. Each batch must carry unique `on`
+    * keys (ANSI MERGE cardinality; MergeInto enforces it). */
+  def upsertStream(stream: DataFrame, table: graft.ice.IceTable, on: Seq[String],
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val queryId = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("default")
+        val prop = lastBatchIdProp(queryId)
+        table.refresh()
+        val done = table.metadata.properties.get(prop).map(_.toLong)
+        if (!done.exists(_ >= batchId)) {
+          table.merge(batch.sparkSession, batch, on)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .withMergeOnRead()
+            .withProperty(prop, batchId.toString)
+            .commit()
+        }
+        ()
+      }
+      .start()
+
   /** Wire a streaming DataFrame to an in-memory sink and process all
     * currently-available data (test/demo harness). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -80,6 +80,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getAs[Long]("user_id") == 8L))
   }
 
+  test("upsertStream merges micro-batches by key (MoR) exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("id", "payload")
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whu").toString)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.upsert"),
+      SparkConv.fromSpark(stream.schema))
+    t.append(spark).appendDataFrame(Seq((1L, "stale"), (2L, "stale")).toDF("id", "payload"))
+    val ckpt = java.nio.file.Files.createTempDirectory("uckpt").toString
+
+    input.addData((1L, "fresh"), (3L, "new"))
+    val q1 = StreamOps.upsertStream(stream, t, Seq("id"), ckpt)
+    assert(q1.awaitTermination(120000), "upsert query did not finish in time")
+    t.refresh()
+    val rows = t.newScan().toDF(spark).as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "fresh", 2L -> "stale", 3L -> "new"))
+    // matched rows were superseded by position deletes, not rewritten:
+    // the original data file survives and a delete file exists
+    assert(t.planDeleteEntries(t.currentSnapshot.get)
+      .exists(_.dataFile.content == graft.ice.manifest.FileContent.PositionDeletes))
+
+    // restart from the same checkpoint: a later batch updates key 3;
+    // the first batch is NOT replayed (its marker advanced)
+    input.addData((3L, "newer"))
+    val q2 = StreamOps.upsertStream(stream, t, Seq("id"), ckpt)
+    assert(q2.awaitTermination(120000), "restarted upsert did not finish in time")
+    t.refresh()
+    val rows2 = t.newScan().toDF(spark).as[(Long, String)].collect().toMap
+    assert(rows2 == Map(1L -> "fresh", 2L -> "stale", 3L -> "newer"))
+  }
+
   test("appendStream ingests micro-batches into the table exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

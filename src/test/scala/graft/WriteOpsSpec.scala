@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ice._
 import graft.ice.catalog._
 import graft.ice.expr.{Expr => E}
+import graft.ice.manifest.FileContent
 import graft.ice.meta._
 import graft.ice.transform._
 import graft.ice.types._
@@ -182,6 +183,47 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     t.merge(spark, delKeys, Seq("o_orderkey")).whenMatchedDelete().commit()
     assert(t.newScan().toDF(spark).count() ==
       raw.count() - delKeys.count())
+  }
+
+  test("mergeInto withMergeOnRead supersedes rows via position deletes") {
+    val (t, raw) = freshTable("mrgmor")
+    val dataFilesBefore = t.newScan().planFiles().map(_.file.filePath).toSet
+
+    val src = raw.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(11.25))
+      .unionByName(raw.limit(2).withColumn("o_orderkey", col("o_orderkey") + 8000000L))
+    val snap = t.merge(spark, src, Seq("o_orderkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withMergeOnRead().commit()
+    assert(snap.operation.contains("overwrite"))
+
+    // NO pre-existing data file was rewritten — they all survive
+    val filesAfter = t.newScan().planFiles().map(_.file.filePath).toSet
+    assert(dataFilesBefore.subsetOf(filesAfter))
+    // and a position-delete file now exists
+    val delEntries = t.planDeleteEntries(t.currentSnapshot.get)
+    assert(delEntries.exists(_.dataFile.content == FileContent.PositionDeletes))
+
+    val matched = raw.filter(col("o_orderkey") % 4 === 0).count()
+    val after = t.newScan().toDF(spark)
+    assert(after.count() == raw.count() + 2)
+    assert(after.filter(col("o_totalprice") === 11.25).count() == matched)
+
+    // a SECOND MoR merge composes on the now-MoR table: re-update the
+    // same keys; delete-aware (_file,_pos) must not resurrect anything
+    val src2 = raw.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(99.75))
+    t.merge(spark, src2, Seq("o_orderkey"))
+      .whenMatchedUpdateAll().withMergeOnRead().commit()
+    val after2 = t.newScan().toDF(spark)
+    assert(after2.count() == raw.count() + 2)
+    assert(after2.filter(col("o_totalprice") === 99.75).count() == matched)
+    assert(after2.filter(col("o_totalprice") === 11.25).count() == 0)
+
+    // compaction folds the accumulated deletes back into plain files
+    t.compact(spark).rewriteDataFiles(smallFileThreshold = Long.MaxValue)
+    assert(t.planDeleteEntries(t.currentSnapshot.get).isEmpty)
+    assert(t.newScan().toDF(spark).count() == raw.count() + 2)
   }
 
   test("mergeInto refuses duplicate source keys and MoR-laden tables") {

@@ -1315,6 +1315,10 @@ object StreamUpsertFixture {
             "st_upsert_table fixture: streaming upsert did not finish in 120s")
         }
         t.refresh()
+        // the maintenance step that makes per-batch MoR merging viable
+        // long-term: collapse the accumulated per-batch delete files
+        // (semantic no-op — the oracle stays a plain SELECT)
+        t.compact(spark).rewritePositionDeletes()
         t
       }
     })

@@ -905,6 +905,41 @@ final class Compaction(table: IceTable, spark: SparkSession) {
       removedPaths = rewritePaths ++ removedDeletePaths,
       extraSummary = Map("compacted-files" -> toRewrite.size.toString))
   }
+
+  /** Compact accumulated position-delete files WITHOUT touching data
+    * files — the maintenance step a streaming MoR upsert makes necessary:
+    * every micro-batch merge adds small delete files, and each one is an
+    * extra anti-join side on every scan. Reads all live parquet
+    * position-delete files, drops duplicate tuples and tuples whose data
+    * file is no longer live, and rewrites them clustered by file_path
+    * into ~one delete file per shuffle partition. Deletion vectors
+    * (puffin) and equality deletes are left alone. Safe on sequence
+    * numbers: tuples name exact (file, pos) targets and paths are never
+    * reused, so carrying them at the new commit's higher sequence number
+    * cannot widen their effect. */
+  def rewritePositionDeletes(): Snapshot = {
+    import spark.implicits._
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException("empty table: nothing to rewrite"))
+    val posParquet = table.planDeleteEntries(snap).filter(e =>
+      e.dataFile.content == FileContent.PositionDeletes &&
+        e.dataFile.fileFormat == "PARQUET")
+    if (posParquet.isEmpty) return snap
+    val liveFiles = table.newScan().planFiles()
+      .map(t => ManifestAvro.stripFileScheme(t.file.filePath)).toDF("__live")
+    val dels = spark.read
+      .parquet(posParquet.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
+      .select(regexp_replace(col("file_path"), "^file:/*", "/").as("file_path"),
+        col("pos"))
+      .distinct() // overlapping merges may have deleted the same position twice
+      .join(broadcast(liveFiles), col("file_path") === col("__live"), "left_semi")
+    val entries = RowDelete.writePositionDeleteEntries(table, spark, dels,
+      posParquet.size)
+    SnapshotProducer.commit(table, spark, DataOperation.Replace, Nil,
+      removedPaths = posParquet.map(_.dataFile.filePath).toSet,
+      addedDeleteEntries = entries,
+      extraSummary = Map("rewritten-delete-files" -> posParquet.size.toString))
+  }
 }
 
 /** Manifest + file maintenance beyond data compaction. */

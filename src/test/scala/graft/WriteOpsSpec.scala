@@ -226,6 +226,40 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().toDF(spark).count() == raw.count() + 2)
   }
 
+  test("rewritePositionDeletes compacts delete files, data untouched") {
+    val (t, raw) = freshTable("rpd")
+    // three successive MoR merges -> three generations of delete files
+    (1 to 3).foreach { i =>
+      t.merge(spark,
+        raw.filter(col("o_orderkey") % 6 === 0).withColumn("o_totalprice", lit(i.toDouble)),
+        Seq("o_orderkey")).whenMatchedUpdateAll().withMergeOnRead().commit()
+    }
+    // identical positional deletes: the second raw-reads the same rows
+    // again, producing EXACT duplicate (file, pos) tuples
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(50)))
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(50)))
+
+    val delsBefore = t.planDeleteEntries(t.currentSnapshot.get)
+      .filter(_.dataFile.content == FileContent.PositionDeletes)
+    assert(delsBefore.size >= 5)
+    val dataBefore = t.newScan().planFiles().map(_.file.filePath).toSet
+    val rowsBefore = t.newScan().toDF(spark).count()
+    val matched = raw.filter(col("o_orderkey") % 6 === 0 && col("o_orderkey") >= 50).count()
+
+    t.compact(spark).rewritePositionDeletes()
+    val delsAfter = t.planDeleteEntries(t.currentSnapshot.get)
+      .filter(_.dataFile.content == FileContent.PositionDeletes)
+    assert(delsAfter.nonEmpty && delsAfter.size < delsBefore.size)
+    // the duplicated generation collapsed: strictly fewer tuples on disk
+    assert(delsAfter.map(_.dataFile.recordCount).sum <
+      delsBefore.map(_.dataFile.recordCount).sum)
+    // data files untouched; scan result identical
+    assert(t.newScan().planFiles().map(_.file.filePath).toSet == dataBefore)
+    assert(t.newScan().toDF(spark).count() == rowsBefore)
+    assert(t.newScan().toDF(spark)
+      .filter(col("o_totalprice") === 3.0).count() == matched)
+  }
+
   test("mergeInto refuses duplicate source keys and MoR-laden tables") {
     val (t, raw) = freshTable("mrg3")
     val dup = raw.limit(1).unionByName(raw.limit(1))

@@ -470,6 +470,33 @@ object SparkEntry {
       t.newScan().toDF(s)
     }),
 
+    // write-audit-publish: data lands on an "audit" branch (invisible to
+    // main readers), a validation gate checks it, then main FAST-FORWARDS
+    // to the audited head — publish is a metadata-only pointer move, no
+    // data rewrite at any scale
+    "t2_wap" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("tpch"), "supplier_wap")
+      val t =
+        if (cat.tableExists(ident)) IceTable.load(cat, ident)
+        else {
+          val raw = Tables.raw(s, dir, "supplier")
+          val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+          val s0 = created.append(s).appendDataFrame(raw.filter(col("s_suppkey") % 2 === 0))
+          created.manageSnapshots().createBranch("audit", s0.snapshotId)
+          created.append(s).toBranch("audit")
+            .appendDataFrame(raw.filter(col("s_suppkey") % 2 =!= 0))
+          // audit gate: the staged branch must hold the complete table
+          require(created.newScan().useRef("audit").toDF(s).count() == raw.count(),
+            "audit validation failed; NOT publishing")
+          created.manageSnapshots().fastForward("main", "audit")
+          created
+        }
+      t.newScan().toDF(s)
+    }),
+
     // partition-spec evolution: half the rows under a year spec, half
     // under its month successor; one scan reads and prunes across both
     "t_spec_evolution" -> ((s, dir) =>
@@ -981,6 +1008,7 @@ object SparkEntry {
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
     "c_rest" -> "SELECT * FROM region",
+    "t2_wap" -> "SELECT * FROM supplier",
     "mrg_upsert" -> ("""
       SELECT o_orderkey, o_custkey, o_orderstatus,
              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,

@@ -1114,6 +1114,39 @@ final class ManageSnapshots(table: IceTable) {
   def setMaxRefAgeMs(ref: String, ms: Long): ManageSnapshots =
     updateRef(ref)(_.copy(maxRefAgeMs = Some(ms)))
 
+  /** Fast-forward `branch` to the head of `toRef` (Iceberg
+    * fast_forward): allowed only when the branch's head is an ancestor
+    * of the target head (or the branch does not exist yet) — the branch
+    * gains exactly the commits staged on the target and can never lose
+    * one. This is the publish half of write-audit-publish: stage writes
+    * on an audit branch, validate them, fast-forward main. */
+  def fastForward(branch: String, toRef: String): ManageSnapshots = {
+    table.commit { base =>
+      val target = base.ref(toRef).map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"unknown ref '$toRef'"))
+      val cur = base.refs.get(branch)
+      cur.foreach(c => require(c.refType == "branch", s"'$branch' is not a branch"))
+      val ancestorsOfTarget = Iterator.iterate(base.snapshotById(target))(
+        _.flatMap(_.parentSnapshotId).flatMap(base.snapshotById))
+        .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+      cur.foreach(c => require(ancestorsOfTarget.contains(c.snapshotId),
+        s"cannot fast-forward: $branch head ${c.snapshotId} is not an " +
+          s"ancestor of $toRef head $target (a merge would lose commits)"))
+      val now = System.currentTimeMillis()
+      val newRef = cur.map(_.copy(snapshotId = target))
+        .getOrElse(SnapshotRef(target, "branch"))
+      val isMain = branch == "main"
+      base.copy(
+        refs = base.refs.updated(branch, newRef),
+        currentSnapshotId = if (isMain) Some(target) else base.currentSnapshotId,
+        snapshotLog =
+          if (isMain) base.snapshotLog :+ SnapshotLogEntry(now, target)
+          else base.snapshotLog,
+        lastUpdatedMs = now)
+    }
+    this
+  }
+
   /** Roll main back to an existing snapshot (Iceberg
     * rollback_to_snapshot): current state becomes `snapshotId`, history
     * gets a new log entry, NOTHING is deleted — the abandoned snapshots

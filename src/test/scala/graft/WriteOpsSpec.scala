@@ -549,6 +549,34 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t1.newScan().toDF(spark).count() == raw.filter("n_nationkey >= 3").count())
   }
 
+  test("fastForward publishes an audited branch; non-ancestor refuses") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whff").toString)
+    val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.wap"),
+      SparkConv.fromSpark(raw.schema))
+    val s0 = t.append(spark).appendDataFrame(raw.limit(10))
+    t.manageSnapshots().createBranch("audit", s0.snapshotId)
+    t.append(spark).toBranch("audit").appendDataFrame(raw.limit(5))
+
+    // main still shows only the pre-audit rows
+    assert(t.newScan().toDF(spark).count() == 10)
+    t.manageSnapshots().fastForward("main", "audit")
+    assert(t.newScan().toDF(spark).count() == 15)
+    assert(t.metadata.currentSnapshotId == t.refs.get("audit").map(_.snapshotId))
+    // history gained a log entry for the publish
+    assert(t.history.last.snapshotId == t.refs("audit").snapshotId)
+
+    // diverge main past audit: fast-forwarding main BACK must refuse
+    t.append(spark).appendDataFrame(raw.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      t.manageSnapshots().fastForward("main", "audit")
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+    // fast-forward may CREATE a missing branch at the target
+    t.manageSnapshots().fastForward("release", "main")
+    assert(t.refs("release").snapshotId == t.metadata.currentSnapshotId.get)
+  }
+
   test("writers on different branches both succeed; schema races fail fast") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/nation.parquet")

@@ -375,6 +375,18 @@ object SparkEntry {
       MetadataTables.statistics(s, t).select("column_name", "ndv")
     }),
 
+    // partition statistics FILE (metadata-only in the reference):
+    // manifest-aggregated per-partition counts written as a registered
+    // parquet file, read back through the metadata table — the oracle
+    // recomputes the same counts from the raw data
+    "m_partition_stats" -> ((s, dir) => {
+      import graft.ice.write.Statistics
+      val t = Tables.ice(s, dir, "orders")
+      Statistics.computePartitionStats(t, s)
+      MetadataTables.partitionStatistics(s, t)
+        .select("partition", "data_record_count", "total_record_count")
+    }),
+
     // register raw (id-less) parquet as table data without rewrite; the
     // scan falls back to name-based column resolution
     "c_addfiles" -> ((s, dir) =>
@@ -1046,6 +1058,12 @@ object SparkEntry {
         |UNION ALL SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
         |UNION ALL SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
         |UNION ALL SELECT 'o_orderdate', CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders""".stripMargin,
+    "m_partition_stats" ->
+      """SELECT CAST((year(CAST(o_orderdate AS TIMESTAMP)) - 1970) * 12
+        |    + month(CAST(o_orderdate AS TIMESTAMP)) - 1 AS VARCHAR) AS partition,
+        |  CAST(count(*) AS BIGINT) AS data_record_count,
+        |  CAST(count(*) AS BIGINT) AS total_record_count
+        |FROM orders GROUP BY 1""".stripMargin,
     "del_cow" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (o_orderkey % 7 = 0)""".stripMargin,

@@ -93,6 +93,17 @@ object MetadataTables {
     }.toDF("snapshot_id", "path", "blob_type", "column_name", "ndv")
   }
 
+  /** The registered partition-statistics file for the current snapshot,
+    * read back as a DataFrame (computePartitionStats writes it). */
+  def partitionStatistics(spark: SparkSession, table: IceTable): DataFrame = {
+    val cur = table.currentSnapshot.map(_.snapshotId)
+    val psf = table.metadata.partitionStatistics
+      .filter(p => cur.contains(p.snapshotId))
+    require(psf.nonEmpty, "no partition statistics registered for the " +
+      "current snapshot; run Statistics.computePartitionStats first")
+    spark.read.parquet(psf.map(_.path): _*)
+  }
+
   def partitions(spark: SparkSession, table: IceTable): DataFrame = {
     import spark.implicits._
     val entries = table.currentSnapshot

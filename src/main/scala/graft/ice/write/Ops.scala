@@ -997,6 +997,10 @@ final class TableMaintenance(table: IceTable) {
       k: Int = 16384): graft.ice.meta.StatisticsFile =
     Statistics.compute(table, spark, columns, k)
 
+  def computePartitionStatistics(
+      spark: SparkSession): graft.ice.meta.PartitionStatisticsFile =
+    Statistics.computePartitionStats(table, spark)
+
   /** Delete files under the table location that no snapshot references
     * and that are older than `olderThanMs` (Iceberg remove_orphan_files;
     * the age guard protects in-flight writes). Driver-side listing — at

@@ -121,4 +121,60 @@ object Statistics {
       lastUpdatedMs = System.currentTimeMillis()))
     statsFile
   }
+
+  /** Compute + register a PARTITION statistics file (the spec's
+    * partition-statistics list; metadata-only in the reference,
+    * statistics_file.h:96-120): one row per (partition, spec_id) with
+    * data/delete file counts, record counts and byte sizes, written as a
+    * parquet file sorted by partition and registered in table metadata.
+    *
+    * Scale shape: aggregates MANIFEST metadata only — no data file is
+    * opened; the row count is bounded by the live partition count. The
+    * `partition` column is the same human-readable `/`-joined transform
+    * tuple the `partitions` metadata table exposes (the typed tuple
+    * remains available per-row via the `_partition` metadata column). */
+  def computePartitionStats(table: IceTable,
+      spark: SparkSession): graft.ice.meta.PartitionStatisticsFile = {
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException("computePartitionStats: table has no snapshot"))
+    def key(p: IndexedSeq[Any]): String =
+      p.map(v => if (v == null) "null" else v.toString).mkString("/")
+    val data = table.planEntries(snap, None).map(e => (e, e.specId))
+    val dels = table.planDeleteEntries(snap)
+    val parts = (data.map(_._1.dataFile.partition) ++ dels.map(_.dataFile.partition))
+      .map(key).distinct.sorted
+    import graft.ice.manifest.FileContent
+    val rows = parts.map { p =>
+      val d = data.filter(x => key(x._1.dataFile.partition) == p)
+      val (pos, eq) = dels.filter(x => key(x.dataFile.partition) == p)
+        .partition(_.dataFile.content == FileContent.PositionDeletes)
+      (p,
+        d.map(_._2).distinct.sorted.lastOption.getOrElse(table.spec.specId),
+        d.map(_._1.dataFile.recordCount).sum,
+        d.size.toLong,
+        d.map(_._1.dataFile.fileSizeInBytes).sum,
+        pos.map(_.dataFile.recordCount).sum, pos.size.toLong,
+        eq.map(_.dataFile.recordCount).sum, eq.size.toLong,
+        d.map(_._1.dataFile.recordCount).sum - pos.map(_.dataFile.recordCount).sum,
+        snap.timestampMs, snap.snapshotId)
+    }
+    import spark.implicits._
+    val df = rows.toDF("partition", "spec_id", "data_record_count",
+      "data_file_count", "total_data_file_size_in_bytes",
+      "position_delete_record_count", "position_delete_file_count",
+      "equality_delete_record_count", "equality_delete_file_count",
+      "total_record_count", "last_updated_at", "last_updated_snapshot_id")
+    val dir = s"${table.metadataFileDir}/${java.util.UUID.randomUUID()}-partition-stats"
+    df.coalesce(1).sortWithinPartitions("partition").write.parquet(dir)
+    import scala.jdk.CollectionConverters._
+    val file = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator.asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+    val psf = graft.ice.meta.PartitionStatisticsFile(snap.snapshotId, file,
+      java.nio.file.Files.size(java.nio.file.Paths.get(file)))
+    table.commit(base => base.copy(
+      partitionStatistics =
+        base.partitionStatistics.filterNot(_.snapshotId == snap.snapshotId) :+ psf,
+      lastUpdatedMs = System.currentTimeMillis()))
+    psf
+  }
 }

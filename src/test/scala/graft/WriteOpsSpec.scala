@@ -549,6 +549,29 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t1.newScan().toDF(spark).count() == raw.filter("n_nationkey >= 3").count())
   }
 
+  test("partition statistics file counts data AND delete files per partition") {
+    val (t, raw) = freshTable("pstats")
+    // add MoR deletes so the delete columns are exercised
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(100)))
+    val psf = t.maintenance().computePartitionStatistics(spark)
+    assert(t.metadata.partitionStatistics.exists(_.path == psf.path))
+
+    val df = MetadataTables.partitionStatistics(spark, t)
+    // unpartitioned: exactly one row, keyed by the empty tuple
+    assert(df.count() == 1)
+    val row = df.head
+    val deleted = raw.filter(col("o_orderkey") < 100).count()
+    assert(row.getAs[Long]("data_record_count") == raw.count())
+    assert(row.getAs[Long]("position_delete_record_count") == deleted)
+    assert(row.getAs[Long]("position_delete_file_count") >= 1)
+    assert(row.getAs[Long]("total_record_count") == raw.count() - deleted)
+    assert(row.getAs[Long]("last_updated_snapshot_id") ==
+      t.currentSnapshot.get.snapshotId)
+    // recompute replaces (not duplicates) the registration for a snapshot
+    t.maintenance().computePartitionStatistics(spark)
+    assert(t.metadata.partitionStatistics.size == 1)
+  }
+
   test("fastForward publishes an audited branch; non-ancestor refuses") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whff").toString)
     val raw = spark.read.parquet(s"$sfDir/nation.parquet")

@@ -1354,11 +1354,13 @@ object StreamUpsertFixture {
           .select("event_id", "user_id", "event_type", "value")
         val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
         val q = graft.streaming.StreamOps.upsertStream(stream, t, Seq("event_id"), ckpt)
-        if (!q.awaitTermination(120000)) {
+        // merge-per-batch does strictly more than append-per-batch; give
+        // the 10x/30x scale fixtures headroom
+        if (!q.awaitTermination(300000)) {
           try q.stop() catch { case _: Throwable => () }
           cat.dropTable(ident, purge = true)
           throw new IllegalStateException(
-            "st_upsert_table fixture: streaming upsert did not finish in 120s")
+            "st_upsert_table fixture: streaming upsert did not finish in 300s")
         }
         t.refresh()
         // the maintenance step that makes per-batch MoR merging viable

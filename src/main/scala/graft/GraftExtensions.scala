@@ -41,6 +41,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "usage: graft_shingles(text, n)")
         ShinglesExpr(children.head, intLit(children(1), "n"))
+      }),
+    (FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[graft.ice.transform.ZValueExpr].getName, "graft_zvalue"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty, "usage: graft_zvalue(col1, col2, ...)")
+        graft.ice.transform.ZValueExpr(children)
       }))
 
   /** Register on an already-built session. */
@@ -50,8 +56,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the codegen function surface
+  * plus SQL table resolution over `graft.<ns>.<table>` identifiers
+  * (see GraftTableResolution). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    // hint-resolution batch: runs BEFORE ResolveRelations, which would
+    // otherwise reject the 3-part `graft.db.t` name against the V1
+    // session catalog (requiresSinglePartNamespace) before our rule fires
+    ext.injectHintResolutionRule(session => GraftTableResolution(session))
+  }
 }

@@ -568,6 +568,27 @@ object SparkEntry {
     "maint_compaction" -> ((s, dir) => CompactionFixture.table(s, dir).newScan().toDF(s)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")),
 
+    // pure-SQL surface: the analyzer rule resolves graft.<ns>.<table>
+    // identifiers to full metadata-planned scans (GraftTableResolution);
+    // time-travel SQL forms are pinned in GraftSqlSpec
+    "sql_catalog" -> ((s, dir) => {
+      Tables.ice(s, dir, "nation"); Tables.ice(s, dir, "region")
+      s.conf.set("spark.graft.warehouse", Tables.warehouseDir(dir))
+      s.sql(
+        """SELECT r.r_name, count(*) AS n_nations
+          |FROM graft.tpch.nation n
+          |JOIN graft.tpch.region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)
+    }),
+
+    // z-order layout rewrite: a 2-D box predicate over the curve columns
+    // reads the curve-tiled table; the oracle reads raw parquet. The
+    // both-dimension file-pruning claim itself is pinned in ZOrderSpec.
+    "maint_zorder" -> ((s, dir) => ZOrderFixture.table(s, dir).newScan()
+      .filter(E.lt("l_orderkey", Literal.long(1000L))
+        .and(E.lt("l_partkey", Literal.long(500L))))
+      .toDF(s).select("l_orderkey", "l_partkey", "l_quantity")),
+
     // CDC: the rows the MoR position-delete snapshot deleted
     "cdc_changes" -> ((s, dir) => {
       val t = DeleteFixture.morPos(s, dir)
@@ -1078,6 +1099,13 @@ object SparkEntry {
         |WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)""".stripMargin,
     "maint_compaction" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "maint_zorder" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey < 1000 AND l_partkey < 500""".stripMargin,
+    "sql_catalog" ->
+      """SELECT r.r_name, count(*) AS n_nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin,
     "d1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS copies FROM documents GROUP BY text",
     "d6_dedup_survivors" ->
@@ -1692,6 +1720,33 @@ object OverwriteFixture {
 /** Compaction fixture: orders + two tiny appends of EXTRA rows would change
   * content, so instead: orders split into 4 small appends, then compacted —
   * content equals plain orders. */
+/** Z-order layout rewrite over lineitem: unsorted multi-file appends,
+  * then one curve rewrite on (l_orderkey, l_partkey). */
+object ZOrderFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "lineitem_zorder")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        for (i <- 0 until 4)
+          t.append(spark).appendDataFrame(raw.filter(s"l_partkey % 4 = $i"))
+        t.compact(spark).zorder(Seq("l_orderkey", "l_partkey"),
+          targetFileSizeBytes = 16L * 1024 * 1024)
+        t
+      }
+    })
+}
+
 object CompactionFixture {
   import graft.ice._
   import graft.ice.catalog._

@@ -24,6 +24,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.cleaner.periodicGC.interval", "1min")
       // see Bench.scala: keep the JVM-global state-store maintenance
       // timer from firing during shutdown

@@ -153,7 +153,8 @@ private[ice] object SnapshotProducer {
     * manifest entries (shared by compaction/overwrite; same machinery as
     * AppendOp but without committing). */
   def writeDataFiles(table: IceTable, spark: SparkSession, df: DataFrame,
-      targetFileSizeBytes: Long = 0L, inputBytes: Long = -1L): Seq[ManifestEntry] = {
+      targetFileSizeBytes: Long = 0L, inputBytes: Long = -1L,
+      shapeOverride: Option[(DataFrame, Int) => DataFrame] = None): Seq[ManifestEntry] = {
     val schema = table.schema
     val spec = table.spec
     val commitUuid = UUID.randomUUID().toString
@@ -186,14 +187,17 @@ private[ice] object SnapshotProducer {
             else table.newScan().planFiles().map(_.file.fileSizeInBytes).sum
           math.max(1, math.ceil(bytes.toDouble / targetFileSizeBytes).toInt)
         } else 0
-      val shaped =
-        if (order.fields.nonEmpty) {
-          val cols = WriteShape.sortCols(schema, order)
-          val ranged = if (n > 0) aligned.repartitionByRange(n, cols: _*)
-            else aligned.repartitionByRange(cols: _*)
-          ranged.sortWithinPartitions(cols: _*)
-        } else if (n > 0) aligned.repartition(n)
-        else aligned
+      val shaped = shapeOverride match {
+        case Some(shape) => shape(aligned, n)
+        case None =>
+          if (order.fields.nonEmpty) {
+            val cols = WriteShape.sortCols(schema, order)
+            val ranged = if (n > 0) aligned.repartitionByRange(n, cols: _*)
+              else aligned.repartitionByRange(cols: _*)
+            ranged.sortWithinPartitions(cols: _*)
+          } else if (n > 0) aligned.repartition(n)
+          else aligned
+      }
       writeFormat match {
         case "PARQUET" => shaped.write.mode("append").parquet(outDir)
         case "AVRO" =>
@@ -904,6 +908,52 @@ final class Compaction(table: IceTable, spark: SparkSession) {
     SnapshotProducer.commit(table, spark, DataOperation.Replace, added,
       removedPaths = rewritePaths ++ removedDeletePaths,
       extraSummary = Map("compacted-files" -> toRewrite.size.toString))
+  }
+
+  /** Rewrite ALL live data files clustered along a Z-order curve over
+    * `cols` (the layout-optimization rewrite real lakehouse maintenance
+    * jobs run; absent from the reference, which cannot rewrite at all).
+    * Each row's curve key is the bit-interleave of order-preserving
+    * 64-bit column codes (ZValueExpr, whole-stage codegen), the rewrite
+    * is ONE range-repartition on that key — a single shuffle whose
+    * partition count is sized from input bytes / target file size, so it
+    * holds at any scale — and every output file then has tight min/max
+    * bounds on EVERY curve column simultaneously: scan planning (S6)
+    * prunes files for predicates on ANY of the columns, not just a
+    * leading sort key. Merge-on-read deletes are folded in (the source
+    * is a full MoR scan) and their files removed, like rewriteDataFiles. */
+  def zorder(cols: Seq[String], targetFileSizeBytes: Long = -1L): Snapshot = {
+    require(cols.nonEmpty, "zorder needs at least one column")
+    require(table.spec.isUnpartitioned,
+      "zorder rewrites unpartitioned tables; partitioned tables take their " +
+        "clustering from the partition spec")
+    cols.foreach(c => require(table.schema.findFieldByName(c).isDefined,
+      s"zorder column '$c' not in table schema"))
+    val targetSize = if (targetFileSizeBytes >= 0) targetFileSizeBytes
+      else table.metadata.property(TableProperties.WriteTargetFileSizeBytes)
+    val all = table.newScan().planFiles()
+    val snap = table.currentSnapshot.getOrElse(
+      throw new IllegalStateException("empty table: nothing to z-order"))
+    if (all.isEmpty) return snap
+    val source = table.newScan().toDF(spark) // deletes applied
+    val zkey = "__gz"
+    val shape: (DataFrame, Int) => DataFrame = { (aligned, n) =>
+      val withZ = aligned.withColumn(zkey,
+        graft.ice.transform.ZValueExpr.zvalue(cols.map(aligned(_))))
+      val ranged = if (n > 0) withZ.repartitionByRange(n, col(zkey))
+        else withZ.repartitionByRange(col(zkey))
+      // projection after the sort is narrow: row order survives the drop
+      ranged.sortWithinPartitions(zkey).drop(zkey)
+    }
+    val added = SnapshotProducer.writeDataFiles(table, spark, source, targetSize,
+      inputBytes = all.map(_.file.fileSizeInBytes).sum, shapeOverride = Some(shape))
+    val removedDeletePaths =
+      table.planDeleteEntries(snap).map(_.dataFile.filePath).toSet
+    SnapshotProducer.commit(table, spark, DataOperation.Replace, added,
+      removedPaths = all.map(_.file.filePath).toSet ++ removedDeletePaths,
+      extraSummary = Map(
+        "compacted-files" -> all.size.toString,
+        "zorder-cols" -> cols.mkString(",")))
   }
 
   /** Compact accumulated position-delete files WITHOUT touching data

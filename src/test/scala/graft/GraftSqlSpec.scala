@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice._
+import graft.ice.catalog._
+import graft.ice.types._
+
+/** Pure-SQL table resolution (GraftTableResolution): `graft.<ns>.<t>`
+  * identifiers, VERSION AS OF (snapshot id AND branch/tag names),
+  * TIMESTAMP AS OF — each pinned equal to the Scala scan API. */
+class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = {
+    // this suite NEEDS its own session: extensions only apply at build
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("whsql").toString
+
+  /** db.t with two snapshots (5 then +5 rows) and a branch pinned at
+    * the first. */
+  private lazy val table: IceTable = {
+    val cat = new DirCatalog(warehouse)
+    val df1 = spark.range(0, 5).selectExpr("id", "id * 10 as v")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.t"),
+      SparkConv.fromSpark(df1.schema))
+    t.append(spark).appendDataFrame(df1)
+    val first = t.currentSnapshot.get.snapshotId
+    t.manageSnapshots().createBranch("audit", first)
+    t.append(spark).appendDataFrame(spark.range(5, 10).selectExpr("id", "id * 10 as v"))
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    t
+  }
+
+  test("SELECT over graft.<ns>.<table> resolves to the planned scan") {
+    val t = table
+    val viaSql = spark.sql(
+      "SELECT t.id, v FROM graft.db.t WHERE v >= 20 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = t.newScan().toDF(spark).filter("v >= 20").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.size == 8)
+  }
+
+  test("joins and aggregates over two graft relations") {
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM graft.db.t a JOIN graft.db.t b ON a.id = b.id"""
+    ).collect().head.getLong(0)
+    assert(n == 10L)
+  }
+
+  test("VERSION AS OF snapshot id, branch name, and TIMESTAMP AS OF") {
+    val t = table
+    val snaps = t.snapshots.sortBy(_.sequenceNumber)
+    // refs (branch create) commit metadata without snapshots: the FIRST
+    // data snapshot is the one the branch pins
+    val firstData = snaps.head
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.t VERSION AS OF ${firstData.snapshotId}")
+      .collect().head.getLong(0) == 5L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t VERSION AS OF 'audit'")
+      .collect().head.getLong(0) == 5L)
+    // millisecond precision: truncating to seconds could land BEFORE
+    // the first snapshot and fail the as-of lookup
+    val asOf = java.time.Instant.ofEpochMilli(firstData.timestampMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.t TIMESTAMP AS OF '$asOf'")
+      .collect().head.getLong(0) == 5L)
+  }
+
+  test("without the warehouse conf the rule stays inert") {
+    table // force fixture (sets the conf)
+    spark.conf.unset("spark.graft.warehouse")
+    try {
+      // without the conf the name falls through to Spark's own catalogs
+      // and fails analysis (exact error class is Spark's business)
+      intercept[Exception](spark.sql("SELECT * FROM graft.db.t").collect())
+    } finally spark.conf.set("spark.graft.warehouse", warehouse)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t")
+      .collect().head.getLong(0) == 10L)
+  }
+}

@@ -1,10 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ice.{IceTable, ScanBuilder}
@@ -68,6 +69,13 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
   // UnresolvedRelation, or the bare-relation case would swallow the
   // time-travel clause
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case InsertIntoStatement(u: UnresolvedRelation, partSpec, userCols, query, overwrite, _, byName)
+        if isGraft(u.multipartIdentifier) =>
+      require(partSpec.isEmpty,
+        "static PARTITION clauses are not supported: graft tables take " +
+          "their partitioning from the table spec (dynamic on overwrite)")
+      GraftInsertCommand(session.conf.get(ConfKey), u.multipartIdentifier,
+        query, overwrite, userCols, byName)
     case u: UnresolvedRelation if isGraft(u.multipartIdentifier) =>
       scanPlan(u.multipartIdentifier, identity)
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
@@ -81,5 +89,55 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
           scanPlan(u.multipartIdentifier, _.asOfTimestamp(tsMillis(e)))
         case (None, None) => scanPlan(u.multipartIdentifier, identity)
       }
+  }
+}
+
+/** `INSERT INTO|OVERWRITE graft.<ns>.<t> <query>`: the source query is
+  * analyzed and executed at run time, then committed through the same
+  * append/overwrite snapshot producers as the Scala API — one atomic
+  * commit, retried under the C5 protocol like any other writer. INSERT
+  * OVERWRITE is dynamic-partition overwrite on partitioned tables and
+  * truncate-and-load on unpartitioned ones (the Hive-compatible
+  * semantics Spark users expect). */
+final case class GraftInsertCommand(warehouse: String, parts: Seq[String],
+    query: LogicalPlan, overwrite: Boolean, userCols: Seq[String],
+    byName: Boolean = false)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(query)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    var df = org.apache.spark.sql.GraftColumnBridge.ofRows(session, query)
+    // SQL INSERT is positional; a column list reorders/subsets, with
+    // unmentioned table columns going NULL
+    val target = t.schema.fields.map(_.name)
+    if (byName) {
+      // INSERT BY NAME: the query's column names drive the mapping;
+      // unmentioned table columns go NULL
+      var named = df
+      target.filterNot(df.columns.contains).foreach(c =>
+        named = named.withColumn(c, org.apache.spark.sql.functions.lit(null)))
+      df = named.select(target.map(org.apache.spark.sql.functions.col): _*)
+    } else if (userCols.nonEmpty) {
+      require(userCols.size == df.columns.length,
+        s"INSERT column list has ${userCols.size} names but the query " +
+          s"produces ${df.columns.length} columns")
+      var named = df.toDF(userCols: _*)
+      target.filterNot(userCols.contains).foreach(c =>
+        named = named.withColumn(c, org.apache.spark.sql.functions.lit(null)))
+      df = named.select(target.map(org.apache.spark.sql.functions.col): _*)
+    } else {
+      require(df.columns.length == target.length,
+        s"INSERT query produces ${df.columns.length} columns; the table " +
+          s"has ${target.length}")
+      df = df.toDF(target.toSeq: _*)
+    }
+    if (overwrite) {
+      if (t.spec.isUnpartitioned) t.overwrite(session).replaceAll(df)
+      else t.overwrite(session).dynamic(df)
+    } else t.append(session).appendDataFrame(df)
+    Seq.empty
   }
 }

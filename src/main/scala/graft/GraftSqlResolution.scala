@@ -1,15 +1,20 @@
 package graft
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ice.{IceTable, ScanBuilder}
 import graft.ice.catalog.{DirCatalog, TableIdentifier}
+import graft.ice.expr.{Expr => E, NotE, Predicate, RawE}
+import graft.ice.meta.TableProperties
+import graft.ice.types.{Literal => IceLit}
 
 /** Pure-SQL access to graft tables: an analyzer rule (injected via
   * `spark.sql.extensions=graft.GraftExtensions`) resolves
@@ -76,6 +81,25 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
           "their partitioning from the table spec (dynamic on overwrite)")
       GraftInsertCommand(session.conf.get(ConfKey), u.multipartIdentifier,
         query, overwrite, userCols, byName)
+    // conditions/assignments travel as SQL TEXT, not Expression fields:
+    // a command's expression-typed members are visited by CheckAnalysis,
+    // which would reject the (deliberately unresolved) predicate
+    case DeleteFromTable(GraftTarget(u), cond)
+        if isGraft(u.multipartIdentifier) =>
+      GraftDeleteCommand(session.conf.get(ConfKey), u.multipartIdentifier, cond.sql)
+    case UpdateTable(GraftTarget(u), assignments, cond)
+        if isGraft(u.multipartIdentifier) =>
+      val set = assignments.map { case Assignment(k, v) =>
+        val name = k match {
+          case a: UnresolvedAttribute => a.name
+          case a: AttributeReference => a.name
+          case other => throw new IllegalArgumentException(
+            s"UPDATE SET key must be a column, got $other")
+        }
+        name -> v.sql
+      }.toMap
+      GraftUpdateCommand(session.conf.get(ConfKey), u.multipartIdentifier,
+        set, cond.map(_.sql))
     case u: UnresolvedRelation if isGraft(u.multipartIdentifier) =>
       scanPlan(u.multipartIdentifier, identity)
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
@@ -89,6 +113,128 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
           scanPlan(u.multipartIdentifier, _.asOfTimestamp(tsMillis(e)))
         case (None, None) => scanPlan(u.multipartIdentifier, identity)
       }
+  }
+}
+
+/** Row-level-op target relation, possibly under an alias. */
+private[graft] object GraftTarget {
+  def unapply(p: LogicalPlan): Option[UnresolvedRelation] = p match {
+    case u: UnresolvedRelation => Some(u)
+    case SubqueryAlias(_, u: UnresolvedRelation) => Some(u)
+    case _ => None
+  }
+}
+
+/** Catalyst → graft expression translation for SQL row-level ops. The
+  * structural subset (comparisons, IN, IS NULL, AND/OR/NOT over column
+  * vs literal) becomes native predicates — these drive manifest + file
+  * pruning, so a partition-scoped DELETE plans only that partition's
+  * files. Anything else falls back to `Expr.raw(sql)`: opaque to
+  * pruning (conservatively scans) but evaluated exactly by Spark on the
+  * data, so results are always right. */
+private[graft] object CatalystToIce {
+  import graft.ice.expr.{AndE, OrE}
+
+  private def colName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def lit(e: Expression): Option[IceLit] = e match {
+    case ce.Literal(v, dt) if v != null => dt match {
+      case IntegerType => Some(IceLit.int(v.asInstanceOf[Int]))
+      case LongType => Some(IceLit.long(v.asInstanceOf[Long]))
+      case FloatType => Some(IceLit.float(v.asInstanceOf[Float]))
+      case DoubleType => Some(IceLit.double(v.asInstanceOf[Double]))
+      case BooleanType => Some(IceLit.bool(v.asInstanceOf[Boolean]))
+      case StringType => Some(IceLit.string(v.toString))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def hasRaw(e: E): Boolean = e match {
+    case RawE(_) => true
+    case AndE(l, r) => hasRaw(l) || hasRaw(r)
+    case OrE(l, r) => hasRaw(l) || hasRaw(r)
+    case NotE(c) => hasRaw(c)
+    case _ => false
+  }
+
+  private def cmp(a: Expression, b: Expression,
+      direct: (String, IceLit) => E, flipped: (String, IceLit) => E): Option[E] =
+    (colName(a), lit(b), lit(a), colName(b)) match {
+      case (Some(n), Some(v), _, _) => Some(direct(n, v))
+      case (_, _, Some(v), Some(n)) => Some(flipped(n, v))
+      case _ => None
+    }
+
+  def convert(e: Expression): E = e match {
+    case ce.And(l, r) => convert(l).and(convert(r))
+    case ce.Or(l, r) => convert(l).or(convert(r))
+    case ce.Not(c) =>
+      val inner = convert(c)
+      // NOT over a raw fragment can't be negated structurally — keep the
+      // whole NOT opaque instead
+      if (hasRaw(inner)) RawE(e.sql) else inner.negate
+    case ce.EqualTo(a, b) =>
+      cmp(a, b, E.equal, E.equal).getOrElse(RawE(e.sql))
+    case ce.LessThan(a, b) =>
+      cmp(a, b, E.lt, E.gt).getOrElse(RawE(e.sql))
+    case ce.LessThanOrEqual(a, b) =>
+      cmp(a, b, E.ltEq, E.gtEq).getOrElse(RawE(e.sql))
+    case ce.GreaterThan(a, b) =>
+      cmp(a, b, E.gt, E.lt).getOrElse(RawE(e.sql))
+    case ce.GreaterThanOrEqual(a, b) =>
+      cmp(a, b, E.gtEq, E.ltEq).getOrElse(RawE(e.sql))
+    case ce.In(a, vs) if colName(a).isDefined && vs.forall(lit(_).isDefined) =>
+      E.in(colName(a).get, vs.map(lit(_).get))
+    case ce.IsNull(a) if colName(a).isDefined => E.isNull(colName(a).get)
+    case ce.IsNotNull(a) if colName(a).isDefined => E.notNull(colName(a).get)
+    case ce.Literal(true, BooleanType) => E.raw("true")
+    case other => RawE(other.sql)
+  }
+}
+
+/** `DELETE FROM graft.<ns>.<t> WHERE ...`: dispatches on the table's
+  * `write.delete.mode` property — copy-on-write rewrites affected
+  * files; merge-on-read writes position deletes (deletion vectors on
+  * v3 tables). The translated predicate prunes planning either way. */
+final case class GraftDeleteCommand(warehouse: String, parts: Seq[String],
+    conditionSql: String) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    val filter = CatalystToIce.convert(
+      session.sessionState.sqlParser.parseExpression(conditionSql))
+    val mode = TableProperties.get(t.properties, TableProperties.WriteDeleteMode)
+    val del = t.delete(session)
+    mode match {
+      case "merge-on-read" =>
+        if (TableProperties.get(t.properties, TableProperties.FormatVersion) >= 3)
+          del.deleteWhereDV(filter)
+        else del.deleteWherePositional(filter)
+      case _ => del.deleteWhere(filter)
+    }
+    Seq.empty
+  }
+}
+
+/** `UPDATE graft.<ns>.<t> SET ... WHERE ...`: copy-on-write via
+  * RowDelete.updateWhere — only files with matching rows rewrite. */
+final case class GraftUpdateCommand(warehouse: String, parts: Seq[String],
+    set: Map[String, String], conditionSql: Option[String])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    val filter = conditionSql.map(sql => CatalystToIce.convert(
+      session.sessionState.sqlParser.parseExpression(sql))).getOrElse(E.raw("true"))
+    t.delete(session).updateWhere(filter, set)
+    Seq.empty
   }
 }
 

@@ -32,6 +32,10 @@ object TableProperties {
   val WriteTargetFileSizeBytes: Key[Long] =
     Key("write.target-file-size-bytes", 128L * 1024 * 1024, _.trim.toLong)
   val WriteFormatDefault: Key[String] = Key("write.format.default", "parquet", _.trim)
+  // row-level SQL op mode (Iceberg table property): "copy-on-write"
+  // rewrites affected data files; "merge-on-read" writes delete files
+  // (v3 tables use deletion vectors)
+  val WriteDeleteMode: Key[String] = Key("write.delete.mode", "copy-on-write", _.trim)
 
   // maintenance
   val CompactSmallFileThresholdBytes: Key[Long] =

@@ -401,6 +401,47 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
       removedPaths = matching.map(_.file.filePath).toSet)
   }
 
+  /** Copy-on-write UPDATE ... SET: rewrite ONLY the files containing
+    * matching rows, applying the SQL `set` expressions to exactly the
+    * rows the predicate selects (a NULL predicate result keeps the row
+    * unchanged, mirroring deleteWhere's NULL-keeps semantics). File
+    * pruning comes from the same filtered plan as a delete — an update
+    * touching one partition rewrites one partition's files, never the
+    * table. */
+  def updateWhere(filter: Expr, set: Map[String, String]): Snapshot = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    set.keys.foreach(k => require(table.schema.findFieldByName(k).isDefined,
+      s"UPDATE SET names unknown column '$k'"))
+    table.currentSnapshot.foreach { snap =>
+      require(table.planDeleteEntries(snap).isEmpty,
+        "copy-on-write update on a table carrying live merge-on-read " +
+          "delete files would resurrect deleted rows; " +
+          "compact().rewriteDataFiles() first")
+    }
+    val bound = Binder.bind(filter, table.schema)
+    val cond = ToColumn(bound)
+    val matching = table.newScan().filter(filter).planFiles()
+    if (matching.isEmpty)
+      return SnapshotProducer.commit(table, spark, DataOperation.Overwrite, Nil)
+    val paths = matching.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val sparkSchema = SparkConv.toSpark(table.schema)
+    val hit = coalesce(cond, lit(false))
+    val updated = spark.read.schema(sparkSchema).parquet(paths: _*)
+      .select(table.schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(sql) =>
+            when(hit, org.apache.spark.sql.functions.expr(sql)
+                .cast(SparkConv.toSparkType(f.fieldType)))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val added = SnapshotProducer.writeDataFiles(table, spark, updated)
+    SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
+      removedPaths = matching.map(_.file.filePath).toSet)
+  }
+
   /** Merge-on-read position delete: write (file_path, pos) tuples of
     * matching rows as a delete file; scans anti-join them (§2.8).
     * Reserved field ids 2147483546/2147483545 (metadata_columns.h). */

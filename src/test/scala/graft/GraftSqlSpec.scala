@@ -122,6 +122,57 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == 4L)
   }
 
+  test("DELETE FROM prunes with structural predicates; UPDATE rewrites in place") {
+    val cat = new DirCatalog(warehouse)
+    val df = spark.range(0, 100).selectExpr("id", "id * 2 as v")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.rl"),
+      SparkConv.fromSpark(df.schema))
+    t.append(spark).appendDataFrame(df.repartitionByRange(4, org.apache.spark.sql.functions.col("id")))
+    spark.conf.set("spark.graft.warehouse", warehouse)
+
+    spark.sql("DELETE FROM graft.db.rl WHERE id >= 90")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.rl")
+      .collect().head.getLong(0) == 90L)
+    t.refresh()
+    // structural predicate pruned: range-clustered files make the
+    // delete touch only the top file; earlier files survive untouched
+    val del = t.snapshots.maxBy(_.sequenceNumber)
+    assert(del.summary.get("removed-data-files").exists(_.toInt <= 2),
+      s"delete should rewrite <=2 of 4 range files, summary=${del.summary}")
+
+    spark.sql("UPDATE graft.db.rl SET v = v + 1000 WHERE id < 10")
+    val got = spark.sql(
+      "SELECT sum(v) AS s FROM graft.db.rl WHERE id < 10").collect().head.getLong(0)
+    assert(got == (0 until 10).map(i => i * 2 + 1000).sum)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.rl")
+      .collect().head.getLong(0) == 90L, "update must not change row count")
+    // untouched rows keep their values
+    assert(spark.sql("SELECT v FROM graft.db.rl WHERE id = 50")
+      .collect().head.getLong(0) == 100L)
+
+    // raw-fallback predicate (expression over two columns): no pruning
+    // but exact results
+    spark.sql("DELETE FROM graft.db.rl WHERE v - id = id")  // v = 2*id: all non-updated
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.rl")
+      .collect().head.getLong(0) == 10L, "only the updated rows survive")
+  }
+
+  test("DELETE on a merge-on-read table writes delete files, not rewrites") {
+    val cat = new DirCatalog(warehouse)
+    val df = spark.range(0, 50).selectExpr("id", "id as v")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.rlmor"),
+      SparkConv.fromSpark(df.schema),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t.append(spark).appendDataFrame(df)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    spark.sql("DELETE FROM graft.db.rlmor WHERE id >= 40")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.rlmor")
+      .collect().head.getLong(0) == 40L)
+    t.refresh()
+    assert(t.planDeleteEntries(t.currentSnapshot.get).nonEmpty,
+      "merge-on-read DELETE must add delete files")
+  }
+
   test("without the warehouse conf the rule stays inert") {
     table // force fixture (sets the conf)
     spark.conf.unset("spark.graft.warehouse")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.{expressions => ce}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types._
@@ -100,6 +100,65 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
       }.toMap
       GraftUpdateCommand(session.conf.get(ConfKey), u.multipartIdentifier,
         set, cond.map(_.sql))
+    case m @ MergeIntoTable(GraftTarget(u), source, mergeCond, matched, notMatched, notMatchedBySource, _)
+        if isGraft(u.multipartIdentifier) =>
+      require(notMatchedBySource.isEmpty,
+        "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported")
+      val tgtAlias = m.targetTable match {
+        case SubqueryAlias(id, _) => Some(id.name)
+        case _ => None
+      }
+      val srcAlias = source match {
+        case SubqueryAlias(id, _) => Some(id.name)
+        // an unaliased USING <name> is qualified by its last name part
+        case u2: UnresolvedRelation => Some(u2.multipartIdentifier.last)
+        case _ => None
+      }
+      val aliasMap: Map[String, String] =
+        (tgtAlias.map(_ -> "t").toList ++ srcAlias.map(_ -> "s").toList ++
+          List(u.multipartIdentifier.last -> "t")).toMap
+      def rewrite(e: Expression): String = e.transform {
+        case a: UnresolvedAttribute if a.nameParts.size >= 2 &&
+            aliasMap.contains(a.nameParts.head) =>
+          UnresolvedAttribute(aliasMap(a.nameParts.head) +: a.nameParts.tail)
+      }.sql
+      def onKeys(e: Expression): Seq[String] = e match {
+        case ce.And(l, r) => onKeys(l) ++ onKeys(r)
+        case ce.EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          require(a.nameParts.last == b.nameParts.last,
+            s"MERGE ON must equate same-named columns, got ${e.sql}")
+          Seq(a.nameParts.last)
+        case other => throw new IllegalArgumentException(
+          "MERGE ON supports only conjunctions of t.k = s.k equi-column " +
+            s"conditions, got ${other.sql}")
+      }
+      val (kind, set) = matched match {
+        case Seq() => ("none", Map.empty[String, String])
+        case Seq(UpdateStarAction(None)) => ("updateAll", Map.empty[String, String])
+        case Seq(DeleteAction(None)) => ("delete", Map.empty[String, String])
+        case Seq(UpdateAction(None, assigns, _)) =>
+          ("updateSet", assigns.map { case Assignment(k, v) =>
+            val name = k match {
+              case a: UnresolvedAttribute => a.nameParts.last
+              case a: AttributeReference => a.name
+              case other => throw new IllegalArgumentException(
+                s"MERGE SET key must be a column, got $other")
+            }
+            name -> rewrite(v)
+          }.toMap)
+        case other => throw new IllegalArgumentException(
+          "MERGE supports at most one unconditional matched action " +
+            s"(UPDATE SET */columns or DELETE), got $other")
+      }
+      val insertAll = notMatched match {
+        case Seq() => false
+        case Seq(InsertStarAction(None)) => true
+        case other => throw new IllegalArgumentException(
+          "MERGE supports WHEN NOT MATCHED THEN INSERT * only, " +
+            s"got $other")
+      }
+      GraftMergeCommand(session.conf.get(ConfKey), u.multipartIdentifier,
+        source, onKeys(mergeCond), kind, set, insertAll)
     case u: UnresolvedRelation if isGraft(u.multipartIdentifier) =>
       scanPlan(u.multipartIdentifier, identity)
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
@@ -234,6 +293,41 @@ final case class GraftUpdateCommand(warehouse: String, parts: Seq[String],
     val filter = conditionSql.map(sql => CatalystToIce.convert(
       session.sessionState.sqlParser.parseExpression(sql))).getOrElse(E.raw("true"))
     t.delete(session).updateWhere(filter, set)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft.<ns>.<t> USING <source> ON t.k = s.k ...`: the
+  * supported SQL subset maps exactly onto Ops.MergeInto — equi-column
+  * ON keys, one unconditional matched action (UPDATE SET * / UPDATE SET
+  * assignments / DELETE; assignments may reference the user's aliases,
+  * rewritten to the t/s evaluation aliases), and INSERT * for
+  * unmatched source rows. `write.merge.mode=merge-on-read` flips the
+  * commit to position-delete supersession instead of file rewrite. */
+final case class GraftMergeCommand(warehouse: String, parts: Seq[String],
+    source: LogicalPlan, on: Seq[String], matchedKind: String,
+    set: Map[String, String], insertAll: Boolean)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    val sourceDf = org.apache.spark.sql.GraftColumnBridge.ofRows(session, source)
+    var m = t.merge(session, sourceDf, on)
+    m = matchedKind match {
+      case "updateAll" => m.whenMatchedUpdateAll()
+      case "updateSet" => m.whenMatchedUpdate(set)
+      case "delete" => m.whenMatchedDelete()
+      // insert-only merge: an empty SET keeps every target column
+      case "none" => m.whenMatchedUpdate(Map.empty)
+      case other => throw new IllegalStateException(s"bad matched kind $other")
+    }
+    if (insertAll) m = m.whenNotMatchedInsertAll()
+    if (TableProperties.get(t.properties, TableProperties.WriteMergeMode) == "merge-on-read")
+      m = m.withMergeOnRead()
+    m.commit()
     Seq.empty
   }
 }

@@ -36,6 +36,7 @@ object TableProperties {
   // rewrites affected data files; "merge-on-read" writes delete files
   // (v3 tables use deletion vectors)
   val WriteDeleteMode: Key[String] = Key("write.delete.mode", "copy-on-write", _.trim)
+  val WriteMergeMode: Key[String] = Key("write.merge.mode", "copy-on-write", _.trim)
 
   // maintenance
   val CompactSmallFileThresholdBytes: Key[Long] =

@@ -173,6 +173,36 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "merge-on-read DELETE must add delete files")
   }
 
+  test("MERGE INTO: update-set with aliases, insert star, and delete-matched") {
+    val cat = new DirCatalog(warehouse)
+    val df = spark.range(0, 10).selectExpr("id", "id * 2 as v")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.mt"),
+      SparkConv.fromSpark(df.schema))
+    t.append(spark).appendDataFrame(df)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+
+    // upsert: ids 8,9 update (v += source v), ids 10,11 insert
+    spark.range(8, 12).selectExpr("id", "id * 100 as v")
+      .createOrReplaceTempView("src")
+    spark.sql(
+      """MERGE INTO graft.db.mt tgt USING src ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET v = tgt.v + src.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT id, v FROM graft.db.mt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 12)
+    assert(rows(8) == (8L, 8L * 2 + 8L * 100))
+    assert(rows(11) == (11L, 11L * 100))
+    assert(rows(3) == (3L, 6L), "unmatched target rows keep their values")
+
+    // delete-matched
+    spark.sql(
+      """MERGE INTO graft.db.mt tgt USING src ON tgt.id = src.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.mt")
+      .collect().head.getLong(0) == 8L)
+  }
+
   test("without the warehouse conf the rule stays inert") {
     table // force fixture (sets the conf)
     spark.conf.unset("spark.graft.warehouse")

@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.{expressions => ce}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.connector.{expressions => cx}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types._
@@ -159,6 +160,24 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
       }
       GraftMergeCommand(session.conf.get(ConfKey), u.multipartIdentifier,
         source, onKeys(mergeCond), kind, set, insertAll)
+    case CreateTable(UnresolvedIdentifier(parts, _), columns, partitioning, tableSpec, ignoreIfExists)
+        if isGraft(parts) =>
+      val fields = columns.map { c =>
+        require(c.defaultValue.isEmpty,
+          s"DEFAULT values are not supported (column ${c.name})")
+        StructField(c.name, c.dataType, c.nullable, c.metadata)
+      }
+      GraftCreateTableCommand(session.conf.get(ConfKey), parts,
+        Some(StructType(fields)), GraftDdl.toIceTransforms(partitioning),
+        GraftDdl.props(tableSpec), ignoreIfExists, None)
+    case CreateTableAsSelect(UnresolvedIdentifier(parts, _), partitioning, query, tableSpec, _, ignoreIfExists, _)
+        if isGraft(parts) =>
+      GraftCreateTableCommand(session.conf.get(ConfKey), parts,
+        None, GraftDdl.toIceTransforms(partitioning),
+        GraftDdl.props(tableSpec), ignoreIfExists, Some(query))
+    case DropTable(UnresolvedIdentifier(parts, _), ifExists, purge)
+        if isGraft(parts) =>
+      GraftDropTableCommand(session.conf.get(ConfKey), parts, ifExists, purge)
     case u: UnresolvedRelation if isGraft(u.multipartIdentifier) =>
       scanPlan(u.multipartIdentifier, identity)
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
@@ -293,6 +312,114 @@ final case class GraftUpdateCommand(warehouse: String, parts: Seq[String],
     val filter = conditionSql.map(sql => CatalystToIce.convert(
       session.sessionState.sqlParser.parseExpression(sql))).getOrElse(E.raw("true"))
     t.delete(session).updateWhere(filter, set)
+    Seq.empty
+  }
+}
+
+/** DDL translation helpers: v2 partition transforms → graft transforms
+  * (the Iceberg transform vocabulary: identity, bucket[N], truncate[W],
+  * year/month/day/hour), TBLPROPERTIES passthrough. */
+private[graft] object GraftDdl {
+  import graft.ice.transform.{Transform => IceTransform, _}
+
+  private def ref(e: cx.Expression): String = e match {
+    case n: cx.NamedReference => n.fieldNames.mkString(".")
+    case other => throw new IllegalArgumentException(
+      s"partition transform argument must be a column, got $other")
+  }
+
+  /** (source column, transform) pairs in declaration order. */
+  def toIceTransforms(ts: Seq[cx.Transform]): Seq[(String, IceTransform)] =
+    ts.map { t =>
+      def intArg: Int = t.arguments.collectFirst {
+        case l: cx.Literal[_] => l.value.asInstanceOf[Number].intValue
+      }.getOrElse(throw new IllegalArgumentException(s"missing int arg in $t"))
+      def colArg: String = t.arguments.collectFirst {
+        case n: cx.NamedReference => n.fieldNames.mkString(".")
+      }.getOrElse(throw new IllegalArgumentException(s"missing column in $t"))
+      t.name match {
+        case "identity" => (ref(t.arguments.head), IdentityTransform)
+        case "bucket" => (colArg, BucketTransform(intArg))
+        case "truncate" => (colArg, TruncateTransform(intArg))
+        case "years" | "year" => (ref(t.arguments.head), YearTransform)
+        case "months" | "month" => (ref(t.arguments.head), MonthTransform)
+        case "days" | "day" | "date" => (ref(t.arguments.head), DayTransform)
+        case "hours" | "hour" | "date_hour" => (ref(t.arguments.head), HourTransform)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform '$other' " +
+            "(identity, bucket, truncate, years, months, days, hours)")
+      }
+    }
+
+  def props(spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase): Map[String, String] =
+    spec match {
+      case u: UnresolvedTableSpec => u.properties
+      case _ => Map.empty
+    }
+
+  /** Iceberg partition-field naming convention. */
+  def partName(col: String, t: IceTransform): String = t match {
+    case IdentityTransform => col
+    case BucketTransform(_) => s"${col}_bucket"
+    case TruncateTransform(_) => s"${col}_trunc"
+    case YearTransform => s"${col}_year"
+    case MonthTransform => s"${col}_month"
+    case DayTransform => s"${col}_day"
+    case HourTransform => s"${col}_hour"
+    case other => s"${col}_${other.toString.toLowerCase}"
+  }
+}
+
+/** `CREATE TABLE graft.<ns>.<t> (...) PARTITIONED BY (transforms)
+  * TBLPROPERTIES (...)` and CTAS: creates through the graft catalog —
+  * the spec's transform vocabulary comes straight from the PARTITIONED
+  * BY clause, so a SQL user gets the same hidden-partitioning layout
+  * the Scala API builds. CTAS appends the query result in a second
+  * commit on the fresh table. */
+final case class GraftCreateTableCommand(warehouse: String, parts: Seq[String],
+    tableSchema: Option[StructType], transforms: Seq[(String, graft.ice.transform.Transform)],
+    properties: Map[String, String], ignoreIfExists: Boolean,
+    ctas: Option[LogicalPlan]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    ctas.toSeq
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.ice.meta.{PartitionField, PartitionSpec}
+    import graft.ice.types.SparkConv
+    val cat = new DirCatalog(warehouse)
+    val ident = TableIdentifier(parts.slice(1, parts.length - 1), parts.last)
+    if (cat.tableExists(ident)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new IllegalStateException(s"table ${parts.mkString(".")} already exists")
+    }
+    val sourceDf = ctas.map(q =>
+      org.apache.spark.sql.GraftColumnBridge.ofRows(session, q))
+    val sparkSchema = tableSchema.getOrElse(sourceDf.get.schema)
+    val iceSchema = SparkConv.fromSpark(sparkSchema)
+    val spec =
+      if (transforms.isEmpty) PartitionSpec.unpartitioned
+      else PartitionSpec(0, transforms.zipWithIndex.map { case ((c, tr), i) =>
+        val f = iceSchema.findFieldByName(c).getOrElse(
+          throw new IllegalArgumentException(s"PARTITIONED BY names unknown column '$c'"))
+        PartitionField(f.id, 1000 + i, GraftDdl.partName(c, tr), tr)
+      }.toIndexedSeq)
+    val t = IceTable.create(cat, ident, iceSchema, spec, properties = properties)
+    sourceDf.foreach(df => t.append(session).appendDataFrame(df))
+    Seq.empty
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] graft.<ns>.<t> [PURGE]`. */
+final case class GraftDropTableCommand(warehouse: String, parts: Seq[String],
+    ifExists: Boolean, purge: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cat = new DirCatalog(warehouse)
+    val ident = TableIdentifier(parts.slice(1, parts.length - 1), parts.last)
+    val dropped = cat.dropTable(ident, purge)
+    if (!dropped && !ifExists)
+      throw new IllegalStateException(s"table ${parts.mkString(".")} does not exist")
     Seq.empty
   }
 }

@@ -203,6 +203,40 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == 8L)
   }
 
+  test("CREATE TABLE with partition transforms, CTAS, DROP TABLE") {
+    table // sets the warehouse conf
+    spark.sql(
+      """CREATE TABLE graft.db.ddl (id BIGINT, cat STRING, ts TIMESTAMP_NTZ)
+        |PARTITIONED BY (bucket(4, id), months(ts))
+        |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    val t = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.ddl"))
+    assert(t.schema.fields.map(_.name).toSeq == Seq("id", "cat", "ts"))
+    assert(t.spec.fields.map(_.name).toSeq == Seq("id_bucket", "ts_month"))
+    assert(t.properties.get("write.delete.mode").contains("merge-on-read"))
+    // SQL writes + reads flow through the partitioned layout
+    spark.sql(
+      """INSERT INTO graft.db.ddl VALUES
+        |(1, 'a', TIMESTAMP_NTZ'2024-01-15 00:00:00'),
+        |(2, 'b', TIMESTAMP_NTZ'2024-02-15 00:00:00')""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.ddl")
+      .collect().head.getLong(0) == 2L)
+
+    spark.sql(
+      """CREATE TABLE graft.db.ddl2 AS
+        |SELECT id, v FROM graft.db.t WHERE id < 3""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.ddl2")
+      .collect().head.getLong(0) == 3L)
+
+    intercept[Exception](spark.sql("CREATE TABLE graft.db.ddl2 (x INT)"))
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.db.ddl2 (x INT)") // no-op
+
+    spark.sql("DROP TABLE graft.db.ddl2")
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.ddl2").collect())
+    intercept[Exception](spark.sql("DROP TABLE graft.db.nope"))
+    spark.sql("DROP TABLE IF EXISTS graft.db.nope") // no-op
+  }
+
   test("without the warehouse conf the rule stays inert") {
     table // force fixture (sets the conf)
     spark.conf.unset("spark.graft.warehouse")

@@ -1,10 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.{expressions => ce}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, SubqueryAlias, UnresolvedTableSpec, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.{expressions => cx}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -178,6 +178,24 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
     case DropTable(UnresolvedIdentifier(parts, _), ifExists, purge)
         if isGraft(parts) =>
       GraftDropTableCommand(session.conf.get(ConfKey), parts, ifExists, purge)
+    case AddColumns(UnresolvedTable(parts, _, _), cols) if isGraft(parts) =>
+      val adds = cols.map { c =>
+        require(c.path.isEmpty, "nested ADD COLUMN is not supported")
+        require(c.position.isEmpty, "ADD COLUMN ... FIRST/AFTER is not supported")
+        require(c.`default`.isEmpty, "DEFAULT values are not supported")
+        (c.colName, c.dataType, c.comment)
+      }
+      GraftAddColumnsCommand(session.conf.get(ConfKey), parts, adds)
+    case RenameColumn(UnresolvedTable(parts, _, _), col, newName) if isGraft(parts) =>
+      GraftRenameColumnCommand(session.conf.get(ConfKey), parts,
+        col.name.mkString("."), newName)
+    case DropColumns(UnresolvedTable(parts, _, _), cols, ifExists) if isGraft(parts) =>
+      GraftDropColumnsCommand(session.conf.get(ConfKey), parts,
+        cols.map(_.name.mkString(".")), ifExists)
+    case SetTableProperties(UnresolvedTable(parts, _, _), props) if isGraft(parts) =>
+      GraftSetPropertiesCommand(session.conf.get(ConfKey), parts, props, unset = Nil)
+    case UnsetTableProperties(UnresolvedTable(parts, _, _), keys, _) if isGraft(parts) =>
+      GraftSetPropertiesCommand(session.conf.get(ConfKey), parts, Map.empty, unset = keys)
     case u: UnresolvedRelation if isGraft(u.multipartIdentifier) =>
       scanPlan(u.multipartIdentifier, identity)
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
@@ -357,6 +375,28 @@ private[graft] object GraftDdl {
       case _ => Map.empty
     }
 
+  /** Spark DataType → Iceberg type for ALTER ADD COLUMN (primitives
+    * only: nested types would need field-id allocation against the
+    * table's last-column-id, which addColumn owns for the top level). */
+  def toIceType(dt: DataType): graft.ice.types.IceType = {
+    import graft.ice.types._
+    dt match {
+      case BooleanType => BooleanT
+      case ByteType | ShortType | IntegerType => IntT
+      case LongType => LongT
+      case FloatType => FloatT
+      case DoubleType => DoubleT
+      case DateType => DateT
+      case TimestampNTZType => TimestampT
+      case TimestampType => TimestampTzT
+      case StringType => StringT
+      case BinaryType => BinaryT
+      case d: DecimalType => DecimalT(d.precision, d.scale)
+      case other => throw new IllegalArgumentException(
+        s"ALTER TABLE ADD COLUMN supports primitive types only, got $other")
+    }
+  }
+
   /** Iceberg partition-field naming convention. */
   def partName(col: String, t: IceTransform): String = t match {
     case IdentityTransform => col
@@ -406,6 +446,70 @@ final case class GraftCreateTableCommand(warehouse: String, parts: Seq[String],
       }.toIndexedSeq)
     val t = IceTable.create(cat, ident, iceSchema, spec, properties = properties)
     sourceDf.foreach(df => t.append(session).appendDataFrame(df))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<ns>.<t> ADD COLUMNS (...)`: schema evolution via
+  * the UpdateSchema builder — a guarded metadata commit
+  * (AssertCurrentSchemaId), no data rewritten; files resolve the new
+  * column as NULL by field-id absence. */
+final case class GraftAddColumnsCommand(warehouse: String, parts: Seq[String],
+    cols: Seq[(String, DataType, Option[String])]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    val up = t.updateSchema()
+    cols.foreach { case (name, dt, doc) =>
+      up.addColumn(name, GraftDdl.toIceType(dt), doc)
+    }
+    up.commit()
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE ... RENAME COLUMN a TO b` — safe because reads resolve
+  * by field id (P3). */
+final case class GraftRenameColumnCommand(warehouse: String, parts: Seq[String],
+    from: String, to: String) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    t.updateSchema().renameColumn(from, to).commit()
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE ... DROP COLUMN[S]` — metadata-only; the data stays in
+  * files and simply stops being projected. */
+final case class GraftDropColumnsCommand(warehouse: String, parts: Seq[String],
+    cols: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    val present = t.schema.fields.map(_.name).toSet
+    val missing = cols.filterNot(present)
+    if (missing.nonEmpty && !ifExists)
+      throw new IllegalArgumentException(s"no such column(s): ${missing.mkString(", ")}")
+    val up = t.updateSchema()
+    cols.filter(present).foreach(up.deleteColumn)
+    up.commit()
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE ... SET TBLPROPERTIES / UNSET TBLPROPERTIES` — one
+  * metadata commit through the optimistic protocol. */
+final case class GraftSetPropertiesCommand(warehouse: String, parts: Seq[String],
+    props: Map[String, String], unset: Seq[String]) extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    t.commit(base => base.copy(properties = base.properties ++ props -- unset))
     Seq.empty
   }
 }

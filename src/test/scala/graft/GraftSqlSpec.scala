@@ -237,6 +237,42 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS graft.db.nope") // no-op
   }
 
+  test("ALTER TABLE: add/rename/drop columns and set/unset properties") {
+    val cat = new DirCatalog(warehouse)
+    val df = spark.range(0, 5).selectExpr("id", "id * 3 as v")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.alt"),
+      SparkConv.fromSpark(df.schema))
+    t.append(spark).appendDataFrame(df)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+
+    spark.sql("ALTER TABLE graft.db.alt ADD COLUMNS (tag STRING, score DOUBLE)")
+    // new columns read NULL from pre-evolution files (field-id absence)
+    val r = spark.sql("SELECT id, v, tag, score FROM graft.db.alt WHERE id = 2")
+      .collect().head
+    assert(r.getLong(1) == 6L && r.isNullAt(2) && r.isNullAt(3))
+    // and are writable
+    spark.sql("INSERT INTO graft.db.alt VALUES (9, 27, 'x', 0.5)")
+    assert(spark.sql("SELECT tag FROM graft.db.alt WHERE id = 9")
+      .collect().head.getString(0) == "x")
+
+    spark.sql("ALTER TABLE graft.db.alt RENAME COLUMN tag TO label")
+    assert(spark.sql("SELECT label FROM graft.db.alt WHERE id = 9")
+      .collect().head.getString(0) == "x", "renamed column resolves old files by field id")
+
+    spark.sql("ALTER TABLE graft.db.alt DROP COLUMN score")
+    t.refresh()
+    assert(t.schema.fields.map(_.name).toSeq == Seq("id", "v", "label"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.alt DROP COLUMN nope"))
+
+    spark.sql("ALTER TABLE graft.db.alt SET TBLPROPERTIES ('a.b' = 'c', 'd' = 'e')")
+    t.refresh()
+    assert(t.properties.get("a.b").contains("c") && t.properties.get("d").contains("e"))
+    spark.sql("ALTER TABLE graft.db.alt UNSET TBLPROPERTIES ('d')")
+    t.refresh()
+    assert(!t.properties.contains("d") && t.properties.get("a.b").contains("c"))
+  }
+
   test("without the warehouse conf the rule stays inert") {
     table // force fixture (sets the conf)
     spark.conf.unset("spark.graft.warehouse")

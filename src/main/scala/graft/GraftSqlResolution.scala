@@ -55,6 +55,31 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
     SubqueryAlias(parts.last, df.queryExecution.analyzed)
   }
 
+  private val metaTables: Map[String, (SparkSession, IceTable) => org.apache.spark.sql.DataFrame] = Map(
+    "snapshots" -> (graft.ice.MetadataTables.snapshots _),
+    "history" -> (graft.ice.MetadataTables.history _),
+    "refs" -> (graft.ice.MetadataTables.refs _),
+    "manifests" -> (graft.ice.MetadataTables.manifests _),
+    "files" -> (graft.ice.MetadataTables.files _),
+    "delete_files" -> (graft.ice.MetadataTables.deleteFiles _),
+    "statistics" -> (graft.ice.MetadataTables.statistics _),
+    "partition_stats" -> (graft.ice.MetadataTables.partitionStatistics _),
+    "partitions" -> (graft.ice.MetadataTables.partitions _))
+
+  /** `graft.db.t` → planned scan; `graft.db.t.snapshots` (etc.) → the
+    * inspection table, unless a REAL table shadows the suffix name. */
+  private def relationPlan(parts: Seq[String]): LogicalPlan = {
+    val cat = new DirCatalog(session.conf.get(ConfKey))
+    val ident = TableIdentifier(parts.slice(1, parts.length - 1), parts.last)
+    val metaName = parts.last.toLowerCase(java.util.Locale.ROOT)
+    if (!cat.tableExists(ident) && parts.length >= 3 && metaTables.contains(metaName)) {
+      val base = TableIdentifier(parts.slice(1, parts.length - 2), parts(parts.length - 2))
+      val t = IceTable.load(cat, base)
+      SubqueryAlias(metaName,
+        metaTables(metaName)(session, t).queryExecution.analyzed)
+    } else scanPlan(parts, identity)
+  }
+
   /** `TIMESTAMP AS OF` operand → epoch millis. The parser hands a
     * literal (string or already-cast timestamp); session timezone is
     * UTC project-wide. */
@@ -197,7 +222,7 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
     case UnsetTableProperties(UnresolvedTable(parts, _, _), keys, _) if isGraft(parts) =>
       GraftSetPropertiesCommand(session.conf.get(ConfKey), parts, Map.empty, unset = keys)
     case u: UnresolvedRelation if isGraft(u.multipartIdentifier) =>
-      scanPlan(u.multipartIdentifier, identity)
+      relationPlan(u.multipartIdentifier)
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)
         if isGraft(u.multipartIdentifier) =>
       (version, ts) match {

@@ -273,6 +273,26 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t.properties.contains("d") && t.properties.get("a.b").contains("c"))
   }
 
+  test("SQL metadata tables: graft.db.t.snapshots / files / refs") {
+    val t = table
+    t.refresh()
+    val nSnaps = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t.snapshots").collect().head.getLong(0)
+    assert(nSnaps == t.snapshots.size.toLong)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.t.files WHERE record_count > 0")
+      .collect().head.getLong(0) >= 1L)
+    val refs = spark.sql(
+      "SELECT name FROM graft.db.t.refs ORDER BY name").collect().map(_.getString(0))
+    assert(refs.contains("audit") && refs.contains("main"))
+    // inspection tables join against data tables like any relation
+    val joined = spark.sql(
+      """SELECT count(*) AS n FROM graft.db.t.snapshots s
+        |JOIN graft.db.t.history h ON s.snapshot_id = h.snapshot_id""".stripMargin)
+      .collect().head.getLong(0)
+    assert(joined >= nSnaps, "every snapshot appears in history")
+  }
+
   test("without the warehouse conf the rule stays inert") {
     table // force fixture (sets the conf)
     spark.conf.unset("spark.graft.warehouse")

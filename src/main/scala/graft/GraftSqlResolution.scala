@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.{expressions => ce}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, SubqueryAlias, UnresolvedTableSpec, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, Filter, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, SubqueryAlias, UnresolvedTableSpec, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.{expressions => cx}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -221,6 +221,38 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
       GraftSetPropertiesCommand(session.conf.get(ConfKey), parts, props, unset = Nil)
     case UnsetTableProperties(UnresolvedTable(parts, _, _), keys, _) if isGraft(parts) =>
       GraftSetPropertiesCommand(session.conf.get(ConfKey), parts, Map.empty, unset = keys)
+    // WHERE directly over a graft relation: thread the predicate into
+    // SCAN PLANNING so manifest+file pruning fires — without this, SQL
+    // SELECTs would list every file of a 100-TB table and lean only on
+    // parquet row-group pushdown. The Filter stays on top (the scan may
+    // return a superset; pruning only skips can't-match files), so
+    // results are exact even when only part of the predicate translates.
+    case f @ Filter(cond, child @ GraftTarget(u)) if isGraft(u.multipartIdentifier) =>
+      val parts = u.multipartIdentifier
+      val alias = child match {
+        case SubqueryAlias(id, _) => id.name
+        case _ => parts.last
+      }
+      val resolved =
+        try {
+          val cat = new DirCatalog(session.conf.get(ConfKey))
+          val ident = TableIdentifier(parts.slice(1, parts.length - 1), parts.last)
+          if (cat.tableExists(ident)) {
+            val stripped = cond.transform {
+              case a: UnresolvedAttribute
+                  if a.nameParts.size >= 2 && a.nameParts.head == alias =>
+                UnresolvedAttribute(a.nameParts.tail)
+            }
+            val t = IceTable.load(cat, ident)
+            val df = t.newScan().filter(CatalystToIce.convert(stripped)).toDF(session)
+            SubqueryAlias(alias, df.queryExecution.analyzed)
+          } else relationPlan(parts)
+        } catch {
+          // untranslatable/unbindable predicate: fall back to the
+          // unpruned scan — exactness comes from the Filter either way
+          case _: Exception => relationPlan(parts)
+        }
+      f.copy(child = resolved)
     case u: UnresolvedRelation if isGraft(u.multipartIdentifier) =>
       relationPlan(u.multipartIdentifier)
     case RelationTimeTravel(u: UnresolvedRelation, ts, version)

@@ -293,6 +293,40 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined >= nSnaps, "every snapshot appears in history")
   }
 
+  test("SQL WHERE prunes scan planning, not just parquet row groups") {
+    val cat = new DirCatalog(warehouse)
+    val df = spark.range(0, 1000).selectExpr("id", "cast(id % 8 as int) as bkt", "id * 2 as v")
+    val schema = SparkConv.fromSpark(df.schema)
+    val bktId = schema.findFieldByName("bkt").get.id
+    val t = IceTable.create(cat, TableIdentifier.parse("db.pr"), schema,
+      graft.ice.meta.PartitionSpec(0, IndexedSeq(
+        graft.ice.meta.PartitionField(bktId, 1000, "bkt", graft.ice.transform.IdentityTransform))))
+    t.append(spark).appendDataFrame(df)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+
+    def scannedFiles(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.executedPlan
+      plan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+    }
+    val all = scannedFiles("SELECT * FROM graft.db.pr")
+    assert(all >= 8, s"partitioned fixture should have >=8 files, got $all")
+    val pruned = scannedFiles("SELECT * FROM graft.db.pr WHERE bkt = 3")
+    assert(pruned <= all / 4, s"WHERE bkt=3 scanned $pruned of $all files")
+    // aliased relation + mixed predicate (structural part prunes, the
+    // arithmetic residue is exact via the Filter on top)
+    val prunedAlias = scannedFiles(
+      "SELECT * FROM graft.db.pr p WHERE p.bkt = 3 AND p.v - p.id = p.id")
+    assert(prunedAlias <= all / 4)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.pr WHERE bkt = 3")
+      .collect().head.getLong(0) == 125L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.pr p WHERE p.bkt = 3 AND p.v - p.id = p.id")
+      .collect().head.getLong(0) == 125L)
+  }
+
   test("without the warehouse conf the rule stays inert") {
     table // force fixture (sets the conf)
     spark.conf.unset("spark.graft.warehouse")

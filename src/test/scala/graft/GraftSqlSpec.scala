@@ -327,6 +327,30 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == 125L)
   }
 
+  test("concurrent SQL INSERTs race through the optimistic commit protocol") {
+    val cat = new DirCatalog(warehouse)
+    val df = spark.range(0, 1).selectExpr("id", "id as v")
+    IceTable.create(cat, TableIdentifier.parse("db.cc"),
+      SparkConv.fromSpark(df.schema))
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val writers = (0 until 4).map { i =>
+      Future {
+        spark.sql(s"INSERT INTO graft.db.cc VALUES (${100 + i}, ${1000 + i})")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.cc")
+      .collect().head.getLong(0) == 4L, "every racing INSERT must commit")
+    assert(spark.sql("SELECT count(DISTINCT id) AS n FROM graft.db.cc")
+      .collect().head.getLong(0) == 4L)
+    val snaps = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.cc.snapshots").collect().head.getLong(0)
+    assert(snaps == 4L, s"4 INSERTs = 4 snapshots, got $snaps")
+  }
+
   test("without the warehouse conf the rule stays inert") {
     table // force fixture (sets the conf)
     spark.conf.unset("spark.graft.warehouse")

@@ -227,6 +227,27 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
     // parquet row-group pushdown. The Filter stays on top (the scan may
     // return a superset; pruning only skips can't-match files), so
     // results are exact even when only part of the predicate translates.
+    // WHERE over a time-travel relation: same planning-time pruning,
+    // with the snapshot/timestamp pin applied first
+    case f @ Filter(cond, RelationTimeTravel(u: UnresolvedRelation, ts, version))
+        if isGraft(u.multipartIdentifier) =>
+      val parts = u.multipartIdentifier
+      val pin: ScanBuilder => ScanBuilder = (version, ts) match {
+        case (Some(v), _) if v.forall(_.isDigit) => _.useSnapshot(v.toLong)
+        case (Some(ref), _) => _.useRef(ref)
+        case (None, Some(e)) => _.asOfTimestamp(tsMillis(e))
+        case (None, None) => identity
+      }
+      val resolvedTT =
+        try {
+          val stripped = cond.transform {
+            case a: UnresolvedAttribute
+                if a.nameParts.size >= 2 && a.nameParts.head == parts.last =>
+              UnresolvedAttribute(a.nameParts.tail)
+          }
+          scanPlan(parts, b => pin(b).filter(CatalystToIce.convert(stripped)))
+        } catch { case _: Exception => scanPlan(parts, pin) }
+      f.copy(child = resolvedTT)
     case f @ Filter(cond, child @ GraftTarget(u)) if isGraft(u.multipartIdentifier) =>
       val parts = u.multipartIdentifier
       val alias = child match {

@@ -351,6 +351,18 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snaps == 4L, s"4 INSERTs = 4 snapshots, got $snaps")
   }
 
+  test("WHERE over a time-travel relation pins the snapshot AND prunes") {
+    val t = table
+    t.refresh()
+    val firstData = t.snapshots.minBy(_.sequenceNumber)
+    // filter + VERSION AS OF compose: only first-snapshot rows, filtered
+    val rows = spark.sql(
+      s"""SELECT id FROM graft.db.t VERSION AS OF ${firstData.snapshotId}
+         |WHERE v >= 20 ORDER BY id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(2L, 3L, 4L), s"got $rows")
+  }
+
   test("without the warehouse conf the rule stays inert") {
     table // force fixture (sets the conf)
     spark.conf.unset("spark.graft.warehouse")

@@ -152,9 +152,15 @@ private[ice] object SnapshotProducer {
   /** Write a DataFrame as data files using the table's layout and return
     * manifest entries (shared by compaction/overwrite; same machinery as
     * AppendOp but without committing). */
+  /** shapeOverride replaces the default clustering: called with the
+    * aligned frame, the computed target file count (0 = unsized) and
+    * the partition DIRECTORY columns (empty for unpartitioned tables;
+    * when present they are already materialized on the frame and MUST
+    * stay the leading sort keys so partitionBy writes one file run per
+    * directory). */
   def writeDataFiles(table: IceTable, spark: SparkSession, df: DataFrame,
       targetFileSizeBytes: Long = 0L, inputBytes: Long = -1L,
-      shapeOverride: Option[(DataFrame, Int) => DataFrame] = None): Seq[ManifestEntry] = {
+      shapeOverride: Option[(DataFrame, Int, Seq[String]) => DataFrame] = None): Seq[ManifestEntry] = {
     val schema = table.schema
     val spec = table.spec
     val commitUuid = UUID.randomUUID().toString
@@ -188,7 +194,7 @@ private[ice] object SnapshotProducer {
           math.max(1, math.ceil(bytes.toDouble / targetFileSizeBytes).toInt)
         } else 0
       val shaped = shapeOverride match {
-        case Some(shape) => shape(aligned, n)
+        case Some(shape) => shape(aligned, n, Nil)
         case None =>
           if (order.fields.nonEmpty) {
             val cols = WriteShape.sortCols(schema, order)
@@ -217,11 +223,20 @@ private[ice] object SnapshotProducer {
       // field named like its source column would otherwise be stripped
       // from file contents by partitionBy and read back as null
       val dirCols = spec.fields.map(pf => PartitionPaths.dirCol(pf.name))
-      WriteShape.sortForPartitionedWrite(
-        aligned
-          .withColumns(dirCols.zip(partCols).toMap)
-          .repartition(dirCols.map(col): _*),
-        schema, order, dirCols)
+      val withDirs = aligned.withColumns(dirCols.zip(partCols).toMap)
+      val shaped = shapeOverride match {
+        case Some(shape) =>
+          val n =
+            if (targetFileSizeBytes > 0 && inputBytes >= 0)
+              math.max(1, math.ceil(inputBytes.toDouble / targetFileSizeBytes).toInt)
+            else 0
+          shape(withDirs, n, dirCols.toSeq)
+        case None =>
+          WriteShape.sortForPartitionedWrite(
+            withDirs.repartition(dirCols.map(col): _*),
+            schema, order, dirCols)
+      }
+      shaped
         .write.mode("append")
         .partitionBy(dirCols: _*)
         .parquet(outDir)
@@ -965,9 +980,6 @@ final class Compaction(table: IceTable, spark: SparkSession) {
     * is a full MoR scan) and their files removed, like rewriteDataFiles. */
   def zorder(cols: Seq[String], targetFileSizeBytes: Long = -1L): Snapshot = {
     require(cols.nonEmpty, "zorder needs at least one column")
-    require(table.spec.isUnpartitioned,
-      "zorder rewrites unpartitioned tables; partitioned tables take their " +
-        "clustering from the partition spec")
     cols.foreach(c => require(table.schema.findFieldByName(c).isDefined,
       s"zorder column '$c' not in table schema"))
     val targetSize = if (targetFileSizeBytes >= 0) targetFileSizeBytes
@@ -978,13 +990,20 @@ final class Compaction(table: IceTable, spark: SparkSession) {
     if (all.isEmpty) return snap
     val source = table.newScan().toDF(spark) // deletes applied
     val zkey = "__gz"
-    val shape: (DataFrame, Int) => DataFrame = { (aligned, n) =>
+    // unpartitioned: one global range-repartition on the curve key.
+    // Partitioned: range on (dirCols..., zkey) — directories stay the
+    // leading keys (each dir maps to a contiguous range, so partitionBy
+    // writes clean file runs) and the curve splits each directory into
+    // multiple right-sized files with disjoint z-ranges, so file-level
+    // pruning works INSIDE a partition too.
+    val shape: (DataFrame, Int, Seq[String]) => DataFrame = { (aligned, n, dirCols) =>
       val withZ = aligned.withColumn(zkey,
         graft.ice.transform.ZValueExpr.zvalue(cols.map(aligned(_))))
-      val ranged = if (n > 0) withZ.repartitionByRange(n, col(zkey))
-        else withZ.repartitionByRange(col(zkey))
+      val keys = dirCols.map(col) :+ col(zkey)
+      val ranged = if (n > 0) withZ.repartitionByRange(n, keys: _*)
+        else withZ.repartitionByRange(keys: _*)
       // projection after the sort is narrow: row order survives the drop
-      ranged.sortWithinPartitions(zkey).drop(zkey)
+      ranged.sortWithinPartitions(keys: _*).drop(zkey)
     }
     val added = SnapshotProducer.writeDataFiles(table, spark, source, targetSize,
       inputBytes = all.map(_.file.fileSizeInBytes).sum, shapeOverride = Some(shape))

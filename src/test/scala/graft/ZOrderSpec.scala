@@ -114,6 +114,44 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter("a < 32 and b < 32").count() == 32L * 32)
   }
 
+  test("partitioned z-order: curve splits each directory into pruned file runs") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whzp").toString)
+    // 4 identity partitions, each holding a 128x128 (a,b) grid
+    val grid = spark.range(0, 65536).selectExpr(
+      "cast(id % 4 as int) as p",
+      "cast((id div 4) % 128 as int) as a",
+      "cast((id div 4) div 128 as int) as b",
+      "id as payload")
+    val schema = SparkConv.fromSpark(grid.schema)
+    val pid = schema.findFieldByName("p").get.id
+    val t = IceTable.create(cat, TableIdentifier.parse("db.zpart"), schema,
+      graft.ice.meta.PartitionSpec(0, IndexedSeq(
+        graft.ice.meta.PartitionField(pid, 1000, "p",
+          graft.ice.transform.IdentityTransform))))
+    t.append(spark).appendDataFrame(grid)
+
+    val before = t.newScan().planFiles().size
+    val aBox = E.lt("a", Literal.int(16)) // 1/8 of the a range
+    // default partitioned write: one file per directory spanning all of a
+    assert(t.newScan().filter(aBox).planFiles().size == before)
+
+    val bytes = t.newScan().planFiles().map(_.file.fileSizeInBytes).sum
+    t.compact(spark).zorder(Seq("a", "b"), targetFileSizeBytes = math.max(1L, bytes / 16))
+    val totalZ = t.newScan().planFiles().size
+    assert(totalZ >= 8, s"curve should split dirs into multiple files, got $totalZ")
+
+    val aPruned = t.newScan().filter(aBox).planFiles().size
+    assert(aPruned <= totalZ / 2, s"a-box scanned $aPruned of $totalZ")
+    // partition pruning composes with curve pruning
+    val both = E.equal("p", Literal.int(1)).and(aBox)
+    val composed = t.newScan().filter(both).planFiles().size
+    assert(composed <= totalZ / 4, s"p+a scanned $composed of $totalZ")
+
+    assert(t.newScan().toDF(spark).count() == 65536L)
+    assert(t.newScan().filter(both).toDF(spark)
+      .filter("p = 1 and a < 16").count() == 16L * 128)
+  }
+
   test("z-order rewrite folds merge-on-read deletes in") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whzd").toString)
     val df = spark.range(0, 10000).selectExpr(

@@ -387,8 +387,10 @@ final case class GraftDeleteCommand(warehouse: String, parts: Seq[String],
     val del = t.delete(session)
     mode match {
       case "merge-on-read" =>
-        if (TableProperties.get(t.properties, TableProperties.FormatVersion) >= 3)
-          del.deleteWhereDV(filter)
+        // format-version lives in table METADATA, not properties — the
+        // 'format-version' property is consumed at create time, so a
+        // properties lookup would always see the default
+        if (t.metadata.formatVersion >= 3) del.deleteWhereDV(filter)
         else del.deleteWherePositional(filter)
       case _ => del.deleteWhere(filter)
     }

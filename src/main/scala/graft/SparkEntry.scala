@@ -836,10 +836,17 @@ object SparkEntry {
         .select(col("l.user_id").as("user_id"),
           col("l.event_id").as("e1"), col("r.event_id").as("e2"))
       // a stream-stream join instantiates 4 state stores PER shuffle
-      // partition; at this key cardinality the per-store fixed cost
-      // dominates, so run the join narrow and restore the session default
+      // partition, so the fixed per-store cost dominates on small inputs —
+      // size the join's shuffle from the INPUT's split count (grows with
+      // data volume), capped by the session default so a cluster-sized
+      // session is never narrowed below what the operator configured
+      val inputParts = s.read.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .rdd.getNumPartitions
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val joinParts = math.max(1, math.min(inputParts, sessionParts))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", joinParts.toString)
       try graft.streaming.StreamOps.runToParquet(s, joined)
       finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),

@@ -45,6 +45,8 @@ object RestJson {
   final case class RemoveProperties(removals: Seq[String]) extends MetadataUpdate
   final case class SetStatistics(statistics: StatisticsFile) extends MetadataUpdate
   final case class RemoveStatistics(snapshotId: Long) extends MetadataUpdate
+  final case class SetPartitionStatistics(partitionStatistics: PartitionStatisticsFile) extends MetadataUpdate
+  final case class RemovePartitionStatistics(snapshotId: Long) extends MetadataUpdate
 
   def updateToJson(u: MetadataUpdate): ObjectNode = {
     val o = mapper.createObjectNode()
@@ -90,6 +92,14 @@ object RestJson {
         o.set[ObjectNode]("statistics", MetaJson.statisticsToJson(sf))
       case RemoveStatistics(id) =>
         o.put("action", "remove-statistics"); o.put("snapshot-id", id)
+      case SetPartitionStatistics(psf) =>
+        o.put("action", "set-partition-statistics")
+        val po = o.putObject("partition-statistics")
+        po.put("snapshot-id", psf.snapshotId)
+        po.put("statistics-path", psf.path)
+        po.put("file-size-in-bytes", psf.fileSizeInBytes)
+      case RemovePartitionStatistics(id) =>
+        o.put("action", "remove-partition-statistics"); o.put("snapshot-id", id)
     }
     o
   }
@@ -116,6 +126,14 @@ object RestJson {
       RemoveProperties(n.get("removals").elements.asScala.map(_.asText).toSeq)
     case "set-statistics" => SetStatistics(MetaJson.statisticsFromJson(n.get("statistics")))
     case "remove-statistics" => RemoveStatistics(n.get("snapshot-id").asLong)
+    case "set-partition-statistics" =>
+      val p = n.get("partition-statistics")
+      SetPartitionStatistics(PartitionStatisticsFile(
+        p.get("snapshot-id").asLong,
+        p.get("statistics-path").asText,
+        p.get("file-size-in-bytes").asLong))
+    case "remove-partition-statistics" =>
+      RemovePartitionStatistics(n.get("snapshot-id").asLong)
     case other => throw new IllegalArgumentException(s"unknown metadata update: $other")
   }
 
@@ -226,6 +244,12 @@ object RestJson {
     base.statistics.map(_.snapshotId).distinct.filterNot(targetStatIds)
       .foreach(id => ups += RemoveStatistics(id))
 
+    target.partitionStatistics.filterNot(base.partitionStatistics.contains)
+      .foreach(psf => ups += SetPartitionStatistics(psf))
+    val targetPartStatIds = target.partitionStatistics.map(_.snapshotId).toSet
+    base.partitionStatistics.map(_.snapshotId).distinct.filterNot(targetPartStatIds)
+      .foreach(id => ups += RemovePartitionStatistics(id))
+
     ups.toSeq
   }
 
@@ -235,11 +259,18 @@ object RestJson {
     * fields (lastColumnId, lastPartitionId, lastSequenceNumber, nextRowId,
     * snapshotLog, currentSnapshotId) are recomputed from the updates, so
     * the committed metadata is reproducible from (base, updates) alone. */
-  def applyUpdates(base: TableMetadata, updates: Seq[MetadataUpdate]): TableMetadata = {
+  def applyUpdates(base: TableMetadata, updates: Seq[MetadataUpdate],
+      commitTimeMs: Long = System.currentTimeMillis()): TableMetadata = {
     var m = base
     var lastAddedSchema = -1
     var lastAddedSpec = -1
     var lastAddedOrder = -1
+    // snapshots added by THIS update list: moving main to one of these is
+    // a normal commit (log entry dated by the snapshot itself); moving
+    // main to a pre-existing snapshot is a rollback/fast-forward, which
+    // local catalogs date at commit time — the REST path must match or
+    // TIMESTAMP AS OF resolves differently across catalogs
+    val addedSnapIds = scala.collection.mutable.Set.empty[Long]
     updates.foreach {
       case AssignUuid(uuid) => m = m.copy(tableUuid = uuid)
       case UpgradeFormatVersion(v) =>
@@ -284,6 +315,7 @@ object RestJson {
             Some(math.max(cur.getOrElse(0L), first + s.addedRows.getOrElse(0L)))
           case (cur, None) => cur
         }
+        addedSnapIds += s.snapshotId
         m = m.copy(snapshots = m.snapshots :+ s,
           lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
           lastUpdatedMs = math.max(m.lastUpdatedMs, s.timestampMs),
@@ -293,11 +325,13 @@ object RestJson {
           .getOrElse(throw new IllegalArgumentException(
             s"ref $name -> unknown snapshot ${r.snapshotId}"))
         val moved = !m.refs.get(name).exists(_.snapshotId == r.snapshotId)
+        val logTs =
+          if (addedSnapIds(snap.snapshotId)) snap.timestampMs else commitTimeMs
         m = m.copy(refs = m.refs.updated(name, r),
           currentSnapshotId = if (name == "main") Some(r.snapshotId) else m.currentSnapshotId,
           snapshotLog =
             if (name == "main" && moved)
-              m.snapshotLog :+ SnapshotLogEntry(snap.timestampMs, snap.snapshotId)
+              m.snapshotLog :+ SnapshotLogEntry(logTs, snap.snapshotId)
             else m.snapshotLog)
       case RemoveSnapshots(ids) =>
         val drop = ids.toSet
@@ -314,6 +348,12 @@ object RestJson {
           m.statistics.filterNot(_.snapshotId == sf.snapshotId) :+ sf)
       case RemoveStatistics(id) =>
         m = m.copy(statistics = m.statistics.filterNot(_.snapshotId == id))
+      case SetPartitionStatistics(psf) =>
+        m = m.copy(partitionStatistics =
+          m.partitionStatistics.filterNot(_.snapshotId == psf.snapshotId) :+ psf)
+      case RemovePartitionStatistics(id) =>
+        m = m.copy(partitionStatistics =
+          m.partitionStatistics.filterNot(_.snapshotId == id))
     }
     m
   }

@@ -31,7 +31,13 @@ private[ice] object SnapshotProducer {
       addedDeleteEntries: Seq[ManifestEntry] = Nil,
       removedDVForFiles: Set[String] = Set.empty,
       extraSummary: Map[String, String] = Map.empty,
-      extraProps: Map[String, String] = Map.empty): Snapshot = {
+      extraProps: Map[String, String] = Map.empty,
+      // expected DV state per referenced data file, captured at planning
+      // time: re-checked against the CURRENT base on every commit attempt
+      // (incl. after a lost race + refresh), because a retried DV commit
+      // that supersedes a concurrently-written vector would resurrect the
+      // concurrent writer's deleted rows (validateNoNewDeleteFiles-style)
+      expectedDVs: Option[Map[String, Set[String]]] = None): Snapshot = {
     var result: Snapshot = null
     table.commit { base =>
       val commitUuid = UUID.randomUUID().toString
@@ -54,6 +60,38 @@ private[ice] object SnapshotProducer {
         .map(s => ManifestAvro.readManifestList(s.manifestList))
         .getOrElse(IndexedSeq.empty)
 
+      // DV conflict detection: the set of live deletion vectors for every
+      // data file we are about to write a (superseding) DV for must be
+      // exactly what the planner saw — a concurrent DV commit for the
+      // same file is a REAL conflict (our bitmap ORed a stale prior), so
+      // abort instead of retrying into silent row resurrection
+      expectedDVs.foreach { expected =>
+        val current: Map[String, Set[String]] = previous
+          .filter(_.content == ManifestContent.Deletes)
+          .flatMap { m =>
+            val mSpec = base.specById(m.partitionSpecId)
+              .getOrElse(PartitionSpec.unpartitioned)
+            ManifestAvro.readManifest(m.manifestPath,
+                mSpec.partitionType(base.currentSchema), Some(m))
+              .filter(e => e.isLive &&
+                e.dataFile.content == FileContent.PositionDeletes &&
+                e.dataFile.fileFormat == "PUFFIN" &&
+                e.dataFile.referencedDataFile.isDefined)
+              .map(e => ManifestAvro.stripFileScheme(
+                e.dataFile.referencedDataFile.get) ->
+                ManifestAvro.stripFileScheme(e.dataFile.filePath))
+          }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        expected.foreach { case (ref, expPaths) =>
+          val cur = current.getOrElse(ref, Set.empty)
+          if (cur != expPaths)
+            throw new graft.ice.meta.RequirementFailedException(
+              s"concurrent deletion-vector change for data file $ref " +
+                s"(expected DVs $expPaths, found $cur): refresh and retry " +
+                "the delete")
+        }
+      }
+
       var mIdx = 0
       def nextManifestPath(): String = {
         val p = s"$metaDir/$commitUuid-m$mIdx.avro"; mIdx += 1; p
@@ -67,6 +105,7 @@ private[ice] object SnapshotProducer {
       // nothing; manifest_entry.h:157-177)
       def dvSuperseded(e: ManifestEntry): Boolean =
         e.dataFile.content == FileContent.PositionDeletes &&
+          e.dataFile.fileFormat == "PUFFIN" &&
           e.dataFile.referencedDataFile.exists(r =>
             removedDVForFiles.contains(ManifestAvro.stripFileScheme(r)))
       val survivors: Seq[ManifestFile] = previous.flatMap { m =>
@@ -592,11 +631,20 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
           contentSizeInBytes = Some(len)))
     }
     val superseded = refRows.map(_._3).toSet.filter(priorDV.contains)
+    // what the planner believed the live DV set was, per touched data
+    // file (empty set = "had no DV"): the commit re-validates this on
+    // every attempt so a lost race cannot silently supersede a
+    // concurrently-written vector
+    val expected: Map[String, Set[String]] =
+      refRows.map(r => ManifestAvro.stripFileScheme(r._3)).distinct
+        .map(ref => ref -> priorDV.getOrElse(ref, Nil).map(_._1).toSet)
+        .toMap
     SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
       addedDeleteEntries = entries, removedDVForFiles = superseded,
       extraSummary =
         if (superseded.isEmpty) Map.empty
-        else Map("replaced-deletion-vectors" -> superseded.size.toString))
+        else Map("replaced-deletion-vectors" -> superseded.size.toString),
+      expectedDVs = Some(expected))
   }
 
   /** Merge-on-read equality delete: delete every row whose key columns
@@ -797,7 +845,7 @@ final class MergeInto(table: IceTable, spark: SparkSession,
       case None => Nil
     }
     SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
-      addedDeleteEntries = delEntries)
+      addedDeleteEntries = delEntries, extraProps = props)
   }
 
   private def commitCoW(): Snapshot = {
@@ -805,7 +853,8 @@ final class MergeInto(table: IceTable, spark: SparkSession,
     val allTasks = table.newScan().planFiles()
     val allPaths = allTasks.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
     if (allPaths.isEmpty && !insertUnmatched)
-      return SnapshotProducer.commit(table, spark, DataOperation.Overwrite, Nil)
+      return SnapshotProducer.commit(table, spark, DataOperation.Overwrite, Nil,
+        extraProps = props)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     def readRaw(paths: Seq[String]): DataFrame =
@@ -866,7 +915,8 @@ final class MergeInto(table: IceTable, spark: SparkSession,
     val origByStripped = allTasks
       .map(t => ManifestAvro.stripFileScheme(t.file.filePath) -> t.file.filePath).toMap
     SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
-      removedPaths = affected.map(p => origByStripped.getOrElse(p, p)).toSet)
+      removedPaths = affected.map(p => origByStripped.getOrElse(p, p)).toSet,
+      extraProps = props)
   }
 }
 

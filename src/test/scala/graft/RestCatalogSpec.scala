@@ -114,6 +114,35 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partition statistics and rollback timestamps survive the wire") {
+    withRest() { (cat, server, _) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "pstats")
+      val raw = spark.read.parquet(s"$sfDir/region.parquet")
+      val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+      t.append(spark).appendDataFrame(raw)
+      // partition stats registered through a REST commit must land in the
+      // authoritative metadata (set-partition-statistics update)
+      val psf = graft.ice.write.Statistics.computePartitionStats(t, spark)
+      val reloaded = IceTable.load(new RestCatalog(server.baseUrl), ident)
+      assert(reloaded.metadata.partitionStatistics == Seq(psf))
+
+      // rollback via REST: the snapshotLog entry is stamped at COMMIT
+      // time (local-catalog semantics), never the old snapshot's original
+      // timestamp — TIMESTAMP AS OF must resolve identically
+      val s1 = t.currentSnapshot.get
+      t.append(spark).appendDataFrame(raw.limit(1))
+      val before = System.currentTimeMillis()
+      t.manageSnapshots().rollbackTo(s1.snapshotId)
+      val log = IceTable.load(cat, ident).metadata.snapshotLog
+      assert(log.last.snapshotId == s1.snapshotId)
+      assert(log.last.timestampMs >= before,
+        s"rollback log entry dated in the past: ${log.last.timestampMs} < $before")
+      assert(log.map(_.timestampMs) == log.map(_.timestampMs).sorted,
+        "snapshotLog must stay monotonic across a REST rollback")
+    }
+  }
+
   test("staged create (CTAS): invisible until the assert-create commit") {
     withRest() { (cat, _, backing) =>
       cat.createNamespace(Seq("db"))

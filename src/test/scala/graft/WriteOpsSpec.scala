@@ -166,6 +166,36 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "unmatched files must not be rewritten")
   }
 
+  test("mergeInto withProperty commits atomically on every path") {
+    // MoR path: the (queryId,batchId)-style marker must survive the commit
+    // — StreamOps.upsertStream's exactly-once skip depends on reading it back
+    val (t, raw) = freshTable("mrgprop")
+    val src = raw.filter(col("o_orderkey") % 6 === 0).withColumn("o_totalprice", lit(1.0))
+    // CoW path first (a CoW merge refuses tables carrying live deletes)
+    t.merge(spark, src, Seq("o_orderkey"))
+      .whenMatchedDelete()
+      .withProperty("graft.test.marker", "b1").commit()
+    t.refresh()
+    assert(t.metadata.properties.get("graft.test.marker").contains("b1"))
+
+    // MoR path
+    t.merge(spark, src.withColumn("o_totalprice", lit(2.0)), Seq("o_orderkey"))
+      .whenNotMatchedInsertAll().withMergeOnRead()
+      .withProperty("graft.test.marker", "b2").commit()
+    t.refresh()
+    assert(t.metadata.properties.get("graft.test.marker").contains("b2"))
+
+    // CoW empty-table early-return path
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whmp").toString)
+    val empty = IceTable.create(cat, TableIdentifier.parse("db.mrgprop2"),
+      SparkConv.fromSpark(raw.schema))
+    empty.merge(spark, src.limit(1), Seq("o_orderkey"))
+      .whenMatchedDelete()
+      .withProperty("graft.test.marker", "b0").commit()
+    empty.refresh()
+    assert(empty.metadata.properties.get("graft.test.marker").contains("b0"))
+  }
+
   test("mergeInto updateSet expressions and delete actions") {
     val (t, raw) = freshTable("mrg2")
     val src = raw.filter(col("o_orderkey") % 5 === 0)
@@ -915,6 +945,31 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // DV delete composes with compaction: folding the vectors preserves rows
     t.compact(spark).rewriteDataFiles(smallFileThreshold = 0L)
     assert(t.newScan().toDF(spark).count() == kept)
+  }
+
+  test("concurrent DV writers: losing writer aborts instead of resurrecting rows") {
+    // Two handles race DV deletes touching the SAME data file. The loser's
+    // bitmap ORed a stale prior vector, so a silent retry would supersede
+    // the winner's DV and resurrect its deleted rows — the commit must
+    // detect the changed DV state and abort.
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whdvr").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t1 = IceTable.create(cat, TableIdentifier.parse("db.dvrace"), schema)
+    t1.upgradeFormatVersion(3)
+    t1.append(spark).appendDataFrame(raw)
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.dvrace"))
+
+    t1.delete(spark).deleteWhereDV(graft.ice.expr.Expr.raw("o_orderkey % 3 = 0"))
+    // t2 plans against its stale snapshot (no DVs visible)
+    intercept[graft.ice.meta.RequirementFailedException](
+      t2.delete(spark).deleteWhereDV(graft.ice.expr.Expr.raw("o_orderkey % 3 = 1")))
+    // winner's deletes are intact
+    t2.refresh()
+    assert(t2.newScan().toDF(spark).count() == raw.filter("o_orderkey % 3 != 0").count())
+    // refreshed retry succeeds and composes both deletes
+    t2.delete(spark).deleteWhereDV(graft.ice.expr.Expr.raw("o_orderkey % 3 = 1"))
+    assert(t2.newScan().toDF(spark).count() == raw.filter("o_orderkey % 3 = 2").count())
   }
 
   test("parquet position deletes and deletion vectors compose in one scan") {

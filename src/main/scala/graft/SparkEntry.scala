@@ -1286,11 +1286,12 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS total_value_cents
         |FROM t GROUP BY user_id, session_seq""".stripMargin
-    // no oracle (weaker rows-only check): t_transform_bucket (murmur3 seed-0
-    // not expressible in DuckDB), d2/d3/d4/d5 (hash-defined), e2_ann_lsh/
-    // e3_ann_ivf (approximate), x3/x4 (heuristic-defined), mm2 (stub
-    // features); t2 branch/m_snapshots covered via deterministic fixtures.
-  )
+  ) ++
+    // hash-defined operators (murmur3 seed-0 / xxhash64 / random-projection
+    // families DuckDB cannot recompute) are oracled with golden VALUES
+    // tables pinned from the (verified deterministic) engine output at the
+    // driver's correctness scale factor — see GoldenOracles
+    GoldenOracles.sql
 }
 
 /** Two-snapshot fixture: snapshot 1 = orders with o_orderkey%10<5 (tagged

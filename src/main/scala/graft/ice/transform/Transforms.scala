@@ -98,6 +98,13 @@ object TruncateUtil {
   }
   def truncateBinary(w: Int, b: Array[Byte]): Array[Byte] =
     if (b.length <= w) b else java.util.Arrays.copyOf(b, w)
+
+  /** Spark-internal-Decimal adapter for TruncateExpr codegen (called from
+    * generated Java via the static forwarder). */
+  def truncateSparkDecimal(w: Long, d: org.apache.spark.sql.types.Decimal,
+      precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(
+      truncateDecimal(w, d.toJavaBigDecimal), precision, scale)
 }
 
 /** A partition transform (reference: src/iceberg/transform.h:38-189,
@@ -185,16 +192,8 @@ final case class TruncateTransform(width: Int) extends Transform {
       val w = lit(width.toLong)
       (input - (((input % w) + w) % w)).cast(SparkConv.toSparkType(sourceType))
     case StringT => substring(input, 1, width) // Spark substring counts code points
-    case DecimalT(_, _) =>
-      val w = width
-      val f = udf((d: JBigDecimal) =>
-        if (d == null) null else TruncateUtil.truncateDecimal(w.toLong, d))
-      f(input).cast(SparkConv.toSparkType(sourceType))
-    case BinaryT | FixedT(_) =>
-      val w = width
-      val f = udf((b: Array[Byte]) =>
-        if (b == null) null else TruncateUtil.truncateBinary(w, b))
-      f(input)
+    case DecimalT(_, _) => TruncateExpr.column(input, width)
+    case BinaryT | FixedT(_) => TruncateExpr.column(input, width)
     case t => throw new IllegalArgumentException(s"truncate unsupported for $t")
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import java.math.{BigDecimal => JBigDecimal}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -236,6 +238,56 @@ class BucketExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { r =>
       assert(BucketTransform(16)(r.getLong(0), LongT) == r.getInt(1))
     }
+  }
+
+  test("codegen truncate expression: decimal/binary spec vectors, no UDF") {
+    import spark.implicits._
+    import graft.ice.transform._
+    import graft.ice.types._
+    // transform_test.cc truncate vectors: decimal 123.45 w=50 -> 123.00,
+    // binary [1,2,3,4,5] w=3 -> [1,2,3]; negative unscaled floors toward
+    // negative infinity: -0.05 w=50 -> -0.50
+    val df = Seq(
+      (new JBigDecimal("123.45"), Array[Byte](1, 2, 3, 4, 5)),
+      (new JBigDecimal("-0.05"), Array[Byte](7, 8)))
+      .toDF("d", "b")
+      .select(col("d").cast("decimal(5,2)").as("d"), col("b"))
+    val rows = df.select(
+      TruncateTransform(50).toColumn(col("d"), DecimalT(5, 2)).as("td"),
+      TruncateTransform(3).toColumn(col("b"), BinaryT).as("tb")).collect()
+    assert(rows(0).getDecimal(0).compareTo(new JBigDecimal("123.00")) == 0)
+    assert(rows(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
+    assert(rows(1).getDecimal(0).compareTo(new JBigDecimal("-0.50")) == 0)
+    assert(rows(1).getAs[Array[Byte]](1).toSeq == Seq[Byte](7, 8))
+    // null-safe
+    val nulls = Seq((null: JBigDecimal, null: Array[Byte])).toDF("d", "b")
+      .select(col("d").cast("decimal(5,2)").as("d"), col("b"))
+      .select(
+        TruncateTransform(10).toColumn(col("d"), DecimalT(5, 2)).as("td"),
+        TruncateTransform(2).toColumn(col("b"), BinaryT).as("tb")).head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // no UDF in the plan, and the generated Java compiles with fallback off
+    val plan = df.select(
+      TruncateTransform(50).toColumn(col("d"), DecimalT(5, 2)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = df.select(
+        TruncateTransform(50).toColumn(col("d"), DecimalT(5, 2)).as("td"),
+        TruncateTransform(3).toColumn(col("b"), BinaryT).as("tb")).count()
+      assert(n == 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // distributed vs driver agreement
+    val vals = spark.range(500)
+      .select((col("id") - 250).cast("decimal(10,2)").as("d"))
+    vals.select(col("d"),
+      TruncateTransform(7).toColumn(col("d"), DecimalT(10, 2)).as("td"))
+      .collect().foreach { r =>
+        val expect = TruncateTransform(7)(r.getDecimal(0), DecimalT(10, 2))
+          .asInstanceOf[JBigDecimal]
+        assert(r.getDecimal(1).compareTo(expect) == 0, s"${r.getDecimal(0)}")
+      }
   }
 
   test("scan limit truncates the planned file list") {

@@ -25,7 +25,17 @@ import graft.ice.meta.{BlobMetadata, StatisticsFile}
   * ascending top-k window; only nColumns × k longs reach the driver. */
 object Statistics {
 
-  val KmvBlobType = "graft-kmv-v1"
+  /** Blob type written since r7: the Apache DataSketches compact ordered
+    * theta serialization (the Iceberg spec's standard NDV blob type) —
+    * the KMV state IS a theta sketch (retained = the k-1 smallest 63-bit
+    * hash values, θ = the k-th), so the re-encode is a transform + frame.
+    * Caveat, documented honestly: the retained values derive from
+    * xxhash64 (the codegen'd one-pass scan hash), not DataSketches'
+    * murmur3-128(seed 9001) of the Iceberg single-value serialization —
+    * blobs parse and ESTIMATE correctly in any theta reader, but a
+    * cross-engine sketch UNION needs identical input hashing. */
+  val ThetaBlobType = "apache-datasketches-theta-v1"
+  val KmvBlobType = "graft-kmv-v1" // legacy blobs readable via kmvFromBytes
   val NdvProperty = "ndv"
 
   /** Serialized KMV blob: k, count, then `count` sorted hashes. */
@@ -62,6 +72,107 @@ object Statistics {
     * lets per-file or per-partition sketches roll up without rescanning. */
   def kmvMerge(k: Int, a: Array[Long], b: Array[Long]): Array[Long] =
     (a ++ b).distinct.sorted.take(k)
+
+  // ---- Apache DataSketches theta compact-ordered serialization ----
+  // (public format: serVer 3, family COMPACT=3; preamble flags
+  //  READ_ONLY|COMPACT|ORDERED, little-endian words; values are 63-bit
+  //  positive longs strictly below theta)
+
+  private val FlagReadOnly = 2
+  private val FlagEmpty = 4
+  private val FlagCompact = 8
+  private val FlagOrdered = 16
+  private val DefaultSeed = 9001L
+
+  /** Map a signed 64-bit hash onto theta's 63-bit positive domain,
+    * preserving order: flip the sign bit (signed order -> unsigned order)
+    * then drop the lowest bit. */
+  private def theta63(h: Long): Long = (h ^ Long.MinValue) >>> 1
+
+  /** DataSketches seed hash: low 16 bits of murmur3-128(seed), must be
+    * nonzero (PreambleUtil.computeSeedHash semantics). */
+  private[write] def seedHash(seed: Long): Short = {
+    val h = murmur128(seed, 0L)
+    val sh = (h & 0xFFFFL).toShort
+    require(sh != 0, s"seed $seed hashes to 0")
+    sh
+  }
+
+  /** MurmurHash3 x64-128 of one long (returns h1) — the public algorithm,
+    * used only to stamp the preamble's seed-hash field. */
+  private def murmur128(key: Long, seed: Long): Long = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = seed; var h2 = seed
+    var k1 = key
+    k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2
+    h1 ^= k1
+    h1 ^= 8L; h2 ^= 8L
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2
+    h1
+  }
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** Encode the KMV state (k smallest signed hashes, ascending) as a
+    * compact ordered theta sketch: below k retained entries the sketch is
+    * exact (θ = 2^63); at k the k-th smallest value becomes θ and the
+    * remaining k-1 are retained. Little-endian throughout. */
+  def thetaBytes(k: Int, hashes: Array[Long]): Array[Byte] = {
+    val estimating = hashes.length >= k
+    val theta = if (estimating) theta63(hashes.last) else Long.MaxValue
+    val retained =
+      if (estimating) hashes.dropRight(1).map(theta63)
+      else hashes.map(theta63)
+    val empty = retained.isEmpty && !estimating
+    val preLongs = if (empty) 1 else if (estimating) 3 else 2
+    val buf = java.nio.ByteBuffer.allocate(8 * (preLongs + retained.length))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var flags = FlagReadOnly | FlagCompact | FlagOrdered
+    if (empty) flags |= FlagEmpty
+    buf.put(preLongs.toByte).put(3.toByte /* serVer */)
+      .put(3.toByte /* family: compact */).put(0.toByte).put(0.toByte)
+      .put(flags.toByte).putShort(seedHash(DefaultSeed))
+    if (!empty) {
+      buf.putInt(retained.length).putInt(0)
+      if (estimating) buf.putLong(theta)
+      retained.foreach(buf.putLong)
+    }
+    buf.array()
+  }
+
+  /** Parse a compact theta sketch back to (theta, retained values). */
+  def thetaFromBytes(bytes: Array[Byte]): (Long, Array[Long]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val preLongs = buf.get().toInt
+    val serVer = buf.get().toInt
+    val family = buf.get().toInt
+    require(serVer == 3 && family == 3, s"not a compact theta sketch " +
+      s"(serVer=$serVer family=$family)")
+    buf.get(); buf.get()
+    val flags = buf.get().toInt
+    buf.getShort() // seed hash
+    if ((flags & FlagEmpty) != 0 || preLongs == 1)
+      return (Long.MaxValue, Array.empty[Long])
+    val count = buf.getInt(); buf.getInt()
+    val theta = if (preLongs >= 3) buf.getLong() else Long.MaxValue
+    (theta, Array.fill(count)(buf.getLong()))
+  }
+
+  /** NDV from a parsed theta sketch: exact when θ = 2^63-1 (sub-k),
+    * count/|θ| otherwise — numerically the same estimator as kmvNdv. */
+  def thetaNdv(theta: Long, retained: Array[Long]): Long =
+    if (theta == Long.MaxValue) retained.length.toLong
+    else math.round(retained.length.toDouble /
+      (theta.toDouble / math.pow(2.0, 63)))
 
   /** Compute per-column KMV sketches over the table's CURRENT snapshot in
     * one distributed pass, write them as one puffin statistics file under
@@ -101,11 +212,11 @@ object Statistics {
 
     val blobs = targets.zipWithIndex.map { case (f, i) =>
       val hashes = topk.getOrElse(i, Array.empty[Long])
-      Puffin.BlobSpec(KmvBlobType, Seq(f.id), snap.snapshotId,
+      Puffin.BlobSpec(ThetaBlobType, Seq(f.id), snap.snapshotId,
         snap.sequenceNumber,
         Map(NdvProperty -> kmvNdv(k, hashes).toString,
           "column-name" -> f.name),
-        kmvBytes(k, hashes))
+        thetaBytes(k, hashes))
     }
     val path = s"${table.metadataFileDir}/${java.util.UUID.randomUUID()}-stats.puffin"
     java.nio.file.Files.createDirectories(

@@ -1016,7 +1016,7 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       raw.count() - raw.filter("o_orderkey % 10 = 2").count())
   }
 
-  test("puffin statistics: KMV sketches round-trip, NDV exact below k") {
+  test("puffin statistics: standard theta blobs round-trip, NDV exact below k") {
     import graft.ice.write.Statistics
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whst").toString)
     val raw = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -1029,23 +1029,46 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sf.blobMetadata.size == 2)
     // footer listing agrees with the committed blob metadata
     val blobs = graft.ice.manifest.Puffin.listBlobs(sf.path)
-    assert(blobs.map(_.blobType) == Seq(Statistics.KmvBlobType, Statistics.KmvBlobType))
+    assert(blobs.map(_.blobType) ==
+      Seq(Statistics.ThetaBlobType, Statistics.ThetaBlobType))
     assert(blobs.map(_.snapshotId).distinct == Seq(t.currentSnapshot.get.snapshotId))
-    // sketch bytes read back and re-estimate EXACTLY (ndv < k here)
+    // standard-format compact theta blobs read back and re-estimate
+    // EXACTLY (ndv < k here, so theta = 2^63 and the sketch is the set)
     val exact = Map(
       "o_orderstatus" -> raw.select("o_orderstatus").distinct().count(),
       "o_custkey" -> raw.select("o_custkey").distinct().count())
     blobs.foreach { b =>
-      val (k, hashes) = Statistics.kmvFromBytes(
-        graft.ice.manifest.Puffin.readBlob(sf.path, b.offset, b.length))
+      val bytes = graft.ice.manifest.Puffin.readBlob(sf.path, b.offset, b.length)
+      // preamble conforms: serVer 3, family compact, ordered+compact flags
+      assert(bytes(1) == 3 && bytes(2) == 3)
+      assert((bytes(5) & 0x18) == 0x18, "COMPACT|ORDERED flags")
+      val (theta, values) = Statistics.thetaFromBytes(bytes)
       val name = b.properties("column-name")
-      assert(Statistics.kmvNdv(k, hashes) == exact(name), s"ndv mismatch for $name")
+      assert(theta == Long.MaxValue, "sub-k sketch must be exact mode")
+      assert(Statistics.thetaNdv(theta, values) == exact(name),
+        s"ndv mismatch for $name")
       assert(b.properties(Statistics.NdvProperty).toLong == exact(name))
-      assert(hashes.sorted.sameElements(hashes), "sketch hashes must be sorted")
-      // mergeability: splitting the sketch and re-merging is lossless
-      val (a, c) = hashes.splitAt(hashes.length / 2)
-      assert(Statistics.kmvMerge(k, a, c).sameElements(hashes))
+      assert(values.sorted.sameElements(values), "sketch values must be ordered")
+      assert(values.forall(v => v > 0 && v < Long.MaxValue),
+        "theta values are 63-bit positive longs")
     }
+    // legacy KMV serde still round-trips (old blobs stay readable)
+    val legacy = Statistics.kmvBytes(8, Array(1L, 5L, 9L))
+    val (lk, lh) = Statistics.kmvFromBytes(legacy)
+    assert(lk == 8 && lh.toSeq == Seq(1L, 5L, 9L))
+    // mergeability of the pre-serialization state is lossless
+    assert(Statistics.kmvMerge(8, Array(1L, 9L), Array(5L))
+      .sameElements(Array(1L, 5L, 9L)))
+    // estimating mode: the k-th smallest becomes theta, k-1 retained, and
+    // the theta estimator agrees with the KMV estimator it re-encodes
+    val rnd = new scala.util.Random(7)
+    val hs = Array.fill(4096)(rnd.nextLong()).distinct.sorted.take(256)
+    val (th, vs) = Statistics.thetaFromBytes(Statistics.thetaBytes(256, hs))
+    assert(vs.length == 255 && th > 0 && th < Long.MaxValue)
+    val est = Statistics.thetaNdv(th, vs)
+    val kest = Statistics.kmvNdv(256, hs)
+    assert(math.abs(est - kest) <= math.max(2L, kest / 1000),
+      s"theta estimate $est vs kmv $kest")
     // metadata JSON round-trip: a fresh load sees the same statistics
     val t2 = IceTable.load(cat, TableIdentifier.parse("db.stats"))
     assert(t2.metadata.statistics.map(s => (s.snapshotId, s.path)) ==

@@ -300,25 +300,18 @@ class DirCatalog(val warehouse: String) extends Catalog {
     if (Files.exists(target))
       throw new CommitFailedException(
         s"$ident: version $next already committed by a concurrent writer")
-    val tmp = Files.createTempFile(metadataDir(ident), ".tmp-v", ".metadata.json")
-    Files.writeString(tmp, MetaJson.toJson(updated))
-    // POSIX rename silently REPLACES an existing target, so ATOMIC_MOVE
-    // cannot arbitrate the race. A hard link is atomic, publishes the
-    // fully-written content, and fails if the target already exists —
-    // exactly first-committer-wins.
-    try Files.createLink(target, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitFailedException(s"$ident: lost race committing version $next")
-    } finally Files.deleteIfExists(tmp)
+    // the whole commit race reduces to FileIO's first-committer-wins
+    // primitive — an object-store catalog swaps in a conditional put here
+    if (!graft.ice.io.LocalFileIO.writeIfAbsent(target.toString,
+        MetaJson.toJson(updated).getBytes("UTF-8")))
+      throw new CommitFailedException(s"$ident: lost race committing version $next")
     Files.writeString(hintFile(ident), next.toString) // best-effort pointer
     next
   }
 
   private def writeVersion(ident: TableIdentifier, v: Int, meta: TableMetadata): Unit = {
-    val tmp = Files.createTempFile(metadataDir(ident), ".tmp-v", ".metadata.json")
-    Files.writeString(tmp, MetaJson.toJson(meta))
-    Files.move(tmp, versionFile(ident, v), StandardCopyOption.ATOMIC_MOVE)
+    graft.ice.io.LocalFileIO.writeAtomic(versionFile(ident, v).toString,
+      MetaJson.toJson(meta).getBytes("UTF-8"))
     Files.writeString(hintFile(ident), v.toString)
   }
 }

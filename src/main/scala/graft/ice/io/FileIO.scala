@@ -25,6 +25,19 @@ trait FileIO {
   /** Full-file atomic replace (commit safety: readers never observe a
     * torn metadata file). */
   def writeAtomic(path: String, bytes: Array[Byte]): Unit
+  /** Atomically publish a fully-written staged file onto `dst`,
+    * replacing any existing file — the task-commit primitive (executor
+    * retries/speculation must never expose a torn file). Local: rename;
+    * object store: copy-then-delete is acceptable because `src` is
+    * already complete and `dst` replacement is last-writer-wins. */
+  def atomicSwap(src: String, dst: String): Unit
+  /** First-committer-wins publish: write `bytes` at `path` ONLY if no
+    * file exists there, atomically; returns false when a concurrent
+    * writer got there first. THE metadata-commit primitive — local FS
+    * arbitrates via hard-link create-new semantics, an object store via
+    * conditional put (If-None-Match), a database via INSERT. Every
+    * commit race in the engine reduces to this one call. */
+  def writeIfAbsent(path: String, bytes: Array[Byte]): Boolean
   def delete(path: String): Unit
   def exists(path: String): Boolean
   def length(path: String): Long
@@ -46,6 +59,21 @@ object LocalFileIO extends FileIO {
     val tmp = Files.createTempFile(target.getParent, ".tmp-io", ".bin")
     Files.write(tmp, bytes)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+  override def atomicSwap(src: String, dst: String): Unit =
+    Files.move(p(src), p(dst), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  override def writeIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val target = p(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = Files.createTempFile(target.getParent, ".tmp-io", ".bin")
+    Files.write(tmp, bytes)
+    // POSIX rename silently REPLACES an existing target, so ATOMIC_MOVE
+    // cannot arbitrate the race; a hard link is atomic, publishes the
+    // fully-written content, and fails if the target exists
+    try { Files.createLink(target, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
   }
   override def delete(path: String): Unit = Files.deleteIfExists(p(path))
   override def exists(path: String): Boolean = Files.exists(p(path))
@@ -69,6 +97,11 @@ final class InMemoryFileIO extends FileIO {
     }
   override def readBytes(path: String): Array[Byte] = get(path)
   override def writeAtomic(path: String, bytes: Array[Byte]): Unit = store.put(path, bytes)
+  override def atomicSwap(src: String, dst: String): Unit = {
+    store.put(dst, get(src)); store.remove(src); ()
+  }
+  override def writeIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+    store.putIfAbsent(path, bytes) == null
   override def delete(path: String): Unit = store.remove(path)
   override def exists(path: String): Boolean = store.containsKey(path)
   override def length(path: String): Long = get(path).length.toLong

@@ -111,10 +111,7 @@ object AvroData {
         try it.foreach { row =>
           writer.append(rowToRecord(schema, fields, row)); n += 1
         } finally writer.close()
-        java.nio.file.Files.move(tmp.toPath,
-          java.nio.file.Paths.get(path),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        graft.ice.io.LocalFileIO.atomicSwap(tmp.getPath, path)
         Iterator.single((path, n))
       }
     }.collect().toSeq.sortBy(_._1)

@@ -610,9 +610,7 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
           // a retried/speculative attempt never exposes a torn puffin file
           val tmp = s"$path.$attempt.tmp"
           val refs = Puffin.writeDVFile(tmp, dvs)
-          Files.move(Paths.get(tmp), Paths.get(path),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          graft.ice.io.LocalFileIO.atomicSwap(tmp, path)
           val size = Files.size(Paths.get(path))
           refs.iterator.map(r =>
             (path, size, r.referencedDataFile, r.offset, r.length, r.cardinality))

@@ -55,6 +55,42 @@ class FileIOSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException](FormatRegistry.writer("PUFFIN"))
   }
 
+  test("commit race through the FileIO seam: one winner, losers see false") {
+    // the metadata-commit primitive (writeIfAbsent) arbitrates the race
+    // with NO java.nio involvement on the memory impl — the shape an
+    // object-store conditional put slots into
+    val io = new InMemoryFileIO
+    val path = "/mem/tbl/metadata/v2.metadata.json"
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        if (io.writeIfAbsent(path, s"writer-$i".getBytes("UTF-8")))
+          winners.incrementAndGet()
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(winners.get == 1, s"exactly one committer must win, got ${winners.get}")
+    // the committed content is one writer's payload, not a torn mix
+    assert(new String(io.readBytes(path), "UTF-8").matches("writer-\\d"))
+    // a later retry against the same path still loses cleanly
+    assert(!io.writeIfAbsent(path, "late".getBytes("UTF-8")))
+    assert(!LocalFileIO.exists(path))
+
+    // atomicSwap: staged file replaces the target and the stage vanishes
+    io.writeAtomic("/mem/stage.tmp", "v2".getBytes("UTF-8"))
+    io.writeAtomic("/mem/live", "v1".getBytes("UTF-8"))
+    io.atomicSwap("/mem/stage.tmp", "/mem/live")
+    assert(new String(io.readBytes("/mem/live"), "UTF-8") == "v2")
+    assert(!io.exists("/mem/stage.tmp"))
+
+    // the local impl agrees on the contract (hard-link create-new)
+    val dir = java.nio.file.Files.createTempDirectory("iorace").toString
+    assert(LocalFileIO.writeIfAbsent(s"$dir/v2.json", "a".getBytes))
+    assert(!LocalFileIO.writeIfAbsent(s"$dir/v2.json", "b".getBytes))
+    assert(new String(LocalFileIO.readBytes(s"$dir/v2.json")) == "a")
+  }
+
   test("metadata JSON round-trips through a memory-only FileIO") {
     val io = new InMemoryFileIO
     val schema = Schema(0, IndexedSeq(

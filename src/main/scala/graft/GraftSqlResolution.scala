@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.{expressions => ce}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, Filter, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, SubqueryAlias, UnresolvedTableSpec, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, Assignment, ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, Filter, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, SubqueryAlias, UnresolvedTableSpec, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.{expressions => cx}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -211,6 +211,17 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
         (c.colName, c.dataType, c.comment)
       }
       GraftAddColumnsCommand(session.conf.get(ConfKey), parts, adds)
+    case AlterColumns(UnresolvedTable(parts, _, _), specs) if isGraft(parts) =>
+      val changes = specs.map { sp =>
+        require(sp.column.name.length == 1, "nested ALTER COLUMN is not supported")
+        require(sp.newPosition.isEmpty, "ALTER COLUMN ... FIRST/AFTER is not supported")
+        require(sp.newDefaultExpression.isEmpty, "DEFAULT values are not supported")
+        require(!sp.newNullability.contains(false),
+          "ALTER COLUMN ... SET NOT NULL is not supported (existing files " +
+            "cannot be proven null-free without a rewrite)")
+        (sp.column.name.head, sp.newDataType, sp.newNullability, sp.newComment)
+      }
+      GraftAlterColumnsCommand(session.conf.get(ConfKey), parts, changes)
     case RenameColumn(UnresolvedTable(parts, _, _), col, newName) if isGraft(parts) =>
       GraftRenameColumnCommand(session.conf.get(ConfKey), parts,
         col.name.mkString("."), newName)
@@ -543,6 +554,35 @@ final case class GraftAddColumnsCommand(warehouse: String, parts: Seq[String],
     val up = t.updateSchema()
     cols.foreach { case (name, dt, doc) =>
       up.addColumn(name, GraftDdl.toIceType(dt), doc)
+    }
+    up.commit()
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE ... ALTER COLUMN c TYPE t / DROP NOT NULL / COMMENT` —
+  * type changes go through UpdateSchema's promotion validator (int→long,
+  * float→double, decimal precision widen; schema_util.cc:38-80 rules).
+  * Metadata-only: existing files keep their physical type and reads
+  * up-cast through the field-id schema resolver (P3). */
+final case class GraftAlterColumnsCommand(warehouse: String, parts: Seq[String],
+    changes: Seq[(String, Option[DataType], Option[Boolean], Option[String])])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+    val up = t.updateSchema()
+    changes.foreach { case (name, newType, newNullable, newComment) =>
+      newType.foreach { dt =>
+        GraftDdl.toIceType(dt) match {
+          case p: graft.ice.types.IcePrimitive => up.updateColumnType(name, p)
+          case other => throw new IllegalArgumentException(
+            s"ALTER COLUMN TYPE supports primitive types only, got $other")
+        }
+      }
+      if (newNullable.contains(true)) up.makeOptional(name)
+      newComment.foreach(c => up.updateColumnDoc(name, c))
     }
     up.commit()
     Seq.empty

@@ -354,9 +354,16 @@ final class UpdateSchema(table: IceTable) {
     this
   }
 
+  def updateColumnDoc(name: String, doc: String): UpdateSchema = {
+    require(fields.exists(_.name == name), s"no such column $name")
+    fields = fields.map(f => if (f.name == name) f.copy(doc = Some(doc)) else f)
+    this
+  }
+
   /** Type promotion: int->long, float->double, decimal precision widen
     * (schema_util.cc:38-80). */
   def updateColumnType(name: String, t: IcePrimitive): UpdateSchema = {
+    require(fields.exists(_.name == name), s"no such column $name")
     fields = fields.map { f =>
       if (f.name != name) f
       else {

@@ -273,6 +273,44 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t.properties.contains("d") && t.properties.get("a.b").contains("c"))
   }
 
+  test("ALTER COLUMN TYPE promotes int->long; old files read through") {
+    val cat = new DirCatalog(warehouse)
+    spark.conf.set("spark.graft.warehouse", warehouse)
+    spark.sql("CREATE TABLE graft.db.promo (id BIGINT, n INT, f FLOAT)")
+    spark.sql("INSERT INTO graft.db.promo VALUES (1, 100, CAST(1.5 AS FLOAT))," +
+      " (2, 200, CAST(2.5 AS FLOAT))")
+
+    spark.sql("ALTER TABLE graft.db.promo ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.db.promo ALTER COLUMN f TYPE DOUBLE")
+    val t = IceTable.load(cat, TableIdentifier.parse("db.promo"))
+    assert(t.schema.findFieldByName("n").get.fieldType == LongT)
+    assert(t.schema.findFieldByName("f").get.fieldType == DoubleT)
+
+    // pre-promotion files (physical int32/float) read through the
+    // field-id resolver as long/double
+    val rows = spark.sql(
+      "SELECT id, n, f FROM graft.db.promo ORDER BY id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(100L, 200L))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5))
+    // post-promotion writes land as the widened type and coexist
+    spark.sql("INSERT INTO graft.db.promo VALUES (3, 4000000000, 3.5)")
+    val all = spark.sql("SELECT n FROM graft.db.promo ORDER BY id").collect()
+    assert(all.map(_.getLong(0)).toSeq == Seq(100L, 200L, 4000000000L))
+
+    // illegal promotions fail loudly, metadata unchanged
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.promo ALTER COLUMN id TYPE INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.promo ALTER COLUMN n TYPE STRING"))
+    t.refresh()
+    assert(t.schema.findFieldByName("n").get.fieldType == LongT)
+
+    // DROP NOT NULL and COMMENT ride the same command
+    spark.sql("ALTER TABLE graft.db.promo ALTER COLUMN n COMMENT 'widened'")
+    t.refresh()
+    assert(t.schema.findFieldByName("n").get.doc.contains("widened"))
+  }
+
   test("SQL metadata tables: graft.db.t.snapshots / files / refs") {
     val t = table
     t.refresh()

@@ -820,6 +820,28 @@ final class ScanBuilder(table: IceTable) {
       math.min(n, Int.MaxValue.toLong).toInt))
     df
   }
+
+  /** Arrow columnar export of the scan (the reference's flagship interop
+    * path, table_scan.cc:120-134 MakeArrowArrayStream — its whole
+    * DuckDB/Python story). Returns serialized Arrow IPC RecordBatch
+    * messages, one RDD element per batch, PRODUCED ON EXECUTORS — at
+    * 100 TB the batches stay distributed (feed them to a sink or a
+    * per-partition consumer); nothing funnels through the driver here. */
+  def toArrowBatchRdd(spark: SparkSession): org.apache.spark.rdd.RDD[Array[Byte]] =
+    org.apache.spark.sql.GraftArrowBridge.toBatchRdd(toDF(spark))
+
+  /** Stream the whole scan as ONE complete Arrow IPC stream (schema
+    * header + batches + EOS) onto `out` — the single-consumer interop
+    * shape (hand the bytes to pyarrow/DuckDB). Batches are computed
+    * distributed, then serialized through the driver in arrival order:
+    * correct for export-to-a-socket/file, deliberately NOT the path for
+    * cluster-scale fan-out (use toArrowBatchRdd). */
+  def writeArrowStream(spark: SparkSession, out: java.io.OutputStream): Unit = {
+    val df = toDF(spark)
+    org.apache.spark.sql.GraftArrowBridge.writeIpcStream(
+      df.schema, spark.sessionState.conf.sessionLocalTimeZone,
+      org.apache.spark.sql.GraftArrowBridge.toBatchRdd(df).toLocalIterator, out)
+  }
 }
 
 object ScanBuilder {

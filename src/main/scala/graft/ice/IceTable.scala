@@ -593,6 +593,10 @@ final class ScanBuilder(table: IceTable) {
     val dataDirPrefix = ManifestAvro.stripFileScheme(table.dataFileDir)
     val plainSchema = org.apache.spark.sql.types.StructType(
       sparkSchema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    // manifest-known file sizes feed ManifestFileIndex past the file-list
+    // threshold (zero driver stat calls on the scale path)
+    val lenByPath: Map[String, Long] = tasks.map(t =>
+      ManifestAvro.stripFileScheme(t.file.filePath) -> t.file.fileSizeInBytes).toMap
 
     // spec name mapping (C8): id-less external files resolve their
     // columns through schema.name-mapping.default before falling back to
@@ -662,7 +666,14 @@ final class ScanBuilder(table: IceTable) {
         (i.map(_._2), e.map(_._2))
       }
       def read(schema: org.apache.spark.sql.types.StructType, ps: Seq[String]) = {
-        val base = spark.read.schema(schema).parquet(ps: _*)
+        // past the threshold, serve the file list from manifest metadata
+        // (ManifestFileIndex): no per-path driver stat, no million-string
+        // plan — the scale path for snapshots with very many files
+        val base =
+          if (ps.size > table.metadata.property(TableProperties.ScanFileListThreshold))
+            FileListRelation.parquet(spark, ps.map(p =>
+              p -> lenByPath.getOrElse(p, 0L)), schema)
+          else spark.read.schema(schema).parquet(ps: _*)
         if (withPosCols)
           base.withColumn("__file",
             regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))

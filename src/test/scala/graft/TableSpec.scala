@@ -389,4 +389,58 @@ class TableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.snapshots.size == 2)
     assert(fresh.newScan().toDF(spark).count() == raw.count() * 2)
   }
+
+  test("file-list scan path (ManifestFileIndex) matches the default path") {
+    import org.apache.spark.sql.functions._
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    // threshold 0 forces every parquet read through ManifestFileIndex
+    val t = IceTable.create(cat, TableIdentifier.parse("db.flist"), schema,
+      properties = Map("graft.plan.file-list-threshold" -> "0"))
+    t.append(spark).appendDataFrame(raw.limit(400))
+    t.append(spark).appendDataFrame(raw.limit(800).except(raw.limit(400)))
+
+    val df = t.newScan().toDF(spark)
+    assert(df.count() == 800)
+    // the plan carries the metadata-fed index, not an InMemoryFileIndex
+    // path list (the driver-object bug this path removes)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ManifestFileIndex"), plan.take(2000))
+    // parquet pushdown survives: filter reaches the scan
+    val filtered = t.newScan()
+      .filter(E.gt("o_totalprice", Literal.double(100000.0))).toDF(spark)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"), fplan.take(3000))
+    assert(filtered.count() ==
+      raw.limit(800).where(col("o_totalprice") > 100000.0).count())
+    // values survive, not just counts
+    val a = df.agg(sum("o_totalprice")).head.getDouble(0)
+    val b = raw.limit(800).agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+
+    // metadata columns (_file/_pos feed the MoR delete join) still resolve
+    // through the custom FileIndex
+    val withMeta = t.newScan().withMetadataColumns("_file", "_pos").toDF(spark)
+    val files = withMeta.select("_file").distinct().collect().map(_.getString(0))
+    assert(files.length == 2, files.toSeq)
+    assert(files.forall(f => f.endsWith(".parquet")))
+    assert(withMeta.where(col("_pos") === 0).count() == 2)
+  }
+
+  test("file-list scan path executes MoR position deletes") {
+    import org.apache.spark.sql.functions._
+    val cat = new DirCatalog(tmpWarehouse())
+    val raw = spark.read.parquet(s"$sfDir/region.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.flistdel"), schema,
+      properties = Map(
+        "graft.plan.file-list-threshold" -> "0",
+        "write.delete.mode" -> "merge-on-read"))
+    t.append(spark).appendDataFrame(raw)
+    t.delete(spark).deleteWherePositional(E.lt("r_regionkey", Literal.long(2)))
+    val after = t.newScan().toDF(spark)
+    assert(after.count() == raw.where(col("r_regionkey") >= 2).count())
+    assert(after.agg(min("r_regionkey")).head.getAs[Number](0).longValue >= 2L)
+  }
 }

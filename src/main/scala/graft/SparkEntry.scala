@@ -137,6 +137,23 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // runtime dim-driven file pruning (DPP at the Iceberg-file level):
+    // the urgent orders' keys become an IN/range filter on the lineitem
+    // scan BEFORE planning, so manifests/files prune through the bounds
+    // evaluators; the join then proves no rows were lost. The file-skip
+    // property itself is pinned in PruningPropertySpec.
+    "q_dpp_filejoin" -> ((s, dir) => {
+      val dim = Tables.scan(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.ice(s, dir, "lineitem").newScan()
+        .pruneByJoinKeys(dim, "l_orderkey").toDF(s)
+      fact.join(broadcast(dim), fact("l_orderkey") === dim("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    }),
+
     "q3_join3_topk" -> ((s, dir) => {
       val c = Tables.scan(s, dir, "customer")
       val o = Tables.scan(s, dir, "orders")
@@ -934,6 +951,12 @@ object SparkEntry {
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_dpp_filejoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
     "q3_join3_topk" ->
       """SELECT o_orderkey, o_orderdate,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -500,6 +500,49 @@ final class ScanBuilder(table: IceTable) {
     * merge-on-read semantics still applied). */
   def restrictFiles(paths: Set[String]): ScanBuilder = { restrictPaths = Some(paths); this }
 
+  /** Runtime dim-driven file pruning — Spark's dynamic partition
+    * pruning / runtime filtering, applied at the Iceberg FILE level
+    * (where Spark cannot see: our file skipping happens at manifest
+    * planning, before any FileIndex exists).
+    *
+    * Collects the distinct non-null keys of `dimKeys`' first column
+    * (bounded: `maxKeys`+1 driver rows at most — the same driver-side
+    * footprint Spark's own runtime filters accept for a broadcastable
+    * dim) and adds `factCol IN (keys)` to the scan filter, so the keys
+    * prune manifests and data files through the existing bounds
+    * evaluators AND reach the parquet reader as a pushed filter. Past
+    * the cap it degrades to `factCol BETWEEN min AND max` — a superset,
+    * still exact for the join use-case (the join discards the rest) and
+    * still file-skipping when the fact table is key-clustered.
+    *
+    * Null fact keys never match (inner-join semantics). Unmappable key
+    * types add no filter at all — "cannot prune", never wrong results. */
+  def pruneByJoinKeys(dimKeys: DataFrame, factCol: String,
+      maxKeys: Int = 10000): ScanBuilder = {
+    val field = table.schema.findFieldByName(factCol, caseSensitive).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $factCol"))
+    field.fieldType match {
+      case p: IcePrimitive =>
+        val keyCol = dimKeys.columns.head
+        val keys = dimKeys.select(keyCol).na.drop().distinct()
+          .limit(maxKeys + 1).collect()
+        if (keys.length <= maxKeys) {
+          val lits = keys.flatMap(r => Literal.fromSparkValue(p, r.get(0)))
+          if (lits.length == keys.length)
+            filter(Expr.in(factCol, lits.toIndexedSeq))
+          else this // unmappable key type: no pruning, correct results
+        } else {
+          val mm = dimKeys.agg(min(col(keyCol)), max(col(keyCol))).head
+          (Literal.fromSparkValue(p, mm.get(0)), Literal.fromSparkValue(p, mm.get(1))) match {
+            case (Some(lo), Some(hi)) =>
+              filter(Expr.and(Expr.gtEq(factCol, lo), Expr.ltEq(factCol, hi)))
+            case _ => this
+          }
+        }
+      case _ => this
+    }
+  }
+
   /** Opt-in metadata columns (P6; reserved ids metadata_columns.h:38-115):
     * `_file` (path), `_pos` (row index in file), `_spec_id`,
     * `_partition` (tuple as `a/b` string), `_row_id` (v3 row lineage:

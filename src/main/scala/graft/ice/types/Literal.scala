@@ -133,6 +133,33 @@ object Literal {
 
   def deserialize(tpe: IcePrimitive, bytes: Array[Byte]): Literal =
     Literal(Value(Conversions.fromBytes(tpe, bytes)), tpe)
+
+  /** A collected Spark row value as a literal of the given Iceberg type
+    * (the bridge runtime join-key pruning uses to turn dim-side rows
+    * into planning filters). None = null or a type this cannot map —
+    * callers must treat that as "cannot prune", never drop the key. */
+  def fromSparkValue(tpe: IcePrimitive, v: Any): Option[Literal] = Option(v).flatMap { x =>
+    (tpe, x) match {
+      case (BooleanT, b: java.lang.Boolean) => Some(bool(b))
+      case (IntT, i: java.lang.Integer) => Some(int(i))
+      case (LongT, l: java.lang.Long) => Some(long(l))
+      case (LongT, i: java.lang.Integer) => Some(long(i.longValue))
+      case (FloatT, f: java.lang.Float) => Some(float(f))
+      case (DoubleT, d: java.lang.Double) => Some(double(d))
+      case (StringT, s: String) => Some(string(s))
+      case (DateT, d: java.sql.Date) => Some(date(d.toLocalDate.toEpochDay.toInt))
+      case (DateT, d: java.time.LocalDate) => Some(date(d.toEpochDay.toInt))
+      case (DecimalT(p, _), d: java.math.BigDecimal) => Some(decimal(d, p))
+      case (DecimalT(p, _), d: scala.math.BigDecimal) => Some(decimal(d.bigDecimal, p))
+      case (TimestampTzT, t: java.sql.Timestamp) =>
+        Some(Literal(Value(t.toInstant.getEpochSecond * 1000000L +
+          t.toInstant.getNano / 1000L), TimestampTzT))
+      case (TimestampT, t: java.time.LocalDateTime) =>
+        Some(Literal(Value(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+          t.getNano / 1000L), TimestampT))
+      case _ => None
+    }
+  }
 }
 
 /** Iceberg spec Appendix D single-value binary serialization

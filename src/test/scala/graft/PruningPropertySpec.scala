@@ -127,6 +127,53 @@ class PruningPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prunedAtLeastOnce)
   }
 
+  test("join-key runtime pruning skips files and loses no join rows") {
+    import org.apache.spark.sql.functions._
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whj").toString)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.dppfact"), schema)
+    // key-clustered appends: four files with disjoint o_orderkey ranges,
+    // the layout where runtime file skipping pays
+    val maxKey = raw.agg(max("o_orderkey")).head.getLong(0)
+    val step = maxKey / 4 + 1
+    for (i <- 0L until 4L)
+      t.append(spark).appendDataFrame(
+        raw.where(col("o_orderkey") >= i * step && col("o_orderkey") < (i + 1) * step))
+    val totalFiles = t.newScan().planFiles().size
+    assert(totalFiles == 4)
+
+    // dim keys all land in the first key quarter -> one surviving file
+    val dim = raw.where(col("o_orderkey") < step / 2).limit(50)
+      .select(col("o_orderkey").as("key"))
+    val pruned = t.newScan().pruneByJoinKeys(dim, "o_orderkey")
+    assert(pruned.planFiles().size == 1,
+      s"expected 1 of $totalFiles files after join-key pruning")
+
+    // the pruned scan joined to the dim equals the raw join
+    val got = pruned.toDF(spark)
+      .join(dim, col("o_orderkey") === col("key"))
+      .agg(count("*"), sum("o_totalprice")).head
+    val want = raw.join(dim, col("o_orderkey") === col("key"))
+      .agg(count("*"), sum("o_totalprice")).head
+    assert(got.getLong(0) == want.getLong(0))
+    assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6)
+
+    // over-cap degrades to a min/max range: still skips the quarters the
+    // dim never touches, still loses no join rows
+    val ranged = t.newScan().pruneByJoinKeys(dim, "o_orderkey", maxKeys = 5)
+    assert(ranged.planFiles().size == 1)
+    val got2 = ranged.toDF(spark)
+      .join(dim, col("o_orderkey") === col("key"))
+      .agg(count("*")).head.getLong(0)
+    assert(got2 == want.getLong(0))
+
+    // keys spanning all quarters prune nothing — and drop nothing
+    val wide = raw.select(col("o_orderkey").as("key")).limit(20000)
+    val all = t.newScan().pruneByJoinKeys(wide, "o_orderkey", maxKeys = 100)
+    assert(all.planFiles().size == totalFiles)
+  }
+
   test("literal serde round-trips for random values (property)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {

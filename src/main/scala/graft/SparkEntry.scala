@@ -598,6 +598,33 @@ object SparkEntry {
           |GROUP BY r.r_name""".stripMargin)
     }),
 
+    // ---------- SQL DML surface, driver-oracled ----------
+    // (the GraftSqlSpec pins these forms unit-level; these three close the
+    // loop against DuckDB: DELETE+UPDATE state, MERGE final state, and
+    // VERSION AS OF reads through pure SQL)
+
+    "sql_delete_update" -> ((s, dir) => {
+      SqlDmlFixture.ensure(s, dir)
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+              |  round(sum(o_totalprice), 2) AS revenue
+              |FROM graft.sqlq.orders_dml
+              |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    "sql_merge" -> ((s, dir) => {
+      SqlDmlFixture.ensure(s, dir)
+      s.sql("""SELECT o_orderstatus, count(*) AS n_rows,
+              |  round(sum(o_totalprice), 2) AS total
+              |FROM graft.sqlq.merge_t
+              |GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    "sql_timetravel" -> ((s, dir) => {
+      SqlDmlFixture.ensure(s, dir)
+      s.sql(s"""SELECT n_nationkey, n_name FROM graft.sqlq.tt
+               |VERSION AS OF ${SqlDmlFixture.ttFirstSnapshot(dir)}""".stripMargin)
+    }),
+
     // z-order layout rewrite: a 2-D box predicate over the curve columns
     // reads the curve-tiled table; the oracle reads raw parquet. The
     // both-dimension file-pruning claim itself is pinned in ZOrderSpec.
@@ -1104,6 +1131,29 @@ object SparkEntry {
         |FROM orders
         |ORDER BY added_records""".stripMargin,
     "m_files_rowcount" -> "SELECT count(*) AS total_records FROM orders",
+    "sql_delete_update" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice + 10.0 ELSE o_totalprice END), 2) AS revenue
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "sql_merge" ->
+      """WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 2 = 0),
+        |  src AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+        |      o_totalprice + 1000.0 AS o_totalprice
+        |    FROM orders WHERE o_orderkey % 3 = 0),
+        |  fin AS (SELECT
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |         ELSE t.o_orderstatus END AS st,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |         ELSE t.o_totalprice END AS tp
+        |  FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  round(sum(tp), 2) AS total
+        |FROM fin GROUP BY st""".stripMargin,
+    "sql_timetravel" ->
+      "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10",
     "m_statistics" ->
       """SELECT 'o_orderstatus' AS column_name, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv FROM orders
         |UNION ALL SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
@@ -1776,6 +1826,62 @@ object ZOrderFixture {
         t
       }
     })
+}
+
+/** Fixtures for the driver-oracled SQL-path queries: all mutations run
+  * through `spark.sql` (the GraftExtensions surface), once per warehouse
+  * (the DirCatalog persists across JVMs — tableExists is the guard, the
+  * in-memory map only saves re-checking). `ensure` must run in every
+  * session because `spark.graft.warehouse` is session conf. */
+object SqlDmlFixture {
+  import graft.ice.catalog._
+
+  def ensure(s: SparkSession, sfDir: String): Unit = {
+    s.conf.set("spark.graft.warehouse", Tables.warehouseDir(sfDir))
+    val cat = Tables.catalog(sfDir)
+
+    if (!cat.tableExists(TableIdentifier(Seq("sqlq"), "orders_dml"))) {
+      Tables.raw(s, sfDir, "orders").createOrReplaceTempView("sqlq_orders")
+      s.sql("CREATE TABLE graft.sqlq.orders_dml AS SELECT * FROM sqlq_orders")
+      s.sql("DELETE FROM graft.sqlq.orders_dml WHERE o_orderstatus = 'F'")
+      s.sql("""UPDATE graft.sqlq.orders_dml SET o_totalprice = o_totalprice + 10.0
+              |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    }
+
+    if (!cat.tableExists(TableIdentifier(Seq("sqlq"), "merge_t"))) {
+      Tables.raw(s, sfDir, "orders").createOrReplaceTempView("sqlq_orders")
+      s.sql("""CREATE TABLE graft.sqlq.merge_t AS
+              |SELECT o_orderkey, o_orderstatus, o_totalprice
+              |FROM sqlq_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""SELECT o_orderkey, 'X' AS o_orderstatus,
+              |  o_totalprice + 1000.0 AS o_totalprice
+              |FROM sqlq_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+        .createOrReplaceTempView("sqlq_merge_src")
+      s.sql("""MERGE INTO graft.sqlq.merge_t t USING sqlq_merge_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET
+              |  o_orderstatus = s.o_orderstatus, o_totalprice = s.o_totalprice
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+
+    if (!cat.tableExists(TableIdentifier(Seq("sqlq"), "tt"))) {
+      Tables.raw(s, sfDir, "nation").createOrReplaceTempView("sqlq_nation")
+      s.sql("""CREATE TABLE graft.sqlq.tt AS
+              |SELECT n_nationkey, n_name FROM sqlq_nation
+              |WHERE n_nationkey < 10""".stripMargin)
+      s.sql("""INSERT INTO graft.sqlq.tt
+              |SELECT n_nationkey, n_name FROM sqlq_nation
+              |WHERE n_nationkey >= 10""".stripMargin)
+    }
+  }
+
+  /** Snapshot id of the tt table's FIRST snapshot (the CTAS batch) —
+    * the VERSION AS OF anchor, stable across reloads. */
+  def ttFirstSnapshot(sfDir: String): Long = {
+    val t = graft.ice.IceTable.load(Tables.catalog(sfDir),
+      TableIdentifier(Seq("sqlq"), "tt"))
+    t.snapshots.minBy(_.sequenceNumber).snapshotId
+  }
 }
 
 object CompactionFixture {

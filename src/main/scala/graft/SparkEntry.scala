@@ -840,6 +840,15 @@ object SparkEntry {
     // raw events (seeded corruption updated away, remainder inserted)
     "st_upsert_table" -> ((s, dir) => StreamUpsertFixture.table(s, dir).newScan().toDF(s)),
 
+    // streaming SOURCE: readStream.format("graft-table") follows the
+    // table's snapshots (one micro-batch per append range, checkpointed
+    // by snapshot id); the parquet sink must converge on the table
+    "st_follow_table" -> ((s, dir) =>
+      s.read.parquet(StreamFollowFixture.output(s, dir))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))),
+
     // as-of join (point-in-time lookup): each odd event picks the LATEST
     // even event at-or-before its timestamp for the same user — the
     // union+window single-shuffle formulation, oracled by DuckDB's
@@ -1309,6 +1318,10 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type, value FROM events",
     "st_upsert_table" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "st_follow_table" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "st_interval_join" ->
       """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2
         |FROM events a JOIN events b
@@ -1826,6 +1839,38 @@ object ZOrderFixture {
         t
       }
     })
+}
+
+/** Fixture for the graft-table STREAMING SOURCE: a three-append table
+  * followed by a checkpointed AvailableNow stream into a parquet sink.
+  * Re-runs are no-ops once caught up (offsets are snapshot ids), so the
+  * sink converges on exactly the table's rows. */
+object StreamFollowFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  def output(s: SparkSession, sfDir: String): String = {
+    val wh = Tables.warehouseDir(sfDir)
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "orders_follow")
+    if (!cat.tableExists(ident)) {
+      val raw = Tables.raw(s, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+      for (i <- 0 until 3)
+        t.append(s).appendDataFrame(raw.filter(s"o_orderkey % 3 = $i"))
+    }
+    val out = s"$wh/_follow_out"
+    val q = s.readStream.format("graft-table")
+      .option("warehouse", wh).option("table", "tpch.orders_follow").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$wh/_follow_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out
+  }
 }
 
 /** Fixtures for the driver-oracled SQL-path queries: all mutations run

@@ -1,0 +1,192 @@
+package graft.streaming
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{Metadata, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.ice.IceTable
+import graft.ice.catalog.{DirCatalog, TableIdentifier}
+import graft.ice.manifest.ManifestAvro
+import graft.ice.meta.DataOperation
+
+/** Structured Streaming SOURCE over an Ice table — the read side of the
+  * streaming story (StreamOps covers the write side). Offsets are
+  * snapshot ids, so a micro-batch is exactly the files APPENDED in a
+  * snapshot range `(start, end]` via `planAppendsBetween`: deterministic
+  * under offset-range replay, which is what Spark's exactly-once
+  * contract needs from a source. Non-append snapshots in a range fail
+  * the stream by default (their row-level effects are not representable
+  * as an append batch); `skip-non-append-snapshots=true` opts into
+  * skipping them, same knob Iceberg's Spark source exposes.
+  *
+  * Scale shape: `latestOffset`/`planInputPartitions` are driver
+  * metadata reads (one table load + the range's manifests); each data
+  * file becomes one InputPartition read on executors through Spark's
+  * own parquet reader closure (`buildReaderWithPartitionValues`), so
+  * the data plane is identical to a batch scan's.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft-table")
+  *     .option("warehouse", "/path/to/warehouse")
+  *     .option("table", "db.events")
+  *     .load()
+  * }}}
+  * Options: `warehouse`, `table` (ns.name), `from-snapshot-id`
+  * (exclusive start; default = everything), `skip-non-append-snapshots`.
+  */
+final class GraftTableSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableStream.plainSchema(GraftTableStream.load(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftStreamTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[streaming] object GraftTableStream {
+  def load(options: CaseInsensitiveStringMap): IceTable = {
+    val wh = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException("graft-table source requires option 'warehouse'"))
+    val name = Option(options.get("table")).getOrElse(
+      throw new IllegalArgumentException("graft-table source requires option 'table'"))
+    IceTable.load(new DirCatalog(wh), TableIdentifier.parse(name))
+  }
+  /** Spark schema with field-id metadata stripped (files resolve by
+    * name — they were written with these names by our own sink). */
+  def plainSchema(t: IceTable): StructType =
+    StructType(t.schema.toSpark.fields.map(_.copy(metadata = Metadata.empty)))
+}
+
+private[streaming] final class GraftStreamTable(schema0: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft.${options.get("table")}"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = schema0
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftMicroBatchStream(schema0, options)
+    }
+}
+
+/** Snapshot-id offset. `-1` = before the first snapshot. */
+private[streaming] final case class SnapshotOffset(snapshotId: Long) extends Offset {
+  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+}
+private[streaming] object SnapshotOffset {
+  private val P = """\{\s*"snapshotId"\s*:\s*(-?\d+)\s*\}""".r
+  def fromJson(json: String): SnapshotOffset = json.trim match {
+    case P(id) => SnapshotOffset(id.toLong)
+    case other => throw new IllegalArgumentException(s"bad offset: $other")
+  }
+}
+
+private[streaming] final class GraftMicroBatchStream(schema: StructType,
+    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  // fresh load per call = the refresh that makes new commits visible
+  private def table: IceTable = GraftTableStream.load(options)
+  private val skipNonAppends =
+    Option(options.get("skip-non-append-snapshots")).exists(_.toBoolean)
+
+  override def initialOffset(): Offset =
+    Option(options.get("from-snapshot-id")) match {
+      case Some(id) => SnapshotOffset(id.toLong)
+      case None => SnapshotOffset(-1L)
+    }
+
+  override def latestOffset(): Offset =
+    table.currentSnapshot.map(s => SnapshotOffset(s.snapshotId))
+      .getOrElse(SnapshotOffset(-1L))
+
+  override def deserializeOffset(json: String): Offset = SnapshotOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SnapshotOffset].snapshotId
+    val to = end.asInstanceOf[SnapshotOffset].snapshotId
+    if (to == -1L || from == to) return Array.empty
+    val t = table
+    if (!skipNonAppends) {
+      // walk (from, to]: row-level deletes/overwrites cannot be streamed
+      // as an append batch — refuse rather than silently drop semantics
+      val chain = Iterator.iterate(t.metadata.snapshotById(to))(
+        _.flatMap(_.parentSnapshotId).flatMap(t.metadata.snapshotById))
+        .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == from))
+        .flatten.toSeq
+      val nonAppend = chain.filterNot(_.operation.contains(DataOperation.Append))
+      require(nonAppend.isEmpty,
+        s"snapshot range ($from, $to] contains non-append snapshots " +
+          s"${nonAppend.map(s => s"${s.snapshotId}:${s.operation.getOrElse("?")}").mkString(", ")}; " +
+          "set skip-non-append-snapshots=true to stream past them")
+    }
+    t.planAppendsBetween(from, to).map { e =>
+      GraftInputPartition(ManifestAvro.stripFileScheme(e.dataFile.filePath),
+        e.dataFile.fileSizeInBytes): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // Spark's own parquet reader closure — built on the driver, runs on
+    // executors (it broadcasts its hadoop conf internally). Row-returning
+    // (OPTION_RETURNING_BATCH=false): the DSv2 scan exec projects every
+    // row to unsafe immediately, so the mutable vectorized row is safe.
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = schema,
+      partitionSchema = new StructType(),
+      requiredSchema = schema,
+      filters = Nil,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    GraftReaderFactory(readFunc)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[streaming] final case class GraftInputPartition(path: String,
+    fileSize: Long) extends InputPartition
+
+private[streaming] final case class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    val pf = PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(gp.path), 0L, gp.fileSize,
+      Array.empty[String], 0L, gp.fileSize, Map.empty)
+    new PartitionReader[InternalRow] {
+      // a row-returning reader can still hand back ColumnarBatch under
+      // erasure on some paths — unwrap defensively
+      private val it: Iterator[InternalRow] =
+        readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r: InternalRow => Iterator.single(r)
+        }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -796,7 +796,7 @@ object SparkEntry {
       // readStream needs a directory; glob-filter to the events file
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Events.normalizeTs)
       val counts = graft.streaming.StreamOps.hourlyCounts(stream)
       graft.streaming.StreamOps.runToParquet(s, counts,
         org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -820,7 +820,7 @@ object SparkEntry {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Events.normalizeTs)
       // prune to the key + watermark columns before the stateful op: the
       // dedup state and the sink only ever need these
       val deduped = graft.streaming.StreamOps.streamingDedup(
@@ -882,7 +882,7 @@ object SparkEntry {
       // predicate (pushed below the join) is the state/IO lever
       def stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Events.normalizeTs)
         .select("event_id", "ts", "user_id")
         .filter(col("user_id") % 5 === 0)
       val joined = graft.streaming.StreamOps.intervalJoin(stream, stream, "user_id", 15)
@@ -913,7 +913,7 @@ object SparkEntry {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Events.normalizeTs)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[graft.streaming.StreamOps.Event]
       val updates = graft.streaming.StreamOps.sessionizeWithState(stream, 30)
@@ -937,7 +937,7 @@ object SparkEntry {
       val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(batchSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Events.normalizeTs)
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
       val sessions = stream
         .withWatermark("ts", "2 hours")

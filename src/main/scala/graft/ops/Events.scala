@@ -10,14 +10,23 @@ import org.apache.spark.sql.functions._
   * swapping read for readStream + watermark). */
 object Events {
 
-  /** Load events: the testdata uses parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects outright — read nanos as long and convert to µs. */
+  /** `ts` has shipped in two physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark 4 reads only
+    * as a long under `nanosAsLong` — and plain TIMESTAMP(MICROS).
+    * Normalize either to a session-TZ timestamp so every consumer
+    * (and the DuckDB oracle, which reads the file natively) sees the
+    * same instants. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      // `ts div 1000`, NOT `ts / 1000`: epoch-ns values exceed 2^53, so
+      // the double division `/` loses microseconds
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
   def load(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, NOT `ts / 1000`: epoch-ns values exceed 2^53, so the
-    // double division `/` loses microseconds
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** Sessionization: a new session starts after `gapMinutes` of

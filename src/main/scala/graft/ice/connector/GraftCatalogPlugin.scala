@@ -1,0 +1,411 @@
+package graft.ice.connector
+
+import java.util.{Collections, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.GraftDdl
+import graft.ice.IceTable
+import graft.ice.catalog.{DirCatalog, TableIdentifier}
+import graft.ice.meta.{PartitionField, PartitionSpec}
+import graft.ice.transform.{BucketTransform, DayTransform, HourTransform, MonthTransform, Transform => IceTransform, TruncateTransform, YearTransform}
+import graft.ice.types.{BinaryT, DateT, DecimalT, IcePrimitive, IntT, LongT, SparkConv, StringT, TimestampT, TimestampTzT}
+
+/** Spark CatalogPlugin over a graft warehouse — the session-catalog
+  * face of the library (C1/C2 exposed to Spark's catalog manager):
+  *
+  * {{{
+  *   spark.sql.catalog.ice = graft.ice.connector.GraftCatalogPlugin
+  *   spark.sql.catalog.ice.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * Three V2 capabilities ride on it beyond table lookup:
+  *  - **FunctionCatalog**: the partition-transform function family
+  *    (`bucket`, `truncate`, `years/months/days/hours`) resolvable by
+  *    Catalyst — REQUIRED for storage-partitioned joins, where Spark
+  *    proves two scans partition-compatible by resolving both sides'
+  *    transforms to the same canonical function.
+  *  - **ProcedureCatalog**: `CALL ice.system.<proc>(...)` maintenance
+  *    surface (expire_snapshots, rewrite_data_files, rewrite_manifests,
+  *    remove_orphan_files, zorder, rollback_to_snapshot, fast_forward)
+  *    — the SQL face of the Compaction/ManageSnapshots/TableMaintenance
+  *    ops.
+  *  - V2 reads via [[GraftSparkTable]] (storage-partitioned joins,
+  *    connector pushdown).
+  *
+  * The `graft.*` SQL rule surface (GraftTableResolution) keeps working
+  * unchanged — it resolves earlier in analysis; this plugin serves what
+  * rules cannot: CALL statements and partitioning-aware V2 scans. */
+class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog with ProcedureCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def cat = new DirCatalog(warehouse)
+  private def toId(ident: Identifier): TableIdentifier =
+    TableIdentifier(ident.namespace.toSeq, ident.name)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' requires option spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catalogName
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    cat.listTables(namespace.toSeq)
+      .map(i => Identifier.of(i.namespace.toArray, i.name)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val id = toId(ident)
+    if (!cat.tableExists(id)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(IceTable.load(cat, id), catalogName,
+      (ident.namespace :+ ident.name).mkString("."))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = cat.tableExists(toId(ident))
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val iceSchema = SparkConv.fromSpark(CatalogV2Compat.schemaOf(info))
+    val transforms = GraftDdl.toIceTransforms(info.partitions.toSeq)
+    val spec =
+      if (transforms.isEmpty) PartitionSpec.unpartitioned
+      else PartitionSpec(0, transforms.zipWithIndex.map { case ((c, tr), i) =>
+        val f = iceSchema.findFieldByName(c).getOrElse(
+          throw new IllegalArgumentException(s"partitioning names unknown column '$c'"))
+        PartitionField(f.id, 1000 + i, GraftDdl.partName(c, tr), tr)
+      }.toIndexedSeq)
+    IceTable.create(cat, toId(ident), iceSchema, spec,
+      properties = info.properties.asScala.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = IceTable.load(cat, toId(ident))
+    val (props, rest) = changes.partition(c =>
+      c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
+    require(rest.isEmpty,
+      s"only property changes are supported through the V2 catalog; " +
+        s"use ALTER TABLE graft.* SQL for schema changes (got: ${rest.mkString(", ")})")
+    if (props.nonEmpty) {
+      val sets = props.collect { case s: TableChange.SetProperty => s.property -> s.value }.toMap
+      val unsets = props.collect { case r: TableChange.RemoveProperty => r.property }
+      t.commit(base => base.copy(properties = base.properties ++ sets -- unsets))
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = cat.dropTable(toId(ident))
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    cat.renameTable(toId(from), toId(to))
+
+  // ---- SupportsNamespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces().map(_.toArray).toArray
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    cat.listNamespaces(namespace.toSeq).map(_.toArray).toArray
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    cat.namespaceExists(namespace.toSeq)
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!cat.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    cat.createNamespace(namespace.toSeq, metadata.asScala.toMap)
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is immutable here")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    cat.dropNamespace(namespace.toSeq)
+
+  // ---- FunctionCatalog ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftV2Functions.names.map(n => Identifier.of(Array.empty[String], n)).toArray
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftV2Functions.load(ident.name).getOrElse(
+      throw new NoSuchFunctionException(ident))
+
+  // ---- ProcedureCatalog ----
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(ident.name, () => warehouse).getOrElse(
+      throw new UnsupportedOperationException(s"no such procedure: ${ident.name}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+}
+
+private[connector] object CatalogV2Compat {
+  def schemaOf(info: TableInfo): StructType = info.schema()
+}
+
+// ===================================================================
+// V2 functions: the partition-transform family. produceResult computes
+// EXACTLY the write-side transform (Transforms.scala), so Spark can both
+// verify SPJ compatibility and, when only one join side is pre-bucketed,
+// shuffle the other side INTO our layout with matching values.
+// ===================================================================
+
+private[connector] object GraftV2Functions {
+  val names = Seq("bucket", "truncate", "years", "months", "days", "hours")
+
+  def load(name: String): Option[UnboundFunction] = name match {
+    case "bucket" => Some(BucketUnbound)
+    case "truncate" => Some(TruncateUnbound)
+    case "years" | "months" | "days" | "hours" => Some(TemporalUnbound(name))
+    case _ => None
+  }
+
+  /** Spark internal value at `idx` → (ice primitive, ice runtime value). */
+  def toIce(dt: DataType, row: InternalRow, idx: Int): (IcePrimitive, Any) = dt match {
+    case IntegerType => (IntT, row.getInt(idx))
+    case LongType => (LongT, row.getLong(idx))
+    case DateType => (DateT, row.getInt(idx))
+    case TimestampType => (TimestampTzT, row.getLong(idx))
+    case TimestampNTZType => (TimestampT, row.getLong(idx))
+    case StringType => (StringT, row.getUTF8String(idx).toString)
+    case d: DecimalType =>
+      (DecimalT(d.precision, d.scale), row.getDecimal(idx, d.precision, d.scale).toJavaBigDecimal)
+    case BinaryType => (BinaryT, row.getBinary(idx))
+    case other => throw new UnsupportedOperationException(s"unsupported type: $other")
+  }
+
+  /** Types that hash identically share a canonical family, so an int
+    * column and a bigint column bucket-compare as the same function
+    * (iceberg hashes int by widening to long). */
+  def hashFamily(dt: DataType): String = dt match {
+    case IntegerType | LongType | DateType | TimestampType | TimestampNTZType => "long"
+    case StringType => "string"
+    case _: DecimalType => "decimal"
+    case BinaryType => "binary"
+    case other => other.catalogString
+  }
+}
+
+private[connector] object BucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): iceberg murmur3(seed 0) bucket transform"
+  override def bind(input: StructType): BoundFunction = {
+    require(input.fields.length == 2, s"bucket expects (numBuckets, col), got $input")
+    new BucketBound(input.fields(1).dataType)
+  }
+}
+
+private[connector] final class BucketBound(src: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String =
+    s"graft.bucket(${GraftV2Functions.hashFamily(src)})"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, src)
+  override def resultType(): DataType = IntegerType
+  override def isResultNullable: Boolean = true
+  override def produceResult(row: InternalRow): java.lang.Integer =
+    if (row.isNullAt(0) || row.isNullAt(1)) null
+    else {
+      val n = row.getInt(0)
+      val (p, v) = GraftV2Functions.toIce(src, row, 1)
+      BucketTransform(n).apply(v, p).asInstanceOf[Int]
+    }
+}
+
+private[connector] object TruncateUnbound extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w, col): iceberg truncate transform"
+  override def bind(input: StructType): BoundFunction = {
+    require(input.fields.length == 2, s"truncate expects (width, col), got $input")
+    new TruncateBound(input.fields(1).dataType)
+  }
+}
+
+private[connector] final class TruncateBound(src: DataType)
+    extends ScalarFunction[Any] {
+  override def name(): String = "truncate"
+  override def canonicalName(): String = s"graft.truncate(${src.catalogString})"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, src)
+  override def resultType(): DataType = src
+  override def isResultNullable: Boolean = true
+  override def produceResult(row: InternalRow): Any =
+    if (row.isNullAt(0) || row.isNullAt(1)) null
+    else {
+      val w = row.getInt(0)
+      val (p, v) = GraftV2Functions.toIce(src, row, 1)
+      TruncateTransform(w).apply(v, p) match {
+        case s: String => UTF8String.fromString(s)
+        case d: java.math.BigDecimal => Decimal(d)
+        case other => other
+      }
+    }
+}
+
+private[connector] final case class TemporalUnbound(which: String)
+    extends UnboundFunction {
+  override def name(): String = which
+  override def description(): String = s"$which(col): iceberg temporal transform"
+  override def bind(input: StructType): BoundFunction = {
+    require(input.fields.length == 1, s"$which expects one column, got $input")
+    new TemporalBound(which, input.fields.head.dataType)
+  }
+}
+
+private[connector] final class TemporalBound(which: String, src: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+  private val transform: IceTransform = which match {
+    case "years" => YearTransform
+    case "months" => MonthTransform
+    case "days" => DayTransform
+    case "hours" => HourTransform
+  }
+  override def name(): String = which
+  override def canonicalName(): String = s"graft.$which"
+  override def inputTypes(): Array[DataType] = Array(src)
+  // days yields DateType (epoch days ARE a date), the rest ordinals —
+  // the same convention the partition tuples use on disk
+  override def resultType(): DataType =
+    if (which == "days") DateType else IntegerType
+  override def isResultNullable: Boolean = true
+  override def produceResult(row: InternalRow): java.lang.Integer =
+    if (row.isNullAt(0)) null
+    else {
+      val (p, v) = GraftV2Functions.toIce(src, row, 0)
+      transform.apply(v, p).asInstanceOf[Int]
+    }
+}
+
+// ===================================================================
+// Procedures: CALL <catalog>.system.<name>(...) — SQL face of the
+// maintenance ops. Each returns a small result relation (LocalScan).
+// ===================================================================
+
+private[connector] object GraftProcedures {
+  val names = Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
+    "remove_orphan_files", "zorder", "rollback_to_snapshot", "fast_forward")
+
+  def load(name: String, warehouse: () => String): Option[UnboundProcedure] =
+    names.find(_ == name).map(n => GraftProcedure(n, warehouse()))
+}
+
+/** One class serves all procedures: parameters() switches on the name,
+  * call() dispatches to the corresponding table op. */
+private[connector] final case class GraftProcedure(procName: String,
+    warehouse: String) extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = s"graft $procName"
+  override def bind(input: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  private def in(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+  private def opt(n: String, dt: DataType) =
+    ProcedureParameter.in(n, dt).defaultValue("NULL").build()
+
+  override def parameters(): Array[ProcedureParameter] = procName match {
+    case "expire_snapshots" =>
+      Array(in("table", StringType), opt("older_than_ms", LongType),
+        opt("retain_last", IntegerType))
+    case "rewrite_data_files" =>
+      Array(in("table", StringType), opt("target_file_size_bytes", LongType))
+    case "rewrite_manifests" | "remove_orphan_files" =>
+      Array(in("table", StringType))
+    case "zorder" =>
+      Array(in("table", StringType), in("columns", StringType),
+        opt("target_file_size_bytes", LongType))
+    case "rollback_to_snapshot" =>
+      Array(in("table", StringType), in("snapshot_id", LongType))
+    case "fast_forward" =>
+      Array(in("table", StringType), in("branch", StringType),
+        in("to_ref", StringType))
+  }
+
+  private def result(schema: StructType, vals: Seq[Any]): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(vals.toArray))
+    }
+    Collections.singletonList(scan).iterator()
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val t = IceTable.load(new DirCatalog(warehouse),
+      TableIdentifier.parse(input.getUTF8String(0).toString))
+    def optLong(i: Int): Option[Long] = if (input.isNullAt(i)) None else Some(input.getLong(i))
+    def optInt(i: Int): Option[Int] = if (input.isNullAt(i)) None else Some(input.getInt(i))
+
+    procName match {
+      case "expire_snapshots" =>
+        val before = t.metadata.snapshots.size
+        t.manageSnapshots().expireSnapshots(
+          optLong(1).getOrElse(System.currentTimeMillis()),
+          optInt(2).getOrElse(1))
+        val after = IceTable.load(new DirCatalog(warehouse),
+          TableIdentifier.parse(input.getUTF8String(0).toString)).metadata.snapshots.size
+        result(StructType(Seq(StructField("expired_snapshots_count", LongType))),
+          Seq((before - after).toLong))
+      case "rewrite_data_files" =>
+        val before = t.newScan().planFiles().size
+        val snap = t.compact(spark).rewriteDataFiles(optLong(1).getOrElse(-1L))
+        val after = IceTable.load(new DirCatalog(warehouse),
+          TableIdentifier.parse(input.getUTF8String(0).toString))
+          .newScan().planFiles().size
+        result(StructType(Seq(
+          StructField("rewritten_data_files_count", LongType),
+          StructField("added_data_files_count", LongType),
+          StructField("snapshot_id", LongType))),
+          Seq(before.toLong, after.toLong, snap.snapshotId))
+      case "rewrite_manifests" =>
+        t.maintenance().rewriteManifests()
+        result(StructType(Seq(StructField("done", BooleanType))), Seq(true))
+      case "remove_orphan_files" =>
+        val removed = t.maintenance().removeOrphanFiles()
+        result(StructType(Seq(StructField("removed_files_count", LongType))),
+          Seq(removed.size.toLong))
+      case "zorder" =>
+        val cols = input.getUTF8String(1).toString.split(",").map(_.trim).toSeq
+        val snap = t.compact(spark).zorder(cols, optLong(2).getOrElse(-1L))
+        result(StructType(Seq(StructField("snapshot_id", LongType))),
+          Seq(snap.snapshotId))
+      case "rollback_to_snapshot" =>
+        val prev = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+        t.manageSnapshots().rollbackTo(input.getLong(1))
+        result(StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+          Seq(prev, input.getLong(1)))
+      case "fast_forward" =>
+        t.manageSnapshots().fastForward(
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+        val cur = IceTable.load(new DirCatalog(warehouse),
+          TableIdentifier.parse(input.getUTF8String(0).toString))
+        result(StructType(Seq(StructField("current_snapshot_id", LongType))),
+          Seq(cur.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+    }
+  }
+}

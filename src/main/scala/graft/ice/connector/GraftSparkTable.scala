@@ -1,0 +1,442 @@
+package graft.ice.connector
+
+import java.util.{Locale, Map => JMap, Set => JSet}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform => V2Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder => V2ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{Filter => V1Filter}
+import org.apache.spark.sql.types.{DataType, LongType, Metadata, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.ice.{FileScanTask, IceTable, ScanBuilder}
+import graft.ice.expr.{Expr => IceExpr}
+import graft.ice.manifest.{FileContent, ManifestAvro, ManifestEntry, Puffin}
+import graft.ice.transform.{BucketTransform, DayTransform, HourTransform, IdentityTransform, MonthTransform, TruncateTransform, YearTransform}
+import graft.ice.types.{SparkConv, TimestampT, TimestampTzT}
+
+/** DataSourceV2 batch-read surface over an Ice table — the read path
+  * that lets CATALYST see the table's physical layout. The DataFrame
+  * scan (`ScanBuilder.toDF`) stays the general path (full MoR,
+  * name-mapping, metadata columns); this connector exists for what only
+  * a V2 relation can express:
+  *
+  *  - **Storage-partitioned joins**: the scan reports
+  *    `KeyGroupedPartitioning` over the table's partition transforms and
+  *    every input split carries its partition tuple (`HasPartitionKey`),
+  *    so two tables bucketed on the same key join with ZERO shuffle on
+  *    either side (`spark.sql.sources.v2.bucketing.enabled=true`). At
+  *    100 TB this is the difference between a co-located join and
+  *    shuffling both fact tables.
+  *  - Column pruning + filter pushdown through the connector contract
+  *    (`SupportsPushDownRequiredColumns` / `SupportsPushDownFilters`):
+  *    pruned columns and translated predicates reach BOTH our
+  *    manifest/file pruning and the parquet row-group reader.
+  *
+  * Reference anchor: the C++ reference exposes scans through an Arrow
+  * stream consumed by external engines (table_scan.cc:120-134); this is
+  * the Spark-native equivalent of that "let the engine own the scan"
+  * seam.
+  *
+  * Read correctness under row-level deletes: position deletes and v3
+  * deletion vectors are applied executor-side per split (position
+  * counting against the raw row stream; parquet predicate pushdown is
+  * disabled for delete-bearing files so positions stay exact). Equality
+  * deletes are applied as an executor-side hash-set anti-filter over the
+  * delete files' key columns. All three mirror `ScanBuilder.toDF`'s
+  * sequence-number visibility rules (pos: deleteSeq >= dataSeq, eq:
+  * deleteSeq > dataSeq). */
+final class GraftSparkTable(val table: IceTable, catalogName: String,
+    identName: String) extends Table with SupportsRead {
+
+  override def name(): String = s"$catalogName.$identName"
+  override def schema(): StructType = SparkConv.toSpark(table.schema)
+  override def capabilities(): JSet[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[V2Transform] =
+    GraftConnectorUtil.toV2Transforms(table).getOrElse(Array.empty)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): V2ScanBuilder =
+    new GraftScanBuilder(table, schema())
+}
+
+private[connector] object GraftConnectorUtil {
+
+  /** Our partition-spec ADT → connector transforms; None when a field
+    * uses a transform the connector grammar can't express (void). */
+  def toV2Transforms(table: IceTable): Option[Array[V2Transform]] = {
+    val spec = table.metadata.defaultSpec
+    if (spec.fields.isEmpty) return Some(Array.empty)
+    val out = spec.fields.map { f =>
+      table.schema.findFieldById(f.sourceId).map(_.name).flatMap { col =>
+        f.transform match {
+          case IdentityTransform => Some(Expressions.identity(col))
+          case BucketTransform(n) => Some(Expressions.bucket(n, col))
+          case YearTransform => Some(Expressions.years(col))
+          case MonthTransform => Some(Expressions.months(col))
+          case DayTransform => Some(Expressions.days(col))
+          case HourTransform => Some(Expressions.hours(col))
+          case TruncateTransform(w) => Some(Expressions.apply("truncate",
+            Expressions.literal(Int.box(w)), Expressions.column(col)))
+          case _ => None
+        }
+      }
+    }
+    if (out.forall(_.isDefined)) Some(out.flatten.toArray) else None
+  }
+
+  /** Iceberg runtime partition value → Spark internal value. */
+  def toInternalValue(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
+    case other => other // Int, Long, Boolean, Float, Double, Array[Byte]
+  }
+
+  def normPath(p: String): String = ManifestAvro.stripFileScheme(p)
+}
+
+private[connector] final class GraftScanBuilder(table: IceTable,
+    fullSchema: StructType) extends V2ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pruneExpr: Option[IceExpr] = None
+  private var pushed: Array[V1Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // re-anchor on the table schema so field-id metadata survives pruning
+    val byName = fullSchema.fields.map(f => f.name -> f).toMap
+    required = StructType(requiredSchema.fields.map(f => byName.getOrElse(f.name, f)))
+  }
+
+  override def pushFilters(filters: Array[V1Filter]): Array[V1Filter] = {
+    val convertible = filters.flatMap(f => V1FilterToIce.convert(f, table).map(f -> _))
+    pushed = convertible.map(_._1)
+    pruneExpr = convertible.map(_._2).reduceOption(IceExpr.and)
+    // everything stays residual: our pushdown PRUNES (manifests, files,
+    // row groups); Spark re-evaluates exactly on the surviving rows
+    filters
+  }
+
+  override def pushedFilters(): Array[V1Filter] = pushed
+
+  override def build(): Scan =
+    new GraftBatchScan(table, required, pruneExpr, pushed)
+}
+
+/** v1 `sources.Filter` → Ice expression, for manifest/file pruning.
+  * Conservative: anything unmappable simply doesn't prune. */
+private[connector] object V1FilterToIce {
+  import org.apache.spark.sql.sources._
+  import graft.ice.types.{IcePrimitive, Literal => IceLit}
+
+  private def lit(table: IceTable, col: String, v: Any): Option[IceLit] =
+    table.schema.findFieldByName(col).map(_.fieldType).flatMap {
+      case p: IcePrimitive => IceLit.fromSparkValue(p, v)
+      case _ => None
+    }
+
+  def convert(f: V1Filter, table: IceTable): Option[IceExpr] = f match {
+    case EqualTo(c, v) => lit(table, c, v).map(IceExpr.equal(c, _))
+    case GreaterThan(c, v) => lit(table, c, v).map(IceExpr.gt(c, _))
+    case GreaterThanOrEqual(c, v) => lit(table, c, v).map(IceExpr.gtEq(c, _))
+    case LessThan(c, v) => lit(table, c, v).map(IceExpr.lt(c, _))
+    case LessThanOrEqual(c, v) => lit(table, c, v).map(IceExpr.ltEq(c, _))
+    case In(c, vs) =>
+      val ls = vs.toSeq.map(lit(table, c, _))
+      if (ls.nonEmpty && ls.forall(_.isDefined)) Some(IceExpr.in(c, ls.flatten))
+      else None
+    case IsNull(c) => Some(IceExpr.isNull(c))
+    case IsNotNull(c) => Some(IceExpr.notNull(c))
+    case StringStartsWith(c, p) => Some(IceExpr.startsWith(c, p))
+    case And(l, r) => for {
+      a <- convert(l, table); b <- convert(r, table)
+    } yield IceExpr.and(a, b)
+    case Or(l, r) => for {
+      a <- convert(l, table); b <- convert(r, table)
+    } yield IceExpr.or(a, b)
+    case _ => None
+  }
+}
+
+/** Per-split delete work, shipped to the executor. */
+private[connector] final case class GraftDeleteSpec(
+    dvs: Seq[(String, Long, Long)], // puffin (path, offset, length)
+    posDeleteFiles: Seq[(String, Long)], // parquet position-delete (path, size)
+    eqDeletes: Seq[(String, Long, Seq[String])]) { // (path, size, key columns)
+  def isEmpty: Boolean = dvs.isEmpty && posDeleteFiles.isEmpty && eqDeletes.isEmpty
+  def hasPositional: Boolean = dvs.nonEmpty || posDeleteFiles.nonEmpty
+}
+
+private[connector] sealed trait GraftScanSplit extends InputPartition {
+  def path: String
+  def fileSize: Long
+  def useFieldIds: Boolean
+  def deletes: GraftDeleteSpec
+}
+private[connector] final case class GraftFileSplit(path: String, fileSize: Long,
+    useFieldIds: Boolean, deletes: GraftDeleteSpec) extends GraftScanSplit
+private[connector] final case class GraftKeyedFileSplit(path: String, fileSize: Long,
+    useFieldIds: Boolean, deletes: GraftDeleteSpec,
+    key: InternalRow) extends GraftScanSplit with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+private[connector] final class GraftBatchScan(table: IceTable,
+    required: StructType, pruneExpr: Option[IceExpr],
+    v1Filters: Array[V1Filter]) extends Scan with Batch
+    with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val f = pruneExpr.map(e => s", pruned: $e").getOrElse("")
+    s"graft ${table.metadata.location}$f"
+  }
+
+  // ---- planning (driver) ----
+
+  private lazy val planned: (Seq[GraftScanSplit], Option[Int]) = {
+    val snap = table.currentSnapshot
+    val tasks = {
+      val b = table.newScan()
+      pruneExpr.foreach(b.filter)
+      b.planFiles()
+    }
+    val deleteEntries: Seq[ManifestEntry] =
+      snap.map(table.planDeleteEntries).getOrElse(Nil)
+    val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)
+    val eqDeletes = deleteEntries.filter(_.dataFile.content == FileContent.EqualityDeletes)
+
+    def deletesFor(t: FileScanTask): GraftDeleteSpec = {
+      val p = GraftConnectorUtil.normPath(t.file.filePath)
+      val pos = posDeletes.filter(_.sequenceNumber.getOrElse(0L) >= t.dataSequenceNumber)
+      val (dvEntries, pqEntries) = pos.partition(_.dataFile.contentOffset.isDefined)
+      val dvs = dvEntries.filter(_.dataFile.referencedDataFile
+          .map(GraftConnectorUtil.normPath).contains(p))
+        .map(e => (GraftConnectorUtil.normPath(e.dataFile.filePath),
+          e.dataFile.contentOffset.get,
+          e.dataFile.contentSizeInBytes.getOrElse(
+            throw new IllegalStateException(s"DV for $p missing content size"))))
+      val pq = pqEntries.map(e => (GraftConnectorUtil.normPath(e.dataFile.filePath),
+        e.dataFile.fileSizeInBytes))
+      val eqs = eqDeletes.filter(_.sequenceNumber.getOrElse(0L) > t.dataSequenceNumber)
+        .map { e =>
+          val cols = e.dataFile.equalityIds.flatMap(id =>
+            table.schema.findFieldById(id).map(_.name))
+          require(cols.size == e.dataFile.equalityIds.size,
+            s"equality delete ${e.dataFile.filePath} references unknown field ids")
+          (GraftConnectorUtil.normPath(e.dataFile.filePath),
+            e.dataFile.fileSizeInBytes, cols)
+        }
+      GraftDeleteSpec(dvs, pq, eqs)
+    }
+
+    val dataDirPrefix = GraftConnectorUtil.normPath(table.dataFileDir)
+    val idSummaryBySnap: Map[Long, String] = table.metadata.snapshots
+      .flatMap(s => s.summary.get(IceTable.FieldIdsSummaryKey)
+        .map(s.snapshotId -> _)).toMap
+    def fileHasIds(t: FileScanTask, p: String): Boolean =
+      p.startsWith(dataDirPrefix) ||
+        t.snapshotId.flatMap(idSummaryBySnap.get).contains("all")
+
+    // SPJ is reportable only when every surviving file lives in the
+    // CURRENT spec (older-spec files have a different tuple shape) and
+    // every transform maps onto the connector grammar
+    val specId = table.metadata.defaultSpecId
+    val spec = table.metadata.defaultSpec
+    val groupable = spec.fields.nonEmpty && tasks.nonEmpty &&
+      tasks.forall(_.specId == specId) &&
+      GraftConnectorUtil.toV2Transforms(table).exists(_.length == spec.fields.length)
+
+    if (!groupable) {
+      (tasks.map { t =>
+        val p = GraftConnectorUtil.normPath(t.file.filePath)
+        GraftFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p), deletesFor(t))
+      }, None)
+    } else {
+      val keyed = tasks.map { t =>
+        val p = GraftConnectorUtil.normPath(t.file.filePath)
+        val key = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          t.file.partition.map(GraftConnectorUtil.toInternalValue).toArray)
+        GraftKeyedFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p),
+          deletesFor(t), key): GraftScanSplit
+      }
+      val nKeys = tasks.map(_.file.partition).distinct.size
+      (keyed, Some(nKeys))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planned._1.toArray
+
+  override def outputPartitioning(): Partitioning = planned match {
+    case (_, Some(nKeys)) =>
+      new KeyGroupedPartitioning(
+        GraftConnectorUtil.toV2Transforms(table).get.map(t => t: org.apache.spark.sql.connector.expressions.Expression),
+        nKeys)
+    case (splits, None) => new UnknownPartitioning(splits.size)
+  }
+
+  // ---- reader factory (driver-built closures, executor-run) ----
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // field-id column resolution for our own files (rename-safe); files
+    // without ids (addFiles-registered) read by current name
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    val eqCols: Seq[String] = planned._1.flatMap(_.deletes.eqDeletes.flatMap(_._3)).distinct
+    val fullByName = SparkConv.toSpark(table.schema).fields.map(f => f.name -> f).toMap
+    // the executor must SEE equality-delete key columns even when the
+    // query pruned them away; read them, anti-filter, then project back
+    val extraEq = eqCols.filterNot(c => required.fieldNames.contains(c))
+      .flatMap(fullByName.get)
+    val readSchemaIds = StructType(required.fields ++ extraEq)
+    val plain = StructType(readSchemaIds.fields.map(_.copy(metadata = Metadata.empty)))
+
+    def mkReader(schema: StructType, filters: Seq[V1Filter]) =
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = schema,
+        partitionSchema = new StructType(),
+        requiredSchema = schema,
+        filters = filters,
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+
+    val posDeleteSchema = StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+    val eqSchemas: Map[Seq[String], StructType] =
+      planned._1.flatMap(_.deletes.eqDeletes.map(_._3)).distinct
+        .map(cols => cols -> StructType(cols.map(c =>
+          fullByName(c).copy(metadata = Metadata.empty)))).toMap
+
+    GraftReaderFactory(
+      readIds = mkReader(readSchemaIds, v1Filters.toSeq),
+      readIdsRaw = mkReader(readSchemaIds, Nil),
+      readPlain = mkReader(plain, v1Filters.toSeq),
+      readPlainRaw = mkReader(plain, Nil),
+      readPosDeletes = mkReader(posDeleteSchema, Nil),
+      readEqDeletes = eqSchemas.map { case (cols, s) => cols -> mkReader(s, Nil) },
+      readSchema = readSchemaIds,
+      eqSchemas = eqSchemas,
+      outputCols = if (extraEq.isEmpty) None
+        else Some(required.fields.indices.toArray))
+  }
+}
+
+private[connector] final case class GraftReaderFactory(
+    readIds: PartitionedFile => Iterator[InternalRow],
+    readIdsRaw: PartitionedFile => Iterator[InternalRow],
+    readPlain: PartitionedFile => Iterator[InternalRow],
+    readPlainRaw: PartitionedFile => Iterator[InternalRow],
+    readPosDeletes: PartitionedFile => Iterator[InternalRow],
+    readEqDeletes: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
+    readSchema: StructType,
+    eqSchemas: Map[Seq[String], StructType],
+    outputCols: Option[Array[Int]]) extends PartitionReaderFactory {
+
+  private def pf(path: String, size: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+      0L, size, Array.empty[String], 0L, size, Map.empty)
+
+  private def rows(read: PartitionedFile => Iterator[InternalRow],
+      p: PartitionedFile): Iterator[InternalRow] =
+    read(p).asInstanceOf[Iterator[Any]].flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val split = p.asInstanceOf[GraftScanSplit]
+    val del = split.deletes
+
+    // positions deleted from THIS file: DV bitmaps + parquet pos-deletes
+    lazy val deletedPos: org.roaringbitmap.longlong.Roaring64Bitmap = {
+      val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      del.dvs.foreach { case (path, off, len) =>
+        bm.or(Puffin.readDV(path, off, len))
+      }
+      if (del.posDeleteFiles.nonEmpty) {
+        val me = split.path
+        del.posDeleteFiles.foreach { case (dp, dsize) =>
+          // delete files are small relative to data; each task scans only
+          // the delete files its snapshot wired to its file
+          rows(readPosDeletes, pf(dp, dsize)).foreach { r =>
+            if (!r.isNullAt(0) &&
+                GraftConnectorUtil.normPath(r.getUTF8String(0).toString) == me)
+              bm.addLong(r.getLong(1))
+          }
+        }
+      }
+      bm
+    }
+
+    // equality-delete keys: one hash set per delete schema, matched via
+    // UnsafeRow bytes (null-safe by construction: null bits participate)
+    lazy val eqFilters: Seq[InternalRow => Boolean] =
+      del.eqDeletes.groupBy(_._3).map { case (cols, files) =>
+        val delSchema = eqSchemas(cols)
+        val delProj = UnsafeProjection.create(delSchema.fields.indices.map(i =>
+          BoundReference(i, delSchema.fields(i).dataType, nullable = true)))
+        val keys = new mutable.HashSet[UnsafeRow]()
+        files.foreach { case (path, size, _) =>
+          rows(readEqDeletes(cols), pf(path, size)).foreach { r =>
+            keys += delProj(r).copy()
+          }
+        }
+        val dataIdx = cols.map(c => readSchema.fieldIndex(c))
+        val dataProj = UnsafeProjection.create(dataIdx.map(i =>
+          BoundReference(i, readSchema.fields(i).dataType, nullable = true)))
+        (row: InternalRow) => !keys.contains(dataProj(row))
+      }.toSeq
+
+    val needExactPositions = del.hasPositional
+    val read =
+      (split.useFieldIds, needExactPositions) match {
+        // parquet predicate pushdown skips rows, which would corrupt
+        // position counting — delete-bearing files read unfiltered
+        case (true, true) => readIdsRaw
+        case (true, false) => readIds
+        case (false, true) => readPlainRaw
+        case (false, false) => readPlain
+      }
+
+    val base = rows(read, pf(split.path, split.fileSize))
+    var pos = -1L
+    val it0 =
+      if (!needExactPositions) base
+      else base.filter { _ => pos += 1; !deletedPos.contains(pos) }
+    val it1 =
+      if (del.eqDeletes.isEmpty) it0
+      else it0.filter(r => eqFilters.forall(f => f(r)))
+    val it: Iterator[InternalRow] = outputCols match {
+      case None => it1
+      case Some(idx) =>
+        val proj = UnsafeProjection.create(idx.toIndexedSeq.map(i =>
+          BoundReference(i, readSchema.fields(i).dataType, nullable = true)))
+        it1.map(proj.apply)
+    }
+
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

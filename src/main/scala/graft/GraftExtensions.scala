@@ -66,5 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // otherwise reject the 3-part `graft.db.t` name against the V1
     // session catalog (requiresSinglePartNamespace) before our rule fires
     ext.injectHintResolutionRule(session => GraftTableResolution(session))
+    // partition-evolution DDL that Spark's grammar lacks
+    ext.injectParser((_, parser) => new GraftSqlParser(parser))
   }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier => SparkTableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.ice.IceTable
+import graft.ice.catalog.{DirCatalog, TableIdentifier}
+import graft.ice.transform.{BucketTransform, DayTransform, HourTransform, IdentityTransform, MonthTransform, Transform => IceTransform, TruncateTransform, YearTransform}
+
+/** Delegating SQL parser for the statements Spark's grammar lacks —
+  * partition evolution DDL (Iceberg's own Spark integration does the
+  * same via a parser extension):
+  *
+  * {{{
+  *   ALTER TABLE graft.db.t ADD PARTITION FIELD bucket(16, id) [AS name]
+  *   ALTER TABLE graft.db.t DROP PARTITION FIELD <name | transform>
+  * }}}
+  *
+  * Everything else falls through to Spark's parser verbatim. The
+  * statement grammar is intentionally narrow (graft.* tables only), so
+  * the regex front-end cannot shadow any standard SQL. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftPartitionDdl.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): SparkTableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+private[graft] object GraftPartitionDdl {
+
+  private val Add =
+    """(?is)\s*ALTER\s+TABLE\s+(graft(?:\.\w+)+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+  private val Drop =
+    """(?is)\s*ALTER\s+TABLE\s+(graft(?:\.\w+)+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+
+  private val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  // both argument orders, matching iceberg SQL (truncate(col, w)) and
+  // the connector transform (truncate(w, col))
+  private val TruncWC = """(?i)truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+  private val TruncCW = """(?i)truncate\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)""".r
+  private val Temporal = """(?i)(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)""".r
+  private val Ident = """(\w+)""".r
+
+  /** Transform spec text → (source column, transform). */
+  def parseTransform(s: String): Option[(String, IceTransform)] = s.trim match {
+    case Bucket(n, c) => Some((c, BucketTransform(n.toInt)))
+    case TruncWC(w, c) => Some((c, TruncateTransform(w.toInt)))
+    case TruncCW(c, w) => Some((c, TruncateTransform(w.toInt)))
+    case Temporal(t, c) => t.toLowerCase.stripSuffix("s") match {
+      case "year" => Some((c, YearTransform))
+      case "month" => Some((c, MonthTransform))
+      case "day" => Some((c, DayTransform))
+      case "hour" => Some((c, HourTransform))
+    }
+    case Ident(c) => Some((c, IdentityTransform))
+    case _ => None
+  }
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Add(table, spec, alias) =>
+      parseTransform(spec).map { case (col, tr) =>
+        GraftAddPartitionFieldCommand(table.split('.').toSeq, col, tr,
+          Option(alias))
+      }
+    case Drop(table, spec) =>
+      Some(GraftDropPartitionFieldCommand(table.split('.').toSeq, spec.trim))
+    case _ => None
+  }
+}
+
+private[graft] object GraftPartitionCommands {
+  /** The same warehouse conf the resolution rule uses. */
+  def loadTable(session: SparkSession, parts: Seq[String]): IceTable = {
+    val wh = session.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new IllegalStateException(
+        "set spark.graft.warehouse to use graft.* SQL"))
+    IceTable.load(new DirCatalog(wh),
+      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+  }
+}
+
+/** `ALTER TABLE graft.<ns>.<t> ADD PARTITION FIELD <transform> [AS n]`:
+  * partition EVOLUTION — a new default spec with the existing fields
+  * (ids preserved) plus the new one. Existing files keep their old
+  * spec id; scans plan both (t_spec_evolution semantics). */
+final case class GraftAddPartitionFieldCommand(parts: Seq[String],
+    sourceCol: String, transform: IceTransform,
+    name: Option[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftPartitionCommands.loadTable(session, parts)
+    t.updateSpec().fromCurrent()
+      .addField(name.getOrElse(GraftDdl.partName(sourceCol, transform)),
+        sourceCol, transform)
+      .commit()
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<ns>.<t> DROP PARTITION FIELD <name|transform>`:
+  * drops by field name, or by re-deriving the conventional name from a
+  * transform spec (`bucket(16, id)` drops `id_bucket`). */
+final case class GraftDropPartitionFieldCommand(parts: Seq[String],
+    fieldSpec: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftPartitionCommands.loadTable(session, parts)
+    val current = t.metadata.defaultSpec
+    val byName = current.fields.find(_.name == fieldSpec).map(_.name)
+    val byTransform = GraftPartitionDdl.parseTransform(fieldSpec).flatMap {
+      case (col, tr) =>
+        t.schema.findFieldByName(col).map(_.id).flatMap(srcId =>
+          current.fields.find(f => f.sourceId == srcId && f.transform == tr)
+            .map(_.name))
+    }
+    val target = byName.orElse(byTransform).getOrElse(
+      throw new IllegalArgumentException(
+        s"no partition field matches '$fieldSpec' " +
+          s"(have: ${current.fields.map(_.name).mkString(", ")})"))
+    t.updateSpec().fromCurrent().removeField(target).commit()
+    Seq.empty
+  }
+}

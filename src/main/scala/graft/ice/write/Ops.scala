@@ -415,8 +415,26 @@ final class UpdateSpec(table: IceTable) {
       transform: graft.ice.transform.Transform): UpdateSpec = {
     val src = table.schema.findFieldByName(sourceName).getOrElse(
       throw new IllegalArgumentException(s"no such column $sourceName"))
+    require(!fields.exists(_.name == name),
+      s"duplicate partition field name '$name'")
     nextFieldId += 1
     fields = fields :+ PartitionField(src.id, nextFieldId, name, transform)
+    this
+  }
+
+  /** Seed from the current default spec — partition EVOLUTION (existing
+    * fields keep their field ids; add/remove applies on top), as opposed
+    * to the default replace-the-spec semantics. */
+  def fromCurrent(): UpdateSpec = {
+    fields = table.metadata.defaultSpec.fields
+    this
+  }
+
+  def removeField(name: String): UpdateSpec = {
+    require(fields.exists(_.name == name),
+      s"no partition field named '$name' " +
+        s"(have: ${fields.map(_.name).mkString(", ")})")
+    fields = fields.filterNot(_.name == name)
     this
   }
 

@@ -414,4 +414,33 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.t")
       .collect().head.getLong(0) >= 10L)
   }
+
+  test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the spec in place") {
+    table // force fixture + warehouse conf
+    spark.sql("""CREATE TABLE graft.db.evo (id BIGINT, cat STRING, v BIGINT)
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO graft.db.evo SELECT id, 'a', id * 2 FROM range(0, 50)")
+
+    spark.sql("ALTER TABLE graft.db.evo ADD PARTITION FIELD bucket(4, id)")
+    val t1 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.evo"))
+    assert(t1.metadata.defaultSpec.fields.map(_.name) == Seq("cat", "id_bucket"))
+    // old fields keep their ids across the evolution
+    assert(t1.metadata.partitionSpecs.head.fields.head.fieldId ==
+      t1.metadata.defaultSpec.fields.head.fieldId)
+
+    // writes land in the NEW spec; reads span both layouts
+    spark.sql("INSERT INTO graft.db.evo SELECT id, 'b', id * 2 FROM range(50, 80)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.evo")
+      .collect().head.getLong(0) == 80L)
+    val t2 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.evo"))
+    val specIds = t2.newScan().planFiles().map(_.specId).distinct.sorted
+    assert(specIds.size == 2, s"expected files in both specs, got $specIds")
+
+    // drop by transform spec; name-derived resolution
+    spark.sql("ALTER TABLE graft.db.evo DROP PARTITION FIELD bucket(4, id)")
+    val t3 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.evo"))
+    assert(t3.metadata.defaultSpec.fields.map(_.name) == Seq("cat"))
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.db.evo")
+      .collect().head.getLong(0) == (0L until 80L).map(_ * 2).sum)
+  }
 }

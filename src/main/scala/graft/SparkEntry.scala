@@ -948,6 +948,45 @@ object SparkEntry {
           col("n_events"), col("total_value_cents"))
       graft.streaming.StreamOps.runToParquet(s, sessions,
         org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
+    // storage-partitioned join (V2 connector): both sides bucketed on the
+    // join key -> KeyGroupedPartitioning is REQUIRED to produce a
+    // shuffle-free plan, and the query FAILS if an exchange appears — the
+    // correctness gate doubles as the plan gate. At 100 TB this is the
+    // co-located fact-fact join.
+    "spj_join" -> ((s, dir) => {
+      SpjFixture.tables(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+        .map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val joined = s.table("ice.tpch.spj_orders")
+          .join(s.table("ice.tpch.spj_lineups"), "o_orderkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"storage-partitioned join must not shuffle; plan:\n$plan")
+        joined.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // CALL maintenance procedures (V2 ProcedureCatalog): snapshot, mutate,
+    // roll back through SQL — the surviving table must equal the original
+    "proc_rollback" -> ((s, dir) => {
+      val t = SpjFixture.procTable(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      s.table("ice.tpch.proc_orders")
     })
   )
 
@@ -1371,7 +1410,16 @@ object SparkEntry {
         |   FROM s)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS total_value_cents
-        |FROM t GROUP BY user_id, session_seq""".stripMargin
+        |FROM t GROUP BY user_id, session_seq""".stripMargin,
+    "spj_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS o_orderkey, count(*) AS n_items
+        |      FROM lineitem GROUP BY 1) USING (o_orderkey)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "proc_rollback" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"
   ) ++
     // hash-defined operators (murmur3 seed-0 / xxhash64 / random-projection
     // families DuckDB cannot recompute) are oracled with golden VALUES
@@ -1409,6 +1457,68 @@ object TimeTravelFixture {
 /** Streaming-ingest fixture: events streamed (readStream, AvailableNow)
   * into a fresh Iceberg-format table via StreamOps.appendStream — the
   * transactional foreachBatch sink with batch-id idempotence. */
+/** Fixtures for the V2-connector queries: two tables CO-BUCKETED on the
+  * join key (spj_join), and a table whose history is manipulated through
+  * CALL procedures (proc_rollback). */
+object SpjFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.meta.{PartitionField, PartitionSpec}
+  import graft.ice.transform.BucketTransform
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private def mkBucketed(spark: SparkSession, sfDir: String, name: String,
+      df: DataFrame, buckets: Int): Unit = {
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), name)
+    if (!cat.tableExists(ident)) {
+      val schema = SparkConv.fromSpark(df.schema)
+      val key = schema.findFieldByName("o_orderkey").get.id
+      val spec = PartitionSpec(0, IndexedSeq(
+        PartitionField(key, 1000, "o_orderkey_bucket", BucketTransform(buckets))))
+      IceTable.create(cat, ident, schema, spec).append(spark).appendDataFrame(df)
+    }
+  }
+
+  def tables(spark: SparkSession, sfDir: String): Unit =
+    cache.computeIfAbsent(s"$sfDir/spj", { _ =>
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val lineups = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      mkBucketed(spark, sfDir, "spj_orders", orders, 8)
+      mkBucketed(spark, sfDir, "spj_lineups", lineups, 8)
+      true
+    })
+
+  def procTable(spark: SparkSession, sfDir: String): IceTable = {
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "proc_orders")
+    cache.computeIfAbsent(s"$sfDir/proc", { _ =>
+      if (!cat.tableExists(ident)) {
+        val df = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(df.schema))
+        t.append(spark).appendDataFrame(df)
+        val keep = t.currentSnapshot.get.snapshotId
+        // grow, then roll the growth back and expire it via CALL — the
+        // surviving table must equal the first append exactly
+        t.append(spark).appendDataFrame(df.limit(100))
+        spark.conf.set("spark.sql.catalog.ice",
+          "graft.ice.connector.GraftCatalogPlugin")
+        spark.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(sfDir))
+        spark.sql(s"CALL ice.system.rollback_to_snapshot('tpch.proc_orders', $keep)")
+        spark.sql("CALL ice.system.expire_snapshots('tpch.proc_orders', retain_last => 1)")
+      }
+      true
+    })
+    IceTable.load(cat, ident)
+  }
+}
+
 object StreamIngestFixture {
   import graft.ice._
   import graft.ice.catalog._

@@ -80,6 +80,85 @@ object LocalFileIO extends FileIO {
   override def length(path: String): Long = Files.size(p(path))
 }
 
+/** FileIO over `org.apache.hadoop.fs.FileSystem` — the object-store
+  * bridge (reference: arrow_fs_file_io.cc wraps any Arrow filesystem
+  * the same way). Whatever filesystems the cluster's Hadoop conf knows
+  * (hdfs://, s3a://, gs://, file://) serve the metadata plane through
+  * this one class; the data plane already rides Spark's own Hadoop IO.
+  *
+  * Commit-primitive semantics are the FILESYSTEM's:
+  *  - `writeIfAbsent` maps to `create(overwrite=false)` — atomic
+  *    first-writer-wins on HDFS; on S3A it is conditional-put only when
+  *    the store supports it (S3 added If-None-Match puts; enable
+  *    `fs.s3a.create.conditional.enabled`).
+  *  - `writeAtomic`/`atomicSwap` map to temp-write + rename — atomic on
+  *    HDFS; copy-on-rename stores keep the torn-read guard because the
+  *    temp file is complete before the rename starts. */
+final class HadoopFileIO(conf: org.apache.hadoop.conf.Configuration) extends FileIO {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def fs(p: HPath): FileSystem = p.getFileSystem(conf)
+  private def hp(path: String): HPath = new HPath(path)
+
+  override def newInput(path: String): SeekableInput = {
+    val p = hp(path)
+    val f = fs(p)
+    val len = f.getFileStatus(p).getLen
+    val in = f.open(p)
+    new SeekableInput {
+      override def length(): Long = len
+      override def seek(pos: Long): Unit = in.seek(pos)
+      override def tell(): Long = in.getPos
+      override def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+      override def close(): Unit = in.close()
+    }
+  }
+  override def newOutput(path: String): OutputStream = {
+    val p = hp(path)
+    fs(p).create(p, true)
+  }
+  override def readBytes(path: String): Array[Byte] = {
+    val p = hp(path)
+    val f = fs(p)
+    val len = f.getFileStatus(p).getLen.toInt
+    val in = f.open(p)
+    try { val b = new Array[Byte](len); in.readFully(0, b); b }
+    finally in.close()
+  }
+  override def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val target = hp(path)
+    val f = fs(target)
+    val tmp = new HPath(target.getParent,
+      s".tmp-${java.util.UUID.randomUUID()}-${target.getName}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (f.exists(target)) f.delete(target, false)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
+  }
+  override def atomicSwap(src: String, dst: String): Unit = {
+    val (s, d) = (hp(src), hp(dst))
+    val f = fs(d)
+    if (f.exists(d)) f.delete(d, false)
+    if (!f.rename(s, d))
+      throw new java.io.IOException(s"rename $s -> $d failed")
+  }
+  override def writeIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val p = hp(path)
+    val f = fs(p)
+    Option(p.getParent).foreach(f.mkdirs(_))
+    val out =
+      try f.create(p, false)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                   _: java.io.IOException if f.exists(p) => return false }
+    try { out.write(bytes); out.close(); true }
+    catch { case e: Throwable => try out.close() catch { case _: Throwable => () }; throw e }
+  }
+  override def delete(path: String): Unit = { fs(hp(path)).delete(hp(path), false); () }
+  override def exists(path: String): Boolean = fs(hp(path)).exists(hp(path))
+  override def length(path: String): Long = fs(hp(path)).getFileStatus(hp(path)).getLen
+}
+
 /** Map-backed FileIO proving the metadata plane is fully abstracted
   * (used by FileIOSpec; an S3/GCS impl would slot in the same way). */
 final class InMemoryFileIO extends FileIO {

@@ -103,4 +103,36 @@ class FileIOSpec extends AnyFunSuite {
     assert(back.properties.get("k").contains("v"))
     assert(!LocalFileIO.exists("/mem/tbl/metadata/v1.metadata.json"))
   }
+
+  test("HadoopFileIO serves the metadata plane through hadoop FileSystem") {
+    val io = new graft.ice.io.HadoopFileIO(new org.apache.hadoop.conf.Configuration())
+    val dir = java.nio.file.Files.createTempDirectory("hadoopio").toString
+
+    // bytes + atomic replace + exclusive create, through hadoop file://
+    io.writeAtomic(s"$dir/meta.json", "v1".getBytes("UTF-8"))
+    io.writeAtomic(s"$dir/meta.json", "v2".getBytes("UTF-8"))
+    assert(new String(io.readBytes(s"$dir/meta.json"), "UTF-8") == "v2")
+    assert(io.writeIfAbsent(s"$dir/v3.json", "first".getBytes("UTF-8")))
+    assert(!io.writeIfAbsent(s"$dir/v3.json", "second".getBytes("UTF-8")))
+    assert(new String(io.readBytes(s"$dir/v3.json"), "UTF-8") == "first")
+    assert(io.length(s"$dir/v3.json") == 5L)
+
+    // a MANIFEST LIST (avro container, needs seekable reads) round-trips
+    val mf = graft.ice.manifest.ManifestFile(
+      manifestPath = s"$dir/m0.avro", manifestLength = 10L,
+      partitionSpecId = 0, addedSnapshotId = 42L,
+      addedFilesCount = Some(1), existingFilesCount = Some(0),
+      deletedFilesCount = Some(0), addedRowsCount = Some(100L),
+      existingRowsCount = Some(0L), deletedRowsCount = Some(0L))
+    graft.ice.manifest.ManifestAvro.writeManifestList(
+      s"$dir/snap.avro", Seq(mf), snapshotId = 42L, parentSnapshotId = None,
+      sequenceNumber = 1L, io = io)
+    val back = graft.ice.manifest.ManifestAvro.readManifestList(s"$dir/snap.avro", io = io)
+    assert(back.map(m => (m.manifestPath, m.addedSnapshotId)) ==
+      IndexedSeq((s"$dir/m0.avro", 42L)))
+
+    io.atomicSwap(s"$dir/v3.json", s"$dir/meta.json")
+    assert(new String(io.readBytes(s"$dir/meta.json"), "UTF-8") == "first")
+    assert(!io.exists(s"$dir/v3.json"))
+  }
 }

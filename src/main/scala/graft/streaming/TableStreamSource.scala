@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -100,7 +100,8 @@ private[streaming] object SnapshotOffset {
 }
 
 private[streaming] final class GraftMicroBatchStream(schema: StructType,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
   // fresh load per call = the refresh that makes new commits visible
   private def table: IceTable = GraftTableStream.load(options)
@@ -113,9 +114,27 @@ private[streaming] final class GraftMicroBatchStream(schema: StructType,
       case None => SnapshotOffset(-1L)
     }
 
-  override def latestOffset(): Offset =
+  private def currentLatest(): Offset =
     table.currentSnapshot.map(s => SnapshotOffset(s.snapshotId))
       .getOrElse(SnapshotOffset(-1L))
+
+  // SupportsTriggerAvailableNow: without it, an AvailableNow restart
+  // that recovers a planned-but-failed batch treats THAT batch as the
+  // run's whole target (Spark's wrapper pins the WAL offset), so
+  // snapshots committed after the failure need a second run to drain.
+  // Capturing the table's latest at query start makes one run finish
+  // the recovered batch AND read through to the capture point — the
+  // semantics Iceberg's Spark source implements.
+  private var availableNowTarget: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(currentLatest())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(currentLatest())
+  override def reportLatestOffset(): Offset = currentLatest()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   override def deserializeOffset(json: String): Offset = SnapshotOffset.fromJson(json)
 

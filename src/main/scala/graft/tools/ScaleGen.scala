@@ -91,9 +91,10 @@ object ScaleGen {
       "l_orderkey" -> ordStride, "l_partkey" -> partStride,
       "l_suppkey" -> suppStride)), "lineitem")
 
-    // events carries parquet TIMESTAMP(NANOS); Spark 4 reads it only as
-    // long (ns since epoch) — every consumer already goes through that
-    // path (Events.load), so the scaled file keeps ts as int64 ns
+    // events.ts has shipped as TIMESTAMP(NANOS) (readable only as long)
+    // and as TIMESTAMP(MICROS) across testdata generations; nanosAsLong
+    // lets either read, and the scaled file keeps the source's physical
+    // type — every consumer normalizes through Events.normalizeTs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = read("events")
     write(replicate(ev, Map(

@@ -196,9 +196,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       StreamOps.streamingDedup(events, Seq("event_id")), "dedup_test")
     assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("graft-table streaming source: snapshot-aligned batches, resume, non-append refusal") {
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+    val wh = java.nio.file.Files.createTempDirectory("whsrc").toString
+    val cat = new DirCatalog(wh)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.follow"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 0"))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 1"))
+
+    val out = java.nio.file.Files.createTempDirectory("srcout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("srcckpt").toString
+    def runAvailable(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("warehouse", wh).option("table", "db.follow").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runAvailable()
+    val firstTwo = raw.filter("o_orderkey % 3 < 2")
+    assert(spark.read.parquet(out).count() == firstTwo.count())
+
+    // a third append streams incrementally on resume from the checkpoint:
+    // only the new snapshot's rows arrive
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 2"))
+    runAvailable()
+    val got = spark.read.parquet(out)
+    assert(got.count() == raw.count())
+    val a = got.agg(sum("o_totalprice")).head.getDouble(0)
+    val b = raw.agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+
+    // a delete snapshot poisons the stream by default...
+    t.delete(spark).deleteWherePositional(
+      graft.ice.expr.Expr.lt("o_orderkey", graft.ice.types.Literal.long(100)))
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runAvailable()
+    }
+    assert(failed.getMessage.contains("non-append") ||
+      Option(failed.getCause).exists(_.getMessage.contains("non-append")))
+
+    // ...and skip-non-append-snapshots streams past it (delete rows are
+    // simply not re-emitted; a fourth append still arrives)
+    t.append(spark).appendDataFrame(raw.limit(10))
+    val q2 = spark.readStream.format("graft-table")
+      .option("warehouse", wh).option("table", "db.follow")
+      .option("skip-non-append-snapshots", "true").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == raw.count() + 10)
+  }
 }
 
-class BucketExprSpec extends AnyFunSuite with BeforeAndAfterAll {
+class CodegenExprSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.session.timeZone", "UTC")
@@ -307,62 +366,4 @@ class BucketExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(limited.toDF(spark).count() == 50)
   }
 
-  test("graft-table streaming source: snapshot-aligned batches, resume, non-append refusal") {
-    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
-    val wh = java.nio.file.Files.createTempDirectory("whsrc").toString
-    val cat = new DirCatalog(wh)
-    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-      .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val t = IceTable.create(cat, TableIdentifier.parse("db.follow"),
-      SparkConv.fromSpark(raw.schema))
-    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 0"))
-    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 1"))
-
-    val out = java.nio.file.Files.createTempDirectory("srcout").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("srcckpt").toString
-    def runAvailable(): Unit = {
-      val q = spark.readStream.format("graft-table")
-        .option("warehouse", wh).option("table", "db.follow").load()
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    runAvailable()
-    val firstTwo = raw.filter("o_orderkey % 3 < 2")
-    assert(spark.read.parquet(out).count() == firstTwo.count())
-
-    // a third append streams incrementally on resume from the checkpoint:
-    // only the new snapshot's rows arrive
-    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 3 = 2"))
-    runAvailable()
-    val got = spark.read.parquet(out)
-    assert(got.count() == raw.count())
-    val a = got.agg(sum("o_totalprice")).head.getDouble(0)
-    val b = raw.agg(sum("o_totalprice")).head.getDouble(0)
-    assert(math.abs(a - b) < 1e-6)
-
-    // a delete snapshot poisons the stream by default...
-    t.delete(spark).deleteWherePositional(
-      graft.ice.expr.Expr.lt("o_orderkey", graft.ice.types.Literal.long(100)))
-    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      runAvailable()
-    }
-    assert(failed.getMessage.contains("non-append") ||
-      Option(failed.getCause).exists(_.getMessage.contains("non-append")))
-
-    // ...and skip-non-append-snapshots streams past it (delete rows are
-    // simply not re-emitted; a fourth append still arrives)
-    t.append(spark).appendDataFrame(raw.limit(10))
-    val q2 = spark.readStream.format("graft-table")
-      .option("warehouse", wh).option("table", "db.follow")
-      .option("skip-non-append-snapshots", "true").load()
-      .writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q2.awaitTermination()
-    assert(spark.read.parquet(out).count() == raw.count() + 10)
-  }
 }

@@ -76,7 +76,7 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
     val id = toId(ident)
     if (!cat.tableExists(id)) throw new NoSuchTableException(ident)
     new GraftSparkTable(IceTable.load(cat, id), catalogName,
-      (ident.namespace :+ ident.name).mkString("."))
+      (ident.namespace :+ ident.name).mkString("."), warehouse)
   }
 
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(toId(ident))

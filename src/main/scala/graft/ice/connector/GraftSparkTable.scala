@@ -59,16 +59,24 @@ import graft.ice.types.{SparkConv, TimestampT, TimestampTzT}
   * sequence-number visibility rules (pos: deleteSeq >= dataSeq, eq:
   * deleteSeq > dataSeq). */
 final class GraftSparkTable(val table: IceTable, catalogName: String,
-    identName: String) extends Table with SupportsRead {
+    identName: String, warehouse: String) extends Table with SupportsRead {
 
   override def name(): String = s"$catalogName.$identName"
   override def schema(): StructType = SparkConv.toSpark(table.schema)
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def partitioning(): Array[V2Transform] =
     GraftConnectorUtil.toV2Transforms(table).getOrElse(Array.empty)
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): V2ScanBuilder =
-    new GraftScanBuilder(table, schema())
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): V2ScanBuilder = {
+    // streaming reads through the catalog (`readStream.table("ice.db.t")`)
+    // route to the snapshot-offset MicroBatchStream; per-read options
+    // (skip-non-append-snapshots, from-snapshot-id) pass through
+    val streamOpts = new java.util.HashMap[String, String](opts)
+    streamOpts.put("warehouse", warehouse)
+    streamOpts.put("table", identName)
+    new GraftScanBuilder(table, schema(),
+      Some(new CaseInsensitiveStringMap(streamOpts)))
+  }
 }
 
 private[connector] object GraftConnectorUtil {
@@ -107,8 +115,9 @@ private[connector] object GraftConnectorUtil {
   def normPath(p: String): String = ManifestAvro.stripFileScheme(p)
 }
 
-private[connector] final class GraftScanBuilder(table: IceTable,
-    fullSchema: StructType) extends V2ScanBuilder
+private[graft] final class GraftScanBuilder(table: IceTable,
+    fullSchema: StructType,
+    streamOpts: Option[CaseInsensitiveStringMap] = None) extends V2ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -133,7 +142,7 @@ private[connector] final class GraftScanBuilder(table: IceTable,
   override def pushedFilters(): Array[V1Filter] = pushed
 
   override def build(): Scan =
-    new GraftBatchScan(table, required, pruneExpr, pushed)
+    new GraftBatchScan(table, required, pruneExpr, pushed, streamOpts)
 }
 
 /** v1 `sources.Filter` → Ice expression, for manifest/file pruning.
@@ -196,11 +205,19 @@ private[connector] final case class GraftKeyedFileSplit(path: String, fileSize: 
 
 private[connector] final class GraftBatchScan(table: IceTable,
     required: StructType, pruneExpr: Option[IceExpr],
-    v1Filters: Array[V1Filter]) extends Scan with Batch
+    v1Filters: Array[V1Filter],
+    streamOpts: Option[CaseInsensitiveStringMap] = None) extends Scan with Batch
     with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val opts = streamOpts.getOrElse(throw new UnsupportedOperationException(
+      s"${table.metadata.location}: streaming read needs warehouse/table options"))
+    val plain = StructType(required.fields.map(_.copy(metadata = Metadata.empty)))
+    new graft.streaming.GraftMicroBatchStream(plain, opts)
+  }
   override def description(): String = {
     val f = pruneExpr.map(e => s", pruned: $e").getOrElse("")
     s"graft ${table.metadata.location}$f"

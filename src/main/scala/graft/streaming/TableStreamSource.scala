@@ -58,7 +58,7 @@ final class GraftTableSourceProvider extends TableProvider with DataSourceRegist
     new GraftStreamTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
-private[streaming] object GraftTableStream {
+private[graft] object GraftTableStream {
   def load(options: CaseInsensitiveStringMap): IceTable = {
     val wh = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException("graft-table source requires option 'warehouse'"))
@@ -77,14 +77,15 @@ private[streaming] final class GraftStreamTable(schema0: StructType,
   override def name(): String = s"graft.${options.get("table")}"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan {
-      override def build(): Scan = this
-      override def readSchema(): StructType = schema0
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GraftMicroBatchStream(schema0, options)
-    }
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  // the connector scan serves BOTH modes: spark.read.format("graft-table")
+  // gets the batch path (pushdown + MoR deletes), readStream the
+  // snapshot-offset MicroBatchStream (via the scan's toMicroBatchStream)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val t = GraftTableStream.load(options)
+    new graft.ice.connector.GraftScanBuilder(t,
+      graft.ice.types.SparkConv.toSpark(t.schema), Some(options))
+  }
 }
 
 /** Snapshot-id offset. `-1` = before the first snapshot. */
@@ -99,7 +100,7 @@ private[streaming] object SnapshotOffset {
   }
 }
 
-private[streaming] final class GraftMicroBatchStream(schema: StructType,
+private[graft] final class GraftMicroBatchStream(schema: StructType,
     options: CaseInsensitiveStringMap) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 

@@ -179,6 +179,37 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nSplits.contains(1), s"expected 1 surviving split, got $nSplits")
   }
 
+  test("unified read surface: readStream.table via catalog, batch via provider") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.unified"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.limit(100))
+
+    // batch read through the PROVIDER (no catalog registration needed)
+    val viaProvider = spark.read.format("graft-table")
+      .option("warehouse", warehouse).option("table", "db.unified").load()
+    assert(viaProvider.count() == 100)
+    assert(sortedRows(viaProvider) == sortedRows(spark.table("ice.db.unified")))
+
+    // streaming read through the CATALOG: follows appends via snapshots
+    val out = java.nio.file.Files.createTempDirectory("unifout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("unifckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table("ice.db.unified")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+    t.append(spark).appendDataFrame(raw.limit(250))
+    drain()
+    assert(spark.read.parquet(out).count() == 350)
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

@@ -59,12 +59,45 @@ import graft.ice.types.{SparkConv, TimestampT, TimestampTzT}
   * sequence-number visibility rules (pos: deleteSeq >= dataSeq, eq:
   * deleteSeq > dataSeq). */
 final class GraftSparkTable(val table: IceTable, catalogName: String,
-    identName: String, warehouse: String) extends Table with SupportsRead {
+    identName: String, warehouse: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"$catalogName.$identName"
   override def schema(): StructType = SparkConv.toSpark(table.schema)
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Writes ride the V1 fallback: `InsertableRelation.insert` hands the
+    * whole DataFrame to the existing append/overwrite ops, which are
+    * already DISTRIBUTED (executors write the parquet, the driver only
+    * commits file metadata) — a bespoke DataWriterFactory would
+    * duplicate that path without adding parallelism. Covers INSERT INTO,
+    * df.writeTo(...).append(), and INSERT OVERWRITE (truncate-and-load)
+    * through the catalog. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteAll = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _overwrite: Boolean) => {
+              // fresh load: the handle captured at resolution time may be
+              // stale by execution time (concurrent commits)
+              val t = IceTable.load(new graft.ice.catalog.DirCatalog(warehouse),
+                graft.ice.catalog.TableIdentifier.parse(identName))
+              val spark = data.sparkSession
+              if (overwriteAll) t.overwrite(spark).replaceAll(data)
+              else t.append(spark).appendDataFrame(data)
+              ()
+            }
+        }
+    }
   override def partitioning(): Array[V2Transform] =
     GraftConnectorUtil.toV2Transforms(table).getOrElse(Array.empty)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): V2ScanBuilder = {

@@ -210,6 +210,28 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == 350)
   }
 
+  test("writes through the catalog: INSERT INTO, writeTo append, OVERWRITE") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.writes"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.limit(10))
+
+    spark.sql("INSERT INTO ice.db.writes VALUES (100000, 1.5), (100001, 2.5)")
+    assert(spark.table("ice.db.writes").count() == 12)
+
+    raw.limit(5).writeTo("ice.db.writes").append()
+    assert(spark.table("ice.db.writes").count() == 17)
+
+    spark.sql("INSERT OVERWRITE ice.db.writes SELECT o_orderkey, o_totalprice " +
+      "FROM ice.db.writes WHERE o_orderkey >= 100000")
+    val left = spark.table("ice.db.writes")
+    assert(left.count() == 2)
+    // and the table's own history recorded each write as a snapshot
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.writes"))
+    assert(t2.metadata.snapshots.size == 4)
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

@@ -74,9 +74,11 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val id = toId(ident)
-    if (!cat.tableExists(id)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(IceTable.load(cat, id), catalogName,
-      (ident.namespace :+ ident.name).mkString("."), warehouse)
+    if (cat.tableExists(id))
+      new GraftSparkTable(IceTable.load(cat, id), catalogName,
+        (ident.namespace :+ ident.name).mkString("."), warehouse)
+    else GraftMetadataTables.resolve(cat, ident, catalogName).getOrElse(
+      throw new NoSuchTableException(ident))
   }
 
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(toId(ident))
@@ -162,6 +164,60 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
 
 private[connector] object CatalogV2Compat {
   def schemaOf(info: TableInfo): StructType = info.schema()
+}
+
+/** Inspection tables as catalog identifiers:
+  * `SELECT * FROM <catalog>.db.t.snapshots` (same suffix vocabulary as
+  * the `graft.db.t.<name>` SQL rule surface). Served as a LocalScan —
+  * inspection output is metadata-sized by construction. */
+private[connector] object GraftMetadataTables {
+  import org.apache.spark.sql.{DataFrame, SparkSession => SS}
+  import graft.ice.MetadataTables
+
+  private val tables: Map[String, (SS, IceTable) => DataFrame] = Map(
+    "snapshots" -> (MetadataTables.snapshots _),
+    "history" -> (MetadataTables.history _),
+    "refs" -> (MetadataTables.refs _),
+    "manifests" -> (MetadataTables.manifests _),
+    "files" -> (MetadataTables.files _),
+    "delete_files" -> (MetadataTables.deleteFiles _),
+    "statistics" -> (MetadataTables.statistics _),
+    "partition_stats" -> (MetadataTables.partitionStatistics _),
+    "partitions" -> (MetadataTables.partitions _))
+
+  def resolve(cat: DirCatalog, ident: Identifier,
+      catalogName: String): Option[Table] = {
+    val metaName = ident.name.toLowerCase(java.util.Locale.ROOT)
+    if (ident.namespace.isEmpty || !tables.contains(metaName)) return None
+    val parent = TableIdentifier(
+      ident.namespace.dropRight(1).toSeq, ident.namespace.last)
+    if (!cat.tableExists(parent)) return None
+    val t = IceTable.load(cat, parent)
+    val df = tables(metaName)(SparkSession.active, t)
+    Some(new GraftMetadataTable(
+      s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}", df))
+  }
+}
+
+private[connector] final class GraftMetadataTable(nameStr: String,
+    df: org.apache.spark.sql.DataFrame) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = nameStr
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = df.schema
+        override def rows(): Array[InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+      }
+    }
 }
 
 // ===================================================================

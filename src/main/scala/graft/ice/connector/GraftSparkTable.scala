@@ -60,13 +60,41 @@ import graft.ice.types.{SparkConv, TimestampT, TimestampTzT}
   * deleteSeq > dataSeq). */
 final class GraftSparkTable(val table: IceTable, catalogName: String,
     identName: String, warehouse: String) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"$catalogName.$identName"
   override def schema(): StructType = SparkConv.toSpark(table.schema)
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** `DELETE FROM <catalog>.<ns>.<t> WHERE ...` — accepted when the
+    * whole predicate translates to the engine's expression tree (the
+    * translated form both PRUNES planning and evaluates exactly), then
+    * dispatched on `write.delete.mode` like the SQL rule surface:
+    * copy-on-write rewrite, or merge-on-read position deletes
+    * (deletion vectors on v3 tables). */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => V1FilterToIce.convert(f, table).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val t = IceTable.load(new graft.ice.catalog.DirCatalog(warehouse),
+      graft.ice.catalog.TableIdentifier.parse(identName))
+    val expr = filters.flatMap(f => V1FilterToIce.convert(f, t)).toSeq
+      .reduceOption(IceExpr.and)
+      .getOrElse(IceExpr.raw("true")) // DELETE with no WHERE = delete all
+    val spark = SparkSession.active
+    val del = t.delete(spark)
+    graft.ice.meta.TableProperties.get(t.properties,
+      graft.ice.meta.TableProperties.WriteDeleteMode) match {
+      case "merge-on-read" =>
+        if (t.metadata.formatVersion >= 3) del.deleteWhereDV(expr)
+        else del.deleteWherePositional(expr)
+      case _ => del.deleteWhere(expr)
+    }
+    ()
+  }
 
   /** Writes ride the V1 fallback: `InsertableRelation.insert` hands the
     * whole DataFrame to the existing append/overwrite ops, which are
@@ -203,6 +231,8 @@ private[connector] object V1FilterToIce {
     case IsNull(c) => Some(IceExpr.isNull(c))
     case IsNotNull(c) => Some(IceExpr.notNull(c))
     case StringStartsWith(c, p) => Some(IceExpr.startsWith(c, p))
+    case AlwaysTrue() => Some(IceExpr.raw("true"))
+    case AlwaysFalse() => Some(IceExpr.raw("false"))
     case And(l, r) => for {
       a <- convert(l, table); b <- convert(r, table)
     } yield IceExpr.and(a, b)

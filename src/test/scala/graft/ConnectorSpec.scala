@@ -232,6 +232,40 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t2.metadata.snapshots.size == 4)
   }
 
+  test("DELETE WHERE and inspection tables through the catalog") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.delcat"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+    val total = raw.count()
+
+    // copy-on-write DELETE through SupportsDelete
+    spark.sql("DELETE FROM ice.db.delcat WHERE o_orderkey < 100")
+    assert(spark.table("ice.db.delcat").count() ==
+      raw.filter("o_orderkey >= 100").count())
+
+    // merge-on-read: property dispatch writes delete files, not rewrites
+    val tm = IceTable.create(cat, TableIdentifier.parse("db.delcat_mor"),
+      SparkConv.fromSpark(raw.schema),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    tm.append(spark).appendDataFrame(raw)
+    spark.sql("DELETE FROM ice.db.delcat_mor WHERE o_orderkey < 100")
+    assert(spark.table("ice.db.delcat_mor").count() ==
+      raw.filter("o_orderkey >= 100").count())
+    val tm2 = IceTable.load(cat, TableIdentifier.parse("db.delcat_mor"))
+    assert(tm2.planDeleteEntries(tm2.currentSnapshot.get).nonEmpty,
+      "merge-on-read DELETE must land delete files")
+
+    // inspection tables resolve as catalog identifiers
+    val snaps = spark.sql("SELECT * FROM ice.db.delcat.snapshots")
+    assert(snaps.count() == 2) // append + delete
+    assert(snaps.schema.fieldNames.contains("snapshot_id"))
+    val files = spark.sql(
+      "SELECT count(*) AS n FROM ice.db.delcat_mor.delete_files").head
+    assert(files.getLong(0) >= 1)
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

@@ -81,6 +81,32 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident))
   }
 
+  /** `VERSION AS OF` through the catalog: a snapshot id, or a branch or
+    * tag name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = IceTable.load(cat, toId(ident))
+    val snapId =
+      if (version.forall(_.isDigit)) version.toLong
+      else t.refs.getOrElse(version, throw new NoSuchTableException(ident))
+        .snapshotId
+    require(t.metadata.snapshotById(snapId).isDefined,
+      s"no snapshot $version in ${ident}")
+    new GraftSparkTable(t, catalogName,
+      (ident.namespace :+ ident.name).mkString("."), warehouse, Some(snapId))
+  }
+
+  /** `TIMESTAMP AS OF` through the catalog; Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = IceTable.load(cat, toId(ident))
+    val ms = timestampMicros / 1000L
+    val snapId = t.metadata.snapshotLog.filter(_.timestampMs <= ms)
+      .lastOption.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot in $ident as of ${java.time.Instant.ofEpochMilli(ms)}"))
+    new GraftSparkTable(t, catalogName,
+      (ident.namespace :+ ident.name).mkString("."), warehouse, Some(snapId))
+  }
+
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(toId(ident))
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {

@@ -59,12 +59,21 @@ import graft.ice.types.{SparkConv, TimestampT, TimestampTzT}
   * sequence-number visibility rules (pos: deleteSeq >= dataSeq, eq:
   * deleteSeq > dataSeq). */
 final class GraftSparkTable(val table: IceTable, catalogName: String,
-    identName: String, warehouse: String) extends Table with SupportsRead
+    identName: String, warehouse: String,
+    pinnedSnapshotId: Option[Long] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"$catalogName.$identName"
-  override def schema(): StructType = SparkConv.toSpark(table.schema)
+  override def schema(): StructType = {
+    // time travel pins the snapshot's schema (ScanBuilder.scanSchema
+    // semantics); a current read always sees the current schema
+    val s = pinnedSnapshotId
+      .flatMap(id => table.metadata.snapshotById(id))
+      .flatMap(_.schemaId).flatMap(table.metadata.schemaById)
+      .getOrElse(table.schema)
+    SparkConv.toSpark(s)
+  }
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -136,7 +145,7 @@ final class GraftSparkTable(val table: IceTable, catalogName: String,
     streamOpts.put("warehouse", warehouse)
     streamOpts.put("table", identName)
     new GraftScanBuilder(table, schema(),
-      Some(new CaseInsensitiveStringMap(streamOpts)))
+      Some(new CaseInsensitiveStringMap(streamOpts)), pinnedSnapshotId)
   }
 }
 
@@ -178,7 +187,8 @@ private[connector] object GraftConnectorUtil {
 
 private[graft] final class GraftScanBuilder(table: IceTable,
     fullSchema: StructType,
-    streamOpts: Option[CaseInsensitiveStringMap] = None) extends V2ScanBuilder
+    streamOpts: Option[CaseInsensitiveStringMap] = None,
+    pinnedSnapshotId: Option[Long] = None) extends V2ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -203,7 +213,8 @@ private[graft] final class GraftScanBuilder(table: IceTable,
   override def pushedFilters(): Array[V1Filter] = pushed
 
   override def build(): Scan =
-    new GraftBatchScan(table, required, pruneExpr, pushed, streamOpts)
+    new GraftBatchScan(table, required, pruneExpr, pushed, streamOpts,
+      pinnedSnapshotId)
 }
 
 /** v1 `sources.Filter` → Ice expression, for manifest/file pruning.
@@ -269,7 +280,8 @@ private[connector] final case class GraftKeyedFileSplit(path: String, fileSize: 
 private[connector] final class GraftBatchScan(table: IceTable,
     required: StructType, pruneExpr: Option[IceExpr],
     v1Filters: Array[V1Filter],
-    streamOpts: Option[CaseInsensitiveStringMap] = None) extends Scan with Batch
+    streamOpts: Option[CaseInsensitiveStringMap] = None,
+    pinnedSnapshotId: Option[Long] = None) extends Scan with Batch
     with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
@@ -289,12 +301,14 @@ private[connector] final class GraftBatchScan(table: IceTable,
   // ---- planning (driver) ----
 
   private lazy val planned: (Seq[GraftScanSplit], Option[Int]) = {
-    val snap = table.currentSnapshot
-    val tasks = {
+    val builder = {
       val b = table.newScan()
+      pinnedSnapshotId.foreach(b.useSnapshot)
       pruneExpr.foreach(b.filter)
-      b.planFiles()
+      b
     }
+    val snap = builder.resolveSnapshot()
+    val tasks = builder.planFiles()
     val deleteEntries: Seq[ManifestEntry] =
       snap.map(table.planDeleteEntries).getOrElse(Nil)
     val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)

@@ -266,6 +266,86 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.getLong(0) >= 1)
   }
 
+  test("time travel through the catalog: VERSION AS OF id/branch, TIMESTAMP AS OF") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.tt"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.limit(100))
+    val v1 = t.currentSnapshot.get
+    t.manageSnapshots().createBranch("audit", v1.snapshotId)
+    Thread.sleep(5)
+    t.append(spark).appendDataFrame(raw.limit(40))
+
+    assert(spark.table("ice.db.tt").count() == 140)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ice.db.tt VERSION AS OF ${v1.snapshotId}")
+      .head.getLong(0) == 100)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM ice.db.tt VERSION AS OF 'audit'")
+      .head.getLong(0) == 100)
+    val iso = java.time.Instant.ofEpochMilli(v1.timestampMs + 1).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ice.db.tt TIMESTAMP AS OF '$iso'")
+      .head.getLong(0) == 100)
+  }
+
+  test("SPJ shuffle-one-side: the V2 bucket function routes a plain side into our layout") {
+    // a bucketed table joined against a PLAIN (non-bucketed) aggregate.
+    // With shuffle-one-side enabled Spark must shuffle ONLY the plain
+    // side, computing bucket values through OUR FunctionCatalog — if
+    // produceResult diverged from the write-side murmur3, co-location
+    // would be wrong and the join would silently drop matches.
+    // Equality of results IS the pin.
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = SparkConv.fromSpark(
+      raw.select("o_orderkey", "o_custkey", "o_totalprice").schema)
+    val key = schema.findFieldByName("o_orderkey").get.id
+    val tb = IceTable.create(cat, TableIdentifier.parse("db.spj_one"), schema,
+      PartitionSpec(0, IndexedSeq(
+        PartitionField(key, 1000, "o_orderkey_bucket", BucketTransform(4)))))
+    tb.append(spark).appendDataFrame(
+      raw.select("o_orderkey", "o_custkey", "o_totalprice"))
+    // no aggregate: the plain side must need NO shuffle of its own, so
+    // the single expected exchange is the join routing it into our layout
+    val plain = raw.select("o_orderkey", "o_orderpriority")
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("ice.db.spj_one").join(plain, "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected exactly one exchange (the plain side), got $exchanges:\n$plan")
+      val expected = raw.select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(plain, "o_orderkey")
+      assert(sortedRows(joined) == sortedRows(expected))
+    }
+  }
+
+  test("CTAS through the catalog, partitioned and plain") {
+    spark.sql("""CREATE TABLE ice.db.ctas AS
+      SELECT o_orderkey, o_totalprice FROM ice.db.plain WHERE o_orderkey < 500""")
+    assert(spark.table("ice.db.ctas").count() ==
+      spark.table("ice.db.plain").filter("o_orderkey < 500").count())
+
+    spark.sql("""CREATE TABLE ice.db.ctasb PARTITIONED BY (bucket(4, o_orderkey)) AS
+      SELECT o_orderkey, o_totalprice FROM ice.db.plain""")
+    val t = IceTable.load(cat, TableIdentifier.parse("db.ctasb"))
+    assert(t.metadata.defaultSpec.fields.map(_.name) == Seq("o_orderkey_bucket"))
+    assert(spark.table("ice.db.ctasb").count() == spark.table("ice.db.plain").count())
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

@@ -152,6 +152,44 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queryExecution.executedPlan.toString
       assert(plan.contains("Exchange"))
     }
+
+    // SPJ must survive AQE (the default on a real cluster): execute,
+    // then inspect the FINAL adaptive plan
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true") {
+      val joined = spark.table("ice.db.spj_a")
+        .join(spark.table("ice.db.spj_b"), "o_orderkey")
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("Exchange"),
+        s"SPJ must hold under AQE, got:\n$finalPlan")
+    }
+
+    // after partition EVOLUTION the snapshot holds files of two specs —
+    // grouping by tuple would be WRONG (different shapes), so the scan
+    // must fall back to UnknownPartitioning: the join shuffles, results
+    // stay exact
+    val ta = IceTable.load(cat, TableIdentifier.parse("db.spj_a"))
+    ta.updateSpec().fromCurrent().removeField("o_orderkey_bucket")
+      .addField("o_custkey_bucket", "o_custkey", BucketTransform(4)).commit()
+    val ta2 = IceTable.load(cat, TableIdentifier.parse("db.spj_a"))
+    ta2.append(spark).appendDataFrame(
+      raw.select("o_orderkey", "o_custkey", "o_totalprice").limit(50))
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("ice.db.spj_a")
+        .join(spark.table("ice.db.spj_b"), "o_orderkey")
+      assert(joined.queryExecution.executedPlan.toString.contains("Exchange"),
+        "mixed-spec files must NOT claim key-grouped partitioning")
+      val expected = raw.select("o_orderkey", "o_custkey", "o_totalprice")
+        .unionAll(raw.select("o_orderkey", "o_custkey", "o_totalprice").limit(50))
+        .join(raw.select("o_orderkey", "o_orderstatus"), "o_orderkey")
+      assert(sortedRows(joined) == sortedRows(expected))
+    }
   }
 
   test("filter pushdown reaches file pruning through the connector") {

@@ -126,15 +126,45 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = IceTable.load(cat, toId(ident))
-    val (props, rest) = changes.partition(c =>
+    val (props, schemaChanges) = changes.partition(c =>
       c.isInstanceOf[TableChange.SetProperty] || c.isInstanceOf[TableChange.RemoveProperty])
-    require(rest.isEmpty,
-      s"only property changes are supported through the V2 catalog; " +
-        s"use ALTER TABLE graft.* SQL for schema changes (got: ${rest.mkString(", ")})")
     if (props.nonEmpty) {
       val sets = props.collect { case s: TableChange.SetProperty => s.property -> s.value }.toMap
       val unsets = props.collect { case r: TableChange.RemoveProperty => r.property }
       t.commit(base => base.copy(properties = base.properties ++ sets -- unsets))
+    }
+    if (schemaChanges.nonEmpty) {
+      // one UpdateSchema commit carries the whole ALTER statement; the
+      // AssertCurrentSchemaId guard makes a concurrent evolution fail
+      // loudly instead of silently re-applying a stale field list
+      def top(names: Array[String]): String = {
+        require(names.length == 1,
+          s"nested column changes are not supported: ${names.mkString(".")}")
+        names.head
+      }
+      val up = t.updateSchema()
+      schemaChanges.foreach {
+        case a: TableChange.AddColumn =>
+          up.addColumn(top(a.fieldNames), GraftDdl.toIceType(a.dataType),
+            Option(a.comment))
+        case r: TableChange.RenameColumn => up.renameColumn(top(r.fieldNames), r.newName)
+        case d: TableChange.DeleteColumn => up.deleteColumn(top(d.fieldNames))
+        case u: TableChange.UpdateColumnType =>
+          GraftDdl.toIceType(u.newDataType) match {
+            case p: graft.ice.types.IcePrimitive => up.updateColumnType(top(u.fieldNames), p)
+            case other => throw new IllegalArgumentException(
+              s"type promotion target must be primitive, got $other")
+          }
+        case n: TableChange.UpdateColumnNullability =>
+          require(n.nullable, s"cannot add NOT NULL to existing column " +
+            s"${top(n.fieldNames)}: existing files may hold nulls")
+          up.makeOptional(top(n.fieldNames))
+        case c: TableChange.UpdateColumnComment =>
+          up.updateColumnDoc(top(c.fieldNames), c.newComment)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported table change: $other")
+      }
+      up.commit()
     }
     loadTable(ident)
   }

@@ -384,6 +384,29 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("ice.db.ctasb").count() == spark.table("ice.db.plain").count())
   }
 
+  test("ALTER TABLE schema evolution through the catalog") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.alter"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.limit(50))
+
+    spark.sql("ALTER TABLE ice.db.alter ADD COLUMNS (note STRING COMMENT 'memo')")
+    spark.sql("ALTER TABLE ice.db.alter RENAME COLUMN o_totalprice TO price")
+    spark.sql("ALTER TABLE ice.db.alter ALTER COLUMN o_orderkey TYPE BIGINT")
+    val df = spark.table("ice.db.alter")
+    assert(df.schema.fieldNames.toSeq == Seq("o_orderkey", "price", "note"))
+    // old files read through the rename (field-id resolution) with the
+    // new column null
+    assert(df.count() == 50)
+    assert(df.filter(col("price").isNotNull).count() == 50)
+    assert(df.filter(col("note").isNull).count() == 50)
+
+    spark.sql("ALTER TABLE ice.db.alter DROP COLUMN note")
+    assert(spark.table("ice.db.alter").schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "price"))
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

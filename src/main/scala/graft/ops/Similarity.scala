@@ -114,6 +114,87 @@ object Similarity {
       .toDF("cell", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  /** Deterministic coarse-quantizer fit: a driver-side Lloyd loop over a
+    * PARTITION-INVARIANT sample. The sample is the `sampleSize` rows with
+    * the smallest `xxhash64(id)` (ties broken by id) — a uniform
+    * hash-sample whose membership and order are identical under any
+    * parquet split packing, `defaultParallelism`, or file layout, unlike
+    * an unordered `limit` (whose rows follow partition order). The loop
+    * itself runs on the driver in sample order, so double accumulation
+    * order is fixed too — the centroids are bit-identical in every
+    * environment. Sample work is bounded (`sampleSize` × dim doubles, a
+    * top-k selection on the cluster), so at 100 TB the fit cost is
+    * constant and amortized across all queries via the centroid cache.
+    *
+    * Replaces the ML KMeans fit, whose k-means|| init sampled the corpus
+    * through its partition layout — same seed, different environment,
+    * different centroids. */
+  private[graft] def fitQuantizer(corpus: DataFrame, idCol: String,
+      vecCol: String, nClusters: Int, sampleSize: Int = 65536,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    // TakeOrderedAndProject: per-partition bounded top-k, driver merge —
+    // never a full sort, never a full collect
+    val rows = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .collect()
+    val pts: Array[Array[Double]] =
+      rows.map(_.getAs[scala.collection.Seq[Double]]("__v").toArray)
+    require(pts.nonEmpty, "cannot fit a quantizer on an empty corpus")
+    val k = math.min(nClusters, pts.length)
+    val dim = pts(0).length
+    // init: evenly spaced points in the hash-shuffled order ≈ a uniform
+    // random pick, but a deterministic one
+    val cents = Array.tabulate(k)(i => pts((i.toLong * pts.length / k).toInt).clone())
+    val assign = new Array[Int](pts.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      // assignment: nearest centroid by squared euclidean, ties → lowest
+      // cell (same rule as NearestCellExpr / nearestCellHof)
+      var p = 0
+      while (p < pts.length) {
+        val v = pts(p)
+        var best = -1; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ct = cents(c)
+          var d = 0.0; var j = 0
+          while (j < dim) { val x = v(j) - ct(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; moved = true }
+        p += 1
+      }
+      if (iter == 0) moved = true // first pass always recomputes means
+      // means in sample order (fixed summation order); empty cluster
+      // keeps its previous centroid
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      p = 0
+      while (p < pts.length) {
+        val c = assign(p); val v = pts(p)
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
     * each vector assigned to its nearest centroid ONCE; queries probe the
     * `nProbe` nearest centroids and run exact cosine only within those
@@ -132,8 +213,6 @@ object Similarity {
       excludeSelf: Boolean = true,
       cacheKey: Option[String] = None,
       persistPath: Option[String] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus0.sparkSession
     val corpus = Par.ensure(corpus0)
     val cents: Array[Array[Double]] =
@@ -143,13 +222,11 @@ object Similarity {
           .map(p => loadCentroids(spark, p)))
         .getOrElse {
           quantizerFits.incrementAndGet()
-          // fit on a bounded sample: the quantizer needs cluster SHAPE,
-          // not every row — at corpus scale a full fit would dominate
-          val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(10)
-            .setFeaturesCol("__fv").setPredictionCol("__cell")
-            .fit(corpus.withColumn("__fv", array_to_vector(col(vecCol)))
-              .select("__fv").limit(65536))
-          val c = model.clusterCenters.map(_.toArray)
+          // fit on a bounded, partition-invariant sample: the quantizer
+          // needs cluster SHAPE, not every row — at corpus scale a full
+          // fit would dominate, and a layout-dependent sample would make
+          // the centroids differ between environments
+          val c = fitQuantizer(corpus, idCol, vecCol, nClusters)
           persistPath.foreach(p => saveCentroids(spark, p, c))
           c
         }

@@ -453,6 +453,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.size == 25)
   }
 
+  test("quantizer fit is partition-invariant (identical centroids under any layout)") {
+    // the round-7 red row: an unordered limit made the KMeans sample (and
+    // centroids) follow parquet split packing. The Lloyd fit must produce
+    // BIT-IDENTICAL centroids whatever the partition layout.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val a = Similarity.fitQuantizer(emb, "vec_id", "emb", 16)
+    val b = Similarity.fitQuantizer(emb.repartition(13), "vec_id", "emb", 16)
+    val c = Similarity.fitQuantizer(emb.repartition(1).sort(col("vec_id").desc),
+      "vec_id", "emb", 16)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq == c.map(_.toSeq).toSeq)
+    // sampleSize smaller than the corpus: still invariant (top-k by hash)
+    val n = emb.count().toInt
+    assert(n > 64)
+    val d = Similarity.fitQuantizer(emb, "vec_id", "emb", 8, sampleSize = n / 2)
+    val e = Similarity.fitQuantizer(emb.repartition(7), "vec_id", "emb", 8,
+      sampleSize = n / 2)
+    assert(d.map(_.toSeq).toSeq == e.map(_.toSeq).toSeq)
+  }
+
   test("IVF centroid cache skips the quantizer fit on reuse") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))

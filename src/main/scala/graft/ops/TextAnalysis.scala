@@ -94,16 +94,18 @@ object TextAnalysis {
       .groupBy(col(labelCol).as("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
 
-  /** Rolling-hash document fingerprint (winnowing-style): Karp-Rabin hash
-    * of token 4-grams, fingerprint = min hash (robust to small edits;
-    * equal fingerprints => likely shared content). */
+  /** Rolling-hash document fingerprint (winnowing-style): min xxhash64
+    * over token 4-grams (robust to small edits; equal fingerprints =>
+    * likely shared content). Computed by the native codegen kernel
+    * (FingerprintExpr): one joined buffer per document, grams hashed as
+    * byte slices — the HOF formulation below materialized a string per
+    * gram, which made x4 the suite's worst decade-scaler (GC-bound). */
   def fingerprint(text: Column, gram: Int = 4): Column =
-    fingerprintOfTokens(filter(split(lower(text), "\\W+"), x => length(x) > 0),
-      text, gram)
+    TextExprs.fingerprint(text, gram)
 
-  /** Fingerprint from a materialized tokens column — the scalable form
-    * (an inlined split re-runs per n-gram element; see Dedup.tokens). */
-  def fingerprintOfTokens(toks: Column, fallback: Column, gram: Int = 4): Column = {
+  /** The HOF reference formulation of [[fingerprint]] — kept as the
+    * equality oracle for the kernel (pinned in OpsSpec). */
+  private[graft] def fingerprintOfTokens(toks: Column, fallback: Column, gram: Int = 4): Column = {
     val grams = filter(
       transform(sequence(lit(0), greatest(size(toks) - gram, lit(0))),
         i => array_join(slice(toks, i + lit(1), lit(gram)), " ")),
@@ -112,12 +114,9 @@ object TextAnalysis {
       array_min(transform(grams, g => xxhash64(g)))).otherwise(xxhash64(fallback))
   }
 
-  /** DataFrame-level fingerprinting: tokens materialized once per row. */
+  /** DataFrame-level fingerprinting: map-only, one kernel call per row. */
   def fingerprintDF(df: DataFrame, textCol: String, idCol: String,
       gram: Int = 4): DataFrame =
     Par.ensure(df).select(col(idCol),
-      filter(split(lower(col(textCol)), "\\W+"), x => length(x) > 0).as("__toks"),
-      col(textCol).as("__text"))
-      .select(col(idCol),
-        fingerprintOfTokens(col("__toks"), col("__text"), gram).as("fingerprint"))
+      fingerprint(col(textCol), gram).as("fingerprint"))
 }

@@ -96,6 +96,48 @@ object TextHashUtil {
     }
     new GenericArrayData(sig)
   }
+
+  /** Winnowing-style document fingerprint: min xxhash64 over space-joined
+    * token `gram`-grams, computed WITHOUT materializing gram strings.
+    * Tokens contain no spaces (they are split on \W+), so in the single
+    * joined buffer "t0 t1 … tn-1" every gram's joined string is exactly a
+    * contiguous byte range — hash the slice, no per-gram allocation. The
+    * 0x20 scan is byte-safe: UTF-8 continuation bytes are ≥ 0x80, so a
+    * space byte is always the literal separator. Bit-identical with the
+    * HOF formulation TextAnalysis.fingerprintOfTokens (pinned in
+    * OpsSpec); documents with no tokens fall back to xxhash64(raw text),
+    * matching the HOF's empty-gram branch. */
+  def fingerprint(text: UTF8String, gram: Int): Long = {
+    val toks = tokens(text)
+    val n = toks.length
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        text.getBaseObject, text.getBaseOffset, text.numBytes, 42L)
+    val buf = String.join(" ", toks: _*).getBytes(StandardCharsets.UTF_8)
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var ti = 0
+    var p = 0
+    while (p < buf.length) {
+      if (buf(p) == ' ') { ends(ti) = p; ti += 1; starts(ti) = p + 1 }
+      p += 1
+    }
+    ends(n - 1) = buf.length
+    // positions 0..max(n-gram,0): shorter-than-gram docs yield ONE gram
+    // of all tokens (slice semantics of the HOF)
+    val count = math.max(n - gram, 0) + 1
+    var min = Long.MaxValue
+    var i = 0
+    while (i < count) {
+      val last = math.min(i + gram, n) - 1
+      val off = starts(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, Platform.BYTE_ARRAY_OFFSET + off, ends(last) - off, 42L)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
 }
 
 /** array<string> of distinct word n-gram shingles; whole-stage-codegen
@@ -154,9 +196,36 @@ final case class MinhashExpr(child: Expression, shingleN: Int, k: Int)
     copy(child = newChild)
 }
 
+/** long fingerprint, computed entirely within the row — one buffer per
+  * document instead of one string per gram (the round-7 GC hot spot). */
+final case class FingerprintExpr(child: Expression, gram: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "doc_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fingerprint needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.fingerprint(v.asInstanceOf[UTF8String], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$util.fingerprint($c, $gram)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
 object TextExprs {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def shingles(text: Column, n: Int): Column = column(ShinglesExpr(expression(text), n))
   def minhash(text: Column, shingleN: Int, k: Int): Column =
     column(MinhashExpr(expression(text), shingleN, k))
+  def fingerprint(text: Column, gram: Int): Column =
+    column(FingerprintExpr(expression(text), gram))
 }

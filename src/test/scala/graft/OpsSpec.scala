@@ -503,6 +503,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.map(_.toSeq).toSeq == r4.map(_.toSeq).toSeq)
   }
 
+  test("codegen fingerprint kernel is bit-exact with the HOF formulation") {
+    import spark.implicits._
+    // real corpus: every document agrees
+    val hof = docs.select(col("doc_id"),
+      TextAnalysis.fingerprintOfTokens(
+        filter(split(lower(col("text")), "\\W+"), x => length(x) > 0),
+        col("text")).as("f"))
+    val kernel = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("f"))
+    assert(hof.except(kernel).count() == 0 && kernel.except(hof).count() == 0)
+    // edge cases: empty, punctuation-only (no tokens -> raw-text hash),
+    // shorter-than-gram, exactly gram, unicode, repeated tokens
+    val edge = Seq("", "!!! ??? ...", "one", "two words", "a b c d",
+      "a b c d e f", "héllo wörld mixed ascii text", "x x x x x",
+      "  leading and trailing  ", "Tabs\tand\nnewlines here ok")
+      .toDF("text")
+    val eh = edge.select(TextAnalysis.fingerprintOfTokens(
+      filter(split(lower(col("text")), "\\W+"), x => length(x) > 0),
+      col("text")).as("f")).collect().map(_.getLong(0)).toSeq
+    val ek = edge.select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(eh == ek)
+    // and the kernel actually compiles: the Project carrying it sits in a
+    // whole-stage-codegen span (the "*(n)" marker in the plan string)
+    val plan = kernel.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("doc_fingerprint") && l.contains("*(")), plan)
+  }
+
   test("quality metrics and token counts are sane") {
     val m = TextAnalysis.qualityScore(docs, "text")
     val row = m.filter(col("n_tokens") > 0).head

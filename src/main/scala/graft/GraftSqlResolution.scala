@@ -45,6 +45,25 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
   private def isGraft(parts: Seq[String]): Boolean =
     parts.length >= 2 && parts.head.equalsIgnoreCase("graft") && active
 
+  /** Warehouse serving a ROW-LEVEL command (DELETE/UPDATE/MERGE) for this
+    * identifier: the `spark.graft.warehouse` root for `graft.*` names, or
+    * — catalog symmetry — the owning [[graft.ice.connector.GraftCatalogPlugin]]'s
+    * warehouse when the head names one (`ice.db.t`). The V2 connector
+    * covers reads/INSERT/translatable DELETE on its own
+    * (SupportsRead/SupportsWrite/SupportsDelete); UPDATE and MERGE have
+    * no V1-fallback-shaped connector surface, so the command dispatch
+    * here is what makes them work on catalog identifiers — same ops,
+    * same CoW/MoR property dispatch as the graft.* path. */
+  private def rowLevelWarehouse(parts: Seq[String]): Option[String] =
+    if (parts.length < 2) None
+    else if (isGraft(parts)) Some(session.conf.get(ConfKey))
+    else if (parts.head.equalsIgnoreCase("graft")) None
+    else
+      try session.sessionState.catalogManager.catalog(parts.head) match {
+        case g: graft.ice.connector.GraftCatalogPlugin => Some(g.warehouseLocation)
+        case _ => None
+      } catch { case _: Throwable => None }
+
   private def scanPlan(parts: Seq[String],
       shape: ScanBuilder => ScanBuilder): LogicalPlan = {
     val cat = new DirCatalog(session.conf.get(ConfKey))
@@ -111,10 +130,11 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
     // a command's expression-typed members are visited by CheckAnalysis,
     // which would reject the (deliberately unresolved) predicate
     case DeleteFromTable(GraftTarget(u), cond)
-        if isGraft(u.multipartIdentifier) =>
-      GraftDeleteCommand(session.conf.get(ConfKey), u.multipartIdentifier, cond.sql)
+        if rowLevelWarehouse(u.multipartIdentifier).isDefined =>
+      GraftDeleteCommand(rowLevelWarehouse(u.multipartIdentifier).get,
+        u.multipartIdentifier, cond.sql)
     case UpdateTable(GraftTarget(u), assignments, cond)
-        if isGraft(u.multipartIdentifier) =>
+        if rowLevelWarehouse(u.multipartIdentifier).isDefined =>
       val set = assignments.map { case Assignment(k, v) =>
         val name = k match {
           case a: UnresolvedAttribute => a.name
@@ -124,10 +144,10 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
         }
         name -> v.sql
       }.toMap
-      GraftUpdateCommand(session.conf.get(ConfKey), u.multipartIdentifier,
-        set, cond.map(_.sql))
+      GraftUpdateCommand(rowLevelWarehouse(u.multipartIdentifier).get,
+        u.multipartIdentifier, set, cond.map(_.sql))
     case m @ MergeIntoTable(GraftTarget(u), source, mergeCond, matched, notMatched, notMatchedBySource, _)
-        if isGraft(u.multipartIdentifier) =>
+        if rowLevelWarehouse(u.multipartIdentifier).isDefined =>
       require(notMatchedBySource.isEmpty,
         "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported")
       val tgtAlias = m.targetTable match {
@@ -183,8 +203,8 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
           "MERGE supports WHEN NOT MATCHED THEN INSERT * only, " +
             s"got $other")
       }
-      GraftMergeCommand(session.conf.get(ConfKey), u.multipartIdentifier,
-        source, onKeys(mergeCond), kind, set, insertAll)
+      GraftMergeCommand(rowLevelWarehouse(u.multipartIdentifier).get,
+        u.multipartIdentifier, source, onKeys(mergeCond), kind, set, insertAll)
     case CreateTable(UnresolvedIdentifier(parts, _), columns, partitioning, tableSpec, ignoreIfExists)
         if isGraft(parts) =>
       val fields = columns.map { c =>

@@ -625,6 +625,27 @@ object SparkEntry {
                |VERSION AS OF ${SqlDmlFixture.ttFirstSnapshot(dir)}""".stripMargin)
     }),
 
+    // UPDATE / MERGE INTO over V2 CATALOG identifiers (ice.db.t): the
+    // round-7 gap — DELETE worked through SupportsDelete but UPDATE and
+    // MERGE failed on catalog names while working on graft.* ones. Both
+    // now dispatch through the same row-level commands (CoW/MoR per
+    // table properties); these close the loop against DuckDB.
+    "sql_catalog_update" -> ((s, dir) => {
+      CatalogDmlFixture.ensure(s, dir)
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+              |  round(sum(o_totalprice), 2) AS revenue
+              |FROM ice.catq.orders_v2dml
+              |GROUP BY o_orderpriority""".stripMargin)
+    }),
+
+    "sql_catalog_merge" -> ((s, dir) => {
+      CatalogDmlFixture.ensure(s, dir)
+      s.sql("""SELECT o_orderstatus, count(*) AS n_rows,
+              |  round(sum(o_totalprice), 2) AS total
+              |FROM ice.catq.merge_v2
+              |GROUP BY o_orderstatus""".stripMargin)
+    }),
+
     // z-order layout rewrite: a 2-D box predicate over the curve columns
     // reads the curve-tiled table; the oracle reads raw parquet. The
     // both-dimension file-pruning claim itself is pinned in ZOrderSpec.
@@ -1202,6 +1223,27 @@ object SparkEntry {
         |FROM fin GROUP BY st""".stripMargin,
     "sql_timetravel" ->
       "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10",
+    "sql_catalog_update" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN o_totalprice * 2.0 ELSE o_totalprice END), 2) AS revenue
+        |FROM orders WHERE o_orderpriority <> '5-LOW'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "sql_catalog_merge" ->
+      """WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |    FROM orders WHERE o_orderkey % 2 = 0),
+        |  src AS (SELECT o_orderkey, 'Y' AS o_orderstatus,
+        |      o_totalprice + 500.0 AS o_totalprice
+        |    FROM orders WHERE o_orderkey % 3 = 0),
+        |  fin AS (SELECT
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |         ELSE t.o_orderstatus END AS st,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |         ELSE t.o_totalprice END AS tp
+        |  FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT st AS o_orderstatus, count(*) AS n_rows,
+        |  round(sum(tp), 2) AS total
+        |FROM fin GROUP BY st""".stripMargin,
     "m_statistics" ->
       """SELECT 'o_orderstatus' AS column_name, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv FROM orders
         |UNION ALL SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
@@ -2036,6 +2078,46 @@ object SqlDmlFixture {
     val t = graft.ice.IceTable.load(Tables.catalog(sfDir),
       TableIdentifier(Seq("sqlq"), "tt"))
     t.snapshots.minBy(_.sequenceNumber).snapshotId
+  }
+}
+
+/** Row-level DML exercised ONLY through V2 catalog identifiers
+  * (`ice.catq.*`) — the catalog-symmetry counterpart of SqlDmlFixture:
+  * same statement shapes, different mutations, so each family has an
+  * independent DuckDB oracle. `spark.graft.warehouse` is deliberately
+  * NOT required: the commands take the warehouse from the owning
+  * catalog plugin. */
+object CatalogDmlFixture {
+  import graft.ice.catalog._
+
+  def ensure(s: SparkSession, sfDir: String): Unit = {
+    s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+    s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(sfDir))
+    val cat = Tables.catalog(sfDir)
+
+    if (!cat.tableExists(TableIdentifier(Seq("catq"), "orders_v2dml"))) {
+      Tables.raw(s, sfDir, "orders").createOrReplaceTempView("catq_orders")
+      s.sql("CREATE TABLE ice.catq.orders_v2dml AS SELECT * FROM catq_orders")
+      s.sql("""UPDATE ice.catq.orders_v2dml SET o_totalprice = o_totalprice * 2.0
+              |WHERE o_orderstatus = 'O'""".stripMargin)
+      s.sql("DELETE FROM ice.catq.orders_v2dml WHERE o_orderpriority = '5-LOW'")
+    }
+
+    if (!cat.tableExists(TableIdentifier(Seq("catq"), "merge_v2"))) {
+      Tables.raw(s, sfDir, "orders").createOrReplaceTempView("catq_orders")
+      s.sql("""CREATE TABLE ice.catq.merge_v2 AS
+              |SELECT o_orderkey, o_orderstatus, o_totalprice
+              |FROM catq_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""SELECT o_orderkey, 'Y' AS o_orderstatus,
+              |  o_totalprice + 500.0 AS o_totalprice
+              |FROM catq_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+        .createOrReplaceTempView("catq_merge_src")
+      s.sql("""MERGE INTO ice.catq.merge_v2 t USING catq_merge_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET
+              |  o_orderstatus = s.o_orderstatus, o_totalprice = s.o_totalprice
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
   }
 }
 

@@ -66,6 +66,11 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catalogName
 
+  /** The configured warehouse root — read by the SQL rule surface to
+    * dispatch row-level commands (UPDATE/MERGE/DELETE) on this catalog's
+    * identifiers through the same ops as `graft.*` names. */
+  def warehouseLocation: String = warehouse
+
   // ---- TableCatalog ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] =

@@ -415,6 +415,59 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) >= 10L)
   }
 
+  test("UPDATE/MERGE/DELETE on V2 catalog identifiers match the graft.* rule path") {
+    // catalog symmetry (round-7 gap): the same row-level statements must
+    // work on ice.db.* names as on graft.db.* names, with identical
+    // results — and without requiring spark.graft.warehouse
+    val whIce = java.nio.file.Files.createTempDirectory("whice").toString
+    spark.conf.set("spark.sql.catalog.icesql", "graft.ice.connector.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.icesql.warehouse", whIce)
+    val savedConf = spark.conf.getOption("spark.graft.warehouse")
+    spark.conf.unset("spark.graft.warehouse")
+    try {
+      spark.range(0, 100).selectExpr("id", "id % 5 AS grp", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("rl_src")
+      spark.sql("CREATE TABLE icesql.db.rl AS SELECT * FROM rl_src")
+      spark.sql("UPDATE icesql.db.rl SET v = v * 10 WHERE grp = 2")
+      spark.sql("DELETE FROM icesql.db.rl WHERE grp = 4")
+      spark.sql("""SELECT id, id % 5 AS grp, CAST(id AS DOUBLE) * 3 AS v
+                  |FROM range(50, 120)""".stripMargin)
+        .createOrReplaceTempView("rl_merge_src")
+      spark.sql("""MERGE INTO icesql.db.rl t USING rl_merge_src s
+                  |ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.v
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.table("icesql.db.rl").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // reference: the same semantics computed relationally
+      val base = (0L until 100L).map(id => (id, id % 5, id.toDouble))
+        .map { case (id, g, v) => (id, g, if (g == 2) v * 10 else v) }
+        .filterNot(_._2 == 4)
+      val srcMap = (50L until 120L).map(id => id -> id.toDouble * 3).toMap
+      val merged = base.map { case (id, g, v) => (id, g, srcMap.getOrElse(id, v)) }
+      val inserted = (50L until 120L)
+        .filterNot(id => base.exists(_._1 == id))
+        .map(id => (id, id % 5, id.toDouble * 3))
+      assert(got == (merged ++ inserted).toSet)
+
+      // and the SAME statements through the graft.* rule path agree
+      spark.conf.set("spark.graft.warehouse", whIce)
+      spark.sql("CREATE TABLE graft.db.rl2 AS SELECT * FROM rl_src")
+      spark.sql("UPDATE graft.db.rl2 SET v = v * 10 WHERE grp = 2")
+      spark.sql("DELETE FROM graft.db.rl2 WHERE grp = 4")
+      spark.sql("""MERGE INTO graft.db.rl2 t USING rl_merge_src s
+                  |ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.v
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val viaRule = spark.table("graft.db.rl2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaRule == got)
+    } finally {
+      spark.conf.unset("spark.graft.warehouse")
+      savedConf.foreach(spark.conf.set("spark.graft.warehouse", _))
+    }
+  }
+
   test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the spec in place") {
     table // force fixture + warehouse conf
     spark.sql("""CREATE TABLE graft.db.evo (id BIGINT, cat STRING, v BIGINT)

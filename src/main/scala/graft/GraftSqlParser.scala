@@ -22,8 +22,11 @@ import graft.ice.transform.{BucketTransform, DayTransform, HourTransform, Identi
   * }}}
   *
   * Everything else falls through to Spark's parser verbatim. The
-  * statement grammar is intentionally narrow (graft.* tables only), so
-  * the regex front-end cannot shadow any standard SQL. */
+  * statement grammar is intentionally narrow (multipart identifiers and
+  * the FIELD keyword, which Spark's ADD PARTITION grammar lacks), so
+  * the regex front-end cannot shadow any standard SQL. Identifiers
+  * resolve catalog-aware: `ice.db.t` uses catalog `ice`'s warehouse,
+  * `graft.db.t` the `spark.graft.warehouse` conf. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -49,10 +52,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 private[graft] object GraftPartitionDdl {
 
+  // any multipart identifier: partition evolution must be reachable for
+  // tables addressed through a GraftCatalogPlugin catalog (ice.db.t),
+  // not only the graft.* conf root. The FIELD keyword keeps Hive-style
+  // `ADD PARTITION (spec)` out of this grammar.
   private val Add =
-    """(?is)\s*ALTER\s+TABLE\s+(graft(?:\.\w+)+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
   private val Drop =
-    """(?is)\s*ALTER\s+TABLE\s+(graft(?:\.\w+)+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
 
   private val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
   // both argument orders, matching iceberg SQL (truncate(col, w)) and
@@ -90,13 +97,28 @@ private[graft] object GraftPartitionDdl {
 }
 
 private[graft] object GraftPartitionCommands {
-  /** The same warehouse conf the resolution rule uses. */
+  /** Warehouse resolution, catalog-aware: a leading part naming a
+    * registered [[graft.ice.connector.GraftCatalogPlugin]] resolves via
+    * THAT catalog's warehouse option (ice.db.t); otherwise the
+    * `spark.graft.warehouse` conf serves, with a `graft` head stripped
+    * as a catalog label and any other multipart name taken as
+    * namespace.table under the conf root. */
   def loadTable(session: SparkSession, parts: Seq[String]): IceTable = {
-    val wh = session.conf.getOption("spark.graft.warehouse").getOrElse(
-      throw new IllegalStateException(
-        "set spark.graft.warehouse to use graft.* SQL"))
+    val viaCatalog =
+      try session.sessionState.catalogManager.catalog(parts.head) match {
+        case g: graft.ice.connector.GraftCatalogPlugin =>
+          Some((g.warehouseLocation, parts.tail))
+        case _ => None
+      } catch { case _: Throwable => None }
+    val (wh, rel) = viaCatalog.getOrElse {
+      val w = session.conf.getOption("spark.graft.warehouse").getOrElse(
+        throw new IllegalStateException(
+          s"'${parts.mkString(".")}' is not under a graft catalog; set " +
+            "spark.graft.warehouse to address tables by bare namespace"))
+      (w, if (parts.head.equalsIgnoreCase("graft")) parts.tail else parts)
+    }
     IceTable.load(new DirCatalog(wh),
-      TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
+      TableIdentifier(rel.slice(0, rel.length - 1), rel.last))
   }
 }
 

@@ -1553,7 +1553,11 @@ object SpjFixture {
           "graft.ice.connector.GraftCatalogPlugin")
         spark.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(sfDir))
         spark.sql(s"CALL ice.system.rollback_to_snapshot('tpch.proc_orders', $keep)")
-        spark.sql("CALL ice.system.expire_snapshots('tpch.proc_orders', retain_last => 1)")
+        // explicit older_than_ms: a bare CALL now defaults to now-5d
+        // (near-no-op maintenance), and this fixture WANTS the rolled-back
+        // history gone
+        spark.sql("CALL ice.system.expire_snapshots('tpch.proc_orders', " +
+          s"older_than_ms => ${System.currentTimeMillis()}, retain_last => 1)")
       }
       true
     })

@@ -86,16 +86,19 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident))
   }
 
-  /** `VERSION AS OF` through the catalog: a snapshot id, or a branch or
-    * tag name. */
+  /** `VERSION AS OF` through the catalog: a branch or tag name, or a
+    * snapshot id. Refs resolve FIRST so a branch/tag whose name happens
+    * to be all digits is still addressable; a numeric version that names
+    * no ref falls through to snapshot-id lookup (`toLongOption`, so an
+    * empty or overlong digit string fails cleanly, not with a
+    * NumberFormatException). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = IceTable.load(cat, toId(ident))
-    val snapId =
-      if (version.forall(_.isDigit)) version.toLong
-      else t.refs.getOrElse(version, throw new NoSuchTableException(ident))
-        .snapshotId
-    require(t.metadata.snapshotById(snapId).isDefined,
-      s"no snapshot $version in ${ident}")
+    val snapId = t.refs.get(version).map(_.snapshotId)
+      .orElse(version.toLongOption
+        .filter(id => t.metadata.snapshotById(id).isDefined))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ident: '$version' names neither a ref nor a snapshot id"))
     new GraftSparkTable(t, catalogName,
       (ident.namespace :+ ident.name).mkString("."), warehouse, Some(snapId))
   }
@@ -479,8 +482,12 @@ private[connector] final case class GraftProcedure(procName: String,
     procName match {
       case "expire_snapshots" =>
         val before = t.metadata.snapshots.size
+        // a bare CALL must be near-no-op maintenance, not history loss:
+        // default older_than to now - 5 days, matching the reference
+        // procedure family's default (an explicit older_than_ms still
+        // expires exactly what it names)
         t.manageSnapshots().expireSnapshots(
-          optLong(1).getOrElse(System.currentTimeMillis()),
+          optLong(1).getOrElse(System.currentTimeMillis() - 5L * 24 * 60 * 60 * 1000),
           optInt(2).getOrElse(1))
         val after = IceTable.load(new DirCatalog(warehouse),
           TableIdentifier.parse(input.getUTF8String(0).toString)).metadata.snapshots.size

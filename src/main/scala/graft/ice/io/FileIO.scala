@@ -91,9 +91,11 @@ object LocalFileIO extends FileIO {
   *    first-writer-wins on HDFS; on S3A it is conditional-put only when
   *    the store supports it (S3 added If-None-Match puts; enable
   *    `fs.s3a.create.conditional.enabled`).
-  *  - `writeAtomic`/`atomicSwap` map to temp-write + rename — atomic on
-  *    HDFS; copy-on-rename stores keep the torn-read guard because the
-  *    temp file is complete before the rename starts. */
+  *  - `writeAtomic`/`atomicSwap` map to temp-write + single-step
+  *    rename-with-overwrite (FileContext OVERWRITE) — atomic on HDFS
+  *    with no delete window; copy-on-rename stores keep the torn-read
+  *    guard because the temp file is complete before the rename
+  *    starts. */
 final class HadoopFileIO(conf: org.apache.hadoop.conf.Configuration) extends FileIO {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
@@ -125,6 +127,25 @@ final class HadoopFileIO(conf: org.apache.hadoop.conf.Configuration) extends Fil
     try { val b = new Array[Byte](len); in.readFully(0, b); b }
     finally in.close()
   }
+  /** Single-step rename-with-overwrite via FileContext — atomic on HDFS
+    * (no delete window: a concurrent reader sees old or new, never
+    * missing, and a crash cannot lose the target). Only when the scheme
+    * has no AbstractFileSystem binding does this degrade to
+    * delete-then-rename, which is torn-read-safe but NOT crash-safe in
+    * the window — commit correctness never rests on it (that is
+    * writeIfAbsent's job). */
+  private def renameOverwrite(src: HPath, dst: HPath): Unit =
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val f = fs(dst)
+        if (f.exists(dst)) f.delete(dst, false)
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+
   override def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
     val target = hp(path)
     val f = fs(target)
@@ -132,17 +153,10 @@ final class HadoopFileIO(conf: org.apache.hadoop.conf.Configuration) extends Fil
       s".tmp-${java.util.UUID.randomUUID()}-${target.getName}")
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
+    renameOverwrite(tmp, target)
   }
-  override def atomicSwap(src: String, dst: String): Unit = {
-    val (s, d) = (hp(src), hp(dst))
-    val f = fs(d)
-    if (f.exists(d)) f.delete(d, false)
-    if (!f.rename(s, d))
-      throw new java.io.IOException(s"rename $s -> $d failed")
-  }
+  override def atomicSwap(src: String, dst: String): Unit =
+    renameOverwrite(hp(src), hp(dst))
   override def writeIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
     val p = hp(path)
     val f = fs(p)

@@ -326,6 +326,17 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(
       s"SELECT count(*) AS n FROM ice.db.tt TIMESTAMP AS OF '$iso'")
       .head.getLong(0) == 100)
+
+    // refs resolve BEFORE snapshot ids: a branch whose name is all
+    // digits is still addressable (and an empty/garbage version fails
+    // cleanly, not with a NumberFormatException)
+    t.manageSnapshots().createBranch("2024", v1.snapshotId)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM ice.db.tt VERSION AS OF '2024'")
+      .head.getLong(0) == 100)
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM ice.db.tt VERSION AS OF 'nope'").collect())
+    assert(err.getMessage.contains("neither a ref nor a snapshot id"))
   }
 
   test("SPJ shuffle-one-side: the V2 bucket function routes a plain side into our layout") {
@@ -435,9 +446,17 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.newScan().planFiles().size < before)
     assert(spark.table("ice.db.proc2").count() == 800)
 
-    // expire via CALL: only the newest snapshots survive
-    val exp = spark.sql(
+    // expire via CALL — a BARE call defaults older_than to now-5d, so
+    // fresh history survives (maintenance-script safety, not silent
+    // history loss); an explicit older_than_ms expires what it names
+    val bare = spark.sql(
       "CALL ice.system.expire_snapshots('db.proc2', retain_last => 1)")
-    assert(exp.collect().head.getLong(0) >= 0)
+    assert(bare.collect().head.getLong(0) == 0,
+      "bare CALL must not expire snapshots younger than the 5-day default")
+    val exp = spark.sql("CALL ice.system.expire_snapshots('db.proc2', " +
+      s"older_than_ms => ${System.currentTimeMillis()}, retain_last => 1)")
+    assert(exp.collect().head.getLong(0) > 0)
+    val left = IceTable.load(cat, TableIdentifier.parse("db.proc2"))
+    assert(left.metadata.snapshots.size == 1)
   }
 }

@@ -468,6 +468,30 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partition evolution DDL works on V2 catalog identifiers") {
+    // the parser's grammar must reach catalog-addressed tables
+    // (ice.db.t), resolving through THAT catalog's warehouse — not only
+    // graft.* names under spark.graft.warehouse
+    val whIce = java.nio.file.Files.createTempDirectory("whicepart").toString
+    spark.conf.set("spark.sql.catalog.icepart", "graft.ice.connector.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.icepart.warehouse", whIce)
+    val savedConf = spark.conf.getOption("spark.graft.warehouse")
+    spark.conf.unset("spark.graft.warehouse")
+    try {
+      spark.sql("CREATE TABLE icepart.db.pevo (id BIGINT, cat STRING, v BIGINT)")
+      spark.sql("INSERT INTO icepart.db.pevo SELECT id, 'a', id FROM range(0, 50)")
+      spark.sql("ALTER TABLE icepart.db.pevo ADD PARTITION FIELD bucket(4, id)")
+      val t = IceTable.load(new DirCatalog(whIce), TableIdentifier.parse("db.pevo"))
+      assert(t.metadata.defaultSpec.fields.map(_.name) == Seq("id_bucket"))
+      spark.sql("ALTER TABLE icepart.db.pevo DROP PARTITION FIELD bucket(4, id)")
+      val t2 = IceTable.load(new DirCatalog(whIce), TableIdentifier.parse("db.pevo"))
+      assert(t2.metadata.defaultSpec.fields.isEmpty)
+      assert(spark.table("icepart.db.pevo").count() == 50)
+    } finally {
+      savedConf.foreach(spark.conf.set("spark.graft.warehouse", _))
+    }
+  }
+
   test("ALTER TABLE ADD/DROP PARTITION FIELD evolves the spec in place") {
     table // force fixture + warehouse conf
     spark.sql("""CREATE TABLE graft.db.evo (id BIGINT, cat STRING, v BIGINT)

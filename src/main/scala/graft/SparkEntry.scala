@@ -1001,6 +1001,44 @@ object SparkEntry {
       }
     }),
 
+    // NDV statistics CONSUMED by planning: the V2 scan reports
+    // theta-sketch-refined size/rows (SupportsReportStatistics), so an
+    // equality-filtered dimension drops under the broadcast threshold
+    // while the unfiltered scan (raw size) does not. Both directions are
+    // plan-GATED in-query, like spj_join: the flip happens exactly when
+    // the stats say the build side is small.
+    "q_stats_broadcast" -> ((s, dir) => {
+      StatsFixture.table(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
+      // threshold sits BETWEEN the ndv-scaled estimate (~bytes) and the
+      // raw file size (tens of KB to MB at any sf) — the decision is
+      // driven purely by what the scan reports
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val fact = Tables.raw(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        val dim = s.table("ice.tpch.stats_orders").filter(col("o_custkey") === 37)
+        val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          s"ndv-scaled dim must broadcast; plan:\n$plan")
+        val full = fact.join(s.table("ice.tpch.stats_orders"),
+          fact("l_orderkey") === col("o_orderkey"))
+        val fullPlan = full.queryExecution.executedPlan.toString
+        require(!fullPlan.contains("BroadcastHashJoin"),
+          s"unfiltered dim reports raw size and must NOT broadcast; plan:\n$fullPlan")
+        joined.groupBy(dim("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum("l_quantity"), 2).as("qty"))
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // CALL maintenance procedures (V2 ProcedureCatalog): snapshot, mutate,
     // roll back through SQL — the surviving table must equal the original
     "proc_rollback" -> ((s, dir) => {
@@ -1223,6 +1261,12 @@ object SparkEntry {
         |FROM fin GROUP BY st""".stripMargin,
     "sql_timetravel" ->
       "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10",
+    "q_stats_broadcast" ->
+      """SELECT o.o_orderstatus, count(*) AS n_items,
+        |  round(sum(l.l_quantity), 2) AS qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey = 37
+        |GROUP BY o.o_orderstatus""".stripMargin,
     "sql_catalog_update" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(CASE WHEN o_orderstatus = 'O'
@@ -2122,6 +2166,33 @@ object CatalogDmlFixture {
               |  o_orderstatus = s.o_orderstatus, o_totalprice = s.o_totalprice
               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
+  }
+}
+
+/** Orders replica with REGISTERED theta NDV statistics — the build side
+  * of q_stats_broadcast. The sketch is computed once at fixture build;
+  * planning reads only the blob metadata (ndv property). */
+object StatsFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable = {
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "stats_orders")
+    cache.computeIfAbsent(sfDir, { _ =>
+      if (!cat.tableExists(ident)) {
+        val df = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(df.schema))
+        t.append(spark).appendDataFrame(df)
+        graft.ice.write.Statistics.compute(t, spark,
+          Seq("o_custkey", "o_orderkey", "o_orderstatus"))
+      }
+      IceTable.load(cat, ident)
+    })
   }
 }
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform => V2Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder => V2ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder => V2ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -282,7 +282,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
     v1Filters: Array[V1Filter],
     streamOpts: Option[CaseInsensitiveStringMap] = None,
     pinnedSnapshotId: Option[Long] = None) extends Scan with Batch
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -300,7 +300,10 @@ private[connector] final class GraftBatchScan(table: IceTable,
 
   // ---- planning (driver) ----
 
-  private lazy val planned: (Seq[GraftScanSplit], Option[Int]) = {
+  private final case class PlannedScan(splits: Seq[GraftScanSplit],
+      nKeys: Option[Int], totalRows: Long, snapshotId: Option[Long])
+
+  private lazy val planned: PlannedScan = {
     val builder = {
       val b = table.newScan()
       pinnedSnapshotId.foreach(b.useSnapshot)
@@ -355,11 +358,13 @@ private[connector] final class GraftBatchScan(table: IceTable,
       tasks.forall(_.specId == specId) &&
       GraftConnectorUtil.toV2Transforms(table).exists(_.length == spec.fields.length)
 
+    val totalRows = tasks.map(_.file.recordCount).sum
+    val snapId = snap.map(_.snapshotId)
     if (!groupable) {
-      (tasks.map { t =>
+      PlannedScan(tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
         GraftFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p), deletesFor(t))
-      }, None)
+      }, None, totalRows, snapId)
     } else {
       val keyed = tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
@@ -369,19 +374,44 @@ private[connector] final class GraftBatchScan(table: IceTable,
           deletesFor(t), key): GraftScanSplit
       }
       val nKeys = tasks.map(_.file.partition).distinct.size
-      (keyed, Some(nKeys))
+      PlannedScan(keyed, Some(nKeys), totalRows, snapId)
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    planned._1.toArray
+    planned.splits.toArray
 
-  override def outputPartitioning(): Partitioning = planned match {
-    case (_, Some(nKeys)) =>
+  override def outputPartitioning(): Partitioning = planned.nKeys match {
+    case Some(nKeys) =>
       new KeyGroupedPartitioning(
         GraftConnectorUtil.toV2Transforms(table).get.map(t => t: org.apache.spark.sql.connector.expressions.Expression),
         nKeys)
-    case (splits, None) => new UnknownPartitioning(splits.size)
+    case None => new UnknownPartitioning(planned.splits.size)
+  }
+
+  /** NDV-refined scan statistics (SupportsReportStatistics): the numbers
+    * Spark's join selection reads when deciding broadcast vs shuffle.
+    * Base estimate = surviving (pruned) file bytes/rows; an equality/IN
+    * pushdown over a column with a registered theta sketch scales both
+    * by rows/ndv — so `dim WHERE pk = ?` reports ~one row and the join
+    * flips to broadcast even when the file-size estimate alone would
+    * shuffle two fact tables. Unknown predicates and missing sketches
+    * estimate selectivity 1.0: stats can only make a scan look bigger
+    * than it is, never broadcast something huge by mistake. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rawBytes = planned.splits.map(_.fileSize).sum
+    val sel = pruneExpr match {
+      case None => 1.0
+      case Some(e) =>
+        val ndv = graft.ice.write.Statistics.ndvByName(table, planned.snapshotId)
+        if (ndv.isEmpty) 1.0 else graft.ice.write.Statistics.selectivityOf(e, ndv)
+    }
+    val rows = math.max(1L, math.ceil(planned.totalRows * sel).toLong)
+    val bytes = math.max(1L, math.ceil(rawBytes * sel).toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
   }
 
   // ---- reader factory (driver-built closures, executor-run) ----
@@ -392,7 +422,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
     // without ids (addFiles-registered) read by current name
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-    val eqCols: Seq[String] = planned._1.flatMap(_.deletes.eqDeletes.flatMap(_._3)).distinct
+    val eqCols: Seq[String] = planned.splits.flatMap(_.deletes.eqDeletes.flatMap(_._3)).distinct
     val fullByName = SparkConv.toSpark(table.schema).fields.map(f => f.name -> f).toMap
     // the executor must SEE equality-delete key columns even when the
     // query pruned them away; read them, anti-filter, then project back
@@ -414,7 +444,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
     val posDeleteSchema = StructType(Seq(
       StructField("file_path", StringType), StructField("pos", LongType)))
     val eqSchemas: Map[Seq[String], StructType] =
-      planned._1.flatMap(_.deletes.eqDeletes.map(_._3)).distinct
+      planned.splits.flatMap(_.deletes.eqDeletes.map(_._3)).distinct
         .map(cols => cols -> StructType(cols.map(c =>
           fullByName(c).copy(metadata = Metadata.empty)))).toMap
 

@@ -179,6 +179,54 @@ object Statistics {
     * the metadata dir, and commit the StatisticsFile entry (replacing any
     * prior statistics of the same snapshot — Iceberg SetStatistics
     * semantics). Returns the committed entry. */
+  /** Registered NDV estimates (column name → ndv) for a snapshot,
+    * falling back to the current snapshot's statistics file. Read from
+    * blob METADATA properties — planning never opens the puffin file. */
+  def ndvByName(table: IceTable, snapshotId: Option[Long]): Map[String, Long] = {
+    val sid = snapshotId.orElse(table.currentSnapshot.map(_.snapshotId))
+    val sf = sid.flatMap(id => table.metadata.statistics.find(_.snapshotId == id))
+      .orElse(table.metadata.statistics.lastOption)
+    sf.toSeq.flatMap(_.blobMetadata)
+      .filter(_.blobType == ThetaBlobType)
+      .flatMap { b =>
+        for {
+          fieldId <- b.fields.headOption
+          name <- table.schema.findFieldById(fieldId).map(_.name)
+          ndv <- b.properties.get(NdvProperty).flatMap(_.toLongOption)
+          if ndv > 0
+        } yield name -> ndv
+      }.toMap
+  }
+
+  /** Selectivity of a pruning predicate against NDV sketches — the
+    * CBO-lite estimate the V2 scan reports to Spark's join selection
+    * (reference keeps NDV metadata-only, statistics_file.h:35-81; here
+    * the sketches actually move plans). Deliberately conservative:
+    * only equality/IN over identity terms with a known NDV reduce the
+    * estimate (uniformity assumption, rows/ndv per matched key); range
+    * and unknown predicates estimate 1.0, so a missing sketch can only
+    * make the scan look BIGGER than it is — never broadcast something
+    * huge by mistake. */
+  def selectivityOf(expr: graft.ice.expr.Expr, ndv: Map[String, Long]): Double = {
+    import graft.ice.expr._
+    def walk(e: Expr): Double = e match {
+      case TrueE => 1.0
+      case FalseE => 0.0
+      case AndE(l, r) => walk(l) * walk(r)
+      case OrE(l, r) => math.min(1.0, walk(l) + walk(r))
+      // NOT of an estimate whose complement we can't bound: no reduction
+      case NotE(_) => 1.0
+      case Predicate(graft.ice.expr.Op.Eq,
+          Term(name, graft.ice.transform.IdentityTransform), _) =>
+        ndv.get(name).map(n => 1.0 / n).getOrElse(1.0)
+      case Predicate(graft.ice.expr.Op.In,
+          Term(name, graft.ice.transform.IdentityTransform), lits) =>
+        ndv.get(name).map(n => math.min(1.0, lits.size.toDouble / n)).getOrElse(1.0)
+      case _ => 1.0
+    }
+    math.max(1e-9, math.min(1.0, walk(expr)))
+  }
+
   def compute(table: IceTable, spark: SparkSession,
       columns: Seq[String] = Nil, k: Int = 16384): StatisticsFile = {
     val snap = table.currentSnapshot.getOrElse(

@@ -339,6 +339,50 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("neither a ref nor a snapshot id"))
   }
 
+  test("NDV statistics flip join selection to broadcast only when the build side is small") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.ndvstats"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+    graft.ice.write.Statistics.compute(t, spark, Seq("o_custkey"))
+    val rawBytes = t.newScan().planFiles().map(_.file.fileSizeInBytes).sum
+    val ndv = graft.ice.write.Statistics.ndvByName(t, None)("o_custkey")
+    // threshold strictly between the ndv-scaled estimate and raw size
+    val threshold = math.max(rawBytes / ndv * 4, 1024L)
+    assert(threshold < rawBytes)
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val filtered = spark.table("ice.db.ndvstats").filter(col("o_custkey") === 37)
+      val plan = fact.join(filtered, fact("l_orderkey") === filtered("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"ndv-scaled build side must broadcast under threshold $threshold:\n$plan")
+      val unfiltered = spark.table("ice.db.ndvstats")
+      val fullPlan = fact.join(unfiltered, fact("l_orderkey") === unfiltered("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!fullPlan.contains("BroadcastHashJoin"),
+        s"raw-size build side must NOT broadcast under threshold $threshold:\n$fullPlan")
+      // the broadcast plan is also CORRECT (values pin)
+      val viaV2 = fact.join(filtered, fact("l_orderkey") === filtered("o_orderkey"))
+        .groupBy("o_custkey").count().collect().map(_.toString).sorted.toSeq
+      val viaRaw = fact.join(raw.filter(col("o_custkey") === 37),
+          fact("l_orderkey") === raw("o_orderkey"))
+        .groupBy("o_custkey").count().collect().map(_.toString).sorted.toSeq
+      assert(viaV2 == viaRaw && viaV2.nonEmpty)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevAqe.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+        spark.conf.set("spark.sql.adaptive.enabled", _))
+    }
+  }
+
   test("SPJ shuffle-one-side: the V2 bucket function routes a plain side into our layout") {
     // a bucketed table joined against a PLAIN (non-bucketed) aggregate.
     // With shuffle-one-side enabled Spark must shuffle ONLY the plain

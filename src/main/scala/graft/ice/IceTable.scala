@@ -896,6 +896,15 @@ final class ScanBuilder(table: IceTable) {
       df.schema, spark.sessionState.conf.sessionLocalTimeZone,
       org.apache.spark.sql.GraftArrowBridge.toBatchRdd(df).toLocalIterator, out)
   }
+
+  /** DISTRIBUTED Arrow IPC export: each task writes its partition as a
+    * complete, independently-consumable `.arrows` stream file under
+    * `outDir` — no driver materialization (the driver collects only
+    * (path, batchCount) pairs). The scale-safe sibling of
+    * [[writeArrowStream]]: at 100 TB every executor streams its own
+    * splits straight to the interop files. Returns the written files. */
+  def writeArrowIpcFiles(spark: SparkSession, outDir: String): Seq[(String, Long)] =
+    org.apache.spark.sql.GraftArrowBridge.writeIpcFiles(toDF(spark), outDir)
 }
 
 object ScanBuilder {

@@ -26,6 +26,36 @@ object GraftArrowBridge {
     w.end()
   }
 
+  /** Distributed Arrow IPC export: every TASK frames its partition's
+    * batches as one complete .arrows stream file (schema header +
+    * batches + EOS) written directly from the executor — the driver sees
+    * only (path, batchCount) pairs, never a byte of data. The per-task
+    * files are independently consumable (pyarrow/DuckDB read each one),
+    * which is the cluster-scale fan-out shape the single-stream
+    * `writeIpcStream` deliberately is not. Empty partitions write no
+    * file. */
+  def writeIpcFiles(df: DataFrame, outDir: String): Seq[(String, Long)] = {
+    val schema = df.schema
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    toBatchRdd(df).mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val path = new org.apache.hadoop.fs.Path(outDir, f"part-$i%05d.arrows")
+        val fs = path.getFileSystem(conf.value)
+        val out = fs.create(path, true)
+        var n = 0L
+        try {
+          val w = new ArrowBatchStreamWriter(schema, out, tz, false, true)
+          w.writeBatches(it.map { b => n += 1; b })
+          w.end()
+        } finally out.close()
+        Iterator.single((path.toString, n))
+      }
+    }.collect().toSeq.sortBy(_._1)
+  }
+
   /** Rebuild a DataFrame from serialized Arrow batches (the read side of
     * the interop path; ArrowConverters.toDataFrame). */
   def fromBatches(spark: SparkSession, schemaJson: String,

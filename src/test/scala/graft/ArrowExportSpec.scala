@@ -51,6 +51,50 @@ class ArrowExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, s"round-trip altered rows (${a.size} vs ${b.size})")
   }
 
+  test("writeArrowIpcFiles exports per-task IPC files with no driver materialization") {
+    // multi-split fixture: several appends -> several files -> several
+    // scan splits; every task writes its own .arrows file
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wharrd").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.arrowd"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.repartition(3))
+    t.append(spark).appendDataFrame(raw.limit(100).repartition(2))
+    assert(t.newScan().planFiles().size >= 2, "fixture must be multi-split")
+
+    val outDir = java.nio.file.Files.createTempDirectory("arrowout").toString
+    val files = t.newScan().select("o_orderkey", "o_custkey")
+      .writeArrowIpcFiles(spark, outDir)
+    assert(files.size >= 2, s"expected one file per task, got $files")
+    assert(files.forall(_._2 >= 1), "every written file carries batches")
+
+    // each file is an INDEPENDENTLY consumable IPC stream: read every one
+    // with the arrow-vector reader and re-aggregate
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    var rows = 0L
+    var keySum = 0L
+    try files.foreach { case (path, _) =>
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(
+        graft.ice.manifest.ManifestAvro.stripFileScheme(path)))
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(in, alloc)
+      try {
+        assert(reader.getVectorSchemaRoot.getSchema.getFields.size == 2)
+        while (reader.loadNextBatch()) {
+          val root = reader.getVectorSchemaRoot
+          val kv = root.getVector(0)
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          (0 until root.getRowCount).foreach(i => keySum += kv.get(i))
+          rows += root.getRowCount
+        }
+      } finally { reader.close(); in.close() }
+    } finally alloc.close()
+    assert(rows == raw.count() + 100)
+    val expectSum = t.newScan().toDF(spark)
+      .selectExpr("CAST(sum(o_orderkey) AS BIGINT)").head.getLong(0)
+    assert(keySum == expectSum, "column values must survive the per-task IPC trip")
+  }
+
   test("writeArrowStream emits a complete IPC stream pyarrow-shaped readers parse") {
     val (t, raw) = fixture()
     val out = new java.io.ByteArrayOutputStream()

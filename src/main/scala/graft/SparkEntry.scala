@@ -870,6 +870,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))),
 
+    // DELETE mid-stream: fail-by-default gated in the fixture; the
+    // oracled result pins the OPT-IN skip semantics — both appends
+    // drain, the delete snapshot feeds no batch, deleted rows remain
+    "st_skip_nonappend" -> ((s, dir) =>
+      s.read.parquet(StreamSkipFixture.output(s, dir))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))),
+
     // as-of join (point-in-time lookup): each odd event picks the LATEST
     // even event at-or-before its timestamp for the same user — the
     // union+window single-shuffle formulation, oracled by DuckDB's
@@ -1447,6 +1456,10 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "st_skip_nonappend" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "st_interval_join" ->
       """SELECT a.user_id, a.event_id AS e1, b.event_id AS e2
         |FROM events a JOIN events b
@@ -2078,6 +2091,62 @@ object StreamFollowFixture {
   * (the DirCatalog persists across JVMs — tableExists is the guard, the
   * in-memory map only saves re-checking). `ensure` must run in every
   * session because `spark.graft.warehouse` is session conf. */
+/** Non-append snapshots mid-stream (round-7 verdict item 6): a DELETE
+  * lands between two appends. Fail-by-default is GATED here (the stream
+  * must refuse — its row-level effects are not representable as an
+  * append batch); `skip-non-append-snapshots=true` opts into skipping,
+  * and the skip semantics (deleted rows still present downstream,
+  * because only APPEND snapshots feed batches) is what the driver
+  * oracle pins. */
+object StreamSkipFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  def output(s: SparkSession, sfDir: String): String = {
+    val wh = Tables.warehouseDir(sfDir)
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "orders_skipna")
+    val out = s"$wh/_skipna_out"
+    if (!cat.tableExists(ident)) {
+      val raw = Tables.raw(s, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+      t.append(s).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+      // the mid-stream non-append snapshot
+      t.delete(s).deleteWhere(graft.ice.expr.Expr.raw("o_totalprice < 50000.0"))
+      t.append(s).appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+
+      // default mode MUST refuse the range: the failure is the pin
+      val failing = s.readStream.format("graft-table")
+        .option("warehouse", wh).option("table", "tpch.orders_skipna").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$wh/_skipna_fail_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val err = try { failing.awaitTermination(); None }
+        catch { case e: Throwable => Some(e) }
+      val chain = Iterator.iterate(err.orNull)(e =>
+        if (e == null) null else e.getCause).takeWhile(_ != null).toSeq
+      require(chain.exists(_.getMessage != null) &&
+        chain.exists(e => Option(e.getMessage).exists(_.contains("non-append"))),
+        s"default-mode stream over a DELETE must fail naming the " +
+          s"non-append snapshot; got: ${err.map(_.toString).getOrElse("no error")}")
+    }
+    // opt-in: the stream drains BOTH appends, skipping the delete — the
+    // deleted rows remain downstream (append-only semantics)
+    val q = s.readStream.format("graft-table")
+      .option("warehouse", wh).option("table", "tpch.orders_skipna")
+      .option("skip-non-append-snapshots", "true").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$wh/_skipna_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out
+  }
+}
+
 object SqlDmlFixture {
   import graft.ice.catalog._
 

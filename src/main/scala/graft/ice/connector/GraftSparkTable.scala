@@ -217,6 +217,69 @@ private[graft] final class GraftScanBuilder(table: IceTable,
       pinnedSnapshotId)
 }
 
+/** Test/diagnostic hook: split counts before/after the most recent
+  * runtime (DPP) filter application on any V2 scan in this JVM. */
+object GraftRuntimeFilterStats {
+  val plansWithRuntimeFilter = new java.util.concurrent.atomic.AtomicLong()
+  @volatile var lastBefore: Long = -1
+  @volatile var lastAfter: Long = -1
+}
+
+/** V2 runtime `Predicate` → Ice expression, for DPP-style re-pruning.
+  * Narrow by design: runtime filters arrive as IN / = / ranges over a
+  * plain column; anything else simply doesn't prune (exactness comes
+  * from Spark's own join re-evaluation). */
+private[connector] object V2PredicateToIce {
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Predicate => V2Predicate}
+  import graft.ice.types.{IcePrimitive, Literal => IceLit}
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+
+  private def lit(table: IceTable, col: String, e: org.apache.spark.sql.connector.expressions.Expression): Option[IceLit] =
+    e match {
+      case l: V2Literal[_] =>
+        table.schema.findFieldByName(col).map(_.fieldType).flatMap {
+          case p: IcePrimitive => IceLit.fromSparkValue(p,
+            l.value match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case v => v
+            })
+          case _ => None
+        }
+      case _ => None
+    }
+
+  def convert(p: V2Predicate, table: IceTable): Option[IceExpr] = p match {
+    case a: V2And =>
+      for (l <- convert(a.left(), table); r <- convert(a.right(), table))
+        yield IceExpr.and(l, r)
+    case _ => (p.name(), p.children()) match {
+      case ("IN", cs) if cs.length >= 2 =>
+        colName(cs.head).flatMap { c =>
+          val ls = cs.tail.toSeq.map(lit(table, c, _))
+          if (ls.forall(_.isDefined)) Some(IceExpr.in(c, ls.flatten))
+          else None
+        }
+      case ("=", Array(l, r)) =>
+        colName(l).flatMap(c => lit(table, c, r).map(IceExpr.equal(c, _)))
+      case (">=", Array(l, r)) =>
+        colName(l).flatMap(c => lit(table, c, r).map(IceExpr.gtEq(c, _)))
+      case ("<=", Array(l, r)) =>
+        colName(l).flatMap(c => lit(table, c, r).map(IceExpr.ltEq(c, _)))
+      case (">", Array(l, r)) =>
+        colName(l).flatMap(c => lit(table, c, r).map(IceExpr.gt(c, _)))
+      case ("<", Array(l, r)) =>
+        colName(l).flatMap(c => lit(table, c, r).map(IceExpr.lt(c, _)))
+      case _ => None
+    }
+  }
+}
+
 /** v1 `sources.Filter` → Ice expression, for manifest/file pruning.
   * Conservative: anything unmappable simply doesn't prune. */
 private[connector] object V1FilterToIce {
@@ -282,7 +345,8 @@ private[connector] final class GraftBatchScan(table: IceTable,
     v1Filters: Array[V1Filter],
     streamOpts: Option[CaseInsensitiveStringMap] = None,
     pinnedSnapshotId: Option[Long] = None) extends Scan with Batch
-    with SupportsReportPartitioning with SupportsReportStatistics {
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -303,11 +367,28 @@ private[connector] final class GraftBatchScan(table: IceTable,
   private final case class PlannedScan(splits: Seq[GraftScanSplit],
       nKeys: Option[Int], totalRows: Long, snapshotId: Option[Long])
 
-  private lazy val planned: PlannedScan = {
+  /** Runtime (DPP) filter, ANDed into planning when Spark pushes one at
+    * execution time; setting it invalidates the plan cache so the next
+    * `planInputPartitions` re-prunes manifests/files. */
+  @volatile private var runtimeExpr: Option[IceExpr] = None
+  private val plannedCache =
+    new java.util.concurrent.atomic.AtomicReference[PlannedScan]()
+
+  private def planned: PlannedScan = {
+    val cached = plannedCache.get()
+    if (cached != null) cached
+    else {
+      plannedCache.compareAndSet(null, doPlan())
+      plannedCache.get()
+    }
+  }
+
+  private def doPlan(): PlannedScan = {
     val builder = {
       val b = table.newScan()
       pinnedSnapshotId.foreach(b.useSnapshot)
       pruneExpr.foreach(b.filter)
+      runtimeExpr.foreach(b.filter)
       b
     }
     val snap = builder.resolveSnapshot()
@@ -380,6 +461,31 @@ private[connector] final class GraftBatchScan(table: IceTable,
 
   override def planInputPartitions(): Array[InputPartition] =
     planned.splits.toArray
+
+  /** Dynamic partition pruning through the connector: Spark injects a
+    * runtime IN-filter over the partition SOURCE columns at execution
+    * time (the dim side's join keys); converting it into the engine's
+    * expression tree re-prunes manifests and files, so a fact scan
+    * reads only the partitions the dim actually references — the
+    * V2-native form of `IceTable.pruneByJoinKeys`. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    table.metadata.defaultSpec.fields
+      .flatMap(f => table.schema.findFieldById(f.sourceId))
+      .map(f => Expressions.column(f.name)
+        : org.apache.spark.sql.connector.expressions.NamedReference)
+      .distinct.toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val converted = predicates.toSeq.flatMap(p => V2PredicateToIce.convert(p, table))
+    if (converted.nonEmpty) {
+      val before = planned.splits.size
+      runtimeExpr = Some((runtimeExpr.toSeq ++ converted).reduce(IceExpr.and))
+      plannedCache.set(null)
+      GraftRuntimeFilterStats.plansWithRuntimeFilter.incrementAndGet()
+      GraftRuntimeFilterStats.lastBefore = before
+      GraftRuntimeFilterStats.lastAfter = planned.splits.size
+    }
+  }
 
   override def outputPartitioning(): Partitioning = planned.nKeys match {
     case Some(nKeys) =>

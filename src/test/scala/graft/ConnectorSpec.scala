@@ -339,6 +339,43 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("neither a ref nor a snapshot id"))
   }
 
+  test("runtime DPP through the connector re-prunes files at execution time") {
+    import graft.ice.meta.{PartitionField, PartitionSpec}
+    import graft.ice.transform.IdentityTransform
+    import graft.ice.connector.GraftRuntimeFilterStats
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val st = schema.findFieldByName("o_orderstatus").get.id
+    val t = IceTable.create(cat, TableIdentifier.parse("db.dppfact"), schema,
+      PartitionSpec(0, IndexedSeq(PartitionField(st, 1000, "status", IdentityTransform))))
+    t.append(spark).appendDataFrame(raw)
+    val full = t.newScan().planFiles().size
+    assert(full >= 2, "fixture needs one file per status partition")
+
+    import spark.implicits._
+    // the dim must be a real datasource: a LocalRelation folds its
+    // filter away and DPP sees no selective predicate
+    val dimPath = java.nio.file.Files.createTempDirectory("dppdim").toString
+    Seq(("F", 1), ("O", 2), ("P", 3)).toDF("st", "x")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.table("ice.db.dppfact")
+      .join(dim.filter(col("x") === 1), col("o_orderstatus") === col("st"))
+    val countBefore = GraftRuntimeFilterStats.plansWithRuntimeFilter.get()
+    val agg = joined.agg(count(lit(1)), round(sum("o_totalprice"), 2))
+    val got = agg.collect().head
+    val want = raw.filter(col("o_orderstatus") === "F")
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).collect().head
+    assert(got == want, s"DPP-filtered join must be exact: $got vs $want")
+    // the runtime filter actually REACHED the scan and pruned files
+    assert(GraftRuntimeFilterStats.plansWithRuntimeFilter.get() > countBefore,
+      "execution must have pushed a runtime filter into the V2 scan")
+    assert(GraftRuntimeFilterStats.lastAfter < GraftRuntimeFilterStats.lastBefore,
+      s"runtime filter must prune splits " +
+        s"(${GraftRuntimeFilterStats.lastBefore} -> ${GraftRuntimeFilterStats.lastAfter})")
+  }
+
   test("NDV statistics flip join selection to broadcast only when the build side is small") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")

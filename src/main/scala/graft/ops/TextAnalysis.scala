@@ -62,16 +62,23 @@ object TextAnalysis {
           lit(0.2) * least(col("stopword_ratio") * 3, lit(1.0)),
         lit(0.0)), lit(1.0)))
 
-  private val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "was", "on", "are"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "für", "auf", "des", "ein", "eine"),
-    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "est", "pour", "que", "dans", "sur"))
+  /** One vocabulary for kernel and HOF: the equality oracle is only
+    * meaningful if both score against the same lists. */
+  private def stopwords: Map[String, Seq[String]] = TextLangUtil.stopwords
 
   /** N-gram/stopword-heuristic language ID: CJK-ratio shortcut for zh,
     * else argmax of per-language stopword hits; "und" (undetermined)
-    * when nothing matches. Pure expressions — runs in the scan stage. */
-  def langId(text: Column): Column = {
+    * when nothing matches. Computed by the native codegen kernel
+    * (LangIdExpr): tokenize once, all languages scored in ONE token
+    * walk — the HOF formulation below re-walks the array per language
+    * and re-runs the CJK regexp, which made x3 a top-3 decade-scaler. */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      LangIdExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** The HOF reference formulation of [[langId]] — kept as the equality
+    * oracle for the kernel (pinned in OpsSpec). */
+  private[graft] def langIdHof(text: Column): Column = {
     val toks = filter(split(lower(text), "[^\\p{L}]+"), x => length(x) > 0)
     val cjkRatio = (length(text) -
       length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))).cast("double") /

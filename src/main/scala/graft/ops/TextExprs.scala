@@ -196,6 +196,105 @@ final case class MinhashExpr(child: Expression, shingleN: Int, k: Int)
     copy(child = newChild)
 }
 
+/** One-pass language-ID scoring (the kernel behind TextAnalysis.langId):
+  * tokenize once, count stopword hits for all languages in one walk,
+  * count CJK chars — versus the HOF formulation's four independent
+  * filter(toks, isin(...)) passes plus a regexp_replace, each re-walking
+  * the token array. Decision rule replicated EXACTLY (greatest over
+  * (score, lang) structs = argmax score, ties to the lexicographically
+  * largest language; cjkRatio > 0.05 shortcuts to zh; score 0 → und). */
+object TextLangUtil {
+  // langs sorted ascending — same order the HOF's greatest() compares
+  private val langs: Array[String] = Array("de", "en", "es", "fr")
+  private val stopSets: Array[java.util.HashSet[String]] = {
+    val m = Map(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "was", "on", "are"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "für", "auf", "des", "ein", "eine"),
+      "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "est", "pour", "que", "dans", "sur"))
+    langs.map { l =>
+      val s = new java.util.HashSet[String]()
+      m(l).foreach(s.add)
+      s
+    }
+  }
+  /** The stopword lists, exposed so the HOF formulation and the kernel
+    * provably score against the SAME vocabulary. */
+  def stopwords: Map[String, Seq[String]] = langs.zipWithIndex.map { case (l, i) =>
+    l -> {
+      val it = stopSets(i).iterator(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }.toMap
+
+  def langId(text: UTF8String): UTF8String = {
+    // CJK ratio over the ORIGINAL text's char count (parity with
+    // length(text) - length(regexp_replace(text, "[一-鿿]", "")))
+    val s = text.toString
+    var cjk = 0
+    var chars = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+      chars += 1
+      ci += Character.charCount(cp)
+    }
+    if (chars > 0 && cjk.toDouble / chars > 0.05) return UTF8String.fromString("zh")
+    // tokenize once (lower + split on non-letter runs, parity with
+    // filter(split(lower(text), "[^\\p{L}]+"), len > 0)), score all
+    // languages in one walk
+    val toks = text.toLowerCase.toString.split("[^\\p{L}]+")
+    val scores = new Array[Int](langs.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        var l = 0
+        while (l < langs.length) {
+          if (stopSets(l).contains(t)) scores(l) += 1
+          l += 1
+        }
+      }
+      i += 1
+    }
+    // greatest(struct(score, lang)): max score, ties -> larger lang name;
+    // langs[] is ascending so >= picks the later (larger) language
+    var best = 0
+    var l = 1
+    while (l < langs.length) {
+      if (scores(l) >= scores(best)) best = l
+      l += 1
+    }
+    if (scores(best) > 0) UTF8String.fromString(langs(best))
+    else UTF8String.fromString("und")
+  }
+}
+
+/** string language tag, computed entirely within the row. */
+final case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lang_id needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextLangUtil.langId(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextLangUtil.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$util.langId($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
 /** long fingerprint, computed entirely within the row — one buffer per
   * document instead of one string per gram (the round-7 GC hot spot). */
 final case class FingerprintExpr(child: Expression, gram: Int)

@@ -542,6 +542,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.filter(col("n_chars_calc") =!= col("n_chars")).count() == 0)
   }
 
+  test("codegen lang-id kernel is exact with the HOF formulation") {
+    import spark.implicits._
+    val hof = docs.select(col("doc_id"), TextAnalysis.langIdHof(col("text")).as("l"))
+    val kernel = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+    assert(hof.except(kernel).count() == 0 && kernel.except(hof).count() == 0)
+    val edge = Seq("", "!!!", "der die das und ist", "the of and to a",
+      "el la de que y", "le la les de des", "la de un es",  // es/fr ties
+      "你好世界这是中文文本测试句子", "mixed 中文 with english the of and",
+      "Ünïcödé wörds önly", "  ", "a")
+      .toDF("text")
+    val eh = edge.select(TextAnalysis.langIdHof(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    val ek = edge.select(TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(eh == ek, s"$eh vs $ek")
+    val plan = kernel.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("lang_id") && l.contains("*(")), plan)
+  }
+
   test("language ID classifies real multilingual text correctly") {
     import spark.implicits._
     // NOTE: the testdata documents' `lang` column is a synthetic label —

@@ -76,7 +76,9 @@ final class GraftSparkTable(val table: IceTable, catalogName: String,
   }
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** `DELETE FROM <catalog>.<ns>.<t> WHERE ...` — accepted when the
     * whole predicate translates to the engine's expression tree (the
@@ -105,36 +107,16 @@ final class GraftSparkTable(val table: IceTable, catalogName: String,
     ()
   }
 
-  /** Writes ride the V1 fallback: `InsertableRelation.insert` hands the
-    * whole DataFrame to the existing append/overwrite ops, which are
-    * already DISTRIBUTED (executors write the parquet, the driver only
-    * commits file metadata) — a bespoke DataWriterFactory would
-    * duplicate that path without adding parallelism. Covers INSERT INTO,
-    * df.writeTo(...).append(), and INSERT OVERWRITE (truncate-and-load)
-    * through the catalog. */
+  /** Native V2 writes: the table declares its clustering
+    * (`RequiresDistributionAndOrdering` over the partition transforms +
+    * sort order) and every task ships complete `DataFile` metadata in
+    * its commit message — no driver-side directory walk or footer
+    * reads. Covers INSERT INTO, df.writeTo (append / overwritePartitions),
+    * INSERT OVERWRITE (static filter + truncate-and-load), CTAS, and
+    * `writeStream.toTable`. See GraftWrite.scala. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
-      private var overwriteAll = false
-      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-        overwriteAll = true; this
-      }
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
-          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, _overwrite: Boolean) => {
-              // fresh load: the handle captured at resolution time may be
-              // stale by execution time (concurrent commits)
-              val t = IceTable.load(new graft.ice.catalog.DirCatalog(warehouse),
-                graft.ice.catalog.TableIdentifier.parse(identName))
-              val spark = data.sparkSession
-              if (overwriteAll) t.overwrite(spark).replaceAll(data)
-              else t.append(spark).appendDataFrame(data)
-              ()
-            }
-        }
-    }
+    new GraftWriteBuilder(table, identName, warehouse, info)
   override def partitioning(): Array[V2Transform] =
     GraftConnectorUtil.toV2Transforms(table).getOrElse(Array.empty)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): V2ScanBuilder = {
@@ -294,6 +276,10 @@ private[connector] object V1FilterToIce {
 
   def convert(f: V1Filter, table: IceTable): Option[IceExpr] = f match {
     case EqualTo(c, v) => lit(table, c, v).map(IceExpr.equal(c, _))
+    // null-safe equal: a null literal means IS NULL; non-null is plain
+    // equality (Iceberg predicates are three-valued like SQL's)
+    case EqualNullSafe(c, null) => Some(IceExpr.isNull(c))
+    case EqualNullSafe(c, v) => lit(table, c, v).map(IceExpr.equal(c, _))
     case GreaterThan(c, v) => lit(table, c, v).map(IceExpr.gt(c, _))
     case GreaterThanOrEqual(c, v) => lit(table, c, v).map(IceExpr.gtEq(c, _))
     case LessThan(c, v) => lit(table, c, v).map(IceExpr.lt(c, _))

@@ -303,3 +303,107 @@ final class MetricsEvaluator {
     }
   }
 }
+
+/** STRICT metrics evaluation: "do ALL rows in this data file match?" —
+  * the dual of MetricsEvaluator's inclusive "might ANY row match". A
+  * `true` is a proof from file metrics; `false` means "not provable",
+  * never "no". The reference carries the metrics but evaluates nothing
+  * (table_scan.cc:280 TODO); the Iceberg spec's strict evaluation rules
+  * are what make METADATA-ONLY operations sound: a whole-file DELETE
+  * drop and a manifest-answered COUNT both require "every row matches",
+  * not "some row might".
+  *
+  * Bound-truncation is safe by direction: a stored lower bound is <= the
+  * true minimum, so `storedLower >= v` proves `min >= v`; dually for
+  * upper. Floating-point columns are strict only when the file proves
+  * zero NaNs (nan_value_counts): parquet stats exclude NaN, while SQL
+  * comparison semantics order NaN above everything. */
+final class StrictMetricsEvaluator {
+  private val inclusive = new MetricsEvaluator
+  def allRowsMatch(expr: Bound, f: DataFile): Boolean = eval(expr, f)
+
+  private def eval(expr: Bound, f: DataFile): Boolean = expr match {
+    case BTrue => true
+    case BFalse => false
+    case BAnd(l, r) => eval(l, f) && eval(r, f)
+    case BOr(l, r) => eval(l, f) || eval(r, f)
+    case BRaw(_) => false // opaque: cannot prove
+    // all rows match NOT e  <=>  no row matches e: the inclusive
+    // evaluator's definite "cannot contain" is exactly that proof
+    case BNot(c) => !inclusive.canContainRows(c, f)
+    case p: BPred =>
+      if (p.transform != graft.ice.transform.IdentityTransform) false
+      else evalPred(p, f)
+  }
+
+  private def evalPred(p: BPred, f: DataFile): Boolean = {
+    val id = p.fieldId
+    val valueCount = f.valueCounts.get(id)
+    val nullCount = f.nullValueCounts.get(id)
+    val nanCount = f.nanValueCounts.get(id)
+    lazy val lower = f.lowerBounds.get(id).map(b => Literal.deserialize(p.sourceType, b))
+    lazy val upper = f.upperBounds.get(id).map(b => Literal.deserialize(p.sourceType, b))
+    // a null row fails every comparison; required fields can't hold one
+    def noNulls: Boolean = p.required || nullCount.contains(0L)
+    def allNull: Boolean = (valueCount, nullCount) match {
+      case (Some(v), Some(n)) => v == n
+      case _ => false
+    }
+    // NaN rows break bound reasoning (SQL orders NaN above everything;
+    // parquet stats exclude it) — comparisons on float/double need a
+    // zero nan count to be provable
+    def nanSafe: Boolean = p.sourceType match {
+      case FloatT | DoubleT => nanCount.contains(0L)
+      case _ => true
+    }
+    def cmpReady: Boolean = noNulls && nanSafe
+    def strictEq(v: Literal): Boolean =
+      lower.exists(l => l.compareTo(v).contains(0)) &&
+        upper.exists(u => u.compareTo(v).contains(0))
+    def strictNotEq(v: Literal): Boolean =
+      upper.exists(u => u.compareTo(v).exists(_ < 0)) ||
+        lower.exists(l => l.compareTo(v).exists(_ > 0))
+    p.op match {
+      case Op.IsNull => allNull
+      case Op.NotNull => noNulls
+      case Op.IsNan => (valueCount, nanCount) match {
+        case (Some(v), Some(n)) => v == n
+        case _ => false
+      }
+      case Op.NotNan => noNulls && nanCount.contains(0L)
+      case Op.Lt =>
+        cmpReady && upper.exists(u => u.compareTo(p.literals.head).exists(_ < 0))
+      case Op.LtEq =>
+        cmpReady && upper.exists(u => u.compareTo(p.literals.head).exists(_ <= 0))
+      case Op.Gt =>
+        cmpReady && lower.exists(l => l.compareTo(p.literals.head).exists(_ > 0))
+      case Op.GtEq =>
+        cmpReady && lower.exists(l => l.compareTo(p.literals.head).exists(_ >= 0))
+      case Op.Eq => cmpReady && strictEq(p.literals.head)
+      case Op.NotEq => cmpReady && strictNotEq(p.literals.head)
+      case Op.In => cmpReady && p.literals.exists(strictEq)
+      case Op.NotIn => cmpReady && p.literals.forall(strictNotEq)
+      case Op.StartsWith =>
+        // string truncation stores a PREFIX of the true min, so a stored
+        // lower that starts with the target prefix proves the min does;
+        // both bounds sharing the prefix bounds every value inside it
+        noNulls && p.sourceType == StringT && {
+          val prefix = p.literals.head.raw.asInstanceOf[String]
+          lower.exists(_.raw.asInstanceOf[String].startsWith(prefix)) &&
+            upper.exists(_.raw.asInstanceOf[String].startsWith(prefix))
+        }
+      case Op.NotStartsWith =>
+        // everything below the prefix, or everything above the block of
+        // prefix-sharing strings (a non-prefixed lower > prefix outranks
+        // every string that starts with it)
+        noNulls && p.sourceType == StringT && {
+          val prefix = p.literals.head.raw.asInstanceOf[String]
+          upper.exists(_.raw.asInstanceOf[String] < prefix) ||
+            lower.exists { l =>
+              val s = l.raw.asInstanceOf[String]
+              !s.startsWith(prefix) && s > prefix
+            }
+        }
+    }
+  }
+}

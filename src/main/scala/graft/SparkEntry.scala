@@ -1048,6 +1048,35 @@ object SparkEntry {
       }
     }),
 
+    // Metadata-answered aggregates: COUNT(*)/COUNT(col)/MIN/MAX served
+    // entirely from manifest metrics through SupportsPushDownAggregates —
+    // at 100 TB a bare count is a driver metadata walk, not a scan. The
+    // gate REQUIRES the pushdown fired and the scan collapsed to the
+    // single metadata row; the oracle recomputes the same aggregates
+    // from the raw parquet.
+    "q_agg_pushdown" -> ((s, dir) => {
+      AggPushFixture.table(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      import graft.ice.connector.GraftAggPushStats
+      val before = GraftAggPushStats.pushes.get()
+      val df = s.sql(
+        """SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+          |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+          |       max(o_orderstatus) AS max_status, min(o_orderdate) AS min_date
+          |FROM ice.tpch.aggpush_orders""".stripMargin)
+      val nSplits = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }
+      require(GraftAggPushStats.pushes.get() > before,
+        "aggregate must be answered from metadata, not a data scan")
+      require(nSplits.contains(1),
+        s"metadata aggregate must plan exactly one row, got $nSplits splits")
+      df
+    }),
+
     // CALL maintenance procedures (V2 ProcedureCatalog): snapshot, mutate,
     // roll back through SQL — the surviving table must equal the original
     "proc_rollback" -> ((s, dir) => {
@@ -1276,6 +1305,11 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_custkey = 37
         |GROUP BY o.o_orderstatus""".stripMargin,
+    "q_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  max(o_orderstatus) AS max_status, min(o_orderdate) AS min_date
+        |FROM orders""".stripMargin,
     "sql_catalog_update" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(CASE WHEN o_orderstatus = 'O'
@@ -2259,6 +2293,34 @@ object StatsFixture {
         t.append(spark).appendDataFrame(df)
         graft.ice.write.Statistics.compute(t, spark,
           Seq("o_custkey", "o_orderkey", "o_orderstatus"))
+      }
+      IceTable.load(cat, ident)
+    })
+  }
+}
+
+/** Multi-file orders table for the metadata-aggregate gate: two appends
+  * so the pushed COUNT/MIN/MAX provably merges across files. */
+object AggPushFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable = {
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "aggpush_orders")
+    cache.computeIfAbsent(sfDir, { _ =>
+      if (!cat.tableExists(ident)) {
+        val df = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(df.schema))
+        val mid = spark.read.parquet(s"$sfDir/orders.parquet")
+          .agg(percentile_approx(col("o_orderkey"), lit(0.5), lit(100)))
+          .collect().head.getLong(0)
+        t.append(spark).appendDataFrame(df.filter(col("o_orderkey") <= mid))
+        t.append(spark).appendDataFrame(df.filter(col("o_orderkey") > mid))
       }
       IceTable.load(cat, ident)
     })

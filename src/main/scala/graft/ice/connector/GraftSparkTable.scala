@@ -171,11 +171,15 @@ private[graft] final class GraftScanBuilder(table: IceTable,
     fullSchema: StructType,
     streamOpts: Option[CaseInsensitiveStringMap] = None,
     pinnedSnapshotId: Option[Long] = None) extends V2ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pruneExpr: Option[IceExpr] = None
   private var pushed: Array[V1Filter] = Array.empty
+  private var aggResult: Option[(StructType, Array[Any])] = None
+  private var limitFiles: Option[Seq[FileScanTask]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // re-anchor on the table schema so field-id metadata survives pruning
@@ -194,9 +198,65 @@ private[graft] final class GraftScanBuilder(table: IceTable,
 
   override def pushedFilters(): Array[V1Filter] = pushed
 
-  override def build(): Scan =
-    new GraftBatchScan(table, required, pruneExpr, pushed, streamOpts,
-      pinnedSnapshotId)
+  /** Metadata-answered aggregates: COUNT(*)/COUNT(col)/MIN/MAX computed
+    * entirely from manifest metrics — ZERO data files opened. At 100 TB
+    * `SELECT count(*) FROM t` is a driver metadata walk instead of a
+    * full scan. Sound only under proofs: no delete files in scope, any
+    * pushed filter must STRICTLY match every surviving file, MIN/MAX
+    * bounds must be exact (no truncation, no NaN possibility, no
+    * missing metrics) — anything unprovable refuses, and Spark runs
+    * the normal scan+aggregate plan. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    MetadataAggregate.plan(table, pinnedSnapshotId, pruneExpr, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // complete pushdown only: partial would require per-file rows whose
+    // merge semantics Spark owns; refusing keeps the normal plan
+    aggResult = MetadataAggregate.plan(table, pinnedSnapshotId, pruneExpr, agg)
+    aggResult.isDefined
+  }
+
+  /** LIMIT pushdown: plan only enough files to cover the limit. Spark
+    * pushes a limit here only when no post-scan filters remain — and
+    * every filter we push stays residual — so a pushed limit implies an
+    * unfiltered scan: file record counts are exact row counts unless
+    * deletes apply. Partial by contract: Spark re-applies the limit. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pruneExpr.isDefined || pushed.nonEmpty) return false
+    val b = table.newScan()
+    pinnedSnapshotId.foreach(b.useSnapshot)
+    val snap = b.resolveSnapshot()
+    if (snap.exists(s => table.planDeleteEntries(s).nonEmpty)) return false
+    val tasks = b.planFiles()
+    val keep = Vector.newBuilder[FileScanTask]
+    var rows = 0L
+    val it = tasks.iterator
+    while (rows < limit && it.hasNext) {
+      val t = it.next(); keep += t; rows += t.file.recordCount
+    }
+    limitFiles = Some(keep.result())
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) =>
+      GraftAggPushStats.pushes.incrementAndGet()
+      GraftAggPushStats.lastSchema = schema.fieldNames.mkString(", ")
+      new GraftMetadataAggScan(schema, row, table.metadata.location)
+    case None =>
+      new GraftBatchScan(table, required, pruneExpr, pushed, streamOpts,
+        pinnedSnapshotId, limitFiles)
+  }
+}
+
+/** Test/diagnostic hook: how many scans were served purely from
+  * metadata by aggregate pushdown, and the last pushed schema. */
+object GraftAggPushStats {
+  val pushes = new java.util.concurrent.atomic.AtomicLong()
+  @volatile var lastSchema: String = ""
 }
 
 /** Test/diagnostic hook: split counts before/after the most recent
@@ -330,7 +390,8 @@ private[connector] final class GraftBatchScan(table: IceTable,
     required: StructType, pruneExpr: Option[IceExpr],
     v1Filters: Array[V1Filter],
     streamOpts: Option[CaseInsensitiveStringMap] = None,
-    pinnedSnapshotId: Option[Long] = None) extends Scan with Batch
+    pinnedSnapshotId: Option[Long] = None,
+    limitFiles: Option[Seq[FileScanTask]] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -378,7 +439,10 @@ private[connector] final class GraftBatchScan(table: IceTable,
       b
     }
     val snap = builder.resolveSnapshot()
-    val tasks = builder.planFiles()
+    // a pushed LIMIT pre-planned just enough files (delete-free scan by
+    // construction); a later runtime filter would re-plan past it, but
+    // Spark never pushes a limit under a join, so the two cannot meet
+    val tasks = limitFiles.getOrElse(builder.planFiles())
     val deleteEntries: Seq[ManifestEntry] =
       snap.map(table.planDeleteEntries).getOrElse(Nil)
     val posDeletes = deleteEntries.filter(_.dataFile.content == FileContent.PositionDeletes)
@@ -551,6 +615,165 @@ private[connector] final class GraftBatchScan(table: IceTable,
       eqSchemas = eqSchemas,
       outputCols = if (extraEq.isEmpty) None
         else Some(required.fields.indices.toArray))
+  }
+}
+
+/** Driver-side planner for metadata-answered aggregates (see
+  * GraftScanBuilder.pushAggregation). Produces the pushed-aggregate
+  * output schema and the single result row's catalyst values — or None
+  * whenever any required proof fails, in which case Spark keeps the
+  * ordinary scan + aggregate plan. */
+private[connector] object MetadataAggregate {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+  import graft.ice.expr.{Binder, StrictMetricsEvaluator}
+  import graft.ice.manifest.DataFile
+  import graft.ice.types._
+  import graft.ice.write.Metrics
+
+  private def colOf(e: V2Expr): Option[String] = e match {
+    case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+    case _ => None
+  }
+
+  def plan(table: IceTable, pinnedSnapshotId: Option[Long],
+      pruneExpr: Option[graft.ice.expr.Expr],
+      agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.isEmpty) return None
+
+    val b = table.newScan()
+    pinnedSnapshotId.foreach(b.useSnapshot)
+    pruneExpr.foreach(b.filter)
+    val snap = b.resolveSnapshot()
+    // row-level deletes make record counts and bounds non-authoritative
+    if (snap.exists(s => table.planDeleteEntries(s).nonEmpty)) return None
+    val files: Seq[DataFile] = b.planFiles().map(_.file)
+
+    // a pushed filter must provably match EVERY row of every surviving
+    // file, else per-file metrics describe rows the query excludes
+    val filterStrict = pruneExpr.forall { e =>
+      val bound = Binder.bind(e, table.schema)
+      val strict = new StrictMetricsEvaluator
+      files.forall(f => strict.allRowsMatch(bound, f))
+    }
+    if (!filterStrict) return None
+
+    val sparkFields = SparkConv.toSpark(table.schema).fields
+    def fieldOf(name: String): Option[NestedField] =
+      table.schema.findFieldByName(name)
+        .orElse(table.schema.findFieldByName(name, caseSensitive = false))
+
+    def provablyNoValues(f: DataFile, id: Int): Boolean =
+      f.recordCount == 0L ||
+        ((f.valueCounts.get(id), f.nullValueCounts.get(id)) match {
+          case (Some(v), Some(n)) => v == n
+          case _ => false
+        })
+
+    /** A stored bound is the exact column min/max only when truncation
+      * cannot have touched it (strings/binary: shorter than the
+      * truncate width; everything else: always exact). */
+    def exactBound(l: Literal): Boolean = l.tpe match {
+      case StringT =>
+        val s = l.raw.asInstanceOf[String]
+        s.codePointCount(0, s.length) < Metrics.BoundTruncateLength
+      case BinaryT => l.raw.asInstanceOf[Array[Byte]].length < Metrics.BoundTruncateLength
+      case _ => true
+    }
+
+    def minMax(name: String, isMin: Boolean): Option[(StructField, Any)] =
+      fieldOf(name).flatMap { fld =>
+        val prim = fld.fieldType match {
+          case p: IcePrimitive => p
+          case _ => return None
+        }
+        // NaN sorts above every value in SQL but is invisible to parquet
+        // bounds — floating-point needs per-file proof of zero NaNs
+        val nanOk = prim match {
+          case FloatT | DoubleT => files.forall(_.nanValueCounts.get(fld.id).contains(0L))
+          case _ => true
+        }
+        if (!nanOk) return None
+        val bounds = files.flatMap { f =>
+          val stored = if (isMin) f.lowerBounds.get(fld.id) else f.upperBounds.get(fld.id)
+          stored match {
+            case Some(bytes) =>
+              val l = Literal.deserialize(prim, bytes)
+              if (exactBound(l)) Some(Some(l)) else None.asInstanceOf[Option[Option[Literal]]]
+            case None => if (provablyNoValues(f, fld.id)) Some(None) else None
+          }
+        }
+        // every file must either contribute an exact bound or prove it
+        // has no values for the column
+        if (bounds.size != files.size) return None
+        val contrib = bounds.flatten
+        val best = contrib.reduceOption[Literal] { (a, c) =>
+          a.compareTo(c) match {
+            case Some(cmp) => if ((cmp <= 0) == isMin) a else c
+            case None => return None
+          }
+        }
+        val sparkType = sparkFields.find(_.name == fld.name).map(_.dataType).getOrElse(return None)
+        val value = best.map(l => GraftConnectorUtil.toInternalValue(l.raw)).orNull
+        Some(StructField(s"${if (isMin) "min" else "max"}($name)", sparkType,
+          nullable = true) -> value)
+      }
+
+    def countCol(name: String): Option[(StructField, Any)] =
+      fieldOf(name).flatMap { fld =>
+        val perFile = files.map { f =>
+          f.nullValueCounts.get(fld.id)
+            .orElse(if (fld.required) Some(0L) else None)
+            .map(n => f.recordCount - n)
+        }
+        if (perFile.exists(_.isEmpty)) None
+        else Some(StructField(s"count($name)", LongType, nullable = false)
+          -> Long.box(perFile.flatten.sum))
+      }
+
+    val outputs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(StructField("count(*)", LongType, nullable = false)
+          -> Long.box(files.map(_.recordCount).sum))
+      case c: Count if !c.isDistinct => colOf(c.column).flatMap(countCol)
+      case m: Min => colOf(m.column).flatMap(minMax(_, isMin = true))
+      case m: Max => colOf(m.column).flatMap(minMax(_, isMin = false))
+      case _ => None
+    }
+    if (outputs.exists(_.isEmpty)) None
+    else {
+      val resolved = outputs.flatten
+      Some(StructType(resolved.map(_._1)) -> resolved.map(_._2).toArray)
+    }
+  }
+}
+
+/** The scan a pushed aggregate builds: one partition, one row, zero data
+  * files opened — the whole answer was read from manifests on the
+  * driver. */
+private[connector] final class GraftMetadataAggScan(schema: StructType,
+    row: Array[Any], location: String) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft metadata-aggregate $location [${schema.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] = Array(GraftAggRow(row))
+  override def createReaderFactory(): PartitionReaderFactory = GraftAggReaderFactory()
+}
+
+private[connector] final case class GraftAggRow(values: Array[Any]) extends InputPartition
+
+private[connector] final case class GraftAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vs = p.asInstanceOf[GraftAggRow].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+      override def close(): Unit = ()
+    }
   }
 }
 

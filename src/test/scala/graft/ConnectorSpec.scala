@@ -540,4 +540,93 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val left = IceTable.load(cat, TableIdentifier.parse("db.proc2"))
     assert(left.metadata.snapshots.size == 1)
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answered from manifests, no data read") {
+    import graft.ice.connector.GraftAggPushStats
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.aggpush"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey < 1000"))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey >= 1000"))
+
+    val before = GraftAggPushStats.pushes.get()
+    val df = spark.sql(
+      """SELECT count(*) AS n, count(o_custkey) AS nc,
+        |       min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+        |       max(o_orderstatus) AS ms, min(o_orderdate) AS md
+        |FROM ice.db.aggpush""".stripMargin)
+    val got = df.collect().head
+    val exp = raw.agg(count(lit(1)), count(col("o_custkey")),
+      min("o_orderkey"), max("o_orderkey"),
+      max("o_orderstatus"), min("o_orderdate")).collect().head
+    assert(got == exp, s"pushed aggregate row $got != computed $exp")
+    assert(GraftAggPushStats.pushes.get() == before + 1,
+      "the aggregate was not served from metadata")
+    // the whole scan is ONE metadata row — no parquet split survives
+    val nSplits = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }
+    assert(nSplits.contains(1), s"expected the single metadata row, got $nSplits")
+  }
+
+  test("aggregate pushdown refuses when unprovable: deletes, floats, distinct, long strings") {
+    import graft.ice.connector.GraftAggPushStats
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("widestr", concat(col("o_orderpriority"), lit("-"),
+        col("o_orderstatus"), lit("-0123456789abcdef")))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.aggref"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+
+    def unpushed(sql: String, expected: org.apache.spark.sql.Row): Unit = {
+      val before = GraftAggPushStats.pushes.get()
+      val got = spark.sql(sql).collect().head
+      assert(GraftAggPushStats.pushes.get() == before, s"[$sql] must not push")
+      assert(got == expected, s"[$sql] gave $got, expected $expected")
+    }
+    // double: NaN counts unknown -> bounds cannot prove min/max
+    unpushed("SELECT min(o_totalprice) AS m FROM ice.db.aggref",
+      raw.agg(min("o_totalprice")).collect().head)
+    // string bounds at/beyond the truncate width are inexact
+    unpushed("SELECT max(widestr) AS m FROM ice.db.aggref",
+      raw.agg(max("widestr")).collect().head)
+    // distinct is not representable from per-file metrics
+    unpushed("SELECT count(DISTINCT o_orderstatus) AS m FROM ice.db.aggref",
+      raw.agg(countDistinct("o_orderstatus")).collect().head)
+
+    // a row-level delete makes counts non-authoritative: refuse + stay correct
+    t.delete(spark).deleteWherePositional(
+      graft.ice.expr.Expr.lt("o_orderkey", graft.ice.types.Literal.long(100L)))
+    val before = GraftAggPushStats.pushes.get()
+    val n = spark.sql("SELECT count(*) AS n FROM ice.db.aggref").collect().head.getLong(0)
+    assert(GraftAggPushStats.pushes.get() == before, "deletes must block the pushdown")
+    assert(n == raw.filter("o_orderkey >= 100").count())
+  }
+
+  test("limit pushdown plans only enough files to cover the limit") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.limited"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey < 500").repartition(1))
+    t.append(spark).appendDataFrame(
+      raw.filter("o_orderkey >= 500 and o_orderkey < 1000").repartition(1))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey >= 1000").repartition(1))
+
+    val df = spark.table("ice.db.limited").limit(5)
+    assert(df.collect().length == 5)
+    val nSplits = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }
+    assert(nSplits.contains(1), s"limit 5 should plan one file, got $nSplits")
+    // with a residual filter Spark keeps the limit above the scan: all
+    // files planned, result exact
+    val filtered = spark.table("ice.db.limited")
+      .filter("o_orderkey >= 990").limit(5)
+    assert(filtered.collect().length == 5)
+  }
 }

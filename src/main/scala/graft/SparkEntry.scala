@@ -581,6 +581,13 @@ object SparkEntry {
     "del_dv" -> ((s, dir) => DeleteFixture.morDV(s, dir).newScan().toDF(s)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")),
 
+    // partition-aligned CoW delete: whole files drop via strict metrics
+    // proof, no data file read or written (gated in the fixture) — at
+    // 100 TB "drop a day / drop a tenant" is a metadata-only commit
+    "del_metadata_only" -> ((s, dir) => DeleteFixture.metadataOnly(s, dir)
+      .newScan().toDF(s)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
     // compaction preserves content (north-star maintenance op)
     "maint_compaction" -> ((s, dir) => CompactionFixture.table(s, dir).newScan().toDF(s)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")),
@@ -1354,6 +1361,9 @@ object SparkEntry {
     "del_dv" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)""".stripMargin,
+    "del_metadata_only" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus <> 'F'""".stripMargin,
     "maint_compaction" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "maint_zorder" ->
@@ -1851,6 +1861,35 @@ object DeleteFixture {
       val keys = raw.filter("o_custkey % 50 = 0").select("o_custkey").distinct()
       t.delete(spark).deleteByEquality(keys)
     }
+
+  /** Partition-aligned CoW delete: on a status-partitioned table the 'F'
+    * partition drops as PURE METADATA — the strict evaluator proves every
+    * row of those files matches, so no data file is opened or written.
+    * The gate requires exactly that split (metadata drops > 0, rewrites
+    * == 0) at build time. */
+  def metadataOnly(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/orders_del_md", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_del_md")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val schema = SparkConv.fromSpark(raw.schema)
+        val spec = graft.ice.meta.PartitionSpec(0, IndexedSeq(
+          graft.ice.meta.PartitionField(
+            schema.findFieldByName("o_orderstatus").get.id, 1000,
+            "status", graft.ice.transform.IdentityTransform)))
+        val t = IceTable.create(cat, ident, schema, spec)
+        t.append(spark).appendDataFrame(raw)
+        t.delete(spark).deleteWhere(
+          E.equal("o_orderstatus", graft.ice.types.Literal.string("F")))
+        require(graft.ice.write.RowDeleteStats.lastMetadataDropped > 0,
+          "status-aligned delete must drop whole files from metadata")
+        require(graft.ice.write.RowDeleteStats.lastRewritten == 0,
+          "status-aligned delete must not rewrite any data file")
+        t
+      }
+    })
 }
 
 /** Spec-evolution fixture: even orderkeys appended under a YEAR spec,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ice._
-import graft.ice.expr.{Binder, Expr, MetricsEvaluator, ToColumn}
+import graft.ice.expr.{Binder, Expr, MetricsEvaluator, StrictMetricsEvaluator, ToColumn}
 import graft.ice.manifest._
 import graft.ice.meta._
 import graft.ice.types._
@@ -454,28 +454,54 @@ final class UpdateSpec(table: IceTable) {
   }
 }
 
+/** Test/diagnostic hook: how the last copy-on-write delete split its
+  * work between metadata-only file drops and data rewrites. */
+object RowDeleteStats {
+  @volatile var lastMetadataDropped: Int = -1
+  @volatile var lastRewritten: Int = -1
+}
+
 /** Row-level delete (reference §2.8 — modeled but not executable there). */
 final class RowDelete(table: IceTable, spark: SparkSession) {
 
-  /** Copy-on-write: rewrite files containing matching rows without them.
-    * Files whose rows all match are simply dropped. */
+  /** Copy-on-write delete. Files the strict evaluator PROVES fully
+    * matching are dropped from the manifest without being opened — a
+    * partition-aligned delete (drop a day, drop a tenant) is a pure
+    * metadata operation at any scale. Only files with a partial match
+    * are read and rewritten without their matching rows. */
   def deleteWhere(filter: Expr): Snapshot = {
     val bound = Binder.bind(filter, table.schema)
     val cond = ToColumn(bound)
     val matching = table.newScan().filter(filter).planFiles()
-    if (matching.isEmpty)
+    if (matching.isEmpty) {
+      RowDeleteStats.lastMetadataDropped = 0
+      RowDeleteStats.lastRewritten = 0
       return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
-    val paths = matching.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
-    val spark2 = spark
-    spark2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val sparkSchema = SparkConv.toSpark(table.schema)
-    // keep rows where the predicate is NOT TRUE: a NULL predicate result
-    // (e.g. Eq on a null value) must keep the row, not silently drop it
-    val remaining = spark.read.schema(sparkSchema).parquet(paths: _*)
-      .filter(!coalesce(cond, lit(false)))
-    val added =
+    }
+    val strict = new StrictMetricsEvaluator
+    val (dropWhole, rewrite) = matching.partition(t => strict.allRowsMatch(bound, t.file))
+    RowDeleteStats.lastMetadataDropped = dropWhole.size
+    RowDeleteStats.lastRewritten = rewrite.size
+    val added = if (rewrite.isEmpty) Nil else {
+      // rewriting raw file bytes with live merge-on-read deletes in scope
+      // would resurrect already-deleted rows (whole-file drops are immune:
+      // every row goes away regardless)
+      table.currentSnapshot.foreach { snap =>
+        require(table.planDeleteEntries(snap).isEmpty,
+          "copy-on-write delete rewriting files on a table carrying live " +
+            "merge-on-read delete files would resurrect deleted rows; " +
+            "compact().rewriteDataFiles() first")
+      }
+      val paths = rewrite.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val sparkSchema = SparkConv.toSpark(table.schema)
+      // keep rows where the predicate is NOT TRUE: a NULL predicate result
+      // (e.g. Eq on a null value) must keep the row, not silently drop it
+      val remaining = spark.read.schema(sparkSchema).parquet(paths: _*)
+        .filter(!coalesce(cond, lit(false)))
       if (remaining.isEmpty) Nil
       else SnapshotProducer.writeDataFiles(table, spark, remaining)
+    }
     SnapshotProducer.commit(table, spark, DataOperation.Delete, added,
       removedPaths = matching.map(_.file.filePath).toSet)
   }

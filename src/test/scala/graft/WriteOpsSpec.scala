@@ -398,6 +398,53 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.currentSnapshot.get.operation == Some("overwrite"))
   }
 
+  test("partition-aligned delete is metadata-only: whole files drop unread") {
+    import graft.ice.write.RowDeleteStats
+    val (t, raw) = freshTable("mdonly", spec = s => PartitionSpec(0, IndexedSeq(
+      PartitionField(s.findFieldByName("o_orderstatus").get.id, 1000,
+        "status", IdentityTransform))))
+    val before = t.newScan().planFiles().map(_.file.filePath).toSet
+    assert(before.size >= 3, "identity partitioning should split by status")
+
+    t.delete(spark).deleteWhere(E.equal("o_orderstatus", Literal.string("F")))
+    assert(RowDeleteStats.lastMetadataDropped > 0,
+      "status-aligned files must drop via strict metrics, not a rewrite")
+    assert(RowDeleteStats.lastRewritten == 0)
+    val after = t.newScan().planFiles().map(_.file.filePath).toSet
+    assert(after.subsetOf(before), "a metadata-only delete must write no data file")
+    assert(t.newScan().toDF(spark).count() == raw.filter("o_orderstatus <> 'F'").count())
+    assert(t.newScan().toDF(spark).filter("o_orderstatus = 'F'").count() == 0)
+
+    // a predicate cutting across partitions mixes both paths: the aligned
+    // part still drops metadata-only, the straddling files rewrite
+    val key = raw.filter("o_orderstatus = 'O'")
+      .agg(org.apache.spark.sql.functions.expr("percentile(o_orderkey, 0.5)"))
+      .collect().head.getDouble(0).toLong
+    t.delete(spark).deleteWhere(E.or(
+      E.equal("o_orderstatus", Literal.string("P")),
+      E.and(E.equal("o_orderstatus", Literal.string("O")),
+        E.lt("o_orderkey", Literal.long(key)))))
+    assert(RowDeleteStats.lastMetadataDropped > 0, "the 'P' partition is still aligned")
+    assert(RowDeleteStats.lastRewritten > 0, "the split 'O' partition needs a rewrite")
+    assert(t.newScan().toDF(spark).count() ==
+      raw.filter(s"o_orderstatus = 'O' AND o_orderkey >= $key").count())
+  }
+
+  test("CoW delete with live MoR deletes: whole-file drop ok, rewrite refuses") {
+    val (t, raw) = freshTable("mdmor", spec = s => PartitionSpec(0, IndexedSeq(
+      PartitionField(s.findFieldByName("o_orderstatus").get.id, 1000,
+        "status", IdentityTransform))))
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(100)))
+    // aligned predicate: strict drop is immune to resurrect hazards
+    t.delete(spark).deleteWhere(E.equal("o_orderstatus", Literal.string("F")))
+    assert(t.newScan().toDF(spark).count() ==
+      raw.filter("o_orderstatus <> 'F' AND o_orderkey >= 100").count())
+    // a rewrite would re-materialize the positionally-deleted rows: refuse
+    // (mid-range key: files straddle it, so strict drop cannot cover)
+    assertThrows[IllegalArgumentException](
+      t.delete(spark).deleteWhere(E.lt("o_orderkey", Literal.long(700))))
+  }
+
   test("copy-on-write delete keeps rows where predicate is NULL") {
     // rows with a null delete-key column must survive a CoW delete: the
     // predicate evaluates NULL there, and NULL is not TRUE

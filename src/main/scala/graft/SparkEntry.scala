@@ -877,6 +877,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))),
 
+    // admission control: the same drain under max-files-per-trigger=1 —
+    // batch count gated in-fixture, content oracled (backfilling 100 TB
+    // through a stream NEEDS pacing; an unpaced first batch is the
+    // whole table)
+    "st_rate_limit" -> ((s, dir) =>
+      s.read.parquet(StreamRateLimitFixture.output(s, dir))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))),
+
     // DELETE mid-stream: fail-by-default gated in the fixture; the
     // oracled result pins the OPT-IN skip semantics — both appends
     // drain, the delete snapshot feeds no batch, deleted rows remain
@@ -1497,6 +1507,10 @@ object SparkEntry {
     "st_upsert_table" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     "st_follow_table" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "st_rate_limit" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
@@ -2131,6 +2145,45 @@ object ZOrderFixture {
   * followed by a checkpointed AvailableNow stream into a parquet sink.
   * Re-runs are no-ops once caught up (offsets are snapshot ids), so the
   * sink converges on exactly the table's rows. */
+/** Rate-limited drain of a multi-snapshot table: max-files-per-trigger=1
+  * must split the AvailableNow drain into one batch per single-file
+  * snapshot (gated), while still delivering every row. */
+object StreamRateLimitFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  def output(s: SparkSession, sfDir: String): String = {
+    val wh = Tables.warehouseDir(sfDir)
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "orders_paced")
+    val nSnaps = 4
+    if (!cat.tableExists(ident)) {
+      val raw = Tables.raw(s, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+      for (i <- 0 until nSnaps)
+        t.append(s).appendDataFrame(
+          raw.filter(s"o_orderkey % $nSnaps = $i").repartition(1))
+    }
+    val out = s"$wh/_paced_out"
+    if (!new java.io.File(out).exists()) {
+      val q = s.readStream.format("graft-table")
+        .option("warehouse", wh).option("table", "tpch.orders_paced")
+        .option("max-files-per-trigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$wh/_paced_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      require(batches.size == nSnaps,
+        s"max-files-per-trigger=1 must make $nSnaps single-file batches, got $batches")
+    }
+    out
+  }
+}
+
 object StreamFollowFixture {
   import graft.ice._
   import graft.ice.catalog._

@@ -129,9 +129,90 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
   private var availableNowTarget: Option[Offset] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(currentLatest())
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(currentLatest())
+
+  // Admission control (SupportsAdmissionControl via TriggerAvailableNow):
+  // `max-files-per-trigger` / `max-rows-per-trigger` cap each micro-batch
+  // by walking the snapshot chain forward and stopping BEFORE the
+  // snapshot that would blow the cap (always admitting at least one, so
+  // the stream makes progress). Offsets stay snapshot ids — a batch is
+  // a whole snapshot range, which keeps range replay deterministic; the
+  // cap chooses how many snapshots, never a partial one. Backfilling a
+  // huge table through a stream without this reads EVERY file in one
+  // batch.
+  override def getDefaultReadLimit: ReadLimit = {
+    val maxFiles = Option(options.get("max-files-per-trigger")).map(_.toInt)
+    val maxRows = Option(options.get("max-rows-per-trigger")).map(_.toLong)
+    (maxFiles, maxRows) match {
+      case (Some(f), Some(r)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxRows(r)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case _ => ReadLimit.allAvailable()
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(currentLatest())
+      .asInstanceOf[SnapshotOffset]
+    admit(start.asInstanceOf[SnapshotOffset], target, limit)
+  }
   override def reportLatestOffset(): Offset = currentLatest()
+
+  private def limitCaps(l: ReadLimit): (Option[Int], Option[Long]) = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles, ReadMaxRows}
+    l match {
+      case f: ReadMaxFiles => (Some(f.maxFiles), None)
+      case r: ReadMaxRows => (None, Some(r.maxRows))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(limitCaps).foldLeft((Option.empty[Int], Option.empty[Long])) {
+          case ((f1, r1), (f2, r2)) =>
+            (Seq(f1, f2).flatten.minOption, Seq(r1, r2).flatten.minOption)
+        }
+      case _ => (None, None)
+    }
+  }
+
+  private def admit(start: SnapshotOffset, target: SnapshotOffset,
+      limit: ReadLimit): SnapshotOffset = {
+    val (maxFiles, maxRows) = limitCaps(limit)
+    if (maxFiles.isEmpty && maxRows.isEmpty) return target
+    if (target.snapshotId == -1L || target.snapshotId == start.snapshotId) return target
+    val t = table
+    val chain = Iterator.iterate(t.metadata.snapshotById(target.snapshotId))(
+      _.flatMap(_.parentSnapshotId).flatMap(t.metadata.snapshotById))
+      .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == start.snapshotId))
+      .flatten.toSeq.reverse
+    if (chain.isEmpty) return target
+
+    def addedCounts(s: graft.ice.meta.Snapshot): (Long, Long) =
+      if (!s.operation.contains(DataOperation.Append)) (0L, 0L)
+      else {
+        val f = s.summary.get("added-data-files").map(_.toLong)
+        val r = s.summary.get("added-records").map(_.toLong)
+        (f, r) match {
+          case (Some(ff), Some(rr)) => (ff, rr)
+          case _ => // foreign commit without summaries: one manifest read
+            val es = t.planAppendsBetween(
+              s.parentSnapshotId.getOrElse(-1L), s.snapshotId)
+            (es.size.toLong, es.map(_.dataFile.recordCount).sum)
+        }
+      }
+
+    var files = 0L; var rows = 0L
+    var end = start.snapshotId; var took = 0
+    val it = chain.iterator
+    while (it.hasNext) {
+      val s = it.next()
+      val (f, r) = addedCounts(s)
+      if (took > 0 &&
+          (maxFiles.exists(files + f > _) || maxRows.exists(rows + r > _)))
+        return SnapshotOffset(end)
+      files += f; rows += r; end = s.snapshotId; took += 1
+      if (maxFiles.exists(files >= _) || maxRows.exists(rows >= _))
+        return SnapshotOffset(end)
+    }
+    SnapshotOffset(end)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -255,6 +255,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.awaitTermination()
     assert(spark.read.parquet(out).count() == raw.count() + 10)
   }
+
+  test("graft-table source admission control: max-files/max-rows per trigger") {
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+    val wh = java.nio.file.Files.createTempDirectory("whadm").toString
+    val cat = new DirCatalog(wh)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.paced"),
+      SparkConv.fromSpark(raw.schema))
+    // four snapshots, one file each (repartition(1)), known row counts
+    (0 until 4).foreach(i =>
+      t.append(spark).appendDataFrame(
+        raw.filter(s"o_orderkey % 4 = $i").repartition(1)))
+
+    def drain(extra: Map[String, String]): Seq[Long] = {
+      val out = java.nio.file.Files.createTempDirectory("admout").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("admck").toString
+      var reader = spark.readStream.format("graft-table")
+        .option("warehouse", wh).option("table", "db.paced")
+      extra.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      assert(spark.read.parquet(out).count() == raw.count(),
+        "every pacing mode must still drain the whole table")
+      batches
+    }
+
+    // unlimited: AvailableNow takes everything in one batch
+    assert(drain(Map.empty).size == 1)
+    // one file per trigger = one snapshot per batch here: four batches
+    val perFile = drain(Map("max-files-per-trigger" -> "1"))
+    assert(perFile.size == 4, s"expected 4 single-file batches, got $perFile")
+    // a row cap spanning ~2 snapshots: batches obey the cap save the
+    // at-least-one-snapshot floor
+    val cap = (raw.count() / 2 + 1).toString
+    val perRows = drain(Map("max-rows-per-trigger" -> cap))
+    assert(perRows.size >= 2, s"row cap must split the drain, got $perRows")
+    assert(perRows.forall(_ <= cap.toLong), s"no batch may exceed the cap: $perRows")
+  }
 }
 
 class CodegenExprSpec extends AnyFunSuite with BeforeAndAfterAll {

@@ -613,6 +613,32 @@ final class ScanBuilder(table: IceTable) {
       }
   }
 
+  /** Metadata-answered exact row count — the engine-API twin of the V2
+    * aggregate pushdown. Some(n) only when manifests PROVE the count: no
+    * delete files in scope, and under a filter every surviving file
+    * strictly matches (StrictMetricsEvaluator). None means "read the
+    * data"; it never guesses. */
+  def countFromMetadata(): Option[Long] = resolveSnapshot() match {
+    case None => Some(0L)
+    case Some(snap) =>
+      // incremental append scans count added entries (no deletes applied
+      // by their semantics); plain scans need a delete-free snapshot
+      if (incremental.isEmpty && table.planDeleteEntries(snap).nonEmpty) None
+      else {
+        val tasks = planFiles()
+        val strictOk = filterExpr.forall { e =>
+          val bound = Binder.bind(e, table.schema, caseSensitive)
+          val strict = new StrictMetricsEvaluator
+          tasks.forall(t => strict.allRowsMatch(bound, t.file))
+        }
+        if (!strictOk) None
+        else {
+          val total = tasks.map(_.file.recordCount).sum
+          Some(limitRows.map(math.min(_, total)).getOrElse(total))
+        }
+      }
+  }
+
   /** Execute as a DataFrame: Spark's vectorized parquet reader over the
     * planned file list, with field-ID-based column resolution and the
     * residual filter pushed into the scan by Catalyst.

@@ -104,6 +104,31 @@ class StrictEvaluatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("countFromMetadata proves counts; refuses deletes and partial matches") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("whc").toString)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val spec = PartitionSpec(0, IndexedSeq(PartitionField(
+      schema.findFieldByName("o_orderstatus").get.id, 1000,
+      "status", IdentityTransform)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.cnt"), schema, spec)
+    t.append(spark).appendDataFrame(raw)
+
+    assert(t.newScan().countFromMetadata().contains(raw.count()))
+    assert(t.newScan()
+      .filter(E.equal("o_orderstatus", Literal.string("F")))
+      .countFromMetadata().contains(raw.filter("o_orderstatus = 'F'").count()))
+    // straddling predicate: not provable -> None, never a guess
+    assert(t.newScan()
+      .filter(E.lt("o_orderkey", Literal.long(700L)))
+      .countFromMetadata().isEmpty)
+    // limit caps the proved count
+    assert(t.newScan().limit(10).countFromMetadata().contains(10L))
+    // deletes make record counts non-authoritative
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(50L)))
+    assert(t.newScan().countFromMetadata().isEmpty)
+  }
+
   // ---- metric edge cases on synthetic files ----
 
   private val syntheticSchema = Schema(0, IndexedSeq(

@@ -179,7 +179,12 @@ private[graft] final class GraftScanBuilder(table: IceTable,
   private var pruneExpr: Option[IceExpr] = None
   private var pushed: Array[V1Filter] = Array.empty
   private var aggResult: Option[(StructType, Array[Any])] = None
+  // Spark hands the SAME Aggregation to supportCompletePushDown and
+  // pushAggregation back to back; cache by identity so the manifest
+  // walk + per-file strict evaluation runs once, not twice
+  private var aggCache: Option[(AnyRef, Option[(StructType, Array[Any])])] = None
   private var limitFiles: Option[Seq[FileScanTask]] = None
+  private var limitSnapshotId: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // re-anchor on the table schema so field-id metadata survives pruning
@@ -206,38 +211,52 @@ private[graft] final class GraftScanBuilder(table: IceTable,
     * bounds must be exact (no truncation, no NaN possibility, no
     * missing metrics) — anything unprovable refuses, and Spark runs
     * the normal scan+aggregate plan. */
+  private def planAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = aggCache match {
+    case Some((key, res)) if key eq agg => res
+    case _ =>
+      val res = MetadataAggregate.plan(table, pinnedSnapshotId, pruneExpr, agg)
+      aggCache = Some((agg, res))
+      res
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    MetadataAggregate.plan(table, pinnedSnapshotId, pruneExpr, agg).isDefined
+    planAggregate(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     // complete pushdown only: partial would require per-file rows whose
     // merge semantics Spark owns; refusing keeps the normal plan
-    aggResult = MetadataAggregate.plan(table, pinnedSnapshotId, pruneExpr, agg)
+    aggResult = planAggregate(agg)
     aggResult.isDefined
   }
 
-  /** LIMIT pushdown: plan only enough files to cover the limit. Spark
-    * pushes a limit here only when no post-scan filters remain — and
-    * every filter we push stays residual — so a pushed limit implies an
-    * unfiltered scan: file record counts are exact row counts unless
-    * deletes apply. Partial by contract: Spark re-applies the limit. */
+  /** LIMIT pushdown: plan only enough files to cover the limit
+    * (ScanBuilder.limit's metadata truncation). Spark pushes a limit
+    * here only when no post-scan filters remain — and every filter we
+    * push stays residual — so a pushed limit implies an unfiltered
+    * scan: file record counts are exact row counts unless deletes
+    * apply. The snapshot the delete-free proof ran against is PINNED
+    * into the scan: a concurrent delete committing between planning and
+    * execution must not mix its delete files with this file list.
+    * Partial by contract: Spark re-applies the limit. */
   override def pushLimit(limit: Int): Boolean = {
     if (pruneExpr.isDefined || pushed.nonEmpty) return false
-    val b = table.newScan()
-    pinnedSnapshotId.foreach(b.useSnapshot)
-    val snap = b.resolveSnapshot()
-    if (snap.exists(s => table.planDeleteEntries(s).nonEmpty)) return false
-    val tasks = b.planFiles()
-    val keep = Vector.newBuilder[FileScanTask]
-    var rows = 0L
-    val it = tasks.iterator
-    while (rows < limit && it.hasNext) {
-      val t = it.next(); keep += t; rows += t.file.recordCount
+    val probe = table.newScan()
+    pinnedSnapshotId.foreach(probe.useSnapshot)
+    probe.resolveSnapshot() match {
+      case None =>
+        limitFiles = Some(Nil)
+        true
+      case Some(s) =>
+        if (table.planDeleteEntries(s).nonEmpty) return false
+        limitFiles = Some(
+          table.newScan().useSnapshot(s.snapshotId).limit(limit.toLong).planFiles())
+        limitSnapshotId = Some(s.snapshotId)
+        true
     }
-    limitFiles = Some(keep.result())
-    true
   }
   override def isPartiallyPushed(): Boolean = true
 
@@ -248,7 +267,7 @@ private[graft] final class GraftScanBuilder(table: IceTable,
       new GraftMetadataAggScan(schema, row, table.metadata.location)
     case None =>
       new GraftBatchScan(table, required, pruneExpr, pushed, streamOpts,
-        pinnedSnapshotId, limitFiles)
+        pinnedSnapshotId.orElse(limitSnapshotId), limitFiles)
   }
 }
 
@@ -723,7 +742,8 @@ private[connector] object MetadataAggregate {
     def countCol(name: String): Option[(StructField, Any)] =
       fieldOf(name).flatMap { fld =>
         val perFile = files.map { f =>
-          f.nullValueCounts.get(fld.id)
+          if (f.recordCount == 0L) Some(0L) // empty file: nothing to count
+          else f.nullValueCounts.get(fld.id)
             .orElse(if (fld.required) Some(0L) else None)
             .map(n => f.recordCount - n)
         }

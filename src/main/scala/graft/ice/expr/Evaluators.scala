@@ -328,12 +328,30 @@ final class StrictMetricsEvaluator {
     case BAnd(l, r) => eval(l, f) && eval(r, f)
     case BOr(l, r) => eval(l, f) || eval(r, f)
     case BRaw(_) => false // opaque: cannot prove
-    // all rows match NOT e  <=>  no row matches e: the inclusive
-    // evaluator's definite "cannot contain" is exactly that proof
-    case BNot(c) => !inclusive.canContainRows(c, f)
+    // NOT c matches a row only when c evaluates FALSE there — a row
+    // where c is NULL (null comparison operand) fails BOTH c and NOT c.
+    // The inclusive refutation proves no row evaluates c TRUE; proving
+    // every referenced column null-free upgrades that to "every row
+    // evaluates c FALSE", which is what strict NOT needs.
+    case BNot(c) => !inclusive.canContainRows(c, f) && nullFreeOperands(c, f)
     case p: BPred =>
       if (p.transform != graft.ice.transform.IdentityTransform) false
       else evalPred(p, f)
+  }
+
+  /** Every comparison inside `b` is over a column this file provably
+    * holds no nulls for (IS [NOT] NULL predicates are never NULL-valued
+    * themselves and are exempt). */
+  private def nullFreeOperands(b: Bound, f: DataFile): Boolean = b match {
+    case BTrue | BFalse => true
+    case BAnd(l, r) => nullFreeOperands(l, f) && nullFreeOperands(r, f)
+    case BOr(l, r) => nullFreeOperands(l, f) && nullFreeOperands(r, f)
+    case BNot(c) => nullFreeOperands(c, f)
+    case BRaw(_) => false
+    case p: BPred => p.op match {
+      case Op.IsNull | Op.NotNull => true
+      case _ => p.required || f.nullValueCounts.get(p.fieldId).contains(0L)
+    }
   }
 
   private def evalPred(p: BPred, f: DataFile): Boolean = {

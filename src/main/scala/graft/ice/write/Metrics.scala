@@ -197,14 +197,23 @@ object Metrics {
       if (s.codePointCount(0, s.length) <= BoundTruncateLength) Some(l)
       else {
         val t = TruncateUtil.truncateString(BoundTruncateLength, s)
-        incrementLastCodePoint(t).map(Literal.string)
+        // a carry during increment SHORTENS the bound, making it
+        // byte-indistinguishable from an exact short maximum — drop it
+        // instead (no bound = no pruning, always safe), so that any
+        // stored upper shorter than the truncate width is provably
+        // exact (MetadataAggregate.exactBound relies on this)
+        incrementLastCodePoint(t)
+          .filter(r => r.codePointCount(0, r.length) == BoundTruncateLength)
+          .map(Literal.string)
       }
     case BinaryT =>
       val b = l.raw.asInstanceOf[Array[Byte]]
       if (b.length <= BoundTruncateLength) Some(l)
       else {
         val t = TruncateUtil.truncateBinary(BoundTruncateLength, b)
-        incrementBytes(t).map(Literal.binary)
+        incrementBytes(t)
+          .filter(_.length == BoundTruncateLength)
+          .map(Literal.binary)
       }
     case _ => Some(l)
   }

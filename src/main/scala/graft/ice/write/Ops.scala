@@ -319,6 +319,10 @@ private[ice] object SnapshotProducer {
           splitOffsets = m.splitOffsets,
           sortOrderId = Some(table.metadata.defaultSortOrderId)))
     }.seq
+      // an empty shuffle partition leaves a zero-row file behind; keep it
+      // out of the manifest — it carries no metrics, defeats metadata-
+      // proved operations, and every scan would open it for nothing
+      .filter(_.dataFile.recordCount > 0L)
   }
 }
 

@@ -205,6 +205,40 @@ class StrictEvaluatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strict.allRowsMatch(bind(E.not(E.lt("k", Literal.long(5L)))), f))
   }
 
+  test("strict NOT over a composite needs null-free operands (NULL fails both c and NOT c)") {
+    // bounds [A, B] refute s IN ('X','Y') inclusively — but 2 null rows
+    // evaluate the predicate to NULL, and NOT(NULL) is NULL, not TRUE:
+    // those rows do NOT match the negation, so strict must refuse
+    val notIn = E.not(E.or(
+      E.equal("s", Literal.string("X")), E.equal("s", Literal.string("Y"))))
+    val withNulls = df(10, valueCounts = Map(2 -> 10L), nullCounts = Map(2 -> 2L),
+      lower = Map(2 -> Literal.string("A")), upper = Map(2 -> Literal.string("B")))
+    assert(!strict.allRowsMatch(bind(notIn), withNulls),
+      "null rows fail NOT(c) too — refusal required")
+    val noNulls = df(10, valueCounts = Map(2 -> 10L), nullCounts = Map(2 -> 0L),
+      lower = Map(2 -> Literal.string("A")), upper = Map(2 -> Literal.string("B")))
+    assert(strict.allRowsMatch(bind(notIn), noNulls))
+  }
+
+  test("truncateUpper drops carry-shortened bounds so short uppers are provably exact") {
+    import graft.ice.write.Metrics
+    // 16th code point is U+10FFFF: increment must carry into position 15,
+    // shortening the bound — ambiguous with an exact short max, so the
+    // writer drops it entirely
+    val carry = "a" * 15 + new String(Character.toChars(Character.MAX_CODE_POINT)) + "zzz"
+    assert(Metrics.truncateUpper(Literal.string(carry)).isEmpty)
+    // ordinary truncation increments in place and keeps the full width
+    val plain = "b" * 20
+    val up = Metrics.truncateUpper(Literal.string(plain))
+    assert(up.exists { l =>
+      val s = l.raw.asInstanceOf[String]
+      s.codePointCount(0, s.length) == Metrics.BoundTruncateLength && s > plain.take(16)
+    })
+    // binary: a 0xff at the boundary carries and is dropped the same way
+    val bcarry = Array.fill[Byte](15)(1) ++ Array.fill[Byte](5)(0xff.toByte)
+    assert(Metrics.truncateUpper(Literal.binary(bcarry)).isEmpty)
+  }
+
   test("startsWith: both bounds sharing the prefix prove it; split bounds refuse") {
     val f = df(3, valueCounts = Map(2 -> 3L), nullCounts = Map(2 -> 0L),
       lower = Map(2 -> Literal.string("1-URGENT")), upper = Map(2 -> Literal.string("1-URGENT")))

@@ -704,6 +704,14 @@ object SparkEntry {
       Dedup.jaccardExactPairs(Tables.scan(s, dir, "documents"),
         "text", "doc_id", "lang")),
 
+    // near-dup pairs -> CLUSTERS + survivor choice: connected components
+    // of the exact-jaccard graph via min-label propagation (rounds =
+    // cluster diameter; each round one shuffle of the small edge list).
+    // The decision a dedup pipeline actually executes.
+    "d8_jaccard_clusters" -> ((s, dir) =>
+      Dedup.jaccardClusters(Tables.scan(s, dir, "documents"),
+        "text", "doc_id", "lang")),
+
     "d5_embedding_neardup" -> ((s, dir) => {
       val emb = Tables.raw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -771,6 +779,20 @@ object SparkEntry {
 
     "x4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintDF(Tables.scan(s, dir, "documents"), "text", "doc_id")),
+
+    // corpus vocabulary: top tokens by occurrence — shuffle volume is
+    // the vocabulary (distinct tokens after map-side combine), never the
+    // corpus; the tokenizer-building step of a data pipeline
+    "x5_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.scan(s, dir, "documents"), "text", 200)),
+
+    // deterministic stratified sampling: k docs per language chosen by a
+    // fixed integer mix of the id — reproducible across engines/runs (no
+    // RNG), the shape "sample k per stratum" takes at corpus scale
+    "x6_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.scan(s, dir, "documents"),
+        "lang", "doc_id", 10)
+        .select("lang", "doc_id")),
 
     // ---------- §2.11 multimodal ----------
 
@@ -1094,6 +1116,25 @@ object SparkEntry {
       df
     }),
 
+    // float MIN/MAX from metadata: possible ONLY because the fixture
+    // table records per-file NaN counts at write (graft.write.nan-counts)
+    // — a zero NaN count plus exact bounds makes the double provable
+    "q_agg_pushdown_float" -> ((s, dir) => {
+      AggPushFloatFixture.table(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      import graft.ice.connector.GraftAggPushStats
+      val before = GraftAggPushStats.pushes.get()
+      val df = s.sql(
+        """SELECT count(*) AS n_rows, min(o_totalprice) AS min_price,
+          |       max(o_totalprice) AS max_price
+          |FROM ice.tpch.aggpush_prices""".stripMargin)
+      df.queryExecution.executedPlan
+      require(GraftAggPushStats.pushes.get() > before,
+        "NaN-counted double column must push MIN/MAX to metadata")
+      df
+    }),
+
     // CALL maintenance procedures (V2 ProcedureCatalog): snapshot, mutate,
     // roll back through SQL — the surviving table must equal the original
     "proc_rollback" -> ((s, dir) => {
@@ -1327,6 +1368,10 @@ object SparkEntry {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  max(o_orderstatus) AS max_status, min(o_orderdate) AS min_date
         |FROM orders""".stripMargin,
+    "q_agg_pushdown_float" ->
+      """SELECT count(*) AS n_rows, min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
     "sql_catalog_update" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(CASE WHEN o_orderstatus = 'O'
@@ -1413,6 +1458,35 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, n_common, n_union FROM pairs
         |WHERE n_common * 5 >= n_union * 4""".stripMargin,
+    "d8_jaccard_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM toks WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS n_common,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |), good AS (
+        |  SELECT id_a, id_b FROM pairs WHERE n_common * 5 >= n_union * 4
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM good
+        |  UNION ALL
+        |  SELECT id_b AS u, id_a AS v FROM good
+        |), reach(id, lab) AS (
+        |  SELECT DISTINCT u AS id, u AS lab FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.lab AS lab FROM reach r JOIN edges e ON e.u = r.id
+        |)
+        |SELECT id AS doc_id, min(lab) AS cluster_rep,
+        |  id = min(lab) AS is_survivor
+        |FROM reach GROUP BY id""".stripMargin,
     "x1_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
@@ -1435,6 +1509,18 @@ object SparkEntry {
         |  round(least(greatest(0.3 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio * 4)
         |    + 0.2 * alpha_ratio + 0.2 * least(stopword_ratio * 3, 1.0), 0.0), 1.0), 4) AS quality_score
         |FROM m""".stripMargin,
+    "x5_vocab" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    t -> len(t) > 0)) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
+    "x6_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761 + 1013904223) % 4294967296, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10""".stripMargin,
     "mm1_media_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents",
     "mm3_resize" ->
@@ -2413,6 +2499,34 @@ object AggPushFixture {
           .collect().head.getLong(0)
         t.append(spark).appendDataFrame(df.filter(col("o_orderkey") <= mid))
         t.append(spark).appendDataFrame(df.filter(col("o_orderkey") > mid))
+      }
+      IceTable.load(cat, ident)
+    })
+  }
+}
+
+/** Float-metric fixture: `graft.write.nan-counts=true` records per-file
+  * NaN counts at append, which is what makes MIN/MAX over a DOUBLE
+  * column provable from metadata (SQL orders NaN above everything;
+  * parquet stats cannot see it). */
+object AggPushFloatFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable = {
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "aggpush_prices")
+    cache.computeIfAbsent(sfDir, { _ =>
+      if (!cat.tableExists(ident)) {
+        val df = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_totalprice")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(df.schema),
+          properties = Map("graft.write.nan-counts" -> "true"))
+        t.append(spark).appendDataFrame(df.filter(col("o_orderkey") % 2 === 0))
+        t.append(spark).appendDataFrame(df.filter(col("o_orderkey") % 2 === 1))
       }
       IceTable.load(cat, ident)
     })

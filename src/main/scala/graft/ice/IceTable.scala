@@ -1082,7 +1082,11 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           splitOffsets = m.splitOffsets,
           sortOrderId = Some(table.metadata.defaultSortOrderId)))
     }.seq
-    (entries, commitUuid)
+      // empty shuffle partitions leave zero-row files: no metrics, no
+      // rows — keep them out of the manifest (mirrors writeDataFiles)
+      .filter(_.dataFile.recordCount > 0L)
+    (graft.ice.write.SnapshotProducer.enrichNanCounts(table, spark, entries),
+      commitUuid)
   }
 
   /** Register existing files as table data (no rewrite) — the migration

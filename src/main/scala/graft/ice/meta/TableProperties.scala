@@ -38,6 +38,15 @@ object TableProperties {
   val WriteDeleteMode: Key[String] = Key("write.delete.mode", "copy-on-write", _.trim)
   val WriteMergeMode: Key[String] = Key("write.merge.mode", "copy-on-write", _.trim)
 
+  // write metrics (graft extension): record per-file NaN counts for
+  // float/double columns on append. Costs one column-pruned re-read of
+  // the new files per commit, and is what makes floating-point columns
+  // eligible for metadata-proved operations (MIN/MAX pushdown, strict
+  // comparisons) — without a zero NaN count those must refuse, because
+  // SQL orders NaN above every value while parquet stats exclude it.
+  val WriteNanCounts: Key[Boolean] =
+    Key("graft.write.nan-counts", false, _.trim.toBoolean)
+
   // maintenance
   val CompactSmallFileThresholdBytes: Key[Long] =
     Key("write.compact.small-file-threshold-bytes", 96L * 1024 * 1024, _.trim.toLong)

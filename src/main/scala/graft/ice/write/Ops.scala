@@ -301,7 +301,7 @@ private[ice] object SnapshotProducer {
     // footer reads are independent driver-side IO: a 10k-file compaction
     // commit should be bounded by cores, not files
     import scala.collection.parallel.CollectionConverters._
-    files.par.map { p =>
+    val entries = files.par.map { p =>
       val m =
         if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
         else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts.getOrElse(p, 0L))
@@ -323,6 +323,44 @@ private[ice] object SnapshotProducer {
       // out of the manifest — it carries no metrics, defeats metadata-
       // proved operations, and every scan would open it for nothing
       .filter(_.dataFile.recordCount > 0L)
+    enrichNanCounts(table, spark, entries)
+  }
+
+  /** Opt-in (graft.write.nan-counts): per-file NaN counts for float and
+    * double columns, from ONE column-pruned executor read of the files
+    * just written. parquet footers cannot carry NaN statistics, yet SQL
+    * orders NaN above every value — so without these counts every
+    * metadata-proved operation on a float column must refuse. With a
+    * recorded zero, MIN/MAX pushdown and strict comparisons become
+    * provable. Costs a re-read of only the float columns of only the
+    * new files; tables that want free float pushdown pay it here. */
+  private[ice] def enrichNanCounts(table: IceTable, spark: SparkSession,
+      entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    if (!TableProperties.get(table.properties, TableProperties.WriteNanCounts))
+      return entries
+    val floatFields = table.schema.fields.filter(f =>
+      f.fieldType == FloatT || f.fieldType == DoubleT)
+    val parquetPaths = entries.filter(_.dataFile.fileFormat == "PARQUET")
+      .map(_.dataFile.filePath)
+    if (floatFields.isEmpty || parquetPaths.isEmpty) return entries
+    val readSchema = org.apache.spark.sql.types.StructType(
+      floatFields.map(SparkConv.toSparkField))
+    val aggs = floatFields.map(f =>
+      sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as(f.name))
+    val counts: Map[String, Map[Int, Long]] = spark.read.schema(readSchema)
+      .parquet(parquetPaths: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => ManifestAvro.stripFileScheme(r.getString(0)) ->
+        floatFields.zipWithIndex.map { case (f, i) => f.id -> r.getLong(i + 1) }.toMap)
+      .toMap
+    entries.map { e =>
+      counts.get(ManifestAvro.stripFileScheme(e.dataFile.filePath)) match {
+        case Some(m) => e.copy(dataFile = e.dataFile.copy(nanValueCounts = m))
+        case None => e
+      }
+    }
   }
 }
 

@@ -160,6 +160,66 @@ object Dedup {
       .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
   }
 
+  /** Connected components of an undirected pair graph — the pipeline
+    * step AFTER pair generation: near-duplicate PAIRS become near-dup
+    * CLUSTERS, each with one canonical survivor (the minimum id).
+    *
+    * Min-label propagation: every vertex repeatedly adopts the smallest
+    * label among itself and its neighbors; the component minimum spreads
+    * one hop per round, so rounds = component diameter. Near-dup
+    * clusters are shallow (a handful of mutually-similar docs), so this
+    * converges in a few join+groupBy rounds — each round one shuffle of
+    * the edge list, nothing graph-shaped on the driver. At 100 TB the
+    * edge list is orders of magnitude smaller than the corpus (only
+    * near-dup pairs), so the loop runs on the small derived table.
+    *
+    * Returns (id, cluster_rep): one row per vertex that appears in any
+    * pair; `id == cluster_rep` marks the survivor. */
+  def clustersFromPairs(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    labels.count() // materialize before the loop mutates the lineage
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(edges("u").as("nid")).agg(min("rep").as("nrep"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(labels("id"),
+          least(labels("rep"), coalesce(col("nrep"), labels("rep"))).as("rep"),
+          labels("rep").as("__old"))
+        .persist()
+      changed = next.filter(col("rep") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next.select("id", "rep").persist()
+      round += 1
+    }
+    require(changed == 0,
+      s"component labels did not converge in $maxRounds rounds — " +
+        "pathological pair graph (diameter > maxRounds)?")
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters over the EXACT jaccard pair graph (d7's PPJoin
+    * pairs as edges): (doc_id, cluster_rep, is_survivor) for every doc
+    * in at least one qualifying pair. The dedup decision a real corpus
+    * pipeline executes — drop every row where is_survivor = false. */
+  def jaccardClusters(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, shingleN: Int = 3,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val pairs = jaccardExactPairs(df, textCol, idCol, blockCol,
+      shingleN, thresholdNum, thresholdDen)
+    clustersFromPairs(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+        (col("id") === col("rep")).as("is_survivor"))
+  }
+
   /** (__blk, __id, __sh) distinct-shingle sets — the shared input of
     * candidate generation and verification.
     *

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY §2.11):
@@ -126,4 +127,34 @@ object TextAnalysis {
       gram: Int = 4): DataFrame =
     Par.ensure(df).select(col(idCol),
       fingerprint(col(textCol), gram).as("fingerprint"))
+
+  /** Corpus vocabulary: the topN tokens by total occurrence count
+    * (ties broken by token, so the selected SET is deterministic).
+    * Tokenization matches the dedup family (lowercase, non-word split).
+    * Classic two-phase aggregation: explode is map-side, the groupBy
+    * count combines partially before its one shuffle (keys = distinct
+    * tokens, not corpus size), and the final ordered topN is a TakeOrdered
+    * over the token counts — at 100 TB the shuffle volume is the
+    * vocabulary, not the text. */
+  def vocabulary(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    Par.ensure(df)
+      .select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+
+  /** Deterministic stratified sample: the k rows per stratum with the
+    * smallest value of a fixed integer mixing function of the id —
+    * reproducible across engines and runs (no RNG), which is what a
+    * training-data pipeline needs from "sample k docs per language".
+    * One shuffle on the stratum key; rank via window. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val key = pmod(col(idCol) * lit(2654435761L) + lit(1013904223L),
+      lit(4294967296L))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

@@ -605,6 +605,39 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == raw.filter("o_orderkey >= 100").count())
   }
 
+  test("NaN-counted tables push float MIN/MAX; an actual NaN refuses it") {
+    import graft.ice.connector.GraftAggPushStats
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.flpush"),
+      SparkConv.fromSpark(raw.schema),
+      properties = Map("graft.write.nan-counts" -> "true"))
+    t.append(spark).appendDataFrame(raw)
+    val before = GraftAggPushStats.pushes.get()
+    val got = spark.sql(
+      "SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM ice.db.flpush")
+      .collect().head
+    assert(GraftAggPushStats.pushes.get() == before + 1,
+      "zero NaN counts must make the double provable")
+    val exp = raw.agg(min("o_totalprice"), max("o_totalprice")).collect().head
+    assert(got == exp)
+
+    // one NaN row: Spark's MAX is NaN (NaN sorts above all) — bounds
+    // cannot express that, so the pushdown must refuse and the normal
+    // plan must answer
+    val withNan = raw.withColumn("o_totalprice",
+      when(col("o_orderkey") === 1, lit(Double.NaN)).otherwise(col("o_totalprice")))
+    val t2 = IceTable.create(cat, TableIdentifier.parse("db.flnan"),
+      SparkConv.fromSpark(withNan.schema),
+      properties = Map("graft.write.nan-counts" -> "true"))
+    t2.append(spark).appendDataFrame(withNan)
+    val before2 = GraftAggPushStats.pushes.get()
+    val mx = spark.sql("SELECT max(o_totalprice) AS mx FROM ice.db.flnan")
+      .collect().head.getDouble(0)
+    assert(GraftAggPushStats.pushes.get() == before2, "NaN present: must not push")
+    assert(mx.isNaN, "Spark MAX over a NaN-bearing column is NaN")
+  }
+
   test("limit pushdown plans only enough files to cover the limit") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

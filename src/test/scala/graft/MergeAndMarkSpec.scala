@@ -102,9 +102,12 @@ class MergeAndMarkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val raw = spark.read.parquet(s"$sfDir/orders.parquet")
     val schema = SparkConv.fromSpark(raw.schema)
     val t = IceTable.create(cat, TableIdentifier.parse("db.sizing"), schema)
-    // two files with disjoint key ranges; the delete touches only the first
-    t.append(spark).appendDataFrame(raw.filter("o_orderkey < 7500").coalesce(1))
-    t.append(spark).appendDataFrame(raw.filter("o_orderkey >= 7500").coalesce(1))
+    // two files with disjoint key ranges; the delete touches only the
+    // first (keys span 0..1499 in this testdata — split mid-range; a
+    // split past the max would leave an empty second append, which the
+    // writer no longer registers)
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey < 700").coalesce(1))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey >= 700").coalesce(1))
     t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(100)))
     val expected = t.newScan().toDF(spark).count()
     val files = t.newScan().planFiles()

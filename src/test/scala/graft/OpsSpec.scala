@@ -95,6 +95,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strict.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
   }
 
+  test("clustersFromPairs: min-label propagation finds exact components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: takes several rounds), pair 10-11,
+    // triangle 20-21-22, and an isolated pair touching a chain member
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.clustersFromPairs(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("jaccardClusters marks one survivor per near-dup component") {
+    val out = Dedup.jaccardClusters(docs.select("doc_id", "lang", "text"),
+      "text", "doc_id", "lang").collect()
+    assert(out.nonEmpty)
+    val byRep = out.groupBy(_.getLong(1))
+    byRep.foreach { case (rep, members) =>
+      assert(members.count(_.getBoolean(2)) == 1, s"cluster $rep needs exactly one survivor")
+      assert(members.map(_.getLong(0)).min == rep, s"survivor must be the min id")
+    }
+    // clusters must cover exactly the docs appearing in qualifying pairs
+    val pairDocs = Dedup.jaccardExactPairs(docs.select("doc_id", "lang", "text"),
+      "text", "doc_id", "lang")
+      .select(org.apache.spark.sql.functions.col("id_a").as("d"))
+      .union(Dedup.jaccardExactPairs(docs.select("doc_id", "lang", "text"),
+        "text", "doc_id", "lang").select(org.apache.spark.sql.functions.col("id_b").as("d")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == pairDocs)
+  }
+
   test("prefix filter bounds a degenerate block-common shingle") {
     import spark.implicits._
     // 500 docs that all share the same opening trigram but are otherwise

@@ -88,6 +88,14 @@ object SparkEntry {
       t.newScan().select("nation_name", "n_nationkey").toDF(s)
     }),
 
+    // P7: v3 default values — initial-default injected by the scan for
+    // pre-evolution files, write-default materialized for post-evolution
+    // appends that omit the column
+    "p7_default_values" -> ((s, dir) => {
+      val t = DefaultsFixture.table(s, dir)
+      t.newScan().select("s_suppkey", "s_name", "s_tier", "s_score", "s_flag").toDF(s)
+    }),
+
     // ---------- §2.3 filters ----------
 
     "f2_filter_in" -> ((s, dir) =>
@@ -1158,6 +1166,12 @@ object SparkEntry {
     "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "p3_schema_evolution" ->
       "SELECT n_name AS nation_name, CAST(n_nationkey AS BIGINT) AS n_nationkey FROM nation",
+    "p7_default_values" ->
+      """SELECT s_suppkey, s_name,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 'STANDARD' ELSE 'BASIC' END AS s_tier,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 7 ELSE 42 END AS s_score,
+        |  TRUE AS s_flag
+        |FROM supplier""".stripMargin,
     "f2_filter_in" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_discount FROM lineitem
         |WHERE l_returnflag IN ('A','N') AND l_discount > 0.05""".stripMargin,
@@ -1901,6 +1915,44 @@ object EvolutionFixture {
           .updateColumnType("n_nationkey", LongT)
           .commit()
         t
+      }
+    })
+}
+
+/** v3 default-values fixture: supplier split in two appends around an
+  * ADD COLUMN with defaults. Batch 1 (even s_suppkey) predates the
+  * columns — its files physically lack them and the SCAN injects each
+  * initial-default (proven absent via manifest valueCounts, zero file
+  * reads). Batch 2 (odd) is appended without the columns — the WRITER
+  * materializes each write-default. The reference declares the JSON keys
+  * (json_internal.cc:78-79) but implements neither serde nor semantics. */
+object DefaultsFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.{BooleanT, IntT, SparkConv, StringT}
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "supplier_defaults")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "supplier")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        t.append(spark).appendDataFrame(raw.filter("s_suppkey % 2 = 0"))
+        t.updateSchema()
+          .addColumnWithDefault("s_tier", StringT,
+            initialDefault = Some("STANDARD"), writeDefault = Some("BASIC"))
+          .addColumnWithDefault("s_score", IntT,
+            initialDefault = Some(7), writeDefault = Some(42))
+          .addRequiredColumn("s_flag", BooleanT, initialDefault = true)
+          .commit()
+        // reload so the append below sees the evolved schema
+        val t2 = IceTable.load(cat, ident)
+        t2.append(spark).appendDataFrame(raw.filter("s_suppkey % 2 = 1"))
+        t2
       }
     })
 }

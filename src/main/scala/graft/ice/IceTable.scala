@@ -691,6 +691,30 @@ final class ScanBuilder(table: IceTable) {
           case _ => ScanBuilder.hasFieldIds(p, spark)
         }
       }
+    // v3 default values in scope of this scan's projection: fields whose
+    // initial-default must surface for rows in files written before the
+    // column existed. Presence is proven per file from manifest metrics
+    // (valueCounts/columnSizes are footer-sourced and cover every column
+    // in the file) — metadata-only at any scale; metric-less legacy files
+    // fall back to one cached footer probe.
+    val defaultedFields = s.fields.filter(f =>
+      f.initialDefault.isDefined && f.fieldType.isInstanceOf[IcePrimitive])
+    def absentDefaulted(t: FileScanTask, p: String): Set[Int] =
+      if (defaultedFields.isEmpty) Set.empty
+      else {
+        val m = t.file
+        val hasMetrics = m.valueCounts.nonEmpty || m.columnSizes.nonEmpty
+        defaultedFields.collect {
+          case f if (if (hasMetrics)
+              !m.valueCounts.contains(f.id) && !m.columnSizes.contains(f.id)
+            else !ScanBuilder.footerFieldIds(p, spark).contains(f.id)) => f.id
+        }.toSet
+      }
+    def defaultLit(f: NestedField) =
+      lit(graft.ice.meta.SingleValueJson.toSparkValue(
+        f.fieldType.asInstanceOf[IcePrimitive], f.initialDefault.get))
+        .cast(SparkConv.toSparkType(f.fieldType))
+
     // per-format dispatch (S16): parquet keeps the specialized path below
     // (field-id projection, _metadata cols); everything else reads through
     // the FormatRegistry. _file/_pos ride the PARQUET reader's _metadata
@@ -729,11 +753,12 @@ final class ScanBuilder(table: IceTable) {
         }.reduce(_ unionByName _)
 
     def readParquetPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {
-      val (internal, external) = {
+      val (internalPairs, external) = {
         val (i, e) = ts.map(t => (t, ManifestAvro.stripFileScheme(t.file.filePath)))
           .partition { case (t, p) => fileHasIds(t, p) }
-        (i.map(_._2), e.map(_._2))
+        (i, e.map(_._2))
       }
+      val internal = internalPairs.map(_._2)
       def read(schema: org.apache.spark.sql.types.StructType, ps: Seq[String]) = {
         // past the threshold, serve the file list from manifest metadata
         // (ManifestFileIndex): no per-path driver stat, no million-string
@@ -750,7 +775,25 @@ final class ScanBuilder(table: IceTable) {
         else base
       }
       def readExternal(ps: Seq[String]): DataFrame = nameMapping match {
-        case None => read(plainSchema, ps)
+        case None if defaultedFields.isEmpty => read(plainSchema, ps)
+        case None =>
+          // no name mapping, but defaults exist: group by footer column
+          // set so files that physically lack a defaulted column surface
+          // its initial-default instead of null
+          ps.groupBy(p => ScanBuilder.footerColumns(p, spark)).map {
+            case (fileCols, files) =>
+              val present = plainSchema.fields.toSeq.zip(s.fields)
+                .filter { case (sf, f) =>
+                  fileCols.contains(sf.name) || f.initialDefault.isEmpty }
+              val base = read(org.apache.spark.sql.types.StructType(
+                present.map(_._1)), files)
+              base.select(plainSchema.fields.toSeq.zip(s.fields).map {
+                case (sf, f) =>
+                  if (!fileCols.contains(sf.name) && f.initialDefault.isDefined)
+                    defaultLit(f).as(sf.name)
+                  else col(sf.name)
+              } ++ (if (withPosCols) Seq(col("__file"), col("__pos")) else Nil): _*)
+          }.reduce(_ unionByName _)
         case Some(nm) =>
           // group files by their footer column set; within a group each
           // target field reads from the first mapped name present
@@ -759,21 +802,44 @@ final class ScanBuilder(table: IceTable) {
               val srcFor = plainSchema.fields.toSeq.zip(s.fields).map {
                 case (sf, f) =>
                   val candidates = nm.namesFor(f.id) :+ f.name
-                  (sf, candidates.find(fileCols.contains))
+                  (sf, f, candidates.find(fileCols.contains))
               }
               val readSchema = org.apache.spark.sql.types.StructType(
-                srcFor.collect { case (sf, Some(src)) => sf.copy(name = src) })
+                srcFor.collect { case (sf, _, Some(src)) => sf.copy(name = src) })
               val base = read(readSchema, files)
               base.select(srcFor.map {
-                case (sf, Some(src)) => col(src).as(sf.name)
-                case (sf, None) => lit(null).cast(sf.dataType).as(sf.name)
+                case (sf, _, Some(src)) => col(src).as(sf.name)
+                case (sf, f, None) if f.initialDefault.isDefined =>
+                  defaultLit(f).as(sf.name)
+                case (sf, _, None) => lit(null).cast(sf.dataType).as(sf.name)
               } ++ (if (withPosCols) Seq(col("__file"), col("__pos")) else Nil): _*)
           }.reduce(_ unionByName _)
       }
-      (internal, external) match {
-        case (ps, Nil) => read(sparkSchema, ps)
+      // id-carrying files group by which defaulted fields they predate
+      // (normally one or two groups — before/after the ADD COLUMN); each
+      // group reads without the absent columns, then injects the
+      // initial-default as a literal in schema position
+      def readInternal(pairs: Seq[(FileScanTask, String)]): DataFrame =
+        pairs.groupBy { case (t, p) => absentDefaulted(t, p) }.toSeq
+          .sortBy(_._1.toSeq.sorted.mkString(","))
+          .map { case (absent, grp) =>
+            val ps = grp.map(_._2)
+            if (absent.isEmpty) read(sparkSchema, ps)
+            else {
+              val readSchema = org.apache.spark.sql.types.StructType(
+                sparkSchema.fields.zip(s.fields).collect {
+                  case (sf, f) if !absent(f.id) => sf })
+              read(readSchema, ps).select(s.fields.map { f =>
+                if (absent(f.id))
+                  defaultLit(f).as(f.name, SparkConv.toSparkField(f).metadata)
+                else col(f.name)
+              } ++ (if (withPosCols) Seq(col("__file"), col("__pos")) else Nil): _*)
+            }
+          }.reduce(_ unionByName _)
+      (internalPairs, external) match {
+        case (ps, Nil) => readInternal(ps)
         case (Nil, ps) => readExternal(ps)
-        case (ips, eps) => read(sparkSchema, ips).unionByName(readExternal(eps))
+        case (ips, eps) => readInternal(ips).unionByName(readExternal(eps))
       }
     }
 
@@ -956,6 +1022,24 @@ object ScanBuilder {
     })
   }
 
+  /** Cached top-level footer FIELD IDS of a parquet file — the
+    * initial-default fallback probe for files whose manifest entry
+    * carries no per-column metrics (registered/legacy files). Files with
+    * metrics never reach this: column presence is proven from
+    * valueCounts/columnSizes, metadata-only. */
+  private val fieldIdSetCache = new java.util.concurrent.ConcurrentHashMap[String, Set[Int]]()
+  def footerFieldIds(path: String, spark: SparkSession): Set[Int] =
+    fieldIdSetCache.computeIfAbsent(path, { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .flatMap(f => Option(f.getId).map(_.intValue)).toSet
+        finally r.close()
+      } catch { case _: Exception => Set.empty }
+    })
+
   /** Cached top-level footer column names of an external parquet file
     * (drives name-mapping resolution). */
   private val footerColsCache = new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
@@ -1002,9 +1086,23 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
 
     // align to table schema: cast to the field's type and alias with
     // field-id metadata (df.to() drops metadata, so alias explicitly —
-    // Spark's parquet writer emits ids only when the schema carries them)
+    // Spark's parquet writer emits ids only when the schema carries them).
+    // Columns absent from the input materialize their write-default
+    // (spec v3 "write-default"; the read-side twin is initial-default
+    // injection in ScanBuilder.toDF).
+    val inputCols = df.columns.toSet
     val aligned = df.select(schema.fields.map { f =>
-      col(f.name).cast(SparkConv.toSparkType(f.fieldType))
+      val src =
+        if (inputCols.contains(f.name)) col(f.name)
+        else f.writeDefault match {
+          case Some(v) => lit(graft.ice.meta.SingleValueJson.toSparkValue(
+            f.fieldType.asInstanceOf[IcePrimitive], v))
+          case None =>
+            require(!f.required, s"required column ${f.name} missing from input " +
+              "and has no write-default")
+            lit(null)
+        }
+      src.cast(SparkConv.toSparkType(f.fieldType))
         .as(f.name, SparkConv.toSparkField(f).metadata)
     }: _*)
 

@@ -49,6 +49,12 @@ object MetaJson {
     o.put("required", f.required)
     o.set[ObjectNode]("type", typeToJson(f.fieldType))
     f.doc.foreach(o.put("doc", _))
+    // default values, JSON single-value serialization (spec Appendix D;
+    // key names json_internal.cc:78-79)
+    f.initialDefault.foreach(v =>
+      o.set[JsonNode]("initial-default", SingleValueJson.toJson(f.fieldType, v)))
+    f.writeDefault.foreach(v =>
+      o.set[JsonNode]("write-default", SingleValueJson.toJson(f.fieldType, v)))
     o
   }
 
@@ -70,12 +76,17 @@ object MetaJson {
   private def fieldFromJson(n: JsonNode): NestedField = {
     require(n.has("id") && n.has("name") && n.has("type"),
       s"invalid schema field: $n")
+    val tpe = typeFromJson(n.get("type"))
+    def default(key: String): Option[Any] =
+      Option(n.get(key)).filterNot(_.isNull).map(SingleValueJson.fromJson(tpe, _))
     NestedField(
       id = n.get("id").asInt,
       name = n.get("name").asText,
-      fieldType = typeFromJson(n.get("type")),
+      fieldType = tpe,
       required = if (n.has("required")) n.get("required").asBoolean else false,
-      doc = Option(n.get("doc")).map(_.asText))
+      doc = Option(n.get("doc")).map(_.asText),
+      initialDefault = default("initial-default"),
+      writeDefault = default("write-default"))
   }
 
   // ---------- schema ----------

@@ -373,10 +373,47 @@ final class UpdateSchema(table: IceTable) {
   private var fields: IndexedSeq[NestedField] = table.schema.fields
   private var nextId: Int = table.metadata.lastColumnId
 
-  def addColumn(name: String, t: IceType, doc: Option[String] = None): UpdateSchema = {
+  def addColumn(name: String, t: IceType, doc: Option[String] = None): UpdateSchema =
+    addColumnWithDefault(name, t, None, None, doc)
+
+  /** Add an optional column with v3 default values: `initialDefault` is
+    * what scans return for rows in files written BEFORE this column
+    * existed (spec: "initial-default"); `writeDefault` is what writers
+    * materialize when the column is absent from appended data
+    * ("write-default"). Values use the [[graft.ice.types.Literal]] raw
+    * conventions; wire form is single-value JSON
+    * ([[graft.ice.meta.SingleValueJson]]). */
+  def addColumnWithDefault(name: String, t: IceType, initialDefault: Option[Any],
+      writeDefault: Option[Any], doc: Option[String] = None): UpdateSchema = {
     require(!fields.exists(_.name == name), s"column $name already exists")
+    // fail at declaration, not at scan time, if the default can't serialize
+    initialDefault.foreach(v => graft.ice.meta.SingleValueJson.toJson(t, v))
+    writeDefault.foreach(v => graft.ice.meta.SingleValueJson.toJson(t, v))
     nextId += 1
-    fields = fields :+ NestedField(nextId, name, t, required = false, doc)
+    fields = fields :+ NestedField(nextId, name, t, required = false, doc,
+      initialDefault = initialDefault, writeDefault = writeDefault)
+    this
+  }
+
+  /** Add a REQUIRED column to a table that may already hold data — only
+    * legal with a non-null initial-default (the spec's condition: rows in
+    * existing files must still produce a value). */
+  def addRequiredColumn(name: String, t: IceType, initialDefault: Any,
+      writeDefault: Option[Any] = None, doc: Option[String] = None): UpdateSchema = {
+    addColumnWithDefault(name, t, Some(initialDefault),
+      writeDefault.orElse(Some(initialDefault)), doc)
+    fields = fields.map(f => if (f.name == name) f.copy(required = true) else f)
+    this
+  }
+
+  /** Change a column's write-default. The initial-default is intentionally
+    * NOT updatable: it is fixed at column creation (spec rule — changing
+    * it would rewrite history for files that omit the column). */
+  def updateColumnDefault(name: String, writeDefault: Option[Any]): UpdateSchema = {
+    val f = fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column $name"))
+    writeDefault.foreach(v => graft.ice.meta.SingleValueJson.toJson(f.fieldType, v))
+    fields = fields.map(x => if (x.name == name) x.copy(writeDefault = writeDefault) else x)
     this
   }
 

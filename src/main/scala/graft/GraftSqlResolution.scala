@@ -508,6 +508,44 @@ private[graft] object GraftDdl {
     }
   }
 
+  /** Connector default-value literal (catalyst-internal value + Spark
+    * type) → the Iceberg raw-value convention of
+    * [[graft.ice.types.Literal]] (Int days, Long micros, JBigDecimal...).
+    * Null means "no default" at this layer. */
+  def toIceRaw(dt: DataType, catalystValue: Any): Any = {
+    if (catalystValue == null) return null
+    val ext = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(catalystValue, dt)
+    ext match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case l: java.time.LocalDateTime =>
+        l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
+      case bd: scala.math.BigDecimal => bd.bigDecimal
+      case other => other // primitives, String, Array[Byte]
+    }
+  }
+
+  /** Fold a stored default-value SQL string ("'STANDARD'", "CAST(7 AS INT)")
+    * to an Iceberg raw value. Only constant-foldable expressions qualify —
+    * Spark's own ResolveDefaultColumns enforces the same restriction. */
+  def foldDefaultSql(sql: String, dt: DataType,
+      spark: org.apache.spark.sql.SparkSession): Option[Any] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CatLit}
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val adapted = parsed match {
+        case l: CatLit if l.dataType == dt => l
+        case e if e.resolved && e.foldable => Cast(e, dt)
+        case _ => return None
+      }
+      if (!adapted.resolved || !adapted.foldable) None
+      else Option(toIceRaw(dt, adapted.eval(null)))
+    } catch { case _: Exception => None }
+
   /** Iceberg partition-field naming convention. */
   def partName(col: String, t: IceTransform): String = t match {
     case IdentityTransform => col

@@ -653,6 +653,12 @@ object SparkEntry {
               |GROUP BY o_orderpriority""".stripMargin)
     }),
 
+    "sql_catalog_defaults" -> ((s, dir) => {
+      CatalogDmlFixture.ensure(s, dir)
+      s.sql("""SELECT s_suppkey, s_name, tier
+              |FROM ice.catq.supp_defaults""".stripMargin)
+    }),
+
     "sql_catalog_merge" -> ((s, dir) => {
       CatalogDmlFixture.ensure(s, dir)
       s.sql("""SELECT o_orderstatus, count(*) AS n_rows,
@@ -1386,6 +1392,10 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
         |FROM orders""".stripMargin,
+    "sql_catalog_defaults" ->
+      """SELECT s_suppkey, s_name,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 'STANDARD' ELSE 'BASIC' END AS tier
+        |FROM supplier""".stripMargin,
     "sql_catalog_update" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(CASE WHEN o_orderstatus = 'O'
@@ -2482,6 +2492,22 @@ object CatalogDmlFixture {
       s.sql("""UPDATE ice.catq.orders_v2dml SET o_totalprice = o_totalprice * 2.0
               |WHERE o_orderstatus = 'O'""".stripMargin)
       s.sql("DELETE FROM ice.catq.orders_v2dml WHERE o_orderpriority = '5-LOW'")
+    }
+
+    // v3 defaults through pure SQL DDL/DML: ADD COLUMN DEFAULT sets
+    // initial+write default, SET DEFAULT then moves only the WRITE
+    // default — so pre-evolution rows read 'STANDARD' (scan-injected)
+    // while the later defaults-filled INSERT writes 'BASIC'
+    if (!cat.tableExists(TableIdentifier(Seq("catq"), "supp_defaults"))) {
+      Tables.raw(s, sfDir, "supplier").createOrReplaceTempView("catq_supplier")
+      s.sql("""CREATE TABLE ice.catq.supp_defaults AS
+              |SELECT s_suppkey, s_name FROM catq_supplier
+              |WHERE s_suppkey % 2 = 0""".stripMargin)
+      s.sql("ALTER TABLE ice.catq.supp_defaults ADD COLUMN tier STRING DEFAULT 'STANDARD'")
+      s.sql("ALTER TABLE ice.catq.supp_defaults ALTER COLUMN tier SET DEFAULT 'BASIC'")
+      s.sql("""INSERT INTO ice.catq.supp_defaults (s_suppkey, s_name)
+              |SELECT s_suppkey, s_name FROM catq_supplier
+              |WHERE s_suppkey % 2 = 1""".stripMargin)
     }
 
     if (!cat.tableExists(TableIdentifier(Seq("catq"), "merge_v2"))) {

@@ -117,8 +117,42 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(toId(ident))
 
+  /** DEFAULT clauses in CREATE/ALTER TABLE are accepted (and mapped to
+    * the v3 initial-default/write-default schema fields). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val iceSchema = SparkConv.fromSpark(CatalogV2Compat.schemaOf(info))
+    val sparkSchema = CatalogV2Compat.schemaOf(info)
+    val iceSchema0 = SparkConv.fromSpark(sparkSchema)
+    // DEFAULT clauses ride in as metadata SQL strings (Spark's
+    // ResolveDefaultColumns convention): CURRENT_DEFAULT = what future
+    // writes fill (write-default), EXISTS_DEFAULT = what pre-existing
+    // rows read (initial-default; constant-folded by Spark already)
+    val iceSchema = {
+      import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+      val spark = SparkSession.active
+      val byName = sparkSchema.fields.map(f => f.name -> f).toMap
+      val fields = iceSchema0.fields.map { f =>
+        byName.get(f.name).filter(_.metadata.contains(CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+          .map { sf =>
+            val dt = sf.dataType
+            val cur = GraftDdl.foldDefaultSql(
+              sf.metadata.getString(CURRENT_DEFAULT_COLUMN_METADATA_KEY), dt, spark)
+            val exists =
+              if (sf.metadata.contains(EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+                GraftDdl.foldDefaultSql(
+                  sf.metadata.getString(EXISTS_DEFAULT_COLUMN_METADATA_KEY), dt, spark)
+              else cur
+            require(cur.isDefined, s"DEFAULT for column ${f.name} must be a " +
+              "constant-foldable expression")
+            f.copy(initialDefault = exists, writeDefault = cur)
+          }.getOrElse(f)
+      }
+      iceSchema0.copy(fields = fields)
+    }
     val transforms = GraftDdl.toIceTransforms(info.partitions.toSeq)
     val spec =
       if (transforms.isEmpty) PartitionSpec.unpartitioned
@@ -153,8 +187,26 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
       val up = t.updateSchema()
       schemaChanges.foreach {
         case a: TableChange.AddColumn =>
-          up.addColumn(top(a.fieldNames), GraftDdl.toIceType(a.dataType),
-            Option(a.comment))
+          // a DEFAULT clause maps to v3 defaults: the literal becomes both
+          // the initial-default (what rows in pre-existing files read) and
+          // the write-default (what future column-less writes fill)
+          val default = Option(a.defaultValue()).map { dv =>
+            dv.getValue() match {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                GraftDdl.toIceRaw(l.dataType(), l.value())
+              case other => throw new UnsupportedOperationException(
+                s"non-literal DEFAULT not supported: $other")
+            }
+          }
+          if (a.isNullable)
+            up.addColumnWithDefault(top(a.fieldNames), GraftDdl.toIceType(a.dataType),
+              default, default, Option(a.comment))
+          else {
+            require(default.isDefined,
+              s"adding NOT NULL column ${top(a.fieldNames)} requires a DEFAULT")
+            up.addRequiredColumn(top(a.fieldNames), GraftDdl.toIceType(a.dataType),
+              default.get, default, Option(a.comment))
+          }
         case r: TableChange.RenameColumn => up.renameColumn(top(r.fieldNames), r.newName)
         case d: TableChange.DeleteColumn => up.deleteColumn(top(d.fieldNames))
         case u: TableChange.UpdateColumnType =>
@@ -169,6 +221,25 @@ class GraftCatalogPlugin extends TableCatalog with SupportsNamespaces
           up.makeOptional(top(n.fieldNames))
         case c: TableChange.UpdateColumnComment =>
           up.updateColumnDoc(top(c.fieldNames), c.newComment)
+        case d: TableChange.UpdateColumnDefaultValue =>
+          // ALTER COLUMN ... SET/DROP DEFAULT changes the WRITE default
+          // only; the initial-default stays fixed at column creation
+          // (changing it would rewrite history for column-less files)
+          val newDefault = Option(d.newCurrentDefault()).flatMap { dv =>
+            dv.getExpression() match {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                Option(GraftDdl.toIceRaw(l.dataType(), l.value()))
+              case _ =>
+                val f = t.schema.findFieldByName(top(d.fieldNames)).getOrElse(
+                  throw new IllegalArgumentException(s"no such column ${top(d.fieldNames)}"))
+                val dt = SparkConv.toSparkType(f.fieldType)
+                val folded = GraftDdl.foldDefaultSql(dv.getSql(), dt, SparkSession.active)
+                require(folded.isDefined,
+                  s"DEFAULT for ${top(d.fieldNames)} must be constant-foldable: ${dv.getSql()}")
+                folded
+            }
+          }
+          up.updateColumnDefault(top(d.fieldNames), newDefault)
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }

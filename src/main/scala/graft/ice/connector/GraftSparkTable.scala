@@ -72,7 +72,26 @@ final class GraftSparkTable(val table: IceTable, catalogName: String,
       .flatMap(id => table.metadata.snapshotById(id))
       .flatMap(_.schemaId).flatMap(table.metadata.schemaById)
       .getOrElse(table.schema)
-    SparkConv.toSpark(s)
+    // advertise v3 defaults through Spark's column-default metadata so
+    // INSERTs with partial column lists fill the write-default (Spark's
+    // ResolveDefaultColumns reads these keys off Table.columns())
+    val st = SparkConv.toSpark(s)
+    StructType(st.fields.zip(s.fields).map { case (sf, f) =>
+      f.writeDefault.flatMap(v =>
+        GraftConnectorUtil.defaultValueSql(f.fieldType, v)) match {
+        case None => sf
+        case Some(sql) =>
+          import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(sf.metadata)
+            .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+              f.initialDefault.flatMap(iv =>
+                GraftConnectorUtil.defaultValueSql(f.fieldType, iv)).getOrElse(sql))
+            .build()
+          sf.copy(metadata = md)
+      }
+    })
   }
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -132,6 +151,35 @@ final class GraftSparkTable(val table: IceTable, catalogName: String,
 }
 
 private[connector] object GraftConnectorUtil {
+
+  /** An Iceberg default value as a Spark SQL literal expression string —
+    * the form Spark's ResolveDefaultColumns stores in column metadata.
+    * None for types with no SQL literal form. */
+  def defaultValueSql(t: graft.ice.types.IceType, v: Any): Option[String] = {
+    import graft.ice.types._
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    (t, v) match {
+      case (BooleanT, b: Boolean) => Some(b.toString)
+      case (IntT, i: Int) => Some(s"CAST($i AS INT)")
+      case (LongT, l: Long) => Some(s"CAST($l AS BIGINT)")
+      case (FloatT, f: Float) => Some(s"CAST('$f' AS FLOAT)")
+      case (DoubleT, d: Double) => Some(s"CAST('$d' AS DOUBLE)")
+      case (DecimalT(p, s), bd: java.math.BigDecimal) =>
+        Some(s"CAST('${bd.toPlainString}' AS DECIMAL($p,$s))")
+      case (StringT, s: String) => Some(q(s))
+      case (UuidT, u: java.util.UUID) => Some(q(u.toString))
+      case (DateT, days: Int) =>
+        Some(s"DATE'${java.time.LocalDate.ofEpochDay(days.toLong)}'")
+      case (TimestampT, _: Long) =>
+        Some(s"TIMESTAMP_NTZ${q(graft.ice.meta.SingleValueJson.toJson(t, v).asText)}")
+      case (TimestampTzT, _: Long) =>
+        Some(s"TIMESTAMP${q(graft.ice.meta.SingleValueJson.toJson(t, v).asText)}")
+      case (TimeT, l: Long) => Some(s"CAST($l AS BIGINT)") // time maps to LongType
+      case (BinaryT | FixedT(_), b: Array[Byte]) =>
+        Some("X'" + b.map(x => f"${x & 0xff}%02X").mkString + "'")
+      case _ => None
+    }
+  }
 
   /** Our partition-spec ADT → connector transforms; None when a field
     * uses a transform the connector grammar can't express (void). */
@@ -396,12 +444,19 @@ private[connector] sealed trait GraftScanSplit extends InputPartition {
   def fileSize: Long
   def useFieldIds: Boolean
   def deletes: GraftDeleteSpec
+  /** Field ids of v3-defaulted columns this file predates (proven absent
+    * from manifest metrics at plan time) — the reader injects each
+    * column's initial-default in place of the null the parquet reader
+    * would return. */
+  def absentDefaults: Seq[Int]
 }
 private[connector] final case class GraftFileSplit(path: String, fileSize: Long,
-    useFieldIds: Boolean, deletes: GraftDeleteSpec) extends GraftScanSplit
+    useFieldIds: Boolean, deletes: GraftDeleteSpec,
+    absentDefaults: Seq[Int] = Nil) extends GraftScanSplit
 private[connector] final case class GraftKeyedFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
-    key: InternalRow) extends GraftScanSplit with HasPartitionKey {
+    key: InternalRow, absentDefaults: Seq[Int] = Nil) extends GraftScanSplit
+    with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
@@ -499,6 +554,23 @@ private[connector] final class GraftBatchScan(table: IceTable,
       p.startsWith(dataDirPrefix) ||
         t.snapshotId.flatMap(idSummaryBySnap.get).contains("all")
 
+    // v3 default values: which defaulted columns does each file predate?
+    // Proven from manifest metrics (metadata-only); cached footer probe
+    // only for metric-less legacy files — mirrors ScanBuilder.toDF.
+    val defaultedIds = table.schema.fields.filter(f =>
+      f.initialDefault.isDefined && f.fieldType.isInstanceOf[graft.ice.types.IcePrimitive])
+      .map(_.id)
+    def absentFor(t: FileScanTask, p: String): Seq[Int] =
+      if (defaultedIds.isEmpty) Nil
+      else {
+        val m = t.file
+        val hasMetrics = m.valueCounts.nonEmpty || m.columnSizes.nonEmpty
+        defaultedIds.filter { id =>
+          if (hasMetrics) !m.valueCounts.contains(id) && !m.columnSizes.contains(id)
+          else !ScanBuilder.footerFieldIds(p, SparkSession.active).contains(id)
+        }
+      }
+
     // SPJ is reportable only when every surviving file lives in the
     // CURRENT spec (older-spec files have a different tuple shape) and
     // every transform maps onto the connector grammar
@@ -513,7 +585,8 @@ private[connector] final class GraftBatchScan(table: IceTable,
     if (!groupable) {
       PlannedScan(tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
-        GraftFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p), deletesFor(t))
+        GraftFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p), deletesFor(t),
+          absentFor(t, p))
       }, None, totalRows, snapId)
     } else {
       val keyed = tasks.map { t =>
@@ -521,7 +594,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
         val key = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           t.file.partition.map(GraftConnectorUtil.toInternalValue).toArray)
         GraftKeyedFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p),
-          deletesFor(t), key): GraftScanSplit
+          deletesFor(t), key, absentFor(t, p)): GraftScanSplit
       }
       val nKeys = tasks.map(_.file.partition).distinct.size
       PlannedScan(keyed, Some(nKeys), totalRows, snapId)
@@ -623,6 +696,23 @@ private[connector] final class GraftBatchScan(table: IceTable,
         .map(cols => cols -> StructType(cols.map(c =>
           fullByName(c).copy(metadata = Metadata.empty)))).toMap
 
+    // v3 initial-defaults as catalyst values keyed by field id, with the
+    // ordinal each occupies in the read schema (absent when the query
+    // projected the column away — nothing to inject then)
+    val defaultsFill: Map[Int, (Int, Any, org.apache.spark.sql.types.DataType)] =
+      table.schema.fields.filter(_.initialDefault.isDefined).flatMap { f =>
+        val ord = readSchemaIds.fieldNames.indexOf(f.name)
+        if (ord < 0) None
+        else {
+          val dt = SparkConv.toSparkType(f.fieldType)
+          val ext = graft.ice.meta.SingleValueJson.toSparkValue(
+            f.fieldType.asInstanceOf[graft.ice.types.IcePrimitive], f.initialDefault.get)
+          val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToCatalyst(ext)
+          Some(f.id -> ((ord, cat, dt)))
+        }
+      }.toMap
+
     GraftReaderFactory(
       readIds = mkReader(readSchemaIds, v1Filters.toSeq),
       readIdsRaw = mkReader(readSchemaIds, Nil),
@@ -633,7 +723,8 @@ private[connector] final class GraftBatchScan(table: IceTable,
       readSchema = readSchemaIds,
       eqSchemas = eqSchemas,
       outputCols = if (extraEq.isEmpty) None
-        else Some(required.fields.indices.toArray))
+        else Some(required.fields.indices.toArray),
+      defaultsFill = defaultsFill)
   }
 }
 
@@ -806,7 +897,9 @@ private[connector] final case class GraftReaderFactory(
     readEqDeletes: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
     readSchema: StructType,
     eqSchemas: Map[Seq[String], StructType],
-    outputCols: Option[Array[Int]]) extends PartitionReaderFactory {
+    outputCols: Option[Array[Int]],
+    defaultsFill: Map[Int, (Int, Any, org.apache.spark.sql.types.DataType)] =
+      Map.empty) extends PartitionReaderFactory {
 
   private def pf(path: String, size: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
@@ -879,9 +972,27 @@ private[connector] final case class GraftReaderFactory(
     val it0 =
       if (!needExactPositions) base
       else base.filter { _ => pos += 1; !deletedPos.contains(pos) }
+    // v3 initial-defaults: files that predate a defaulted column inject
+    // its default in place of the reader's null — BEFORE equality-delete
+    // matching, so deletes keyed on the column see the virtual value
+    val fillOrds = split.absentDefaults.flatMap(defaultsFill.get)
+    val itD =
+      if (fillOrds.isEmpty) it0
+      else {
+        val proj = UnsafeProjection.create(
+          readSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+            fillOrds.find(_._1 == i) match {
+              case Some((_, v, dt)) =>
+                org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+                  : org.apache.spark.sql.catalyst.expressions.Expression
+              case None => BoundReference(i, f.dataType, nullable = true)
+            }
+          })
+        it0.map(proj.apply)
+      }
     val it1 =
-      if (del.eqDeletes.isEmpty) it0
-      else it0.filter(r => eqFilters.forall(f => f(r)))
+      if (del.eqDeletes.isEmpty) itD
+      else itD.filter(r => eqFilters.forall(f => f(r)))
     val it: Iterator[InternalRow] = outputCols match {
       case None => it1
       case Some(idx) =>

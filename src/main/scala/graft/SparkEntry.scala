@@ -800,6 +800,25 @@ object SparkEntry {
     "x5_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.scan(s, dir, "documents"), "text", 200)),
 
+    // Gopher-style repetition filters: duplicate-token ratio +
+    // most-frequent-bigram fraction per doc, keep verdict at fixed
+    // thresholds; both shuffles keyed by doc_id (linear at any scale)
+    "x7_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables.scan(s, dir, "documents"),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dup_token_ratio"), 6).as("dup_token_ratio"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          col("keep"))),
+
+    // corpus-unigram NLL — the perplexity-filter stand-in: broadcast
+    // vocabulary-sized unigram table, mean -ln p(token) per doc
+    "x8_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramNll(Tables.scan(s, dir, "documents"),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nll"), 6).as("nll"))),
+
     // deterministic stratified sampling: k docs per language chosen by a
     // fixed integer mix of the id — reproducible across engines/runs (no
     // RNG), the shape "sample k per stratum" takes at corpus scale
@@ -1539,6 +1558,31 @@ object SparkEntry {
         |    t -> len(t) > 0)) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
+    "x7_repetition" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) AS l FROM documents),
+        |m AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(l) > 0 THEN 1.0 - len(list_distinct(l))*1.0/len(l)
+        |         ELSE 0.0 END AS dup_raw FROM t),
+        |bg AS (SELECT doc_id, unnest(list_transform(list_zip(l[:len(l)-1], l[2:]),
+        |    p -> p[1] || ' ' || p[2])) AS bg FROM t WHERE len(l) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c)*1.0/sum(c) AS top_raw FROM bc GROUP BY 1)
+        |SELECT m.doc_id, m.n_tokens,
+        |  round(m.dup_raw, 6) AS dup_token_ratio,
+        |  round(coalesce(top.top_raw, 0.0), 6) AS top_bigram_frac,
+        |  (m.dup_raw <= 0.55 AND coalesce(top.top_raw, 0.0) <= 0.05) AS keep
+        |FROM m LEFT JOIN top USING (doc_id)""".stripMargin,
+    "x8_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |c AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(c.c * 1.0 / tot.total)), 6) AS nll
+        |FROM tok JOIN c USING (t) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "x6_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

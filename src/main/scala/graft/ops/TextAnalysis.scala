@@ -143,6 +143,59 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** Gopher-style repetition metrics (the public MassiveText filter
+    * family): per-doc duplicate-token ratio and most-frequent-bigram
+    * fraction, plus a keep verdict at fixed thresholds. Both shuffles
+    * are keyed by the document id ((id, bigram) then (id)) — no
+    * cross-document state, so the plan is linear in corpus size and
+    * partitions by document at any scale. */
+  def repetitionMetrics(df0: DataFrame, idCol: String, textCol: String,
+      maxDupTokenRatio: Double = 0.55,
+      maxTopBigramFrac: Double = 0.05): DataFrame = {
+    val df = Par.ensure(df0)
+    val base = df
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("dup_token_ratio",
+        when(col("n_tokens") > 0,
+          lit(1.0) - size(array_distinct(col("__toks"))).cast("double") /
+            col("n_tokens"))
+          .otherwise(lit(0.0)))
+    val bigrams = base
+      .filter(col("n_tokens") >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), (col("n_tokens") - 1).cast("int")),
+        slice(col("__toks"), lit(2), (col("n_tokens") - 1).cast("int")),
+        (a, b) => concat_ws(" ", a, b))).as("__bg"))
+    val top = bigrams
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("top_bigram_frac"))
+    base.drop("__toks")
+      .join(top, Seq(idCol), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_token_ratio") <= maxDupTokenRatio &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
+  }
+
+  /** Corpus-unigram negative log-likelihood — the cheap, engine-native
+    * stand-in for the LM-perplexity filter (the CCNet-style gate): the
+    * corpus unigram table is vocabulary-sized and broadcast; each doc
+    * scores the mean -ln p(token). One explode, one vocabulary-keyed
+    * aggregation, one doc-keyed aggregation — linear in corpus size. */
+  def unigramNll(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = Par.ensure(df0)
+    val tok = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
+    val counts = tok.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum("__c").as("__total"))
+    tok.join(broadcast(counts), "__t")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("__c").cast("double") / col("__total"))).as("nll"))
+  }
+
   /** Deterministic stratified sample: the k rows per stratum with the
     * smallest value of a fixed integer mixing function of the id —
     * reproducible across engines and runs (no RNG), which is what a

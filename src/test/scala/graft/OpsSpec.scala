@@ -614,6 +614,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eval.map(_.getString(0)).toSet == Set("en", "es", "de", "fr", "zh"))
   }
 
+  test("repetition metrics match hand-computed values") {
+    import spark.implicits._
+    // "a b a b a": 5 tokens, 2 distinct -> dup 0.6; bigrams
+    // [a b, b a, a b, b a] -> top frac 2/4 = 0.5
+    // "x y z": dup 0.0, top bigram frac 1/2 = 0.5
+    // "q": dup 0.0, no bigrams -> 0.0
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("dup_token_ratio"),
+          r.getAs[Double]("top_bigram_frac"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((5L, 1.0 - 2.0 / 5.0, 0.5, false)))
+    assert(out(2L) == ((3L, 0.0, 0.5, false)))
+    assert(out(3L) == ((1L, 0.0, 0.0, true)))
+  }
+
+  test("unigram NLL matches hand-computed corpus probabilities") {
+    import spark.implicits._
+    // corpus: a a a b -> p(a)=3/4, p(b)=1/4
+    val df = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("nll")))).toMap
+    val lnA = -math.log(3.0 / 4.0)
+    val lnB = -math.log(1.0 / 4.0)
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - lnA) < 1e-12)
+    assert(math.abs(out(2L)._2 - (lnA + lnB) / 2.0) < 1e-12)
+  }
+
   test("multimodal stub plumbing: payload -> meta -> features") {
     val media = Multimodal.asMedia(docs, "text")
     assert(media.schema("payload").dataType.typeName == "binary")

@@ -726,6 +726,13 @@ object SparkEntry {
       Dedup.jaccardClusters(Tables.scan(s, dir, "documents"),
         "text", "doc_id", "lang")),
 
+    // near-SUBSET duplicates (excerpt/quote dups symmetric jaccard
+    // misses): directed containment |A∩B|/|A| >= 0.8 via asymmetric
+    // PPJoin — contained side prefix-filters, container side posts all
+    "d9_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.scan(s, dir, "documents"),
+        "text", "doc_id", "lang")),
+
     "d5_embedding_neardup" -> ((s, dir) => {
       val emb = Tables.raw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -1558,6 +1565,22 @@ object SparkEntry {
         |    t -> len(t) > 0)) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
+    "d9_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM toks WHERE len(w) >= 3
+        |)
+        |SELECT id_a, id_b, round(ncommon * 1.0 / na, 6) AS containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS ncommon, len(a.s) AS na
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+        |WHERE ncommon * 5 >= na * 4""".stripMargin,
     "x7_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
         |    x -> len(x) > 0) AS l FROM documents),

@@ -160,6 +160,62 @@ object Dedup {
       .filter(col("n_common") * thresholdDen >= col("n_union") * thresholdNum)
   }
 
+  /** Near-SUBSET duplicates: directed pairs where containment
+    * C(A,B) = |A∩B| / |A| >= t — doc A is (nearly) contained in doc B,
+    * the excerpt/quote duplicate that symmetric jaccard misses (a short
+    * doc inside a long one has low jaccard but containment ~1).
+    *
+    * Asymmetric PPJoin: only the CONTAINED side prefix-filters (its
+    * prefix is |A| - ⌈t·|A|⌉ + 1 rarest shingles, same global frequency
+    * order as [[jaccardCandidates]]); the container side posts every
+    * shingle — containment puts no upper bound on |B|, so no length or
+    * B-side prefix filter is sound. Skew stays bounded because the
+    * A-side prefix picks globally RARE shingles: a hot shingle almost
+    * never lands in any prefix, so per-shingle candidate volume is
+    * prefix-occupancy × frequency with prefix-occupancy ≈ 0 for hot
+    * keys. Verification is exact (array_intersect on the shingle sets).
+    * Length filter |B| >= t·|A| is sound and applied. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, shingleN: Int = 3,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val sh = shingleSets(df, textCol, idCol, blockCol, shingleN)
+    val postings = sh.select(col("__blk"), col("__id"),
+      size(col("__sh")).cast("long").as("__n"),
+      explode(col("__sh")).as("__s0"))
+      .withColumn("__s", xxhash64(col("__s0"))).drop("__s0")
+    val freq = postings.groupBy("__s").agg(count(lit(1)).as("__f"))
+      .filter(col("__f") > 1)
+    val ranked = postings.join(broadcast(freq), Seq("__s"), "left")
+      .withColumn("__f", coalesce(col("__f"), lit(1L)))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy("__blk", "__id").orderBy(col("__f"), col("__s"))))
+    // contained side: prefix n - ceil(t*n) + 1; container side: all
+    val a = ranked.filter(col("__rank") <=
+      col("__n") - expr(s"(__n * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
+      .select(col("__blk"), col("__s"), col("__id").as("id_a"),
+        col("__n").as("__na"), col("__rank").as("__pa"))
+    val b = ranked.select(col("__blk"), col("__s"), col("__id").as("id_b"),
+      col("__n").as("__nb"), col("__rank").as("__pb"))
+    // positional filter: needed overlap alpha = ceil(t*na); a match at
+    // (pa, pb) caps achievable overlap at 1 + min(na-pa, nb-pb)
+    val alpha = expr(s"(__na * $thresholdNum + $thresholdDen - 1) div $thresholdDen")
+    val cands = a.join(b, Seq("__blk", "__s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("__nb") * thresholdDen >= col("__na") * thresholdNum)
+      .filter(lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= alpha)
+      .select("id_a", "id_b").distinct()
+    val sets = sh.select(col("__id"), col("__sh"))
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__common"),
+        size(col("__sa")).cast("long").as("__na"))
+      .filter(col("__common") * thresholdDen >= col("__na") * thresholdNum)
+      .select(col("id_a"), col("id_b"),
+        round(col("__common").cast("double") / col("__na"), 6).as("containment"))
+  }
+
   /** Connected components of an undirected pair graph — the pipeline
     * step AFTER pair generation: near-duplicate PAIRS become near-dup
     * CLUSTERS, each with one canonical survivor (the minimum id).

@@ -614,6 +614,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eval.map(_.getString(0)).toSet == Set("en", "es", "de", "fr", "zh"))
   }
 
+  test("containment pairs find near-subset dups that jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ") // strict prefix
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, short, "en"), (2L, long, "en"), (3L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.containmentPairs(df, "text", "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // short's 8 shingles all appear in long: containment 1.0, directed
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+    // ...while symmetric jaccard (8/38) is far below threshold
+    val jac = Dedup.jaccardExactPairs(df, "text", "doc_id", "lang")
+    assert(jac.count() == 0)
+  }
+
   test("repetition metrics match hand-computed values") {
     import spark.implicits._
     // "a b a b a": 5 tokens, 2 distinct -> dup 0.6; bigrams

@@ -733,6 +733,18 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.scan(s, dir, "documents"),
         "text", "doc_id", "lang")),
 
+    // SemDeDup: embedding-space dedup by cluster-then-compare — the
+    // quantizer is the SAME cached corpus artifact e3's IVF probe uses
+    "d10_semdedup" -> ((s, dir) => {
+      val emb = Tables.raw(s, dir, "embeddings")
+        .withColumn("emb", col("embedding").cast("array<double>"))
+      Similarity.semDedup(emb, "vec_id", "emb",
+        nClusters = 16, threshold = 0.25,
+        cacheKey = Some(s"ivf:$dir/embeddings:16"))
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          round(col("cosine"), 4).as("cosine"))
+    }),
+
     "d5_embedding_neardup" -> ((s, dir) => {
       val emb = Tables.raw(s, dir, "embeddings")
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -825,6 +837,33 @@ object SparkEntry {
         "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("nll"), 6).as("nll"))),
+
+    // benchmark decontamination: corpus docs sharing any complete word
+    // 8-gram with the benchmark split (doc_id % 7 == 0 stands in for the
+    // eval suite); benchmark gram set broadcast, corpus side map-only
+    "x9_decontaminate" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 8)
+    }),
+
+    // deterministic mixture resampling: per-source quotas in exact
+    // integer ratio 3:2:1 (first five sources 3, next five 2, rest 1),
+    // scarcest source sets the budget — all-integer, RNG-free
+    "x10_source_mix" -> ((s, dir) => {
+      val parts = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap
+      Corpus.mixtureSample(Tables.scan(s, dir, "documents"),
+        "source", "doc_id", parts)
+        .select("source", "doc_id")
+    }),
+
+    // deterministic shard layout: (shard, pos) placement for a sharded
+    // training-data writer, reproducible across engines
+    "x11_shard_assign" -> ((s, dir) =>
+      Corpus.shardAssign(Tables.scan(s, dir, "documents"), "doc_id", 8)),
 
     // deterministic stratified sampling: k docs per language chosen by a
     // fixed integer mix of the id — reproducible across engines/runs (no
@@ -1606,6 +1645,42 @@ object SparkEntry {
         |  round(avg(-ln(c.c * 1.0 / tot.total)), 6) AS nll
         |FROM tok JOIN c USING (t) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    "x9_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
+        |    i -> array_to_string(w[i:i+7], ' '))) AS s
+        |  FROM toks WHERE len(w) >= 8),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 7 <> 0)
+        |SELECT corp.doc_id, count(*) AS n_hit_ngrams
+        |FROM corp JOIN bench USING (gram)
+        |GROUP BY 1""".stripMargin,
+    "x10_source_mix" ->
+      """WITH p AS (SELECT source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3
+        |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2
+        |         ELSE 1 END AS part,
+        |    count(*) AS n
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT min(n // part) AS bb FROM p),
+        |q AS (SELECT source, part * bb AS quota FROM p CROSS JOIN b),
+        |r AS (SELECT d.source, d.doc_id, q.quota,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY (d.doc_id * 2654435761 + 1013904223) % 4294967296, d.doc_id) AS rk
+        |  FROM documents d JOIN q USING (source))
+        |SELECT source, doc_id FROM r WHERE rk <= quota""".stripMargin,
+    "x11_shard_assign" ->
+      """WITH k AS (SELECT doc_id,
+        |    (doc_id * 2654435761 + 1013904223) % 4294967296 AS key
+        |  FROM documents)
+        |SELECT key % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM k""".stripMargin,
     "x6_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

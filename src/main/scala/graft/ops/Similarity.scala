@@ -195,6 +195,74 @@ object Similarity {
     cents
   }
 
+  /** Resolve the coarse quantizer for a corpus: JVM cache, then sidecar
+    * parquet, then a fresh [[fitQuantizer]] fit on a bounded,
+    * partition-invariant sample — the quantizer needs cluster SHAPE, not
+    * every row; at corpus scale a full fit would dominate, and a
+    * layout-dependent sample would make the centroids differ between
+    * environments. Shared by [[ivfTopK]] and [[semDedup]] so both treat
+    * the quantizer as one persistent per-corpus artifact. */
+  private def quantizerFor(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, cacheKey: Option[String],
+      persistPath: Option[String]): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    val cents: Array[Array[Double]] =
+      cacheKey.flatMap(key => Option(centroidCache.get(key)))
+        .orElse(persistPath
+          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          .map(p => loadCentroids(spark, p)))
+        .getOrElse {
+          quantizerFits.incrementAndGet()
+          val c = fitQuantizer(corpus, idCol, vecCol, nClusters)
+          persistPath.foreach(p => saveCentroids(spark, p, c))
+          c
+        }
+    cacheKey.foreach(key => centroidCache.putIfAbsent(key, cents))
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** SemDeDup (the public cluster-then-compare recipe, Abbas et al.
+    * 2023, arXiv:2303.09540): assign every embedding to its nearest
+    * coarse-quantizer centroid, compare pairs ONLY within a cluster, and
+    * drop each vector that has a more-senior (lower-id) near-duplicate
+    * at cosine >= threshold. Returns the DROP LIST — one row per
+    * eliminated vector with its cluster, the surviving duplicate it
+    * matched (the smallest such id, so the verdict is deterministic),
+    * and that pair's cosine.
+    *
+    * This is the embedding-space answer to the quadratic-pair problem
+    * the text side solves with LSH banding (d3) and PPJoin prefixes
+    * (d7): with nClusters sized to the corpus (occupancy n/k bounded),
+    * the within-cluster self-join generates O(n * occupancy) candidate
+    * pairs instead of O(n^2) — the design point of the SemDeDup paper.
+    * The only shuffles are the two cluster-keyed exchanges feeding the
+    * self-join and the final per-vector min; centroids are broadcast. */
+  def semDedup(corpus0: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double,
+      cacheKey: Option[String] = None,
+      persistPath: Option[String] = None): DataFrame = {
+    val corpus = Par.ensure(corpus0)
+    val centSeq =
+      quantizerFor(corpus, idCol, vecCol, nClusters, cacheKey, persistPath)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), centSeq).as("cluster"))
+    val lhs = assigned.select(col("cluster"), col(idCol).as("__a"),
+      col(vecCol).as("__va"))
+    val rhs = assigned.select(col("cluster"), col(idCol).as("__b"),
+      col(vecCol).as("__vb"))
+    lhs.join(rhs, Seq("cluster"))
+      .filter(col("__a") < col("__b"))
+      .withColumn("__cos", cosine(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      // the dropped vector keeps ONE witness: its smallest surviving
+      // near-duplicate (min on (a, cos) structs — a is unique per group)
+      .groupBy(col("__b"))
+      .agg(min(col("cluster")).as("cluster"), // constant per group (one cell per vector)
+        min(struct(col("__a"), col("__cos"))).as("__m"))
+      .select(col("__b").as(idCol), col("cluster"),
+        col("__m.__a").as("dup_of"), col("__m.__cos").as("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
     * each vector assigned to its nearest centroid ONCE; queries probe the
     * `nProbe` nearest centroids and run exact cosine only within those
@@ -215,23 +283,8 @@ object Similarity {
       persistPath: Option[String] = None): DataFrame = {
     val spark = corpus0.sparkSession
     val corpus = Par.ensure(corpus0)
-    val cents: Array[Array[Double]] =
-      cacheKey.flatMap(key => Option(centroidCache.get(key)))
-        .orElse(persistPath
-          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-          .map(p => loadCentroids(spark, p)))
-        .getOrElse {
-          quantizerFits.incrementAndGet()
-          // fit on a bounded, partition-invariant sample: the quantizer
-          // needs cluster SHAPE, not every row — at corpus scale a full
-          // fit would dominate, and a layout-dependent sample would make
-          // the centroids differ between environments
-          val c = fitQuantizer(corpus, idCol, vecCol, nClusters)
-          persistPath.foreach(p => saveCentroids(spark, p, c))
-          c
-        }
-    cacheKey.foreach(key => centroidCache.putIfAbsent(key, cents))
-    val centSeq = cents.map(_.toSeq).toSeq
+    val centSeq =
+      quantizerFor(corpus, idCol, vecCol, nClusters, cacheKey, persistPath)
     val assigned = corpus.withColumn("__cell", nearestCell(col(vecCol), centSeq))
     // centroid table: tiny (nClusters rows), broadcast to rank cells/query
     import spark.implicits._

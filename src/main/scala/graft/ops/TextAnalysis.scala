@@ -128,6 +128,47 @@ object TextAnalysis {
     Par.ensure(df).select(col(idCol),
       fingerprint(col(textCol), gram).as("fingerprint"))
 
+  /** Complete word n-grams of an already-materialized token array —
+    * unlike [[graft.ops.Dedup.shinglesOf]] a document shorter than n
+    * contributes NO gram (a partial window can never equal a full
+    * benchmark n-gram, so emitting it would only inflate the explode). */
+  private def fullNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination — the n-gram-overlap scan every training
+    * pipeline runs before a model ships: a corpus document is
+    * contaminated if it shares ANY complete word n-gram (the public
+    * GPT-3/PaLM recipe uses 8-13 grams) with an evaluation/benchmark
+    * document. Returns one row per contaminated corpus doc with its
+    * count of distinct matching benchmark grams — the evidence a
+    * filtering decision needs.
+    *
+    * Scale shape: the benchmark n-gram set is inherently small (eval
+    * suites are MBs, the corpus is TBs), so it is deduplicated once and
+    * BROADCAST — the corpus side is a map-only explode + broadcast hash
+    * join, and the only corpus-sized shuffle is the per-doc count of
+    * matches, which after map-side combine carries only the (rare)
+    * contaminated grams. Nothing in the plan grows super-linearly in
+    * corpus size. */
+  def decontaminate(corpus0: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val corpus = Par.ensure(corpus0)
+    val benchGrams = benchmark
+      .select(explode(fullNgrams(Dedup.tokens(col(textCol)), n)).as("__g"))
+      .distinct()
+    corpus
+      .select(col(idCol),
+        explode(fullNgrams(Dedup.tokens(col(textCol)), n)).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      // per-doc grams are already distinct, so count(*) is the distinct
+      // benchmark-gram hit count
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+  }
+
   /** Corpus vocabulary: the topN tokens by total occurrence count
     * (ties broken by token, so the selected SET is deterministic).
     * Tokenization matches the dedup family (lowercase, non-word split).

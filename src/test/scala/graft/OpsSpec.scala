@@ -682,4 +682,92 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions.agg(sum("n_events")).head.getLong(0) == ev.count())
     assert(sessions.filter(col("duration_s") < 0).count() == 0)
   }
+
+  test("decontaminate matches a driver-side brute-force n-gram overlap") {
+    def grams(t: String, n: Int): Set[String] = {
+      val w = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (w.length < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchG = all.filter(_._1 % 7 == 0).values.flatMap(grams(_, 3)).toSet
+    val expected = all.filter(_._1 % 7 != 0)
+      .map { case (id, t) => id -> grams(t, 3).count(benchG).toLong }
+      .filter(_._2 > 0)
+    val got = TextAnalysis.decontaminate(
+      docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.nonEmpty, "fixture must actually contain contamination")
+    assert(got == expected)
+    // a doc shorter than n contributes no gram on either side
+    import spark.implicits._
+    val tiny = Seq((1L, "only two"), (2L, "only two words here now")).toDF("doc_id", "text")
+    assert(TextAnalysis.decontaminate(
+      tiny.filter($"doc_id" === 2), tiny.filter($"doc_id" === 1),
+      "doc_id", "text", n = 3).count() == 0)
+  }
+
+  test("mixtureSample keeps exact integer-ratio quotas, layout-invariantly") {
+    val parts = Map("src0" -> 3, "src1" -> 2, "src2" -> 1)
+    val kept = Corpus.mixtureSample(docs, "source", "doc_id", parts)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source has 25 docs -> B = min(25/3, 25/2, 25) = 8
+    assert(bySrc == Map("src0" -> 24L, "src1" -> 16L, "src2" -> 8L))
+    // sources without a weight are dropped entirely
+    assert(kept.filter(!col("source").isin("src0", "src1", "src2")).count() == 0)
+    // the SELECTION (not just the counts) is partition-layout-invariant
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids7 = Corpus.mixtureSample(docs.repartition(7), "source", "doc_id", parts)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids7)
+  }
+
+  test("shardAssign places every row once, pos dense per shard, mix-derived shard") {
+    val n = 8
+    val out = Corpus.shardAssign(docs, "doc_id", n).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val id = r.getLong(2)
+      val key = (id * 2654435761L + 1013904223L) % 4294967296L
+      assert(r.getLong(0) == key % n)
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("semDedup drop list equals brute-force within-cluster dedup") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val threshold = 0.25
+    val got = Similarity.semDedup(emb, "vec_id", "emb",
+      nClusters = 8, threshold = threshold).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "fixture must actually contain semantic dups")
+    // brute force on the driver from the SAME (deterministic) quantizer
+    val cents = Similarity.fitQuantizer(emb, "vec_id", "emb", 8)
+    val vecs = emb.select("vec_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cell(v: Array[Double]): Int = cents.zipWithIndex.minBy { case (c, i) =>
+      (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assigned = vecs.map { case (id, v) => (id, cell(v), v) }
+    val expected = assigned.flatMap { case (b, cb, vb) =>
+      val witnesses = assigned
+        .filter { case (a, ca, va) => a < b && ca == cb && cos(va, vb) >= threshold }
+      witnesses.headOption.map { case (a, _, va) => (b, cb, a, cos(va, vb)) }
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSet ==
+      expected.map(t => (t._1, t._2, t._3)).toSet)
+    val gotCos = got.map(t => (t._1, t._4)).toMap
+    expected.foreach { case (b, _, _, c) =>
+      assert(math.abs(gotCos(b) - c) < 1e-9)
+    }
+  }
 }

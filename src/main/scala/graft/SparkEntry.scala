@@ -733,14 +733,18 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.scan(s, dir, "documents"),
         "text", "doc_id", "lang")),
 
-    // SemDeDup: embedding-space dedup by cluster-then-compare — the
-    // quantizer is the SAME cached corpus artifact e3's IVF probe uses
+    // SemDeDup: embedding-space dedup by cluster-then-compare. The cell
+    // count is CORPUS-SIZED (sqrt(n/2), the d5 lesson — fixed k goes
+    // quadratic as occupancy grows); at the correctness sf that yields
+    // exactly 16, so the quantizer is the SAME cached corpus artifact
+    // e3's IVF probe uses
     "d10_semdedup" -> ((s, dir) => {
       val emb = Tables.raw(s, dir, "embeddings")
         .withColumn("emb", col("embedding").cast("array<double>"))
+      val k = Similarity.autoClusters(emb.count())
       Similarity.semDedup(emb, "vec_id", "emb",
-        nClusters = 16, threshold = 0.25,
-        cacheKey = Some(s"ivf:$dir/embeddings:16"))
+        nClusters = k, threshold = 0.25,
+        cacheKey = Some(s"ivf:$dir/embeddings:$k"))
         .select(col("vec_id"), col("cluster"), col("dup_of"),
           round(col("cosine"), 4).as("cosine"))
     }),
@@ -839,13 +843,15 @@ object SparkEntry {
           round(col("nll"), 6).as("nll"))),
 
     // benchmark decontamination: corpus docs sharing any complete word
-    // 8-gram with the benchmark split (doc_id % 7 == 0 stands in for the
-    // eval suite); benchmark gram set broadcast, corpus side map-only
+    // 8-gram with the benchmark split. The benchmark is a FIXED-COUNT
+    // slice (first 100 doc ids), not a fixed fraction — an eval suite
+    // stays eval-suite-sized however big the corpus grows, which is what
+    // keeps the broadcast gram set O(benchmark) at 100 TB
     "x9_decontaminate" -> ((s, dir) => {
       val docs = Tables.scan(s, dir, "documents")
       TextAnalysis.decontaminate(
-        docs.filter(col("doc_id") % 7 =!= 0),
-        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100),
         "doc_id", "text", n = 8)
     }),
 
@@ -1654,8 +1660,8 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 6),
         |    i -> array_to_string(w[i:i+7], ' '))) AS s
         |  FROM toks WHERE len(w) >= 8),
-        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 7 = 0),
-        |corp AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 7 <> 0)
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id < 100),
+        |corp AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id >= 100)
         |SELECT corp.doc_id, count(*) AS n_hit_ngrams
         |FROM corp JOIN bench USING (gram)
         |GROUP BY 1""".stripMargin,

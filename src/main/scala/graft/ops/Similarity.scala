@@ -153,9 +153,15 @@ object Similarity {
     while (iter < maxIter && moved) {
       moved = false
       // assignment: nearest centroid by squared euclidean, ties → lowest
-      // cell (same rule as NearestCellExpr / nearestCellHof)
-      var p = 0
-      while (p < pts.length) {
+      // cell (same rule as NearestCellExpr / nearestCellHof). The
+      // per-point search is pure (each index writes only its own slot),
+      // so running it on the common pool is DETERMINISM-SAFE — only the
+      // accumulation below is order-sensitive, and that stays serial.
+      // Parallelism matters once nClusters is corpus-sized (semDedup's
+      // sqrt(n) sizing): the k x sample x dim x iters fit cost is the
+      // driver's one heavy loop.
+      val anyMoved = new java.util.concurrent.atomic.AtomicBoolean(false)
+      java.util.stream.IntStream.range(0, pts.length).parallel().forEach { p =>
         val v = pts(p)
         var best = -1; var bestD = Double.MaxValue
         var c = 0
@@ -166,15 +172,15 @@ object Similarity {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        if (assign(p) != best) { assign(p) = best; moved = true }
-        p += 1
+        if (assign(p) != best) { assign(p) = best; anyMoved.set(true) }
       }
+      moved = anyMoved.get()
       if (iter == 0) moved = true // first pass always recomputes means
       // means in sample order (fixed summation order); empty cluster
       // keeps its previous centroid
       val sums = Array.ofDim[Double](k, dim)
       val counts = new Array[Long](k)
-      p = 0
+      var p = 0
       while (p < pts.length) {
         val c = assign(p); val v = pts(p)
         var j = 0
@@ -194,6 +200,16 @@ object Similarity {
     }
     cents
   }
+
+  /** Corpus-sized coarse-quantizer cell count for cluster-then-compare
+    * work ([[semDedup]]): k = sqrt(n/2) balances the two corpus-sized
+    * costs — per-row assignment is O(k·dim) and within-cluster pairing
+    * is O((n/k)·dim) — so total work grows as n^1.5, never n². Any
+    * FIXED k is wrong for some corpus size (the d5 plane-count lesson):
+    * occupancy n/k, and with it the pair volume, grows linearly with
+    * the corpus. Floor of 16 keeps tiny corpora clustered at all. */
+  def autoClusters(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n / 2.0)).toInt)
 
   /** Resolve the coarse quantizer for a corpus: JVM cache, then sidecar
     * parquet, then a fresh [[fitQuantizer]] fit on a bounded,

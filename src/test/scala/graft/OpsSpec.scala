@@ -738,6 +738,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("autoClusters: sqrt sizing, floor 16, and the correctness-sf pin") {
+    // the d10 golden oracle is minted at sf0.01 (500 vectors) with k=16;
+    // if this pin moves, the golden must be re-minted
+    assert(Similarity.autoClusters(500) == 16)
+    assert(Similarity.autoClusters(1) == 16)
+    // occupancy n/k and per-row cost k both grow as sqrt(n)
+    assert(Similarity.autoClusters(2_000_000) == 1000)
+    val n = 1_500_000L
+    val k = Similarity.autoClusters(n)
+    assert(n / k < 2000, "occupancy must stay square-root-bounded")
+  }
+
   test("semDedup drop list equals brute-force within-cluster dedup") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))

@@ -871,6 +871,12 @@ object SparkEntry {
     "x11_shard_assign" -> ((s, dir) =>
       Corpus.shardAssign(Tables.scan(s, dir, "documents"), "doc_id", 8)),
 
+    // concat-and-chop sequence packing: per-shard prefix sum over token
+    // COUNTS, docs chopped into fixed 256-token training windows
+    "x12_pack_windows" -> ((s, dir) =>
+      Corpus.packWindows(Tables.scan(s, dir, "documents"),
+        "doc_id", "text", windowTokens = 256, nShards = 4)),
+
     // deterministic stratified sampling: k docs per language chosen by a
     // fixed integer mix of the id — reproducible across engines/runs (no
     // RNG), the shape "sample k per stratum" takes at corpus scale
@@ -1679,6 +1685,25 @@ object SparkEntry {
         |      ORDER BY (d.doc_id * 2654435761 + 1013904223) % 4294967296, d.doc_id) AS rk
         |  FROM documents d JOIN q USING (source))
         |SELECT source, doc_id FROM r WHERE rk <= quota""".stripMargin,
+    "x12_pack_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n,
+        |    (doc_id * 2654435761 + 1013904223) % 4294967296 AS key
+        |  FROM documents),
+        |k AS (SELECT doc_id, n, key, key % 4 AS shard FROM t WHERE n > 0),
+        |c AS (SELECT doc_id, n, shard,
+        |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        |  FROM k),
+        |s AS (SELECT doc_id, shard, e - n AS st, e FROM c),
+        |x AS (SELECT doc_id, shard, st, e,
+        |    unnest(range(st // 256, (e - 1) // 256 + 1)) AS win FROM s)
+        |SELECT shard, win, doc_id,
+        |  greatest(st, win * 256) - win * 256 AS win_offset,
+        |  least(e, (win + 1) * 256) - greatest(st, win * 256) AS n_tokens
+        |FROM x""".stripMargin,
     "x11_shard_assign" ->
       """WITH k AS (SELECT doc_id,
         |    (doc_id * 2654435761 + 1013904223) % 4294967296 AS key

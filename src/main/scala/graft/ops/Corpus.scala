@@ -55,6 +55,52 @@ object Corpus {
       .drop("__rk", "__quota")
   }
 
+  /** Concat-and-chop sequence packing — the training-example assembly
+    * step of an LLM data pipeline (the public GPT recipe): order each
+    * shard's documents deterministically (by [[mixKey]], the same
+    * pseudo-random permutation [[shardAssign]] uses), conceptually
+    * concatenate their token streams, and chop into fixed
+    * `windowTokens`-sized training windows. Documents cross window
+    * boundaries (that is the point — zero padding waste); the output is
+    * one row per (window, document segment): which slice of which doc
+    * lands at which offset of which training example.
+    *
+    * The whole computation is a per-shard prefix sum (one window
+    * function over doc TOKEN COUNTS, not tokens) plus a per-doc explode
+    * into the 1 + n/W windows it spans — output volume is
+    * n_docs + total_tokens/W rows, linear, and no shuffle ever carries
+    * text. Exactly reproducible across engines: ordering is the integer
+    * mix, arithmetic is integer token counts. */
+  def packWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, nShards: Int): DataFrame = {
+    require(windowTokens > 0 && nShards > 0,
+      "windowTokens and nShards must be positive")
+    val W = windowTokens.toLong
+    val keyed = df
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__key", mixKey(col(idCol)))
+      .withColumn("shard", pmod(col("__key"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    // token-stream span of each doc inside its shard's concatenation
+    val spans = keyed
+      .withColumn("__end", sum(col("__n")).over(w))
+      .withColumn("__start", col("__end") - col("__n"))
+    // totals fit doubles exactly far beyond any real corpus (2^53 tokens);
+    // floor-div via double stays integer-exact
+    def fdiv(c: Column): Column = floor(c / lit(W.toDouble)).cast("long")
+    spans
+      .select(col("shard"), col(idCol), col("__start"), col("__end"),
+        explode(sequence(fdiv(col("__start")), fdiv(col("__end") - 1)))
+          .as("win"))
+      .withColumn("__s", greatest(col("__start"), col("win") * W))
+      .withColumn("__e", least(col("__end"), (col("win") + 1) * W))
+      .select(col("shard"), col("win"), col(idCol),
+        (col("__s") - col("win") * W).as("win_offset"),
+        (col("__e") - col("__s")).as("n_tokens"))
+  }
+
   /** Deterministic training-shard layout: every row gets a (shard, pos)
     * placement — shard = mixKey(id) % nShards, pos = dense rank of the
     * key within the shard — which is the file/offset assignment a

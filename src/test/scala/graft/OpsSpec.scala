@@ -738,6 +738,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packWindows tiles each shard's token stream exactly, docs chopped not padded") {
+    val W = 64
+    val out = Corpus.packWindows(docs, "doc_id", "text", W, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // per-doc segments sum to the doc's token count
+    val tokCounts = docs.select(col("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._3).foreach { case (id, segs) =>
+      assert(segs.map(_._5).sum == tokCounts(id))
+    }
+    // within each shard: every window except the last is tiled to exactly
+    // W tokens by non-overlapping segments
+    out.groupBy(_._1).foreach { case (_, shardRows) =>
+      val lastWin = shardRows.map(_._2).max
+      shardRows.groupBy(_._2).foreach { case (win, segs) =>
+        assert(segs.forall(s => s._4 >= 0 && s._4 + s._5 <= W))
+        val covered = segs.flatMap(s => s._4 until (s._4 + s._5))
+        assert(covered.distinct.length == covered.length, "segments overlap")
+        if (win < lastWin) assert(segs.map(_._5).sum == W,
+          s"window $win not fully tiled")
+      }
+    }
+    // at least one doc longer than W actually crosses a boundary
+    assert(out.groupBy(_._3).exists(_._2.map(_._2).distinct.length > 1))
+  }
+
   test("autoClusters: sqrt sizing, floor 16, and the correctness-sf pin") {
     // the d10 golden oracle is minted at sf0.01 (500 vectors) with k=16;
     // if this pin moves, the golden must be re-minted

@@ -724,6 +724,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == ids7)
   }
 
+  test("mixtureSample: the scarcest source sets the budget under uneven counts") {
+    import spark.implicits._
+    // web:100 docs, books:10, code:30 with target ratio 4:1:2
+    val rows = (0L until 100L).map(i => (i, "web")) ++
+      (100L until 110L).map(i => (i, "books")) ++
+      (110L until 140L).map(i => (i, "code"))
+    val df = rows.toDF("doc_id", "source")
+    val kept = Corpus.mixtureSample(df, "source", "doc_id",
+      Map("web" -> 4, "books" -> 1, "code" -> 2))
+    // B = min(100/4, 10/1, 30/2) = 10 -> quotas 40/10/20
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("web" -> 40L, "books" -> 10L, "code" -> 20L))
+    // the scarce source is kept in FULL (its quota equals its count)
+    assert(kept.filter($"source" === "books").count() == 10)
+  }
+
   test("shardAssign places every row once, pos dense per shard, mix-derived shard") {
     val n = 8
     val out = Corpus.shardAssign(docs, "doc_id", n).collect()

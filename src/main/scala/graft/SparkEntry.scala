@@ -1207,6 +1207,34 @@ object SparkEntry {
       df
     }),
 
+    // GROUPED aggregate pushdown: GROUP BY an identity-partition column
+    // is answered entirely from manifests — one scan split PER GROUP,
+    // zero data files opened. The most common metadata-answerable query
+    // at 100 TB ("count per partition") costs a driver metadata walk.
+    "q_agg_pushdown_grouped" -> ((s, dir) => {
+      AggPushGroupedFixture.table(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      import graft.ice.connector.GraftAggPushStats
+      val before = GraftAggPushStats.pushes.get()
+      val df = s.sql(
+        """SELECT o_orderstatus, count(*) AS n_rows, count(o_custkey) AS n_cust,
+          |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+          |FROM ice.tpch.aggpush_grouped
+          |GROUP BY o_orderstatus""".stripMargin)
+      val nSplits = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.size
+        }
+      require(GraftAggPushStats.pushes.get() > before,
+        "grouped aggregate must be answered from metadata, not a data scan")
+      require(nSplits.contains(GraftAggPushStats.lastRows) && nSplits.exists(_ >= 2),
+        s"metadata aggregate must plan one split per group, got $nSplits " +
+          s"splits for ${GraftAggPushStats.lastRows} groups")
+      df
+    }),
+
     // float MIN/MAX from metadata: possible ONLY because the fixture
     // table records per-file NaN counts at write (graft.write.nan-counts)
     // — a zero NaN count plus exact bounds makes the double provable
@@ -1235,6 +1263,16 @@ object SparkEntry {
       s.table("ice.tpch.proc_orders")
     })
   )
+
+  /** SQL form of [[graft.ops.Corpus.mixKey]] — the multiply split into
+    * 16-bit halves so no intermediate exceeds 2^48: the naive
+    * `id * 2654435761` overflows int64 above id ~3.47e9, where DuckDB
+    * errors while non-ANSI Spark wraps. This decomposition is the SAME
+    * integer arithmetic both engines execute exactly over the full long
+    * range, so the bit-reproducibility claim holds at 100-TB id scales. */
+  private def mixKeySql(id: String): String =
+    s"((($id % 4294967296) // 65536 * 2654435761 % 65536) * 65536" +
+      s" + ($id % 65536) * 2654435761 + 1013904223) % 4294967296"
 
   def oracleSql: Map[String, String] = Map(
     "s6_scan_filter_project" ->
@@ -1465,6 +1503,10 @@ object SparkEntry {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  max(o_orderstatus) AS max_status, min(o_orderdate) AS min_date
         |FROM orders""".stripMargin,
+    "q_agg_pushdown_grouped" ->
+      """SELECT o_orderstatus, count(*) AS n_rows, count(o_custkey) AS n_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_agg_pushdown_float" ->
       """SELECT count(*) AS n_rows, min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
@@ -1672,7 +1714,7 @@ object SparkEntry {
         |FROM corp JOIN bench USING (gram)
         |GROUP BY 1""".stripMargin,
     "x10_source_mix" ->
-      """WITH p AS (SELECT source,
+      s"""WITH p AS (SELECT source,
         |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3
         |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2
         |         ELSE 1 END AS part,
@@ -1682,15 +1724,15 @@ object SparkEntry {
         |q AS (SELECT source, part * bb AS quota FROM p CROSS JOIN b),
         |r AS (SELECT d.source, d.doc_id, q.quota,
         |    row_number() OVER (PARTITION BY d.source
-        |      ORDER BY (d.doc_id * 2654435761 + 1013904223) % 4294967296, d.doc_id) AS rk
+        |      ORDER BY ${mixKeySql("d.doc_id")}, d.doc_id) AS rk
         |  FROM documents d JOIN q USING (source))
         |SELECT source, doc_id FROM r WHERE rk <= quota""".stripMargin,
     "x12_pack_windows" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
         |      x -> len(x) > 0)) AS BIGINT) AS n,
-        |    (doc_id * 2654435761 + 1013904223) % 4294967296 AS key
+        |    ${mixKeySql("doc_id")} AS key
         |  FROM documents),
         |k AS (SELECT doc_id, n, key, key % 4 AS shard FROM t WHERE n > 0),
         |c AS (SELECT doc_id, n, shard,
@@ -1705,18 +1747,18 @@ object SparkEntry {
         |  least(e, (win + 1) * 256) - greatest(st, win * 256) AS n_tokens
         |FROM x""".stripMargin,
     "x11_shard_assign" ->
-      """WITH k AS (SELECT doc_id,
-        |    (doc_id * 2654435761 + 1013904223) % 4294967296 AS key
+      s"""WITH k AS (SELECT doc_id,
+        |    ${mixKeySql("doc_id")} AS key
         |  FROM documents)
         |SELECT key % 8 AS shard,
         |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT) AS pos,
         |  doc_id
         |FROM k""".stripMargin,
     "x6_stratified_sample" ->
-      """SELECT lang, doc_id FROM (
+      s"""SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761 + 1013904223) % 4294967296, doc_id) AS rk
+        |      ORDER BY ${mixKeySql("doc_id")}, doc_id) AS rk
         |  FROM documents) WHERE rk <= 10""".stripMargin,
     "mm1_media_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents",
@@ -2750,6 +2792,39 @@ object AggPushFixture {
           .collect().head.getLong(0)
         t.append(spark).appendDataFrame(df.filter(col("o_orderkey") <= mid))
         t.append(spark).appendDataFrame(df.filter(col("o_orderkey") > mid))
+      }
+      IceTable.load(cat, ident)
+    })
+  }
+}
+
+/** Grouped-pushdown fixture: orders projected onto an IDENTITY-
+  * partitioned table (partition column = o_orderstatus), two appends so
+  * every group spans multiple files — the metadata answer must merge
+  * per-file metrics within each group. */
+object AggPushGroupedFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.meta.{PartitionField, PartitionSpec}
+  import graft.ice.transform.IdentityTransform
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable = {
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "aggpush_grouped")
+    cache.computeIfAbsent(sfDir, { _ =>
+      if (!cat.tableExists(ident)) {
+        val df = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val schema = SparkConv.fromSpark(df.schema)
+        val statusId = schema.findFieldByName("o_orderstatus").get.id
+        val spec = PartitionSpec(0, IndexedSeq(
+          PartitionField(statusId, 1000, "o_orderstatus", IdentityTransform)))
+        val t = IceTable.create(cat, ident, schema, spec)
+        t.append(spark).appendDataFrame(df.filter(col("o_orderkey") % 2 === 0))
+        t.append(spark).appendDataFrame(df.filter(col("o_orderkey") % 2 === 1))
       }
       IceTable.load(cat, ident)
     })

@@ -231,17 +231,34 @@ object Dedup {
     *
     * Returns (id, cluster_rep): one row per vertex that appears in any
     * pair; `id == cluster_rep` marks the survivor. */
+  /** Telemetry of the most recent [[clustersFromPairs]] run in this JVM:
+    * rounds to convergence and the changed-label count after each round.
+    * Rounds = component diameter + 1; a trajectory creeping toward
+    * `maxRounds` exposes a pathological (chain-shaped) pair graph BEFORE
+    * the convergence guard trips. Pinned on a chain graph in OpsSpec. */
+  object ClusterStats {
+    @volatile var rounds: Int = 0
+    @volatile var changedPerRound: Seq[Long] = Nil
+  }
+
   def clustersFromPairs(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .distinct()
       .persist()
+    // localCheckpoint each round, not persist: an iterative self-join
+    // otherwise DOUBLES the logical plan every round, and Catalyst
+    // analysis cost goes exponential in the round count — a diameter-10
+    // chain took minutes in plan analysis alone before computing
+    // anything. Checkpointing truncates the lineage so every round
+    // analyzes a constant-size plan.
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("rep", col("id")).persist()
-    labels.count() // materialize before the loop mutates the lineage
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true)
     var changed = 1L
     var round = 0
+    val trajectory = Seq.newBuilder[Long]
     while (changed > 0 && round < maxRounds) {
       val neighborMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy(edges("u").as("nid")).agg(min("rep").as("nrep"))
@@ -249,12 +266,17 @@ object Dedup {
         .select(labels("id"),
           least(labels("rep"), coalesce(col("nrep"), labels("rep"))).as("rep"),
           labels("rep").as("__old"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.filter(col("rep") =!= col("__old")).count()
-      labels.unpersist()
-      labels = next.select("id", "rep").persist()
+      trajectory += changed
+      labels = next.select("id", "rep")
       round += 1
     }
+    ClusterStats.rounds = round
+    ClusterStats.changedPerRound = trajectory.result()
+    System.err.println(s"[graft] clustersFromPairs: converged in $round " +
+      s"rounds (maxRounds=$maxRounds), changed/round = " +
+      ClusterStats.changedPerRound.mkString(","))
     require(changed == 0,
       s"component labels did not converge in $maxRounds rounds — " +
         "pathological pair graph (diameter > maxRounds)?")

@@ -242,8 +242,10 @@ object Similarity {
     * coarse-quantizer centroid, compare pairs ONLY within a cluster, and
     * drop each vector that has a more-senior (lower-id) near-duplicate
     * at cosine >= threshold. Returns the DROP LIST — one row per
-    * eliminated vector with its cluster, the surviving duplicate it
-    * matched (the smallest such id, so the verdict is deterministic),
+    * eliminated vector with its cluster, its smallest LOWER-ID
+    * near-duplicate as the witness (deterministic; the witness may
+    * itself be dropped — near-dup chains are not transitive, so the
+    * witness is evidence for the drop, not necessarily a survivor),
     * and that pair's cosine.
     *
     * This is the embedding-space answer to the quadratic-pair problem

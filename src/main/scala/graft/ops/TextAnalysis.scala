@@ -221,32 +221,63 @@ object TextAnalysis {
   }
 
   /** Corpus-unigram negative log-likelihood — the cheap, engine-native
-    * stand-in for the LM-perplexity filter (the CCNet-style gate): the
-    * corpus unigram table is vocabulary-sized and broadcast; each doc
-    * scores the mean -ln p(token). One explode, one vocabulary-keyed
-    * aggregation, one doc-keyed aggregation — linear in corpus size. */
-  def unigramNll(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * stand-in for the LM-perplexity filter (the CCNet-style gate): each
+    * doc scores the mean -ln p(token) against the corpus unigram
+    * distribution. One explode, one vocabulary-keyed aggregation, one
+    * doc-keyed aggregation — linear in corpus size.
+    *
+    * The join table is FREQUENCY-FLOORED: tokens with count <=
+    * `broadcastMinCount` never enter it, and an unmatched token scores
+    * as count = broadcastMinCount. At the default floor of 1 this is
+    * EXACT (a count-1 token scores as count 1 either way — pinned in
+    * OpsSpec) while excluding the hapax tail, which at web scale is
+    * billions of one-off URLs/typos/numbers — the bulk of the distinct-
+    * token set. The floored table is broadcast only while it stays under
+    * `maxBroadcastVocab` rows; a genuinely huge retained vocabulary
+    * falls back to a shuffle join instead of blowing up the driver. */
+  def unigramNll(df0: DataFrame, idCol: String, textCol: String,
+      broadcastMinCount: Long = 1L,
+      maxBroadcastVocab: Long = 8000000L): DataFrame = {
     val df = Par.ensure(df0)
     val tok = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
     val counts = tok.groupBy("__t").agg(count(lit(1)).as("__c"))
-    val total = counts.agg(sum("__c").as("__total"))
-    tok.join(broadcast(counts), "__t")
-      .crossJoin(broadcast(total))
+    // one vocabulary-sized pass: the exact total (ALL tokens, floored or
+    // not — p(token) denominators must not change) plus the retained
+    // table's size for the broadcast decision
+    val stats = counts.agg(sum(col("__c")).as("__total"),
+      count(when(col("__c") > broadcastMinCount, lit(1))).as("__nkept")).head
+    val total = stats.getLong(0)
+    val common = counts.filter(col("__c") > broadcastMinCount)
+    val joinTable = if (stats.getLong(1) <= maxBroadcastVocab)
+      broadcast(common) else common
+    tok.join(joinTable, Seq("__t"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        avg(-log(col("__c").cast("double") / col("__total"))).as("nll"))
+        avg(-log(coalesce(col("__c"), lit(broadcastMinCount)).cast("double") /
+          lit(total.toDouble))).as("nll"))
   }
 
   /** Deterministic stratified sample: the k rows per stratum with the
-    * smallest value of a fixed integer mixing function of the id —
-    * reproducible across engines and runs (no RNG), which is what a
-    * training-data pipeline needs from "sample k docs per language".
-    * One shuffle on the stratum key; rank via window. */
+    * smallest [[Corpus.mixKey]] of the id — reproducible across engines
+    * and runs (no RNG), which is what a training-data pipeline needs
+    * from "sample k docs per language". Runs through the threshold-cut
+    * selection, so a dominant stratum is pre-filtered map-only to
+    * ~slack x k candidates before its exact rank window — no reducer
+    * ever sorts a whole stratum. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
-      k: Int): DataFrame = {
-    val key = pmod(col(idCol) * lit(2654435761L) + lit(1013904223L),
-      lit(4294967296L))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+      k: Int, slack: Double = 4.0): DataFrame = {
+    val quotas = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__quota", lit(k.toLong))
+    Corpus.takeSmallestByMixKey(df, stratumCol, idCol, quotas, slack)
+  }
+
+  /** The plain-window reference formulation of [[stratifiedSample]] —
+    * kept as the bit-equality oracle for the threshold-cut path (pinned
+    * in OpsSpec). */
+  private[graft] def stratifiedSampleWindow(df: DataFrame, stratumCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(Corpus.mixKey(col(idCol)), col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")

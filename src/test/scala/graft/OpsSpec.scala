@@ -107,6 +107,86 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("clustersFromPairs telemetry pins rounds = diameter + 1 on a chain") {
+    import spark.implicits._
+    // chain 1-2-...-10: the min label walks one hop per round (9 hops),
+    // plus one final no-change round to detect convergence
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clustersFromPairs(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 10L).map(_ -> 1L).toMap)
+    assert(Dedup.ClusterStats.rounds == 10)
+    assert(Dedup.ClusterStats.changedPerRound.size == 10)
+    assert(Dedup.ClusterStats.changedPerRound.last == 0L)
+  }
+
+  test("mixKey: overflow-safe over the full long id range, bit-equal to the naive form where it fits") {
+    import spark.implicits._
+    // ids beyond ~3.47e9 overflow the naive id*2654435761 in int64 —
+    // the decomposed mix must still equal the exact BigInt semantics
+    val ids = Seq(0L, 1L, 65535L, 65536L, 123456789L, 3470000000L,
+      4294967295L, 4294967296L, 87654321098L, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"), Corpus.mixKey(col("id")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val exact = ((BigInt(id).mod(BigInt(2).pow(32)) * BigInt(2654435761L) +
+        BigInt(1013904223L)).mod(BigInt(2).pow(32))).toLong
+      assert(got(id) == exact, s"id=$id")
+      if (id < 3400000000L) // naive form doesn't overflow here
+        assert(got(id) == (id * 2654435761L + 1013904223L) % 4294967296L)
+    }
+  }
+
+  test("threshold-cut sampling is bit-equal to the window formulation") {
+    import spark.implicits._
+    // skewed mix: one dominant source (the 100-TB shape the cut exists
+    // for) + two small ones
+    val rows = (0L until 900L).map(i => (i, "web")) ++
+      (900L until 950L).map(i => (i, "books")) ++
+      (950L until 1000L).map(i => (i, "code"))
+    val df = rows.toDF("doc_id", "source")
+    val parts = Map("web" -> 5, "books" -> 1, "code" -> 1)
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val window = keys(Corpus.mixtureSampleWindow(df, "source", "doc_id", parts))
+    val cut = keys(Corpus.mixtureSample(df, "source", "doc_id", parts))
+    assert(cut == window)
+    // forced-fallback: a slack so small every group goes deficient —
+    // the exact-window fallback must still produce the identical set
+    val cutTiny = keys(Corpus.mixtureSample(df, "source", "doc_id", parts,
+      slack = 1e-9))
+    assert(cutTiny == window)
+    // stratified: same equality on the real fixture
+    val strataW = TextAnalysis.stratifiedSampleWindow(docs, "lang", "doc_id", 7)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val strataC = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 7)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(strataC == strataW && strataC.nonEmpty)
+    val strataTiny = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 7,
+      slack = 1e-9)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(strataTiny == strataW)
+  }
+
+  test("mixtureSample: a source listed in parts but absent from the data zeroes the budget") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, if (i < 40) "web" else "books"))
+      .toDF("doc_id", "source")
+    // "news" has zero rows -> B = min(..., 0) = 0 -> empty result (the
+    // scarcest source sets the budget; r8 ADVICE item)
+    val kept = Corpus.mixtureSample(df, "source", "doc_id",
+      Map("web" -> 3, "books" -> 1, "news" -> 2))
+    assert(kept.count() == 0)
+    val keptW = Corpus.mixtureSampleWindow(df, "source", "doc_id",
+      Map("web" -> 3, "books" -> 1, "news" -> 2))
+    assert(keptW.count() == 0)
+  }
+
   test("jaccardClusters marks one survivor per near-dup component") {
     val out = Dedup.jaccardClusters(docs.select("doc_id", "lang", "text"),
       "text", "doc_id", "lang").collect()
@@ -659,6 +739,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L)._1 == 2L)
     assert(math.abs(out(1L)._2 - lnA) < 1e-12)
     assert(math.abs(out(2L)._2 - (lnA + lnB) / 2.0) < 1e-12)
+  }
+
+  test("unigram NLL frequency floor is exact at floor=1 and bounds the join table") {
+    import spark.implicits._
+    // hapax-heavy fixture: each doc carries unique one-off tokens (the
+    // URL/typo tail at web scale) plus a small shared vocabulary
+    val df = (0L until 200L).map(i =>
+      (i, s"the quick fox uniq${i}a uniq${i}b uniq${i}c")).toDF("doc_id", "text")
+    def dump(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // floor=0 keeps every token in the join table — the exact reference
+    val exact = dump(TextAnalysis.unigramNll(df, "doc_id", "text",
+      broadcastMinCount = 0L))
+    val floored = dump(TextAnalysis.unigramNll(df, "doc_id", "text",
+      broadcastMinCount = 1L))
+    assert(floored == exact)
+    // the floored join table excludes the hapax tail: 3 shared tokens
+    // survive out of 603 distinct
+    val tok = df.select(explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy("t").count()
+    assert(tok.count() == 603L)
+    assert(tok.filter(col("count") > 1).count() == 3L)
+    // shuffle-join fallback path (maxBroadcastVocab=0) — same result up
+    // to FP summation order (the join reorders rows before the avg)
+    val exactM = exact.map(t => (t._1, t._2) -> t._3).toMap
+    TextAnalysis.unigramNll(df, "doc_id", "text",
+      broadcastMinCount = 1L, maxBroadcastVocab = 0L)
+      .collect().foreach { r =>
+        assert(math.abs(exactM((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-12)
+      }
   }
 
   test("multimodal stub plumbing: payload -> meta -> features") {

@@ -62,7 +62,35 @@ final class GraftSparkTable(val table: IceTable, catalogName: String,
     identName: String, warehouse: String,
     pinnedSnapshotId: Option[Long] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` as a connector metadata column (the V2 face of the
+    * DataFrame path's metadata columns, IceTable.scala): selectable in
+    * queries AND the groups handle Spark's group-based row-level
+    * rewrites key on — ReplaceData only routes rows through its
+    * data/metadata projections when the operation requests metadata
+    * attributes, so [[GraftRowLevelOperation.requiredMetadataAttributes]]
+    * names this column. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    })
+
+  /** Native V2 row-level DML (UPDATE / MERGE / DELETE-by-rewrite) — lets
+    * Spark's own RewriteUpdateTable / RewriteMergeIntoTable /
+    * RewriteDeleteFromTable plan group-based copy-on-write against this
+    * table with NO GraftExtensions installed (the extension rule surface
+    * in GraftSqlResolution remains and intercepts first when present).
+    * See [[GraftRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(table, identName, warehouse, info.command())
 
   override def name(): String = s"$catalogName.$identName"
   override def schema(): StructType = {
@@ -215,10 +243,15 @@ private[connector] object GraftConnectorUtil {
   def normPath(p: String): String = ManifestAvro.stripFileScheme(p)
 }
 
-private[graft] final class GraftScanBuilder(table: IceTable,
+private[graft] class GraftScanBuilder(table: IceTable,
     fullSchema: StructType,
     streamOpts: Option[CaseInsensitiveStringMap] = None,
-    pinnedSnapshotId: Option[Long] = None) extends V2ScanBuilder
+    pinnedSnapshotId: Option[Long] = None,
+    // row-level-operation scans: pushed DML predicates prune manifests
+    // and files but must NEVER reach the parquet reader — a group-based
+    // rewrite needs EVERY row of a matched file (the non-matching rows
+    // are what survives), so reader-level filtering would lose data
+    pruneOnly: Boolean = false) extends V2ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -226,11 +259,11 @@ private[graft] final class GraftScanBuilder(table: IceTable,
   private var required: StructType = fullSchema
   private var pruneExpr: Option[IceExpr] = None
   private var pushed: Array[V1Filter] = Array.empty
-  private var aggResult: Option[(StructType, Array[Any])] = None
+  private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
   // Spark hands the SAME Aggregation to supportCompletePushDown and
   // pushAggregation back to back; cache by identity so the manifest
   // walk + per-file strict evaluation runs once, not twice
-  private var aggCache: Option[(AnyRef, Option[(StructType, Array[Any])])] = None
+  private var aggCache: Option[(AnyRef, Option[(StructType, Seq[Array[Any]])])] = None
   private var limitFiles: Option[Seq[FileScanTask]] = None
   private var limitSnapshotId: Option[Long] = None
 
@@ -261,7 +294,7 @@ private[graft] final class GraftScanBuilder(table: IceTable,
     * the normal scan+aggregate plan. */
   private def planAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = aggCache match {
+      : Option[(StructType, Seq[Array[Any]])] = aggCache match {
     case Some((key, res)) if key eq agg => res
     case _ =>
       val res = MetadataAggregate.plan(table, pinnedSnapshotId, pruneExpr, agg)
@@ -309,12 +342,14 @@ private[graft] final class GraftScanBuilder(table: IceTable,
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) =>
+    case Some((schema, rows)) =>
       GraftAggPushStats.pushes.incrementAndGet()
       GraftAggPushStats.lastSchema = schema.fieldNames.mkString(", ")
-      new GraftMetadataAggScan(schema, row, table.metadata.location)
+      GraftAggPushStats.lastRows = rows.size
+      new GraftMetadataAggScan(schema, rows, table.metadata.location)
     case None =>
-      new GraftBatchScan(table, required, pruneExpr, pushed, streamOpts,
+      new GraftBatchScan(table, required, pruneExpr,
+        if (pruneOnly) Array.empty else pushed, streamOpts,
         pinnedSnapshotId.orElse(limitSnapshotId), limitFiles)
   }
 }
@@ -324,6 +359,7 @@ private[graft] final class GraftScanBuilder(table: IceTable,
 object GraftAggPushStats {
   val pushes = new java.util.concurrent.atomic.AtomicLong()
   @volatile var lastSchema: String = ""
+  @volatile var lastRows: Int = -1
 }
 
 /** Test/diagnostic hook: split counts before/after the most recent
@@ -486,7 +522,15 @@ private[connector] final class GraftBatchScan(table: IceTable,
   // ---- planning (driver) ----
 
   private final case class PlannedScan(splits: Seq[GraftScanSplit],
-      nKeys: Option[Int], totalRows: Long, snapshotId: Option[Long])
+      nKeys: Option[Int], totalRows: Long, snapshotId: Option[Long],
+      // manifest-form (possibly scheme-carrying) paths of the planned
+      // files — the replaced-file set a row-level rewrite commits against
+      origPaths: Set[String])
+
+  /** Final planned file set in manifest path form (after static pushdown
+    * AND any runtime group filter) — the groups a row-level operation's
+    * write replaces. */
+  private[connector] def plannedOriginalPaths: Set[String] = planned.origPaths
 
   /** Runtime (DPP) filter, ANDed into planning when Spark pushes one at
     * execution time; setting it invalidates the plan cache so the next
@@ -582,12 +626,13 @@ private[connector] final class GraftBatchScan(table: IceTable,
 
     val totalRows = tasks.map(_.file.recordCount).sum
     val snapId = snap.map(_.snapshotId)
+    val origPaths = tasks.map(_.file.filePath).toSet
     if (!groupable) {
       PlannedScan(tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
         GraftFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p), deletesFor(t),
           absentFor(t, p))
-      }, None, totalRows, snapId)
+      }, None, totalRows, snapId, origPaths)
     } else {
       val keyed = tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
@@ -597,7 +642,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
           deletesFor(t), key, absentFor(t, p)): GraftScanSplit
       }
       val nKeys = tasks.map(_.file.partition).distinct.size
-      PlannedScan(keyed, Some(nKeys), totalRows, snapId)
+      PlannedScan(keyed, Some(nKeys), totalRows, snapId, origPaths)
     }
   }
 
@@ -670,13 +715,19 @@ private[connector] final class GraftBatchScan(table: IceTable,
     // without ids (addFiles-registered) read by current name
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
+    // `_file` is a metadata column (SupportsMetadataColumns): it never
+    // reaches the parquet reader — each split injects its own path via
+    // the output projection below
+    val wantsFile = required.fieldNames.contains("_file")
+    val dataRequired = StructType(required.fields.filterNot(_.name == "_file"))
+
     val eqCols: Seq[String] = planned.splits.flatMap(_.deletes.eqDeletes.flatMap(_._3)).distinct
     val fullByName = SparkConv.toSpark(table.schema).fields.map(f => f.name -> f).toMap
     // the executor must SEE equality-delete key columns even when the
     // query pruned them away; read them, anti-filter, then project back
-    val extraEq = eqCols.filterNot(c => required.fieldNames.contains(c))
+    val extraEq = eqCols.filterNot(c => dataRequired.fieldNames.contains(c))
       .flatMap(fullByName.get)
-    val readSchemaIds = StructType(required.fields ++ extraEq)
+    val readSchemaIds = StructType(dataRequired.fields ++ extraEq)
     val plain = StructType(readSchemaIds.fields.map(_.copy(metadata = Metadata.empty)))
 
     def mkReader(schema: StructType, filters: Seq[V1Filter]) =
@@ -713,6 +764,13 @@ private[connector] final class GraftBatchScan(table: IceTable,
         }
       }.toMap
 
+    // final output projection: required order, `_file` (-1) filled with
+    // the split's path; identity when nothing was appended or injected
+    val outputTemplate: Option[Array[Int]] =
+      if (!wantsFile && extraEq.isEmpty) None
+      else Some(required.fields.map(f =>
+        if (f.name == "_file") -1 else readSchemaIds.fieldIndex(f.name)))
+
     GraftReaderFactory(
       readIds = mkReader(readSchemaIds, v1Filters.toSeq),
       readIdsRaw = mkReader(readSchemaIds, Nil),
@@ -722,8 +780,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
       readEqDeletes = eqSchemas.map { case (cols, s) => cols -> mkReader(s, Nil) },
       readSchema = readSchemaIds,
       eqSchemas = eqSchemas,
-      outputCols = if (extraEq.isEmpty) None
-        else Some(required.fields.indices.toArray),
+      outputTemplate = outputTemplate,
       defaultsFill = defaultsFill)
   }
 }
@@ -748,9 +805,15 @@ private[connector] object MetadataAggregate {
 
   def plan(table: IceTable, pinnedSnapshotId: Option[Long],
       pruneExpr: Option[graft.ice.expr.Expr],
-      agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
     if (agg.aggregateExpressions.isEmpty) return None
+
+    // GROUP BY is answerable from metadata only over identity-partition
+    // source columns: then every file's rows share one group value (the
+    // partition tuple carries it) and per-file metrics aggregate
+    // per-group exactly. Anything else refuses -> normal scan plan.
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map(e =>
+      colOf(e).getOrElse(return None))
 
     val b = table.newScan()
     pinnedSnapshotId.foreach(b.useSnapshot)
@@ -758,7 +821,8 @@ private[connector] object MetadataAggregate {
     val snap = b.resolveSnapshot()
     // row-level deletes make record counts and bounds non-authoritative
     if (snap.exists(s => table.planDeleteEntries(s).nonEmpty)) return None
-    val files: Seq[DataFile] = b.planFiles().map(_.file)
+    val tasks = b.planFiles()
+    val files: Seq[DataFile] = tasks.map(_.file)
 
     // a pushed filter must provably match EVERY row of every surviving
     // file, else per-file metrics describe rows the query excludes
@@ -773,6 +837,24 @@ private[connector] object MetadataAggregate {
     def fieldOf(name: String): Option[NestedField] =
       table.schema.findFieldByName(name)
         .orElse(table.schema.findFieldByName(name, caseSensitive = false))
+
+    // group-col -> ordinal in the partition tuple; every surviving file
+    // must carry the DEFAULT spec's tuple shape (older-spec files have a
+    // different layout -> refuse)
+    val spec = table.metadata.defaultSpec
+    val groupTupleOrds: Seq[(String, Int)] =
+      if (groupCols.isEmpty) Nil
+      else {
+        if (tasks.exists(_.specId != table.metadata.defaultSpecId)) return None
+        groupCols.map { c =>
+          val fld = fieldOf(c).getOrElse(return None)
+          val ord = spec.fields.indexWhere(pf =>
+            pf.sourceId == fld.id &&
+              pf.transform == graft.ice.transform.IdentityTransform)
+          if (ord < 0) return None
+          c -> ord
+        }
+      }
 
     def provablyNoValues(f: DataFile, id: Int): Boolean =
       f.recordCount == 0L ||
@@ -792,7 +874,7 @@ private[connector] object MetadataAggregate {
       case _ => true
     }
 
-    def minMax(name: String, isMin: Boolean): Option[(StructField, Any)] =
+    def minMax(fs: Seq[DataFile], name: String, isMin: Boolean): Option[(StructField, Any)] =
       fieldOf(name).flatMap { fld =>
         val prim = fld.fieldType match {
           case p: IcePrimitive => p
@@ -801,11 +883,11 @@ private[connector] object MetadataAggregate {
         // NaN sorts above every value in SQL but is invisible to parquet
         // bounds — floating-point needs per-file proof of zero NaNs
         val nanOk = prim match {
-          case FloatT | DoubleT => files.forall(_.nanValueCounts.get(fld.id).contains(0L))
+          case FloatT | DoubleT => fs.forall(_.nanValueCounts.get(fld.id).contains(0L))
           case _ => true
         }
         if (!nanOk) return None
-        val bounds = files.flatMap { f =>
+        val bounds = fs.flatMap { f =>
           val stored = if (isMin) f.lowerBounds.get(fld.id) else f.upperBounds.get(fld.id)
           stored match {
             case Some(bytes) =>
@@ -816,7 +898,7 @@ private[connector] object MetadataAggregate {
         }
         // every file must either contribute an exact bound or prove it
         // has no values for the column
-        if (bounds.size != files.size) return None
+        if (bounds.size != fs.size) return None
         val contrib = bounds.flatten
         val best = contrib.reduceOption[Literal] { (a, c) =>
           a.compareTo(c) match {
@@ -830,9 +912,9 @@ private[connector] object MetadataAggregate {
           nullable = true) -> value)
       }
 
-    def countCol(name: String): Option[(StructField, Any)] =
+    def countCol(fs: Seq[DataFile], name: String): Option[(StructField, Any)] =
       fieldOf(name).flatMap { fld =>
-        val perFile = files.map { f =>
+        val perFile = fs.map { f =>
           if (f.recordCount == 0L) Some(0L) // empty file: nothing to count
           else f.nullValueCounts.get(fld.id)
             .orElse(if (fld.required) Some(0L) else None)
@@ -843,33 +925,63 @@ private[connector] object MetadataAggregate {
           -> Long.box(perFile.flatten.sum))
       }
 
-    val outputs = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some(StructField("count(*)", LongType, nullable = false)
-          -> Long.box(files.map(_.recordCount).sum))
-      case c: Count if !c.isDistinct => colOf(c.column).flatMap(countCol)
-      case m: Min => colOf(m.column).flatMap(minMax(_, isMin = true))
-      case m: Max => colOf(m.column).flatMap(minMax(_, isMin = false))
-      case _ => None
+    def outputsFor(fs: Seq[DataFile]): Option[Seq[(StructField, Any)]] = {
+      val outputs = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(StructField("count(*)", LongType, nullable = false)
+            -> Long.box(fs.map(_.recordCount).sum))
+        case c: Count if !c.isDistinct => colOf(c.column).flatMap(countCol(fs, _))
+        case m: Min => colOf(m.column).flatMap(minMax(fs, _, isMin = true))
+        case m: Max => colOf(m.column).flatMap(minMax(fs, _, isMin = false))
+        case _ => None
+      }
+      if (outputs.exists(_.isEmpty)) None else Some(outputs.flatten)
     }
-    if (outputs.exists(_.isEmpty)) None
-    else {
-      val resolved = outputs.flatten
-      Some(StructType(resolved.map(_._1)) -> resolved.map(_._2).toArray)
+
+    if (groupTupleOrds.isEmpty) {
+      outputsFor(files).map { resolved =>
+        StructType(resolved.map(_._1)) -> Seq(resolved.map(_._2).toArray)
+      }
+    } else {
+      // one output row per distinct partition value of the group cols;
+      // group values ride the row first, in groupBy order. A group
+      // exists iff it has surviving files (zero-row files never enter
+      // manifests — Metrics contract), matching GROUP BY semantics.
+      val groupFields: Seq[StructField] = groupTupleOrds.map { case (c, _) =>
+        val fld = fieldOf(c).get
+        val sparkType = sparkFields.find(_.name == fld.name).map(_.dataType)
+          .getOrElse(return None)
+        StructField(c, sparkType, nullable = !fld.required)
+      }
+      val byGroup: Seq[(Seq[Any], Seq[DataFile])] = files
+        .groupBy(f => groupTupleOrds.map { case (_, ord) => f.partition(ord) })
+        .toSeq
+      val rows = byGroup.map { case (gv, fs) =>
+        val aggVals = outputsFor(fs).getOrElse(return None)
+        // pin the agg schema across groups (same by construction)
+        (gv.map(GraftConnectorUtil.toInternalValue) ++ aggVals.map(_._2)).toArray
+      }
+      val aggSchema: Seq[StructField] = byGroup.headOption
+        .map(g => outputsFor(g._2).get.map(_._1))
+        .getOrElse(
+          // no files -> zero groups; still need the schema for the scan
+          outputsFor(Nil).getOrElse(return None).map(_._1))
+      Some(StructType(groupFields ++ aggSchema) -> rows)
     }
   }
 }
 
-/** The scan a pushed aggregate builds: one partition, one row, zero data
-  * files opened — the whole answer was read from manifests on the
-  * driver. */
+/** The scan a pushed aggregate builds: one partition PER GROUP (one
+  * total for ungrouped), zero data files opened — the whole answer was
+  * read from manifests on the driver. */
 private[connector] final class GraftMetadataAggScan(schema: StructType,
-    row: Array[Any], location: String) extends Scan with Batch {
+    rows: Seq[Array[Any]], location: String) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft metadata-aggregate $location [${schema.fieldNames.mkString(", ")}]"
-  override def planInputPartitions(): Array[InputPartition] = Array(GraftAggRow(row))
+  override def planInputPartitions(): Array[InputPartition] =
+    rows.map(r => GraftAggRow(r): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = GraftAggReaderFactory()
 }
 
@@ -897,7 +1009,9 @@ private[connector] final case class GraftReaderFactory(
     readEqDeletes: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
     readSchema: StructType,
     eqSchemas: Map[Seq[String], StructType],
-    outputCols: Option[Array[Int]],
+    // output field -> read-schema ordinal, or -1 for the `_file`
+    // metadata column (filled with the split's path); None = identity
+    outputTemplate: Option[Array[Int]],
     defaultsFill: Map[Int, (Int, Any, org.apache.spark.sql.types.DataType)] =
       Map.empty) extends PartitionReaderFactory {
 
@@ -993,11 +1107,15 @@ private[connector] final case class GraftReaderFactory(
     val it1 =
       if (del.eqDeletes.isEmpty) itD
       else itD.filter(r => eqFilters.forall(f => f(r)))
-    val it: Iterator[InternalRow] = outputCols match {
+    val it: Iterator[InternalRow] = outputTemplate match {
       case None => it1
-      case Some(idx) =>
-        val proj = UnsafeProjection.create(idx.toIndexedSeq.map(i =>
-          BoundReference(i, readSchema.fields(i).dataType, nullable = true)))
+      case Some(tpl) =>
+        val proj = UnsafeProjection.create(tpl.toIndexedSeq.map {
+          case -1 => org.apache.spark.sql.catalyst.expressions.Literal(
+            UTF8String.fromString(split.path), StringType)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+          case i => BoundReference(i, readSchema.fields(i).dataType, nullable = true)
+        })
         it1.map(proj.apply)
     }
 

@@ -90,10 +90,17 @@ private[connector] object GraftWriteModes {
   val Truncate = "truncate"
   val OverwriteFilter = "overwrite-filter"
   val OverwriteDynamic = "overwrite-dynamic"
+  /** Row-level CoW: replace exactly the files the operation's scan
+    * planned (see GraftRowLevel.scala). */
+  val ReplaceGroups = "replace-groups"
 }
 
 final class GraftWrite(table: IceTable, identName: String, warehouse: String,
-    info: LogicalWriteInfo, mode: String, overwriteFilters: Array[V1Filter])
+    info: LogicalWriteInfo, mode: String, overwriteFilters: Array[V1Filter],
+    // replace-groups (row-level CoW): manifest paths of the files this
+    // write replaces, resolved at COMMIT time from the operation's scan
+    // (after runtime group filtering)
+    replacedFiles: Option[() => Set[String]] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private val spec = table.spec
@@ -168,7 +175,8 @@ final class GraftWrite(table: IceTable, identName: String, warehouse: String,
   }
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(identName, warehouse, mode, overwriteFilters, taskConf())
+    new GraftBatchWrite(identName, warehouse, mode, overwriteFilters, taskConf(),
+      replacedFiles)
 
   override def toStreaming: StreamingWrite =
     new GraftStreamingWrite(identName, warehouse, mode, info.queryId(), taskConf())
@@ -206,10 +214,15 @@ private[connector] object GraftCommit {
     * (streaming passes an idempotency property). */
   def commit(warehouse: String, identName: String, mode: String,
       overwriteFilters: Array[V1Filter], entries: Seq[ManifestEntry],
-      extraProps: Map[String, String] = Map.empty): Unit = {
+      extraProps: Map[String, String] = Map.empty,
+      replacedFiles: Option[() => Set[String]] = None): Unit = {
     val t = freshTable(warehouse, identName)
     val spark = SparkSession.active
     mode match {
+      case GraftWriteModes.ReplaceGroups =>
+        SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,
+          removedPaths = replacedFiles.map(_.apply()).getOrElse(Set.empty),
+          extraProps = extraProps)
       case GraftWriteModes.Append =>
         SnapshotProducer.commit(t, spark, DataOperation.Append, entries,
           extraProps = extraProps)
@@ -279,14 +292,15 @@ private[connector] object GraftCommit {
 }
 
 final class GraftBatchWrite(identName: String, warehouse: String, mode: String,
-    overwriteFilters: Array[V1Filter], conf: GraftTaskWriteConf) extends BatchWrite {
+    overwriteFilters: Array[V1Filter], conf: GraftTaskWriteConf,
+    replacedFiles: Option[() => Set[String]] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDataWriterFactory(conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftCommit.commit(warehouse, identName, mode, overwriteFilters,
-      GraftCommit.entriesOf(messages))
+      GraftCommit.entriesOf(messages), replacedFiles = replacedFiles)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     GraftCommit.abortFiles(messages)

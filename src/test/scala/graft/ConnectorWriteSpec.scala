@@ -235,4 +235,45 @@ class ConnectorWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after2.metadata.currentSnapshotId == after1.metadata.currentSnapshotId)
     assert(!java.nio.file.Files.exists(replayFile))
   }
+
+  // ---- native row-level DML (SupportsRowLevelOperations) ----
+  // NOTE: this suite's session has NO GraftExtensions — these paths go
+  // through Spark's own RewriteUpdateTable / RewriteMergeIntoTable /
+  // RewriteDeleteFromTable against the V2 table contract alone.
+
+  test("native UPDATE without extensions rewrites only the matched partition's files") {
+    spark.sql("CREATE TABLE ice.db.rlup (id BIGINT, part STRING, v BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO ice.db.rlup VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30), (4, 'b', 40)")
+    spark.sql("UPDATE ice.db.rlup SET v = v + 100 WHERE part = 'a' AND id = 1")
+    assert(sortedRows(spark.table("ice.db.rlup")) ==
+      Seq("[1,a,110]", "[2,a,20]", "[3,b,30]", "[4,b,40]"))
+    // group-based CoW: partition 'b' untouched — exactly one data file
+    // (partition a's) was replaced in the overwrite snapshot
+    val t = IceTable.load(cat, TableIdentifier.parse("db.rlup"))
+    val snap = t.currentSnapshot.get
+    assert(snap.summary.get("removed-data-files").contains("1"),
+      s"expected 1 replaced file, summary=${snap.summary}")
+  }
+
+  test("native MERGE without extensions: update + insert through Spark's rewrite") {
+    spark.sql("CREATE TABLE ice.db.rlmrg (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO ice.db.rlmrg VALUES (1, 'one'), (2, 'two')")
+    spark.range(2, 5).selectExpr("id", "concat('n', id) AS v")
+      .createOrReplaceTempView("rl_src")
+    spark.sql("""MERGE INTO ice.db.rlmrg t USING rl_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sortedRows(spark.table("ice.db.rlmrg")) ==
+      Seq("[1,one]", "[2,n2]", "[3,n3]", "[4,n4]"))
+  }
+
+  test("native DELETE with an untranslatable predicate falls back to the row-level rewrite") {
+    spark.sql("CREATE TABLE ice.db.rldel (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO ice.db.rldel VALUES (1, 1), (2, 2), (3, 3), (4, 4)")
+    // v % 2 = 0 has no V1Filter form -> canDeleteWhere refuses the
+    // metadata path; Spark's RewriteDeleteFromTable plans the CoW
+    // rewrite through the row-level operation instead of erroring
+    spark.sql("DELETE FROM ice.db.rldel WHERE v % 2 = 0")
+    assert(sortedRows(spark.table("ice.db.rldel")) == Seq("[1,1]", "[3,3]"))
+  }
 }

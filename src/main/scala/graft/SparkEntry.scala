@@ -1264,6 +1264,58 @@ object SparkEntry {
     })
   )
 
+  /** Oracle SQL that needs a session-computed artifact, merged OVER
+    * [[oracleSql]] by Verify when dumping oracle_sql.json.
+    *
+    * d10 (SemDeDup) previously shipped a builder-minted golden VALUES
+    * table; this replaces it with an INDEPENDENT DuckDB recompute of the
+    * whole operator — nearest-centroid assignment (argmin squared
+    * euclidean, ties to the lowest cell), within-cluster pair scan,
+    * cosine threshold, and min-witness survivor selection are all
+    * re-derived by DuckDB from the raw embeddings. Only the centroids
+    * are inlined (e-notation literals parse as DOUBLE, full round-trip
+    * precision): the quantizer is the engine's one shared deterministic
+    * corpus artifact (Similarity.fitQuantizer — driver Lloyd loop over a
+    * partition-invariant hash sample), exactly as a sidecar file would
+    * be shared with any external engine. */
+  def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] = {
+    val emb = Tables.raw(spark, dir, "embeddings")
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val k = graft.ops.Similarity.autoClusters(emb.count())
+    val cents = graft.ops.Similarity.centroidsFor(emb, "vec_id", "emb", k,
+      cacheKey = Some(s"ivf:$dir/embeddings:$k"))
+    def dbl(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }
+    val centValues = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dbl).mkString(", ")}])"
+    }.mkString(", ")
+    Map("d10_semdedup" ->
+      s"""WITH cents(cell, c) AS (VALUES $centValues),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dist AS (
+        |  SELECT e.vec_id, e.v, cc.cell,
+        |    list_sum(list_transform(range(1, len(e.v) + 1),
+        |      i -> (e.v[i] - cc.c[i]) * (e.v[i] - cc.c[i]))) AS d
+        |  FROM emb e CROSS JOIN cents cc),
+        |asg AS (
+        |  SELECT vec_id, v, cell AS cluster FROM (
+        |    SELECT vec_id, v, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |pair AS (
+        |  SELECT a.cluster, a.vec_id AS aid, b.vec_id AS bid,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        |SELECT bid AS vec_id, CAST(min(cluster) AS INTEGER) AS cluster,
+        |  min(aid) AS dup_of, round(arg_min(cos, aid), 4) AS cosine
+        |FROM pair WHERE cos >= 0.25
+        |GROUP BY bid""".stripMargin)
+  }
+
   /** SQL form of [[graft.ops.Corpus.mixKey]] — the multiply split into
     * 16-bit halves so no intermediate exceeds 2^48: the naive
     * `id * 2654435761` overflows int64 above id ~3.47e9, where DuckDB

@@ -218,6 +218,15 @@ object Similarity {
     * layout-dependent sample would make the centroids differ between
     * environments. Shared by [[ivfTopK]] and [[semDedup]] so both treat
     * the quantizer as one persistent per-corpus artifact. */
+  /** The resolved quantizer as plain values — lets an external oracle
+    * (Verify's DuckDB recompute of d10) score against the SAME centroid
+    * artifact the engine used, while recomputing assignment/pairs/
+    * survivors independently. */
+  private[graft] def centroidsFor(corpus: DataFrame, idCol: String,
+      vecCol: String, nClusters: Int, cacheKey: Option[String] = None,
+      persistPath: Option[String] = None): Seq[Seq[Double]] =
+    quantizerFor(corpus, idCol, vecCol, nClusters, cacheKey, persistPath)
+
   private def quantizerFor(corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, cacheKey: Option[String],
       persistPath: Option[String]): Seq[Seq[Double]] = {

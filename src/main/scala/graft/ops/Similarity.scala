@@ -281,8 +281,9 @@ object Similarity {
       .filter(col("__a") < col("__b"))
       .withColumn("__cos", cosine(col("__va"), col("__vb")))
       .filter(col("__cos") >= threshold)
-      // the dropped vector keeps ONE witness: its smallest surviving
-      // near-duplicate (min on (a, cos) structs — a is unique per group)
+      // the dropped vector keeps ONE witness: its smallest LOWER-ID
+      // near-duplicate (min on (a, cos) structs — a is unique per group;
+      // the witness may itself be dropped, see scaladoc)
       .groupBy(col("__b"))
       .agg(min(col("cluster")).as("cluster"), // constant per group (one cell per vector)
         min(struct(col("__a"), col("__cos"))).as("__m"))

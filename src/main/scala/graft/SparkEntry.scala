@@ -823,6 +823,14 @@ object SparkEntry {
     "x5_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.scan(s, dir, "documents"), "text", 200)),
 
+    // per-doc top-5 TF-IDF terms: keyword extraction. Vocabulary-sized
+    // document-frequency table (bounded broadcast, x8's guard), per-doc
+    // top-k windows — no corpus-wide sort
+    "x13_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(Tables.scan(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("term"), col("rnk"), col("tf"),
+          round(col("score"), 6).as("score"))),
+
     // Gopher-style repetition filters: duplicate-token ratio +
     // most-frequent-bigram fraction per doc, keep verdict at fixed
     // thresholds; both shuffles keyed by doc_id (linear at any scale)
@@ -1029,6 +1037,25 @@ object SparkEntry {
         Seq("matched_id", "matched_value"))
         .select(col("event_id"), col("user_id"), col("matched_id"),
           round(col("matched_value"), 2).as("matched_value"))
+    }),
+
+    // range (interval) join: each non-error event matched to every
+    // 2-hour window opened by a same-user error event. Grid-cell
+    // equi-join on (user, time-cell) — the join key carries a time
+    // dimension so a hot key spreads over its range instead of one
+    // reducer; exact containment re-checked after (RangeJoin scaladoc)
+    "q_range_join" -> ((s, dir) => {
+      val ev = Events.load(s, dir)
+      val left = ev.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"))
+      graft.ops.RangeJoin.pointInInterval(left, right,
+        Seq("user_id"), "ts", "win_start", "win_end",
+        cellWidthMicros = 2L * 3600 * 1000000)
+        .select(col("user_id"), col("event_id"), col("window_id"))
     }),
 
     // stream-stream INNER interval join: same-user event pairs within 15
@@ -1901,6 +1928,30 @@ object SparkEntry {
         |  ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
         |WHERE a.user_id % 5 = 0 AND b.user_id % 5 = 0""".stripMargin,
+    "q_range_join" ->
+      """SELECT l.user_id, l.event_id, r.event_id AS window_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.event_type = 'error' AND l.event_type <> 'error'
+        | AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 2 HOUR""".stripMargin,
+    "x13_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0)) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, rnk, tf, round(score, 6) AS score FROM (
+        |  SELECT doc_id, term, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
         |           FROM events WHERE event_id % 2 = 1),

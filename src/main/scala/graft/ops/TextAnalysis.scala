@@ -257,6 +257,41 @@ object TextAnalysis {
           lit(total.toDouble))).as("nll"))
   }
 
+  /** Per-document top-k terms by TF-IDF — the keyword-extraction /
+    * relevance-weighting primitive (salient terms for indexing, topic
+    * labeling, near-dup triage). tf = in-doc occurrences; idf is the
+    * smoothed ln((N+1)/(df+1)) so corpus-universal terms score ~0 and
+    * the ratio is defined even for df = N.
+    *
+    * Plan shape: one explode, a (doc, term)-keyed count (linear,
+    * map-side combined), a VOCABULARY-sized document-frequency
+    * aggregate, and the tf⋈df join — broadcast while the vocabulary
+    * stays under `maxBroadcastVocab` rows, shuffle join beyond (the
+    * same heavy-tail guard as [[unigramNll]]: web-scale distinct-token
+    * sets do not fit a driver). The final top-k runs per document
+    * (rows per window = the doc's distinct terms, bounded by doc
+    * length) — no corpus-wide sort anywhere. */
+  def tfidf(df0: DataFrame, idCol: String, textCol: String, k: Int = 5,
+      maxBroadcastVocab: Long = 8000000L): DataFrame = {
+    val df = Par.ensure(df0)
+    val nDocs = df.count()
+    val tf = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val joinTable =
+      if (dfreq.count() <= maxBroadcastVocab) broadcast(dfreq) else dfreq
+    val score = col("tf") *
+      log((lit(nDocs.toDouble) + 1.0) / (col("__df").cast("double") + 1.0))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("__t"))
+    tf.join(joinTable, Seq("__t"))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("__t").as("term"), col("rnk"), col("tf"),
+        col("score"))
+  }
+
   /** Deterministic stratified sample: the k rows per stratum with the
     * smallest [[Corpus.mixKey]] of the id — reproducible across engines
     * and runs (no RNG), which is what a training-data pipeline needs

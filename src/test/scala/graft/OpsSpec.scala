@@ -905,6 +905,79 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n / k < 2000, "occupancy must stay square-root-bounded")
   }
 
+  test("range join equals the theta-join at any cell width; end exclusive") {
+    val ev = graft.ops.Events.load(spark, sfDir)
+    val left = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val right = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("window_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"))
+    // ground truth: Spark's own theta-join (BNL after the equi on key)
+    val want = left.join(right, Seq("user_id"))
+      .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .select("user_id", "event_id", "window_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture must produce matches")
+    // identical result whether cells are wider, equal, or much narrower
+    // than the interval (1 cell, <=2 cells, ~121 cells per interval)
+    for (w <- Seq(4L * 3600 * 1000000, 2L * 3600 * 1000000, 60L * 1000000)) {
+      val got = graft.ops.RangeJoin.pointInInterval(left, right,
+        Seq("user_id"), "ts", "win_start", "win_end", w)
+        .select("user_id", "event_id", "window_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"cell width $w")
+    }
+    // half-open: a point exactly at win_end must NOT match. Build an
+    // interval ending exactly on a known event's ts.
+    val probe = ev.orderBy("event_id").limit(1)
+      .select(col("user_id"), col("event_id"), col("ts")).collect().head
+    val oneInterval = spark.createDataFrame(Seq(
+      (probe.getLong(0), 999999L)).map(identity))
+      .toDF("user_id", "window_id")
+      .withColumn("win_end", lit(probe.getAs[java.sql.Timestamp]("ts")))
+      .withColumn("win_start", col("win_end") - expr("INTERVAL 1 HOUR"))
+    val atEnd = graft.ops.RangeJoin.pointInInterval(
+      left.filter(col("event_id") === probe.getLong(1)), oneInterval,
+      Seq("user_id"), "ts", "win_start", "win_end", 3600L * 1000000)
+    assert(atEnd.count() == 0, "end bound must be exclusive")
+    // degenerate interval (end <= start) matches nothing
+    val empty = graft.ops.RangeJoin.pointInInterval(left,
+      right.withColumn("win_end", col("win_start")),
+      Seq("user_id"), "ts", "win_start", "win_end", 3600L * 1000000)
+    assert(empty.count() == 0)
+    // the whole point: the plan is an equi-join on (key, cell), never a
+    // nested-loop/cartesian with the range as the only non-key predicate
+    val plan = graft.ops.RangeJoin.pointInInterval(left, right,
+      Seq("user_id"), "ts", "win_start", "win_end", 2L * 3600 * 1000000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(5).mkString("\n"))
+    assert(plan.contains("Join"), "must still be a join")
+  }
+
+  test("tfidf: shuffle-join fallback is bit-equal to the broadcast path") {
+    val broad = graft.ops.TextAnalysis.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(broad.nonEmpty)
+    val shuffled = graft.ops.TextAnalysis.tfidf(docs, "doc_id", "text",
+      maxBroadcastVocab = 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(shuffled == broad)
+    // every doc with tokens yields exactly k rows (or its distinct-term
+    // count if smaller), ranks 1..k, and rank-1 has the max score
+    val byDoc = broad.groupBy(_._1)
+    byDoc.foreach { case (_, rows) =>
+      val ranks = rows.map(_._3).toSeq.sorted
+      assert(ranks == (1 to rows.size))
+      val top = rows.minBy(_._3)
+      assert(rows.forall(_._5 <= top._5 + 1e-12))
+    }
+  }
+
   test("semDedup drop list equals brute-force within-cluster dedup") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("emb", col("embedding").cast("array<double>"))

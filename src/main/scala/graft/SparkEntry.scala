@@ -1167,6 +1167,39 @@ object SparkEntry {
       }
     }),
 
+    // SPJ + SupportsReportOrdering: co-bucketed tables whose files were
+    // written under a declared key sort order sort-merge-join with ZERO
+    // exchanges AND ZERO sorts — both plan-gated in-query. At 100 TB
+    // this is the difference between a join that moves nothing and one
+    // that still re-sorts every partition it didn't shuffle.
+    "spj_sorted_join" -> ((s, dir) => {
+      SpjFixture.sortedTables(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+        .map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val joined = s.table("ice.tpch.spjs_orders")
+          .join(s.table("ice.tpch.spjs_lineups"), "o_orderkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"fixture expects a sort-merge join; plan:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"storage-partitioned join must not shuffle; plan:\n$plan")
+        require(!plan.contains("Sort "),
+          s"key-sorted files must satisfy SMJ ordering with no Sort; plan:\n$plan")
+        joined.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("n_items").as("total_items"))
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // NDV statistics CONSUMED by planning: the V2 scan reports
     // theta-sketch-refined size/rows (SupportsReportStatistics), so an
     // equality-filtered dimension drops under the broadcast threshold
@@ -2003,6 +2036,13 @@ object SparkEntry {
         |JOIN (SELECT l_orderkey AS o_orderkey, count(*) AS n_items
         |      FROM lineitem GROUP BY 1) USING (o_orderkey)
         |GROUP BY o_orderstatus""".stripMargin,
+    "spj_sorted_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_items) AS BIGINT) AS total_items
+        |FROM orders
+        |JOIN (SELECT l_orderkey AS o_orderkey, count(*) AS n_items
+        |      FROM lineitem GROUP BY 1) USING (o_orderkey)
+        |GROUP BY o_orderstatus""".stripMargin,
     "proc_rollback" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"
   ) ++
@@ -2055,7 +2095,7 @@ object SpjFixture {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   private def mkBucketed(spark: SparkSession, sfDir: String, name: String,
-      df: DataFrame, buckets: Int): Unit = {
+      df: DataFrame, buckets: Int, sortByKey: Boolean = false): Unit = {
     val cat = Tables.catalog(sfDir)
     val ident = TableIdentifier(Seq("tpch"), name)
     if (!cat.tableExists(ident)) {
@@ -2063,7 +2103,13 @@ object SpjFixture {
       val key = schema.findFieldByName("o_orderkey").get.id
       val spec = PartitionSpec(0, IndexedSeq(
         PartitionField(key, 1000, "o_orderkey_bucket", BucketTransform(buckets))))
-      IceTable.create(cat, ident, schema, spec).append(spark).appendDataFrame(df)
+      val order =
+        if (sortByKey) graft.ice.meta.SortOrder(1, IndexedSeq(
+          graft.ice.meta.SortField(key, graft.ice.transform.IdentityTransform,
+            ascending = true, nullsFirst = true)))
+        else graft.ice.meta.SortOrder.unsorted
+      IceTable.create(cat, ident, schema, spec, order)
+        .append(spark).appendDataFrame(df)
     }
   }
 
@@ -2076,6 +2122,21 @@ object SpjFixture {
         .agg(count(lit(1)).as("n_items"))
       mkBucketed(spark, sfDir, "spj_orders", orders, 8)
       mkBucketed(spark, sfDir, "spj_lineups", lineups, 8)
+      true
+    })
+
+  /** Same co-bucketed pair but with a DECLARED key sort order: the
+    * write path sorts each file, manifests stamp sort_order_id, and the
+    * scan reports per-split ordering — zero-exchange AND zero-sort SMJ. */
+  def sortedTables(spark: SparkSession, sfDir: String): Unit =
+    cache.computeIfAbsent(s"$sfDir/spjsorted", { _ =>
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val lineups = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      mkBucketed(spark, sfDir, "spjs_orders", orders, 8, sortByKey = true)
+      mkBucketed(spark, sfDir, "spjs_lineups", lineups, 8, sortByKey = true)
       true
     })
 

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform => V2Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder => V2ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder => V2SortOrder, Transform => V2Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder => V2ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -503,6 +503,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
     pinnedSnapshotId: Option[Long] = None,
     limitFiles: Option[Seq[FileScanTask]] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
@@ -525,7 +526,11 @@ private[connector] final class GraftBatchScan(table: IceTable,
       nKeys: Option[Int], totalRows: Long, snapshotId: Option[Long],
       // manifest-form (possibly scheme-carrying) paths of the planned
       // files — the replaced-file set a row-level rewrite commits against
-      origPaths: Set[String])
+      origPaths: Set[String],
+      // every surviving file's manifest sort_order_id equals the table's
+      // CURRENT sort order — the precondition for reporting per-split
+      // output ordering (SupportsReportOrdering)
+      filesSorted: Boolean)
 
   /** Final planned file set in manifest path form (after static pushdown
     * AND any runtime group filter) — the groups a row-level operation's
@@ -627,12 +632,15 @@ private[connector] final class GraftBatchScan(table: IceTable,
     val totalRows = tasks.map(_.file.recordCount).sum
     val snapId = snap.map(_.snapshotId)
     val origPaths = tasks.map(_.file.filePath).toSet
+    val filesSorted = table.metadata.defaultSortOrder.fields.nonEmpty &&
+      tasks.nonEmpty &&
+      tasks.forall(_.file.sortOrderId.contains(table.metadata.defaultSortOrderId))
     if (!groupable) {
       PlannedScan(tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
         GraftFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p), deletesFor(t),
           absentFor(t, p))
-      }, None, totalRows, snapId, origPaths)
+      }, None, totalRows, snapId, origPaths, filesSorted)
     } else {
       val keyed = tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
@@ -642,7 +650,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
           deletesFor(t), key, absentFor(t, p)): GraftScanSplit
       }
       val nKeys = tasks.map(_.file.partition).distinct.size
-      PlannedScan(keyed, Some(nKeys), totalRows, snapId, origPaths)
+      PlannedScan(keyed, Some(nKeys), totalRows, snapId, origPaths, filesSorted)
     }
   }
 
@@ -680,6 +688,35 @@ private[connector] final class GraftBatchScan(table: IceTable,
         GraftConnectorUtil.toV2Transforms(table).get.map(t => t: org.apache.spark.sql.connector.expressions.Expression),
         nKeys)
     case None => new UnknownPartitioning(planned.splits.size)
+  }
+
+  /** Per-split output ordering (SupportsReportOrdering): each input
+    * split is ONE whole data file read sequentially, and delete
+    * filtering / default-value injection only drop or project rows —
+    * so when every surviving file's manifest `sort_order_id` equals
+    * the table's CURRENT sort order, every split emits rows in that
+    * order and Spark elides Sort nodes (combined with SPJ, a co-
+    * bucketed pair of key-sorted tables sort-merge-joins with ZERO
+    * exchanges and ZERO sorts; Spark itself refuses the ordering when
+    * it has to concatenate multiple splits into one partition group).
+    * Reported: the longest identity-transform prefix of the sort
+    * order whose columns survive projection — data sorted by (a, b)
+    * is sorted by (a); a transform term's order says nothing Catalyst
+    * can consume about the source column. */
+  override def outputOrdering(): Array[V2SortOrder] = {
+    if (!planned.filesSorted) return Array.empty
+    val names = required.fieldNames.toSet
+    table.metadata.defaultSortOrder.fields.iterator.map { sf =>
+      if (sf.transform != IdentityTransform) None
+      else table.schema.findFieldById(sf.sourceId).map(_.name)
+        .filter(names.contains).map { c =>
+          Expressions.sort(Expressions.column(c),
+            if (sf.ascending) SortDirection.ASCENDING
+            else SortDirection.DESCENDING,
+            if (sf.nullsFirst) NullOrdering.NULLS_FIRST
+            else NullOrdering.NULLS_LAST)
+        }
+    }.takeWhile(_.isDefined).flatten.toArray
   }
 
   /** NDV-refined scan statistics (SupportsReportStatistics): the numbers

@@ -7,8 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ice._
 import graft.ice.catalog._
-import graft.ice.meta.{PartitionField, PartitionSpec}
-import graft.ice.transform.BucketTransform
+import graft.ice.meta.{PartitionField, PartitionSpec, SortField, SortOrder}
+import graft.ice.transform.{BucketTransform, IdentityTransform}
 import graft.ice.types._
 
 /** V2 connector (graft.ice.connector): catalog-plugin reads, executor-
@@ -189,6 +189,70 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         .unionAll(raw.select("o_orderkey", "o_custkey", "o_totalprice").limit(50))
         .join(raw.select("o_orderkey", "o_orderstatus"), "o_orderkey")
       assert(sortedRows(joined) == sortedRows(expected))
+    }
+  }
+
+  test("reported ordering: bucketed + key-sorted tables SMJ with zero exchange AND zero sort") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    def mkSorted(name: String, df: DataFrame): IceTable = {
+      val schema = SparkConv.fromSpark(df.schema)
+      val key = schema.findFieldByName("o_orderkey").get.id
+      val spec = PartitionSpec(0, IndexedSeq(
+        PartitionField(key, 1000, "o_orderkey_bucket", BucketTransform(4))))
+      val order = SortOrder(1, IndexedSeq(
+        SortField(key, IdentityTransform, ascending = true, nullsFirst = true)))
+      val t = IceTable.create(cat, TableIdentifier.parse(s"db.$name"), schema,
+        spec, order)
+      t.append(spark).appendDataFrame(df)
+      t
+    }
+    mkSorted("ord_a", raw.select("o_orderkey", "o_custkey"))
+    mkSorted("ord_b", raw.select("o_orderkey", "o_orderstatus"))
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("ice.db.ord_a")
+        .join(spark.table("ice.db.ord_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"key-sorted files must satisfy SMJ ordering without a Sort:\n$plan")
+      val expected = raw.select("o_orderkey", "o_custkey")
+        .join(raw.select("o_orderkey", "o_orderstatus"), "o_orderkey")
+      assert(sortedRows(joined) == sortedRows(expected))
+    }
+    // negative control: identical tables WITHOUT a declared sort order
+    // must re-sort — proves the no-Sort assertion above is load-bearing
+    def mkUnsorted(name: String, df: DataFrame): IceTable = {
+      val schema = SparkConv.fromSpark(df.schema)
+      val key = schema.findFieldByName("o_orderkey").get.id
+      val spec = PartitionSpec(0, IndexedSeq(
+        PartitionField(key, 1000, "o_orderkey_bucket", BucketTransform(4))))
+      val t = IceTable.create(cat, TableIdentifier.parse(s"db.$name"), schema, spec)
+      t.append(spark).appendDataFrame(df)
+      t
+    }
+    mkUnsorted("unord_a", raw.select("o_orderkey", "o_custkey"))
+    mkUnsorted("unord_b", raw.select("o_orderkey", "o_orderstatus"))
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = spark.table("ice.db.unord_a")
+        .join(spark.table("ice.db.unord_b"), "o_orderkey")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Sort "), plan)
     }
   }
 

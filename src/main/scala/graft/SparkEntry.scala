@@ -1267,6 +1267,30 @@ object SparkEntry {
       df
     }),
 
+    // TopN pushdown: ORDER BY o_orderkey LIMIT 10 over a range-
+    // clustered sorted table plans only the end-run of range-disjoint
+    // files covering the limit (bounds-proved). At 100 TB "latest N by
+    // timestamp" opens one file instead of scanning the table. Gated
+    // in-query: the push fires AND plans fewer files than the table has.
+    "q_topn_pushdown" -> ((s, dir) => {
+      TopNFixture.table(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      import graft.ice.connector.GraftTopNStats
+      val before = GraftTopNStats.pushes.get()
+      val df = s.table("ice.tpch.topn_orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey").desc)
+        .limit(10)
+      df.queryExecution.executedPlan // planning runs the pushdown rules
+      require(GraftTopNStats.pushes.get() > before,
+        "TopN must push into the scan")
+      require(GraftTopNStats.lastPlanned < GraftTopNStats.lastTotal,
+        s"TopN must plan a strict subset of files " +
+          s"(${GraftTopNStats.lastPlanned}/${GraftTopNStats.lastTotal})")
+      df
+    }),
+
     // GROUPED aggregate pushdown: GROUP BY an identity-partition column
     // is answered entirely from manifests — one scan split PER GROUP,
     // zero data files opened. The most common metadata-answerable query
@@ -2036,6 +2060,9 @@ object SparkEntry {
         |JOIN (SELECT l_orderkey AS o_orderkey, count(*) AS n_items
         |      FROM lineitem GROUP BY 1) USING (o_orderkey)
         |GROUP BY o_orderstatus""".stripMargin,
+    "q_topn_pushdown" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey DESC LIMIT 10""".stripMargin,
     "spj_sorted_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_items) AS BIGINT) AS total_items
@@ -2930,6 +2957,47 @@ object StatsFixture {
           Seq("o_custkey", "o_orderkey", "o_orderstatus"))
       }
       IceTable.load(cat, ident)
+    })
+  }
+}
+
+/** Range-clustered unpartitioned orders table for the TopN-pushdown
+  * gate: a declared o_orderkey sort order makes the append range-
+  * disjoint across several files (AQE partition coalescing disabled
+  * for the write so the tiny fixture still produces an end-run to
+  * select from). */
+object TopNFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.meta.{SortField, SortOrder}
+  import graft.ice.transform.IdentityTransform
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  def table(spark: SparkSession, sfDir: String): Unit = {
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "topn_orders")
+    cache.computeIfAbsent(sfDir, { _ =>
+      if (!cat.tableExists(ident)) {
+        val df = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val schema = SparkConv.fromSpark(df.schema)
+        val key = schema.findFieldByName("o_orderkey").get.id
+        val order = SortOrder(1, IndexedSeq(
+          SortField(key, IdentityTransform, ascending = true, nullsFirst = true)))
+        val t = IceTable.create(cat, ident, schema,
+          graft.ice.meta.PartitionSpec.unpartitioned, order)
+        val k = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prev = spark.conf.getOption(k)
+        spark.conf.set(k, "false")
+        try t.append(spark).appendDataFrame(df)
+        finally prev match {
+          case Some(v) => spark.conf.set(k, v)
+          case None => spark.conf.unset(k)
+        }
+      }
+      true
     })
   }
 }

@@ -254,7 +254,8 @@ private[graft] class GraftScanBuilder(table: IceTable,
     pruneOnly: Boolean = false) extends V2ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pruneExpr: Option[IceExpr] = None
@@ -341,6 +342,36 @@ private[graft] class GraftScanBuilder(table: IceTable,
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** TopN pushdown: `ORDER BY col LIMIT n` plans only the end-run of
+    * range-disjoint files covering the limit (TopNPlanner — proof-
+    * driven refusal). Partial: Spark re-sorts + re-limits the subset,
+    * which provably contains every true top-n row. Same delete-free
+    * precondition and snapshot pinning as pushLimit. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (pruneExpr.isDefined || pushed.nonEmpty) return false
+    val probe = table.newScan()
+    pinnedSnapshotId.foreach(probe.useSnapshot)
+    probe.resolveSnapshot() match {
+      case None =>
+        limitFiles = Some(Nil)
+        true
+      case Some(s) =>
+        if (table.planDeleteEntries(s).nonEmpty) return false
+        TopNPlanner.plan(table, s.snapshotId, orders, limit) match {
+          case Some(sel) =>
+            limitFiles = Some(sel)
+            limitSnapshotId = Some(s.snapshotId)
+            GraftTopNStats.pushes.incrementAndGet()
+            GraftTopNStats.lastPlanned = sel.size
+            GraftTopNStats.lastTotal =
+              table.newScan().useSnapshot(s.snapshotId).planFiles().size
+            true
+          case None => false
+        }
+    }
+  }
+
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) =>
       GraftAggPushStats.pushes.incrementAndGet()
@@ -360,6 +391,111 @@ object GraftAggPushStats {
   val pushes = new java.util.concurrent.atomic.AtomicLong()
   @volatile var lastSchema: String = ""
   @volatile var lastRows: Int = -1
+}
+
+/** Test/diagnostic hook: TopN pushdowns — how many fired and the
+  * planned-vs-total file counts of the last one. */
+object GraftTopNStats {
+  val pushes = new java.util.concurrent.atomic.AtomicLong()
+  @volatile var lastPlanned: Int = -1
+  @volatile var lastTotal: Int = -1
+}
+
+/** TopN pushdown file planner: `ORDER BY <col> LIMIT n` answered by
+  * planning only the head (or tail) run of files, proven from manifest
+  * bounds. Sound when the surviving files are strictly RANGE-DISJOINT
+  * on the sort column — exactly the layout the declared-sort-order
+  * write path produces (repartitionByRange clusters an unpartitioned
+  * sorted append into non-overlapping files). Then files form a total
+  * order; the minimal end-run covering >= n rows contains every true
+  * top-n row (all excluded rows compare strictly worse than all
+  * selected rows, and >= n selected rows exist), so the push is sound
+  * even though PARTIAL — Spark still sorts and limits the subset.
+  *
+  * Refusal is proof-driven, in the StrictMetricsEvaluator tradition:
+  * multi-key orderings, nested/non-identity terms, any file with
+  * possible nulls in the column (null ordering would need them last
+  * AND provably counted), float/double without a zero NaN count (NaN
+  * sorts above every bound), truncated string/binary bounds, missing
+  * metrics, or overlapping ranges -> no push, normal scan plan.
+  * Deletes are refused by the caller before planning. At 100 TB this
+  * turns "latest 10 events by timestamp" from a full scan into
+  * opening one file. */
+private[connector] object TopNPlanner {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection => V2Dir, SortOrder => V2Sort}
+  import graft.ice.types._
+  import graft.ice.write.Metrics
+
+  def plan(table: IceTable, snapshotId: Long,
+      orders: Array[V2Sort], limit: Int): Option[Seq[FileScanTask]] = {
+    if (orders.length != 1 || limit <= 0) return None
+    val ord = orders(0)
+    val colName = ord.expression match {
+      case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames.head
+      case _ => return None
+    }
+    val fld = table.schema.findFieldByName(colName)
+      .orElse(table.schema.findFieldByName(colName, caseSensitive = false))
+      .getOrElse(return None)
+    val prim = fld.fieldType match {
+      case p: IcePrimitive => p
+      case _ => return None
+    }
+    val tasks = table.newScan().useSnapshot(snapshotId).planFiles()
+    // zero-row files contribute nothing and are excluded outright
+    val live = tasks.filter(_.file.recordCount > 0L)
+    if (live.isEmpty) return Some(Nil)
+
+    def exactBound(l: Literal): Boolean = l.tpe match {
+      case StringT =>
+        val s = l.raw.asInstanceOf[String]
+        s.codePointCount(0, s.length) < Metrics.BoundTruncateLength
+      case BinaryT =>
+        l.raw.asInstanceOf[Array[Byte]].length < Metrics.BoundTruncateLength
+      case _ => true
+    }
+
+    val bounded: Seq[(FileScanTask, Literal, Literal)] = live.map { t =>
+      val f = t.file
+      // null rows would need an ordering proof of their own; demand none
+      if (!f.nullValueCounts.get(fld.id).contains(0L)) return None
+      prim match {
+        case FloatT | DoubleT =>
+          if (!f.nanValueCounts.get(fld.id).contains(0L)) return None
+        case _ =>
+      }
+      (f.lowerBounds.get(fld.id), f.upperBounds.get(fld.id)) match {
+        case (Some(lo), Some(hi)) =>
+          val l = Literal.deserialize(prim, lo)
+          val u = Literal.deserialize(prim, hi)
+          if (!exactBound(l) || !exactBound(u)) return None
+          (t, l, u)
+        case _ => return None
+      }
+    }
+
+    // strict disjointness: sorted by lower bound, each file's upper must
+    // sit strictly below the next file's lower (ties across files would
+    // split equal values between a selected and an excluded file)
+    val sorted = bounded.sortWith { case ((_, a, _), (_, b, _)) =>
+      a.compareTo(b).getOrElse(return None) < 0
+    }
+    sorted.sliding(2).foreach {
+      case Seq((_, _, prevHi), (_, nextLo, _)) =>
+        if (prevHi.compareTo(nextLo).getOrElse(return None) >= 0) return None
+      case _ =>
+    }
+
+    val fromEnd =
+      if (ord.direction == V2Dir.DESCENDING) sorted.reverse else sorted
+    var rows = 0L
+    val selected = fromEnd.takeWhile { case (t, _, _) =>
+      val need = rows < limit
+      rows += t.file.recordCount
+      need
+    }
+    Some(selected.map(_._1))
+  }
 }
 
 /** Test/diagnostic hook: split counts before/after the most recent

@@ -256,6 +256,67 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TopN pushdown plans only the end-run of range-disjoint files") {
+    import graft.ice.connector.GraftTopNStats
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val key = schema.findFieldByName("o_orderkey").get.id
+    val order = SortOrder(1, IndexedSeq(
+      SortField(key, IdentityTransform, ascending = true, nullsFirst = true)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.topn"), schema,
+      PartitionSpec.unpartitioned, order)
+    // AQE would coalesce the tiny range shuffle to one partition — keep
+    // several files so the end-run selection is observable
+    val prevCoalesce = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.append(spark).appendDataFrame(raw)
+    finally prevCoalesce match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+    val total = IceTable.load(cat, TableIdentifier.parse("db.topn"))
+      .newScan().planFiles().size
+    assert(total > 1, "fixture needs multiple range-disjoint files")
+
+    val before = GraftTopNStats.pushes.get()
+    val got = spark.table("ice.db.topn")
+      .orderBy(col("o_orderkey").desc).limit(7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(GraftTopNStats.pushes.get() == before + 1, "TopN push must fire")
+    assert(GraftTopNStats.lastPlanned < GraftTopNStats.lastTotal,
+      s"planned ${GraftTopNStats.lastPlanned} of ${GraftTopNStats.lastTotal}")
+    val want = raw.orderBy(col("o_orderkey").desc).limit(7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+
+    // ascending end too
+    val beforeAsc = GraftTopNStats.pushes.get()
+    val gotAsc = spark.table("ice.db.topn")
+      .orderBy(col("o_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(GraftTopNStats.pushes.get() == beforeAsc + 1)
+    assert(gotAsc == raw.orderBy(col("o_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq)
+
+    // negative control: a second append overlaps the first's ranges —
+    // disjointness is unprovable, the push must REFUSE, results stay
+    // correct through the normal sort
+    val extra = raw.filter(col("o_orderkey") % 7 === 0)
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.topn"))
+    t2.append(spark).appendDataFrame(extra)
+    val beforeOverlap = GraftTopNStats.pushes.get()
+    val gotOverlap = spark.table("ice.db.topn")
+      .orderBy(col("o_orderkey").desc, col("o_custkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(GraftTopNStats.pushes.get() == beforeOverlap,
+      "overlapping files must refuse the TopN push")
+    val wantOverlap = raw.unionAll(extra)
+      .orderBy(col("o_orderkey").desc, col("o_custkey")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotOverlap == wantOverlap)
+  }
+
   test("filter pushdown reaches file pruning through the connector") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

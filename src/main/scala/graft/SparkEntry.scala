@@ -683,6 +683,40 @@ object SparkEntry {
         .select("o_orderkey", "o_orderstatus", "_change_type")
     }),
 
+    // changelog with UPDATE pairing (Iceberg create_changelog_view
+    // compute-updates): a MoR merge's eq-delete + re-insert of the same
+    // identifier key in one commit becomes update_preimage /
+    // update_postimage; pure inserts stay inserts. One shuffle keyed by
+    // (identifier, commit) — row-scale cardinality.
+    "cdc_updates" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_cdcu")
+      val t =
+        if (cat.tableExists(ident)) IceTable.load(cat, ident)
+        else {
+          val raw = Tables.raw(s, dir, "orders")
+          val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+          created.append(s).appendDataFrame(raw)
+          val src = raw.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+            .unionByName(raw.filter(col("o_orderkey") % 100 === 7)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+          created.merge(s, src, Seq("o_orderkey"))
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .withMergeOnRead()
+            .commit()
+          created
+        }
+      val snaps = t.snapshots.sortBy(_.sequenceNumber)
+      t.planChangelog(s, snaps.head.snapshotId, snaps.last.snapshotId,
+        Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"), col("_change_type"))
+    }),
+
     // ---------- §2.11 dedup ----------
 
     "d1_dedup_exact" -> ((s, dir) =>
@@ -1569,6 +1603,18 @@ object SparkEntry {
     "cdc_changes" ->
       """SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type
         |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
+    "cdc_updates" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+        |       'update_preimage' AS _change_type
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice + 1000, 2),
+        |       'update_postimage'
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000, o_orderstatus, round(o_totalprice, 2),
+        |       'insert'
+        |FROM orders WHERE o_orderkey % 100 = 7""".stripMargin,
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
     "c_rest" -> "SELECT * FROM region",

@@ -70,14 +70,37 @@ final class IceTable private (
     }.seq
   }
 
+  /** Data-file entries with the given status in manifests this snapshot
+    * itself wrote. */
+  private def dataEntriesOf(s: Snapshot, status: Int): Seq[ManifestEntry] =
+    ManifestAvro.readManifestList(s.manifestList)
+      .filter(m => m.content == ManifestContent.Data &&
+        m.addedSnapshotId == s.snapshotId)
+      .flatMap { m =>
+        val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+        ManifestAvro.readManifest(m.manifestPath, mSpec.partitionType(schema), Some(m))
+          .filter(e => e.status == status &&
+            (status != ManifestStatus.Added || e.snapshotId.contains(s.snapshotId)))
+      }
+
+  /** An overwrite snapshot is row-level diffable only when it REMOVED no
+    * data files (a merge-on-read upsert: adds data + delete files, the
+    * superseded rows die by delete file, not by rewrite). A copy-on-
+    * write overwrite/replace rewrites files, and diffing those would
+    * mean comparing file contents. */
+  private def removesNoDataFiles(s: Snapshot): Boolean =
+    dataEntriesOf(s, ManifestStatus.Deleted).isEmpty
+
   /** CDC changes scan over (fromSnapshotId, toSnapshotId]: one row per
-    * changed row with a `_change_type` column ("insert" | "delete").
-    * Inserts come from append snapshots' added files; deletes from
-    * merge-on-read delete snapshots — position deletes resolve their
-    * (file, pos) tuples back to rows, equality deletes join their keys
-    * against the pre-delete table state. Copy-on-write deletes,
-    * overwrites, and replaces are rejected: their row-level diff would
-    * require comparing rewritten file contents. */
+    * changed row with `_change_type` ("insert" | "delete") and
+    * `_commit_snapshot_id` columns. Inserts come from added data files;
+    * deletes from merge-on-read delete files — position deletes resolve
+    * their (file, pos) tuples back to rows, equality deletes join their
+    * keys against the pre-delete table state. Overwrite snapshots are
+    * diffable IFF they removed no data files (MoR upserts: both inserts
+    * and deletes are emitted); copy-on-write overwrites and replaces
+    * are rejected — their row-level diff would require comparing
+    * rewritten file contents. */
   def planChanges(spark: SparkSession, fromSnapshotId: Long,
       toSnapshotId: Long): DataFrame = {
     val chain = Iterator.iterate(meta.snapshotById(toSnapshotId))(
@@ -85,26 +108,28 @@ final class IceTable private (
       .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == fromSnapshotId))
       .flatten.toSeq.reverse // oldest first
     val unsupported = chain.filterNot(s =>
-      s.operation.forall(op => op == DataOperation.Append || op == DataOperation.Delete))
+      s.operation.forall(op => op == DataOperation.Append ||
+        op == DataOperation.Delete ||
+        (op == DataOperation.Overwrite && removesNoDataFiles(s))))
     require(unsupported.isEmpty,
       s"changes scan cannot diff snapshots with operations " +
         s"${unsupported.flatMap(_.operation).distinct.mkString(",")}")
     val sparkSchema = SparkConv.toSpark(schema)
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      sparkSchema.add("_change_type", org.apache.spark.sql.types.StringType))
+      sparkSchema.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_snapshot_id", org.apache.spark.sql.types.LongType))
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-    val parts: Seq[DataFrame] = chain.flatMap { s =>
-      s.operation match {
-        case Some(DataOperation.Append) =>
-          val entries = planAppendsBetween(
-            s.parentSnapshotId.getOrElse(-1L), s.snapshotId)
-          if (entries.isEmpty) None
-          else Some(spark.read.schema(sparkSchema)
-            .parquet(entries.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
-            .withColumn("_change_type", lit("insert")))
-        case Some(DataOperation.Delete) =>
+    def insertRows(s: Snapshot): Option[DataFrame] = {
+      val entries = dataEntriesOf(s, ManifestStatus.Added)
+      if (entries.isEmpty) None
+      else Some(spark.read.schema(sparkSchema)
+        .parquet(entries.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
+        .withColumn("_change_type", lit("insert")))
+    }
+
+    def deleteRows(s: Snapshot): Option[DataFrame] = {
           // delete files ADDED by this snapshot
           val added = ManifestAvro.readManifestList(s.manifestList)
             .filter(m => m.content == ManifestContent.Deletes &&
@@ -183,10 +208,48 @@ final class IceTable private (
             case one :: Nil => Some(one)
             case many => Some(many.reduce(_ unionByName _))
           }
+    }
+
+    val parts: Seq[DataFrame] = chain.flatMap { s =>
+      val ins = s.operation match {
+        case Some(DataOperation.Append) | Some(DataOperation.Overwrite) =>
+          insertRows(s)
         case _ => None
       }
+      val del = s.operation match {
+        case Some(DataOperation.Delete) | Some(DataOperation.Overwrite) =>
+          deleteRows(s)
+        case _ => None
+      }
+      (ins.toSeq ++ del.toSeq).reduceOption(_ unionByName _)
+        .map(_.withColumn("_commit_snapshot_id", lit(s.snapshotId)))
     }
     parts.reduceOption(_ unionByName _).getOrElse(empty)
+  }
+
+  /** Changelog view with UPDATE pairing (the Iceberg
+    * create_changelog_view compute-updates semantics): within one
+    * commit, an identifier key carrying exactly ONE delete and ONE
+    * insert is an update — the delete relabels `update_preimage`, the
+    * insert `update_postimage`; everything else keeps its raw change
+    * type. One shuffle keyed by (identifier, commit): key cardinality
+    * is row-scale, so the window never funnels a corpus through one
+    * reducer. */
+  def planChangelog(spark: SparkSession, fromSnapshotId: Long,
+      toSnapshotId: Long, identifierCols: Seq[String]): DataFrame = {
+    require(identifierCols.nonEmpty, "changelog pairing needs identifier columns")
+    val base = planChanges(spark, fromSnapshotId, toSnapshotId)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      (identifierCols.map(col) :+ col("_commit_snapshot_id")): _*)
+    val nDel = sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(w)
+    val nIns = sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(w)
+    base.withColumn("__nd", nDel).withColumn("__ni", nIns)
+      .withColumn("_change_type",
+        when(col("__nd") === 1 && col("__ni") === 1,
+          when(col("_change_type") === "delete", lit("update_preimage"))
+            .otherwise(lit("update_postimage")))
+          .otherwise(col("_change_type")))
+      .drop("__nd", "__ni")
   }
 
   /** UpgradeFormatVersion (table_update.h:41-360): one-way bump; later

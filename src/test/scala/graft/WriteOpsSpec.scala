@@ -806,6 +806,51 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.planChanges(spark, s1.snapshotId, t.currentSnapshot.get.snapshotId))
   }
 
+  test("changelog pairs a MoR merge's delete+insert into update pre/post images") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.cdcu"),
+      SparkConv.fromSpark(raw.schema))
+    val s1 = t.append(spark).appendDataFrame(raw)
+    val src = raw.filter("o_orderkey % 5 = 0")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(raw.filter("o_orderkey % 100 = 3")
+        .withColumn("o_orderkey", col("o_orderkey") + 7000000L))
+    t.merge(spark, src, Seq("o_orderkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withMergeOnRead().commit()
+    val s2 = t.currentSnapshot.get
+    val log = t.planChangelog(spark, s1.snapshotId, s2.snapshotId, Seq("o_orderkey"))
+    val byType = log.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUpd = raw.filter("o_orderkey % 5 = 0").count()
+    val nIns = raw.filter("o_orderkey % 100 = 3").count()
+    assert(byType.get("update_preimage").contains(nUpd))
+    assert(byType.get("update_postimage").contains(nUpd))
+    assert(byType.get("insert").contains(nIns))
+    assert(!byType.contains("delete"))
+    // pre-image carries the OLD value, post-image the new one
+    val k = raw.filter("o_orderkey % 5 = 0").select("o_orderkey")
+      .orderBy("o_orderkey").limit(1).collect().head.getLong(0)
+    val oldPrice = raw.filter(col("o_orderkey") === k)
+      .collect().head.getAs[Double]("o_totalprice")
+    val rows = log.filter(col("o_orderkey") === k)
+      .select("_change_type", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("update_preimage") == oldPrice)
+    assert(rows("update_postimage") == oldPrice * 2)
+    // a raw planChanges over the same range reports them as delete+insert
+    val rawTypes = t.planChanges(spark, s1.snapshotId, s2.snapshotId)
+      .filter(col("o_orderkey") === k)
+      .select("_change_type").collect().map(_.getString(0)).sorted.toSeq
+    assert(rawTypes == Seq("delete", "insert"))
+    // a file-rewriting operation in range still refuses the diff
+    t.compact(spark).rewriteDataFiles()
+    assertThrows[IllegalArgumentException](
+      t.planChanges(spark, s1.snapshotId, t.currentSnapshot.get.snapshotId))
+  }
+
   test("incremental append scan returns exactly the rows added in range") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/orders.parquet")

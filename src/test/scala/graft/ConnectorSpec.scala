@@ -317,6 +317,37 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotOverlap == wantOverlap)
   }
 
+  test("TopN pushdown fires on a timestamp column — latest N by ts") {
+    import graft.ice.connector.GraftTopNStats
+    val raw = graft.ops.Events.load(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id")
+    val schema = SparkConv.fromSpark(raw.schema)
+    val key = schema.findFieldByName("ts").get.id
+    val order = SortOrder(1, IndexedSeq(
+      SortField(key, IdentityTransform, ascending = true, nullsFirst = true)))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.topnts"), schema,
+      PartitionSpec.unpartitioned, order)
+    val k = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try t.append(spark).appendDataFrame(raw)
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+    val before = GraftTopNStats.pushes.get()
+    val got = spark.table("ice.db.topnts")
+      .orderBy(col("ts").desc).limit(6)
+      .collect().map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+    assert(GraftTopNStats.pushes.get() == before + 1, "ts TopN must push")
+    assert(GraftTopNStats.lastPlanned < GraftTopNStats.lastTotal)
+    // ties at the boundary would be split nondeterministically by any
+    // engine; compare the ts multiset, which is deterministic
+    val want = raw.orderBy(col("ts").desc).limit(6)
+      .collect().map(_.getAs[java.sql.Timestamp]("ts")).toSeq
+    assert(got == want)
+  }
+
   test("filter pushdown reaches file pruning through the connector") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

@@ -717,6 +717,70 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"), col("_change_type"))
     }),
 
+    // COPY-ON-WRITE changelog: a CoW MERGE removes the matched files and
+    // adds rewritten ones. The diff reads the removed files at the parent
+    // snapshot (MoR deletes applied), cancels carry-over rows rewritten
+    // verbatim, and pairs the surviving delete+insert per key into
+    // update pre/post images — same observable changelog as the MoR
+    // merge, produced from file-level rewrite evidence.
+    "cdc_cow_overwrite" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_cowcdc")
+      val t =
+        if (cat.tableExists(ident)) IceTable.load(cat, ident)
+        else {
+          val raw = Tables.raw(s, dir, "orders")
+          val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+          created.append(s).appendDataFrame(raw)
+          val src = raw.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+            .unionByName(raw.filter(col("o_orderkey") % 100 === 7)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+          created.merge(s, src, Seq("o_orderkey"))
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .commit() // no withMergeOnRead: copy-on-write rewrite
+          created
+        }
+      val snaps = t.snapshots.sortBy(_.sequenceNumber)
+      t.planChangelog(s, snaps.head.snapshotId, snaps.last.snapshotId,
+        Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"), col("_change_type"))
+    }),
+
+    // Net-changes view (Iceberg create_changelog_view net_changes): two
+    // successive CoW updates of the same rows collapse to one delete of
+    // the initial image + one insert of the final image — intermediate
+    // states vanish by multiset cancelation across the whole range.
+    "cdc_net_changes" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.expr.{Expr => XE}
+      import graft.ice.types.{Literal => XL, SparkConv}
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_netcdc")
+      val t =
+        if (cat.tableExists(ident)) IceTable.load(cat, ident)
+        else {
+          val raw = Tables.raw(s, dir, "orders")
+          val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+          created.append(s).appendDataFrame(raw)
+          created.delete(s).updateWhere(
+            XE.equal("o_orderpriority", XL.string("1-URGENT")),
+            Map("o_totalprice" -> "o_totalprice + 500.0"))
+          created.delete(s).updateWhere(
+            XE.equal("o_orderpriority", XL.string("1-URGENT")),
+            Map("o_totalprice" -> "o_totalprice + 500.0"))
+          created
+        }
+      val snaps = t.snapshots.sortBy(_.sequenceNumber)
+      t.planNetChanges(s, snaps.head.snapshotId, snaps.last.snapshotId)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("_change_type"))
+    }),
+
     // ---------- §2.11 dedup ----------
 
     "d1_dedup_exact" -> ((s, dir) =>
@@ -1615,6 +1679,25 @@ object SparkEntry {
         |SELECT o_orderkey + 1000000000, o_orderstatus, round(o_totalprice, 2),
         |       'insert'
         |FROM orders WHERE o_orderkey % 100 = 7""".stripMargin,
+    "cdc_cow_overwrite" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+        |       'update_preimage' AS _change_type
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice + 1000, 2),
+        |       'update_postimage'
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000, o_orderstatus, round(o_totalprice, 2),
+        |       'insert'
+        |FROM orders WHERE o_orderkey % 100 = 7""".stripMargin,
+    "cdc_net_changes" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |       'delete' AS _change_type
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice + 1000, 2), 'insert'
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
     "c_rest" -> "SELECT * FROM region",

@@ -83,24 +83,58 @@ final class IceTable private (
             (status != ManifestStatus.Added || e.snapshotId.contains(s.snapshotId)))
       }
 
-  /** An overwrite snapshot is row-level diffable only when it REMOVED no
-    * data files (a merge-on-read upsert: adds data + delete files, the
-    * superseded rows die by delete file, not by rewrite). A copy-on-
-    * write overwrite/replace rewrites files, and diffing those would
-    * mean comparing file contents. */
-  private def removesNoDataFiles(s: Snapshot): Boolean =
-    dataEntriesOf(s, ManifestStatus.Deleted).isEmpty
+  /** Data-file paths REMOVED by snapshot `s`: live at its parent, gone
+    * at `s`. SnapshotProducer never writes ManifestStatus.Deleted
+    * entries — a removal surfaces as a rewritten manifest whose
+    * survivors are Existing, or as a manifest dropped from the list —
+    * so detection must compare live sets, not look for Deleted rows.
+    * The snapshot summary's `removed-data-files` count (stamped by
+    * every commit this engine makes) is a fast path: 0 skips the
+    * two-snapshot manifest walk. */
+  private def removedDataFilePaths(s: Snapshot): Set[String] = {
+    if (s.summary.get("removed-data-files").contains("0")) return Set.empty
+    val parent = s.parentSnapshotId.flatMap(meta.snapshotById)
+      .getOrElse(return Set.empty) // first snapshot: nothing to remove
+    def livePaths(sn: Snapshot): Set[String] =
+      planEntries(sn, None).map(_.dataFile.filePath).toSet
+    livePaths(parent) -- livePaths(s)
+  }
+
+  /** Cancel copy-on-write carry-overs: rows rewritten VERBATIM appear
+    * both as a delete (from the removed file) and an insert (from its
+    * replacement) — content-identical pairs cancel multiset-wise
+    * (Iceberg's create_changelog_view carry-over removal). One shuffle
+    * keyed by the full row, sized by the snapshot's rewritten data —
+    * never the table. */
+  private def cancelCarryovers(df: DataFrame): DataFrame = {
+    val dataCols = df.columns.filterNot(_ == "_change_type").toSeq
+    df.withColumn("__w",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("__w")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .withColumn("_change_type",
+        when(col("__net") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__dup",
+        explode(org.apache.spark.sql.functions.expr(
+          "array_repeat(0, cast(abs(__net) as int))")))
+      .drop("__net", "__dup")
+  }
 
   /** CDC changes scan over (fromSnapshotId, toSnapshotId]: one row per
     * changed row with `_change_type` ("insert" | "delete") and
     * `_commit_snapshot_id` columns. Inserts come from added data files;
-    * deletes from merge-on-read delete files — position deletes resolve
+    * merge-on-read deletes from delete files — position deletes resolve
     * their (file, pos) tuples back to rows, equality deletes join their
-    * keys against the pre-delete table state. Overwrite snapshots are
-    * diffable IFF they removed no data files (MoR upserts: both inserts
-    * and deletes are emitted); copy-on-write overwrites and replaces
-    * are rejected — their row-level diff would require comparing
-    * rewritten file contents. */
+    * keys against the pre-delete table state. Copy-on-write removals
+    * (truncate, INSERT OVERWRITE, dynamic overwrite, CoW UPDATE/MERGE/
+    * DELETE) diff at the FILE level: the removed files' rows — read at
+    * the parent snapshot with its MoR deletes applied, so already-dead
+    * rows never resurface — are deletes, the added files' rows inserts,
+    * and content-identical carry-over pairs cancel multiset-wise
+    * ([[cancelCarryovers]]). `replace` snapshots (compaction, manifest
+    * rewrites, z-order) preserve table content by contract and emit
+    * nothing. */
   def planChanges(spark: SparkSession, fromSnapshotId: Long,
       toSnapshotId: Long): DataFrame = {
     val chain = Iterator.iterate(meta.snapshotById(toSnapshotId))(
@@ -110,7 +144,8 @@ final class IceTable private (
     val unsupported = chain.filterNot(s =>
       s.operation.forall(op => op == DataOperation.Append ||
         op == DataOperation.Delete ||
-        (op == DataOperation.Overwrite && removesNoDataFiles(s))))
+        op == DataOperation.Overwrite ||
+        op == DataOperation.Replace))
     require(unsupported.isEmpty,
       s"changes scan cannot diff snapshots with operations " +
         s"${unsupported.flatMap(_.operation).distinct.mkString(",")}")
@@ -211,21 +246,63 @@ final class IceTable private (
     }
 
     val parts: Seq[DataFrame] = chain.flatMap { s =>
-      val ins = s.operation match {
-        case Some(DataOperation.Append) | Some(DataOperation.Overwrite) =>
-          insertRows(s)
-        case _ => None
+      if (s.operation.contains(DataOperation.Replace)) None // content-preserving
+      else {
+        val removed = s.operation match {
+          case Some(DataOperation.Overwrite) | Some(DataOperation.Delete) =>
+            removedDataFilePaths(s)
+          case _ => Set.empty[String]
+        }
+        val ins = s.operation match {
+          case Some(DataOperation.Append) | Some(DataOperation.Overwrite) =>
+            insertRows(s)
+          // CoW DELETE adds rewritten survivor files; they cancel against
+          // the removed files' rows, leaving exactly the deleted rows
+          case Some(DataOperation.Delete) if removed.nonEmpty => insertRows(s)
+          case _ => None
+        }
+        val morDel = s.operation match {
+          case Some(DataOperation.Delete) | Some(DataOperation.Overwrite) =>
+            deleteRows(s)
+          case _ => None
+        }
+        val cowDel =
+          if (removed.isEmpty) None
+          else {
+            val parentId = s.parentSnapshotId.getOrElse(
+              throw new IllegalStateException(
+                s"snapshot ${s.snapshotId} removed files without a parent"))
+            Some(newScan().useSnapshot(parentId).restrictFiles(removed)
+              .toDF(spark)
+              .withColumn("_change_type", lit("delete")))
+          }
+        val diffed =
+          if (cowDel.isEmpty)
+            (ins.toSeq ++ morDel.toSeq).reduceOption(_ unionByName _)
+          else {
+            val cow = cancelCarryovers(
+              (ins.toSeq ++ cowDel.toSeq).reduce(_ unionByName _))
+            Some((Seq(cow) ++ morDel.toSeq).reduce(_ unionByName _))
+          }
+        diffed.map(_.withColumn("_commit_snapshot_id", lit(s.snapshotId)))
       }
-      val del = s.operation match {
-        case Some(DataOperation.Delete) | Some(DataOperation.Overwrite) =>
-          deleteRows(s)
-        case _ => None
-      }
-      (ins.toSeq ++ del.toSeq).reduceOption(_ unionByName _)
-        .map(_.withColumn("_commit_snapshot_id", lit(s.snapshotId)))
     }
     parts.reduceOption(_ unionByName _).getOrElse(empty)
   }
+
+  /** Net-changes view over (fromSnapshotId, toSnapshotId] (Iceberg
+    * create_changelog_view net_changes): intermediate states collapse —
+    * a row inserted then deleted in range vanishes; a row updated twice
+    * surfaces as one delete of its initial image and one insert of its
+    * final image. Implementation: the per-commit changes stream with
+    * commit ids dropped, canceled multiset-wise across the WHOLE range
+    * by [[cancelCarryovers]] (one full-row-keyed shuffle sized by the
+    * range's churn, not the table). */
+  def planNetChanges(spark: SparkSession, fromSnapshotId: Long,
+      toSnapshotId: Long): DataFrame =
+    cancelCarryovers(
+      planChanges(spark, fromSnapshotId, toSnapshotId)
+        .drop("_commit_snapshot_id"))
 
   /** Changelog view with UPDATE pairing (the Iceberg
     * create_changelog_view compute-updates semantics): within one

@@ -72,7 +72,8 @@ private[graft] final class GraftRowLevelOperation(table: IceTable,
           "row-level write built before its scan — Spark plans the scan first")
         new GraftWrite(table, identName, warehouse, info,
           GraftWriteModes.ReplaceGroups, Array.empty,
-          replacedFiles = Some(() => scan.plannedOriginalPaths))
+          replacedFiles = Some(() => graft.ice.write.ReplaceGroupsState(
+            scan.plannedOriginalPaths, scan.plannedDeletePaths)))
       }
     }
 

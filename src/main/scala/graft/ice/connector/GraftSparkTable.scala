@@ -359,13 +359,12 @@ private[graft] class GraftScanBuilder(table: IceTable,
       case Some(s) =>
         if (table.planDeleteEntries(s).nonEmpty) return false
         TopNPlanner.plan(table, s.snapshotId, orders, limit) match {
-          case Some(sel) =>
+          case Some((sel, total)) =>
             limitFiles = Some(sel)
             limitSnapshotId = Some(s.snapshotId)
             GraftTopNStats.pushes.incrementAndGet()
             GraftTopNStats.lastPlanned = sel.size
-            GraftTopNStats.lastTotal =
-              table.newScan().useSnapshot(s.snapshotId).planFiles().size
+            GraftTopNStats.lastTotal = total
             true
           case None => false
         }
@@ -426,8 +425,11 @@ private[connector] object TopNPlanner {
   import graft.ice.types._
   import graft.ice.write.Metrics
 
+  /** Returns (selected end-run, total live file count) — the total is
+    * the plan's own file walk, so the caller never re-plans just to
+    * report planned-vs-total stats. */
   def plan(table: IceTable, snapshotId: Long,
-      orders: Array[V2Sort], limit: Int): Option[Seq[FileScanTask]] = {
+      orders: Array[V2Sort], limit: Int): Option[(Seq[FileScanTask], Int)] = {
     if (orders.length != 1 || limit <= 0) return None
     val ord = orders(0)
     val colName = ord.expression match {
@@ -444,7 +446,7 @@ private[connector] object TopNPlanner {
     val tasks = table.newScan().useSnapshot(snapshotId).planFiles()
     // zero-row files contribute nothing and are excluded outright
     val live = tasks.filter(_.file.recordCount > 0L)
-    if (live.isEmpty) return Some(Nil)
+    if (live.isEmpty) return Some((Nil, tasks.size))
 
     def exactBound(l: Literal): Boolean = l.tpe match {
       case StringT =>
@@ -494,7 +496,7 @@ private[connector] object TopNPlanner {
       rows += t.file.recordCount
       need
     }
-    Some(selected.map(_._1))
+    Some((selected.map(_._1), tasks.size))
   }
 }
 
@@ -663,6 +665,9 @@ private[connector] final class GraftBatchScan(table: IceTable,
       // manifest-form (possibly scheme-carrying) paths of the planned
       // files — the replaced-file set a row-level rewrite commits against
       origPaths: Set[String],
+      // live delete-file paths at plan time (manifest form): the baseline
+      // a replace-groups commit validates new delete files against
+      deletePaths: Set[String],
       // every surviving file's manifest sort_order_id equals the table's
       // CURRENT sort order — the precondition for reporting per-split
       // output ordering (SupportsReportOrdering)
@@ -672,6 +677,11 @@ private[connector] final class GraftBatchScan(table: IceTable,
     * AND any runtime group filter) — the groups a row-level operation's
     * write replaces. */
   private[connector] def plannedOriginalPaths: Set[String] = planned.origPaths
+
+  /** Live delete-file paths the plan applied — the replace-groups
+    * commit's conflict baseline (any delete file beyond these covering a
+    * replaced file means a concurrent delete our rewrite would erase). */
+  private[connector] def plannedDeletePaths: Set[String] = planned.deletePaths
 
   /** Runtime (DPP) filter, ANDed into planning when Spark pushes one at
     * execution time; setting it invalidates the plan cache so the next
@@ -768,6 +778,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
     val totalRows = tasks.map(_.file.recordCount).sum
     val snapId = snap.map(_.snapshotId)
     val origPaths = tasks.map(_.file.filePath).toSet
+    val deletePaths = deleteEntries.map(_.dataFile.filePath).toSet
     val filesSorted = table.metadata.defaultSortOrder.fields.nonEmpty &&
       tasks.nonEmpty &&
       tasks.forall(_.file.sortOrderId.contains(table.metadata.defaultSortOrderId))
@@ -776,7 +787,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
         val p = GraftConnectorUtil.normPath(t.file.filePath)
         GraftFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p), deletesFor(t),
           absentFor(t, p))
-      }, None, totalRows, snapId, origPaths, filesSorted)
+      }, None, totalRows, snapId, origPaths, deletePaths, filesSorted)
     } else {
       val keyed = tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
@@ -786,7 +797,8 @@ private[connector] final class GraftBatchScan(table: IceTable,
           deletesFor(t), key, absentFor(t, p)): GraftScanSplit
       }
       val nKeys = tasks.map(_.file.partition).distinct.size
-      PlannedScan(keyed, Some(nKeys), totalRows, snapId, origPaths, filesSorted)
+      PlannedScan(keyed, Some(nKeys), totalRows, snapId, origPaths, deletePaths,
+        filesSorted)
     }
   }
 
@@ -1021,6 +1033,14 @@ private[connector] object MetadataAggregate {
         if (tasks.exists(_.specId != table.metadata.defaultSpecId)) return None
         groupCols.map { c =>
           val fld = fieldOf(c).getOrElse(return None)
+          fld.fieldType match {
+            // Array[Byte] keys compare by reference (normalized below,
+            // but the output would still carry reference-shared arrays);
+            // float/double identity partitions split -0.0 vs 0.0 and NaN
+            // groups relative to SQL GROUP BY semantics — refuse both
+            case BinaryT | FloatT | DoubleT => return None
+            case _ =>
+          }
           val ord = spec.fields.indexWhere(pf =>
             pf.sourceId == fld.id &&
               pf.transform == graft.ice.transform.IdentityTransform)

@@ -97,10 +97,11 @@ private[connector] object GraftWriteModes {
 
 final class GraftWrite(table: IceTable, identName: String, warehouse: String,
     info: LogicalWriteInfo, mode: String, overwriteFilters: Array[V1Filter],
-    // replace-groups (row-level CoW): manifest paths of the files this
-    // write replaces, resolved at COMMIT time from the operation's scan
-    // (after runtime group filtering)
-    replacedFiles: Option[() => Set[String]] = None)
+    // replace-groups (row-level CoW): the files this write replaces and
+    // the delete files the scan applied, resolved at COMMIT time from
+    // the operation's scan (after runtime group filtering) — validated
+    // against the current base on every commit attempt
+    replacedFiles: Option[() => graft.ice.write.ReplaceGroupsState] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private val spec = table.spec
@@ -215,13 +216,16 @@ private[connector] object GraftCommit {
   def commit(warehouse: String, identName: String, mode: String,
       overwriteFilters: Array[V1Filter], entries: Seq[ManifestEntry],
       extraProps: Map[String, String] = Map.empty,
-      replacedFiles: Option[() => Set[String]] = None): Unit = {
+      replacedFiles: Option[() => graft.ice.write.ReplaceGroupsState] = None): Unit = {
     val t = freshTable(warehouse, identName)
     val spark = SparkSession.active
     mode match {
       case GraftWriteModes.ReplaceGroups =>
+        val st = replacedFiles.map(_.apply())
+          .getOrElse(graft.ice.write.ReplaceGroupsState(Set.empty, Set.empty))
         SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,
-          removedPaths = replacedFiles.map(_.apply()).getOrElse(Set.empty),
+          removedPaths = st.replaced,
+          expectedReplaced = Some(st),
           extraProps = extraProps)
       case GraftWriteModes.Append =>
         SnapshotProducer.commit(t, spark, DataOperation.Append, entries,
@@ -293,7 +297,8 @@ private[connector] object GraftCommit {
 
 final class GraftBatchWrite(identName: String, warehouse: String, mode: String,
     overwriteFilters: Array[V1Filter], conf: GraftTaskWriteConf,
-    replacedFiles: Option[() => Set[String]] = None) extends BatchWrite {
+    replacedFiles: Option[() => graft.ice.write.ReplaceGroupsState] = None)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDataWriterFactory(conf)

@@ -23,6 +23,13 @@ import graft.ice.types._
   * entries are rewritten with survivors as EXISTING; untouched manifests
   * are reused as-is — important at scale: a commit touching one partition
   * rewrites one manifest, not thousands) and adding new manifests. */
+/** Scan-time state a replace-groups (row-level rewrite) commit validates
+  * against the CURRENT table base on every attempt: the files the scan
+  * planned (and the write therefore replaces) and the live delete-file
+  * paths the scan already applied. */
+final case class ReplaceGroupsState(replaced: Set[String],
+    expectedDeletePaths: Set[String])
+
 private[ice] object SnapshotProducer {
 
   def commit(table: IceTable, spark: SparkSession, operation: String,
@@ -37,7 +44,12 @@ private[ice] object SnapshotProducer {
       // (incl. after a lost race + refresh), because a retried DV commit
       // that supersedes a concurrently-written vector would resurrect the
       // concurrent writer's deleted rows (validateNoNewDeleteFiles-style)
-      expectedDVs: Option[Map[String, Set[String]]] = None): Snapshot = {
+      expectedDVs: Option[Map[String, Set[String]]] = None,
+      // replace-groups conflict validation, captured at scan time:
+      // every replaced file must still be LIVE, and no delete file that
+      // could cover one may have appeared since planning — re-checked
+      // per attempt like expectedDVs (see the validation block below)
+      expectedReplaced: Option[ReplaceGroupsState] = None): Snapshot = {
     var result: Snapshot = null
     table.commit { base =>
       val commitUuid = UUID.randomUUID().toString
@@ -90,6 +102,50 @@ private[ice] object SnapshotProducer {
                 s"(expected DVs $expPaths, found $cur): refresh and retry " +
                 "the delete")
         }
+      }
+
+      // Replace-groups conflict validation (mirrors expectedDVs): the
+      // rewrite was computed from the replaced files' content AS PLANNED.
+      // (a) A concurrent commit that removed/rewrote a replaced file
+      // would be silently absorbed (paths absent from manifests shrink
+      // nothing) and its rows DUPLICATED by ours. (b) A delete file
+      // committed since planning that could cover a replaced file would
+      // be erased by the rewrite, RESURRECTING concurrently-deleted rows.
+      // Both are real conflicts: abort, never retry into them.
+      expectedReplaced.filter(_.replaced.nonEmpty).foreach { st =>
+        val replacedStripped = st.replaced.map(ManifestAvro.stripFileScheme)
+        var foundLive = Set.empty[String]
+        var coveringNew = Set.empty[String]
+        previous.foreach { m =>
+          val mSpec = base.specById(m.partitionSpecId)
+            .getOrElse(PartitionSpec.unpartitioned)
+          val live = ManifestAvro.readManifest(m.manifestPath,
+            mSpec.partitionType(base.currentSchema), Some(m)).filter(_.isLive)
+          if (m.content == ManifestContent.Data)
+            foundLive ++= live.map(_.dataFile.filePath)
+              .filter(st.replaced.contains)
+          else
+            coveringNew ++= live.filter { e =>
+              !st.expectedDeletePaths.contains(e.dataFile.filePath) &&
+                (e.dataFile.referencedDataFile match {
+                  case Some(r) => replacedStripped.contains(
+                    ManifestAvro.stripFileScheme(r))
+                  case None => true // unscoped pos/eq delete: may cover any file
+                })
+            }.map(_.dataFile.filePath)
+        }
+        val missing = st.replaced -- foundLive
+        if (missing.nonEmpty)
+          throw new graft.ice.meta.RequirementFailedException(
+            s"concurrent commit removed ${missing.size} file(s) this " +
+              s"row-level operation rewrites (e.g. ${missing.head}): " +
+              "refresh and re-run the operation")
+        if (coveringNew.nonEmpty)
+          throw new graft.ice.meta.RequirementFailedException(
+            s"concurrent delete file(s) cover data this row-level " +
+              s"operation rewrites (e.g. ${coveringNew.head}): committing " +
+              "would resurrect concurrently-deleted rows; refresh and " +
+              "re-run the operation")
       }
 
       var mIdx = 0

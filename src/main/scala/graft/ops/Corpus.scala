@@ -78,7 +78,15 @@ object Corpus {
       .select(col(groupCol), col("__quota"), col("__n"), col("__thr"))
     val keyed = df.withColumn("__mk", mixKey(col(idCol)))
       .join(broadcast(thrDf), groupCol)
+    // persist the candidate slice (slack x quota rows per group — the
+    // SMALL side, never the corpus) so the verification count below and
+    // the final rank window see the SAME materialization: without it the
+    // upstream pipeline recomputes between the two passes, and the
+    // bit-exactness argument would silently assume a deterministic
+    // input. Spark's ContextCleaner reclaims the block once the returned
+    // frame is dropped.
     val cand = keyed.filter(col("__mk") < col("__thr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verification pass — one surviving row per GROUP, never data-sized.
     // A group is deficient when the cut kept fewer than min(quota, n)
     // rows; impossible when __thr = 2^32 (every row passes), so only

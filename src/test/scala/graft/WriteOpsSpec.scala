@@ -800,10 +800,16 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val eqDeleted = t.newScan().useSnapshot(s3.snapshotId).toDF(spark)
       .filter(col("o_custkey").isin(keyVals: _*)).count()
     assert(deletes.count() == posDeleted + eqDeleted)
-    // CoW-style operations refuse a row diff
+    // compaction preserves content: extending the range over it adds
+    // NO change rows (replace snapshots emit nothing)
+    val before = changes.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     t.compact(spark).rewriteDataFiles()
-    assertThrows[IllegalArgumentException](
-      t.planChanges(spark, s1.snapshotId, t.currentSnapshot.get.snapshotId))
+    val after = t.planChanges(spark, s1.snapshotId,
+        t.currentSnapshot.get.snapshotId)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before)
   }
 
   test("changelog pairs a MoR merge's delete+insert into update pre/post images") {
@@ -845,10 +851,90 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("o_orderkey") === k)
       .select("_change_type").collect().map(_.getString(0)).sorted.toSeq
     assert(rawTypes == Seq("delete", "insert"))
-    // a file-rewriting operation in range still refuses the diff
+    // compaction in range adds no change rows (content-preserving)
+    val nBefore = t.planChanges(spark, s1.snapshotId, s2.snapshotId).count()
     t.compact(spark).rewriteDataFiles()
-    assertThrows[IllegalArgumentException](
-      t.planChanges(spark, s1.snapshotId, t.currentSnapshot.get.snapshotId))
+    assert(t.planChanges(spark, s1.snapshotId,
+      t.currentSnapshot.get.snapshotId).count() == nBefore)
+  }
+
+  test("CoW operations diff at the file level with carry-over cancelation") {
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val t2 = IceTable.create(cat, TableIdentifier.parse("db.cowcdc"),
+      SparkConv.fromSpark(raw.schema))
+    val s1 = t2.append(spark).appendDataFrame(raw)
+
+    // CoW UPDATE: rewrites every file containing a match; carried rows
+    // must cancel, leaving delete(old)+insert(new) for touched rows only
+    t2.delete(spark).updateWhere(
+      E.equal("o_orderstatus", Literal.string("F")),
+      Map("o_totalprice" -> "o_totalprice + 50.0"))
+    val s2 = t2.currentSnapshot.get
+    val ch = t2.planChanges(spark, s1.snapshotId, s2.snapshotId)
+    val nTouched = raw.filter("o_orderstatus = 'F'").count()
+    assert(ch.filter("_change_type = 'delete'").count() == nTouched)
+    assert(ch.filter("_change_type = 'insert'").count() == nTouched)
+    // the pre-images carry the OLD price, post-images the new one
+    val sumOld = raw.filter("o_orderstatus = 'F'")
+      .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+    val sumDel = ch.filter("_change_type = 'delete'")
+      .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+    val sumIns = ch.filter("_change_type = 'insert'")
+      .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+    assert(sumDel == sumOld)
+    assert(math.abs(sumIns - (sumOld + 50.0 * nTouched)) < 0.01)
+
+    // CoW DELETE: survivors cancel, deleted rows surface as deletes
+    t2.delete(spark).deleteWhere(
+      E.equal("o_orderstatus", Literal.string("P")))
+    val s3 = t2.currentSnapshot.get
+    val ch2 = t2.planChanges(spark, s2.snapshotId, s3.snapshotId)
+    val nDel = raw.filter("o_orderstatus = 'P'").count()
+    assert(ch2.filter("_change_type = 'delete'").count() == nDel)
+    assert(ch2.filter("_change_type = 'insert'").count() == 0)
+
+    // changelog pairing composes: the CoW update reads as update pre/post
+    val log = t2.planChangelog(spark, s1.snapshotId, s2.snapshotId,
+      Seq("o_orderkey"))
+    val byType = log.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.get("update_preimage").contains(nTouched))
+    assert(byType.get("update_postimage").contains(nTouched))
+  }
+
+  test("net changes collapse intermediate images across commits") {
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.netcdc"),
+      SparkConv.fromSpark(raw.schema))
+    val s1 = t.append(spark).appendDataFrame(raw)
+    // two successive CoW updates of the same rows
+    t.delete(spark).updateWhere(
+      E.lt("o_orderkey", Literal.long(100)),
+      Map("o_totalprice" -> "o_totalprice + 1.0"))
+    t.delete(spark).updateWhere(
+      E.lt("o_orderkey", Literal.long(100)),
+      Map("o_totalprice" -> "o_totalprice + 1.0"))
+    val sEnd = t.currentSnapshot.get
+    val net = t.planNetChanges(spark, s1.snapshotId, sEnd.snapshotId)
+    val nTouched = raw.filter("o_orderkey < 100").count()
+    // intermediate (+1.0) images vanish: one delete of the initial image,
+    // one insert of the final (+2.0) image per touched row
+    assert(net.count() == 2 * nTouched)
+    val sumOld = raw.filter("o_orderkey < 100")
+      .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+    val sumDel = net.filter("_change_type = 'delete'")
+      .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+    val sumIns = net.filter("_change_type = 'insert'")
+      .agg(round(sum("o_totalprice"), 2)).head.getDouble(0)
+    assert(sumDel == sumOld)
+    assert(math.abs(sumIns - (sumOld + 2.0 * nTouched)) < 0.01)
+    // raw per-commit changes in the same range carry both update steps
+    assert(t.planChanges(spark, s1.snapshotId, sEnd.snapshotId).count()
+      == 4 * nTouched)
   }
 
   test("incremental append scan returns exactly the rows added in range") {

@@ -1,0 +1,92 @@
+package graft.ice.write
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ice._
+import graft.ice.catalog._
+import graft.ice.expr.{Expr => E}
+import graft.ice.meta._
+import graft.ice.types._
+
+/** Replace-groups (row-level CoW) commit validation: a rewrite computed
+  * from scan-time file content must abort — not silently absorb — when
+  * the current base no longer matches that state (ADVICE r9 medium:
+  * the commit previously applied scan-time replacedFiles to a freshly
+  * loaded base with no conflict check, duplicating or resurrecting
+  * rows under concurrency). */
+class ReplaceConflictSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def fresh(name: String): IceTable = {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse(s"db.$name"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+    t
+  }
+
+  private def plannedState(t: IceTable): ReplaceGroupsState =
+    ReplaceGroupsState(
+      t.newScan().planFiles().map(_.file.filePath).toSet,
+      t.currentSnapshot.map(t.planDeleteEntries).getOrElse(Nil)
+        .map(_.dataFile.filePath).toSet)
+
+  test("commit aborts when a replaced file was concurrently rewritten") {
+    val t = fresh("rc1")
+    val st = plannedState(t)
+    assert(st.replaced.nonEmpty)
+    // concurrent CoW delete rewrites the files containing 'F' rows
+    t.delete(spark).deleteWhere(E.equal("o_orderstatus", Literal.string("F")))
+    val ex = intercept[RequirementFailedException] {
+      SnapshotProducer.commit(t, spark, DataOperation.Overwrite, Nil,
+        removedPaths = st.replaced, expectedReplaced = Some(st))
+    }
+    assert(ex.getMessage.contains("concurrent commit removed"))
+  }
+
+  test("commit aborts when a new delete file covers a replaced file") {
+    val t = fresh("rc2")
+    val st = plannedState(t)
+    // concurrent MoR position delete lands AFTER planning
+    t.delete(spark).deleteWherePositional(
+      E.equal("o_orderstatus", Literal.string("F")))
+    val ex = intercept[RequirementFailedException] {
+      SnapshotProducer.commit(t, spark, DataOperation.Overwrite, Nil,
+        removedPaths = st.replaced, expectedReplaced = Some(st))
+    }
+    assert(ex.getMessage.contains("resurrect"))
+  }
+
+  test("commit proceeds when the planned state still holds") {
+    val t = fresh("rc3")
+    val st = plannedState(t)
+    SnapshotProducer.commit(t, spark, DataOperation.Overwrite, Nil,
+      removedPaths = st.replaced, expectedReplaced = Some(st))
+    assert(t.newScan().planFiles().isEmpty)
+  }
+
+  test("pre-existing delete files the scan applied do not trip the check") {
+    val t = fresh("rc4")
+    // MoR delete BEFORE planning: its path lands in expectedDeletePaths
+    t.delete(spark).deleteWherePositional(
+      E.equal("o_orderstatus", Literal.string("P")))
+    val st = plannedState(t)
+    assert(st.expectedDeletePaths.nonEmpty)
+    SnapshotProducer.commit(t, spark, DataOperation.Overwrite, Nil,
+      removedPaths = st.replaced, expectedReplaced = Some(st))
+    assert(t.newScan().planFiles().isEmpty)
+  }
+}

@@ -824,6 +824,14 @@ object SparkEntry {
       Dedup.jaccardClusters(Tables.scan(s, dir, "documents"),
         "text", "doc_id", "lang")),
 
+    // quality-aware survivor choice: within each near-dup cluster keep
+    // the LONGEST document (ties by smallest id) — the canonical-copy
+    // policy real pipelines run — via a per-cluster argmax aggregate
+    // (max(struct(rank,-id))), never a data-sized window
+    "d11_cluster_survivors" -> ((s, dir) =>
+      Dedup.clusterSurvivorsByRank(Tables.scan(s, dir, "documents"),
+        "text", "doc_id", "lang", "n_chars")),
+
     // near-SUBSET duplicates (excerpt/quote dups symmetric jaccard
     // misses): directed containment |A∩B|/|A| >= 0.8 via asymmetric
     // PPJoin — contained side prefix-filters, container side posts all
@@ -947,6 +955,30 @@ object SparkEntry {
         "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("nll"), 6).as("nll"))),
+
+    // bigram conditional NLL: one LM order above x8 — mean
+    // -ln p(w_i | w_{i-1}) against corpus bigram/context counts, the
+    // closer stand-in for the KenLM perplexity gate. Same frequency
+    // floor + broadcast-or-shuffle guard as x8.
+    "x15_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramNll(Tables.scan(s, dir, "documents"),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("bigram_nll"), 6).as("bigram_nll"))),
+
+    // PII redaction: emails + long digit runs replaced by typed tags,
+    // with per-doc match counts for quarantine routing. Pure codegen'd
+    // regexp expressions, map-only. The fixture seeds each doc with a
+    // deterministic synthetic email+number so the scrub provably fires
+    // on every row in both engines.
+    "x14_redact" -> ((s, dir) => {
+      val seeded = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call "),
+          (col("doc_id") * 7919L + 10000000L).cast("string")).as("text"))
+      TextAnalysis.redactPii(seeded, "doc_id", "text")
+    }),
 
     // benchmark decontamination: corpus docs sharing any complete word
     // 8-gram with the benchmark split. The benchmark is a FIXED-COUNT
@@ -1895,6 +1927,38 @@ object SparkEntry {
         |SELECT id AS doc_id, min(lab) AS cluster_rep,
         |  id = min(lab) AS is_survivor
         |FROM reach GROUP BY id""".stripMargin,
+    "d11_cluster_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM toks WHERE len(w) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS n_common,
+        |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |), good AS (
+        |  SELECT id_a, id_b FROM pairs WHERE n_common * 5 >= n_union * 4
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM good
+        |  UNION ALL
+        |  SELECT id_b AS u, id_a AS v FROM good
+        |), reach(id, lab) AS (
+        |  SELECT DISTINCT u AS id, u AS lab FROM edges
+        |  UNION
+        |  SELECT e.v AS id, r.lab AS lab FROM reach r JOIN edges e ON e.u = r.id
+        |), clusters AS (
+        |  SELECT id AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY id
+        |)
+        |SELECT c.doc_id, c.cluster_rep,
+        |  row_number() OVER (PARTITION BY c.cluster_rep
+        |    ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS is_survivor
+        |FROM clusters c JOIN documents d USING (doc_id)""".stripMargin,
     "x1_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
@@ -1964,6 +2028,40 @@ object SparkEntry {
         |  round(avg(-ln(c.c * 1.0 / tot.total)), 6) AS nll
         |FROM tok JOIN c USING (t) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    "x15_bigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS a,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM toks WHERE len(w) >= 2),
+        |cb AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+        |ca AS (SELECT a, count(*) AS ca FROM bg GROUP BY 1),
+        |scored AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |    round(avg(-ln(cb.cb * 1.0 / ca.ca)), 6) AS bigram_nll
+        |  FROM bg JOIN cb USING (b) JOIN ca USING (a)
+        |  GROUP BY bg.doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s.bigram_nll, 0.0) AS bigram_nll
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    "x14_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or call '
+        |    || CAST(doc_id * 7919 + 10000000 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<PHONE>', 'g') AS redacted
+        |FROM seeded""".stripMargin,
     "x9_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -298,6 +298,34 @@ object Dedup {
         (col("id") === col("rep")).as("is_survivor"))
   }
 
+  /** Quality-aware survivor selection over the near-dup cluster graph:
+    * within each [[jaccardClusters]] cluster keep the document with the
+    * LARGEST `rankCol` value (ties broken by smallest id) — the policy
+    * real dedup pipelines run, where the canonical copy should be the
+    * longest / highest-quality one, not whichever has the smallest id.
+    *
+    * The argmax is a plain aggregate — `max(struct(rank, -id))` per
+    * cluster — then a broadcast-sized join back (one row per CLUSTER,
+    * clusters are near-dup groups, orders of magnitude fewer than
+    * docs). No window over data-sized partitions anywhere. */
+  def clusterSurvivorsByRank(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, rankCol: String, shingleN: Int = 3,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    val clusters = jaccardClusters(df, textCol, idCol, blockCol,
+      shingleN, thresholdNum, thresholdDen)
+      .select(col("doc_id"), col("cluster_rep"))
+    val ranked = clusters.join(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        col(rankCol).cast("long").as("__rank")), Seq("doc_id"))
+    val best = ranked.groupBy(col("cluster_rep"))
+      .agg(max(struct(col("__rank").as("r"), (-col("doc_id")).as("nid")))
+        .as("__best"))
+    ranked.join(best, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"),
+        (col("__rank") === col("__best.r") &&
+          col("doc_id") === -col("__best.nid")).as("is_survivor"))
+  }
+
   /** (__blk, __id, __sh) distinct-shingle sets — the shared input of
     * candidate generation and verification.
     *

@@ -257,6 +257,76 @@ object TextAnalysis {
           lit(total.toDouble))).as("nll"))
   }
 
+  /** Corpus-bigram conditional NLL — one LM order up from
+    * [[unigramNll]]: each doc scores the mean -ln p(w_i | w_{i-1}) with
+    * p(b | a) = c(a b) / c(a ·) over corpus bigram / left-context
+    * counts. Closer to the KenLM-style perplexity gate real pipelines
+    * run than the unigram proxy, still fully engine-native: two
+    * explodes, two count aggregations, two joins — linear in corpus
+    * tokens.
+    *
+    * Same heavy-tail discipline as [[unigramNll]]: both join tables are
+    * FREQUENCY-FLOORED (entries with count <= `broadcastMinCount` never
+    * enter; an unmatched probe scores the floor), which is EXACT at the
+    * default floor of 1 — a count-1 bigram or context scores 1 either
+    * way — while keeping the hapax tail (at web scale, most of the
+    * distinct bigram set) out of the tables. Broadcast only under
+    * `maxBroadcastVocab` rows, shuffle join beyond. */
+  def bigramNll(df0: DataFrame, idCol: String, textCol: String,
+      broadcastMinCount: Long = 1L,
+      maxBroadcastVocab: Long = 8000000L): DataFrame = {
+    val df = Par.ensure(df0)
+    val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val bg = toks.filter(col("__n") >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), (col("__n") - 1).cast("int")),
+        slice(col("__toks"), lit(2), (col("__n") - 1).cast("int")),
+        (a, b) => struct(a.as("a"), concat_ws(" ", a, b).as("b")))).as("__p"))
+      .select(col(idCol), col("__p.a").as("__a"), col("__p.b").as("__b"))
+    def floored(c: DataFrame, key: String): DataFrame = {
+      val counts = c.groupBy(col(key)).agg(count(lit(1)).as(s"__c$key"))
+        .filter(col(s"__c$key") > broadcastMinCount)
+      if (counts.count() <= maxBroadcastVocab) broadcast(counts) else counts
+    }
+    val cb = floored(bg.select("__b"), "__b")
+    val ca = floored(bg.select("__a"), "__a")
+    val scored = bg
+      .join(cb, Seq("__b"), "left")
+      .join(ca, Seq("__a"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(coalesce(col("__c__b"), lit(broadcastMinCount)).cast("double") /
+          coalesce(col("__c__a"), lit(broadcastMinCount)).cast("double")))
+          .as("bigram_nll"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .na.fill(0.0, Seq("bigram_nll"))
+  }
+
+  /** PII redaction — the scrub step a training corpus runs before
+    * anything else sees the text: emails and long digit runs (phone /
+    * account numbers) are replaced with typed placeholder tags, and the
+    * match counts surface per document so the pipeline can route
+    * high-PII documents to quarantine instead of just masking them.
+    * Pure codegen'd column expressions (regexp_count + regexp_replace),
+    * map-only, zero shuffle. The regex subset used (character classes,
+    * bounded quantifiers) behaves identically in Java and RE2-family
+    * engines, so an external auditor recomputes the same redaction. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitPattern = "[0-9]{7,}"
+  def redactPii(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = Par.ensure(df0)
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(EmailPattern)).as("n_emails"),
+      regexp_count(t, lit(LongDigitPattern)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        LongDigitPattern, "<PHONE>").as("redacted"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the keyword-extraction /
     * relevance-weighting primitive (salient terms for indexing, topic
     * labeling, near-dup triage). tf = in-doc occurrences; idf is the

@@ -771,6 +771,76 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("bigram NLL matches hand-computed conditional probabilities") {
+    import spark.implicits._
+    // corpus bigrams: doc1 = [a a, a b], doc2 = [a b]
+    // c(a .) = 3, c(a a) = 1, c(a b) = 2
+    val df = Seq((1L, "a a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("bigram_nll")))).toMap
+    val aa = -math.log(1.0 / 3.0)
+    val ab = -math.log(2.0 / 3.0)
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - (aa + ab) / 2.0) < 1e-12)
+    assert(out(2L) == ((1L, ab)) ||
+      math.abs(out(2L)._2 - ab) < 1e-12)
+    // a one-token doc has no bigrams and scores 0, but is NOT dropped
+    assert(out(3L) == ((0L, 0.0)))
+  }
+
+  test("bigram NLL floor=1 is exact; shuffle fallback matches broadcast") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i =>
+      (i, s"the quick fox uniq${i}a uniq${i}b")).toDF("doc_id", "text")
+    def dump(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = dump(TextAnalysis.bigramNll(df, "doc_id", "text",
+      broadcastMinCount = 0L))
+    val floored = dump(TextAnalysis.bigramNll(df, "doc_id", "text",
+      broadcastMinCount = 1L))
+    assert(floored.keySet == exact.keySet)
+    floored.foreach { case (k, v) => assert(math.abs(exact(k) - v) < 1e-12) }
+    val shuffled = dump(TextAnalysis.bigramNll(df, "doc_id", "text",
+      broadcastMinCount = 1L, maxBroadcastVocab = 0L))
+    shuffled.foreach { case (k, v) => assert(math.abs(exact(k) - v) < 1e-12) }
+  }
+
+  test("cluster survivors pick the longest doc per cluster, ties by min id") {
+    val base = docs.select("doc_id", "lang", "text", "n_chars")
+    val out = Dedup.clusterSurvivorsByRank(base, "text", "doc_id", "lang",
+      "n_chars").collect()
+    assert(out.nonEmpty)
+    val len = base.collect().map(r =>
+      r.getLong(0) -> r.getLong(3)).toMap
+    out.groupBy(_.getLong(1)).foreach { case (rep, members) =>
+      val surv = members.filter(_.getBoolean(2))
+      assert(surv.length == 1, s"cluster $rep needs exactly one survivor")
+      val best = members.map(m => (len(m.getLong(0)), -m.getLong(0))).max
+      assert((len(surv.head.getLong(0)), -surv.head.getLong(0)) == best,
+        s"survivor of $rep must be the longest doc (ties min id)")
+    }
+    // same coverage as the min-id cluster view
+    val minIdView = Dedup.jaccardClusters(base, "text", "doc_id", "lang")
+    assert(out.map(_.getLong(0)).toSet ==
+      minIdView.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("PII redaction masks emails and digit runs with exact counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@mail.example.org or 12345678 now"),
+      (2L, "no pii here, just 123 and a@b"), // short run + invalid email
+      (3L, "two mails a@ex.com b@ex.io and 9999999")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[String]("redacted")))).toMap
+    assert(out(1L) == ((1, 1, "reach me at <EMAIL> or <PHONE> now")))
+    assert(out(2L) == ((0, 0, "no pii here, just 123 and a@b")))
+    assert(out(3L) == ((2, 1, "two mails <EMAIL> <EMAIL> and <PHONE>")))
+  }
+
   test("multimodal stub plumbing: payload -> meta -> features") {
     val media = Multimodal.asMedia(docs, "text")
     assert(media.schema("payload").dataType.typeName == "binary")

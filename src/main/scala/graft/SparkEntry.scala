@@ -756,27 +756,28 @@ object SparkEntry {
     // the initial image + one insert of the final image — intermediate
     // states vanish by multiset cancelation across the whole range.
     "cdc_net_changes" -> ((s, dir) => {
-      import graft.ice._, graft.ice.catalog._
-      import graft.ice.expr.{Expr => XE}
-      import graft.ice.types.{Literal => XL, SparkConv}
-      val cat = Tables.catalog(dir)
-      val ident = TableIdentifier(Seq("tpch"), "orders_netcdc")
-      val t =
-        if (cat.tableExists(ident)) IceTable.load(cat, ident)
-        else {
-          val raw = Tables.raw(s, dir, "orders")
-          val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
-          created.append(s).appendDataFrame(raw)
-          created.delete(s).updateWhere(
-            XE.equal("o_orderpriority", XL.string("1-URGENT")),
-            Map("o_totalprice" -> "o_totalprice + 500.0"))
-          created.delete(s).updateWhere(
-            XE.equal("o_orderpriority", XL.string("1-URGENT")),
-            Map("o_totalprice" -> "o_totalprice + 500.0"))
-          created
-        }
+      val t = NetCdcFixture.ensure(s, dir)
       val snaps = t.snapshots.sortBy(_.sequenceNumber)
       t.planNetChanges(s, snaps.head.snapshotId, snaps.last.snapshotId)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("_change_type"))
+    }),
+
+    // the same net-changes view through PURE SQL: Iceberg's
+    // create_changelog_view procedure registers a temp view over the
+    // CDC stream (whole history by default; net_changes collapses
+    // intermediate images) — CALL + SELECT, no Scala API in sight
+    "proc_changelog_view" -> ((s, dir) => {
+      val t = NetCdcFixture.ensure(s, dir)
+      val first = t.snapshots.sortBy(_.sequenceNumber).head.snapshotId
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      s.sql(s"""CALL ice.system.create_changelog_view(
+              |  table => 'tpch.orders_netcdc',
+              |  changelog_view => 'orders_netcdc_ncv',
+              |  start_snapshot_id => $first,
+              |  net_changes => true)""".stripMargin)
+      s.table("orders_netcdc_ncv")
         .select(col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"), col("_change_type"))
     }),
@@ -1724,6 +1725,13 @@ object SparkEntry {
         |       'insert'
         |FROM orders WHERE o_orderkey % 100 = 7""".stripMargin,
     "cdc_net_changes" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |       'delete' AS _change_type
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice + 1000, 2), 'insert'
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "proc_changelog_view" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price,
         |       'delete' AS _change_type
         |FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -3111,6 +3119,33 @@ object SqlDmlFixture {
   * independent DuckDB oracle. `spark.graft.warehouse` is deliberately
   * NOT required: the commands take the warehouse from the owning
   * catalog plugin. */
+/** Two successive copy-on-write updates of the same rows — the fixture
+  * behind `cdc_net_changes` (engine API) and `proc_changelog_view`
+  * (CALL procedure), which must agree on the same table state. */
+object NetCdcFixture {
+  import graft.ice._, graft.ice.catalog._
+  import graft.ice.expr.{Expr => XE}
+  import graft.ice.types.{Literal => XL, SparkConv}
+
+  def ensure(s: SparkSession, dir: String): IceTable = {
+    val cat = Tables.catalog(dir)
+    val ident = TableIdentifier(Seq("tpch"), "orders_netcdc")
+    if (cat.tableExists(ident)) IceTable.load(cat, ident)
+    else {
+      val raw = Tables.raw(s, dir, "orders")
+      val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+      created.append(s).appendDataFrame(raw)
+      created.delete(s).updateWhere(
+        XE.equal("o_orderpriority", XL.string("1-URGENT")),
+        Map("o_totalprice" -> "o_totalprice + 500.0"))
+      created.delete(s).updateWhere(
+        XE.equal("o_orderpriority", XL.string("1-URGENT")),
+        Map("o_totalprice" -> "o_totalprice + 500.0"))
+      created
+    }
+  }
+}
+
 object CatalogDmlFixture {
   import graft.ice.catalog._
 

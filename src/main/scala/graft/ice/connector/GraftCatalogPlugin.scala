@@ -496,7 +496,8 @@ private[connector] final class TemporalBound(which: String, src: DataType)
 
 private[connector] object GraftProcedures {
   val names = Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
-    "remove_orphan_files", "zorder", "rollback_to_snapshot", "fast_forward")
+    "remove_orphan_files", "zorder", "rollback_to_snapshot", "fast_forward",
+    "create_changelog_view")
 
   def load(name: String, warehouse: () => String): Option[UnboundProcedure] =
     names.find(_ == name).map(n => GraftProcedure(n, warehouse()))
@@ -532,6 +533,10 @@ private[connector] final case class GraftProcedure(procName: String,
     case "fast_forward" =>
       Array(in("table", StringType), in("branch", StringType),
         in("to_ref", StringType))
+    case "create_changelog_view" =>
+      Array(in("table", StringType), opt("changelog_view", StringType),
+        opt("start_snapshot_id", LongType), opt("end_snapshot_id", LongType),
+        opt("net_changes", BooleanType), opt("identifier_columns", StringType))
   }
 
   private def result(schema: StructType, vals: Seq[Any]): java.util.Iterator[Scan] = {
@@ -601,6 +606,40 @@ private[connector] final case class GraftProcedure(procName: String,
           TableIdentifier.parse(input.getUTF8String(0).toString))
         result(StructType(Seq(StructField("current_snapshot_id", LongType))),
           Seq(cur.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+      // Iceberg's create_changelog_view: registers a temp view over the
+      // CDC changes stream. Defaults: whole history (start = before the
+      // first snapshot, end = current), view name <table>_changes.
+      // identifier_columns turns delete+insert pairs into
+      // update_preimage/update_postimage; net_changes collapses
+      // intermediate states across the range (the two are mutually
+      // exclusive, as in the reference procedure).
+      case "create_changelog_view" =>
+        def optStr(i: Int): Option[String] =
+          if (input.isNullAt(i)) None else Some(input.getUTF8String(i).toString)
+        val viewName = optStr(1).getOrElse(
+          TableIdentifier.parse(input.getUTF8String(0).toString).name + "_changes")
+        val from = optLong(2).getOrElse(-1L)
+        val netChanges = !input.isNullAt(4) && input.getBoolean(4)
+        val idCols = optStr(5).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        require(!(netChanges && idCols.nonEmpty),
+          "net_changes and identifier_columns are mutually exclusive")
+        val df = optLong(3).orElse(t.currentSnapshot.map(_.snapshotId)) match {
+          case None => // empty table: empty frame with the changes schema
+            val base = SparkConv.toSpark(t.schema)
+              .add("_change_type", StringType)
+            val schema = if (netChanges) base
+              else base.add("_commit_snapshot_id", LongType)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          case Some(to) =>
+            if (netChanges) t.planNetChanges(spark, from, to)
+            else if (idCols.nonEmpty) t.planChangelog(spark, from, to, idCols)
+            else t.planChanges(spark, from, to)
+        }
+        df.createOrReplaceTempView(viewName)
+        result(StructType(Seq(StructField("changelog_view", StringType))),
+          Seq(org.apache.spark.unsafe.types.UTF8String.fromString(viewName)))
     }
   }
 }

@@ -697,6 +697,44 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left.metadata.snapshots.size == 1)
   }
 
+  test("CALL create_changelog_view: pairing, net changes, and exclusivity") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.clv"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+    val src = raw.filter("o_orderkey % 7 = 0")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.merge(spark, src, Seq("o_orderkey"))
+      .whenMatchedUpdateAll().withMergeOnRead().commit()
+    val nUpd = src.count()
+
+    // identifier pairing: delete+insert of one key in one commit reads
+    // as update pre/post through the SQL-registered view
+    spark.sql("""CALL ice.system.create_changelog_view(
+      table => 'db.clv', identifier_columns => 'o_orderkey')""")
+    val byType = spark.table("clv_changes")
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.get("update_preimage").contains(nUpd))
+    assert(byType.get("update_postimage").contains(nUpd))
+    // the initial append's rows ride along as plain inserts
+    assert(byType.get("insert").contains(raw.count()))
+
+    // net changes over the whole history = the current table as inserts
+    spark.sql("""CALL ice.system.create_changelog_view(
+      table => 'db.clv', changelog_view => 'clv_net', net_changes => true)""")
+    val net = spark.table("clv_net")
+    assert(net.filter("_change_type = 'insert'").count() == raw.count())
+    assert(net.filter("_change_type = 'delete'").count() == 0)
+    assert(!net.columns.contains("_commit_snapshot_id"))
+
+    // the two options are mutually exclusive, as in the reference proc
+    assertThrows[Exception](spark.sql(
+      """CALL ice.system.create_changelog_view(table => 'db.clv',
+        net_changes => true, identifier_columns => 'o_orderkey')""").collect())
+  }
+
   test("aggregate pushdown: COUNT/MIN/MAX answered from manifests, no data read") {
     import graft.ice.connector.GraftAggPushStats
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

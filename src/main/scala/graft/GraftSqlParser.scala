@@ -60,6 +60,20 @@ private[graft] object GraftPartitionDdl {
     """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
   private val Drop =
     """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  // branch / tag lifecycle (Iceberg's ALTER TABLE ... CREATE BRANCH):
+  // default position is the current snapshot; AS OF VERSION pins one
+  private val CreateRef =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val DropRef =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*;?\s*""".r
+  // declared write order (Iceberg's WRITE ORDERED BY): columns with
+  // optional ASC/DESC + NULLS FIRST/LAST
+  private val WriteOrdered =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*""".r
+  private val WriteUnordered =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
+  private val OrderCol =
+    """(?i)\s*(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*""".r
 
   private val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
   // both argument orders, matching iceberg SQL (truncate(col, w)) and
@@ -92,6 +106,24 @@ private[graft] object GraftPartitionDdl {
       }
     case Drop(table, spec) =>
       Some(GraftDropPartitionFieldCommand(table.split('.').toSeq, spec.trim))
+    case CreateRef(table, kind, name, version) =>
+      Some(GraftCreateRefCommand(table.split('.').toSeq,
+        kind.toLowerCase, name, Option(version).map(_.toLong)))
+    case DropRef(table, kind, name) =>
+      Some(GraftDropRefCommand(table.split('.').toSeq, kind.toLowerCase, name))
+    case WriteOrdered(table, cols) =>
+      val parsed = cols.split(',').toSeq.map {
+        case OrderCol(c, dir, nulls) =>
+          val asc = dir == null || dir.equalsIgnoreCase("ASC")
+          // SQL default: ASC => NULLS FIRST, DESC => NULLS LAST
+          val nullsFirst = Option(nulls)
+            .map(_.equalsIgnoreCase("FIRST")).getOrElse(asc)
+          (c, asc, nullsFirst)
+        case other => return None // not our grammar: fall through
+      }
+      Some(GraftWriteOrderedCommand(table.split('.').toSeq, parsed))
+    case WriteUnordered(table) =>
+      Some(GraftWriteUnorderedCommand(table.split('.').toSeq))
     case _ => None
   }
 }
@@ -159,6 +191,66 @@ final case class GraftDropPartitionFieldCommand(parts: Seq[String],
         s"no partition field matches '$fieldSpec' " +
           s"(have: ${current.fields.map(_.name).mkString(", ")})"))
     t.updateSpec().fromCurrent().removeField(target).commit()
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION id]` — ref
+  * lifecycle through SQL (engine refs power time travel, WAP, per-ref
+  * retention). Default position: the current snapshot. */
+final case class GraftCreateRefCommand(parts: Seq[String], kind: String,
+    refName: String, version: Option[Long]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftPartitionCommands.loadTable(session, parts)
+    val snap = version.getOrElse(t.currentSnapshot.map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot create $kind on an empty table (no snapshots)")))
+    require(t.metadata.snapshotById(snap).isDefined, s"unknown snapshot $snap")
+    if (kind == "branch") t.manageSnapshots().createBranch(refName, snap)
+    else t.manageSnapshots().createTag(refName, snap)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP BRANCH|TAG name` — kind-checked: dropping a tag
+  * with DROP BRANCH (or vice versa) is an error, as in the reference. */
+final case class GraftDropRefCommand(parts: Seq[String], kind: String,
+    refName: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftPartitionCommands.loadTable(session, parts)
+    val ref = t.refs.getOrElse(refName,
+      throw new IllegalArgumentException(s"unknown ref '$refName'"))
+    require(ref.refType == kind,
+      s"'$refName' is a ${ref.refType}, not a $kind")
+    t.manageSnapshots().removeRef(refName)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t WRITE ORDERED BY c1 [ASC|DESC] [NULLS FIRST|LAST],...`
+  * — replaces the default sort order; subsequent appends range-cluster
+  * and sort within files, stamping sort_order_id so scans can elide
+  * sorts and TopN pushdown can prove disjoint end-runs. */
+final case class GraftWriteOrderedCommand(parts: Seq[String],
+    cols: Seq[(String, Boolean, Boolean)]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftPartitionCommands.loadTable(session, parts)
+    val fields = cols.map { case (c, asc, nullsFirst) =>
+      val fld = t.schema.findFieldByName(c).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      graft.ice.meta.SortField(fld.id,
+        graft.ice.transform.IdentityTransform, asc, nullsFirst)
+    }
+    t.replaceSortOrder(fields)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t WRITE UNORDERED` — back to order id 0. */
+final case class GraftWriteUnorderedCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftPartitionCommands.loadTable(session, parts).setUnsorted()
     Seq.empty
   }
 }

@@ -640,6 +640,36 @@ object SparkEntry {
                |VERSION AS OF ${SqlDmlFixture.ttFirstSnapshot(dir)}""".stripMargin)
     }),
 
+    // ref lifecycle + declared write order through PURE SQL (the
+    // parser-extension DDL family): CREATE BRANCH pins the pre-append
+    // state, WRITE ORDERED BY makes the second append range-clustered
+    // and sort-stamped; the branch read must see exactly the first
+    // append while main carries both.
+    "sql_branch_ddl" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      s.conf.set("spark.graft.warehouse", Tables.warehouseDir(dir))
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("sqlq"), "supp_refddl")
+      if (!cat.tableExists(ident)) {
+        val raw = Tables.raw(s, dir, "supplier")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        t.append(s).appendDataFrame(raw)
+        s.sql("ALTER TABLE graft.sqlq.supp_refddl CREATE BRANCH frozen")
+        s.sql("ALTER TABLE graft.sqlq.supp_refddl WRITE ORDERED BY s_suppkey")
+        val shifted = raw.withColumn("s_suppkey", col("s_suppkey") + lit(1000000L))
+        IceTable.load(cat, ident).append(s).appendDataFrame(shifted)
+        val t2 = IceTable.load(cat, ident)
+        val newOrder = t2.metadata.defaultSortOrderId
+        require(newOrder > 0, "WRITE ORDERED BY must install a new order")
+        require(t2.newScan().planFiles().exists(
+          _.file.sortOrderId.contains(newOrder)),
+          "the post-DDL append must stamp the new sort_order_id")
+      }
+      s.sql("""SELECT s_suppkey, s_name, s_nationkey
+              |FROM graft.sqlq.supp_refddl VERSION AS OF 'frozen'""".stripMargin)
+    }),
+
     // UPDATE / MERGE INTO over V2 CATALOG identifiers (ice.db.t): the
     // round-7 gap — DELETE worked through SupportsDelete but UPDATE and
     // MERGE failed on catalog names while working on graft.* ones. Both
@@ -1797,6 +1827,8 @@ object SparkEntry {
         |FROM fin GROUP BY st""".stripMargin,
     "sql_timetravel" ->
       "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10",
+    "sql_branch_ddl" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "q_stats_broadcast" ->
       """SELECT o.o_orderstatus, count(*) AS n_items,
         |  round(sum(l.l_quantity), 2) AS qty

@@ -392,6 +392,35 @@ final class IceTable private (
     meta
   }
 
+  /** Replace the default sort order (Iceberg ReplaceSortOrder /
+    * `ALTER TABLE ... WRITE ORDERED BY`): appends a new order with the
+    * next id and makes it the default. Existing files keep their
+    * stamped sort_order_id — scans report per-split ordering only for
+    * files matching the CURRENT default, so stale layouts simply stop
+    * qualifying for sort elision until rewritten. */
+  def replaceSortOrder(fields: Seq[graft.ice.meta.SortField]): IceTable = {
+    commit { base =>
+      val nextId = (base.sortOrders.map(_.orderId) :+ 0).max + 1
+      val order = graft.ice.meta.SortOrder(nextId, fields.toIndexedSeq)
+      base.copy(sortOrders = base.sortOrders :+ order,
+        defaultSortOrderId = nextId,
+        lastUpdatedMs = System.currentTimeMillis())
+    }
+    this
+  }
+
+  /** Back to unsorted writes (`ALTER TABLE ... WRITE UNORDERED`). */
+  def setUnsorted(): IceTable = {
+    commit { base =>
+      val withUnsorted =
+        if (base.sortOrders.exists(_.orderId == 0)) base.sortOrders
+        else graft.ice.meta.SortOrder.unsorted +: base.sortOrders
+      base.copy(sortOrders = withUnsorted, defaultSortOrderId = 0,
+        lastUpdatedMs = System.currentTimeMillis())
+    }
+    this
+  }
+
   def append(spark: SparkSession): AppendOp = new AppendOp(this, spark)
   def newTransaction(spark: SparkSession): graft.ice.write.Transaction =
     new graft.ice.write.Transaction(this, spark)

@@ -520,4 +520,61 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT sum(v) AS s FROM graft.db.evo")
       .collect().head.getLong(0) == (0L until 80L).map(_ * 2).sum)
   }
+
+  test("ALTER TABLE CREATE/DROP BRANCH and TAG manage refs through SQL") {
+    table // force fixture + warehouse conf
+    spark.sql("CREATE TABLE graft.db.refs (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.refs SELECT id, id * 2 FROM range(0, 20)")
+    val t1 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.refs"))
+    val first = t1.currentSnapshot.get.snapshotId
+
+    spark.sql("ALTER TABLE graft.db.refs CREATE BRANCH dev")
+    spark.sql("ALTER TABLE graft.db.refs CREATE TAG v1 AS OF VERSION " + first)
+    val t2 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.refs"))
+    assert(t2.refs("dev").refType == "branch")
+    assert(t2.refs("v1").refType == "tag")
+    assert(t2.refs("v1").snapshotId == first)
+
+    // main moves on; the branch/tag still read the pinned state
+    spark.sql("INSERT INTO graft.db.refs SELECT id, id * 2 FROM range(20, 30)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.refs").head.getLong(0) == 30)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.refs VERSION AS OF 'dev'").head.getLong(0) == 20)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.refs VERSION AS OF 'v1'").head.getLong(0) == 20)
+
+    // kind-checked drops: DROP TAG on a branch errors
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE graft.db.refs DROP TAG dev"))
+    spark.sql("ALTER TABLE graft.db.refs DROP BRANCH dev")
+    spark.sql("ALTER TABLE graft.db.refs DROP TAG v1")
+    val t3 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.refs"))
+    assert(!t3.refs.contains("dev") && !t3.refs.contains("v1"))
+  }
+
+  test("ALTER TABLE WRITE ORDERED BY declares the sort order for new writes") {
+    table // force fixture + warehouse conf
+    spark.sql("CREATE TABLE graft.db.ordered (id BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE graft.db.ordered WRITE ORDERED BY v DESC NULLS LAST, id")
+    val t1 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.ordered"))
+    val order = t1.metadata.defaultSortOrder
+    assert(order.orderId > 0 && order.fields.size == 2)
+    assert(!order.fields.head.ascending && !order.fields.head.nullsFirst)
+    assert(order.fields(1).ascending && order.fields(1).nullsFirst)
+
+    // appends stamp the new order id on every data file
+    spark.sql("INSERT INTO graft.db.ordered SELECT id, id * 7 % 100 FROM range(0, 1000)")
+    val t2 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.ordered"))
+    assert(t2.newScan().planFiles().nonEmpty)
+    assert(t2.newScan().planFiles().forall(
+      _.file.sortOrderId.contains(order.orderId)))
+
+    // WRITE UNORDERED flips back to order 0
+    spark.sql("ALTER TABLE graft.db.ordered WRITE UNORDERED")
+    val t3 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.ordered"))
+    assert(t3.metadata.defaultSortOrderId == 0)
+    spark.sql("INSERT INTO graft.db.ordered SELECT id, id FROM range(1000, 1010)")
+    val t4 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.ordered"))
+    assert(t4.newScan().planFiles().exists(_.file.sortOrderId.forall(_ == 0)))
+  }
 }

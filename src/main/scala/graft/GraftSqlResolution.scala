@@ -83,7 +83,11 @@ final case class GraftTableResolution(session: SparkSession) extends Rule[Logica
     "delete_files" -> (graft.ice.MetadataTables.deleteFiles _),
     "statistics" -> (graft.ice.MetadataTables.statistics _),
     "partition_stats" -> (graft.ice.MetadataTables.partitionStatistics _),
-    "partitions" -> (graft.ice.MetadataTables.partitions _))
+    "partitions" -> (graft.ice.MetadataTables.partitions _),
+    "entries" -> (graft.ice.MetadataTables.entries _),
+    "all_files" -> (graft.ice.MetadataTables.allFiles _),
+    "metadata_log_entries" -> (graft.ice.MetadataTables.metadataLogEntries _),
+    "position_deletes" -> (graft.ice.MetadataTables.positionDeletes _))
 
   /** `graft.db.t` → planned scan; `graft.db.t.snapshots` (etc.) → the
     * inspection table, unless a REAL table shadows the suffix name. */

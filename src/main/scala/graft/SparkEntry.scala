@@ -412,6 +412,65 @@ object SparkEntry {
         .select("partition", "data_record_count", "total_record_count")
     }),
 
+    // RAW manifest entries (every status, data AND delete manifests):
+    // summed record counts per manifest class — data entries carry the
+    // full table, the delete manifest carries the pos-delete tuples
+    "m_entries" -> ((s, dir) => {
+      val t = DeleteFixture.morPos(s, dir)
+      MetadataTables.entries(s, t)
+        .groupBy(col("manifest_content"))
+        .agg(sum("record_count").as("n_rows"))
+    }),
+
+    // all_files spans snapshots the CURRENT state cannot see: append,
+    // append more, roll back — the rolled-back snapshot's files remain
+    // reachable metadata (until expiry) and only all_files shows them
+    "m_all_files" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("tpch"), "nation_allfiles")
+      val t =
+        if (cat.tableExists(ident)) IceTable.load(cat, ident)
+        else {
+          val raw = Tables.raw(s, dir, "nation")
+          val created = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+          created.append(s).appendDataFrame(raw)
+          val s1 = created.currentSnapshot.get.snapshotId
+          created.append(s).appendDataFrame(
+            raw.withColumn("n_nationkey", col("n_nationkey") + lit(1000L)))
+          created.manageSnapshots().rollbackTo(s1)
+          created
+        }
+      val live = MetadataTables.files(s, t)
+        .agg(sum("record_count")).head.getLong(0)
+      MetadataTables.allFiles(s, t)
+        .agg(sum("record_count").as("all_rows"))
+        .withColumn("live_rows", lit(live))
+    }),
+
+    // position_deletes: the live (file, pos) tuple set as a queryable
+    // table — count matches the fixture's delete predicate exactly
+    "m_position_deletes" -> ((s, dir) => {
+      val t = DeleteFixture.morPos(s, dir)
+      MetadataTables.positionDeletes(s, t)
+        .agg(count(lit(1)).cast("long").as("n_pos_deletes"))
+    }),
+
+    // metadata-only onboarding (Iceberg's snapshot procedure): existing
+    // parquet becomes an Iceberg table with footer-sourced metrics, no
+    // data rewrite — then reads like any other table
+    "proc_snapshot_table" -> ((s, dir) => {
+      import graft.ice.catalog._
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      if (!Tables.catalog(dir).tableExists(TableIdentifier(Seq("catq"), "region_snap")))
+        s.sql(s"""CALL ice.system.snapshot_table(
+                 |  source_dir => '$dir/region.parquet',
+                 |  table => 'catq.region_snap')""".stripMargin)
+      s.table("ice.catq.region_snap")
+    }),
+
     // register raw (id-less) parquet as table data without rewrite; the
     // scan falls back to name-based column resolution
     "c_addfiles" -> ((s, dir) =>
@@ -1770,6 +1829,20 @@ object SparkEntry {
         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "c_addfiles" -> "SELECT * FROM nation",
     "c_register" -> "SELECT * FROM region",
+    "m_entries" ->
+      """SELECT 0 AS manifest_content, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders
+        |UNION ALL
+        |SELECT 1, CAST(count(*) AS BIGINT) FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
+    "m_all_files" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS all_rows,
+        |  CAST(count(*) AS BIGINT) AS live_rows
+        |FROM nation""".stripMargin,
+    "m_position_deletes" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pos_deletes FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
+    "proc_snapshot_table" -> "SELECT * FROM region",
     "c_rest" -> "SELECT * FROM region",
     "t2_wap" -> "SELECT * FROM supplier",
     "mrg_upsert" -> ("""

@@ -368,7 +368,22 @@ final class IceTable private (
       requirements.flatMap(_.check(meta)).headOption.foreach { violation =>
         throw new graft.ice.meta.RequirementFailedException(s"$ident: $violation")
       }
-      val updated = update(meta)
+      val updated0 = update(meta)
+      // metadata-log maintenance (spec "metadata-log"): the superseded
+      // metadata file joins the log, trimmed to previous-versions-max —
+      // time travel over METADATA (schema/spec history), not snapshots
+      // version 0 = staged create publishing: no previous file, and the
+      // catalog cannot even resolve the (unpublished) identifier yet
+      val prevLocation =
+        if (version >= 1) catalog.metadataLocation(ident) else None
+      val updated = prevLocation match {
+        case Some(prev) if updated0 ne meta =>
+          val cap = meta.property(TableProperties.MetadataPreviousVersionsMax)
+          updated0.copy(metadataLog =
+            (updated0.metadataLog :+ MetadataLogEntry(meta.lastUpdatedMs, prev))
+              .takeRight(cap))
+        case _ => updated0
+      }
       try {
         val v = catalog.commit(ident, version, updated)
         meta = updated; version = v

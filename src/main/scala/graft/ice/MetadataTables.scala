@@ -104,6 +104,81 @@ object MetadataTables {
     spark.read.parquet(psf.map(_.path): _*)
   }
 
+  /** `entries` metadata table: RAW manifest entries of the current
+    * snapshot — data and delete manifests, every status (Added /
+    * Existing / Deleted), with inherited snapshot / sequence numbers.
+    * The manifest-debugging view `files` hides (it shows live data
+    * entries only). */
+  def entries(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    val schema = table.schema
+    val rows = table.currentSnapshot.toSeq.flatMap { s =>
+      ManifestAvro.readManifestList(s.manifestList).flatMap { m =>
+        val mSpec = table.metadata.specById(m.partitionSpecId)
+          .getOrElse(PartitionSpec.unpartitioned)
+        ManifestAvro.readManifest(m.manifestPath,
+            mSpec.partitionType(schema), Some(m))
+          .map(e => (e.status, e.snapshotId.getOrElse(-1L),
+            e.sequenceNumber.getOrElse(-1L), m.content,
+            e.dataFile.filePath, e.dataFile.content, e.dataFile.recordCount))
+      }
+    }
+    rows.toDF("status", "snapshot_id", "sequence_number", "manifest_content",
+      "file_path", "content", "record_count")
+  }
+
+  /** `all_files` metadata table: data files reachable from ANY valid
+    * snapshot, one row per distinct file (Iceberg's all_data_files; as
+    * there, a full metadata walk — O(snapshots x manifests) driver
+    * reads, metadata-plane only). */
+  def allFiles(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    val rows = table.snapshots
+      .flatMap(s => table.planEntries(s, None))
+      .map(_.dataFile)
+      .groupBy(_.filePath).map { case (_, fs) => fs.head }
+      .toSeq
+      .map(f => (f.filePath, f.fileFormat, f.content, f.recordCount,
+        f.fileSizeInBytes))
+    rows.toDF("file_path", "file_format", "content", "record_count",
+      "file_size_in_bytes")
+  }
+
+  /** `metadata_log_entries` metadata table. */
+  def metadataLogEntries(spark: SparkSession, table: IceTable): DataFrame = {
+    import spark.implicits._
+    table.metadata.metadataLog.map(e => (e.timestampMs, e.metadataFile))
+      .toDF("timestamp_ms", "file")
+  }
+
+  /** `position_deletes` metadata table: the (data file, position)
+    * tuples of every LIVE position delete — parquet delete files read
+    * natively, deletion vectors expanded executor-side — plus the
+    * delete file each tuple came from. */
+  def positionDeletes(spark: SparkSession, table: IceTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val entries = table.currentSnapshot.map(table.planDeleteEntries)
+      .getOrElse(Nil)
+      .filter(_.dataFile.content == FileContent.PositionDeletes)
+    val (dv, pq) = entries.partition(_.dataFile.contentOffset.isDefined)
+    val pqRows =
+      if (pq.isEmpty) None
+      else Some(pq.map { e =>
+        spark.read.parquet(ManifestAvro.stripFileScheme(e.dataFile.filePath))
+          .select(col("file_path"), col("pos"),
+            lit(e.dataFile.filePath).as("delete_file_path"))
+      }.reduce(_ unionByName _))
+    val dvRows = IceTable.expandDeletionVectors(spark, dv).map(df =>
+      df.select(col("__dfile").as("file_path"), col("__dpos").as("pos"),
+        lit("").as("delete_file_path")))
+    (pqRows.toSeq ++ dvRows.toSeq).reduceOption(_ unionByName _)
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Long, String)]
+          .toDF("file_path", "pos", "delete_file_path")
+      }
+  }
+
   def partitions(spark: SparkSession, table: IceTable): DataFrame = {
     import spark.implicits._
     val entries = table.currentSnapshot

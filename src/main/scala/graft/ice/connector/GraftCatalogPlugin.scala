@@ -497,7 +497,7 @@ private[connector] final class TemporalBound(which: String, src: DataType)
 private[connector] object GraftProcedures {
   val names = Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "remove_orphan_files", "zorder", "rollback_to_snapshot", "fast_forward",
-    "create_changelog_view")
+    "create_changelog_view", "rewrite_position_deletes", "snapshot_table")
 
   def load(name: String, warehouse: () => String): Option[UnboundProcedure] =
     names.find(_ == name).map(n => GraftProcedure(n, warehouse()))
@@ -523,8 +523,11 @@ private[connector] final case class GraftProcedure(procName: String,
         opt("retain_last", IntegerType))
     case "rewrite_data_files" =>
       Array(in("table", StringType), opt("target_file_size_bytes", LongType))
-    case "rewrite_manifests" | "remove_orphan_files" =>
+    case "rewrite_manifests" | "remove_orphan_files" |
+         "rewrite_position_deletes" =>
       Array(in("table", StringType))
+    case "snapshot_table" =>
+      Array(in("source_dir", StringType), in("table", StringType))
     case "zorder" =>
       Array(in("table", StringType), in("columns", StringType),
         opt("target_file_size_bytes", LongType))
@@ -550,7 +553,8 @@ private[connector] final case class GraftProcedure(procName: String,
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val spark = SparkSession.active
-    val t = IceTable.load(new DirCatalog(warehouse),
+    // lazy: snapshot_table's first argument is a source PATH, not a table
+    lazy val t = IceTable.load(new DirCatalog(warehouse),
       TableIdentifier.parse(input.getUTF8String(0).toString))
     def optLong(i: Int): Option[Long] = if (input.isNullAt(i)) None else Some(input.getLong(i))
     def optInt(i: Int): Option[Int] = if (input.isNullAt(i)) None else Some(input.getInt(i))
@@ -606,6 +610,29 @@ private[connector] final case class GraftProcedure(procName: String,
           TableIdentifier.parse(input.getUTF8String(0).toString))
         result(StructType(Seq(StructField("current_snapshot_id", LongType))),
           Seq(cur.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+      case "rewrite_position_deletes" =>
+        val snap = t.compact(spark).rewritePositionDeletes()
+        result(StructType(Seq(StructField("snapshot_id", LongType))),
+          Seq(snap.snapshotId))
+      // Iceberg's snapshot procedure: onboard EXISTING parquet into an
+      // Iceberg table metadata-only — no data rewrite, footer-sourced
+      // metrics; the import path for a 100-TB lake
+      case "snapshot_table" =>
+        val src = input.getUTF8String(0).toString
+        val ident = TableIdentifier.parse(input.getUTF8String(1).toString)
+        val f = new java.io.File(src)
+        val paths =
+          if (f.isDirectory)
+            f.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(_.getAbsolutePath).sorted.toSeq
+          else Seq(f.getAbsolutePath)
+        require(paths.nonEmpty, s"no parquet files under $src")
+        val df = spark.read.parquet(src)
+        val cat = new DirCatalog(warehouse)
+        val nt = IceTable.create(cat, ident, SparkConv.fromSpark(df.schema))
+        nt.append(spark).addFiles(paths)
+        result(StructType(Seq(StructField("imported_files_count", LongType))),
+          Seq(paths.size.toLong))
       // Iceberg's create_changelog_view: registers a temp view over the
       // CDC changes stream. Defaults: whole history (start = before the
       // first snapshot, end = current), view name <table>_changes.

@@ -51,6 +51,12 @@ object TableProperties {
   val CompactSmallFileThresholdBytes: Key[Long] =
     Key("write.compact.small-file-threshold-bytes", 96L * 1024 * 1024, _.trim.toLong)
 
+  // metadata-log retention (Iceberg write.metadata.previous-versions-max):
+  // each commit appends the superseded metadata file to metadata-log,
+  // trimmed to this many entries
+  val MetadataPreviousVersionsMax: Key[Int] =
+    Key("write.metadata.previous-versions-max", 100, _.trim.toInt)
+
   // scan planning (graft extension): beyond this many estimated manifest
   // entries, planning reads + prunes manifests on executors and returns
   // only surviving entries (with metric maps stripped) to the driver

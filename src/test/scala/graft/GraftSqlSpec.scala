@@ -521,6 +521,36 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == (0L until 80L).map(_ * 2).sum)
   }
 
+  test("metadata log accrues on commit and new inspection relations resolve") {
+    table // force fixture + warehouse conf
+    spark.sql("CREATE TABLE graft.db.mlog (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft.db.mlog SELECT id, id FROM range(0, 10)")
+    spark.sql("INSERT INTO graft.db.mlog SELECT id, id FROM range(10, 20)")
+    val t = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.mlog"))
+    // create + 2 inserts = 3 commits; each appends the SUPERSEDED file
+    val log = t.metadata.metadataLog
+    assert(log.size >= 2, s"expected >=2 metadata-log entries, got ${log.size}")
+    assert(log.map(_.metadataFile).distinct.size == log.size)
+    log.foreach(e => assert(new java.io.File(e.metadataFile).exists(),
+      s"logged metadata file must exist: ${e.metadataFile}"))
+    // SQL inspection relations over the new tables
+    assert(spark.sql(
+      "SELECT sum(record_count) FROM graft.db.mlog.entries").head.getLong(0) == 20L)
+    assert(spark.sql(
+      "SELECT sum(record_count) FROM graft.db.mlog.all_files").head.getLong(0) == 20L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.mlog.metadata_log_entries").head.getLong(0)
+      == log.size.toLong)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.mlog.position_deletes").head.getLong(0) == 0L)
+    // the retention cap trims the oldest entries
+    spark.sql("ALTER TABLE graft.db.mlog SET TBLPROPERTIES (" +
+      "'write.metadata.previous-versions-max' = '2')")
+    spark.sql("INSERT INTO graft.db.mlog SELECT id, id FROM range(20, 21)")
+    val t2 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.mlog"))
+    assert(t2.metadata.metadataLog.size == 2)
+  }
+
   test("ALTER TABLE CREATE/DROP BRANCH and TAG manage refs through SQL") {
     table // force fixture + warehouse conf
     spark.sql("CREATE TABLE graft.db.refs (id BIGINT, v BIGINT)")

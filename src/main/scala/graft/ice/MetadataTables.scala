@@ -24,8 +24,19 @@ object MetadataTables {
 
   def history(spark: SparkSession, table: IceTable): DataFrame = {
     import spark.implicits._
-    table.history.map(e => (e.timestampMs, e.snapshotId))
-      .toDF("made_current_at_ms", "snapshot_id")
+    // is_current_ancestor marks log entries on the CURRENT lineage —
+    // false rows are rollback orphans (Iceberg history semantics)
+    val ancestry: Set[Long] = table.currentSnapshot.map(cur =>
+      Iterator.iterate(Option(cur))(
+        _.flatMap(_.parentSnapshotId).flatMap(table.metadata.snapshotById))
+        .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet)
+      .getOrElse(Set.empty)
+    table.history.map(e => (e.timestampMs, e.snapshotId,
+        table.metadata.snapshotById(e.snapshotId)
+          .flatMap(_.parentSnapshotId),
+        ancestry.contains(e.snapshotId)))
+      .toDF("made_current_at_ms", "snapshot_id", "parent_id",
+        "is_current_ancestor")
   }
 
   def refs(spark: SparkSession, table: IceTable): DataFrame = {

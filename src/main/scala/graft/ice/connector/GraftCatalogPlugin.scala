@@ -318,7 +318,14 @@ private[connector] object GraftMetadataTables {
     "delete_files" -> (MetadataTables.deleteFiles _),
     "statistics" -> (MetadataTables.statistics _),
     "partition_stats" -> (MetadataTables.partitionStatistics _),
-    "partitions" -> (MetadataTables.partitions _))
+    "partitions" -> (MetadataTables.partitions _),
+    "entries" -> (MetadataTables.entries _),
+    "all_files" -> (MetadataTables.allFiles _),
+    "metadata_log_entries" -> (MetadataTables.metadataLogEntries _))
+    // position_deletes is deliberately NOT here: its row count is
+    // delete-sized, not metadata-sized, and this surface collects into
+    // a LocalScan — use the graft.db.t.position_deletes rule surface,
+    // which substitutes the distributed plan
 
   def resolve(cat: DirCatalog, ident: Identifier,
       catalogName: String): Option[Table] = {
@@ -497,7 +504,8 @@ private[connector] final class TemporalBound(which: String, src: DataType)
 private[connector] object GraftProcedures {
   val names = Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "remove_orphan_files", "zorder", "rollback_to_snapshot", "fast_forward",
-    "create_changelog_view", "rewrite_position_deletes", "snapshot_table")
+    "create_changelog_view", "rewrite_position_deletes", "snapshot_table",
+    "compute_table_stats", "compute_partition_stats")
 
   def load(name: String, warehouse: () => String): Option[UnboundProcedure] =
     names.find(_ == name).map(n => GraftProcedure(n, warehouse()))
@@ -524,8 +532,10 @@ private[connector] final case class GraftProcedure(procName: String,
     case "rewrite_data_files" =>
       Array(in("table", StringType), opt("target_file_size_bytes", LongType))
     case "rewrite_manifests" | "remove_orphan_files" |
-         "rewrite_position_deletes" =>
+         "rewrite_position_deletes" | "compute_partition_stats" =>
       Array(in("table", StringType))
+    case "compute_table_stats" =>
+      Array(in("table", StringType), opt("columns", StringType))
     case "snapshot_table" =>
       Array(in("source_dir", StringType), in("table", StringType))
     case "zorder" =>
@@ -614,6 +624,17 @@ private[connector] final case class GraftProcedure(procName: String,
         val snap = t.compact(spark).rewritePositionDeletes()
         result(StructType(Seq(StructField("snapshot_id", LongType))),
           Seq(snap.snapshotId))
+      case "compute_table_stats" =>
+        val cols = if (input.isNullAt(1)) Nil
+          else input.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+        val sf = t.maintenance().computeStatistics(spark, cols)
+        result(StructType(Seq(StructField("statistics_file", StringType))),
+          Seq(UTF8String.fromString(sf.path)))
+      case "compute_partition_stats" =>
+        val pf = t.maintenance().computePartitionStatistics(spark)
+        result(StructType(Seq(StructField("partition_statistics_file", StringType))),
+          Seq(UTF8String.fromString(pf.path)))
       // Iceberg's snapshot procedure: onboard EXISTING parquet into an
       // Iceberg table metadata-only — no data rewrite, footer-sourced
       // metrics; the import path for a 100-TB lake

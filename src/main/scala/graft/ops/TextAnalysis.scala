@@ -284,13 +284,22 @@ object TextAnalysis {
         slice(col("__toks"), lit(2), (col("__n") - 1).cast("int")),
         (a, b) => struct(a.as("a"), concat_ws(" ", a, b).as("b")))).as("__p"))
       .select(col(idCol), col("__p.a").as("__a"), col("__p.b").as("__b"))
-    def floored(c: DataFrame, key: String): DataFrame = {
-      val counts = c.groupBy(col(key)).agg(count(lit(1)).as(s"__c$key"))
-        .filter(col(s"__c$key") > broadcastMinCount)
+    // ONE corpus-sized aggregation: bigram counts, with context counts
+    // DERIVED from them (c(a .) = sum_b c(a b)) — the naive formulation
+    // re-explodes the corpus a second time for an identical total
+    // persist: vocabulary-sized (distinct bigrams), consumed by both
+    // floor decisions and the scoring join — without it each action
+    // re-runs the corpus explode. ContextCleaner reclaims the block.
+    val pairCounts = bg.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__cab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def floored(counts0: DataFrame, key: String): DataFrame = {
+      val counts = counts0.filter(col(s"__c$key") > broadcastMinCount)
       if (counts.count() <= maxBroadcastVocab) broadcast(counts) else counts
     }
-    val cb = floored(bg.select("__b"), "__b")
-    val ca = floored(bg.select("__a"), "__a")
+    val cb = floored(pairCounts.select(col("__b"), col("__cab").as("__c__b")), "__b")
+    val ca = floored(pairCounts.groupBy(col("__a"))
+      .agg(sum(col("__cab")).as("__c__a")), "__a")
     val scored = bg
       .join(cb, Seq("__b"), "left")
       .join(ca, Seq("__a"), "left")

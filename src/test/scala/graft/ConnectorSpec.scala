@@ -695,6 +695,14 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exp.collect().head.getLong(0) > 0)
     val left = IceTable.load(cat, TableIdentifier.parse("db.proc2"))
     assert(left.metadata.snapshots.size == 1)
+
+    // statistics procedures: both register files that exist on disk
+    val st = spark.sql("CALL ice.system.compute_table_stats('db.proc2', " +
+      "columns => 'o_orderkey')").collect().head.getString(0)
+    assert(new java.io.File(st).exists())
+    val ps = spark.sql("CALL ice.system.compute_partition_stats('db.proc2')")
+      .collect().head.getString(0)
+    assert(new java.io.File(ps).exists())
   }
 
   test("CALL create_changelog_view: pairing, net changes, and exclusivity") {

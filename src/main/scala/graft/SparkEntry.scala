@@ -1083,6 +1083,25 @@ object SparkEntry {
         "doc_id", "text", n = 8)
     }),
 
+    // the COMPOSED pipeline a training-data run actually executes, end
+    // to end in one plan: quality gate (token count) -> exact dedup
+    // (min-id survivor per identical text) -> benchmark decontamination
+    // (8-gram overlap anti-join) -> corpus composition stats. Every
+    // stage is an already-oracled operator; this query pins that they
+    // COMPOSE — one DuckDB oracle recomputes the whole chain.
+    "pipe_corpus" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val quality = docs.filter(TextAnalysis.tokenCount(col("text")) >= 20)
+      val deduped = Dedup.exactSurvivors(quality, "text", "doc_id")
+      val bench = docs.filter(col("doc_id") < 100)
+      val corp = deduped.filter(col("doc_id") >= 100)
+      val hits = TextAnalysis.decontaminate(corp, bench, "doc_id", "text", n = 8)
+        .select(col("doc_id"))
+      corp.join(hits, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
     // deterministic mixture resampling: per-source quotas in exact
     // integer ratio 3:2:1 (first five sources 3, next five 2, rest 1),
     // scarcest source sets the budget — all-integer, RNG-free
@@ -2189,6 +2208,37 @@ object SparkEntry {
         |SELECT corp.doc_id, count(*) AS n_hit_ngrams
         |FROM corp JOIN bench USING (gram)
         |GROUP BY 1""".stripMargin,
+    "pipe_corpus" ->
+      """WITH q AS (
+        |  SELECT * FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> len(x) > 0)) >= 20),
+        |d AS (
+        |  SELECT * FROM q
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |corp0 AS (SELECT * FROM d WHERE doc_id >= 100),
+        |btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |    i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        |  FROM btoks WHERE len(w) >= 8),
+        |ctoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM corp0),
+        |cgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |    i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        |  FROM ctoks WHERE len(w) >= 8),
+        |hits AS (SELECT DISTINCT cgrams.doc_id FROM cgrams JOIN bench USING (gram)),
+        |clean AS (
+        |  SELECT * FROM corp0 WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM clean GROUP BY 1, 2""".stripMargin,
     "x10_source_mix" ->
       s"""WITH p AS (SELECT source,
         |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3

@@ -112,7 +112,18 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
   override def initialOffset(): Offset =
     Option(options.get("from-snapshot-id")) match {
       case Some(id) => SnapshotOffset(id.toLong)
-      case None => SnapshotOffset(-1L)
+      case None => Option(options.get("from-timestamp")) match {
+        // Iceberg's stream-from-timestamp: start AFTER the last snapshot
+        // committed at-or-before the timestamp (exclusive offset), so the
+        // stream replays exactly the commits younger than the mark; a
+        // timestamp before the first snapshot replays everything
+        case Some(ts) =>
+          val ms = ts.toLong
+          table.metadata.snapshotLog.filter(_.timestampMs <= ms)
+            .lastOption.map(e => SnapshotOffset(e.snapshotId))
+            .getOrElse(SnapshotOffset(-1L))
+        case None => SnapshotOffset(-1L)
+      }
     }
 
   private def currentLatest(): Offset =

@@ -256,6 +256,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == raw.count() + 10)
   }
 
+  test("graft-table source from-timestamp starts after the mark") {
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+    val wh = java.nio.file.Files.createTempDirectory("whts").toString
+    val cat = new DirCatalog(wh)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.fromts"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+    val mark = t.currentSnapshot.get.timestampMs
+    Thread.sleep(5) // the second commit must be strictly younger
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+
+    val out = java.nio.file.Files.createTempDirectory("tsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tsckpt").toString
+    val q = spark.readStream.format("graft-table")
+      .option("warehouse", wh).option("table", "db.fromts")
+      .option("from-timestamp", mark.toString).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // only the post-mark snapshot's rows replay
+    assert(spark.read.parquet(out).count() ==
+      raw.filter("o_orderkey % 2 = 1").count())
+
+    // a timestamp before the first snapshot replays everything
+    val out2 = java.nio.file.Files.createTempDirectory("tsout2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("tsckpt2").toString
+    val q2 = spark.readStream.format("graft-table")
+      .option("warehouse", wh).option("table", "db.fromts")
+      .option("from-timestamp", "0").load()
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out2).count() == raw.count())
+  }
+
   test("graft-table source admission control: max-files/max-rows per trigger") {
     import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
     val wh = java.nio.file.Files.createTempDirectory("whadm").toString

@@ -74,6 +74,11 @@ private[graft] object GraftPartitionDdl {
     """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
   private val OrderCol =
     """(?i)\s*(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*""".r
+  // row-identity declaration (Iceberg SET IDENTIFIER FIELDS)
+  private val SetIdent =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+SET\s+IDENTIFIER\s+FIELDS\s+([\w,\s]+?)\s*;?\s*""".r
+  private val DropIdent =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+(?:\.\w+)+)\s+DROP\s+IDENTIFIER\s+FIELDS\s*;?\s*""".r
 
   private val Bucket = """(?i)bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
   // both argument orders, matching iceberg SQL (truncate(col, w)) and
@@ -124,6 +129,11 @@ private[graft] object GraftPartitionDdl {
       Some(GraftWriteOrderedCommand(table.split('.').toSeq, parsed))
     case WriteUnordered(table) =>
       Some(GraftWriteUnorderedCommand(table.split('.').toSeq))
+    case SetIdent(table, cols) =>
+      Some(GraftSetIdentifierFieldsCommand(table.split('.').toSeq,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+    case DropIdent(table) =>
+      Some(GraftSetIdentifierFieldsCommand(table.split('.').toSeq, Nil))
     case _ => None
   }
 }
@@ -242,6 +252,21 @@ final case class GraftWriteOrderedCommand(parts: Seq[String],
         graft.ice.transform.IdentityTransform, asc, nullsFirst)
     }
     t.replaceSortOrder(fields)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t SET IDENTIFIER FIELDS a, b` / `DROP IDENTIFIER
+  * FIELDS` — declares the row-identity columns (spec
+  * identifier-field-ids): the default identifier set for changelog
+  * update pairing. Empty cols = drop. */
+final case class GraftSetIdentifierFieldsCommand(parts: Seq[String],
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftPartitionCommands.loadTable(session, parts)
+    val u = t.updateSchema()
+    (if (cols.isEmpty) u.clearIdentifierFields()
+     else u.setIdentifierFields(cols)).commit()
     Seq.empty
   }
 }

@@ -668,8 +668,15 @@ private[connector] final case class GraftProcedure(procName: String,
           TableIdentifier.parse(input.getUTF8String(0).toString).name + "_changes")
         val from = optLong(2).getOrElse(-1L)
         val netChanges = !input.isNullAt(4) && input.getBoolean(4)
+        // explicit identifier_columns wins; otherwise the table's
+        // DECLARED identifier fields (SET IDENTIFIER FIELDS) drive
+        // update pairing, as in the reference procedure
+        val declaredIds =
+          if (netChanges) Nil
+          else t.schema.identifierFieldIds.flatMap(id =>
+            t.schema.findFieldById(id).map(_.name))
         val idCols = optStr(5).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil)
+          .getOrElse(declaredIds)
         require(!(netChanges && idCols.nonEmpty),
           "net_changes and identifier_columns are mutually exclusive")
         val df = optLong(3).orElse(t.currentSnapshot.map(_.snapshotId)) match {

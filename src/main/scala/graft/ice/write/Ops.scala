@@ -428,6 +428,31 @@ final class UpdateSchema(table: IceTable) {
   private val baseSchemaId: Int = table.metadata.currentSchemaId
   private var fields: IndexedSeq[NestedField] = table.schema.fields
   private var nextId: Int = table.metadata.lastColumnId
+  private var identifierIds: Seq[Int] = table.schema.identifierFieldIds
+
+  /** Iceberg SetIdentifierFields (`ALTER TABLE ... SET IDENTIFIER
+    * FIELDS`): names the row-identity columns — the default identifier
+    * set for changelog update pairing and upsert keys. Spec rules
+    * enforced: fields must exist, be REQUIRED, and be primitive but not
+    * float/double (NaN and -0.0/0.0 make float identity ill-defined). */
+  def setIdentifierFields(names: Seq[String]): UpdateSchema = {
+    identifierIds = names.map { n =>
+      val f = fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no such column $n"))
+      require(f.required, s"identifier field $n must be a required column")
+      f.fieldType match {
+        case FloatT | DoubleT => throw new IllegalArgumentException(
+          s"identifier field $n may not be float/double")
+        case _: IcePrimitive => ()
+        case _ => throw new IllegalArgumentException(
+          s"identifier field $n must be a primitive column")
+      }
+      f.id
+    }
+    this
+  }
+
+  def clearIdentifierFields(): UpdateSchema = { identifierIds = Nil; this }
 
   def addColumn(name: String, t: IceType, doc: Option[String] = None): UpdateSchema =
     addColumnWithDefault(name, t, None, None, doc)
@@ -523,7 +548,10 @@ final class UpdateSchema(table: IceTable) {
     // table_requirement.h:120-135)
     table.commit(Seq(AssertCurrentSchemaId(baseSchemaId)), base => {
       val newId = base.schemas.map(_.schemaId).max + 1
-      val s = Schema(newId, fields)
+      // identifier ids survive evolution, pruned to still-present fields
+      // (dropping an identifier column drops it from the identity set)
+      val s = Schema(newId, fields,
+        identifierIds.filter(id => fields.exists(_.id == id)))
       committed = s
       base.copy(
         schemas = base.schemas :+ s,

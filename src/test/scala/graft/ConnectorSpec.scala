@@ -743,6 +743,53 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         net_changes => true, identifier_columns => 'o_orderkey')""").collect())
   }
 
+  test("SET IDENTIFIER FIELDS drives changelog pairing by default") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // identifier fields must be REQUIRED columns
+    val schema0 = SparkConv.fromSpark(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType))))
+    val t = IceTable.create(cat, TableIdentifier.parse("db.idf"), schema0)
+    t.append(spark).appendDataFrame(raw)
+    t.updateSchema().setIdentifierFields(Seq("o_orderkey")).commit()
+    val t1 = IceTable.load(cat, TableIdentifier.parse("db.idf"))
+    val keyId = t1.schema.findFieldByName("o_orderkey").get.id
+    assert(t1.schema.identifierFieldIds == Seq(keyId))
+
+    // a nullable or float/double identifier is refused
+    assertThrows[Exception](
+      t1.updateSchema().setIdentifierFields(Seq("o_totalprice")).commit())
+
+    // MoR merge + create_changelog_view WITHOUT identifier_columns:
+    // the declared fields pair the delete+insert into update images
+    val src = raw.filter("o_orderkey % 11 = 0")
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    t1.merge(spark, src, Seq("o_orderkey"))
+      .whenMatchedUpdateAll().withMergeOnRead().commit()
+    spark.sql("""CALL ice.system.create_changelog_view(
+      table => 'db.idf', changelog_view => 'idf_changes')""")
+    val byType = spark.table("idf_changes")
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.get("update_preimage").contains(src.count()))
+    assert(byType.get("update_postimage").contains(src.count()))
+
+    // clearing identifier fields reverts to the raw delete+insert stream
+    IceTable.load(cat, TableIdentifier.parse("db.idf"))
+      .updateSchema().clearIdentifierFields().commit()
+    assert(IceTable.load(cat, TableIdentifier.parse("db.idf"))
+      .schema.identifierFieldIds.isEmpty)
+    spark.sql("""CALL ice.system.create_changelog_view(
+      table => 'db.idf', changelog_view => 'idf_raw')""")
+    val types = spark.table("idf_raw").select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("insert", "delete"))
+  }
+
   test("aggregate pushdown: COUNT/MIN/MAX answered from manifests, no data read") {
     import graft.ice.connector.GraftAggPushStats
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

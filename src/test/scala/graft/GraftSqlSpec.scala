@@ -582,6 +582,21 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t3.refs.contains("dev") && !t3.refs.contains("v1"))
   }
 
+  test("ALTER TABLE SET/DROP IDENTIFIER FIELDS declares row identity") {
+    table // force fixture + warehouse conf
+    spark.sql("CREATE TABLE graft.db.idf (id BIGINT NOT NULL, v BIGINT)")
+    spark.sql("ALTER TABLE graft.db.idf SET IDENTIFIER FIELDS id")
+    val t1 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.idf"))
+    assert(t1.schema.identifierFieldIds ==
+      Seq(t1.schema.findFieldByName("id").get.id))
+    // nullable column refused
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE graft.db.idf SET IDENTIFIER FIELDS v"))
+    spark.sql("ALTER TABLE graft.db.idf DROP IDENTIFIER FIELDS")
+    val t2 = IceTable.load(new DirCatalog(warehouse), TableIdentifier.parse("db.idf"))
+    assert(t2.schema.identifierFieldIds.isEmpty)
+  }
+
   test("ALTER TABLE WRITE ORDERED BY declares the sort order for new writes") {
     table // force fixture + warehouse conf
     spark.sql("CREATE TABLE graft.db.ordered (id BIGINT, v BIGINT)")

@@ -179,9 +179,20 @@ object MetadataTables {
           .select(col("file_path"), col("pos"),
             lit(e.dataFile.filePath).as("delete_file_path"))
       }.reduce(_ unionByName _))
-    val dvRows = IceTable.expandDeletionVectors(spark, dv).map(df =>
-      df.select(col("__dfile").as("file_path"), col("__dpos").as("pos"),
-        lit("").as("delete_file_path")))
+    val dvRows = IceTable.expandDeletionVectors(spark, dv).map { df =>
+      // v3 allows at most one live DV per data file, so the referenced
+      // data file uniquely identifies the puffin file a position came
+      // from — join the (DV-entry-sized, broadcast) mapping back so DV
+      // rows report their real delete_file_path like parquet rows do.
+      import spark.implicits._
+      val dvPaths = dv.map(e => (
+        graft.ice.manifest.ManifestAvro.stripFileScheme(
+          e.dataFile.referencedDataFile.getOrElse("")),
+        e.dataFile.filePath)).toDF("__dfile", "delete_file_path")
+      df.join(broadcast(dvPaths), Seq("__dfile"))
+        .select(col("__dfile").as("file_path"), col("__dpos").as("pos"),
+          col("delete_file_path"))
+    }
     (pqRows.toSeq ++ dvRows.toSeq).reduceOption(_ unionByName _)
       .getOrElse {
         import spark.implicits._

@@ -642,13 +642,29 @@ private[connector] final case class GraftProcedure(procName: String,
         val src = input.getUTF8String(0).toString
         val ident = TableIdentifier.parse(input.getUTF8String(1).toString)
         val f = new java.io.File(src)
+        // recursive walk so nested (non-partitioned) layouts import
+        // completely; Hive `key=value` layouts are REJECTED loudly —
+        // their partition values live in directory names, not file
+        // columns, and a silent flat import would drop those columns
+        def walk(d: java.io.File): Seq[java.io.File] = {
+          val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+          kids.filter(_.isDirectory).foreach { sd =>
+            if (sd.getName.contains("="))
+              throw new UnsupportedOperationException(
+                s"snapshot_table: Hive-partitioned source layout " +
+                  s"(${sd.getName}) is not supported — partition values " +
+                  "live in directory names, not data columns; rewrite " +
+                  "the source flat or add the columns to the files")
+          }
+          kids.filter(k => k.isFile && k.getName.endsWith(".parquet")) ++
+            kids.filter(_.isDirectory).flatMap(walk)
+        }
         val paths =
-          if (f.isDirectory)
-            f.listFiles().filter(_.getName.endsWith(".parquet"))
-              .map(_.getAbsolutePath).sorted.toSeq
+          if (f.isDirectory) walk(f).map(_.getAbsolutePath).sorted
           else Seq(f.getAbsolutePath)
         require(paths.nonEmpty, s"no parquet files under $src")
-        val df = spark.read.parquet(src)
+        val df = spark.read
+          .option("recursiveFileLookup", "true").parquet(src)
         val cat = new DirCatalog(warehouse)
         val nt = IceTable.create(cat, ident, SparkConv.fromSpark(df.schema))
         nt.append(spark).addFiles(paths)

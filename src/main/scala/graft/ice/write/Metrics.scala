@@ -50,6 +50,37 @@ object Metrics {
     finally reader.close()
   }
 
+  /** Min/max of the `file_path` column of a position-delete file, as
+    * UTF-8 byte bounds for reserved field 2147483546 — the spec's
+    * scoping mechanism telling planners/validators WHICH data files a
+    * delete file may reference. Full (untruncated) paths: exact bounds
+    * are sound and paths are short. None when stats are unusable. */
+  def parquetPathBounds(path: String,
+      conf: Configuration = new Configuration()): Option[(Array[Byte], Array[Byte])] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), conf))
+    try {
+      var lo: String = null
+      var hi: String = null
+      var ok = true
+      for (block <- reader.getFooter.getBlocks.asScala;
+           chunk <- block.getColumns.asScala
+           if ok && chunk.getPath.toArray.toSeq == Seq("file_path")) {
+        val stats = chunk.getStatistics
+        if (stats == null || !stats.hasNonNullValue) ok = false
+        else {
+          val mn = new String(stats.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
+          val mx = new String(stats.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
+          if (lo == null || mn < lo) lo = mn
+          if (hi == null || mx > hi) hi = mx
+        }
+      }
+      if (ok && lo != null)
+        Some((lo.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      else None
+    } finally reader.close()
+  }
+
   /** Read footer metrics for one parquet file. `schema` is the table
     * schema; columns are matched by parquet field id when present, else
     * by top-level name (name-mapping fallback, name_mapping.h). */

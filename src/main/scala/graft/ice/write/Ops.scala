@@ -72,6 +72,19 @@ private[ice] object SnapshotProducer {
         .map(s => ManifestAvro.readManifestList(s.manifestList))
         .getOrElse(IndexedSeq.empty)
 
+      // per-attempt manifest read memo: the DV check, the replace-groups
+      // check, and the survivor rewrite below may each touch the same
+      // manifests — read each at most ONCE per commit attempt (the base
+      // is fixed within an attempt, so caching by path is sound)
+      val liveCache = collection.mutable.Map.empty[String, Seq[ManifestEntry]]
+      def liveEntries(m: ManifestFile): Seq[ManifestEntry] =
+        liveCache.getOrElseUpdate(m.manifestPath, {
+          val mSpec = base.specById(m.partitionSpecId)
+            .getOrElse(PartitionSpec.unpartitioned)
+          ManifestAvro.readManifest(m.manifestPath,
+            mSpec.partitionType(base.currentSchema), Some(m)).filter(_.isLive)
+        })
+
       // DV conflict detection: the set of live deletion vectors for every
       // data file we are about to write a (superseding) DV for must be
       // exactly what the planner saw — a concurrent DV commit for the
@@ -81,11 +94,8 @@ private[ice] object SnapshotProducer {
         val current: Map[String, Set[String]] = previous
           .filter(_.content == ManifestContent.Deletes)
           .flatMap { m =>
-            val mSpec = base.specById(m.partitionSpecId)
-              .getOrElse(PartitionSpec.unpartitioned)
-            ManifestAvro.readManifest(m.manifestPath,
-                mSpec.partitionType(base.currentSchema), Some(m))
-              .filter(e => e.isLive &&
+            liveEntries(m)
+              .filter(e =>
                 e.dataFile.content == FileContent.PositionDeletes &&
                 e.dataFile.fileFormat == "PUFFIN" &&
                 e.dataFile.referencedDataFile.isDefined)
@@ -114,25 +124,19 @@ private[ice] object SnapshotProducer {
       // Both are real conflicts: abort, never retry into them.
       expectedReplaced.filter(_.replaced.nonEmpty).foreach { st =>
         val replacedStripped = st.replaced.map(ManifestAvro.stripFileScheme)
+        def normTuple(t: IndexedSeq[Any]): Seq[Any] =
+          t.map { case b: Array[Byte] => b.toSeq; case x => x }
         var foundLive = Set.empty[String]
-        var coveringNew = Set.empty[String]
-        previous.foreach { m =>
-          val mSpec = base.specById(m.partitionSpecId)
-            .getOrElse(PartitionSpec.unpartitioned)
-          val live = ManifestAvro.readManifest(m.manifestPath,
-            mSpec.partitionType(base.currentSchema), Some(m)).filter(_.isLive)
-          if (m.content == ManifestContent.Data)
-            foundLive ++= live.map(_.dataFile.filePath)
-              .filter(st.replaced.contains)
-          else
-            coveringNew ++= live.filter { e =>
-              !st.expectedDeletePaths.contains(e.dataFile.filePath) &&
-                (e.dataFile.referencedDataFile match {
-                  case Some(r) => replacedStripped.contains(
-                    ManifestAvro.stripFileScheme(r))
-                  case None => true // unscoped pos/eq delete: may cover any file
-                })
-            }.map(_.dataFile.filePath)
+        // (spec id, partition tuple) of each still-live replaced file —
+        // the overlap target for partition-scoped delete files
+        val replacedParts = collection.mutable.Set.empty[(Int, Seq[Any])]
+        previous.filter(_.content == ManifestContent.Data).foreach { m =>
+          liveEntries(m).foreach { e =>
+            if (st.replaced.contains(e.dataFile.filePath)) {
+              foundLive += e.dataFile.filePath
+              replacedParts += ((e.specId, normTuple(e.dataFile.partition)))
+            }
+          }
         }
         val missing = st.replaced -- foundLive
         if (missing.nonEmpty)
@@ -140,6 +144,46 @@ private[ice] object SnapshotProducer {
             s"concurrent commit removed ${missing.size} file(s) this " +
               s"row-level operation rewrites (e.g. ${missing.head}): " +
               "refresh and re-run the operation")
+        // A new delete file conflicts only if it MAY COVER a replaced
+        // file — narrowed, not assumed: file-scoped deletes must name
+        // one; pos deletes with file_path bounds must bracket one
+        // lexicographically; partition-scoped deletes (same spec,
+        // concrete tuple) must share a replaced file's partition. Only
+        // a genuinely unscoped delete is conservatively treated as
+        // covering — a concurrent delete in a disjoint partition no
+        // longer aborts the row-level op.
+        def mayCover(e: ManifestEntry): Boolean =
+          e.dataFile.referencedDataFile match {
+            case Some(r) =>
+              replacedStripped.contains(ManifestAvro.stripFileScheme(r))
+            case None =>
+              val utf8 = java.nio.charset.StandardCharsets.UTF_8
+              val boundsOverlap = (
+                e.dataFile.lowerBounds.get(RowDelete.PathBoundFieldId),
+                e.dataFile.upperBounds.get(RowDelete.PathBoundFieldId)) match {
+                case (Some(lo), Some(hi)) =>
+                  val l = new String(lo, utf8); val h = new String(hi, utf8)
+                  replacedStripped.exists(p => l <= p && p <= h)
+                case _ => true
+              }
+              val partOverlap = {
+                val nSpecFields =
+                  base.specById(e.specId).map(_.fields.size).getOrElse(0)
+                val tuple = e.dataFile.partition
+                if (nSpecFields > 0 && tuple.size == nSpecFields &&
+                    tuple.forall(_ != null))
+                  replacedParts.exists { case (sid, pt) =>
+                    sid == e.specId && pt == normTuple(tuple) }
+                else true // unpartitioned spec or null tuple: global scope
+              }
+              boundsOverlap && partOverlap
+          }
+        var coveringNew = Set.empty[String]
+        previous.filter(_.content == ManifestContent.Deletes).foreach { m =>
+          coveringNew ++= liveEntries(m).filter(e =>
+            !st.expectedDeletePaths.contains(e.dataFile.filePath) &&
+              mayCover(e)).map(_.dataFile.filePath)
+        }
         if (coveringNew.nonEmpty)
           throw new graft.ice.meta.RequirementFailedException(
             s"concurrent delete file(s) cover data this row-level " +
@@ -171,8 +215,7 @@ private[ice] object SnapshotProducer {
         else {
           val mSpec = base.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
           val mPartType = mSpec.partitionType(schema)
-          val entries = ManifestAvro.readManifest(m.manifestPath, mPartType, Some(m))
-            .filter(_.isLive)
+          val entries = liveEntries(m)
           val (removed, kept) = entries.partition(e =>
             removedPaths.contains(e.dataFile.filePath) || dvSuperseded(e))
           if (removed.isEmpty) Some(m)
@@ -898,6 +941,11 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
 }
 
 object RowDelete {
+  /** Reserved field id of the `file_path` column inside a position
+    * delete file (metadata_columns.h): bounds under this id scope the
+    * delete file to a lexicographic range of data-file paths. */
+  val PathBoundFieldId = 2147483546
+
   /** Distributed position-delete-file write shared by deleteWherePositional
     * and the merge-on-read MERGE path: hash-cluster (file_path, pos)
     * tuples by file_path so each output delete file covers a disjoint set
@@ -920,10 +968,21 @@ object RowDelete {
     files.flatMap { file =>
       val rowCount = Metrics.parquetRowCount(file, conf)
       if (rowCount == 0) None // empty shuffle partitions write empty files
-      else Some(ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.PositionDeletes, file, "PARQUET",
-          table.spec.fields.map(_ => null: Any).toIndexedSeq,
-          recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)))))
+      else {
+        // file_path bounds (reserved field 2147483546): the spec's way
+        // of scoping WHICH data files this delete file may reference —
+        // planners and commit-conflict validation use them to skip
+        // delete files that provably cannot cover a given data file
+        val bounds = Metrics.parquetPathBounds(file, conf)
+        Some(ManifestEntry(ManifestStatus.Added, None, None, None,
+          DataFile(FileContent.PositionDeletes, file, "PARQUET",
+            table.spec.fields.map(_ => null: Any).toIndexedSeq,
+            recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)),
+            lowerBounds = bounds.map(b => Map(RowDelete.PathBoundFieldId -> b._1))
+              .getOrElse(Map.empty),
+            upperBounds = bounds.map(b => Map(RowDelete.PathBoundFieldId -> b._2))
+              .getOrElse(Map.empty))))
+      }
     }
   }
 }

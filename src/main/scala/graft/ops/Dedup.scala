@@ -316,7 +316,10 @@ object Dedup {
       .select(col("doc_id"), col("cluster_rep"))
     val ranked = clusters.join(
       df.select(col(idCol).cast("long").as("doc_id"),
-        col(rankCol).cast("long").as("__rank")), Seq("doc_id"))
+        // double, NOT long: fractional quality scores (classifier
+        // probabilities, NLL in [0,1)) must not truncate to 0 — that
+        // would degenerate survivor choice to min-id.
+        col(rankCol).cast("double").as("__rank")), Seq("doc_id"))
     val best = ranked.groupBy(col("cluster_rep"))
       .agg(max(struct(col("__rank").as("r"), (-col("doc_id")).as("nid")))
         .as("__best"))

@@ -328,12 +328,15 @@ object TextAnalysis {
   def redactPii(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val df = Par.ensure(df0)
     val t = col(textCol)
+    // phones are counted on the EMAIL-REDACTED intermediate so a 7+
+    // digit run inside an email local part (masked as <EMAIL>) is not
+    // also counted as a phone — n_phones equals the number of <PHONE>
+    // tags actually emitted in `redacted`.
+    val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
     df.select(col(idCol),
       regexp_count(t, lit(EmailPattern)).as("n_emails"),
-      regexp_count(t, lit(LongDigitPattern)).as("n_phones"),
-      regexp_replace(
-        regexp_replace(t, EmailPattern, "<EMAIL>"),
-        LongDigitPattern, "<PHONE>").as("redacted"))
+      regexp_count(afterEmail, lit(LongDigitPattern)).as("n_phones"),
+      regexp_replace(afterEmail, LongDigitPattern, "<PHONE>").as("redacted"))
   }
 
   /** Per-document top-k terms by TF-IDF — the keyword-extraction /

@@ -655,6 +655,31 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("o_orderkey", "price"))
   }
 
+  test("snapshot_table recurses nested layouts and rejects Hive partitions") {
+    import java.nio.file.{Files => JFiles}
+    val raw = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    // nested NON-partitioned layout: files one level down must import
+    val nested = JFiles.createTempDirectory("snap_nested").toString
+    raw.limit(3).write.parquet(s"$nested/batch1")
+    raw.write.parquet(s"$nested/batch2")
+    val n = spark.sql(s"""CALL ice.system.snapshot_table(
+      source_dir => '$nested', table => 'db.snapnest')""")
+      .collect().head.getLong(0)
+    assert(n >= 2)
+    assert(spark.table("ice.db.snapnest").count() == raw.count() + 3)
+    // Hive key=value layout: loud unsupported-layout error, no table
+    val hive = JFiles.createTempDirectory("snap_hive").toString
+    raw.write.parquet(s"$hive/r_regionkey=0")
+    val ex = intercept[Exception] {
+      spark.sql(s"""CALL ice.system.snapshot_table(
+        source_dir => '$hive', table => 'db.snaphive')""").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" "))
+    assert(rootMsg(ex).contains("Hive-partitioned"))
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

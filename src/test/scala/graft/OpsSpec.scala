@@ -826,12 +826,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       minIdView.collect().map(_.getLong(0)).toSet)
   }
 
+  test("cluster survivors honor fractional quality scores (no long truncation)") {
+    import spark.implicits._
+    // two near-identical docs; the HIGHER-id one carries the higher
+    // sub-1.0 classifier score and must win — a long-cast of the rank
+    // would truncate both to 0 and fall back to min-id (doc 1)
+    val df = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog", 0.30),
+      (2L, "en", "the quick brown fox jumps over the lazy dog now", 0.90),
+      (3L, "en", "completely unrelated text about distant galaxies forming", 0.10)
+    ).toDF("doc_id", "lang", "text", "score")
+    val out = Dedup.clusterSurvivorsByRank(df, "text", "doc_id", "lang",
+      "score").collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(2L), "doc 2 (score 0.90) must survive")
+    assert(!out(1L), "doc 1 (score 0.30) must not survive")
+  }
+
   test("PII redaction masks emails and digit runs with exact counts") {
     import spark.implicits._
     val df = Seq(
       (1L, "reach me at jo.doe+x@mail.example.org or 12345678 now"),
       (2L, "no pii here, just 123 and a@b"), // short run + invalid email
-      (3L, "two mails a@ex.com b@ex.io and 9999999")).toDF("doc_id", "text")
+      (3L, "two mails a@ex.com b@ex.io and 9999999"),
+      // digit run INSIDE the email local part: masked as <EMAIL>, so
+      // it must NOT also count as a phone — only the trailing run does
+      (4L, "mail 12345678@ex.com call 7654321")).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
@@ -839,6 +858,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) == ((1, 1, "reach me at <EMAIL> or <PHONE> now")))
     assert(out(2L) == ((0, 0, "no pii here, just 123 and a@b")))
     assert(out(3L) == ((2, 1, "two mails <EMAIL> <EMAIL> and <PHONE>")))
+    assert(out(4L) == ((1, 1, "mail <EMAIL> call <PHONE>")))
   }
 
   test("multimodal stub plumbing: payload -> meta -> features") {

@@ -1169,6 +1169,22 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(marked.filter(col("_deleted")).count() == raw.count() - expected)
   }
 
+  test("position_deletes reports the puffin path for DV rows") {
+    val (t, raw) = freshTable("dvpdt")
+    t.upgradeFormatVersion(3)
+    t.delete(spark).deleteWhereDV(
+      graft.ice.expr.Expr.raw("o_orderkey % 7 = 3"))
+    val pd = graft.ice.MetadataTables.positionDeletes(spark, t)
+    val rows = pd.collect()
+    assert(rows.length == raw.filter("o_orderkey % 7 = 3").count())
+    val dfpIdx = pd.schema.fieldIndex("delete_file_path")
+    rows.foreach { r =>
+      val p = r.getString(dfpIdx)
+      assert(p != null && p.endsWith(".puffin"),
+        s"DV row must carry its puffin delete_file_path, got '$p'")
+    }
+  }
+
   test("changes scan and orphan removal handle deletion-vector tables") {
     val (t, raw) = freshTable("dvcdc")
     t.upgradeFormatVersion(3)

@@ -78,6 +78,47 @@ class ReplaceConflictSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().planFiles().isEmpty)
   }
 
+  test("position delete files carry file_path bounds bracketing their targets") {
+    import graft.ice.manifest._
+    val t = fresh("rc5")
+    val dataPaths = t.newScan().planFiles()
+      .map(f => ManifestAvro.stripFileScheme(f.file.filePath))
+    t.delete(spark).deleteWherePositional(
+      E.equal("o_orderstatus", Literal.string("F")))
+    val dels = t.currentSnapshot.map(t.planDeleteEntries).getOrElse(Nil)
+    assert(dels.nonEmpty)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    dels.foreach { e =>
+      val lo = new String(e.dataFile.lowerBounds(RowDelete.PathBoundFieldId), utf8)
+      val hi = new String(e.dataFile.upperBounds(RowDelete.PathBoundFieldId), utf8)
+      assert(lo <= hi)
+      assert(dataPaths.exists(p => lo <= p && p <= hi),
+        "bounds must bracket at least one data file the delete references")
+    }
+  }
+
+  test("a concurrent delete file provably outside the replaced paths does not abort") {
+    import graft.ice.manifest._
+    val t = fresh("rc6")
+    val st = plannedState(t)
+    // a new delete file lands AFTER planning, but its file_path bounds
+    // bracket a range lexicographically ABOVE every replaced path ('~'
+    // sorts above '/'): it cannot cover a replaced file, so the
+    // narrowed check must let the rewrite proceed instead of aborting
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val del = ManifestEntry(ManifestStatus.Added, None, None, None,
+      DataFile(FileContent.PositionDeletes,
+        s"${t.dataFileDir}/disjoint-deletes.parquet", "PARQUET",
+        IndexedSeq.empty, recordCount = 1, fileSizeInBytes = 10,
+        lowerBounds = Map(RowDelete.PathBoundFieldId -> "~a".getBytes(utf8)),
+        upperBounds = Map(RowDelete.PathBoundFieldId -> "~z".getBytes(utf8))))
+    SnapshotProducer.commit(t, spark, DataOperation.Delete, Nil,
+      addedDeleteEntries = Seq(del))
+    SnapshotProducer.commit(t, spark, DataOperation.Overwrite, Nil,
+      removedPaths = st.replaced, expectedReplaced = Some(st))
+    assert(t.newScan().planFiles().isEmpty)
+  }
+
   test("pre-existing delete files the scan applied do not trip the check") {
     val t = fresh("rc4")
     // MoR delete BEFORE planning: its path lands in expectedDeletePaths

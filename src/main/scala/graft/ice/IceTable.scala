@@ -89,15 +89,73 @@ final class IceTable private (
     * survivors are Existing, or as a manifest dropped from the list —
     * so detection must compare live sets, not look for Deleted rows.
     * The snapshot summary's `removed-data-files` count (stamped by
-    * every commit this engine makes) is a fast path: 0 skips the
-    * two-snapshot manifest walk. */
-  private def removedDataFilePaths(s: Snapshot): Set[String] = {
+    * every commit this engine makes) is a fast path: 0 skips the walk.
+    *
+    * Bounded-memory shape (the 100-TB bar): manifests are immutable, so
+    * a manifest present in BOTH lists contributes the same live set to
+    * both sides and cancels out of the diff — only the commit's
+    * manifest DELTA is ever read:
+    * `removed = live(parent-only manifests) \ live(s-only manifests)`.
+    * Driver memory is bounded by the commit's churn, never the table
+    * (a million-file snapshot whose CoW commit rewrote one manifest
+    * reads exactly two manifests). Past the distributed-planning
+    * threshold the delta manifests are read and diffed on EXECUTORS
+    * (mirroring [[planEntriesDistributed]]) and only the removed paths
+    * — the answer, churn-sized by definition — return to the driver.
+    * Relies on the standard invariant that a live data file appears in
+    * exactly one live manifest per snapshot. */
+  private[ice] def removedDataFilePaths(s: Snapshot): Set[String] = {
     if (s.summary.get("removed-data-files").contains("0")) return Set.empty
     val parent = s.parentSnapshotId.flatMap(meta.snapshotById)
       .getOrElse(return Set.empty) // first snapshot: nothing to remove
-    def livePaths(sn: Snapshot): Set[String] =
-      planEntries(sn, None).map(_.dataFile.filePath).toSet
-    livePaths(parent) -- livePaths(s)
+    val pm = ManifestAvro.readManifestList(parent.manifestList)
+      .filter(_.content == ManifestContent.Data)
+    val sm = ManifestAvro.readManifestList(s.manifestList)
+      .filter(_.content == ManifestContent.Data)
+    val smPaths = sm.map(_.manifestPath).toSet
+    val pmPaths = pm.map(_.manifestPath).toSet
+    val droppedM = pm.filterNot(m => smPaths.contains(m.manifestPath))
+    val newM = sm.filterNot(m => pmPaths.contains(m.manifestPath))
+    if (droppedM.isEmpty) return Set.empty
+    def estimate(ms: Seq[ManifestFile]): Long = ms.map(m =>
+      (m.addedFilesCount, m.existingFilesCount) match {
+        case (Some(a), Some(e)) => (a + e).toLong
+        case _ => math.max(1L, m.manifestLength / 64)
+      }).sum
+    val threshold = meta.property(TableProperties.PlanDistributedThreshold)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    session match {
+      case Some(spark) if estimate(droppedM ++ newM) > threshold =>
+        // locals only: the closures must not drag the table/catalog along
+        val schemaLocal = schema
+        val specsLocal: Map[Int, PartitionSpec] =
+          (droppedM ++ newM).map(_.partitionSpecId).distinct
+            .map(id => id -> meta.specById(id).getOrElse(PartitionSpec.unpartitioned))
+            .toMap
+        def pathsRdd(ms: Seq[ManifestFile]) = spark.sparkContext
+          .parallelize(ms.map(m => (m, specsLocal(m.partitionSpecId))),
+            math.max(1, math.min(ms.size,
+              spark.sparkContext.defaultParallelism * 2)))
+          .flatMap { case (m, mSpec) =>
+            ManifestAvro.readManifest(m.manifestPath,
+                mSpec.partitionType(schemaLocal), Some(m))
+              .filter(_.isLive).map(_.dataFile.filePath)
+          }
+        pathsRdd(droppedM).subtract(pathsRdd(newM)).collect().toSet
+      case _ =>
+        def live(ms: Seq[ManifestFile]): Set[String] = {
+          import scala.collection.parallel.CollectionConverters._
+          ms.par.flatMap { m =>
+            val mSpec = meta.specById(m.partitionSpecId)
+              .getOrElse(PartitionSpec.unpartitioned)
+            ManifestAvro.readManifest(m.manifestPath,
+                mSpec.partitionType(schema), Some(m))
+              .filter(_.isLive).map(_.dataFile.filePath)
+          }.seq.toSet
+        }
+        live(droppedM) -- live(newM)
+    }
   }
 
   /** Cancel copy-on-write carry-overs: rows rewritten VERBATIM appear
@@ -472,7 +530,8 @@ final class IceTable private (
     * (bounded-memory planning: a 100-TB snapshot with millions of data
     * files must not materialize every entry as driver objects — reference
     * anchor: PlanFiles, table_scan.cc:264-296, which has no such bound). */
-  def planEntries(snapshot: Snapshot, rowFilter: Option[Bound]): Seq[ManifestEntry] = {
+  def planEntries(snapshot: Snapshot, rowFilter: Option[Bound],
+      pathFilter: Option[Set[String]] = None): Seq[ManifestEntry] = {
     val manifests = ManifestAvro.readManifestList(snapshot.manifestList)
     val dataManifests = manifests.filter(_.content == ManifestContent.Data)
     val scanSchema = snapshot.schemaId.flatMap(meta.schemaById).getOrElse(schema)
@@ -504,7 +563,7 @@ final class IceTable private (
 
     session match {
       case Some(spark) if estimatedEntries > threshold =>
-        planEntriesDistributed(spark, pruned, scanSchema, rowFilter)
+        planEntriesDistributed(spark, pruned, scanSchema, rowFilter, pathFilter)
       case _ =>
         val metricsEval = new MetricsEvaluator
         // manifests are independent — read them in parallel on the driver
@@ -515,7 +574,8 @@ final class IceTable private (
           val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
           val partType = mSpec.partitionType(scanSchema)
           val entries = ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
-            .filter(_.isLive)
+            .filter(e => e.isLive &&
+              pathFilter.forall(_.contains(e.dataFile.filePath)))
           rowFilter match {
             case None => entries
             case Some(bound) =>
@@ -539,7 +599,8 @@ final class IceTable private (
     * entries only. */
   private def planEntriesDistributed(spark: SparkSession,
       manifests: Seq[ManifestFile], scanSchema: Schema,
-      rowFilter: Option[Bound]): Seq[ManifestEntry] = {
+      rowFilter: Option[Bound],
+      pathFilter: Option[Set[String]] = None): Seq[ManifestEntry] = {
     val specs: Map[Int, PartitionSpec] =
       manifests.map(_.partitionSpecId).distinct
         .map(id => id -> meta.specById(id).getOrElse(PartitionSpec.unpartitioned))
@@ -547,6 +608,7 @@ final class IceTable private (
     // locals only: the closure must not drag the table/catalog along
     val schemaLocal = scanSchema
     val filterLocal = rowFilter
+    val pathFilterLocal = pathFilter
     val work = manifests.map(m => (m, specs(m.partitionSpecId)))
     spark.sparkContext
       .parallelize(work, math.max(1, math.min(work.size,
@@ -554,7 +616,8 @@ final class IceTable private (
       .flatMap { case (m, mSpec) =>
         val partType = mSpec.partitionType(schemaLocal)
         val entries = ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
-          .filter(_.isLive)
+          .filter(e => e.isLive &&
+            pathFilterLocal.forall(_.contains(e.dataFile.filePath)))
         val keep = filterLocal match {
           case None => entries
           case Some(bound) =>
@@ -774,7 +837,10 @@ final class ScanBuilder(table: IceTable) {
           table.planAppendsBetween(from, to)
             .map(e => FileScanTask(e.dataFile, e.specId,
               e.sequenceNumber.getOrElse(0L), e.snapshotId))
-        case None => table.planEntries(snap, bound)
+        // restrictPaths rides INTO planning (driver or executor side), so
+        // a restricted scan of a million-file snapshot collects only the
+        // restricted entries, not the whole live set
+        case None => table.planEntries(snap, bound, restrictPaths)
           .map(e => FileScanTask(e.dataFile, e.specId,
             e.sequenceNumber.getOrElse(0L), e.snapshotId))
       }

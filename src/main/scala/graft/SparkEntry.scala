@@ -1138,8 +1138,15 @@ object SparkEntry {
       Multimodal.asMedia(Tables.scan(s, dir, "documents"), "text")
         .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"))),
 
+    // REAL image decode: deterministic grayscale PNGs are rendered
+    // executor-side from the closed form lum(x,y)=(7x+13y+31·id)%256,
+    // then decoded back with javax.imageio and pooled into per-band
+    // luminance means. The DuckDB oracle recomputes the pooled features
+    // from the closed form WITHOUT ever touching a PNG byte — an
+    // independent engine confirms the decode path end-to-end.
     "mm2_features" -> ((s, dir) => {
-      val media = Multimodal.asMedia(Tables.scan(s, dir, "documents"), "text")
+      val media = Multimodal.asRenderedMedia(s,
+        Tables.scan(s, dir, "documents"), "doc_id")
       Multimodal.extractFeatures(s, media, "doc_id")
         .select(col("doc_id"), col("width"), col("height"),
           round(element_at(col("features"), 1), 4).as("f0"))
@@ -2290,6 +2297,21 @@ object SparkEntry {
         |  FROM documents) WHERE rk <= 10""".stripMargin,
     "mm1_media_meta" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents",
+    // closed-form recompute of the decoded-image band-0 feature: DuckDB
+    // never decodes the PNG — it rebuilds the pixel formula and pools,
+    // independently confirming the javax.imageio decode in the engine
+    "mm2_features" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 24 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, y.y, x.x,
+        |    (x.x*7 + y.y*13 + doc_id*31) % 256 AS lum
+        |  FROM dims, LATERAL (SELECT unnest(range(0, w)) AS x) x,
+        |             LATERAL (SELECT unnest(range(0, h)) AS y) y)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  round(CAST(sum(lum) AS DOUBLE) / count(*), 4) AS f0
+        |FROM px WHERE (y*8)//h = 0 GROUP BY 1,2,3""".stripMargin,
     "mm3_resize" ->
       """SELECT doc_id, 64 AS width, 64 AS height,
         |  CAST(least(octet_length(CAST(text AS BLOB)), 4096) AS BIGINT) AS n_bytes_resized

@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with a typed metadata struct; decode
   * / feature-extraction runs as a partition-wise batch transform.
   *
-  * The actual codec step is a STUB — no image/audio libraries exist in
-  * this environment — replaced by a deterministic fake that derives
-  * "features" from the bytes. Everything around it (schema, batching,
-  * partition-preserving execution, column pruning before the heavy
-  * stage) is the real production shape: swap `stubDecode` for a JNI/
-  * library call and nothing else changes. */
+  * Image decode is REAL: `javax.imageio` (JDK-builtin; PNG/GIF/BMP)
+  * decodes payloads executor-side and the features are pooled from the
+  * decoded raster. Payloads that are not a decodable image fall back to
+  * a deterministic byte-derived pseudo-feature (`stubDecode`) so the
+  * stage is total — the production shape for a corpus where a fraction
+  * of blobs is always corrupt. Video/audio codecs don't exist in the
+  * JDK; those stages remain deterministic stand-ins with the real batch
+  * shape (one row in, n frame rows out). */
 object Multimodal {
 
   val mediaMetaType: StructType = StructType(Seq(
@@ -58,6 +60,86 @@ object Multimodal {
   final case class MediaFeatures(id: Long, width: Int, height: Int,
       features: Array[Double])
 
+  /** Deterministic synthetic image: a w×h grayscale raster whose pixel
+    * (x,y) luminance is the CLOSED FORM `(7x + 13y + 31·id) mod 256`,
+    * PNG-encoded with `javax.imageio`. Because PNG is lossless and the
+    * formula is arithmetic, an independent engine (the DuckDB oracle)
+    * can recompute the pooled features without ever decoding a byte —
+    * the decode path is verified end-to-end against a party that never
+    * saw the image. */
+  def syntheticImageDims(id: Long): (Int, Int) =
+    (8 + (id % 24).toInt, 8 + ((id / 7) % 24).toInt)
+
+  def syntheticImagePng(id: Long): Array[Byte] = {
+    val (w, h) = syntheticImageDims(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((7L * x + 13L * y + 31L * id) % 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Render the synthetic PNG payload per id — executor-side encode via
+    * the same typed-Dataset batch shape as [[extractFeatures]]. */
+  def asRenderedMedia(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(_.map(id => MediaIn(id, syntheticImagePng(id))))
+      .toDF("id", "payload")
+      .withColumnRenamed("id", idCol)
+      .withColumn("media_meta", struct(
+        lit("image/png").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("magic")))
+  }
+
+  /** Real image decode via `javax.imageio` (PNG/GIF/BMP ship in the
+    * JDK). Returns None when the payload is not a decodable image —
+    * callers fall back to [[stubDecode]]. Features: mean luminance per
+    * horizontal 1/8th band (row y belongs to band y*8/h), luminance =
+    * the single gray band or the mean of the first three bands. */
+  private[graft] def imageDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (bytes == null || bytes.length < 8) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w == 0 || h == 0) return None
+    val raster = img.getRaster
+    val nb = math.min(raster.getNumBands, 3)
+    val sums = Array.fill(8)(0L)
+    val counts = Array.fill(8)(0L)
+    var y = 0
+    while (y < h) {
+      val band = y * 8 / h
+      var x = 0
+      while (x < w) {
+        var s = 0L
+        var b = 0
+        while (b < nb) { s += raster.getSample(x, y, b); b += 1 }
+        sums(band) += s / nb
+        counts(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val features = Array.tabulate(8)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    Some((w, h, features))
+  }
+
   /** Partition-wise decode/feature-extract over the payload column.
     * Only (id, payload) flow into this stage — prune other columns
     * upstream and join features back by id, so the wide decode stage
@@ -72,7 +154,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col("payload"))
       .as[MediaIn]
       .mapPartitions(_.map { m =>
-        val (w, h, f) = stubDecode(m.payload)
+        val (w, h, f) = imageDecode(m.payload).getOrElse(stubDecode(m.payload))
         MediaFeatures(m.id, w, h, f)
       })
       .toDF("id", "width", "height", "features")

@@ -861,6 +861,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((1, 1, "mail <EMAIL> call <PHONE>")))
   }
 
+  test("image decode: PNG roundtrip recovers closed-form dims and band means") {
+    for (id <- Seq(0L, 3L, 7L, 41L, 499L)) {
+      val png = Multimodal.syntheticImagePng(id)
+      // PNG magic
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+      val (ew, eh) = Multimodal.syntheticImageDims(id)
+      val Some((w, h, f)) = Multimodal.imageDecode(png)
+      assert((w, h) == ((ew, eh)))
+      // independent recompute of every band mean from the pixel formula
+      val sums = Array.fill(8)(0L); val counts = Array.fill(8)(0L)
+      for (y <- 0 until eh; x <- 0 until ew) {
+        val b = y * 8 / eh
+        sums(b) += (7L * x + 13L * y + 31L * id) % 256L
+        counts(b) += 1
+      }
+      (0 until 8).foreach { b =>
+        assert(f(b) == sums(b).toDouble / counts(b),
+          s"band $b mean mismatch for id $id")
+      }
+    }
+    // non-image payloads fall back to the deterministic stub, not a crash
+    assert(Multimodal.imageDecode("plain text bytes".getBytes).isEmpty)
+  }
+
+  test("rendered media decodes through the distributed stage") {
+    import spark.implicits._
+    val ids = Seq(1L, 10L, 25L).toDF("doc_id")
+    val media = Multimodal.asRenderedMedia(spark, ids, "doc_id")
+    val metas = media.select("doc_id", "media_meta.mime", "media_meta.magic")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(metas.forall(_._2 == "image/png"))
+    assert(metas.forall(_._3 == "89504E47")) // PNG signature
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      assert(feats(id) == Multimodal.syntheticImageDims(id))
+    }
+  }
+
   test("multimodal stub plumbing: payload -> meta -> features") {
     val media = Multimodal.asMedia(docs, "text")
     assert(media.schema("payload").dataType.typeName == "binary")

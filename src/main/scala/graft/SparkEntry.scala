@@ -840,6 +840,20 @@ object SparkEntry {
           round(col("o_totalprice"), 2).as("price"), col("_change_type"))
     }),
 
+    // _change_ordinal parity (Iceberg create_changelog_view): each
+    // commit in the range carries its 0-based position, so multi-commit
+    // histories order without joining back to the snapshot log. The
+    // fixture's two CoW updates emit ordinals 0 and 1 with the pre/post
+    // images of each commit.
+    "cdc_ordinal" -> ((s, dir) => {
+      val t = NetCdcFixture.ensure(s, dir)
+      val snaps = t.snapshots.sortBy(_.sequenceNumber)
+      t.planChanges(s, snaps.head.snapshotId, snaps.last.snapshotId)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("_change_type"),
+          col("_change_ordinal"))
+    }),
+
     // Net-changes view (Iceberg create_changelog_view net_changes): two
     // successive CoW updates of the same rows collapse to one delete of
     // the initial image + one insert of the final image — intermediate
@@ -1839,6 +1853,18 @@ object SparkEntry {
         |SELECT o_orderkey + 1000000000, o_orderstatus, round(o_totalprice, 2),
         |       'insert'
         |FROM orders WHERE o_orderkey % 100 = 7""".stripMargin,
+    "cdc_ordinal" ->
+      """WITH u AS (SELECT o_orderkey, o_totalprice FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |       'delete' AS _change_type, CAST(0 AS INTEGER) AS _change_ordinal
+        |FROM u
+        |UNION ALL SELECT o_orderkey, round(o_totalprice + 500, 2), 'insert',
+        |       CAST(0 AS INTEGER) FROM u
+        |UNION ALL SELECT o_orderkey, round(o_totalprice + 500, 2), 'delete',
+        |       CAST(1 AS INTEGER) FROM u
+        |UNION ALL SELECT o_orderkey, round(o_totalprice + 1000, 2), 'insert',
+        |       CAST(1 AS INTEGER) FROM u""".stripMargin,
     "cdc_net_changes" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price,
         |       'delete' AS _change_type

@@ -211,7 +211,8 @@ final class IceTable private (
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       sparkSchema.add("_change_type", org.apache.spark.sql.types.StringType)
-        .add("_commit_snapshot_id", org.apache.spark.sql.types.LongType))
+        .add("_commit_snapshot_id", org.apache.spark.sql.types.LongType)
+        .add("_change_ordinal", org.apache.spark.sql.types.IntegerType))
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     def insertRows(s: Snapshot): Option[DataFrame] = {
@@ -303,7 +304,7 @@ final class IceTable private (
           }
     }
 
-    val parts: Seq[DataFrame] = chain.flatMap { s =>
+    val parts: Seq[DataFrame] = chain.zipWithIndex.flatMap { case (s, ordinal) =>
       if (s.operation.contains(DataOperation.Replace)) None // content-preserving
       else {
         val removed = s.operation match {
@@ -342,7 +343,12 @@ final class IceTable private (
               (ins.toSeq ++ cowDel.toSeq).reduce(_ unionByName _))
             Some((Seq(cow) ++ morDel.toSeq).reduce(_ unionByName _))
           }
-        diffed.map(_.withColumn("_commit_snapshot_id", lit(s.snapshotId)))
+        // _change_ordinal: the commit's position within the requested
+        // range, oldest = 0 (Iceberg's create_changelog_view ordinal) —
+        // lets net-change consumers order multi-commit histories without
+        // joining back to the snapshot log
+        diffed.map(_.withColumn("_commit_snapshot_id", lit(s.snapshotId))
+          .withColumn("_change_ordinal", lit(ordinal)))
       }
     }
     parts.reduceOption(_ unionByName _).getOrElse(empty)
@@ -360,7 +366,7 @@ final class IceTable private (
       toSnapshotId: Long): DataFrame =
     cancelCarryovers(
       planChanges(spark, fromSnapshotId, toSnapshotId)
-        .drop("_commit_snapshot_id"))
+        .drop("_commit_snapshot_id", "_change_ordinal"))
 
   /** Changelog view with UPDATE pairing (the Iceberg
     * create_changelog_view compute-updates semantics): within one

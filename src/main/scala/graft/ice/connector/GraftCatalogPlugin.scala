@@ -701,6 +701,7 @@ private[connector] final case class GraftProcedure(procName: String,
               .add("_change_type", StringType)
             val schema = if (netChanges) base
               else base.add("_commit_snapshot_id", LongType)
+                .add("_change_ordinal", IntegerType)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           case Some(to) =>

@@ -59,12 +59,16 @@ final class GraftTableSourceProvider extends TableProvider with DataSourceRegist
 }
 
 private[graft] object GraftTableStream {
-  def load(options: CaseInsensitiveStringMap): IceTable = {
+  def catalogAndIdent(options: CaseInsensitiveStringMap): (DirCatalog, TableIdentifier) = {
     val wh = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException("graft-table source requires option 'warehouse'"))
     val name = Option(options.get("table")).getOrElse(
       throw new IllegalArgumentException("graft-table source requires option 'table'"))
-    IceTable.load(new DirCatalog(wh), TableIdentifier.parse(name))
+    (new DirCatalog(wh), TableIdentifier.parse(name))
+  }
+  def load(options: CaseInsensitiveStringMap): IceTable = {
+    val (cat, ident) = catalogAndIdent(options)
+    IceTable.load(cat, ident)
   }
   /** Spark schema with field-id metadata stripped (files resolve by
     * name — they were written with these names by our own sink). */
@@ -104,8 +108,32 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
     options: CaseInsensitiveStringMap) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
-  // fresh load per call = the refresh that makes new commits visible
-  private def table: IceTable = GraftTableStream.load(options)
+  // Version-keyed metadata memo: every `table` access pays ONE cheap
+  // freshness probe (the catalog's current-version lookup — a hint-file
+  // read) and reuses the parsed TableMetadata until the version
+  // advances, instead of a full metadata-JSON parse per method call.
+  // New commits stay visible (the probe notices the version bump);
+  // per-micro-batch driver work drops from O(metadata size) to O(1).
+  @volatile private var cachedTable: Option[(Int, IceTable)] = None
+  private[graft] var metadataLoads = 0L // observability for specs
+  private def table: IceTable = {
+    val (cat, ident) = GraftTableStream.catalogAndIdent(options)
+    val v = cat.currentVersion(ident)
+    cachedTable match {
+      case Some((cv, t)) if cv == v => t
+      case _ => synchronized {
+        cachedTable match {
+          case Some((cv, t)) if cv == v => t
+          case _ =>
+            val ref = cat.loadTable(ident)
+            val t = IceTable.from(ref)
+            metadataLoads += 1
+            cachedTable = Some((ref.version, t))
+            t
+        }
+      }
+    }
+  }
   private val skipNonAppends =
     Option(options.get("skip-non-append-snapshots")).exists(_.toBoolean)
 

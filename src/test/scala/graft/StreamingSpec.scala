@@ -197,6 +197,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("micro-batch stream parses table metadata at most once per version") {
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+    import graft.streaming.{GraftMicroBatchStream, GraftTableStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val wh = java.nio.file.Files.createTempDirectory("whmemo").toString
+    val cat = new DirCatalog(wh)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.memo"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw.limit(100))
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh, "table", "db.memo"))
+    val stream = new GraftMicroBatchStream(
+      GraftTableStream.plainSchema(t), opts)
+    // one micro-batch drives several stream-method calls; each used to
+    // re-parse the metadata JSON — now all share one version-keyed parse
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
+    stream.reportLatestOffset()
+    stream.planInputPartitions(o0, o1)
+    assert(stream.metadataLoads <= 1L,
+      s"expected <=1 metadata parse per version, got ${stream.metadataLoads}")
+    // a new commit bumps the version: exactly one more parse, and the
+    // new snapshot is visible (freshness preserved)
+    t.append(spark).appendDataFrame(raw.limit(50))
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+    assert(o2 != o1, "new commit must be visible through the memo")
+    stream.planInputPartitions(o1, o2)
+    stream.reportLatestOffset()
+    assert(stream.metadataLoads <= 2L,
+      s"expected <=2 parses across two versions, got ${stream.metadataLoads}")
+  }
+
   test("graft-table streaming source: snapshot-aligned batches, resume, non-append refusal") {
     import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
     val wh = java.nio.file.Files.createTempDirectory("whsrc").toString

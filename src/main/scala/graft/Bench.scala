@@ -113,7 +113,16 @@ object Bench {
     // is the host".
     val isoThreshold = sys.env.getOrElse("SPARK_GRAFT_ISO_THRESHOLD_SEC", "5.0").toDouble
     val isoRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ISO_RUNS", "2").toInt)
-    val heavy = results.filter(_._2 >= isoThreshold).sortBy(-_._2).take(5)
+    // small scale factors have no >threshold query at all, which used to
+    // leave the artifact with "isolated": {} — exactly where sweep-vs-
+    // isolated variance has caused the most phantom-regression confusion.
+    // Fall back to the top-5 above a floor so EVERY decade carries
+    // isolated numbers for its slowest queries.
+    val isoFloor = sys.env.getOrElse("SPARK_GRAFT_ISO_FLOOR_SEC", "0.4").toDouble
+    val heavy0 = results.filter(_._2 >= isoThreshold).sortBy(-_._2).take(5)
+    val heavy =
+      if (heavy0.nonEmpty) heavy0
+      else results.filter(_._2 >= isoFloor).sortBy(-_._2).take(5)
     val isolated: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_ISO") || heavy.isEmpty) Nil
       else heavy.map { case (name, _) =>

@@ -1116,6 +1116,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // the FULL recipe: quality gate -> exact dedup -> decontamination ->
+    // deterministic mixture resampling (3:2:1 source ratio over the
+    // clean corpus) -> shard + concat-and-chop packing, as ONE composed
+    // plan — pins that the sampling and packing stages compose with the
+    // cleaning stages. Output: per-shard window/doc/token totals; the
+    // DuckDB oracle recomputes the whole five-stage chain.
+    "pipe_corpus_full" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val quality = docs.filter(TextAnalysis.tokenCount(col("text")) >= 20)
+      val deduped = Dedup.exactSurvivors(quality, "text", "doc_id")
+      val bench = docs.filter(col("doc_id") < 100)
+      val corp = deduped.filter(col("doc_id") >= 100)
+      val hits = TextAnalysis.decontaminate(corp, bench, "doc_id", "text", n = 8)
+        .select(col("doc_id"))
+      val clean = corp.join(hits, Seq("doc_id"), "left_anti")
+      val parts = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap
+      val mixed = Corpus.mixtureSample(clean, "source", "doc_id", parts)
+      val packed = Corpus.packWindows(mixed, "doc_id", "text",
+        windowTokens = 256, nShards = 4)
+      packed.groupBy(col("shard"))
+        .agg(countDistinct(col("win")).as("n_windows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"))
+    }),
+
     // deterministic mixture resampling: per-source quotas in exact
     // integer ratio 3:2:1 (first five sources 3, next five 2, rest 1),
     // scarcest source sets the budget — all-integer, RNG-free
@@ -2274,6 +2300,66 @@ object SparkEntry {
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM clean GROUP BY 1, 2""".stripMargin,
+    "pipe_corpus_full" ->
+      s"""WITH qg AS (
+        |  SELECT * FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |    x -> len(x) > 0)) >= 20),
+        |dd AS (
+        |  SELECT * FROM qg
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |corp0 AS (SELECT * FROM dd WHERE doc_id >= 100),
+        |btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\W+'), t -> len(t) > 0) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |    i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        |  FROM btoks WHERE len(w) >= 8),
+        |ctoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\W+'), t -> len(t) > 0) AS w
+        |  FROM corp0),
+        |cgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |    i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        |  FROM ctoks WHERE len(w) >= 8),
+        |hits AS (SELECT DISTINCT cgrams.doc_id FROM cgrams JOIN bench USING (gram)),
+        |clean AS (
+        |  SELECT * FROM corp0 WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        |p AS (SELECT source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3
+        |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2
+        |         ELSE 1 END AS part,
+        |    count(*) AS n
+        |  FROM clean GROUP BY source),
+        |bgt AS (SELECT min(n // part) AS bb FROM p),
+        |qt AS (SELECT source, part * bb AS quota FROM p CROSS JOIN bgt),
+        |r AS (SELECT c.doc_id, c.text, c.source, qt.quota,
+        |    row_number() OVER (PARTITION BY c.source
+        |      ORDER BY ${mixKeySql("c.doc_id")}, c.doc_id) AS rk
+        |  FROM clean c JOIN qt USING (source)),
+        |mixed AS (SELECT doc_id, text FROM r WHERE rk <= quota),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n,
+        |    ${mixKeySql("doc_id")} AS key
+        |  FROM mixed),
+        |k AS (SELECT doc_id, n, key, key % 4 AS shard FROM t WHERE n > 0),
+        |cp AS (SELECT doc_id, n, shard,
+        |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        |  FROM k),
+        |sg AS (SELECT doc_id, shard, e - n AS st, e FROM cp),
+        |x AS (SELECT doc_id, shard, st, e,
+        |    unnest(range(st // 256, (e - 1) // 256 + 1)) AS win FROM sg)
+        |SELECT shard, CAST(count(DISTINCT win) AS BIGINT) AS n_windows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(e, (win + 1) * 256) - greatest(st, win * 256)) AS BIGINT)
+        |    AS sum_tokens
+        |FROM x GROUP BY shard""".stripMargin,
     "x10_source_mix" ->
       s"""WITH p AS (SELECT source,
         |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3

@@ -573,6 +573,16 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((before -- after).nonEmpty)
     assert(t.planDeleteEntries(t.currentSnapshot.get).isEmpty)
     assert(t.newScan().toDF(spark).count() == expected)
+    // exact row SET, not just count: the rewrite folded the equality
+    // delete in (no resurrection through the dropped delete file) and
+    // every surviving row is intact — oracle = raw anti-join keys
+    val deletedKeys = lowKeys.collect().map(_.getLong(0)).toSet
+    val scanKeys = t.newScan().toDF(spark).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val oracleKeys = raw.select("o_orderkey").collect().map(_.getLong(0))
+      .filterNot(deletedKeys.contains).sorted.toSeq
+    assert(scanKeys == oracleKeys,
+      "compacted row set must equal raw minus the equality-deleted keys")
   }
 
   test("format-version property selects manifest writer version on commit") {

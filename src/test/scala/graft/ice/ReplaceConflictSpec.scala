@@ -119,6 +119,45 @@ class ReplaceConflictSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().planFiles().isEmpty)
   }
 
+  test("REST-backed replace-groups: benign interleave retries to success, conflicting op aborts") {
+    val backing = new DirCatalog(
+      java.nio.file.Files.createTempDirectory("rest-wh").toString)
+    val server = new graft.ice.catalog.RestCatalogServer(backing)
+    try {
+      val cat = new graft.ice.catalog.RestCatalog(server.baseUrl)
+      cat.createNamespace(Seq("db"))
+      val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      val ident = TableIdentifier.parse("db.rowrace")
+      IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        .append(spark).appendDataFrame(raw)
+
+      // client B plans a row-level rewrite; client A interleaves a
+      // BENIGN append (touches none of B's files). B's 409-retry loop
+      // refreshes, re-validates the replace-groups state against the
+      // new base, and lands.
+      val b = IceTable.load(new graft.ice.catalog.RestCatalog(server.baseUrl), ident)
+      val stB = plannedState(b)
+      IceTable.load(cat, ident).append(spark).appendDataFrame(raw.limit(5))
+      SnapshotProducer.commit(b, spark, DataOperation.Overwrite, Nil,
+        removedPaths = stB.replaced, expectedReplaced = Some(stB))
+      assert(IceTable.load(cat, ident).newScan().toDF(spark).count() == 5)
+
+      // client C plans from the current state; client D concurrently
+      // CoW-rewrites the same files. C's retry must ABORT on the
+      // re-validation (its replaced files are gone), never absorb it.
+      val c = IceTable.load(new graft.ice.catalog.RestCatalog(server.baseUrl), ident)
+      val stC = plannedState(c)
+      assert(stC.replaced.nonEmpty)
+      IceTable.load(cat, ident).delete(spark)
+        .deleteWhere(E.raw("o_orderkey >= 0"))
+      val ex = intercept[RequirementFailedException] {
+        SnapshotProducer.commit(c, spark, DataOperation.Overwrite, Nil,
+          removedPaths = stC.replaced, expectedReplaced = Some(stC))
+      }
+      assert(ex.getMessage.contains("concurrent commit removed"))
+    } finally server.stop()
+  }
+
   test("pre-existing delete files the scan applied do not trip the check") {
     val t = fresh("rc4")
     // MoR delete BEFORE planning: its path lands in expectedDeletePaths

@@ -471,6 +471,35 @@ object SparkEntry {
       s.table("ice.catq.region_snap")
     }),
 
+    // Hive key=value import (snapshot_table + add_files): the partition
+    // column exists ONLY in directory names; the Iceberg table is
+    // identity-partitioned and scans serve the column from manifest
+    // tuples (constants-map injection). The oracle recomputes from the
+    // original rows — a wrong/null injected value hash-mismatches.
+    "proc_add_files_hive" -> ((s, dir) => {
+      import graft.ice.catalog._
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      val cat = Tables.catalog(dir)
+      if (!cat.tableExists(TableIdentifier(Seq("catq"), "orders_hive"))) {
+        val orders = Tables.raw(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val src1 = s"${Tables.warehouseDir(dir)}/hive_src_even"
+        val src2 = s"${Tables.warehouseDir(dir)}/hive_src_odd"
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(src1)
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(src2)
+        s.sql(s"""CALL ice.system.snapshot_table(
+                 |  source_dir => '$src1', table => 'catq.orders_hive')""".stripMargin)
+        s.sql(s"""CALL ice.system.add_files(
+                 |  table => 'catq.orders_hive', source_dir => '$src2')""".stripMargin)
+      }
+      s.table("ice.catq.orders_hive")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
+
     // register raw (id-less) parquet as table data without rewrite; the
     // scan falls back to name-based column resolution
     "c_addfiles" -> ((s, dir) =>
@@ -1921,6 +1950,9 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_pos_deletes FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
     "proc_snapshot_table" -> "SELECT * FROM region",
+    "proc_add_files_hive" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders""".stripMargin,
     "c_rest" -> "SELECT * FROM region",
     "t2_wap" -> "SELECT * FROM supplier",
     "mrg_upsert" -> ("""

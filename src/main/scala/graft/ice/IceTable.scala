@@ -1009,12 +1009,9 @@ final class ScanBuilder(table: IceTable) {
         }.reduce(_ unionByName _)
 
     def readParquetPaths(ts: Seq[FileScanTask], withPosCols: Boolean): DataFrame = {
-      val (internalPairs, external) = {
-        val (i, e) = ts.map(t => (t, ManifestAvro.stripFileScheme(t.file.filePath)))
+      val (internalPairs, externalPairs) =
+        ts.map(t => (t, ManifestAvro.stripFileScheme(t.file.filePath)))
           .partition { case (t, p) => fileHasIds(t, p) }
-        (i, e.map(_._2))
-      }
-      val internal = internalPairs.map(_._2)
       def read(schema: org.apache.spark.sql.types.StructType, ps: Seq[String]) = {
         // past the threshold, serve the file list from manifest metadata
         // (ManifestFileIndex): no per-path driver stat, no million-string
@@ -1092,10 +1089,46 @@ final class ScanBuilder(table: IceTable) {
               } ++ (if (withPosCols) Seq(col("__file"), col("__pos")) else Nil): _*)
             }
           }.reduce(_ unionByName _)
-      (internalPairs, external) match {
+      // identity-partition constant injection (Iceberg's constants-map
+      // semantics): identity-partitioned columns of EXTERNAL files are
+      // served from the manifest partition tuple, never from the file —
+      // Hive-imported files don't physically contain them. Internal
+      // files keep identity source columns in-file by this engine's
+      // write convention and need no injection.
+      def identityConsts(t: FileScanTask): Seq[(String, Any)] = {
+        val mSpec = table.metadata.specById(t.specId)
+          .getOrElse(PartitionSpec.unpartitioned)
+        mSpec.fields.zipWithIndex.collect {
+          case (pf, i) if pf.transform == graft.ice.transform.IdentityTransform &&
+              i < t.file.partition.size =>
+            table.schema.findFieldById(pf.sourceId).collect {
+              case src if src.fieldType.isInstanceOf[IcePrimitive] =>
+                src.name -> Option(t.file.partition(i)).map(v =>
+                  graft.ice.meta.SingleValueJson.toSparkValue(
+                    src.fieldType.asInstanceOf[IcePrimitive], v)).orNull
+            }
+        }.flatten
+      }
+      def readExternalInjected(pairs: Seq[(FileScanTask, String)]): DataFrame =
+        pairs.groupBy(p => identityConsts(p._1).map { case (n, v) =>
+          n + "=" + String.valueOf(v) }.mkString("/")).toSeq
+          .sortBy(_._1)
+          .map { case (_, grp) =>
+            val consts = identityConsts(grp.head._1).toMap
+            val base = readExternal(grp.map(_._2))
+            if (consts.isEmpty) base
+            else base.select(plainSchema.fields.map { sf =>
+              consts.get(sf.name) match {
+                case Some(v) => lit(v).cast(sf.dataType).as(sf.name)
+                case None => col(sf.name)
+              }
+            }.toSeq ++
+              (if (withPosCols) Seq(col("__file"), col("__pos")) else Nil): _*)
+          }.reduce(_ unionByName _)
+      (internalPairs, externalPairs) match {
         case (ps, Nil) => readInternal(ps)
-        case (Nil, ps) => readExternal(ps)
-        case (ips, eps) => readInternal(ips).unionByName(readExternal(eps))
+        case (Nil, ps) => readExternalInjected(ps)
+        case (ips, eps) => readInternal(ips).unionByName(readExternalInjected(eps))
       }
     }
 
@@ -1447,10 +1480,23 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     * path for external data. PARQUET files yield full column metrics from
     * their footers; other registered formats (AVRO via the registry) get
     * record counts only, so file-metric pruning treats them as unknown
-    * (included) — safe, just unprunable. */
-  def addFiles(paths: Seq[String], format: String = "PARQUET"): Snapshot = {
-    require(table.spec.isUnpartitioned,
-      "addFiles on a partitioned table requires explicit partition tuples")
+    * (included) — safe, just unprunable.
+    *
+    * Partitioned tables: pass `partitionBaseDir` for a Hive `key=value`
+    * layout — each file's partition tuple is parsed from its path
+    * segments (identity transforms only; `__HIVE_DEFAULT_PARTITION__`
+    * maps to null). The registered files need not CONTAIN the partition
+    * columns: scans serve identity-partitioned columns of external files
+    * from the manifest tuple (Iceberg's constants-map semantics). */
+  def addFiles(paths: Seq[String], format: String = "PARQUET",
+      partitionBaseDir: Option[String] = None): Snapshot = {
+    require(table.spec.isUnpartitioned || partitionBaseDir.isDefined,
+      "addFiles on a partitioned table requires partitionBaseDir " +
+        "(Hive key=value layout) to derive partition tuples")
+    if (partitionBaseDir.isDefined && !table.spec.isUnpartitioned)
+      require(table.spec.fields.forall(
+        _.transform == graft.ice.transform.IdentityTransform),
+        "Hive-layout import supports identity partition specs only")
     val fmt = format.toUpperCase(java.util.Locale.ROOT)
     require(FormatRegistry.supportedFormats.contains(fmt),
       s"addFiles: no reader registered for format '$format'")
@@ -1467,8 +1513,14 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
         if (fmt == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
         else if (fmt == "ORC") Metrics.rowCountOnly(orcCounts.getOrElse(local, 0L))
         else Metrics.rowCountOnly(AvroData.countRecords(local))
+      val partition = partitionBaseDir match {
+        case Some(base) if !table.spec.isUnpartitioned =>
+          graft.ice.write.PartitionPaths.parse(local,
+            ManifestAvro.stripFileScheme(base), table.spec, schema)
+        case _ => IndexedSeq.empty[Any]
+      }
       ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.Data, p, fmt, IndexedSeq.empty,
+        DataFile(FileContent.Data, p, fmt, partition,
           recordCount = m.rowCount,
           fileSizeInBytes = Files.size(Paths.get(local)),
           columnSizes = m.columnSizes,
@@ -1484,7 +1536,12 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     // plan time. Avro files resolve ids per-file inside the reader, so
     // the parquet-path summary is irrelevant for them.
     val idSummary =
-      if (fmt != "PARQUET") "none"
+      // Hive-layout imports are forced onto the NAME-resolution read
+      // path even when the files carry parquet field ids: identity
+      // partition columns live in the manifest tuple, and only the
+      // external read path serves them as constants
+      if (fmt != "PARQUET" ||
+          (partitionBaseDir.isDefined && !table.spec.isUnpartitioned)) "none"
       else {
         val withIds = paths.count(p => ScanBuilder.hasFieldIds(p, spark))
         if (withIds == paths.size) "all"

@@ -505,7 +505,7 @@ private[connector] object GraftProcedures {
   val names = Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "remove_orphan_files", "zorder", "rollback_to_snapshot", "fast_forward",
     "create_changelog_view", "rewrite_position_deletes", "snapshot_table",
-    "compute_table_stats", "compute_partition_stats")
+    "add_files", "compute_table_stats", "compute_partition_stats")
 
   def load(name: String, warehouse: () => String): Option[UnboundProcedure] =
     names.find(_ == name).map(n => GraftProcedure(n, warehouse()))
@@ -538,6 +538,8 @@ private[connector] final case class GraftProcedure(procName: String,
       Array(in("table", StringType), opt("columns", StringType))
     case "snapshot_table" =>
       Array(in("source_dir", StringType), in("table", StringType))
+    case "add_files" =>
+      Array(in("table", StringType), in("source_dir", StringType))
     case "zorder" =>
       Array(in("table", StringType), in("columns", StringType),
         opt("target_file_size_bytes", LongType))
@@ -641,34 +643,50 @@ private[connector] final case class GraftProcedure(procName: String,
       case "snapshot_table" =>
         val src = input.getUTF8String(0).toString
         val ident = TableIdentifier.parse(input.getUTF8String(1).toString)
-        val f = new java.io.File(src)
-        // recursive walk so nested (non-partitioned) layouts import
-        // completely; Hive `key=value` layouts are REJECTED loudly —
-        // their partition values live in directory names, not file
-        // columns, and a silent flat import would drop those columns
-        def walk(d: java.io.File): Seq[java.io.File] = {
-          val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-          kids.filter(_.isDirectory).foreach { sd =>
-            if (sd.getName.contains("="))
-              throw new UnsupportedOperationException(
-                s"snapshot_table: Hive-partitioned source layout " +
-                  s"(${sd.getName}) is not supported — partition values " +
-                  "live in directory names, not data columns; rewrite " +
-                  "the source flat or add the columns to the files")
-          }
-          kids.filter(k => k.isFile && k.getName.endsWith(".parquet")) ++
-            kids.filter(_.isDirectory).flatMap(walk)
-        }
-        val paths =
-          if (f.isDirectory) walk(f).map(_.getAbsolutePath).sorted
-          else Seq(f.getAbsolutePath)
+        val paths = ProcedureImport.walkParquet(src)
         require(paths.nonEmpty, s"no parquet files under $src")
-        val df = spark.read
-          .option("recursiveFileLookup", "true").parquet(src)
+        val hive = ProcedureImport.isHiveLayout(src)
         val cat = new DirCatalog(warehouse)
-        val nt = IceTable.create(cat, ident, SparkConv.fromSpark(df.schema))
-        nt.append(spark).addFiles(paths)
+        val nt =
+          if (!hive) {
+            // flat or plainly-nested layout: unpartitioned import
+            val df = spark.read
+              .option("recursiveFileLookup", "true").parquet(src)
+            IceTable.create(cat, ident, SparkConv.fromSpark(df.schema))
+          } else {
+            // Hive key=value layout: the partition values live in the
+            // directory names, not the files — import as an IDENTITY-
+            // partitioned table; scans serve the partition columns from
+            // the manifest tuples (constants-map), so nothing is lost
+            // and nothing is rewritten
+            val df = spark.read.parquet(src) // native partition discovery
+            val schema = SparkConv.fromSpark(df.schema)
+            val partCols = ProcedureImport.partitionColumns(src, paths)
+            val spec = PartitionSpec(0, partCols.zipWithIndex.map {
+              case (name, i) =>
+                val f = schema.findFieldByName(name).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"partition dir column '$name' missing from inferred schema"))
+                PartitionField(f.id, 1000 + i,  name,
+                  graft.ice.transform.IdentityTransform)
+            }.toIndexedSeq)
+            IceTable.create(cat, ident, schema, spec)
+          }
+        nt.append(spark).addFiles(paths,
+          partitionBaseDir = if (hive) Some(src) else None)
         result(StructType(Seq(StructField("imported_files_count", LongType))),
+          Seq(paths.size.toLong))
+      // Iceberg's add_files: append EXISTING parquet (flat or Hive
+      // key=value layout matching the table's identity spec) into an
+      // EXISTING table, metadata-only
+      case "add_files" =>
+        val src = input.getUTF8String(1).toString
+        val paths = ProcedureImport.walkParquet(src)
+        require(paths.nonEmpty, s"no parquet files under $src")
+        val hive = ProcedureImport.isHiveLayout(src)
+        t.append(spark).addFiles(paths,
+          partitionBaseDir = if (hive) Some(src) else None)
+        result(StructType(Seq(StructField("added_files_count", LongType))),
           Seq(paths.size.toLong))
       // Iceberg's create_changelog_view: registers a temp view over the
       // CDC changes stream. Defaults: whole history (start = before the
@@ -713,5 +731,53 @@ private[connector] final case class GraftProcedure(procName: String,
         result(StructType(Seq(StructField("changelog_view", StringType))),
           Seq(org.apache.spark.unsafe.types.UTF8String.fromString(viewName)))
     }
+  }
+}
+
+/** Shared helpers for the metadata-only import procedures
+  * (snapshot_table / add_files): recursive parquet discovery and Hive
+  * `key=value` layout detection. */
+private[connector] object ProcedureImport {
+
+  /** All .parquet files under `src` (or `src` itself when a file),
+    * sorted for deterministic commit order. */
+  def walkParquet(src: String): Seq[String] = {
+    val f = new java.io.File(src)
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(k => k.isFile && k.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(walk)
+    }
+    if (f.isDirectory) walk(f).map(_.getAbsolutePath).sorted
+    else Seq(f.getAbsolutePath)
+  }
+
+  /** True when any directory under `src` is a Hive `key=value` segment. */
+  def isHiveLayout(src: String): Boolean = {
+    def any(d: java.io.File): Boolean = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(_.isDirectory)
+      kids.exists(_.getName.contains("=")) || kids.exists(any)
+    }
+    val f = new java.io.File(src)
+    f.isDirectory && any(f)
+  }
+
+  /** Ordered partition-column names of a Hive layout, from the path
+    * segments of the discovered files. Every file must agree on the key
+    * sequence — mixed layouts are rejected loudly rather than silently
+    * importing inconsistent partitioning. */
+  def partitionColumns(src: String, paths: Seq[String]): Seq[String] = {
+    val base = java.nio.file.Paths.get(src).toAbsolutePath
+    val keySeqs = paths.map { p =>
+      val rel = base.relativize(java.nio.file.Paths.get(p).toAbsolutePath).toString
+      rel.split('/').init.toSeq.collect {
+        case seg if seg.indexOf('=') > 0 => seg.substring(0, seg.indexOf('='))
+      }
+    }.distinct
+    require(keySeqs.size == 1 && keySeqs.head.nonEmpty,
+      s"inconsistent or non-Hive partition layout under $src: " +
+        s"key sequences ${keySeqs.take(3).mkString("; ")}")
+    keySeqs.head
   }
 }

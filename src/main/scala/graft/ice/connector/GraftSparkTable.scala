@@ -623,13 +623,20 @@ private[connector] sealed trait GraftScanSplit extends InputPartition {
     * column's initial-default in place of the null the parquet reader
     * would return. */
   def absentDefaults: Seq[Int]
+  /** (source field id, Iceberg runtime value) constants for identity-
+    * partitioned columns of EXTERNAL files (Hive imports): the column
+    * lives in the manifest tuple, not the file — the reader serves it
+    * as a per-split constant (Iceberg's constants-map semantics). */
+  def identityConsts: Seq[(Int, Any)]
 }
 private[connector] final case class GraftFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
-    absentDefaults: Seq[Int] = Nil) extends GraftScanSplit
+    absentDefaults: Seq[Int] = Nil,
+    identityConsts: Seq[(Int, Any)] = Nil) extends GraftScanSplit
 private[connector] final case class GraftKeyedFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
-    key: InternalRow, absentDefaults: Seq[Int] = Nil) extends GraftScanSplit
+    key: InternalRow, absentDefaults: Seq[Int] = Nil,
+    identityConsts: Seq[(Int, Any)] = Nil) extends GraftScanSplit
     with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -766,6 +773,21 @@ private[connector] final class GraftBatchScan(table: IceTable,
         }
       }
 
+    // identity-partition constants for EXTERNAL (name-resolved) files:
+    // Hive imports don't contain the partition columns — ship the
+    // manifest tuple values with the split so the reader injects them
+    def identityConstsFor(t: FileScanTask, hasIds: Boolean): Seq[(Int, Any)] =
+      if (hasIds || t.file.partition.isEmpty) Nil
+      else {
+        val mSpec = table.metadata.specById(t.specId)
+          .getOrElse(graft.ice.meta.PartitionSpec.unpartitioned)
+        mSpec.fields.zipWithIndex.collect {
+          case (pf, i) if pf.transform == graft.ice.transform.IdentityTransform &&
+              i < t.file.partition.size =>
+            (pf.sourceId, t.file.partition(i))
+        }
+      }
+
     // SPJ is reportable only when every surviving file lives in the
     // CURRENT spec (older-spec files have a different tuple shape) and
     // every transform maps onto the connector grammar
@@ -785,16 +807,19 @@ private[connector] final class GraftBatchScan(table: IceTable,
     if (!groupable) {
       PlannedScan(tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
-        GraftFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p), deletesFor(t),
-          absentFor(t, p))
+        val hasIds = fileHasIds(t, p)
+        GraftFileSplit(p, t.file.fileSizeInBytes, hasIds, deletesFor(t),
+          absentFor(t, p), identityConstsFor(t, hasIds))
       }, None, totalRows, snapId, origPaths, deletePaths, filesSorted)
     } else {
       val keyed = tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
+        val hasIds = fileHasIds(t, p)
         val key = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           t.file.partition.map(GraftConnectorUtil.toInternalValue).toArray)
-        GraftKeyedFileSplit(p, t.file.fileSizeInBytes, fileHasIds(t, p),
-          deletesFor(t), key, absentFor(t, p)): GraftScanSplit
+        GraftKeyedFileSplit(p, t.file.fileSizeInBytes, hasIds,
+          deletesFor(t), key, absentFor(t, p),
+          identityConstsFor(t, hasIds)): GraftScanSplit
       }
       val nKeys = tasks.map(_.file.partition).distinct.size
       PlannedScan(keyed, Some(nKeys), totalRows, snapId, origPaths, deletePaths,
@@ -956,6 +981,20 @@ private[connector] final class GraftBatchScan(table: IceTable,
       else Some(required.fields.map(f =>
         if (f.name == "_file") -1 else readSchemaIds.fieldIndex(f.name)))
 
+    // identity-constant target slots: field id -> (read-schema ordinal,
+    // spark type, iceberg primitive); consulted per split for Hive-
+    // imported files whose partition columns exist only in the tuple
+    val constSlots: Map[Int, (Int, org.apache.spark.sql.types.DataType,
+        graft.ice.types.IcePrimitive)] =
+      table.schema.fields.flatMap { f =>
+        val ord = readSchemaIds.fieldNames.indexOf(f.name)
+        f.fieldType match {
+          case p: graft.ice.types.IcePrimitive if ord >= 0 =>
+            Some(f.id -> ((ord, SparkConv.toSparkType(f.fieldType), p)))
+          case _ => None
+        }
+      }.toMap
+
     GraftReaderFactory(
       readIds = mkReader(readSchemaIds, v1Filters.toSeq),
       readIdsRaw = mkReader(readSchemaIds, Nil),
@@ -966,7 +1005,8 @@ private[connector] final class GraftBatchScan(table: IceTable,
       readSchema = readSchemaIds,
       eqSchemas = eqSchemas,
       outputTemplate = outputTemplate,
-      defaultsFill = defaultsFill)
+      defaultsFill = defaultsFill,
+      constSlots = constSlots)
   }
 }
 
@@ -1206,7 +1246,11 @@ private[connector] final case class GraftReaderFactory(
     // metadata column (filled with the split's path); None = identity
     outputTemplate: Option[Array[Int]],
     defaultsFill: Map[Int, (Int, Any, org.apache.spark.sql.types.DataType)] =
-      Map.empty) extends PartitionReaderFactory {
+      Map.empty,
+    // field id -> (read ordinal, spark type, iceberg primitive) for
+    // per-split identity-partition constant injection (Hive imports)
+    constSlots: Map[Int, (Int, org.apache.spark.sql.types.DataType,
+      graft.ice.types.IcePrimitive)] = Map.empty) extends PartitionReaderFactory {
 
   private def pf(path: String, size: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
@@ -1281,8 +1325,20 @@ private[connector] final case class GraftReaderFactory(
       else base.filter { _ => pos += 1; !deletedPos.contains(pos) }
     // v3 initial-defaults: files that predate a defaulted column inject
     // its default in place of the reader's null — BEFORE equality-delete
-    // matching, so deletes keyed on the column see the virtual value
-    val fillOrds = split.absentDefaults.flatMap(defaultsFill.get)
+    // matching, so deletes keyed on the column see the virtual value.
+    // Identity-partition constants of Hive-imported files inject through
+    // the same projection (the column exists only in the manifest tuple).
+    val constOrds = split.identityConsts.flatMap { case (fid, v) =>
+      constSlots.get(fid).map { case (ord, dt, prim) =>
+        val cat =
+          if (v == null) null
+          else org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToCatalyst(
+              graft.ice.meta.SingleValueJson.toSparkValue(prim, v))
+        (ord, cat, dt)
+      }
+    }
+    val fillOrds = split.absentDefaults.flatMap(defaultsFill.get) ++ constOrds
     val itD =
       if (fillOrds.isEmpty) it0
       else {

@@ -655,7 +655,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("o_orderkey", "price"))
   }
 
-  test("snapshot_table recurses nested layouts and rejects Hive partitions") {
+  test("snapshot_table recurses nested layouts and imports Hive partitions") {
     import java.nio.file.{Files => JFiles}
     val raw = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
     // nested NON-partitioned layout: files one level down must import
@@ -667,17 +667,55 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0)
     assert(n >= 2)
     assert(spark.table("ice.db.snapnest").count() == raw.count() + 3)
-    // Hive key=value layout: loud unsupported-layout error, no table
-    val hive = JFiles.createTempDirectory("snap_hive").toString
-    raw.write.parquet(s"$hive/r_regionkey=0")
-    val ex = intercept[Exception] {
-      spark.sql(s"""CALL ice.system.snapshot_table(
-        source_dir => '$hive', table => 'db.snaphive')""").collect()
-    }
-    def rootMsg(t: Throwable): String =
-      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).mkString(" "))
-    assert(rootMsg(ex).contains("Hive-partitioned"))
+
+    // Hive key=value layout: imports as an IDENTITY-partitioned table;
+    // the partition column lives in directory names only, and scans
+    // must serve it from the manifest tuples (constants-map injection)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val hive = JFiles.createTempDirectory("snap_hive").toString + "/src"
+    orders.write.partitionBy("o_orderstatus").parquet(hive)
+    spark.sql(s"""CALL ice.system.snapshot_table(
+      source_dir => '$hive', table => 'db.snaphive')""").collect()
+    val t = spark.table("ice.db.snaphive")
+    assert(t.count() == orders.count())
+    // injected partition values round-trip exactly
+    val got = t.select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = orders.select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, "partition column must come back from dir names")
+    // partition pruning: a filter on the injected column prunes files
+    val it = IceTable.load(cat, TableIdentifier.parse("db.snaphive"))
+    val allFiles = it.newScan().planFiles().size
+    val fFiles = it.newScan()
+      .filter(graft.ice.expr.Expr.equal("o_orderstatus",
+        graft.ice.types.Literal.string("F"))).planFiles().size
+    assert(fFiles < allFiles, "identity tuple must prune partitions")
+    assert(t.filter(col("o_orderstatus") === "F").count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("add_files appends a Hive directory into an existing table") {
+    import java.nio.file.{Files => JFiles}
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val batch1 = orders.filter("o_orderkey % 2 = 0")
+    val batch2 = orders.filter("o_orderkey % 2 = 1")
+    val hive1 = JFiles.createTempDirectory("addf1").toString + "/src"
+    val hive2 = JFiles.createTempDirectory("addf2").toString + "/src"
+    batch1.write.partitionBy("o_orderstatus").parquet(hive1)
+    batch2.write.partitionBy("o_orderstatus").parquet(hive2)
+    spark.sql(s"""CALL ice.system.snapshot_table(
+      source_dir => '$hive1', table => 'db.addf')""").collect()
+    val added = spark.sql(s"""CALL ice.system.add_files(
+      table => 'db.addf', source_dir => '$hive2')""")
+      .collect().head.getLong(0)
+    assert(added >= 1)
+    val t = spark.table("ice.db.addf")
+    assert(t.count() == orders.count())
+    assert(t.filter(col("o_orderstatus") === "O").count() ==
+      orders.filter(col("o_orderstatus") === "O").count())
   }
 
   test("CALL procedures: rollback, expire, rewrite_data_files") {

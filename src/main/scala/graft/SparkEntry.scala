@@ -471,6 +471,34 @@ object SparkEntry {
       s.table("ice.catq.region_snap")
     }),
 
+    // WAP publish via cherry-pick: odd rows staged on an audit branch,
+    // then cherrypick_snapshot replays the staged append onto main as a
+    // NEW snapshot — the procedure flavor of write-audit-publish (the
+    // branch flavor is t2_wap's fast_forward). Oracle = the whole table.
+    "proc_cherrypick" -> ((s, dir) => {
+      import graft.ice.catalog._
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      val cat = Tables.catalog(dir)
+      val ident = TableIdentifier(Seq("catq"), "orders_cherry")
+      if (!cat.tableExists(ident)) {
+        import graft.ice._
+        import graft.ice.types.SparkConv
+        val raw = Tables.raw(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        val s1 = t.append(s).appendDataFrame(raw.filter(col("o_orderkey") % 2 === 0))
+        t.manageSnapshots().createBranch("audit", s1.snapshotId)
+        t.append(s).toBranch("audit")
+          .appendDataFrame(raw.filter(col("o_orderkey") % 2 === 1))
+        val staged = IceTable.load(cat, ident).refs("audit").snapshotId
+        s.sql(s"CALL ice.system.cherrypick_snapshot('catq.orders_cherry', $staged)")
+      }
+      s.table("ice.catq.orders_cherry")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
+
     // Hive key=value import (snapshot_table + add_files): the partition
     // column exists ONLY in directory names; the Iceberg table is
     // identity-partitioned and scans serve the column from manifest
@@ -1951,6 +1979,9 @@ object SparkEntry {
         |WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
     "proc_snapshot_table" -> "SELECT * FROM region",
     "proc_add_files_hive" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders""".stripMargin,
+    "proc_cherrypick" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders""".stripMargin,
     "c_rest" -> "SELECT * FROM region",

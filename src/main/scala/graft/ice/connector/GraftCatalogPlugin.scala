@@ -505,7 +505,9 @@ private[connector] object GraftProcedures {
   val names = Seq("expire_snapshots", "rewrite_data_files", "rewrite_manifests",
     "remove_orphan_files", "zorder", "rollback_to_snapshot", "fast_forward",
     "create_changelog_view", "rewrite_position_deletes", "snapshot_table",
-    "add_files", "compute_table_stats", "compute_partition_stats")
+    "add_files", "compute_table_stats", "compute_partition_stats",
+    "cherrypick_snapshot", "set_current_snapshot", "rollback_to_timestamp",
+    "ancestors_of")
 
   def load(name: String, warehouse: () => String): Option[UnboundProcedure] =
     names.find(_ == name).map(n => GraftProcedure(n, warehouse()))
@@ -543,8 +545,12 @@ private[connector] final case class GraftProcedure(procName: String,
     case "zorder" =>
       Array(in("table", StringType), in("columns", StringType),
         opt("target_file_size_bytes", LongType))
-    case "rollback_to_snapshot" =>
+    case "rollback_to_snapshot" | "cherrypick_snapshot" | "set_current_snapshot" =>
       Array(in("table", StringType), in("snapshot_id", LongType))
+    case "rollback_to_timestamp" =>
+      Array(in("table", StringType), in("timestamp_ms", LongType))
+    case "ancestors_of" =>
+      Array(in("table", StringType), opt("snapshot_id", LongType))
     case "fast_forward" =>
       Array(in("table", StringType), in("branch", StringType),
         in("to_ref", StringType))
@@ -615,6 +621,46 @@ private[connector] final case class GraftProcedure(procName: String,
           StructField("previous_snapshot_id", LongType),
           StructField("current_snapshot_id", LongType))),
           Seq(prev, input.getLong(1)))
+      case "set_current_snapshot" =>
+        val prev = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+        t.manageSnapshots().setCurrentSnapshot(input.getLong(1))
+        result(StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+          Seq(prev, input.getLong(1)))
+      case "rollback_to_timestamp" =>
+        val prev = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+        t.manageSnapshots().rollbackToTimestamp(input.getLong(1))
+        val cur = IceTable.load(new DirCatalog(warehouse),
+          TableIdentifier.parse(input.getUTF8String(0).toString))
+        result(StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+          Seq(prev, cur.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+      case "cherrypick_snapshot" =>
+        t.manageSnapshots().cherrypick(spark, input.getLong(1))
+        val cur = IceTable.load(new DirCatalog(warehouse),
+          TableIdentifier.parse(input.getUTF8String(0).toString))
+        result(StructType(Seq(
+          StructField("source_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+          Seq(input.getLong(1), cur.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+      case "ancestors_of" =>
+        val head = optLong(1).orElse(t.currentSnapshot.map(_.snapshotId))
+        val chain = head.toSeq.flatMap(h =>
+          Iterator.iterate(t.metadata.snapshotById(h))(
+            _.flatMap(_.parentSnapshotId).flatMap(t.metadata.snapshotById))
+            .takeWhile(_.isDefined).flatten.toSeq)
+        val schema = StructType(Seq(
+          StructField("snapshot_id", LongType),
+          StructField("timestamp_ms", LongType)))
+        val scan: Scan = new LocalScan {
+          override def readSchema(): StructType = schema
+          override def rows(): Array[InternalRow] = chain.map(s =>
+            new GenericInternalRow(Array[Any](s.snapshotId, s.timestampMs))
+              : InternalRow).toArray
+        }
+        Collections.singletonList(scan).iterator()
       case "fast_forward" =>
         t.manageSnapshots().fastForward(
           input.getUTF8String(1).toString, input.getUTF8String(2).toString)

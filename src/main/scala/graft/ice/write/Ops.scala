@@ -1612,6 +1612,72 @@ final class ManageSnapshots(table: IceTable) {
     this
   }
 
+  /** Set main to ANY existing snapshot (Iceberg set_current_snapshot):
+    * unlike [[rollbackTo]] the target need not be an ancestor — this is
+    * the escape hatch for adopting another branch's lineage wholesale.
+    * Nothing is deleted; history gains a log entry. */
+  def setCurrentSnapshot(snapshotId: Long): ManageSnapshots = {
+    table.commit { base =>
+      require(base.snapshotById(snapshotId).isDefined,
+        s"cannot set current to unknown snapshot $snapshotId")
+      val mainRef = base.refs.get("main")
+        .map(_.copy(snapshotId = snapshotId))
+        .getOrElse(SnapshotRef(snapshotId, "branch"))
+      base.copy(
+        currentSnapshotId = Some(snapshotId),
+        refs = base.refs.updated("main", mainRef),
+        snapshotLog = base.snapshotLog :+
+          SnapshotLogEntry(System.currentTimeMillis(), snapshotId),
+        lastUpdatedMs = System.currentTimeMillis())
+    }
+    this
+  }
+
+  /** Roll main back to its state as of `timestampMs` (Iceberg
+    * rollback_to_timestamp): resolves the last snapshot committed
+    * at-or-before the mark through the snapshot log, then delegates to
+    * [[rollbackTo]] (ancestor check included). */
+  def rollbackToTimestamp(timestampMs: Long): ManageSnapshots = {
+    val target = table.metadata.snapshotLog
+      .filter(_.timestampMs <= timestampMs).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before ${java.time.Instant.ofEpochMilli(timestampMs)}"))
+    rollbackTo(target.snapshotId)
+  }
+
+  /** Cherry-pick an APPEND snapshot from any lineage (typically a WAP
+    * audit branch) onto the current main head (Iceberg
+    * cherrypick_snapshot): the source snapshot's added data files are
+    * committed as a NEW append snapshot — new id, new sequence number,
+    * summary carrying `source-snapshot-id`; the source is untouched.
+    * Only append snapshots replay safely: a delete/overwrite rewrite is
+    * tied to the exact file state it was planned against, and replaying
+    * it on a diverged head could resurrect or double-delete rows — those
+    * are refused loudly, matching the reference procedure's restriction. */
+  def cherrypick(spark: SparkSession, snapshotId: Long): ManageSnapshots = {
+    val src = table.metadata.snapshotById(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"unknown snapshot $snapshotId"))
+    require(src.operation.contains(DataOperation.Append),
+      s"cherrypick supports append snapshots only; $snapshotId is " +
+        s"'${src.operation.getOrElse("?")}'")
+    val added = ManifestAvro.readManifestList(src.manifestList)
+      .filter(m => m.content == ManifestContent.Data &&
+        m.addedSnapshotId == src.snapshotId)
+      .flatMap { m =>
+        val mSpec = table.metadata.specById(m.partitionSpecId)
+          .getOrElse(PartitionSpec.unpartitioned)
+        ManifestAvro.readManifest(m.manifestPath,
+            mSpec.partitionType(table.schema), Some(m))
+          .filter(e => e.status == ManifestStatus.Added &&
+            e.snapshotId.forall(_ == src.snapshotId))
+      }
+      .map(_.copy(status = ManifestStatus.Added, snapshotId = None,
+        sequenceNumber = None, fileSequenceNumber = None))
+    SnapshotProducer.commit(table, spark, DataOperation.Append, added,
+      extraSummary = Map("source-snapshot-id" -> snapshotId.toString))
+    this
+  }
+
   /** Drop unreferenced snapshots older than `olderThanMs`, honoring each
     * ref's retention policy (snapshot.h:36-118):
     *  - a non-main ref whose referenced snapshot is older than its

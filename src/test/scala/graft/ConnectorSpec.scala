@@ -718,6 +718,56 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       orders.filter(col("o_orderstatus") === "O").count())
   }
 
+  test("snapshot procedures: cherrypick, ancestors_of, rollback_to_timestamp, set_current") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.snapproc"),
+      SparkConv.fromSpark(raw.schema))
+    val evens = raw.filter("o_orderkey % 2 = 0")
+    val s1 = t.append(spark).appendDataFrame(evens)
+    // WAP-style staging: odd rows land on an audit branch, main unchanged
+    t.manageSnapshots().createBranch("audit", s1.snapshotId)
+    t.append(spark).toBranch("audit")
+      .appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+    val staged = IceTable.load(cat, TableIdentifier.parse("db.snapproc"))
+      .refs("audit").snapshotId
+    assert(spark.table("ice.db.snapproc").count() == evens.count())
+    Thread.sleep(5) // distinct snapshot-log timestamps for the rollback
+    // cherry-pick the staged append onto main: full table, new snapshot
+    val cp = spark.sql(
+      s"CALL ice.system.cherrypick_snapshot('db.snapproc', $staged)")
+      .collect().head
+    assert(cp.getLong(0) == staged)
+    val cherryId = cp.getLong(1)
+    assert(cherryId != staged, "cherrypick must mint a NEW snapshot")
+    assert(spark.table("ice.db.snapproc").count() == raw.count())
+    // ancestors_of walks main's lineage: cherry -> s1
+    val anc = spark.sql("CALL ice.system.ancestors_of('db.snapproc')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(anc == Seq(cherryId, s1.snapshotId))
+    // rollback_to_timestamp to just before the cherry-pick
+    val cherryTs = IceTable.load(cat, TableIdentifier.parse("db.snapproc"))
+      .metadata.snapshotById(cherryId).get.timestampMs
+    spark.sql(s"CALL ice.system.rollback_to_timestamp('db.snapproc', ${cherryTs - 1})")
+    assert(spark.table("ice.db.snapproc").count() == evens.count())
+    // set_current_snapshot jumps forward again (descendant, any snapshot ok)
+    spark.sql(s"CALL ice.system.set_current_snapshot('db.snapproc', $cherryId)")
+    assert(spark.table("ice.db.snapproc").count() == raw.count())
+    // cherrypick refuses non-append snapshots (replaying a rewrite on a
+    // diverged head could resurrect rows)
+    val td = IceTable.load(cat, TableIdentifier.parse("db.snapproc"))
+    td.delete(spark).deleteWherePositional(
+      graft.ice.expr.Expr.lt("o_orderkey", Literal.long(10)))
+    val delSnap = IceTable.load(cat, TableIdentifier.parse("db.snapproc"))
+      .currentSnapshot.get.snapshotId
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL ice.system.cherrypick_snapshot('db.snapproc', $delSnap)").collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+      .contains("append snapshots only"))
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

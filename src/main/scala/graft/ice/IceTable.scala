@@ -1350,11 +1350,18 @@ object ScanBuilder {
 final class AppendOp(table: IceTable, spark: SparkSession) {
 
   private var branch: String = "main"
+  private var wapId: Option[String] = None
 
   /** Target a branch other than main: the new snapshot parents off the
     * branch head and only moves that branch's ref, so writers on
     * different branches never conflict semantically. */
   def toBranch(name: String): AppendOp = { branch = name; this }
+
+  /** Write-audit-publish staging (Iceberg's `spark.wap.id`): the commit
+    * creates the snapshot with `wap.id` in its summary but moves NO ref
+    * — readers see nothing until `publish_changes`/`cherrypick` replays
+    * it onto main after the audit passes. */
+  def stageWithWapId(id: String): AppendOp = { wapId = Some(id); this }
 
   /** Full write path: partition-transform clustering -> parquet files ->
     * footer metrics -> manifest -> manifest list -> snapshot -> commit. */
@@ -1673,11 +1680,14 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           "total-records" -> totalRecords.toString,
           "total-data-files" -> (previous.flatMap(_.addedFilesCount).sum +
             previous.flatMap(_.existingFilesCount).sum + entries.size).toString)
-          ++ extraSummary,
+          ++ extraSummary
+          ++ wapId.map("wap.id" -> _),
         schemaId = Some(base.currentSchemaId),
         firstRowId = baseRowId)
       onSnapshot(snap)
-      val next = base.withSnapshot(snap, branch)
+      val next =
+        if (wapId.isDefined) base.withStagedSnapshot(snap)
+        else base.withSnapshot(snap, branch)
       if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next
   }
 

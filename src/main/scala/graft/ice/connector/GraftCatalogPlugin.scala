@@ -507,7 +507,7 @@ private[connector] object GraftProcedures {
     "create_changelog_view", "rewrite_position_deletes", "snapshot_table",
     "add_files", "compute_table_stats", "compute_partition_stats",
     "cherrypick_snapshot", "set_current_snapshot", "rollback_to_timestamp",
-    "ancestors_of")
+    "ancestors_of", "publish_changes")
 
   def load(name: String, warehouse: () => String): Option[UnboundProcedure] =
     names.find(_ == name).map(n => GraftProcedure(n, warehouse()))
@@ -551,6 +551,8 @@ private[connector] final case class GraftProcedure(procName: String,
       Array(in("table", StringType), in("timestamp_ms", LongType))
     case "ancestors_of" =>
       Array(in("table", StringType), opt("snapshot_id", LongType))
+    case "publish_changes" =>
+      Array(in("table", StringType), in("wap_id", StringType))
     case "fast_forward" =>
       Array(in("table", StringType), in("branch", StringType),
         in("to_ref", StringType))
@@ -645,6 +647,23 @@ private[connector] final case class GraftProcedure(procName: String,
           StructField("source_snapshot_id", LongType),
           StructField("current_snapshot_id", LongType))),
           Seq(input.getLong(1), cur.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+      // publish the snapshot staged under `wap.id` (write-audit-publish):
+      // resolve the id, then cherry-pick it onto main
+      case "publish_changes" =>
+        val wapId = input.getUTF8String(1).toString
+        val staged = t.metadata.snapshots
+          .filter(_.summary.get("wap.id").contains(wapId))
+        require(staged.nonEmpty, s"no snapshot staged with wap.id '$wapId'")
+        require(staged.size == 1,
+          s"wap.id '$wapId' is ambiguous: ${staged.map(_.snapshotId).mkString(", ")}")
+        t.manageSnapshots().cherrypick(spark, staged.head.snapshotId)
+        val cur = IceTable.load(new DirCatalog(warehouse),
+          TableIdentifier.parse(input.getUTF8String(0).toString))
+        result(StructType(Seq(
+          StructField("staged_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+          Seq(staged.head.snapshotId,
+            cur.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
       case "ancestors_of" =>
         val head = optLong(1).orElse(t.currentSnapshot.map(_.snapshotId))
         val chain = head.toSeq.flatMap(h =>

@@ -136,6 +136,17 @@ final case class TableMetadata(
       refs = newRefs)
   }
 
+  /** Add a snapshot WITHOUT moving any ref, the snapshot log, or the
+    * current pointer — Iceberg's write-audit-publish staging (a write
+    * under `spark.wap.id`): the snapshot exists, is addressable by id
+    * and carries `wap.id` in its summary, but no reader sees it until
+    * `publish_changes` cherry-picks it onto main. */
+  def withStagedSnapshot(s: Snapshot): TableMetadata =
+    copy(
+      lastSequenceNumber = math.max(lastSequenceNumber, s.sequenceNumber),
+      lastUpdatedMs = s.timestampMs,
+      snapshots = snapshots :+ s)
+
   def withProperties(props: Map[String, String]): TableMetadata =
     copy(properties = properties ++ props)
 

@@ -768,6 +768,38 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("append snapshots only"))
   }
 
+  test("staged WAP: wap.id snapshot invisible until publish_changes") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.wapstage"),
+      SparkConv.fromSpark(raw.schema))
+    val evens = raw.filter("o_orderkey % 2 = 0")
+    t.append(spark).appendDataFrame(evens)
+    // stage the odd rows under a wap id: NO ref moves, readers see evens
+    t.append(spark).stageWithWapId("audit-42")
+      .appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.wapstage"))
+    assert(spark.table("ice.db.wapstage").count() == evens.count(),
+      "staged snapshot must be invisible to readers")
+    val staged = t2.metadata.snapshots
+      .find(_.summary.get("wap.id").contains("audit-42"))
+    assert(staged.isDefined, "staged snapshot must exist with wap.id summary")
+    assert(!t2.currentSnapshot.map(_.snapshotId).contains(staged.get.snapshotId))
+    // audit passes -> publish by wap id
+    val res = spark.sql(
+      "CALL ice.system.publish_changes('db.wapstage', 'audit-42')")
+      .collect().head
+    assert(res.getLong(0) == staged.get.snapshotId)
+    assert(spark.table("ice.db.wapstage").count() == raw.count())
+    // unknown wap id refuses
+    val ex = intercept[Exception] {
+      spark.sql("CALL ice.system.publish_changes('db.wapstage', 'nope')").collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+      .contains("no snapshot staged"))
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

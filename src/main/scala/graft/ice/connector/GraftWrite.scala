@@ -219,6 +219,16 @@ private[connector] object GraftCommit {
       replacedFiles: Option[() => graft.ice.write.ReplaceGroupsState] = None): Unit = {
     val t = freshTable(warehouse, identName)
     val spark = SparkSession.active
+    // Iceberg's session-level WAP staging: with spark.wap.id set, an
+    // INSERT commits a STAGED snapshot (wap.id summary, no ref moves)
+    // that publish_changes later cherry-picks onto main. Row-level and
+    // overwrite writes refuse — replaying a rewrite is unsound; stage
+    // those on a branch.
+    val wapId = spark.conf.getOption("spark.wap.id").filter(_.nonEmpty)
+    if (wapId.isDefined && mode != GraftWriteModes.Append)
+      throw new UnsupportedOperationException(
+        s"spark.wap.id staging supports append writes only, not '$mode'; " +
+          "use a branch (toBranch/fast_forward) to stage row-level changes")
     mode match {
       case GraftWriteModes.ReplaceGroups =>
         val st = replacedFiles.map(_.apply())
@@ -229,7 +239,7 @@ private[connector] object GraftCommit {
           extraProps = extraProps)
       case GraftWriteModes.Append =>
         SnapshotProducer.commit(t, spark, DataOperation.Append, entries,
-          extraProps = extraProps)
+          extraProps = extraProps, stageWapId = wapId)
       case GraftWriteModes.Truncate =>
         val removed = t.newScan().planFiles().map(_.file.filePath).toSet
         SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,

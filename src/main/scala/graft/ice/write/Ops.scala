@@ -49,7 +49,15 @@ private[ice] object SnapshotProducer {
       // every replaced file must still be LIVE, and no delete file that
       // could cover one may have appeared since planning — re-checked
       // per attempt like expectedDVs (see the validation block below)
-      expectedReplaced: Option[ReplaceGroupsState] = None): Snapshot = {
+      expectedReplaced: Option[ReplaceGroupsState] = None,
+      // write-audit-publish staging: the snapshot is created with
+      // `wap.id` in its summary but NO ref/current/log moves — readers
+      // see nothing until publish_changes cherry-picks it. Appends only
+      // (cherry-picking a rewrite is unsound; see ManageSnapshots).
+      stageWapId: Option[String] = None): Snapshot = {
+    stageWapId.foreach(_ => require(operation == DataOperation.Append,
+      s"wap.id staging supports append commits only, not '$operation'; " +
+        "stage row-level operations on a branch instead"))
     var result: Snapshot = null
     table.commit { base =>
       val commitUuid = UUID.randomUUID().toString
@@ -273,13 +281,16 @@ private[ice] object SnapshotProducer {
           "added-data-files" -> addedDataEntries.size.toString,
           "added-records" -> addedRecords.toString,
           "removed-data-files" -> removedPaths.size.toString,
-          "added-delete-files" -> addedDeleteEntries.size.toString) ++ extraSummary,
+          "added-delete-files" -> addedDeleteEntries.size.toString)
+          ++ extraSummary ++ stageWapId.map("wap.id" -> _),
         schemaId = Some(base.currentSchemaId),
         firstRowId = baseRowId)
       result = snap
       // extraProps ride the SAME atomic commit (transactional-sink
       // markers: the (queryId, batchId) key of a streaming upsert)
-      val next0 = base.withSnapshot(snap)
+      val next0 =
+        if (stageWapId.isDefined) base.withStagedSnapshot(snap)
+        else base.withSnapshot(snap)
       val next = if (extraProps.isEmpty) next0
         else next0.copy(properties = next0.properties ++ extraProps)
       if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next

@@ -800,6 +800,27 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("no snapshot staged"))
   }
 
+  test("spark.wap.id stages SQL INSERTs until publish_changes") {
+    spark.sql("CREATE TABLE ice.db.wapsql (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO ice.db.wapsql VALUES (1, 'a'), (2, 'b')")
+    spark.conf.set("spark.wap.id", "w-7")
+    try {
+      spark.sql("INSERT INTO ice.db.wapsql VALUES (3, 'c')")
+      assert(spark.table("ice.db.wapsql").count() == 2,
+        "INSERT under spark.wap.id must be invisible")
+      // overwrite under wap.id refuses (replaying a rewrite is unsound)
+      val ex = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE ice.db.wapsql VALUES (9, 'z')")
+      }
+      assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+        .contains("append writes only"))
+    } finally spark.conf.unset("spark.wap.id")
+    spark.sql("CALL ice.system.publish_changes('db.wapsql', 'w-7')")
+    assert(spark.table("ice.db.wapsql").count() == 3)
+    assert(spark.table("ice.db.wapsql").filter(col("k") === 3).count() == 1)
+  }
+
   test("CALL procedures: rollback, expire, rewrite_data_files") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_totalprice")

@@ -1241,9 +1241,16 @@ object SparkEntry {
     // luminance means. The DuckDB oracle recomputes the pooled features
     // from the closed form WITHOUT ever touching a PNG byte — an
     // independent engine confirms the decode path end-to-end.
+    // The rendered-media fixture is a FIXED-COUNT slice (first 20k doc
+    // ids, covering every doc at the correctness scale factor): a
+    // synthetic-image corpus stays fixture-sized however big the TEXT
+    // corpus grows — the decode stage itself is linear in images and
+    // its per-image cost is what the benchmark should price, not an
+    // ever-growing fixture render.
     "mm2_features" -> ((s, dir) => {
       val media = Multimodal.asRenderedMedia(s,
-        Tables.scan(s, dir, "documents"), "doc_id")
+        Tables.scan(s, dir, "documents").filter(col("doc_id") < 20000),
+        "doc_id")
       Multimodal.extractFeatures(s, media, "doc_id")
         .select(col("doc_id"), col("width"), col("height"),
           round(element_at(col("features"), 1), 4).as("f0"))
@@ -2478,7 +2485,7 @@ object SparkEntry {
     "mm2_features" ->
       """WITH dims AS (
         |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 24 AS h
-        |  FROM documents),
+        |  FROM documents WHERE doc_id < 20000),
         |px AS (
         |  SELECT doc_id, w, h, y.y, x.x,
         |    (x.x*7 + y.y*13 + doc_id*31) % 256 AS lum

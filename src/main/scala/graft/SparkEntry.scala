@@ -1187,7 +1187,13 @@ object SparkEntry {
       val corp = deduped.filter(col("doc_id") >= 100)
       val hits = TextAnalysis.decontaminate(corp, bench, "doc_id", "text", n = 8)
         .select(col("doc_id"))
+      // persist the cleaned corpus before the fan-out: the mixture stage
+      // consumes it several times (per-source counts, the candidate cut,
+      // the exact-rank selection) and without a cache each pass would
+      // recompute the gate + dedup shuffle + decontamination join from
+      // scratch — at scale that triples the pipeline's dominant cost
       val clean = corp.join(hits, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val parts = (0 until 20).map(i =>
         s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap
       val mixed = Corpus.mixtureSample(clean, "source", "doc_id", parts)

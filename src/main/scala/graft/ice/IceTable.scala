@@ -1514,7 +1514,10 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       if (fmt == "ORC")
         FormatRegistry.orcRowCounts(spark, paths.map(ManifestAvro.stripFileScheme))
       else Map.empty
-    val entries = paths.map { p =>
+    // footer reads are independent driver-side IO — parallelize (a
+    // 100k-file import must not read footers one at a time)
+    import scala.collection.parallel.CollectionConverters._
+    val entries = paths.par.map { p =>
       val local = ManifestAvro.stripFileScheme(p)
       val m =
         if (fmt == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
@@ -1536,7 +1539,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           lowerBounds = m.lowerBounds,
           upperBounds = m.upperBounds,
           splitOffsets = m.splitOffsets))
-    }
+    }.seq
     // stamp field-id presence NOW (parquet footers are open anyway for
     // metrics): the scan then partitions id-matched vs name-mapped files
     // from the snapshot summary instead of probing O(files) footers at

@@ -56,6 +56,10 @@ object Bench {
         try org.apache.spark.sql.execution.streaming.state
           .GraftStateStoreBridge.unloadAll()
         catch { case _: Throwable => () }
+        // intra-query persists (Caches.track sites) must not outlive
+        // their query — in shared-session mode they'd otherwise pile up
+        // as storage-memory leaks across the 140-query sweep
+        graft.ops.Caches.release()
       }
 
     val names0 = sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -89,6 +93,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // host-speed normalizer: the SAME fixed micro-job, min-of-5, recorded
+    // in every artifact — round-over-round comparison can then separate
+    // host drift (sentinel moved too) from code drift (sentinel flat)
+    // numerically instead of by argument. Measured right after warm-up on
+    // a warm JVM, before any timed query.
+    val hostSpeed = (0 until 5).map(_ => sentinel()).min
+
     val results = names.zipWithIndex.map { case (name, i) =>
       if (isolate) {
         spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
@@ -120,9 +131,43 @@ object Bench {
     // isolated numbers for its slowest queries.
     val isoFloor = sys.env.getOrElse("SPARK_GRAFT_ISO_FLOOR_SEC", "0.4").toDouble
     val heavy0 = results.filter(_._2 >= isoThreshold).sortBy(-_._2).take(5)
-    val heavy =
+    val heavy1 =
       if (heavy0.nonEmpty) heavy0
       else results.filter(_._2 >= isoFloor).sortBy(-_._2).take(5)
+    // auto-isolation of apparent regressions: any query whose sweep time
+    // exceeds 1.5x the PRIOR round's artifact (path in
+    // SPARK_GRAFT_PRIOR_BENCH; sweep.sh wires the previous round's file)
+    // gets a clean-session re-run in the same artifact — so a sweep-order
+    // or page-cache artifact can never masquerade as a code regression
+    // for a whole round. SPARK_GRAFT_ISO_EXTRA force-adds names.
+    val priorTimes: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_PRIOR_BENCH").flatMap { path =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(txt).get("queries")
+          if (node == null) None else {
+            val it = node.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+            Some(b.result())
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] prior artifact unreadable ($path): ${e.getMessage}")
+          None
+        }
+      }.getOrElse(Map.empty)
+    val regressed = results.filter { case (name, sec) =>
+      sec >= 0 && priorTimes.get(name).exists(p => p > 0.5 && sec > 1.5 * p)
+    }
+    if (regressed.nonEmpty)
+      System.err.println(s"[bench] auto-isolating >1.5x-vs-prior queries: " +
+        regressed.map(_._1).sorted.mkString(","))
+    val extra = sys.env.get("SPARK_GRAFT_ISO_EXTRA").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(SparkEntry.queries.contains)
+      .map(n => n -> results.toMap.getOrElse(n, -1.0))
+    val heavy = (heavy1 ++ regressed ++ extra).distinctBy(_._1)
     val isolated: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_ISO") || heavy.isEmpty) Nil
       else heavy.map { case (name, _) =>
@@ -154,14 +199,14 @@ object Bench {
         s"${e.getClass.getName}: ${e.getMessage}")
     }
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"sf":"$sfDir"}""")
     // second, compact line: the driver artifact keeps only the output
     // TAIL, which can truncate the head of the full metrics line above —
     // repeat the total + the 10 slowest queries so a parseable summary
     // always survives truncation
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n":${results.size},"top10":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","host_speed":$hostSpeed,"n":${results.size},"top10":$top,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -1192,8 +1192,10 @@ object SparkEntry {
       // the exact-rank selection) and without a cache each pass would
       // recompute the gate + dedup shuffle + decontamination join from
       // scratch — at scale that triples the pipeline's dominant cost
-      val clean = corp.join(hits, Seq("doc_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tracked via Caches so a shared-session harness can release it
+      // after the query's result is consumed (Verify/Bench do)
+      val clean = graft.ops.Caches.track(
+        corp.join(hits, Seq("doc_id"), "left_anti"))
       val parts = (0 until 20).map(i =>
         s"src$i" -> (if (i < 5) 3 else if (i < 10) 2 else 1)).toMap
       val mixed = Corpus.mixtureSample(clean, "source", "doc_id", parts)

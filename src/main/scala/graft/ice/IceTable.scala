@@ -117,6 +117,11 @@ final class IceTable private (
     val droppedM = pm.filterNot(m => smPaths.contains(m.manifestPath))
     val newM = sm.filterNot(m => pmPaths.contains(m.manifestPath))
     if (droppedM.isEmpty) return Set.empty
+    // decode with the SNAPSHOT's schema, not the current one: after a
+    // partition source column is dropped/evolved, the current schema may
+    // not resolve older manifests' partition tuples (same resolution as
+    // planEntries)
+    val snapSchema = s.schemaId.flatMap(meta.schemaById).getOrElse(schema)
     def estimate(ms: Seq[ManifestFile]): Long = ms.map(m =>
       (m.addedFilesCount, m.existingFilesCount) match {
         case (Some(a), Some(e)) => (a + e).toLong
@@ -128,7 +133,7 @@ final class IceTable private (
     session match {
       case Some(spark) if estimate(droppedM ++ newM) > threshold =>
         // locals only: the closures must not drag the table/catalog along
-        val schemaLocal = schema
+        val schemaLocal = snapSchema
         val specsLocal: Map[Int, PartitionSpec] =
           (droppedM ++ newM).map(_.partitionSpecId).distinct
             .map(id => id -> meta.specById(id).getOrElse(PartitionSpec.unpartitioned))
@@ -150,7 +155,7 @@ final class IceTable private (
             val mSpec = meta.specById(m.partitionSpecId)
               .getOrElse(PartitionSpec.unpartitioned)
             ManifestAvro.readManifest(m.manifestPath,
-                mSpec.partitionType(schema), Some(m))
+                mSpec.partitionType(snapSchema), Some(m))
               .filter(_.isLive).map(_.dataFile.filePath)
           }.seq.toSet
         }
@@ -304,9 +309,14 @@ final class IceTable private (
           }
     }
 
-    val parts: Seq[DataFrame] = chain.zipWithIndex.flatMap { case (s, ordinal) =>
-      if (s.operation.contains(DataOperation.Replace)) None // content-preserving
-      else {
+    // REPLACE snapshots are content-preserving and emit no changelog
+    // rows — drop them BEFORE assigning ordinals so ordinals stay dense
+    // over change-producing commits (create_changelog_view parity: a
+    // history with compactions must not produce gapped 0,2,... ordinals)
+    val parts: Seq[DataFrame] = chain
+      .filterNot(_.operation.contains(DataOperation.Replace))
+      .zipWithIndex.flatMap { case (s, ordinal) =>
+      {
         val removed = s.operation match {
           case Some(DataOperation.Overwrite) | Some(DataOperation.Delete) =>
             removedDataFilePaths(s)
@@ -1109,9 +1119,20 @@ final class ScanBuilder(table: IceTable) {
             }
         }.flatten
       }
+      // group key is a LENGTH-PREFIXED encoding of the constant list —
+      // injective, unlike a '/'-joined "name=value" string, where legal
+      // '/' or '=' characters inside an unescaped string partition value
+      // could collide two distinct constant sets into one group and
+      // inject the wrong partition values
+      def constsKey(t: FileScanTask): String =
+        identityConsts(t).map { case (n, v) =>
+          val vs = if (v == null) "N" else {
+            val sv = String.valueOf(v); s"V${sv.length}:$sv"
+          }
+          s"${n.length}:$n$vs"
+        }.mkString
       def readExternalInjected(pairs: Seq[(FileScanTask, String)]): DataFrame =
-        pairs.groupBy(p => identityConsts(p._1).map { case (n, v) =>
-          n + "=" + String.valueOf(v) }.mkString("/")).toSeq
+        pairs.groupBy(p => constsKey(p._1)).toSeq
           .sortBy(_._1)
           .map { case (_, grp) =>
             val consts = identityConsts(grp.head._1).toMap

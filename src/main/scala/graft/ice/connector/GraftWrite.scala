@@ -224,7 +224,17 @@ private[connector] object GraftCommit {
     // that publish_changes later cherry-picks onto main. Row-level and
     // overwrite writes refuse — replaying a rewrite is unsound; stage
     // those on a branch.
-    val wapId = spark.conf.getOption("spark.wap.id").filter(_.nonEmpty)
+    // Staging is gated on the TABLE property write.wap.enabled
+    // (table_properties.h:239, default false): without it the session
+    // conf only stamps wap.id in the summary and the commit proceeds
+    // normally — otherwise setting spark.wap.id once would silently
+    // make every subsequent append on every table invisible.
+    val sessionWapId = spark.conf.getOption("spark.wap.id").filter(_.nonEmpty)
+    val wapEnabled = graft.ice.meta.TableProperties.get(
+      t.metadata.properties, graft.ice.meta.TableProperties.WriteWapEnabled)
+    val wapId = if (wapEnabled) sessionWapId else None
+    val wapStamp = if (wapEnabled) Map.empty[String, String]
+      else sessionWapId.map("wap.id" -> _).toMap
     if (wapId.isDefined && mode != GraftWriteModes.Append)
       throw new UnsupportedOperationException(
         s"spark.wap.id staging supports append writes only, not '$mode'; " +
@@ -236,25 +246,29 @@ private[connector] object GraftCommit {
         SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,
           removedPaths = st.replaced,
           expectedReplaced = Some(st),
-          extraProps = extraProps)
+          extraProps = extraProps, extraSummary = wapStamp)
       case GraftWriteModes.Append =>
         SnapshotProducer.commit(t, spark, DataOperation.Append, entries,
-          extraProps = extraProps, stageWapId = wapId)
+          extraProps = extraProps, stageWapId = wapId,
+          extraSummary = wapStamp)
       case GraftWriteModes.Truncate =>
         val removed = t.newScan().planFiles().map(_.file.filePath).toSet
         SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,
-          removedPaths = removed, extraProps = extraProps)
+          removedPaths = removed, extraProps = extraProps,
+          extraSummary = wapStamp)
       case GraftWriteModes.OverwriteDynamic =>
         val touched = entries.map(_.dataFile.partition).toSet
         val removed = t.newScan().planFiles()
           .filter(task => touched.contains(task.file.partition))
           .map(_.file.filePath).toSet
         SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,
-          removedPaths = removed, extraProps = extraProps)
+          removedPaths = removed, extraProps = extraProps,
+          extraSummary = wapStamp)
       case GraftWriteModes.OverwriteFilter =>
         val removed = filesMatchedExactly(t, overwriteFilters)
         SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,
-          removedPaths = removed, extraProps = extraProps)
+          removedPaths = removed, extraProps = extraProps,
+          extraSummary = wapStamp)
     }
     ()
   }

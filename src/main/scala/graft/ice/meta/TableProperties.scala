@@ -38,6 +38,15 @@ object TableProperties {
   val WriteDeleteMode: Key[String] = Key("write.delete.mode", "copy-on-write", _.trim)
   val WriteMergeMode: Key[String] = Key("write.merge.mode", "copy-on-write", _.trim)
 
+  // write-audit-publish opt-in (Iceberg write.wap.enabled, reference
+  // table_properties.h:239, default false): only when the TABLE enables
+  // WAP does a session-level spark.wap.id stage the commit; otherwise
+  // the write commits normally with wap.id merely stamped in the
+  // summary — a session conf must not silently hide committed appends
+  // on every table it touches.
+  val WriteWapEnabled: Key[Boolean] =
+    Key("write.wap.enabled", false, _.trim.toBoolean)
+
   // write metrics (graft extension): record per-file NaN counts for
   // float/double columns on append. Costs one column-pruned re-read of
   // the new files per commit, and is what makes floating-point columns

@@ -1664,13 +1664,38 @@ final class ManageSnapshots(table: IceTable) {
     * Only append snapshots replay safely: a delete/overwrite rewrite is
     * tied to the exact file state it was planned against, and replaying
     * it on a diverged head could resurrect or double-delete rows — those
-    * are refused loudly, matching the reference procedure's restriction. */
+    * are refused loudly, matching the reference procedure's restriction.
+    *
+    * Duplicate-publication guard (reference snapshot.h:188-191
+    * published-wap-id): a routine job retry re-running publish_changes
+    * with the same wap.id must NOT re-append the same files. The pick
+    * refuses when (a) the source snapshot is already in main's ancestry,
+    * (b) an ancestor already cherry-picked it (source-snapshot-id), or
+    * (c) the source's wap.id was already published (an ancestor carries
+    * it as wap.id or published-wap-id). The new snapshot stamps
+    * `published-wap-id` so later retries hit (c). */
   def cherrypick(spark: SparkSession, snapshotId: Long): ManageSnapshots = {
     val src = table.metadata.snapshotById(snapshotId).getOrElse(
       throw new IllegalArgumentException(s"unknown snapshot $snapshotId"))
     require(src.operation.contains(DataOperation.Append),
       s"cherrypick supports append snapshots only; $snapshotId is " +
         s"'${src.operation.getOrElse("?")}'")
+    val meta0 = table.metadata
+    val mainAncestors = Iterator.iterate(meta0.currentSnapshot)(
+      _.flatMap(_.parentSnapshotId).flatMap(meta0.snapshotById))
+      .takeWhile(_.isDefined).flatten.toSeq
+    require(!mainAncestors.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId is already in the current branch's ancestry")
+    require(!mainAncestors.exists(
+        _.summary.get("source-snapshot-id").contains(snapshotId.toString)),
+      s"snapshot $snapshotId was already cherry-picked onto this branch")
+    val srcWap = src.summary.get("wap.id").filter(_.nonEmpty)
+    srcWap.foreach { w =>
+      require(!mainAncestors.exists(a => a.summary.get("wap.id").contains(w)
+          || a.summary.get("published-wap-id").contains(w)),
+        s"wap.id '$w' was already published to this branch " +
+          "(duplicate WAP commit)")
+    }
     val added = ManifestAvro.readManifestList(src.manifestList)
       .filter(m => m.content == ManifestContent.Data &&
         m.addedSnapshotId == src.snapshotId)
@@ -1685,7 +1710,8 @@ final class ManageSnapshots(table: IceTable) {
       .map(_.copy(status = ManifestStatus.Added, snapshotId = None,
         sequenceNumber = None, fileSequenceNumber = None))
     SnapshotProducer.commit(table, spark, DataOperation.Append, added,
-      extraSummary = Map("source-snapshot-id" -> snapshotId.toString))
+      extraSummary = Map("source-snapshot-id" -> snapshotId.toString)
+        ++ srcWap.map("published-wap-id" -> _))
     this
   }
 

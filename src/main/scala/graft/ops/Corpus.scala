@@ -83,10 +83,9 @@ object Corpus {
     // the final rank window see the SAME materialization: without it the
     // upstream pipeline recomputes between the two passes, and the
     // bit-exactness argument would silently assume a deterministic
-    // input. Spark's ContextCleaner reclaims the block once the returned
-    // frame is dropped.
-    val cand = keyed.filter(col("__mk") < col("__thr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // input. Tracked in Caches so a shared-session
+    // harness releases it after the query (per-query sessions just drop it).
+    val cand = Caches.track(keyed.filter(col("__mk") < col("__thr")))
     // verification pass — one surviving row per GROUP, never data-sized.
     // A group is deficient when the cut kept fewer than min(quota, n)
     // rows; impossible when __thr = 2^32 (every row passes), so only

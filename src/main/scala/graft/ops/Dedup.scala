@@ -243,10 +243,11 @@ object Dedup {
 
   def clustersFromPairs(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
-      .distinct()
-      .persist()
+    val edges = Caches.track(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+        .distinct(),
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // localCheckpoint each round, not persist: an iterative self-join
     // otherwise DOUBLES the logical plan every round, and Catalyst
     // analysis cost goes exponential in the round count — a diameter-10

@@ -289,10 +289,9 @@ object TextAnalysis {
     // re-explodes the corpus a second time for an identical total
     // persist: vocabulary-sized (distinct bigrams), consumed by both
     // floor decisions and the scoring join — without it each action
-    // re-runs the corpus explode. ContextCleaner reclaims the block.
-    val pairCounts = bg.groupBy(col("__a"), col("__b"))
-      .agg(count(lit(1)).as("__cab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-runs the corpus explode. Tracked in Caches (harness-released).
+    val pairCounts = Caches.track(bg.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__cab")))
     def floored(counts0: DataFrame, key: String): DataFrame = {
       val counts = counts0.filter(col(s"__c$key") > broadcastMinCount)
       if (counts.count() <= maxBroadcastVocab) broadcast(counts) else counts
@@ -332,11 +331,18 @@ object TextAnalysis {
     // digit run inside an email local part (masked as <EMAIL>) is not
     // also counted as a phone — n_phones equals the number of <PHONE>
     // tags actually emitted in `redacted`.
-    val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    // the email replace is materialized ONCE in a nested projection —
+    // referencing it from both n_phones and redacted in a single select
+    // would leave two regex passes per row unless subexpression
+    // elimination happens to fire (CollapseProject keeps the split
+    // because regexp_replace is not a cheap expression)
     df.select(col(idCol),
-      regexp_count(t, lit(EmailPattern)).as("n_emails"),
-      regexp_count(afterEmail, lit(LongDigitPattern)).as("n_phones"),
-      regexp_replace(afterEmail, LongDigitPattern, "<PHONE>").as("redacted"))
+        regexp_count(t, lit(EmailPattern)).as("n_emails"),
+        regexp_replace(t, EmailPattern, "<EMAIL>").as("__after_email"))
+      .select(col(idCol), col("n_emails"),
+        regexp_count(col("__after_email"), lit(LongDigitPattern)).as("n_phones"),
+        regexp_replace(col("__after_email"), LongDigitPattern, "<PHONE>")
+          .as("redacted"))
   }
 
   /** Per-document top-k terms by TF-IDF — the keyword-extraction /

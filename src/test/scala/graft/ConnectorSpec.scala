@@ -801,7 +801,10 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("spark.wap.id stages SQL INSERTs until publish_changes") {
-    spark.sql("CREATE TABLE ice.db.wapsql (k BIGINT, v STRING)")
+    // staging is opt-in PER TABLE (write.wap.enabled, reference
+    // table_properties.h:239) — a session conf alone must not hide commits
+    spark.sql("CREATE TABLE ice.db.wapsql (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
     spark.sql("INSERT INTO ice.db.wapsql VALUES (1, 'a'), (2, 'b')")
     spark.conf.set("spark.wap.id", "w-7")
     try {
@@ -819,6 +822,36 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("CALL ice.system.publish_changes('db.wapsql', 'w-7')")
     assert(spark.table("ice.db.wapsql").count() == 3)
     assert(spark.table("ice.db.wapsql").filter(col("k") === 3).count() == 1)
+    // duplicate-publication guard: a routine retry of the SAME
+    // publish_changes must refuse, not silently re-append the files
+    val dup = intercept[Exception] {
+      spark.sql("CALL ice.system.publish_changes('db.wapsql', 'w-7')").collect()
+    }
+    assert(Iterator.iterate(dup: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+      .contains("already"))
+    assert(spark.table("ice.db.wapsql").count() == 3,
+      "retried publish must not duplicate rows")
+  }
+
+  test("spark.wap.id without write.wap.enabled commits normally, stamped") {
+    spark.sql("CREATE TABLE ice.db.wapoff (k BIGINT)")
+    spark.conf.set("spark.wap.id", "w-off")
+    try {
+      spark.sql("INSERT INTO ice.db.wapoff VALUES (1), (2)")
+      assert(spark.table("ice.db.wapoff").count() == 2,
+        "without write.wap.enabled the INSERT must be immediately visible")
+      val t = IceTable.load(cat, TableIdentifier.parse("db.wapoff"))
+      assert(t.currentSnapshot.exists(_.summary.get("wap.id").contains("w-off")),
+        "wap.id must still be stamped in the committed snapshot's summary")
+      // publishing an already-committed wap.id refuses (it IS main)
+      val ex = intercept[Exception] {
+        spark.sql("CALL ice.system.publish_changes('db.wapoff', 'w-off')").collect()
+      }
+      assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+        .contains("already"))
+    } finally spark.conf.unset("spark.wap.id")
   }
 
   test("CALL procedures: rollback, expire, rewrite_data_files") {

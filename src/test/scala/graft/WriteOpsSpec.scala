@@ -822,6 +822,29 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == before)
   }
 
+  test("_change_ordinal stays dense across compaction snapshots") {
+    val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
+    val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.cdcord"),
+      SparkConv.fromSpark(raw.schema))
+    val s1 = t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+    // change-producing commit #0: a CoW delete
+    t.delete(spark).deleteWherePositional(E.lt("o_orderkey", Literal.long(100)))
+    // REPLACE in the middle of the history: emits no changelog rows and
+    // must not consume an ordinal (create_changelog_view keeps ordinals
+    // dense over change-producing commits)
+    t.compact(spark).rewriteDataFiles()
+    // change-producing commit #1: an append
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 1").limit(10))
+    val head = IceTable.load(cat, TableIdentifier.parse("db.cdcord"))
+      .currentSnapshot.get.snapshotId
+    val ords = t.planChanges(spark, s1.snapshotId, head)
+      .select("_change_ordinal").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ords == Seq(0, 1), s"ordinals must be dense 0,1 — got $ords")
+  }
+
   test("changelog pairs a MoR merge's delete+insert into update pre/post images") {
     val cat = new DirCatalog(java.nio.file.Files.createTempDirectory("wh").toString)
     val raw = spark.read.parquet(s"$sfDir/orders.parquet")

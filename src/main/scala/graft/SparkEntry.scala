@@ -1264,21 +1264,35 @@ object SparkEntry {
           round(element_at(col("features"), 1), 4).as("f0"))
     }),
 
-    // resize stub: byte truncation standing in for pixel resampling
-    "mm3_resize" -> ((s, dir) =>
-      Multimodal.resize(
-        Multimodal.asMedia(Tables.scan(s, dir, "documents"), "text"),
-        "doc_id", 64, 64)
-        .select("doc_id", "width", "height", "n_bytes_resized")),
+    // REAL pixel resize: decode the rendered PNG, nearest-neighbor
+    // resample to 64x64 (output pixel (X,Y) samples input pixel
+    // (floor(X*w/64), floor(Y*h/64))), re-encode to PNG, RE-DECODE, and
+    // pool band-0 luminance — the oracle recomputes the pooled value
+    // from the closed pixel form under the same floor mapping, so a
+    // match proves the whole decode->resample->encode->decode chain.
+    "mm3_resize" -> ((s, dir) => {
+      val media = Multimodal.asRenderedMedia(s,
+        Tables.scan(s, dir, "documents").filter(col("doc_id") < 20000),
+        "doc_id")
+      Multimodal.resize(s, media, "doc_id", 64, 64)
+        .select(col("doc_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+    }),
 
-    // frame sampling: one row in, n frame rows out
-    "mm4_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(
-        Multimodal.asMedia(Tables.scan(s, dir, "documents"), "text"),
-        "doc_id", nFrames = 4)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_frames"),
-          countDistinct(col("frame_fingerprint")).as("n_distinct_fp"))),
+    // REAL frame sampling: 8-frame animated GIFs rendered from the
+    // closed form lum_k(x,y)=(7x+13y+31*id+17k)%256 are decoded with
+    // javax.imageio, every 2nd frame kept, per-frame band-0 luminance
+    // pooled — one row in, one row per sampled frame out. The oracle
+    // recomputes each sampled frame's pooled value from the formula
+    // without parsing a GIF byte.
+    "mm4_frames" -> ((s, dir) => {
+      val video = Multimodal.asRenderedVideo(s,
+        Tables.scan(s, dir, "documents").filter(col("doc_id") < 20000),
+        "doc_id", nFrames = 8)
+      Multimodal.sampleFrames(s, video, "doc_id", stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+    }),
 
     // ---------- §2.9-adjacent event processing ----------
 
@@ -2502,12 +2516,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  round(CAST(sum(lum) AS DOUBLE) / count(*), 4) AS f0
         |FROM px WHERE (y*8)//h = 0 GROUP BY 1,2,3""".stripMargin,
+    // closed-form recompute of the resized band-0 feature: resized pixel
+    // (X,Y) of the 64x64 output samples source pixel (X*w//64, Y*h//64)
+    // of the synthetic image, whose luminance is the arithmetic formula
+    // — DuckDB never sees a PNG byte on either side of the resample
     "mm3_resize" ->
-      """SELECT doc_id, 64 AS width, 64 AS height,
-        |  CAST(least(octet_length(CAST(text AS BLOB)), 4096) AS BIGINT) AS n_bytes_resized
-        |FROM documents""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 24 AS h
+        |  FROM documents WHERE doc_id < 20000),
+        |px AS (
+        |  SELECT doc_id, y.y AS Y,
+        |    (((x.x * w) // 64) * 7 + ((y.y * h) // 64) * 13 + doc_id * 31) % 256 AS lum
+        |  FROM dims, LATERAL (SELECT unnest(range(0, 64)) AS x) x,
+        |             LATERAL (SELECT unnest(range(0, 64)) AS y) y)
+        |SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+        |  round(CAST(sum(lum) AS DOUBLE) / count(*), 4) AS f0
+        |FROM px WHERE Y < 8 GROUP BY 1""".stripMargin,
+    // closed-form recompute of each SAMPLED frame's band-0 pooled
+    // luminance (frames 0,2,4,6 of the 8-frame GIF)
     "mm4_frames" ->
-      "SELECT doc_id, CAST(4 AS BIGINT) AS n_frames, CAST(4 AS BIGINT) AS n_distinct_fp FROM documents",
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 24 AS h
+        |  FROM documents WHERE doc_id < 20000),
+        |fr AS (
+        |  SELECT doc_id, w, h, k.k AS frame_idx
+        |  FROM dims, LATERAL (SELECT unnest(range(0, 8, 2)) AS k) k),
+        |px AS (
+        |  SELECT doc_id, frame_idx, w, h, y.y AS Y,
+        |    (x.x * 7 + y.y * 13 + doc_id * 31 + frame_idx * 17) % 256 AS lum
+        |  FROM fr, LATERAL (SELECT unnest(range(0, w)) AS x) x,
+        |           LATERAL (SELECT unnest(range(0, h)) AS y) y)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  round(CAST(sum(lum) AS DOUBLE) / count(*), 4) AS f0
+        |FROM px WHERE (Y * 8) // h = 0 GROUP BY 1, 2, 3, 4""".stripMargin,
     "e1_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
         |SELECT query_id, vec_id AS neighbor_id,

@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns with a typed metadata struct; decode
   * / feature-extraction runs as a partition-wise batch transform.
   *
-  * Image decode is REAL: `javax.imageio` (JDK-builtin; PNG/GIF/BMP)
-  * decodes payloads executor-side and the features are pooled from the
-  * decoded raster. Payloads that are not a decodable image fall back to
-  * a deterministic byte-derived pseudo-feature (`stubDecode`) so the
-  * stage is total — the production shape for a corpus where a fraction
-  * of blobs is always corrupt. Video/audio codecs don't exist in the
-  * JDK; those stages remain deterministic stand-ins with the real batch
-  * shape (one row in, n frame rows out). */
+  * Image decode (mm2), resize (mm3), and frame sampling (mm4) are REAL:
+  * `javax.imageio` (JDK-builtin; PNG/GIF/BMP) decodes payloads
+  * executor-side; resize is a nearest-neighbor pixel resample re-encoded
+  * to PNG and re-decoded before pooling; frame sampling decodes
+  * multi-frame GIF containers and pools per kept frame. Payloads that
+  * are not a decodable image fall back to a deterministic byte-derived
+  * pseudo-feature (`stubDecode`) or contribute no frames, so every stage
+  * is total — the production shape for a corpus where a fraction of
+  * blobs is always corrupt. Audio codecs don't exist in the JDK; audio
+  * would ride the same (bytes -> typed rows) partition-wise shape. */
 object Multimodal {
 
   val mediaMetaType: StructType = StructType(Seq(
@@ -161,22 +163,202 @@ object Multimodal {
       .withColumnRenamed("id", idCol)
   }
 
-  /** Resize stub: deterministic byte-truncation standing in for a pixel
-    * resample — the real shape is payload -> payload with new dims. Pure
-    * column expressions, map-only. */
-  def resize(df: DataFrame, idCol: String, targetW: Int, targetH: Int): DataFrame =
-    df.select(col(idCol),
-      lit(targetW).as("width"), lit(targetH).as("height"),
-      substring(col("payload"), 1, targetW * targetH).as("payload_resized"))
-      .withColumn("n_bytes_resized", length(col("payload_resized")).cast("long"))
+  /** Luminance at (x,y), color-model aware. Two traps make a single
+    * accessor wrong for both fixture formats:
+    *  - indexed images (GIF): `raster.getSample` returns the PALETTE
+    *    INDEX, not a luminance — resolve through `getRGB` (the palette
+    *    stores the raw 0..255 gray as an sRGB triple, so the low byte
+    *    is exact);
+    *  - component images (gray PNG): `getRGB` routes through the
+    *    CS_GRAY -> sRGB color transform, which applies a gamma curve
+    *    and CHANGES the value — read the raw sample(s) directly
+    *    (mean of the first <=3 bands, as [[imageDecode]] does). */
+  private def lumAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    img.getColorModel match {
+      case _: java.awt.image.IndexColorModel => img.getRGB(x, y) & 0xff
+      case _ =>
+        val raster = img.getRaster
+        val nb = math.min(raster.getNumBands, 3)
+        var s = 0; var b = 0
+        while (b < nb) { s += raster.getSample(x, y, b); b += 1 }
+        s / nb
+    }
 
-  /** Frame-sampling stub for video-like payloads: fixed-stride byte
-    * windows standing in for decoded frames (same batch shape as real
-    * frame extraction: one row in, n frame rows out). */
-  def sampleFrames(df: DataFrame, idCol: String, nFrames: Int = 4): DataFrame =
-    df.select(col(idCol), col("payload"),
-      posexplode(transform(sequence(lit(0), lit(nFrames - 1)),
-        i => substring_index(base64(col("payload")), "=", 1))).as(Seq("frame_idx", "frame_stub")))
-      .select(col(idCol), col("frame_idx"),
-        xxhash64(col("frame_stub"), col("frame_idx")).as("frame_fingerprint"))
+  /** Mean luminance per horizontal 1/8th band (row y belongs to band
+    * y*8/h) — the same pooling as [[imageDecode]], but palette-safe. */
+  private def poolBands(img: java.awt.image.BufferedImage): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = Array.fill(8)(0L)
+    val counts = Array.fill(8)(0L)
+    var y = 0
+    while (y < h) {
+      val band = y * 8 / h
+      var x = 0
+      while (x < w) { sums(band) += lumAt(img, x, y); counts(band) += 1; x += 1 }
+      y += 1
+    }
+    Array.tabulate(8)(i => if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+  }
+
+  /** Nearest-neighbor resample to (tw, th): output pixel (X,Y) samples
+    * input pixel (floor(X·w/tw), floor(Y·h/th)). The mapping is written
+    * out (not delegated to Graphics2D) because the FLOOR form is the
+    * closed form an independent oracle recomputes — AWT's scaler makes
+    * no contract about its sample positions. */
+  private[graft] def resampleNearest(img: java.awt.image.BufferedImage,
+      tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = out.getRaster
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        raster.setSample(x, y, 0, lumAt(img, (x.toLong * w / tw).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class ResizedMedia(id: Long, width: Int, height: Int,
+      features: Array[Double], payload_resized: Array[Byte])
+
+  /** REAL image resize (mm3): decode the payload (`javax.imageio`),
+    * nearest-neighbor resample to (targetW, targetH), re-encode as PNG,
+    * then RE-DECODE the re-encoded payload and pool band features from
+    * it — the emitted features prove `payload_resized` is a genuine
+    * decodable image of the target dims, not just that the resample ran
+    * in memory. Undecodable payloads fall back to the deterministic
+    * byte stub so the stage stays total (corrupt blobs exist in every
+    * real corpus). Partition-wise typed Dataset stage, same batch shape
+    * as [[extractFeatures]]; only (id, payload) flow through it. */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val decoded =
+          if (m.payload == null || m.payload.length < 8) None
+          else try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload)))
+          catch { case _: Exception => None }
+        decoded match {
+          case Some(img) if img.getWidth > 0 && img.getHeight > 0 =>
+            val resized = resampleNearest(img, targetW, targetH)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(resized, "png", out)
+            val png = out.toByteArray
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            ResizedMedia(m.id, back.getWidth, back.getHeight,
+              poolBands(back), png)
+          case _ =>
+            val (_, _, f) = stubDecode(m.payload)
+            ResizedMedia(m.id, targetW, targetH, f, Array.empty[Byte])
+        }
+      })
+      .toDF("id", "width", "height", "features", "payload_resized")
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Deterministic synthetic "video": an animated GIF of `nFrames`
+    * frames whose frame-k pixel luminance is the CLOSED FORM
+    * `(7x + 13y + 31·id + 17·k) mod 256` at the same per-id dims as
+    * [[syntheticImagePng]]. GIF is lossless for ≤256 gray levels, so an
+    * independent engine recomputes any frame's pooled features from the
+    * formula without parsing a GIF byte. */
+  def syntheticVideoGif(id: Long, nFrames: Int): Array[Byte] = {
+    val (w, h) = syntheticImageDims(id)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var k = 0
+    while (k < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((7L * x + 13L * y + 31L * id + 17L * k) % 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      k += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** Render the synthetic multi-frame GIF payload per id (executor-side,
+    * same typed batch shape as [[asRenderedMedia]]). */
+  def asRenderedVideo(spark: SparkSession, df: DataFrame, idCol: String,
+      nFrames: Int = 8): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(_.map(id => MediaIn(id, syntheticVideoGif(id, nFrames))))
+      .toDF("id", "payload")
+      .withColumnRenamed("id", idCol)
+      .withColumn("media_meta", struct(
+        lit("image/gif").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("magic")))
+  }
+
+  final case class FrameFeatures(id: Long, frame_idx: Int, width: Int,
+      height: Int, features: Array[Double])
+
+  /** REAL frame sampling (mm4): decode the multi-frame container with
+    * `javax.imageio` (GIF ships in the JDK), keep every `stride`-th
+    * frame, and pool band features per kept frame — one row in, one row
+    * per sampled frame out, the batch shape of a video pipeline's frame
+    * extractor. Undecodable payloads yield no frames (a corrupt video
+    * contributes nothing rather than poisoning the stage). */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.flatMap { m =>
+        if (m.payload == null || m.payload.length < 8) Iterator.empty
+        else {
+          val frames =
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(m.payload))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Iterator.empty
+              else {
+                val reader = readers.next()
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val rows = (0 until n by stride).iterator.map { k =>
+                  val f = reader.read(k)
+                  FrameFeatures(m.id, k, f.getWidth, f.getHeight, poolBands(f))
+                }.toVector // materialize before the reader is disposed
+                reader.dispose()
+                rows.iterator
+              }
+            } catch { case _: Exception => Iterator.empty }
+          frames
+        }
+      })
+      .toDF("id", "frame_idx", "width", "height", "features")
+      .withColumnRenamed("id", idCol)
+  }
 }

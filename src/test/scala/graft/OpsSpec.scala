@@ -885,6 +885,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.imageDecode("plain text bytes".getBytes).isEmpty)
   }
 
+  test("resize: nearest-neighbor resample matches the closed pixel form") {
+    import spark.implicits._
+    val ids = Seq(2L, 9L, 33L).toDF("doc_id")
+    val media = Multimodal.asRenderedMedia(spark, ids, "doc_id")
+    val out = Multimodal.resize(spark, media, "doc_id", 16, 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray,
+          r.getAs[Array[Byte]](4)))).toMap
+    for (id <- Seq(2L, 9L, 33L)) {
+      val (w16, h16, f, png) = out(id)
+      assert((w16, h16) == ((16, 16)))
+      // the emitted payload is a REAL decodable 16x16 PNG
+      val Some((dw, dh, df)) = Multimodal.imageDecode(png)
+      assert((dw, dh) == ((16, 16)))
+      assert(df.toSeq == f.toSeq, "features must be pooled from the re-decoded payload")
+      // closed form: resized (X,Y) samples source (X*w//16, Y*h//16)
+      val (sw, sh) = Multimodal.syntheticImageDims(id)
+      val sums = Array.fill(8)(0L)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val sx = x * sw / 16; val sy = y * sh / 16
+        sums(y * 8 / 16) += (7L * sx + 13L * sy + 31L * id) % 256L
+      }
+      (0 until 8).foreach { b =>
+        assert(f(b) == sums(b).toDouble / 32, s"band $b mismatch for id $id")
+      }
+    }
+    // undecodable payloads fall back to the stub features, zero payload
+    val junk = Seq((5L, "not an image".getBytes)).toDF("doc_id", "payload")
+    val fb = Multimodal.resize(spark, junk, "doc_id", 16, 16).head
+    assert(fb.getAs[Array[Byte]]("payload_resized").isEmpty)
+  }
+
+  test("sampleFrames: GIF frames decode to closed-form per-frame means") {
+    import spark.implicits._
+    val ids = Seq(4L, 21L).toDF("doc_id")
+    val video = Multimodal.asRenderedVideo(spark, ids, "doc_id", nFrames = 8)
+    assert(video.select("media_meta.magic").head.getString(0).startsWith("474946")) // "GIF"
+    val rows = Multimodal.sampleFrames(spark, video, "doc_id", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getSeq[Double](4).toArray))).toMap
+    for (id <- Seq(4L, 21L)) {
+      val (w, h) = Multimodal.syntheticImageDims(id)
+      val kept = Seq(0, 2, 4, 6)
+      assert(rows.keys.count(_._1 == id) == kept.size,
+        "stride-2 over 8 frames keeps exactly 4")
+      for (k <- kept) {
+        val (fw, fh, f) = rows((id, k))
+        assert((fw, fh) == ((w, h)))
+        val sums = Array.fill(8)(0L); val counts = Array.fill(8)(0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          val b = y * 8 / h
+          sums(b) += (7L * x + 13L * y + 31L * id + 17L * k) % 256L
+          counts(b) += 1
+        }
+        (0 until 8).foreach { b =>
+          assert(f(b) == sums(b).toDouble / counts(b),
+            s"frame $k band $b mismatch for id $id")
+        }
+      }
+    }
+  }
+
   test("rendered media decodes through the distributed stage") {
     import spark.implicits._
     val ids = Seq(1L, 10L, 25L).toDF("doc_id")

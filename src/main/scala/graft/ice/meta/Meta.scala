@@ -81,6 +81,18 @@ final case class StatisticsFile(snapshotId: Long, path: String,
 final case class PartitionStatisticsFile(snapshotId: Long, path: String,
     fileSizeInBytes: Long)
 
+/** v3 table-encryption key entry (Iceberg spec `encryption-keys`;
+  * reference declares the builder surface at table_metadata.h:368-376
+  * but ships no serde). The key METADATA is opaque to the engine — it
+  * is KMS-wrapped key material carried base64 in the table metadata;
+  * nothing here decrypts anything. */
+final case class EncryptedKey(
+    keyId: String,
+    /** base64-encoded wrapped key material */
+    encryptedKeyMetadata: String,
+    /** id of the key that wrapped this one (KMS hierarchy), if any */
+    encryptedById: Option[String] = None)
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -103,7 +115,8 @@ final case class TableMetadata(
     refs: Map[String, SnapshotRef],
     statistics: Seq[StatisticsFile] = Nil,
     partitionStatistics: Seq[PartitionStatisticsFile] = Nil,
-    nextRowId: Option[Long] = None) {
+    nextRowId: Option[Long] = None,
+    encryptionKeys: Seq[EncryptedKey] = Nil) {
 
   def currentSchema: Schema = schemas.find(_.schemaId == currentSchemaId)
     .getOrElse(throw new IllegalStateException(s"current schema $currentSchemaId not found"))
@@ -117,6 +130,28 @@ final case class TableMetadata(
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
   def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
   def ref(name: String): Option[SnapshotRef] = refs.get(name)
+
+  /** Add an encryption key (reference builder AddEncryptionKey,
+    * table_metadata.h:368-376 — declared there, executable here).
+    * v3-only: earlier format versions have no `encryption-keys` field.
+    * Replaces an existing entry with the same key-id (idempotent
+    * re-registration, e.g. after a KMS re-wrap). */
+  def withEncryptionKey(key: EncryptedKey): TableMetadata = {
+    require(formatVersion >= 3,
+      s"encryption-keys require format-version >= 3, table is v$formatVersion")
+    copy(encryptionKeys =
+      encryptionKeys.filterNot(_.keyId == key.keyId) :+ key)
+  }
+
+  /** Remove an encryption key by id (reference RemoveEncryptionKey).
+    * Unknown ids refuse loudly — silently "removing" a key that is not
+    * registered usually means the caller holds a stale key-id and data
+    * written under the real one would become unreadable. */
+  def withoutEncryptionKey(keyId: String): TableMetadata = {
+    require(encryptionKeys.exists(_.keyId == keyId),
+      s"unknown encryption key-id '$keyId'")
+    copy(encryptionKeys = encryptionKeys.filterNot(_.keyId == keyId))
+  }
 
   /** Append a snapshot and move a branch ref to it (table_metadata.cc:367-380). */
   def withSnapshot(s: Snapshot, branch: String = "main"): TableMetadata = {

@@ -310,6 +310,19 @@ object MetaJson {
         po.put("file-size-in-bytes", p.fileSizeInBytes)
       }
     }
+    if (m.encryptionKeys.nonEmpty) {
+      // v3-only field (Iceberg spec `encryption-keys`); writing it into
+      // an older version would produce metadata other readers reject
+      require(m.formatVersion >= 3,
+        s"encryption-keys require format-version >= 3, got ${m.formatVersion}")
+      val ea = o.putArray("encryption-keys")
+      m.encryptionKeys.foreach { k =>
+        val ko = ea.addObject()
+        ko.put("key-id", k.keyId)
+        ko.put("encrypted-key-metadata", k.encryptedKeyMetadata)
+        k.encryptedById.foreach(ko.put("encrypted-by-id", _))
+      }
+    }
     m.nextRowId.foreach(o.put("next-row-id", _))
     mapper.writerWithDefaultPrettyPrinter.writeValueAsString(o)
   }
@@ -405,7 +418,14 @@ object MetaJson {
             p.get("statistics-path").asText,
             p.get("file-size-in-bytes").asLong)
         }.toSeq).getOrElse(Nil),
-      nextRowId = Option(n.get("next-row-id")).map(_.asLong))
+      nextRowId = Option(n.get("next-row-id")).map(_.asLong),
+      encryptionKeys = Option(n.get("encryption-keys")).map(
+        _.elements.asScala.map { k =>
+          EncryptedKey(
+            k.get("key-id").asText,
+            k.get("encrypted-key-metadata").asText,
+            Option(k.get("encrypted-by-id")).map(_.asText))
+        }.toSeq).getOrElse(Nil))
   }
 }
 

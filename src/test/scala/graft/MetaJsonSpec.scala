@@ -101,6 +101,33 @@ class MetaJsonSpec extends AnyFunSuite {
     assert(back == m)
   }
 
+  test("encryption-keys (v3) round-trip; add/remove builder; v1/v2 refuse") {
+    val base = TableMetadataIO.read(s"$res/TableMetadataV2Valid.json")
+    val v3 = base.copy(formatVersion = 3)
+    val k1 = EncryptedKey("key-a", "YmFzZTY0LXdyYXBwZWQ=", None)
+    val k2 = EncryptedKey("key-b", "d3JhcHBlZC1ieS1rbXM=", Some("kms-root"))
+    val withKeys = v3.withEncryptionKey(k1).withEncryptionKey(k2)
+    assert(withKeys.encryptionKeys == Seq(k1, k2))
+    // serde round-trip carries the field (incl. the optional wrapper id)
+    val back = MetaJson.fromJson(MetaJson.toJson(withKeys))
+    assert(back.encryptionKeys == Seq(k1, k2))
+    assert(back == withKeys)
+    // re-adding the same key-id REPLACES (idempotent re-wrap)
+    val rewrapped = withKeys.withEncryptionKey(k1.copy(
+      encryptedKeyMetadata = "bmV3LXdyYXA="))
+    assert(rewrapped.encryptionKeys.map(_.keyId) == Seq("key-b", "key-a"))
+    assert(rewrapped.encryptionKeys.count(_.keyId == "key-a") == 1)
+    // removal by id; unknown id refuses
+    assert(withKeys.withoutEncryptionKey("key-a").encryptionKeys == Seq(k2))
+    intercept[IllegalArgumentException](withKeys.withoutEncryptionKey("nope"))
+    // v1/v2 metadata cannot carry the field: builder and serde both refuse
+    intercept[IllegalArgumentException](base.withEncryptionKey(k1))
+    intercept[IllegalArgumentException](
+      MetaJson.toJson(base.copy(encryptionKeys = Seq(k1))))
+    // absence parses to Nil
+    assert(base.encryptionKeys.isEmpty)
+  }
+
   test("atomic write + read back + gzip read (table_metadata.cc:165-195)") {
     val dir = java.nio.file.Files.createTempDirectory("metajson").toString
     val m = TableMetadata.newTable(s"$dir/tbl",

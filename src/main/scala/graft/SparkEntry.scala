@@ -595,6 +595,43 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // C3+: SERVER-SIDE scan planning (the public REST spec's
+    // PlanTableScan) — the server runs manifest pruning and returns the
+    // file list; this thin client reads ONLY the planned parquet files
+    // and applies the residual filter, never opening table metadata.
+    // Identity-partition pruning through the wire is pinned in
+    // RestCatalogSpec (planned files ≤ 1/3 of the table's files).
+    "c_rest_plan" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.meta.{PartitionField, PartitionSpec}
+      import graft.ice.transform.IdentityTransform
+      import graft.ice.types.SparkConv
+      val server = new RestCatalogServer(Tables.catalog(dir))
+      try {
+        val cat = new RestCatalog(server.baseUrl)
+        val ident = TableIdentifier(Seq("tpch"), "orders_restplan")
+        if (!cat.tableExists(ident)) {
+          val raw = Tables.raw(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          val schema = SparkConv.fromSpark(raw.schema)
+          val statusId = schema.findFieldByName("o_orderstatus").get.id
+          val spec = PartitionSpec(0, IndexedSeq(
+            PartitionField(statusId, 1000, "o_orderstatus", IdentityTransform)))
+          val t = IceTable.create(cat, ident, schema, spec)
+          t.append(s).appendDataFrame(raw)
+        }
+        val plan = cat.planScan(ident,
+          Some(graft.ice.expr.Expr.equal("o_orderstatus",
+            graft.ice.types.Literal.string("F"))))
+        val paths = plan.tasks.map(task =>
+          graft.ice.manifest.ManifestAvro.stripFileScheme(task.path))
+        s.read.parquet(paths: _*)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 2).as("price"))
+      } finally server.stop()
+    }),
+
     // MERGE INTO (upsert, CoW): update every 10th order's totalprice and
     // insert shifted copies of every 100th-key-ending-in-7 order, in ONE
     // atomic overwrite snapshot; only files containing a matched key are
@@ -2014,6 +2051,9 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders""".stripMargin,
     "c_rest" -> "SELECT * FROM region",
+    "c_rest_plan" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "t2_wap" -> "SELECT * FROM supplier",
     "mrg_upsert" -> ("""
       SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -102,6 +102,24 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
     TableRef(ident, m, v, this)
   }
 
+  /** Server-side scan planning (PlanTableScan): POST the filter, get
+    * back the manifest-pruned file list — a THIN client scans without
+    * reading a byte of table metadata; the server's planner (partition
+    * summaries, file metrics, transform projections) does the pruning.
+    * Residual row filtering stays with the caller: the returned files
+    * are a superset of matching rows, exactly like local planFiles. */
+  def planScan(ident: TableIdentifier,
+      filter: Option[graft.ice.expr.Expr] = None,
+      snapshotId: Option[Long] = None,
+      caseSensitive: Boolean = true): PlanResult = {
+    val o = newObject()
+    snapshotId.foreach(o.put("snapshot-id", _))
+    o.put("case-sensitive", caseSensitive)
+    filter.foreach(f => o.set[JsonNode]("filter", exprToJson(f)))
+    planResultFromJson(parse(send(
+      post(s"${tableUrl(ident)}/plan", o.toString), ok = Set(200))))
+  }
+
   override def dropTable(ident: TableIdentifier, purge: Boolean): Boolean = {
     val url = tableUrl(ident) + (if (purge) "?purgeRequested=true" else "")
     try { send(delete(url), ok = Set(204)); cache.remove(ident); true }

@@ -416,4 +416,145 @@ object RestJson {
 
   def parse(s: String): JsonNode = mapper.readTree(s)
   def newObject(): ObjectNode = mapper.createObjectNode()
+
+  // ---------- scan-planning expression serde ----------
+  // The public REST spec's PlanTableScan carries the filter as the
+  // Iceberg expression JSON (ExpressionParser shapes): unary
+  // {"type","term"}, literal {"type","term","value"}, set
+  // {"type","term","values"}, logical {"type","left","right"}/{"child"}.
+  // Terms travel as plain column-name references; transform terms and
+  // engine-opaque RawE predicates refuse loudly — a thin client cannot
+  // know how the server would interpret them.
+
+  import graft.ice.expr.{AndE, Expr, FalseE, NotE, Op, OrE, Predicate, RawE, Term, TrueE}
+  import graft.ice.transform.IdentityTransform
+  import graft.ice.types.{Literal => IceLiteral}
+
+  private val opNames: Map[Op, String] = Map(
+    Op.IsNull -> "is-null", Op.NotNull -> "not-null",
+    Op.IsNan -> "is-nan", Op.NotNan -> "not-nan",
+    Op.Lt -> "lt", Op.LtEq -> "lt-eq", Op.Gt -> "gt", Op.GtEq -> "gt-eq",
+    Op.Eq -> "eq", Op.NotEq -> "not-eq",
+    Op.In -> "in", Op.NotIn -> "not-in",
+    Op.StartsWith -> "starts-with", Op.NotStartsWith -> "not-starts-with")
+  private val opByName: Map[String, Op] = opNames.map(_.swap)
+
+  private def literalScalar(o: ObjectNode, field: String, l: IceLiteral): Unit = {
+    import graft.ice.types._
+    l.raw match {
+      case b: java.lang.Boolean => o.put(field, b.booleanValue)
+      case i: java.lang.Integer => o.put(field, i.longValue)
+      case n: java.lang.Long => o.put(field, n.longValue)
+      case f: java.lang.Float => o.put(field, f.doubleValue)
+      case d: java.lang.Double => o.put(field, d.doubleValue)
+      case s: String => o.put(field, s)
+      case other => throw new IllegalArgumentException(
+        s"cannot serialize ${l.tpe} literal over the plan wire: $other")
+    }
+  }
+
+  private def literalFromScalar(n: JsonNode): IceLiteral =
+    if (n.isBoolean) IceLiteral.bool(n.asBoolean)
+    else if (n.isIntegralNumber) IceLiteral.long(n.asLong)
+    else if (n.isNumber) IceLiteral.double(n.asDouble)
+    else if (n.isTextual) IceLiteral.string(n.asText)
+    else throw new IllegalArgumentException(s"unsupported literal JSON: $n")
+
+  def exprToJson(e: Expr): ObjectNode = {
+    val o = newObject()
+    e match {
+      case TrueE => o.put("type", "true")
+      case FalseE => o.put("type", "false")
+      case AndE(l, r) =>
+        o.put("type", "and")
+        o.set[ObjectNode]("left", exprToJson(l))
+        o.set[ObjectNode]("right", exprToJson(r))
+      case OrE(l, r) =>
+        o.put("type", "or")
+        o.set[ObjectNode]("left", exprToJson(l))
+        o.set[ObjectNode]("right", exprToJson(r))
+      case NotE(c) =>
+        o.put("type", "not")
+        o.set[ObjectNode]("child", exprToJson(c))
+      case Predicate(op, Term(name, IdentityTransform), lits) =>
+        o.put("type", opNames(op))
+        o.put("term", name)
+        op match {
+          case Op.In | Op.NotIn =>
+            val a = o.putArray("values")
+            lits.foreach { l =>
+              val tmp = newObject(); literalScalar(tmp, "v", l); a.add(tmp.get("v"))
+            }
+          case Op.IsNull | Op.NotNull | Op.IsNan | Op.NotNan => ()
+          case _ => literalScalar(o, "value", lits.head)
+        }
+      case Predicate(_, t, _) => throw new IllegalArgumentException(
+        s"transform terms are not supported over the plan wire: $t")
+      case RawE(sql) => throw new IllegalArgumentException(
+        s"engine-opaque predicates cannot travel over the plan wire: $sql")
+    }
+    o
+  }
+
+  def exprFromJson(n: JsonNode): Expr = n.get("type").asText match {
+    case "true" => TrueE
+    case "false" => FalseE
+    case "and" => Expr.and(exprFromJson(n.get("left")), exprFromJson(n.get("right")))
+    case "or" => Expr.or(exprFromJson(n.get("left")), exprFromJson(n.get("right")))
+    case "not" => Expr.not(exprFromJson(n.get("child")))
+    case opName =>
+      val op = opByName.getOrElse(opName,
+        throw new IllegalArgumentException(s"unknown predicate type '$opName'"))
+      val term = Term(n.get("term").asText)
+      val lits = op match {
+        case Op.In | Op.NotIn =>
+          n.get("values").elements.asScala.map(literalFromScalar).toSeq
+        case Op.IsNull | Op.NotNull | Op.IsNan | Op.NotNan => Nil
+        case _ => Seq(literalFromScalar(n.get("value")))
+      }
+      Predicate(op, term, lits)
+  }
+
+  // ---------- scan-planning task serde ----------
+
+  /** A server-planned scan task, the thin-client view of FileScanTask:
+    * enough to read the file without ever opening table metadata. */
+  final case class PlannedTask(path: String, format: String,
+      recordCount: Long, fileSizeInBytes: Long)
+
+  final case class PlanResult(tasks: Seq[PlannedTask],
+      deleteFiles: Seq[String], snapshotId: Long)
+
+  def planResultToJson(r: PlanResult): ObjectNode = {
+    val o = newObject()
+    // in-process planning completes synchronously; the async plan-id
+    // handshake of the public spec is not needed on localhost
+    o.put("plan-status", "completed")
+    o.put("snapshot-id", r.snapshotId)
+    val ts = o.putArray("file-scan-tasks")
+    r.tasks.foreach { t =>
+      val to = ts.addObject()
+      val df = to.putObject("data-file")
+      df.put("file-path", t.path)
+      df.put("file-format", t.format)
+      df.put("record-count", t.recordCount)
+      df.put("file-size-in-bytes", t.fileSizeInBytes)
+    }
+    val ds = o.putArray("delete-files")
+    r.deleteFiles.foreach { p => ds.addObject().put("file-path", p) }
+    o
+  }
+
+  def planResultFromJson(n: JsonNode): PlanResult = {
+    require(Option(n.get("plan-status")).exists(_.asText == "completed"),
+      s"unexpected plan-status: ${n.get("plan-status")}")
+    val tasks = Option(n.get("file-scan-tasks")).map(_.elements.asScala.map { t =>
+      val df = t.get("data-file")
+      PlannedTask(df.get("file-path").asText, df.get("file-format").asText,
+        df.get("record-count").asLong, df.get("file-size-in-bytes").asLong)
+    }.toSeq).getOrElse(Nil)
+    val dels = Option(n.get("delete-files")).map(
+      _.elements.asScala.map(_.get("file-path").asText).toSeq).getOrElse(Nil)
+    PlanResult(tasks, dels, n.get("snapshot-id").asLong)
+  }
 }

@@ -174,6 +174,9 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
       val ref = backing.registerTable(ident, loc)
       reply(ex, 200, loadTableResult(backing.metadataLocation(ident), ref.metadata, ref.version))
 
+    case ("POST", List("namespaces", nsSeg, "tables", name, "plan")) =>
+      planTable(ex, TableIdentifier(splitNs(nsSeg), name))
+
     case (m, List("namespaces", nsSeg, "tables", name)) =>
       val ident = TableIdentifier(splitNs(nsSeg), name)
       m match {
@@ -194,6 +197,38 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     case _ =>
       throw HttpError(404, "NoSuchEndpointException",
         s"$method /v1/${segs.mkString("/")}")
+  }
+
+  // ---------- server-side scan planning ----------
+
+  /** POST .../tables/{t}/plan (the public REST spec's PlanTableScan):
+    * the SERVER runs manifest-pruned scan planning and returns the file
+    * list, so a thin client scans without ever reading table metadata —
+    * the reference's REST types declare the broader protocol
+    * (catalog/rest/types.h:37-121); this is its planning surface made
+    * executable. In-process planning completes synchronously
+    * (plan-status "completed"); no async plan-id handshake on localhost.
+    * The full pruning stack (partition summaries, file metrics,
+    * transform projections) runs server-side through the same
+    * ScanBuilder as local planning — one planner, two transports. */
+  private def planTable(ex: HttpExchange, ident: TableIdentifier): Unit = {
+    val req = readJson(ex)
+    val t = graft.ice.IceTable.load(backing, ident)
+    var scan = t.newScan()
+    Option(req.get("snapshot-id")).foreach(sid => scan = scan.useSnapshot(sid.asLong))
+    Option(req.get("case-sensitive")).foreach(cs =>
+      scan = scan.withCaseSensitive(cs.asBoolean))
+    Option(req.get("filter")).foreach(f => scan = scan.filter(exprFromJson(f)))
+    val tasks = scan.planFiles().map(task => PlannedTask(
+      task.file.filePath, task.file.fileFormat,
+      task.file.recordCount, task.file.fileSizeInBytes))
+    val snap = Option(req.get("snapshot-id")).map(_.asLong)
+      .flatMap(t.metadata.snapshotById)
+      .orElse(t.currentSnapshot)
+    val deletes = snap.map(t.planDeleteEntries).getOrElse(Nil)
+      .map(_.dataFile.filePath)
+    reply(ex, 200, planResultToJson(PlanResult(tasks, deletes,
+      snap.map(_.snapshotId).getOrElse(-1L))).toString)
   }
 
   // ---------- table create / commit ----------

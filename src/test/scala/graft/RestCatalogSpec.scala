@@ -114,6 +114,66 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("server-side scan planning: pruned tasks, thin-client read, filters over the wire") {
+    import org.apache.spark.sql.functions.col
+    withRest() { (cat, server, _) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "nation_plan")
+      val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+      val schema = SparkConv.fromSpark(raw.schema)
+      val keyId = schema.findFieldByName("n_regionkey").get.id
+      val spec = PartitionSpec(0, IndexedSeq(PartitionField(
+        keyId, 1000, "n_regionkey", graft.ice.transform.IdentityTransform)))
+      val t = IceTable.create(cat, ident, schema, spec)
+      t.append(spark).appendDataFrame(raw) // 5 regionkeys -> >=5 files
+
+      val all = cat.planScan(ident)
+      assert(all.tasks.nonEmpty)
+      assert(all.tasks.size >= 5, "identity partitioning must split files")
+      assert(all.deleteFiles.isEmpty)
+      assert(all.snapshotId == t.currentSnapshot.get.snapshotId)
+
+      // the SAME pruning gate as the local planner: an identity
+      // predicate plans <= 1/4 of the table's files
+      val pruned = cat.planScan(ident, Some(graft.ice.expr.Expr.equal(
+        "n_regionkey", graft.ice.types.Literal.long(0))))
+      assert(pruned.tasks.nonEmpty)
+      assert(pruned.tasks.size * 4 <= all.tasks.size,
+        s"server-side pruning too weak: ${pruned.tasks.size}/${all.tasks.size} files")
+      // server planning == local planning, task for task
+      val local = t.newScan().filter(graft.ice.expr.Expr.equal(
+        "n_regionkey", graft.ice.types.Literal.long(0))).planFiles()
+        .map(_.file.filePath).toSet
+      assert(pruned.tasks.map(_.path).toSet == local)
+
+      // thin-client read: ONLY the planned files, residual client-side
+      val paths = pruned.tasks.map(p =>
+        graft.ice.manifest.ManifestAvro.stripFileScheme(p.path))
+      val rows = spark.read.parquet(paths: _*)
+        .filter(col("n_regionkey") === 0)
+      assert(rows.count() == raw.filter(col("n_regionkey") === 0).count())
+
+      // complex filters travel: OR of two keys plans the union of groups
+      val two = cat.planScan(ident, Some(graft.ice.expr.Expr.or(
+        graft.ice.expr.Expr.equal("n_regionkey", graft.ice.types.Literal.long(0)),
+        graft.ice.expr.Expr.equal("n_regionkey", graft.ice.types.Literal.long(3)))))
+      assert(two.tasks.size > pruned.tasks.size)
+      assert(two.tasks.size < all.tasks.size)
+
+      // expression serde round-trip is identity on the wire shapes
+      import graft.ice.catalog.RestJson.{exprFromJson, exprToJson}
+      val e = graft.ice.expr.Expr.and(
+        graft.ice.expr.Expr.in("a", Seq(graft.ice.types.Literal.long(1),
+          graft.ice.types.Literal.long(2))),
+        graft.ice.expr.Expr.not(graft.ice.expr.Expr.isNull("b")))
+      assert(exprFromJson(RestJson.parse(exprToJson(e).toString)) == e)
+      // snapshot pinning: planning an older snapshot returns its files
+      t.append(spark).appendDataFrame(raw.limit(1))
+      val pinned = cat.planScan(ident, snapshotId = Some(all.snapshotId))
+      assert(pinned.tasks.map(_.path).toSet == all.tasks.map(_.path).toSet)
+    }
+  }
+
   test("partition statistics and rollback timestamps survive the wire") {
     withRest() { (cat, server, _) =>
       cat.createNamespace(Seq("db"))

@@ -1407,6 +1407,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("revenue"))),
 
+    // changelog streaming (mode=cdc): the stream emits raw
+    // _change_type-stamped rows per snapshot range; the query pairs each
+    // key's delete+insert within a commit into update pre/post images —
+    // the same rule as planChangelog — so the result hash-matches the
+    // batch changelog over the identical history
+    "st_cdc_follow" -> ((s, dir) => {
+      val out = StreamCdcFixture.output(s, dir)
+      val base = s.read.parquet(out)
+      val w = Window.partitionBy(col("o_orderkey"), col("_commit_snapshot_id"))
+      val nDel = sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(w)
+      val nIns = sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(w)
+      base.withColumn("__nd", nDel).withColumn("__ni", nIns)
+        .withColumn("_change_type",
+          when(col("__nd") === 1 && col("__ni") === 1,
+            when(col("_change_type") === "delete", lit("update_preimage"))
+              .otherwise(lit("update_postimage")))
+            .otherwise(col("_change_type")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"), col("_change_type"))
+    }),
+
     // admission control: the same drain under max-files-per-trigger=1 —
     // batch count gated in-fixture, content oracled (backfilling 100 TB
     // through a stream NEEDS pacing; an unpaced first batch is the
@@ -2661,6 +2682,25 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // the drained cdc stream + changelog pairing == the batch changelog:
+    // initial append inserts, update pre/post images for every 10th key
+    // (MoR merge), plain inserts for the shifted new keys
+    "st_cdc_follow" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+        |  'insert' AS _change_type
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2),
+        |  'update_preimage'
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice + 500, 2),
+        |  'update_postimage'
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000, o_orderstatus, round(o_totalprice, 2),
+        |  'insert'
+        |FROM orders WHERE o_orderkey % 100 = 7""".stripMargin,
     "st_skip_nonappend" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
@@ -3445,6 +3485,52 @@ object StreamFollowFixture {
       .option("warehouse", wh).option("table", "tpch.orders_follow").load()
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", s"$wh/_follow_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out
+  }
+}
+
+/** Changelog streaming (round-11 verdict item 8): mode=cdc composes the
+  * two surfaces the engine already has — snapshot-aligned streaming
+  * offsets and CDC planning — into the shape an incremental consumer
+  * uses: `_change_type`-stamped micro-batches between snapshot offsets.
+  * The fixture drains a MoR-merge history (initial append, then a
+  * merge-on-read MERGE whose position deletes supersede matched rows)
+  * with AvailableNow; the query derives update pre/post images from the
+  * drained raw changes with the SAME pairing rule as planChangelog, so
+  * the DuckDB oracle pins the whole chain end to end. */
+object StreamCdcFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  def output(s: SparkSession, sfDir: String): String = {
+    val wh = Tables.warehouseDir(sfDir)
+    val cat = Tables.catalog(sfDir)
+    val ident = TableIdentifier(Seq("tpch"), "orders_cdcfollow")
+    if (!cat.tableExists(ident)) {
+      val raw = Tables.raw(s, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+      t.append(s).appendDataFrame(raw)
+      val src = raw.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+        .unionByName(raw.filter(col("o_orderkey") % 100 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      t.merge(s, src, Seq("o_orderkey"))
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .withMergeOnRead()
+        .commit()
+    }
+    val out = s"$wh/_cdcfollow_out"
+    val q = s.readStream.format("graft-table")
+      .option("warehouse", wh).option("table", "tpch.orders_cdcfollow")
+      .option("mode", "cdc").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$wh/_cdcfollow_ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

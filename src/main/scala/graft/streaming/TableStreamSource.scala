@@ -52,7 +52,9 @@ import graft.ice.meta.DataOperation
 final class GraftTableSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableStream.plainSchema(GraftTableStream.load(options))
+    if (GraftTableStream.isCdc(options))
+      GraftTableStream.cdcSchema(GraftTableStream.load(options))
+    else GraftTableStream.plainSchema(GraftTableStream.load(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftStreamTable(schema, new CaseInsensitiveStringMap(properties))
@@ -74,6 +76,18 @@ private[graft] object GraftTableStream {
     * name — they were written with these names by our own sink). */
   def plainSchema(t: IceTable): StructType =
     StructType(t.schema.toSpark.fields.map(_.copy(metadata = Metadata.empty)))
+
+  def isCdc(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("mode")).exists(_.equalsIgnoreCase("cdc"))
+
+  /** CDC output schema: table columns + the changelog metadata columns,
+    * in exactly planChanges' column order (the staged batches are read
+    * back by name against this schema). */
+  def cdcSchema(t: IceTable): StructType =
+    plainSchema(t)
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_snapshot_id", org.apache.spark.sql.types.LongType)
+      .add("_change_ordinal", org.apache.spark.sql.types.IntegerType)
 }
 
 private[streaming] final class GraftStreamTable(schema0: StructType,
@@ -81,14 +95,38 @@ private[streaming] final class GraftStreamTable(schema0: StructType,
   override def name(): String = s"graft.${options.get("table")}"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    if (GraftTableStream.isCdc(options))
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   // the connector scan serves BOTH modes: spark.read.format("graft-table")
   // gets the batch path (pushdown + MoR deletes), readStream the
-  // snapshot-offset MicroBatchStream (via the scan's toMicroBatchStream)
+  // snapshot-offset MicroBatchStream (via the scan's toMicroBatchStream).
+  // mode=cdc bypasses the connector scan (its pushdown machinery is
+  // anchored on the ice schema, which has no _change_type column) and
+  // serves the changelog MicroBatchStream directly.
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
-    val t = GraftTableStream.load(options)
-    new graft.ice.connector.GraftScanBuilder(t,
-      graft.ice.types.SparkConv.toSpark(t.schema), Some(options))
+    if (GraftTableStream.isCdc(options))
+      new GraftCdcScanBuilder(schema0, options)
+    else {
+      val t = GraftTableStream.load(options)
+      new graft.ice.connector.GraftScanBuilder(t,
+        graft.ice.types.SparkConv.toSpark(t.schema), Some(options))
+    }
+  }
+}
+
+/** Minimal scan surface for mode=cdc: micro-batch only (a batch CDC
+  * read is planChanges/planChangelog directly — no pushdown applies to
+  * derived changelog rows). */
+private[streaming] final class GraftCdcScanBuilder(schema: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder {
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = schema
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new GraftMicroBatchStream(schema, options)
+    override def description(): String =
+      s"graft cdc changelog stream ${options.get("table")}"
   }
 }
 
@@ -136,6 +174,7 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
   }
   private val skipNonAppends =
     Option(options.get("skip-non-append-snapshots")).exists(_.toBoolean)
+  private val cdcMode = GraftTableStream.isCdc(options)
 
   override def initialOffset(): Offset =
     Option(options.get("from-snapshot-id")) match {
@@ -259,10 +298,42 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
 
   override def deserializeOffset(json: String): Offset = SnapshotOffset.fromJson(json)
 
+  // ---------- CDC mode (mode=cdc): changelog micro-batches ----------
+
+  /** Staging dirs written for not-yet-committed batches (cleaned on
+    * commit). Changelog rows are JOIN/anti-join products (MoR delete
+    * application, CoW carry-over cancelation), not raw file bytes — so
+    * a CDC batch is materialized ONCE as a distributed planChanges job
+    * into a range-keyed staging dir, and the staged parquet files are
+    * served as the batch's input partitions. Overwrite keyed by the
+    * offset range makes range replay after a failure deterministic. */
+  private val stagedDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def planCdcPartitions(from: Long, to: Long): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val t = table
+    // one FRESH dir per plan call: Spark may instantiate the scan (and
+    // re-plan the same range) more than once per batch, and an overwrite
+    // of a shared range-keyed dir would delete files the first plan's
+    // partitions still reference mid-read. Replay stays deterministic
+    // because planChanges recomputes the same ROWS for the range — the
+    // file layout is free to differ, Spark replays whole batches.
+    val dir = ManifestAvro.stripFileScheme(
+      s"${t.metadata.location}/_cdc_staging/${from}_${to}_${java.util.UUID.randomUUID()}")
+    t.planChanges(spark, from, to).write.mode("overwrite").parquet(dir)
+    stagedDirs.add(dir)
+    val files = new java.io.File(dir).listFiles()
+    if (files == null) Array.empty
+    else files.filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+      .sortBy(_.getName)
+      .map(f => GraftInputPartition(f.getAbsolutePath, f.length): InputPartition)
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[SnapshotOffset].snapshotId
     val to = end.asInstanceOf[SnapshotOffset].snapshotId
     if (to == -1L || from == to) return Array.empty
+    if (cdcMode) return planCdcPartitions(from, to)
     val t = table
     if (!skipNonAppends) {
       // walk (from, to]: row-level deletes/overwrites cannot be streamed
@@ -300,8 +371,26 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
     GraftReaderFactory(readFunc)
   }
 
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Batches are planned/run/committed strictly in sequence, so at
+    * commit time every recorded staging dir belongs to a finished batch
+    * — drop them all (the WAL owns replay; a re-planned range rewrites
+    * its staging anyway). */
+  override def commit(end: Offset): Unit = drainStaged()
+  override def stop(): Unit = drainStaged() // a stopped query replans its range
+
+  private def drainStaged(): Unit = {
+    var d = stagedDirs.poll()
+    while (d != null) {
+      try deleteRecursively(new java.io.File(d)) catch { case _: Throwable => () }
+      d = stagedDirs.poll()
+    }
+  }
 }
 
 private[streaming] final case class GraftInputPartition(path: String,

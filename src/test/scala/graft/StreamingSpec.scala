@@ -290,6 +290,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == raw.count() + 10)
   }
 
+  test("graft-table mode=cdc streams changelog rows and resumes incrementally") {
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+    val wh = java.nio.file.Files.createTempDirectory("whcdc").toString
+    val cat = new DirCatalog(wh)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.cdcsrc"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+
+    val out = java.nio.file.Files.createTempDirectory("cdcout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("warehouse", wh).option("table", "db.cdcsrc")
+        .option("mode", "cdc").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val got1 = spark.read.parquet(out)
+    assert(got1.columns.toSeq.takeRight(3) ==
+      Seq("_change_type", "_commit_snapshot_id", "_change_ordinal"))
+    assert(got1.count() == raw.count())
+    assert(got1.filter(col("_change_type") =!= "insert").count() == 0)
+
+    // a DELETE commit streams as delete rows on resume — the case the
+    // append-mode source must refuse is exactly what cdc mode carries
+    t.delete(spark).deleteWherePositional(
+      graft.ice.expr.Expr.lt("o_orderkey", graft.ice.types.Literal.long(100)))
+    drain()
+    val got2 = spark.read.parquet(out)
+    val expectDel = raw.filter("o_orderkey < 100").count()
+    assert(got2.filter(col("_change_type") === "delete").count() == expectDel)
+    // the incremental batch matches planChanges over the same range
+    val snaps = IceTable.load(cat, TableIdentifier.parse("db.cdcsrc"))
+      .snapshots.sortBy(_.sequenceNumber)
+    val batch = t.planChanges(spark, snaps.head.snapshotId, snaps.last.snapshotId)
+    assert(got2.filter(col("_change_type") === "delete")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq ==
+      batch.filter(col("_change_type") === "delete")
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq)
+    // committed batches clean their staging (no leaked _cdc_staging dirs)
+    val staging = new java.io.File(
+      s"$wh/db/cdcsrc/_cdc_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty,
+      s"staging dirs leaked: ${Option(staging.listFiles()).map(_.toSeq).getOrElse(Nil)}")
+  }
+
   test("graft-table source from-timestamp starts after the mark") {
     import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
     val wh = java.nio.file.Files.createTempDirectory("whts").toString

@@ -1331,6 +1331,21 @@ object SparkEntry {
           round(element_at(col("features"), 1), 4).as("f0"))
     }),
 
+    // REAL audio decode: deterministic 8 kHz mono int16 WAV clips are
+    // rendered executor-side from the closed form
+    // s_k=((31*id+7k)%65536)-32768, parsed back with javax.sound.sampled,
+    // and windowed mean-absolute amplitudes pooled — the oracle
+    // recomputes window 0's value from the formula without parsing a
+    // WAV byte (PCM is lossless, sums are exact integers).
+    "mm5_audio" -> ((s, dir) => {
+      val audio = Multimodal.asRenderedAudio(s,
+        Tables.scan(s, dir, "documents").filter(col("doc_id") < 20000),
+        "doc_id")
+      Multimodal.audioFeatures(s, audio, "doc_id")
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+    }),
+
     // ---------- §2.9-adjacent event processing ----------
 
     // total_value as per-row-rounded cents summed as longs: double-sum
@@ -2593,6 +2608,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
         |  round(CAST(sum(lum) AS DOUBLE) / count(*), 4) AS f0
         |FROM px WHERE Y < 8 GROUP BY 1""".stripMargin,
+    // closed-form recompute of the decoded WAV's window-0 mean absolute
+    // amplitude: PCM is lossless and the sums are exact integers, so
+    // DuckDB rebuilds the sample formula and pools — no WAV byte parsed
+    "mm5_audio" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2000 + doc_id % 1000 AS n
+        |  FROM documents WHERE doc_id < 20000),
+        |px AS (
+        |  SELECT doc_id, n,
+        |    abs(((doc_id * 31 + k.k * 7) % 65536) - 32768) AS a
+        |  FROM dims, LATERAL (SELECT unnest(range(0, n)) AS k) k
+        |  WHERE (k.k * 8) // n = 0)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  round(CAST(sum(a) AS DOUBLE) / count(*), 4) AS f0
+        |FROM px GROUP BY doc_id, n""".stripMargin,
     // closed-form recompute of each SAMPLED frame's band-0 pooled
     // luminance (frames 0,2,4,6 of the 8-frame GIF)
     "mm4_frames" ->

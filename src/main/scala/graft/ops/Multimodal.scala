@@ -319,6 +319,99 @@ object Multimodal {
         hex(substring(col("payload"), 1, 4)).as("magic")))
   }
 
+  // ---------- audio (mm5) ----------
+
+  /** Per-id sample count for the synthetic audio fixture (8 kHz mono
+    * 16-bit PCM; ~quarter-second clips). */
+  def syntheticAudioSamples(id: Long): Int = 2000 + (id % 1000).toInt
+
+  /** Deterministic synthetic audio: `n` little-endian int16 PCM samples
+    * with the CLOSED FORM `s_k = ((31·id + 7·k) mod 65536) - 32768`,
+    * wrapped as a WAV container by `javax.sound.sampled` (WAV ships in
+    * the JDK). PCM in WAV is lossless, so an independent engine
+    * recomputes any windowed amplitude statistic from the formula
+    * without parsing a WAV byte. */
+  def syntheticAudioWav(id: Long): Array[Byte] = {
+    val n = syntheticAudioSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = ((31L * id + 7L * k) % 65536L).toInt - 32768
+      pcm(2 * k) = (s & 0xff).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Render the synthetic WAV payload per id (executor-side, same typed
+    * batch shape as [[asRenderedMedia]]). */
+  def asRenderedAudio(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"))
+      .as[Long]
+      .mapPartitions(_.map(id => MediaIn(id, syntheticAudioWav(id))))
+      .toDF("id", "payload")
+      .withColumnRenamed("id", idCol)
+      .withColumn("media_meta", struct(
+        lit("audio/wav").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(substring(col("payload"), 1, 4)).as("magic")))
+  }
+
+  final case class AudioFeatures(id: Long, sample_rate: Int,
+      n_samples: Long, features: Array[Double])
+
+  /** REAL audio decode (mm5): `javax.sound.sampled` parses the WAV
+    * container, the PCM stream is windowed into 8 equal spans (sample k
+    * belongs to window k*8/n) and each window's mean ABSOLUTE amplitude
+    * is emitted — integer sums over exact int16 samples, so the oracle's
+    * closed-form recompute matches bit-for-bit. Non-PCM/undecodable
+    * payloads emit a zeroed row (total stage; corrupt blobs exist in
+    * every real corpus). */
+  def audioFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val decoded =
+          if (m.payload == null || m.payload.length < 12) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian) None
+            else {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              val sums = Array.fill(8)(0L)
+              val counts = Array.fill(8)(0L)
+              var k = 0
+              while (k < n) {
+                val s = ((bytes(2 * k + 1).toInt << 8) |
+                  (bytes(2 * k) & 0xff)).toShort.toInt
+                val w = k * 8 / n
+                sums(w) += math.abs(s); counts(w) += 1
+                k += 1
+              }
+              Some(AudioFeatures(m.id, fmt.getSampleRate.toInt, n.toLong,
+                Array.tabulate(8)(i =>
+                  if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))))
+            }
+          } catch { case _: Exception => None }
+        decoded.getOrElse(AudioFeatures(m.id, 0, 0L, Array.fill(8)(0.0)))
+      })
+      .toDF("id", "sample_rate", "n_samples", "features")
+      .withColumnRenamed("id", idCol)
+  }
+
   final case class FrameFeatures(id: Long, frame_idx: Int, width: Int,
       height: Int, features: Array[Double])
 

@@ -917,6 +917,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fb.getAs[Array[Byte]]("payload_resized").isEmpty)
   }
 
+  test("audioFeatures: WAV decode matches closed-form windowed amplitudes") {
+    import spark.implicits._
+    val ids = Seq(0L, 42L, 999L).toDF("doc_id")
+    val audio = Multimodal.asRenderedAudio(spark, ids, "doc_id")
+    assert(audio.select("media_meta.magic").head.getString(0) == "52494646") // "RIFF"
+    val rows = Multimodal.audioFeatures(spark, audio, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getSeq[Double](3).toArray))).toMap
+    for (id <- Seq(0L, 42L, 999L)) {
+      val (rate, n, f) = rows(id)
+      val en = Multimodal.syntheticAudioSamples(id)
+      assert(rate == 8000 && n == en)
+      val sums = Array.fill(8)(0L); val counts = Array.fill(8)(0L)
+      for (k <- 0 until en) {
+        val s = ((31L * id + 7L * k) % 65536L).toInt - 32768
+        val w = k * 8 / en
+        sums(w) += math.abs(s); counts(w) += 1
+      }
+      (0 until 8).foreach { w =>
+        assert(f(w) == sums(w).toDouble / counts(w),
+          s"window $w mismatch for id $id")
+      }
+    }
+    // undecodable payloads emit a zeroed total row, not a crash
+    val junk = Seq((7L, "not audio at all".getBytes)).toDF("doc_id", "payload")
+    val fb = Multimodal.audioFeatures(spark, junk, "doc_id").head
+    assert(fb.getLong(2) == 0L && fb.getInt(1) == 0)
+  }
+
   test("sampleFrames: GIF frames decode to closed-form per-frame means") {
     import spark.implicits._
     val ids = Seq(4L, 21L).toDF("doc_id")

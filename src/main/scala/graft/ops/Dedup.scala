@@ -243,11 +243,14 @@ object Dedup {
 
   def clustersFromPairs(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
+    // MEMORY_AND_DISK, not MEMORY_ONLY: at sf10+ the edge list outgrows
+    // storage memory, and a dropped partition recomputes the full
+    // upstream pair join once per label-propagation ROUND (measured:
+    // d11 22.7 -> 30.7 s isolated at sf10 under MEMORY_ONLY)
     val edges = Caches.track(
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
-        .distinct(),
-      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .distinct())
     // localCheckpoint each round, not persist: an iterative self-join
     // otherwise DOUBLES the logical plan every round, and Catalyst
     // analysis cost goes exponential in the round count — a diameter-10

@@ -16,9 +16,18 @@ import org.apache.spark.sql.types._
   * are not a decodable image fall back to a deterministic byte-derived
   * pseudo-feature (`stubDecode`) or contribute no frames, so every stage
   * is total — the production shape for a corpus where a fraction of
-  * blobs is always corrupt. Audio codecs don't exist in the JDK; audio
-  * would ride the same (bytes -> typed rows) partition-wise shape. */
+  * blobs is always corrupt. Audio decode (mm5) is real too: WAV parses
+  * via `javax.sound.sampled` (also JDK-builtin) with windowed PCM
+  * amplitude pooling. */
 object Multimodal {
+
+  // ImageIO defaults to an ON-DISK stream cache: every read/write spins
+  // up a temp file under java.io.tmpdir, which serializes a 32-task
+  // decode stage on file create/delete churn (measured: 2-4x slowdown
+  // once the render stages went parallel). All payloads here are
+  // in-memory byte arrays — cache in memory. Object init runs once per
+  // JVM (driver and each executor) before any method is used.
+  javax.imageio.ImageIO.setUseCache(false)
 
   val mediaMetaType: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -95,7 +104,12 @@ object Multimodal {
     * the same typed-Dataset batch shape as [[extractFeatures]]. */
   def asRenderedMedia(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"))
+    // Par.ensure BEFORE the render: the id projection inherits the source
+    // scan's split count (often 1-2 small parquet splits for a fixture
+    // slice), and an un-repartitioned render pins a 32-core stage to one
+    // task. The shuffle moves only ids — payload bytes are created on
+    // the executors AFTER it.
+    Par.ensure(df.select(col(idCol).cast("long").as("id")))
       .as[Long]
       .mapPartitions(_.map(id => MediaIn(id, syntheticImagePng(id))))
       .toDF("id", "payload")
@@ -163,38 +177,65 @@ object Multimodal {
       .withColumnRenamed("id", idCol)
   }
 
-  /** Luminance at (x,y), color-model aware. Two traps make a single
-    * accessor wrong for both fixture formats:
+  /** Row-major luminance plane of a decoded image, color-model aware.
+    * Two traps make a naive per-pixel accessor wrong (and slow) across
+    * the fixture formats:
     *  - indexed images (GIF): `raster.getSample` returns the PALETTE
-    *    INDEX, not a luminance — resolve through `getRGB` (the palette
+    *    INDEX, not a luminance — resolve through the palette (which
     *    stores the raw 0..255 gray as an sRGB triple, so the low byte
-    *    is exact);
+    *    is exact). The palette is materialized ONCE as a lookup table;
+    *    per-pixel `getRGB` would re-run color-model resolution 150M+
+    *    times over a 20k-image fixture.
     *  - component images (gray PNG): `getRGB` routes through the
     *    CS_GRAY -> sRGB color transform, which applies a gamma curve
     *    and CHANGES the value — read the raw sample(s) directly
     *    (mean of the first <=3 bands, as [[imageDecode]] does). */
-  private def lumAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+  private def lumPlane(img: java.awt.image.BufferedImage): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
     img.getColorModel match {
-      case _: java.awt.image.IndexColorModel => img.getRGB(x, y) & 0xff
+      case icm: java.awt.image.IndexColorModel =>
+        val pal = new Array[Int](icm.getMapSize)
+        icm.getRGBs(pal)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = pal(raster.getSample(x, y, 0)) & 0xff
+            x += 1
+          }
+          y += 1
+        }
       case _ =>
-        val raster = img.getRaster
         val nb = math.min(raster.getNumBands, 3)
-        var s = 0; var b = 0
-        while (b < nb) { s += raster.getSample(x, y, b); b += 1 }
-        s / nb
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s = 0; var b = 0
+            while (b < nb) { s += raster.getSample(x, y, b); b += 1 }
+            out(y * w + x) = s / nb
+            x += 1
+          }
+          y += 1
+        }
     }
+    out
+  }
 
   /** Mean luminance per horizontal 1/8th band (row y belongs to band
     * y*8/h) — the same pooling as [[imageDecode]], but palette-safe. */
   private def poolBands(img: java.awt.image.BufferedImage): Array[Double] = {
     val (w, h) = (img.getWidth, img.getHeight)
+    val plane = lumPlane(img)
     val sums = Array.fill(8)(0L)
     val counts = Array.fill(8)(0L)
     var y = 0
     while (y < h) {
       val band = y * 8 / h
       var x = 0
-      while (x < w) { sums(band) += lumAt(img, x, y); counts(band) += 1; x += 1 }
+      while (x < w) { sums(band) += plane(y * w + x); counts(band) += 1; x += 1 }
       y += 1
     }
     Array.tabulate(8)(i => if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
@@ -208,17 +249,20 @@ object Multimodal {
   private[graft] def resampleNearest(img: java.awt.image.BufferedImage,
       tw: Int, th: Int): java.awt.image.BufferedImage = {
     val (w, h) = (img.getWidth, img.getHeight)
+    val plane = lumPlane(img)
     val out = new java.awt.image.BufferedImage(tw, th,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = out.getRaster
+    val row = new Array[Int](tw)
     var y = 0
     while (y < th) {
       val sy = (y.toLong * h / th).toInt
       var x = 0
       while (x < tw) {
-        raster.setSample(x, y, 0, lumAt(img, (x.toLong * w / tw).toInt, sy))
+        row(x) = plane(sy * w + (x.toLong * w / tw).toInt)
         x += 1
       }
+      raster.setSamples(0, y, tw, 1, 0, row)
       y += 1
     }
     out
@@ -308,7 +352,7 @@ object Multimodal {
   def asRenderedVideo(spark: SparkSession, df: DataFrame, idCol: String,
       nFrames: Int = 8): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"))
+    Par.ensure(df.select(col(idCol).cast("long").as("id"))) // see asRenderedMedia
       .as[Long]
       .mapPartitions(_.map(id => MediaIn(id, syntheticVideoGif(id, nFrames))))
       .toDF("id", "payload")
@@ -354,7 +398,7 @@ object Multimodal {
     * batch shape as [[asRenderedMedia]]). */
   def asRenderedAudio(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"))
+    Par.ensure(df.select(col(idCol).cast("long").as("id"))) // see asRenderedMedia
       .as[Long]
       .mapPartitions(_.map(id => MediaIn(id, syntheticAudioWav(id))))
       .toDF("id", "payload")

@@ -216,6 +216,10 @@ private[ice] object SnapshotProducer {
           e.dataFile.fileFormat == "PUFFIN" &&
           e.dataFile.referencedDataFile.exists(r =>
             removedDVForFiles.contains(ManifestAvro.stripFileScheme(r)))
+      // churn accounting for the summary: removed data-file record counts
+      // feed CDC admission control (a delete-heavy commit adds few files
+      // but plans a changelog batch sized by what it REMOVED)
+      var removedDataRecords = 0L
       val survivors: Seq[ManifestFile] = previous.flatMap { m =>
         val mayShrink = removedPaths.nonEmpty ||
           (removedDVForFiles.nonEmpty && m.content == ManifestContent.Deletes)
@@ -226,6 +230,9 @@ private[ice] object SnapshotProducer {
           val entries = liveEntries(m)
           val (removed, kept) = entries.partition(e =>
             removedPaths.contains(e.dataFile.filePath) || dvSuperseded(e))
+          removedDataRecords += removed
+            .filter(_.dataFile.content == FileContent.Data)
+            .map(_.dataFile.recordCount).sum
           if (removed.isEmpty) Some(m)
           else if (kept.isEmpty) None
           else Some(ManifestAvro.writeManifest(nextManifestPath(),
@@ -281,7 +288,13 @@ private[ice] object SnapshotProducer {
           "added-data-files" -> addedDataEntries.size.toString,
           "added-records" -> addedRecords.toString,
           "removed-data-files" -> removedPaths.size.toString,
-          "added-delete-files" -> addedDeleteEntries.size.toString)
+          "added-delete-files" -> addedDeleteEntries.size.toString,
+          // row-level churn (Iceberg core's deleted-records /
+          // added-position/equality-deletes analogue): lets a changelog
+          // consumer price a commit without reading its manifests
+          "deleted-records" -> removedDataRecords.toString,
+          "added-delete-records" ->
+            addedDeleteEntries.map(_.dataFile.recordCount).sum.toString)
           ++ extraSummary ++ stageWapId.map("wap.id" -> _),
         schemaId = Some(base.currentSchemaId),
         firstRowId = baseRowId)

@@ -276,12 +276,37 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
         }
       }
 
+    // CDC batches are priced by the commit's CHURN, not its appends: a
+    // huge MoR delete adds one tiny delete file but plans a changelog
+    // batch sized by the rows it killed, and a CoW overwrite's removed
+    // files all come back as `delete` changelog rows. Replace snapshots
+    // are content-preserving and emit nothing, so they cost nothing.
+    // The summary keys are written by our own commits (Ops.scala); a
+    // foreign commit without them falls back to the append estimate —
+    // under-pricing is safe (one over-full batch), never wrong results.
+    def churnCounts(s: graft.ice.meta.Snapshot): (Long, Long) =
+      if (s.operation.contains(DataOperation.Replace)) (0L, 0L)
+      else {
+        def n(k: String): Long = s.summary.get(k).map(_.toLong).getOrElse(0L)
+        val (af, ar) =
+          (s.summary.get("added-data-files").map(_.toLong),
+           s.summary.get("added-records").map(_.toLong)) match {
+            case (Some(ff), Some(rr)) => (ff, rr)
+            case _ =>
+              val es = t.planAppendsBetween(
+                s.parentSnapshotId.getOrElse(-1L), s.snapshotId)
+              (es.size.toLong, es.map(_.dataFile.recordCount).sum)
+          }
+        (af + n("removed-data-files") + n("added-delete-files"),
+         ar + n("deleted-records") + n("added-delete-records"))
+      }
+
     var files = 0L; var rows = 0L
     var end = start.snapshotId; var took = 0
     val it = chain.iterator
     while (it.hasNext) {
       val s = it.next()
-      val (f, r) = addedCounts(s)
+      val (f, r) = if (cdcMode) churnCounts(s) else addedCounts(s)
       if (took > 0 &&
           (maxFiles.exists(files + f > _) || maxRows.exists(rows + r > _)))
         return SnapshotOffset(end)
@@ -306,27 +331,62 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
     * a CDC batch is materialized ONCE as a distributed planChanges job
     * into a range-keyed staging dir, and the staged parquet files are
     * served as the batch's input partitions. Overwrite keyed by the
-    * offset range makes range replay after a failure deterministic. */
+    * offset range makes range replay after a failure deterministic.
+    *
+    * ALL staging I/O goes through `org.apache.hadoop.fs.FileSystem`
+    * resolved from the staging path itself — the table location can be
+    * any scheme the cluster's Hadoop conf knows (file:, hdfs:, s3a:),
+    * same as the data plane. A failed listing THROWS: an unreadable
+    * staging dir must fail the batch, never silently emit zero rows. */
   private val stagedDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Best-effort once-per-stream sweep of staging leftovers from prior
+    * runs (a driver crash mid-batch leaks its UUID-suffixed dir — nothing
+    * else ever deletes it). Only entries older than [[StaleStagingMs]]
+    * are swept so a CONCURRENT stream's in-flight staging on the same
+    * table is never clobbered. */
+  @volatile private var sweptStale = false
+  private def sweepStaleStaging(t: IceTable): Unit =
+    if (!sweptStale) {
+      sweptStale = true
+      try {
+        val root = new org.apache.hadoop.fs.Path(s"${t.metadata.location}/_cdc_staging")
+        val fs = root.getFileSystem(hadoopConf())
+        if (fs.exists(root)) {
+          val cutoff = System.currentTimeMillis() - GraftMicroBatchStream.StaleStagingMs
+          fs.listStatus(root).filter(_.getModificationTime < cutoff)
+            .foreach(s => try { fs.delete(s.getPath, true); () }
+              catch { case _: java.io.IOException => () })
+        }
+      } catch { case _: java.io.IOException => () }
+    }
 
   private def planCdcPartitions(from: Long, to: Long): Array[InputPartition] = {
     val spark = SparkSession.active
     val t = table
+    sweepStaleStaging(t)
     // one FRESH dir per plan call: Spark may instantiate the scan (and
     // re-plan the same range) more than once per batch, and an overwrite
     // of a shared range-keyed dir would delete files the first plan's
     // partitions still reference mid-read. Replay stays deterministic
     // because planChanges recomputes the same ROWS for the range — the
     // file layout is free to differ, Spark replays whole batches.
-    val dir = ManifestAvro.stripFileScheme(
-      s"${t.metadata.location}/_cdc_staging/${from}_${to}_${java.util.UUID.randomUUID()}")
+    val dir =
+      s"${t.metadata.location}/_cdc_staging/${from}_${to}_${java.util.UUID.randomUUID()}"
     t.planChanges(spark, from, to).write.mode("overwrite").parquet(dir)
     stagedDirs.add(dir)
-    val files = new java.io.File(dir).listFiles()
-    if (files == null) Array.empty
-    else files.filter(f => f.getName.endsWith(".parquet") && f.length > 0)
-      .sortBy(_.getName)
-      .map(f => GraftInputPartition(f.getAbsolutePath, f.length): InputPartition)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // listStatus throws FileNotFoundException if the just-written dir is
+    // missing — a staging failure is an ERROR, not an empty batch
+    p.getFileSystem(spark.sessionState.newHadoopConf()).listStatus(p)
+      .filter(f => f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
+      .sortBy(_.getPath.getName)
+      .map(f => GraftInputPartition(f.getPath.toString, f.getLen): InputPartition)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -371,12 +431,6 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
     GraftReaderFactory(readFunc)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete(); ()
-  }
-
   /** Batches are planned/run/committed strictly in sequence, so at
     * commit time every recorded staging dir belongs to a finished batch
     * — drop them all (the WAL owns replay; a re-planned range rewrites
@@ -385,12 +439,22 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
   override def stop(): Unit = drainStaged() // a stopped query replans its range
 
   private def drainStaged(): Unit = {
+    val conf = hadoopConf()
     var d = stagedDirs.poll()
     while (d != null) {
-      try deleteRecursively(new java.io.File(d)) catch { case _: Throwable => () }
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true); ()
+      } catch { case _: java.io.IOException => () }
       d = stagedDirs.poll()
     }
   }
+}
+
+private[graft] object GraftMicroBatchStream {
+  /** Staging entries older than this are crash leftovers, safe to sweep
+    * (a live batch plans, reads, and commits well inside it). */
+  val StaleStagingMs: Long = 15L * 60 * 1000
 }
 
 private[streaming] final case class GraftInputPartition(path: String,

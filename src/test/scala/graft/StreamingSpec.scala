@@ -342,6 +342,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"staging dirs leaked: ${Option(staging.listFiles()).map(_.toSeq).getOrElse(Nil)}")
   }
 
+  test("mode=cdc staging rides Hadoop FileSystem: file:-scheme location, stale sweep") {
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+    val wh = java.nio.file.Files.createTempDirectory("whcdcfs").toString
+    val cat = new DirCatalog(wh)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.plain"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+    t.delete(spark).deleteWherePositional(
+      graft.ice.expr.Expr.lt("o_orderkey", graft.ice.types.Literal.long(50)))
+
+    // re-register the SAME table under a file:-scheme location — the
+    // staging plane must resolve it through Hadoop FileSystem (java.io
+    // .File cannot take a URI; with the old code this drained ZERO rows)
+    val plainIdent = TableIdentifier.parse("db.plain")
+    val plainLoc = IceTable.load(cat, plainIdent).metadata.location
+    val m = graft.ice.meta.TableMetadataIO.read(cat.metadataLocation(plainIdent).get)
+    val schemed = java.nio.file.Files.createTempFile("cdcfs", ".metadata.json")
+    graft.ice.meta.TableMetadataIO.write(schemed.toString,
+      m.copy(location = s"file:$plainLoc"))
+    cat.registerTable(TableIdentifier.parse("db.schemed"), schemed.toString)
+
+    // pre-plant staging leftovers: an OLD entry (crash leftover) must be
+    // swept at stream start; a FRESH one (a concurrent stream's in-flight
+    // batch) must survive both the sweep and commit-time drains
+    val stagingRoot = new java.io.File(s"$plainLoc/_cdc_staging")
+    val stale = new java.io.File(stagingRoot, "1_2_stale-crash-leftover")
+    val fresh = new java.io.File(stagingRoot, "3_4_concurrent-in-flight")
+    assert(stale.mkdirs() && fresh.mkdirs())
+    assert(stale.setLastModified(
+      System.currentTimeMillis() - 20L * 60 * 1000))
+
+    val out = java.nio.file.Files.createTempDirectory("cdcfsout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcfsckpt").toString
+    val q = spark.readStream.format("graft-table")
+      .option("warehouse", wh).option("table", "db.schemed")
+      .option("mode", "cdc").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out)
+    val expectDel = raw.filter("o_orderkey < 50").count()
+    assert(got.filter(col("_change_type") === "insert").count() == raw.count(),
+      "file:-scheme staging must serve the full insert batch, not zero rows")
+    assert(got.filter(col("_change_type") === "delete").count() == expectDel)
+    // stale leftover swept, concurrent stream's dir untouched, own drained
+    val left = Option(stagingRoot.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(!left.contains(stale.getName), "crash leftover not swept at stream start")
+    assert(left.contains(fresh.getName), "concurrent stream's fresh staging was clobbered")
+    assert(left == Set(fresh.getName), s"own staging dirs leaked: ${left - fresh.getName}")
+  }
+
   test("graft-table source from-timestamp starts after the mark") {
     import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
     val wh = java.nio.file.Files.createTempDirectory("whts").toString
@@ -425,6 +481,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val perRows = drain(Map("max-rows-per-trigger" -> cap))
     assert(perRows.size >= 2, s"row cap must split the drain, got $perRows")
     assert(perRows.forall(_ <= cap.toLong), s"no batch may exceed the cap: $perRows")
+  }
+
+  test("mode=cdc admission control prices delete churn, not just appends") {
+    import graft.ice._, graft.ice.catalog._, graft.ice.types.SparkConv
+    val wh = java.nio.file.Files.createTempDirectory("whcdcadm").toString
+    val cat = new DirCatalog(wh)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice").limit(100).repartition(1)
+    val t = IceTable.create(cat, TableIdentifier.parse("db.churn"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+    val keys = raw.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // MoR positional delete of 40 rows: ADDS ~0 data rows but plans a
+    // 40-row changelog batch — append pricing sees it as free
+    t.delete(spark).deleteWherePositional(
+      graft.ice.expr.Expr.lt("o_orderkey", graft.ice.types.Literal.long(keys(40))))
+    val snap = IceTable.load(cat, TableIdentifier.parse("db.churn")).currentSnapshot.get
+    assert(snap.summary("added-delete-records") == "40",
+      s"delete churn must be in the summary: ${snap.summary}")
+
+    def drain(extra: Map[String, String]): Seq[Long] = {
+      val out = java.nio.file.Files.createTempDirectory("churnout").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("churnck").toString
+      var reader = spark.readStream.format("graft-table")
+        .option("warehouse", wh).option("table", "db.churn").option("mode", "cdc")
+      extra.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(out)
+      assert(got.filter(col("_change_type") === "insert").count() == 100)
+      assert(got.filter(col("_change_type") === "delete").count() == 40)
+      q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    }
+
+    // churn pricing: 100 insert rows + 40 delete-churn rows > 110 cap →
+    // the delete commit lands in its own batch (append pricing would
+    // price it at zero and take both snapshots in one batch)
+    assert(drain(Map("max-rows-per-trigger" -> "110")).size == 2,
+      "a delete-heavy commit must be priced by its churn")
+    assert(drain(Map.empty).size == 1) // fresh checkpoint dir per drain
   }
 }
 

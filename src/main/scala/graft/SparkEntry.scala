@@ -599,8 +599,11 @@ object SparkEntry {
     // PlanTableScan) — the server runs manifest pruning and returns the
     // file list; this thin client reads ONLY the planned parquet files
     // and applies the residual filter, never opening table metadata.
-    // Identity-partition pruning through the wire is pinned in
-    // RestCatalogSpec (planned files ≤ 1/3 of the table's files).
+    // The plan travels PAGED (page-size 2 forces >= 2 pages here): the
+    // server parks the plan under a plan-id and the client walks the
+    // pages, so a million-file plan is never one JSON body. Identity-
+    // partition pruning through the wire and page-vs-local task equality
+    // are pinned in RestCatalogSpec.
     "c_rest_plan" -> ((s, dir) => {
       import graft.ice._, graft.ice.catalog._
       import graft.ice.meta.{PartitionField, PartitionSpec}
@@ -611,6 +614,9 @@ object SparkEntry {
         val cat = new RestCatalog(server.baseUrl)
         val ident = TableIdentifier(Seq("tpch"), "orders_restplan")
         if (!cat.tableExists(ident)) {
+          // three appends of disjoint slices: >= 3 files per partition
+          // dir, so the pruned plan spans multiple wire pages at
+          // page-size 2 regardless of the writer's clustering
           val raw = Tables.raw(s, dir, "orders")
             .select("o_orderkey", "o_orderstatus", "o_totalprice")
           val schema = SparkConv.fromSpark(raw.schema)
@@ -618,11 +624,18 @@ object SparkEntry {
           val spec = PartitionSpec(0, IndexedSeq(
             PartitionField(statusId, 1000, "o_orderstatus", IdentityTransform)))
           val t = IceTable.create(cat, ident, schema, spec)
-          t.append(s).appendDataFrame(raw)
+          (0 until 3).foreach(i =>
+            t.append(s).appendDataFrame(raw.filter(col("o_orderkey") % 3 === i)))
         }
         val plan = cat.planScan(ident,
           Some(graft.ice.expr.Expr.equal("o_orderstatus",
-            graft.ice.types.Literal.string("F"))))
+            graft.ice.types.Literal.string("F"))),
+          pageSize = Some(2))
+        // tasks carry no delete linkage: reading them raw with MoR
+        // deletes present would resurrect deleted rows — refuse
+        require(plan.deleteFiles.isEmpty,
+          s"table has ${plan.deleteFiles.size} delete file(s); a thin " +
+            "client reading tasks raw must apply them or refuse")
         val paths = plan.tasks.map(task =>
           graft.ice.manifest.ManifestAvro.stripFileScheme(task.path))
         s.read.parquet(paths: _*)

@@ -107,17 +107,42 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
     * reading a byte of table metadata; the server's planner (partition
     * summaries, file metrics, transform projections) does the pruning.
     * Residual row filtering stays with the caller: the returned files
-    * are a superset of matching rows, exactly like local planFiles. */
+    * are a superset of matching rows, exactly like local planFiles.
+    *
+    * `pageSize` bounds each wire response: the server parks the finished
+    * plan under a plan-id and this client walks the pages, so a
+    * million-file plan is never one JSON body on either side. The
+    * returned PlanResult is always COMPLETE regardless of paging.
+    *
+    * Callers reading `tasks` raw MUST check `deleteFiles` first: tasks
+    * carry no data-file<->delete-file linkage, so reading planned files
+    * of a table with MoR deletes without applying them resurrects
+    * deleted rows. */
   def planScan(ident: TableIdentifier,
       filter: Option[graft.ice.expr.Expr] = None,
       snapshotId: Option[Long] = None,
-      caseSensitive: Boolean = true): PlanResult = {
+      caseSensitive: Boolean = true,
+      pageSize: Option[Int] = None): PlanResult = {
     val o = newObject()
     snapshotId.foreach(o.put("snapshot-id", _))
     o.put("case-sensitive", caseSensitive)
+    pageSize.foreach(o.put("page-size", _))
     filter.foreach(f => o.set[JsonNode]("filter", exprToJson(f)))
-    planResultFromJson(parse(send(
+    val first = planPageFromJson(parse(send(
       post(s"${tableUrl(ident)}/plan", o.toString), ok = Set(200))))
+    var tasks = first.result.tasks
+    var tok = first.nextPageToken
+    while (tok.isDefined) {
+      val pid = first.planId.getOrElse(throw new IllegalStateException(
+        "server sent next-page-token without plan-id"))
+      val sizeQ = pageSize.map(s => s"&pageSize=$s").getOrElse("")
+      val page = planPageFromJson(parse(send(
+        get(s"${tableUrl(ident)}/plan/$pid?pageToken=${enc(tok.get)}$sizeQ"),
+        ok = Set(200))))
+      tasks ++= page.result.tasks
+      tok = page.nextPageToken
+    }
+    first.result.copy(tasks = tasks)
   }
 
   override def dropTable(ident: TableIdentifier, purge: Boolean): Boolean = {

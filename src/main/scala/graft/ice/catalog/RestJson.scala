@@ -441,15 +441,35 @@ object RestJson {
 
   private def literalScalar(o: ObjectNode, field: String, l: IceLiteral): Unit = {
     import graft.ice.types._
-    l.raw match {
-      case b: java.lang.Boolean => o.put(field, b.booleanValue)
-      case i: java.lang.Integer => o.put(field, i.longValue)
-      case n: java.lang.Long => o.put(field, n.longValue)
-      case f: java.lang.Float => o.put(field, f.doubleValue)
-      case d: java.lang.Double => o.put(field, d.doubleValue)
-      case s: String => o.put(field, s)
-      case other => throw new IllegalArgumentException(
-        s"cannot serialize ${l.tpe} literal over the plan wire: $other")
+    l.tpe match {
+      // temporal literals travel as ISO strings (the ExpressionParser
+      // wire shape): a date's raw Integer would serialize as a plain
+      // number, deserialize as a LongT literal, and fail to bind against
+      // a date column server-side (no LongT->DateT cast) — the string
+      // form binds through the existing StringT->DateT/Timestamp casts
+      case DateT =>
+        o.put(field,
+          java.time.LocalDate.ofEpochDay(l.raw.asInstanceOf[Int].toLong).toString)
+      case TimestampT | TimestampTzT =>
+        val us = l.raw.asInstanceOf[Long]
+        o.put(field, java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString)
+      case TimeT => throw new IllegalArgumentException(
+        // refuse loudly like decimal/uuid/binary: the server has no
+        // StringT->TimeT bind cast, so a silently-sent value would 500
+        "cannot serialize time literal over the plan wire")
+      case _ => l.raw match {
+        case b: java.lang.Boolean => o.put(field, b.booleanValue)
+        case i: java.lang.Integer => o.put(field, i.longValue)
+        case n: java.lang.Long => o.put(field, n.longValue)
+        case f: java.lang.Float => o.put(field, f.doubleValue)
+        case d: java.lang.Double => o.put(field, d.doubleValue)
+        case s: String => o.put(field, s)
+        case other => throw new IllegalArgumentException(
+          s"cannot serialize ${l.tpe} literal over the plan wire: $other")
+      }
     }
   }
 
@@ -525,12 +545,22 @@ object RestJson {
   final case class PlanResult(tasks: Seq[PlannedTask],
       deleteFiles: Seq[String], snapshotId: Long)
 
-  def planResultToJson(r: PlanResult): ObjectNode = {
+  /** One wire page of a plan response: the tasks slice plus the paging
+    * handles (types.h:37-121 declares the paged protocol; a million-file
+    * plan must never be one JSON allocation on either side). */
+  final case class PlanPage(result: PlanResult,
+      planId: Option[String], nextPageToken: Option[String])
+
+  def planResultToJson(r: PlanResult, planId: Option[String] = None,
+      nextPageToken: Option[String] = None): ObjectNode = {
     val o = newObject()
-    // in-process planning completes synchronously; the async plan-id
-    // handshake of the public spec is not needed on localhost
+    // in-process planning completes synchronously ("completed"); large
+    // plans paginate via plan-id + next-page-token instead of the async
+    // submitted/plan-id handshake (the server holds the finished plan)
     o.put("plan-status", "completed")
     o.put("snapshot-id", r.snapshotId)
+    planId.foreach(o.put("plan-id", _))
+    nextPageToken.foreach(o.put("next-page-token", _))
     val ts = o.putArray("file-scan-tasks")
     r.tasks.foreach { t =>
       val to = ts.addObject()
@@ -545,7 +575,9 @@ object RestJson {
     o
   }
 
-  def planResultFromJson(n: JsonNode): PlanResult = {
+  def planResultFromJson(n: JsonNode): PlanResult = planPageFromJson(n).result
+
+  def planPageFromJson(n: JsonNode): PlanPage = {
     require(Option(n.get("plan-status")).exists(_.asText == "completed"),
       s"unexpected plan-status: ${n.get("plan-status")}")
     val tasks = Option(n.get("file-scan-tasks")).map(_.elements.asScala.map { t =>
@@ -555,6 +587,8 @@ object RestJson {
     }.toSeq).getOrElse(Nil)
     val dels = Option(n.get("delete-files")).map(
       _.elements.asScala.map(_.get("file-path").asText).toSeq).getOrElse(Nil)
-    PlanResult(tasks, dels, n.get("snapshot-id").asLong)
+    PlanPage(PlanResult(tasks, dels, n.get("snapshot-id").asLong),
+      Option(n.get("plan-id")).map(_.asText),
+      Option(n.get("next-page-token")).map(_.asText))
   }
 }

@@ -177,6 +177,9 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     case ("POST", List("namespaces", nsSeg, "tables", name, "plan")) =>
       planTable(ex, TableIdentifier(splitNs(nsSeg), name))
 
+    case ("GET", List("namespaces", _, "tables", _, "plan", planId)) =>
+      planPage(ex, planId, query)
+
     case (m, List("namespaces", nsSeg, "tables", name)) =>
       val ident = TableIdentifier(splitNs(nsSeg), name)
       m match {
@@ -214,21 +217,76 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
   private def planTable(ex: HttpExchange, ident: TableIdentifier): Unit = {
     val req = readJson(ex)
     val t = graft.ice.IceTable.load(backing, ident)
+    // an unknown snapshot-id is the CLIENT's error — refuse up front with
+    // a 404, never a silent fallback to the current snapshot (the delete
+    // set and reported snapshot-id would belong to the wrong snapshot)
+    val reqSnap = Option(req.get("snapshot-id")).map(_.asLong)
+    val snap = reqSnap match {
+      case Some(sid) => Some(t.metadata.snapshotById(sid).getOrElse(
+        throw HttpError(404, "NoSuchSnapshotException",
+          s"no snapshot $sid in table $ident")))
+      case None => t.currentSnapshot
+    }
     var scan = t.newScan()
-    Option(req.get("snapshot-id")).foreach(sid => scan = scan.useSnapshot(sid.asLong))
+    reqSnap.foreach(sid => scan = scan.useSnapshot(sid))
     Option(req.get("case-sensitive")).foreach(cs =>
       scan = scan.withCaseSensitive(cs.asBoolean))
     Option(req.get("filter")).foreach(f => scan = scan.filter(exprFromJson(f)))
     val tasks = scan.planFiles().map(task => PlannedTask(
       task.file.filePath, task.file.fileFormat,
       task.file.recordCount, task.file.fileSizeInBytes))
-    val snap = Option(req.get("snapshot-id")).map(_.asLong)
-      .flatMap(t.metadata.snapshotById)
-      .orElse(t.currentSnapshot)
     val deletes = snap.map(t.planDeleteEntries).getOrElse(Nil)
       .map(_.dataFile.filePath)
-    reply(ex, 200, planResultToJson(PlanResult(tasks, deletes,
-      snap.map(_.snapshotId).getOrElse(-1L))).toString)
+    val result = PlanResult(tasks, deletes, snap.map(_.snapshotId).getOrElse(-1L))
+    // paged flavor (types.h:74 PageToken): with "page-size" the finished
+    // plan is parked server-side under a plan-id and served in slices —
+    // a million-file plan is never one JSON allocation on either side.
+    // Delete files ride the FIRST response only (the client needs them
+    // before reading any task; they are a small fraction of tasks).
+    Option(req.get("page-size")).map(_.asInt) match {
+      case Some(sz) if sz > 0 && result.tasks.sizeIs > sz =>
+        val planId = java.util.UUID.randomUUID().toString
+        evictExpiredPlans()
+        planCache.put(planId, (System.currentTimeMillis(), result))
+        reply(ex, 200, planResultToJson(
+          result.copy(tasks = result.tasks.take(sz)),
+          Some(planId), Some(sz.toString)).toString)
+      case _ =>
+        reply(ex, 200, planResultToJson(result).toString)
+    }
+  }
+
+  /** GET .../plan/{planId}?pageToken=N&pageSize=S — subsequent pages of
+    * a parked plan. Tokens are task-list offsets, same shape as the list
+    * endpoints' paging. */
+  private def planPage(ex: HttpExchange, planId: String,
+      query: Map[String, String]): Unit = {
+    val cached = Option(planCache.get(planId)).map(_._2).getOrElse(
+      throw HttpError(404, "NoSuchPlanException",
+        s"no such plan (expired or never created): $planId"))
+    val start = query.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+    val size = query.get("pageSize").flatMap(_.toIntOption)
+      .getOrElse(cached.tasks.size)
+    val next =
+      if (start + size < cached.tasks.size) Some((start + size).toString) else None
+    reply(ex, 200, planResultToJson(
+      PlanResult(cached.tasks.slice(start, start + size), Nil, cached.snapshotId),
+      Some(planId), next).toString)
+  }
+
+  /** Parked plans: planId -> (createdMs, full result). TTL-evicted on
+    * each park; bounded so an abandoned client cannot pin memory. */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, PlanResult)]()
+  private val planTtlMs = 10L * 60 * 1000
+  private val maxParkedPlans = 64
+  private def evictExpiredPlans(): Unit = {
+    val now = System.currentTimeMillis()
+    planCache.entrySet.removeIf(e => now - e.getValue._1 > planTtlMs)
+    while (planCache.size >= maxParkedPlans) {
+      val oldest = planCache.entrySet.asScala.minBy(_.getValue._1)
+      planCache.remove(oldest.getKey); ()
+    }
   }
 
   // ---------- table create / commit ----------

@@ -174,6 +174,67 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plan pagination, unknown-snapshot 404, temporal filter binding") {
+    import org.apache.spark.sql.functions.{col, lit}
+    withRest() { (cat, server, _) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "nation_paged")
+      val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+      val schema = SparkConv.fromSpark(raw.schema)
+      val keyId = schema.findFieldByName("n_regionkey").get.id
+      val spec = PartitionSpec(0, IndexedSeq(PartitionField(
+        keyId, 1000, "n_regionkey", graft.ice.transform.IdentityTransform)))
+      val t = IceTable.create(cat, ident, schema, spec)
+      t.append(spark).appendDataFrame(raw) // 5 regionkeys -> >=5 files
+
+      val unpaged = cat.planScan(ident)
+      assert(unpaged.tasks.size >= 5)
+      // page-size 2 forces >= 3 wire pages; the merged client result must
+      // equal the unpaged plan task for task, order included
+      val paged = cat.planScan(ident, pageSize = Some(2))
+      assert(paged.tasks == unpaged.tasks,
+        s"paged plan diverged: ${paged.tasks.size} vs ${unpaged.tasks.size} tasks")
+      assert(paged.snapshotId == unpaged.snapshotId)
+      assert(paged.deleteFiles == unpaged.deleteFiles)
+      // and task-for-task equality with the LOCAL planner stays pinned
+      assert(paged.tasks.map(_.path).toSet ==
+        t.newScan().planFiles().map(_.file.filePath).toSet)
+
+      // an unknown snapshot-id refuses up front with a 404 — never a
+      // silent fallback to the current snapshot's files/deletes
+      val ex = intercept[RuntimeException] {
+        cat.planScan(ident, snapshotId = Some(123456789L))
+      }
+      assert(ex.getMessage.contains("NoSuchSnapshotException") ||
+        ex.getMessage.contains("no snapshot"), ex.getMessage)
+
+      // temporal literals travel as ISO strings and BIND server-side: a
+      // date filter prunes by file metrics exactly like the local planner
+      val ordRaw = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+      val oid = TableIdentifier(Seq("db"), "orders_dates")
+      val ot = IceTable.create(cat, oid, SparkConv.fromSpark(ordRaw.schema))
+      val cutStr = "1998-01-01"
+      ot.append(spark).appendDataFrame(
+        ordRaw.filter(col("o_orderdate") < lit(cutStr).cast("date")))
+      ot.append(spark).appendDataFrame(
+        ordRaw.filter(col("o_orderdate") >= lit(cutStr).cast("date")))
+      val cut = graft.ice.types.Literal.date(
+        java.time.LocalDate.parse(cutStr).toEpochDay.toInt)
+      val datePlan = cat.planScan(oid,
+        Some(graft.ice.expr.Expr.lt("o_orderdate", cut)))
+      val localPlan = IceTable.load(cat, oid).newScan()
+        .filter(graft.ice.expr.Expr.lt("o_orderdate", cut))
+        .planFiles().map(_.file.filePath).toSet
+      assert(datePlan.tasks.nonEmpty)
+      assert(datePlan.tasks.map(_.path).toSet == localPlan,
+        "date filter must prune identically over the wire")
+      assert(datePlan.tasks.size <
+        IceTable.load(cat, oid).newScan().planFiles().size,
+        "date filter must actually prune files")
+    }
+  }
+
   test("partition statistics and rollback timestamps survive the wire") {
     withRest() { (cat, server, _) =>
       cat.createNamespace(Seq("db"))

@@ -38,29 +38,33 @@ object Bench {
     }
     var spark = newSession()
 
-    def force(name: String): Either[String, Unit] =
-      try {
-        // stderr marker: lets any Spark ERROR (e.g. a codegen compile
-        // failure) be attributed to the query that triggered it
-        System.err.println(s"[bench-query] $name")
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        Right(())
-      } catch { case e: Throwable => Left(e.getMessage) }
-      finally {
-        // the state-store provider registry is JVM-global and outlives
-        // both the session AND the SparkContext — without this, a run
-        // with several stateful streaming queries accumulates every
-        // query's state maps + checkpoint thread pools until the shared
-        // JVM OOMs (seen at 10x bench scale: ~16 MB tasks + heap death)
-        try org.apache.spark.sql.execution.streaming.state
-          .GraftStateStoreBridge.unloadAll()
-        catch { case _: Throwable => () }
-        // intra-query persists (Caches.track sites) must not outlive
-        // their query — in shared-session mode they'd otherwise pile up
-        // as storage-memory leaks across the 140-query sweep
-        graft.ops.Caches.release()
+    def force(name: String): Either[String, Unit] = {
+      // per-query cache scope (Caches.scoped): intra-query persists are
+      // released with exactly this query — in shared-session mode they'd
+      // otherwise pile up as storage-memory leaks across the sweep, and a
+      // global release could drop a concurrent query's in-flight cache
+      val (res, scope) = graft.ops.Caches.scoped {
+        try {
+          // stderr marker: lets any Spark ERROR (e.g. a codegen compile
+          // failure) be attributed to the query that triggered it
+          System.err.println(s"[bench-query] $name")
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Right(())
+        } catch { case e: Throwable => Left(e.getMessage) }
       }
+      // the state-store provider registry is JVM-global and outlives
+      // both the session AND the SparkContext — without this, a run
+      // with several stateful streaming queries accumulates every
+      // query's state maps + checkpoint thread pools until the shared
+      // JVM OOMs (seen at 10x bench scale: ~16 MB tasks + heap death)
+      try org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreBridge.unloadAll()
+      catch { case _: Throwable => () }
+      scope.release()
+      graft.ops.Caches.release()
+      res
+    }
 
     val names0 = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(list) =>
@@ -140,29 +144,43 @@ object Bench {
     // gets a clean-session re-run in the same artifact — so a sweep-order
     // or page-cache artifact can never masquerade as a code regression
     // for a whole round. SPARK_GRAFT_ISO_EXTRA force-adds names.
-    val priorTimes: Map[String, Double] =
+    val (priorTimes: Map[String, Double], priorHost: Option[Double]) =
       sys.env.get("SPARK_GRAFT_PRIOR_BENCH").flatMap { path =>
         try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(path)), "UTF-8")
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(txt).get("queries")
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+          val node = root.get("queries")
           if (node == null) None else {
             val it = node.fields()
             val b = Map.newBuilder[String, Double]
             while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-            Some(b.result())
+            Some((b.result(),
+              Option(root.get("host_speed")).map(_.asDouble).filter(_ > 0)))
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] prior artifact unreadable ($path): ${e.getMessage}")
           None
         }
-      }.getOrElse(Map.empty)
+      }.getOrElse((Map.empty[String, Double], None))
+    // HOST-ADJUSTED round-over-round ratio: (this sec / this host_speed) /
+    // (prior sec / prior host_speed). A uniformly slower host moves the
+    // sentinel the same way it moves the queries, so real code drift is
+    // what survives the division. Falls back to the raw ratio when the
+    // prior artifact predates host_speed.
+    val hostFactor = priorHost.map(ph => ph / hostSpeed).getOrElse(1.0)
+    val ratiosAdj: Map[String, Double] = results.collect {
+      case (name, sec) if sec >= 0 && priorTimes.get(name).exists(_ > 0) =>
+        name -> sec * hostFactor / priorTimes(name)
+    }.toMap
+    // auto-isolation keys off the ADJUSTED ratio: host drift alone can no
+    // longer flag (or mask) a regression
     val regressed = results.filter { case (name, sec) =>
-      sec >= 0 && priorTimes.get(name).exists(p => p > 0.5 && sec > 1.5 * p)
+      sec >= 0 && priorTimes.get(name).exists(_ > 0.5) &&
+        ratiosAdj.get(name).exists(_ > 1.5)
     }
     if (regressed.nonEmpty)
-      System.err.println(s"[bench] auto-isolating >1.5x-vs-prior queries: " +
+      System.err.println(s"[bench] auto-isolating >1.5x-host-adjusted queries: " +
         regressed.map(_._1).sorted.mkString(","))
     val extra = sys.env.get("SPARK_GRAFT_ISO_EXTRA").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(SparkEntry.queries.contains)
@@ -199,7 +217,9 @@ object Bench {
         s"${e.getClass.getName}: ${e.getMessage}")
     }
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"sf":"$sfDir"}""")
+    val ratios = ratiosAdj.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"ratio_vs_prior_host_adjusted":$ratios,"sf":"$sfDir"}""")
     // second, compact line: the driver artifact keeps only the output
     // TAIL, which can truncate the head of the full metrics line above —
     // repeat the total + the 10 slowest queries so a parseable summary

@@ -35,12 +35,33 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // per-query cache scope: each query's intra-query persists die with
+      // it, and releasing them can never touch another query's caches
+      val (dfOrErr, scope) = graft.ops.Caches.scoped {
+        try Right(fn(spark, sfDir)) catch { case e: Throwable => Left(e) }
+      }
+      try dfOrErr match {
+        case Right(df) => df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        case Left(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally graft.ops.Caches.release() // intra-query persists die with their query
+      finally { scope.release(); graft.ops.Caches.release() }
+      // shared-session hygiene gate: Verify runs the whole suite in ONE
+      // session, so any persist that survives its query is a storage-
+      // memory leak that degrades every later query. The CacheManager
+      // must be empty between queries; SPARK_GRAFT_ASSERT_CLEAN=1
+      // escalates the warning to a failure (CI-fashion replay).
+      if (!spark.sharedState.cacheManager.isEmpty) {
+        val msg = s"[verify] CACHE LEAK after $name: cacheManager non-empty"
+        if (sys.env.contains("SPARK_GRAFT_ASSERT_CLEAN"))
+          throw new IllegalStateException(msg)
+        System.err.println(msg)
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -179,35 +179,63 @@ object Dedup {
       blockCol: String, shingleN: Int = 3,
       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
     val sh = shingleSets(df, textCol, idCol, blockCol, shingleN)
+    // SPILL DIET: the posting join is the engine's heaviest shuffle (the
+    // container side posts EVERY shingle), so posting rows carry the
+    // minimum bytes that keep the filters sound — the block is FOLDED
+    // into the 64-bit shingle hash (same-block joins become a single
+    // 8-byte key; a cross-block hash collision can only add a false
+    // CANDIDATE, which exact verification rejects), and counts/ranks
+    // travel as 4-byte ints (a doc would need 2^31 shingles to overflow
+    // — a >2 GB text value, above Spark's single-value limit). Measured
+    // at sf30 this shuffle spilled ~25 GB with the block string + long
+    // counts aboard.
     val postings = sh.select(col("__blk"), col("__id"),
-      size(col("__sh")).cast("long").as("__n"),
+      size(col("__sh")).as("__n"), // int
       explode(col("__sh")).as("__s0"))
-      .withColumn("__s", xxhash64(col("__s0"))).drop("__s0")
+      .withColumn("__s", xxhash64(col("__blk"), col("__s0"))).drop("__s0", "__blk")
     val freq = postings.groupBy("__s").agg(count(lit(1)).as("__f"))
       .filter(col("__f") > 1)
+    // per-(block,shingle) frequency order — prefix-filter recall is
+    // exact under ANY total order because the container side posts all:
+    // a pair with overlap >= alpha cannot hide every shared shingle in
+    // the (alpha-1)-sized suffix the prefix cut drops
     val ranked = postings.join(broadcast(freq), Seq("__s"), "left")
       .withColumn("__f", coalesce(col("__f"), lit(1L)))
       .withColumn("__rank", row_number().over(
-        Window.partitionBy("__blk", "__id").orderBy(col("__f"), col("__s"))))
+        Window.partitionBy("__id").orderBy(col("__f"), col("__s"))))
+      .drop("__f")
     // contained side: prefix n - ceil(t*n) + 1; container side: all
     val a = ranked.filter(col("__rank") <=
-      col("__n") - expr(s"(__n * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
-      .select(col("__blk"), col("__s"), col("__id").as("id_a"),
+      col("__n") - expr(
+        s"(cast(__n as bigint) * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
+      .select(col("__s"), col("__id").as("id_a"),
         col("__n").as("__na"), col("__rank").as("__pa"))
-    val b = ranked.select(col("__blk"), col("__s"), col("__id").as("id_b"),
+    val b = ranked.select(col("__s"), col("__id").as("id_b"),
       col("__n").as("__nb"), col("__rank").as("__pb"))
     // positional filter: needed overlap alpha = ceil(t*na); a match at
-    // (pa, pb) caps achievable overlap at 1 + min(na-pa, nb-pb)
-    val alpha = expr(s"(__na * $thresholdNum + $thresholdDen - 1) div $thresholdDen")
-    val cands = a.join(b, Seq("__blk", "__s"))
+    // (pa, pb) caps achievable overlap at 1 + min(na-pa, nb-pb).
+    // Comparisons widen to long POST-join — wide math costs nothing in
+    // the shuffle rows.
+    val alpha = expr(
+      s"(cast(__na as bigint) * $thresholdNum + $thresholdDen - 1) div $thresholdDen")
+    val cands = a.join(b, Seq("__s"))
       .filter(col("id_a") =!= col("id_b"))
-      .filter(col("__nb") * thresholdDen >= col("__na") * thresholdNum)
-      .filter(lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= alpha)
+      .filter(col("__nb").cast("long") * thresholdDen >=
+        col("__na").cast("long") * thresholdNum)
+      .filter(lit(1L) + least(col("__na") - col("__pa"),
+        col("__nb") - col("__pb")).cast("long") >= alpha)
       .select("id_a", "id_b").distinct()
-    val sets = sh.select(col("__id"), col("__sh"))
+    // verification re-checks BLOCK equality (the candidate key is the
+    // folded hash, so a 2^-64 cross-block collision could smuggle in a
+    // cross-block candidate) — one tiny string next to the full shingle
+    // arrays this join already carries
+    val sets = sh.select(col("__id"), col("__sh"), col("__blk"))
     cands
-      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
-      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa"),
+        col("__blk").as("__blka")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb"),
+        col("__blk").as("__blkb")), "id_b")
+      .filter(col("__blka") === col("__blkb"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__common"),
         size(col("__sa")).cast("long").as("__na"))

@@ -722,13 +722,18 @@ object SparkEntry {
     }),
 
     // P6 metadata columns over addFiles data: _file is the registered
-    // parquet itself, _pos the row index within it
+    // parquet itself, _pos the row index within it,
+    // _last_updated_sequence_number the registering commit's (= 1, the
+    // fixture's single addFiles commit)
     "p6_metadata_cols" -> ((s, dir) =>
       AddFilesFixture.table(s, dir).newScan()
-        .withMetadataColumns("_file", "_pos").toDF(s)
+        .withMetadataColumns("_file", "_pos", "_last_updated_sequence_number")
+        .toDF(s)
         .agg(count(lit(1)).as("n"),
           countDistinct(col("_file")).as("n_files"),
-          min("_pos").as("p0"), max("_pos").as("p1"))),
+          min("_pos").as("p0"), max("_pos").as("p1"),
+          min("_last_updated_sequence_number").as("seq_lo"),
+          max("_last_updated_sequence_number").as("seq_hi"))),
 
     // ---------- §2.8 overwrite ----------
 
@@ -2117,7 +2122,8 @@ object SparkEntry {
     "c_stage_create" -> "SELECT * FROM region",
     "p6_metadata_cols" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS n_files,
-        |  CAST(0 AS BIGINT) AS p0, CAST(count(*) - 1 AS BIGINT) AS p1
+        |  CAST(0 AS BIGINT) AS p0, CAST(count(*) - 1 AS BIGINT) AS p1,
+        |  CAST(1 AS BIGINT) AS seq_lo, CAST(1 AS BIGINT) AS seq_hi
         |FROM nation""".stripMargin,
     "ov_dynamic" ->
       """SELECT o_orderkey,

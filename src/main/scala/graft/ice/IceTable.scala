@@ -812,7 +812,8 @@ final class ScanBuilder(table: IceTable) {
     * file first_row_id + position; null for pre-lineage files),
     * `_deleted` (merge-on-read deletes mark rows instead of filtering). */
   def withMetadataColumns(cols: String*): ScanBuilder = {
-    val known = Set("_file", "_pos", "_spec_id", "_partition", "_row_id", "_deleted")
+    val known = Set("_file", "_pos", "_spec_id", "_partition", "_row_id",
+      "_deleted", "_last_updated_sequence_number")
     val bad = cols.filterNot(known)
     require(bad.isEmpty, s"unknown metadata columns: ${bad.mkString(",")}")
     metaCols = cols.toSeq
@@ -1243,14 +1244,20 @@ final class ScanBuilder(table: IceTable) {
         }.reduce(_ unionByName _)
       }
     if (wantFilePos) {
-      if (metaCols.exists(Set("_spec_id", "_partition", "_row_id"))) {
+      if (metaCols.exists(Set("_spec_id", "_partition", "_row_id",
+          "_last_updated_sequence_number"))) {
         import spark.implicits._
+        // _last_updated_sequence_number = the file's data sequence number
+        // (metadata_columns.h:95; rows carry their file's last update —
+        // row-level updates rewrite/re-sequence the file, so the file
+        // number IS the row's)
         val lookup = tasks.map { t =>
           (ManifestAvro.stripFileScheme(t.file.filePath), t.specId,
             t.file.partition.map(v => if (v == null) "null" else v.toString)
               .mkString("/"),
-            t.file.firstRowId)
-        }.toDF("__lookup_file", "_spec_id", "_partition", "__first_row_id")
+            t.file.firstRowId, t.dataSequenceNumber)
+        }.toDF("__lookup_file", "_spec_id", "_partition", "__first_row_id",
+          "_last_updated_sequence_number")
         df = df.join(broadcast(lookup), df("__file") === lookup("__lookup_file"), "left")
           .drop("__lookup_file")
         if (metaCols.contains("_row_id"))
@@ -1260,7 +1267,8 @@ final class ScanBuilder(table: IceTable) {
       if (metaCols.contains("_file")) df = df.withColumnRenamed("__file", "_file")
       if (metaCols.contains("_pos")) df = df.withColumnRenamed("__pos", "_pos")
       df = df.drop("__file", "__pos")
-        .drop(Seq("_spec_id", "_partition").filterNot(metaCols.contains): _*)
+        .drop(Seq("_spec_id", "_partition", "_last_updated_sequence_number")
+          .filterNot(metaCols.contains): _*)
     }
     filterExpr.foreach { e =>
       // bind against the full snapshot schema: filters may reference

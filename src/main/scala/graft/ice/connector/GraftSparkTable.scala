@@ -74,12 +74,20 @@ final class GraftSparkTable(val table: IceTable, catalogName: String,
     * attributes, so [[GraftRowLevelOperation.requiredMetadataAttributes]]
     * names this column. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "data file path of the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_last_updated_sequence_number"
+        override def dataType(): DataType = org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "data sequence number of the commit that last updated the row"
+      })
 
   /** Native V2 row-level DML (UPDATE / MERGE / DELETE-by-rewrite) — lets
     * Spark's own RewriteUpdateTable / RewriteMergeIntoTable /
@@ -628,15 +636,21 @@ private[connector] sealed trait GraftScanSplit extends InputPartition {
     * lives in the manifest tuple, not the file — the reader serves it
     * as a per-split constant (Iceberg's constants-map semantics). */
   def identityConsts: Seq[(Int, Any)]
+  /** The file's data sequence number — served per split as the
+    * `_last_updated_sequence_number` metadata column
+    * (metadata_columns.h:95: a row's last update is its file's). */
+  def dataSeq: Long
 }
 private[connector] final case class GraftFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
     absentDefaults: Seq[Int] = Nil,
-    identityConsts: Seq[(Int, Any)] = Nil) extends GraftScanSplit
+    identityConsts: Seq[(Int, Any)] = Nil,
+    dataSeq: Long = 0L) extends GraftScanSplit
 private[connector] final case class GraftKeyedFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
     key: InternalRow, absentDefaults: Seq[Int] = Nil,
-    identityConsts: Seq[(Int, Any)] = Nil) extends GraftScanSplit
+    identityConsts: Seq[(Int, Any)] = Nil,
+    dataSeq: Long = 0L) extends GraftScanSplit
     with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -809,7 +823,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
         val p = GraftConnectorUtil.normPath(t.file.filePath)
         val hasIds = fileHasIds(t, p)
         GraftFileSplit(p, t.file.fileSizeInBytes, hasIds, deletesFor(t),
-          absentFor(t, p), identityConstsFor(t, hasIds))
+          absentFor(t, p), identityConstsFor(t, hasIds), t.dataSequenceNumber)
       }, None, totalRows, snapId, origPaths, deletePaths, filesSorted)
     } else {
       val keyed = tasks.map { t =>
@@ -819,7 +833,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
           t.file.partition.map(GraftConnectorUtil.toInternalValue).toArray)
         GraftKeyedFileSplit(p, t.file.fileSizeInBytes, hasIds,
           deletesFor(t), key, absentFor(t, p),
-          identityConstsFor(t, hasIds)): GraftScanSplit
+          identityConstsFor(t, hasIds), t.dataSequenceNumber): GraftScanSplit
       }
       val nKeys = tasks.map(_.file.partition).distinct.size
       PlannedScan(keyed, Some(nKeys), totalRows, snapId, origPaths, deletePaths,
@@ -925,11 +939,14 @@ private[connector] final class GraftBatchScan(table: IceTable,
     // without ids (addFiles-registered) read by current name
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
-    // `_file` is a metadata column (SupportsMetadataColumns): it never
-    // reaches the parquet reader — each split injects its own path via
-    // the output projection below
+    // `_file` / `_last_updated_sequence_number` are metadata columns
+    // (SupportsMetadataColumns): they never reach the parquet reader —
+    // each split injects its own path / data sequence number via the
+    // output projection below
     val wantsFile = required.fieldNames.contains("_file")
-    val dataRequired = StructType(required.fields.filterNot(_.name == "_file"))
+    val wantsSeq = required.fieldNames.contains("_last_updated_sequence_number")
+    val dataRequired = StructType(required.fields.filterNot(f =>
+      f.name == "_file" || f.name == "_last_updated_sequence_number"))
 
     val eqCols: Seq[String] = planned.splits.flatMap(_.deletes.eqDeletes.flatMap(_._3)).distinct
     val fullByName = SparkConv.toSpark(table.schema).fields.map(f => f.name -> f).toMap
@@ -975,11 +992,14 @@ private[connector] final class GraftBatchScan(table: IceTable,
       }.toMap
 
     // final output projection: required order, `_file` (-1) filled with
-    // the split's path; identity when nothing was appended or injected
+    // the split's path, `_last_updated_sequence_number` (-2) with the
+    // split's data sequence number; identity when nothing was appended
     val outputTemplate: Option[Array[Int]] =
-      if (!wantsFile && extraEq.isEmpty) None
+      if (!wantsFile && !wantsSeq && extraEq.isEmpty) None
       else Some(required.fields.map(f =>
-        if (f.name == "_file") -1 else readSchemaIds.fieldIndex(f.name)))
+        if (f.name == "_file") -1
+        else if (f.name == "_last_updated_sequence_number") -2
+        else readSchemaIds.fieldIndex(f.name)))
 
     // identity-constant target slots: field id -> (read-schema ordinal,
     // spark type, iceberg primitive); consulted per split for Hive-
@@ -1362,6 +1382,9 @@ private[connector] final case class GraftReaderFactory(
         val proj = UnsafeProjection.create(tpl.toIndexedSeq.map {
           case -1 => org.apache.spark.sql.catalyst.expressions.Literal(
             UTF8String.fromString(split.path), StringType)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+          case -2 => org.apache.spark.sql.catalyst.expressions.Literal(
+            split.dataSeq, org.apache.spark.sql.types.LongType)
             : org.apache.spark.sql.catalyst.expressions.Expression
           case i => BoundReference(i, readSchema.fields(i).dataType, nullable = true)
         })

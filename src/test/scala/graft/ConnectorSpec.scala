@@ -43,6 +43,34 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("metadata columns: _last_updated_sequence_number parity (V2 + scan API)") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.seqcol"),
+      SparkConv.fromSpark(raw.schema))
+    // two appends -> data sequence numbers 1 and 2
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 0"))
+    t.append(spark).appendDataFrame(raw.filter("o_orderkey % 2 = 1"))
+
+    // V2 connector: the metadata column is selectable in SQL
+    val v2 = spark.sql(
+      "SELECT o_orderkey, _last_updated_sequence_number AS seq FROM db.seqcol"
+        .replace("db.seqcol", "ice.db.seqcol"))
+    val bySeq = v2.groupBy("seq").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySeq.keySet == Set(1L, 2L), s"sequence numbers: $bySeq")
+    assert(bySeq(1L) == raw.filter("o_orderkey % 2 = 0").count())
+    assert(bySeq(2L) == raw.filter("o_orderkey % 2 = 1").count())
+    // per-row correctness: even keys landed in commit 1, odd in commit 2
+    assert(v2.filter(col("o_orderkey") % 2 === 0 && col("seq") =!= 1).count() == 0)
+
+    // scan API serves the SAME values (parity between the two surfaces)
+    val api = IceTable.load(cat, TableIdentifier.parse("db.seqcol")).newScan()
+      .withMetadataColumns("_last_updated_sequence_number").toDF(spark)
+    assert(api.groupBy("_last_updated_sequence_number").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == bySeq)
+  }
+
   test("catalog plugin: V2 read equals the scan API read") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")

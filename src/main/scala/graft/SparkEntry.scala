@@ -1055,6 +1055,14 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.scan(s, dir, "documents"),
         "text", "doc_id", "lang")),
 
+    // exact SUBSTRING-level dedup (deduplicate-text-datasets class):
+    // maximal spans of 8-token windows occurring in >= 2 distinct docs
+    // (boilerplate/license chrome) — hash-grouped window postings, never
+    // a driver suffix array
+    "d12_substring_dedup" -> ((s, dir) =>
+      Dedup.substringSpans(Tables.scan(s, dir, "documents"),
+        "text", "doc_id", windowTokens = 8, minDocs = 2)),
+
     // SemDeDup: embedding-space dedup by cluster-then-compare. The cell
     // count is CORPUS-SIZED (sqrt(n/2), the d5 lesson — fixed k goes
     // quadratic as occupancy grows); at the correctness sf that yields
@@ -2381,6 +2389,29 @@ object SparkEntry {
         |    len(list_intersect(a.s, b.s)) AS ncommon, len(a.s) AS na
         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
         |WHERE ncommon * 5 >= na * 4""".stripMargin,
+    "d12_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+7], ' ') AS s
+        |  FROM toks, unnest(range(1, len(w) - 6)) AS u(i)
+        |  WHERE len(w) >= 8
+        |), flagged AS (
+        |  SELECT s FROM wins GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+        |), covered AS (
+        |  SELECT DISTINCT wins.doc_id, wins.p + o.off AS t
+        |  FROM wins JOIN flagged USING (s), unnest(range(0, 8)) AS o(off)
+        |), isl AS (
+        |  SELECT doc_id, t,
+        |    t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS g
+        |  FROM covered
+        |)
+        |SELECT doc_id, CAST(min(t) AS BIGINT) AS span_start,
+        |  CAST(max(t) AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
     "x7_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
         |    x -> len(x) > 0) AS l FROM documents),

@@ -244,6 +244,63 @@ object Dedup {
         round(col("__common").cast("double") / col("__na"), 6).as("containment"))
   }
 
+  /** Exact SUBSTRING-level dedup (the deduplicate-text-datasets class of
+    * op): doc-level dedup (d1) and near-dup (d3/d7/d9) drop whole
+    * documents, but training pipelines also strip repeated SPANS across
+    * documents — boilerplate, license headers, navigation chrome.
+    * Returns the maximal duplicated spans per document: every token
+    * position covered by a fixed-width `windowTokens`-token window that
+    * occurs in >= `minDocs` DISTINCT documents, merged into maximal
+    * runs (gaps-and-islands).
+    *
+    * Distributed shape — NEVER a driver suffix array:
+    *  1. map-only windowing: per doc, all W-token windows hashed to
+    *     64 bits (tokens materialized first — HOFs re-evaluate inlined
+    *     regex splits per element);
+    *  2. document frequency per window hash: one groupBy on 8-byte keys
+    *     (count DISTINCT doc), shuffle bounded by total token count;
+    *  3. flagged hashes join back to postings (boilerplate is rare, so
+    *     the flagged side is small — AQE broadcasts it);
+    *  4. covered positions explode W per hit, distinct, then islands via
+    *     a PER-DOCUMENT window (bounded by doc length, never data-sized).
+    *
+    * Hash-space recall bound, same argument as d2/d9: a 64-bit collision
+    * can only merge two distinct windows and OVER-flag — at n windows
+    * the probability is ~n²/2^65, negligible below ~10^9 windows per
+    * corpus; the spans themselves are exact once a window is flagged. */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(windowTokens >= 1 && minDocs >= 2,
+      s"need windowTokens >= 1 and minDocs >= 2, got $windowTokens/$minDocs")
+    val W = windowTokens
+    val base = Par.ensure(df.select(col(idCol).as("__id"),
+        tokens(col(textCol)).as("__w")))
+      .filter(size(col("__w")) >= W)
+    // (doc, window position, window hash) postings — 20-byte rows
+    val wins = base.select(col("__id"), explode(expr(
+        s"""transform(sequence(0, size(__w) - $W),
+           |  i -> struct(i AS p, xxhash64(concat_ws(' ', slice(__w, i + 1, $W))) AS h))"""
+          .stripMargin)).as("__x"))
+      .select(col("__id"), col("__x.p").as("__p"), col("__x.h").as("__h"))
+    val flagged = wins.groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__h")
+    val covered = wins.join(flagged, Seq("__h"))
+      .select(col("__id"),
+        explode(sequence(col("__p"), col("__p") + lit(W - 1))).as("__t"))
+      .distinct()
+    // islands: consecutive covered positions share (t - row_number)
+    val byDoc = Window.partitionBy("__id").orderBy("__t")
+    covered.withColumn("__g", col("__t") - row_number().over(byDoc))
+      .groupBy(col("__id"), col("__g"))
+      .agg(min("__t").cast("long").as("span_start"),
+        max("__t").cast("long").as("span_end"),
+        count(lit(1)).as("span_tokens"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
+
   /** Connected components of an undirected pair graph — the pipeline
     * step AFTER pair generation: near-duplicate PAIRS become near-dup
     * CLUSTERS, each with one canonical survivor (the minimum id).

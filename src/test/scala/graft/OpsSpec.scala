@@ -53,6 +53,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.count() == docs.count())
   }
 
+  test("substring dedup flags an injected boilerplate span, exactly") {
+    import spark.implicits._
+    // three docs with UNIQUE bodies, two of them carrying the same
+    // 10-token license header at a known offset; windows are 8 tokens,
+    // so the header is the ONLY cross-doc repeat
+    val license = (1 to 10).map(i => s"license$i").mkString(" ")
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$license ${body("alpha")}"),        // header at tokens 0..9
+      (2L, s"${body("beta")} $license"),         // header at tokens 30..39
+      (3L, body("gamma"))                        // clean
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(df, "text", "doc_id",
+      windowTokens = 8, minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the flagged region is exactly the tokens covered by shared
+    // 8-windows: all 10 header tokens in both carriers, nothing else
+    assert(spans == Set((1L, 0L, 9L, 10L), (2L, 30L, 39L, 10L)), spans.toString)
+
+    // a repeat WITHIN one document does not flag (distinct-doc counting)
+    val selfRep = Seq((9L, s"$license $license")).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(df.unionByName(selfRep).filter("doc_id = 9"),
+      "text", "doc_id", 8, 2).count() == 0)
+
+    // two adjacent shared spans in one doc merge into one maximal island
+    val both = Seq(
+      (21L, s"$license ${body("delta")}"),
+      (22L, s"${body("eps")} $license"),
+      (23L, s"$license $license ${body("zeta")}")).toDF("doc_id", "text")
+    val merged = Dedup.substringSpans(both, "text", "doc_id", 8, 2)
+      .filter("doc_id = 23").collect()
+    assert(merged.length == 1 && merged.head.getLong(1) == 0 &&
+      merged.head.getLong(2) == 19, merged.mkString(","))
+  }
+
   test("near-identical docs land in the same LSH bucket and verify high") {
     import spark.implicits._
     // doc B = doc A with one word changed -> jaccard close to 1

@@ -645,6 +645,50 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // C3++: thin-client MERGE-ON-READ through the plan wire — the server
+    // resolves data-file<->delete-file linkage per task (sequence rules
+    // applied server-side, delete-file-references indices), and the thin
+    // client reads planned files MINUS the referenced position deletes
+    // via one (file,pos) anti-join; still no table metadata client-side
+    "c_rest_plan_mor" -> ((s, dir) => {
+      import graft.ice._, graft.ice.catalog._
+      import graft.ice.types.SparkConv
+      val server = new RestCatalogServer(Tables.catalog(dir))
+      try {
+        val cat = new RestCatalog(server.baseUrl)
+        val ident = TableIdentifier(Seq("tpch"), "orders_restmor")
+        if (!cat.tableExists(ident)) {
+          val raw = Tables.raw(s, dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+          val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+          t.append(s).appendDataFrame(raw.repartition(3))
+          t.delete(s).deleteWherePositional(
+            graft.ice.expr.Expr.lt("o_orderkey", graft.ice.types.Literal.long(100)))
+        }
+        val plan = cat.planScan(ident, pageSize = Some(2))
+        // only delete files some task actually references (the linkage)
+        val refd = plan.tasks.flatMap(_.deleteRefs).distinct.map(plan.deleteFiles)
+        require(refd.forall(d => d.content == "position-deletes" &&
+          d.contentOffset.isEmpty),
+          "this thin client applies parquet position deletes only")
+        val strip = (p: String) => graft.ice.manifest.ManifestAvro.stripFileScheme(p)
+        val data = s.read.parquet(plan.tasks.map(t => strip(t.path)): _*)
+          .withColumn("__f", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+          .withColumn("__p", col("_metadata.row_index"))
+        val out =
+          if (refd.isEmpty) data
+          else {
+            val dels = s.read.parquet(refd.map(d => strip(d.path)): _*)
+              .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__df"),
+                col("pos").as("__dp"))
+            data.join(dels,
+              data("__f") === dels("__df") && data("__p") === dels("__dp"),
+              "left_anti")
+          }
+        out.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      } finally server.stop()
+    }),
+
     // MERGE INTO (upsert, CoW): update every 10th order's totalprice and
     // insert shifted copies of every 100th-key-ending-in-7 order, in ONE
     // atomic overwrite snapshot; only files containing a matched key are
@@ -1061,6 +1105,13 @@ object SparkEntry {
     // a driver suffix array
     "d12_substring_dedup" -> ((s, dir) =>
       Dedup.substringSpans(Tables.scan(s, dir, "documents"),
+        "text", "doc_id", windowTokens = 8, minDocs = 2)),
+
+    // the removal side: corpus with flagged spans stripped from the
+    // token stream — the tiny span table broadcasts back and cleaning
+    // is MAP-ONLY (indexed-lambda filter); text never shuffles
+    "d13_substring_clean" -> ((s, dir) =>
+      Dedup.substringClean(Tables.scan(s, dir, "documents"),
         "text", "doc_id", windowTokens = 8, minDocs = 2)),
 
     // SemDeDup: embedding-space dedup by cluster-then-compare. The cell
@@ -2116,6 +2167,9 @@ object SparkEntry {
     "c_rest_plan" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "c_rest_plan_mor" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey >= 100""".stripMargin,
     "t2_wap" -> "SELECT * FROM supplier",
     "mrg_upsert" -> ("""
       SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2412,6 +2466,31 @@ object SparkEntry {
         |  CAST(max(t) AS BIGINT) AS span_end,
         |  CAST(count(*) AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, g""".stripMargin,
+    "d13_substring_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), t -> len(t) > 0) AS w
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+7], ' ') AS s
+        |  FROM toks, unnest(range(1, len(w) - 6)) AS u(i)
+        |  WHERE len(w) >= 8
+        |), flagged AS (
+        |  SELECT s FROM wins GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+        |), covered AS (
+        |  SELECT DISTINCT wins.doc_id, wins.p + o.off AS t
+        |  FROM wins JOIN flagged USING (s), unnest(range(0, 8)) AS o(off)
+        |), cov AS (
+        |  SELECT doc_id, list(t) AS cv FROM covered GROUP BY doc_id
+        |), sel AS (
+        |  SELECT t.doc_id, t.w,
+        |    CASE WHEN c.cv IS NULL THEN t.w
+        |         ELSE list_filter(t.w, (x, i) -> NOT list_contains(c.cv, i - 1)) END AS kept
+        |  FROM toks t LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(w) - len(kept) AS BIGINT) AS n_dropped
+        |FROM sel""".stripMargin,
     "x7_repetition" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
         |    x -> len(x) > 0) AS l FROM documents),

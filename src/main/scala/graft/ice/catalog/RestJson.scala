@@ -538,12 +538,25 @@ object RestJson {
   // ---------- scan-planning task serde ----------
 
   /** A server-planned scan task, the thin-client view of FileScanTask:
-    * enough to read the file without ever opening table metadata. */
+    * enough to read the file without ever opening table metadata.
+    * `deleteRefs` are indexes into the plan's TOP-LEVEL delete-files
+    * array (the public spec's delete-file-references shape) — the
+    * data-file<->delete-file linkage a MoR-correct thin read needs;
+    * sequence-number visibility is resolved SERVER-side per task. */
   final case class PlannedTask(path: String, format: String,
-      recordCount: Long, fileSizeInBytes: Long)
+      recordCount: Long, fileSizeInBytes: Long, deleteRefs: Seq[Int] = Nil)
+
+  /** A planned delete file: parquet position/equality deletes carry just
+    * the path; deletion vectors add (content-offset, content-size) into
+    * their puffin container and the referenced data file. */
+  final case class PlannedDelete(path: String, content: String,
+      contentOffset: Option[Long] = None,
+      contentSizeInBytes: Option[Long] = None,
+      equalityIds: Seq[Int] = Nil,
+      referencedDataFile: Option[String] = None)
 
   final case class PlanResult(tasks: Seq[PlannedTask],
-      deleteFiles: Seq[String], snapshotId: Long)
+      deleteFiles: Seq[PlannedDelete], snapshotId: Long)
 
   /** One wire page of a plan response: the tasks slice plus the paging
     * handles (types.h:37-121 declares the paged protocol; a million-file
@@ -569,9 +582,23 @@ object RestJson {
       df.put("file-format", t.format)
       df.put("record-count", t.recordCount)
       df.put("file-size-in-bytes", t.fileSizeInBytes)
+      if (t.deleteRefs.nonEmpty) {
+        val refs = to.putArray("delete-file-references")
+        t.deleteRefs.foreach(refs.add)
+      }
     }
     val ds = o.putArray("delete-files")
-    r.deleteFiles.foreach { p => ds.addObject().put("file-path", p) }
+    r.deleteFiles.foreach { d =>
+      val o2 = ds.addObject()
+      o2.put("file-path", d.path)
+      o2.put("content", d.content)
+      d.contentOffset.foreach(o2.put("content-offset", _))
+      d.contentSizeInBytes.foreach(o2.put("content-size-in-bytes", _))
+      if (d.equalityIds.nonEmpty) {
+        val a = o2.putArray("equality-ids"); d.equalityIds.foreach(a.add)
+      }
+      d.referencedDataFile.foreach(o2.put("referenced-data-file", _))
+    }
     o
   }
 
@@ -583,10 +610,19 @@ object RestJson {
     val tasks = Option(n.get("file-scan-tasks")).map(_.elements.asScala.map { t =>
       val df = t.get("data-file")
       PlannedTask(df.get("file-path").asText, df.get("file-format").asText,
-        df.get("record-count").asLong, df.get("file-size-in-bytes").asLong)
+        df.get("record-count").asLong, df.get("file-size-in-bytes").asLong,
+        Option(t.get("delete-file-references")).map(
+          _.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil))
     }.toSeq).getOrElse(Nil)
-    val dels = Option(n.get("delete-files")).map(
-      _.elements.asScala.map(_.get("file-path").asText).toSeq).getOrElse(Nil)
+    val dels = Option(n.get("delete-files")).map(_.elements.asScala.map { d =>
+      PlannedDelete(d.get("file-path").asText,
+        Option(d.get("content")).map(_.asText).getOrElse("position-deletes"),
+        Option(d.get("content-offset")).map(_.asLong),
+        Option(d.get("content-size-in-bytes")).map(_.asLong),
+        Option(d.get("equality-ids")).map(
+          _.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil),
+        Option(d.get("referenced-data-file")).map(_.asText))
+    }.toSeq).getOrElse(Nil)
     PlanPage(PlanResult(tasks, dels, n.get("snapshot-id").asLong),
       Option(n.get("plan-id")).map(_.asText),
       Option(n.get("next-page-token")).map(_.asText))

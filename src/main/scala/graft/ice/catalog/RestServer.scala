@@ -232,12 +232,35 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     Option(req.get("case-sensitive")).foreach(cs =>
       scan = scan.withCaseSensitive(cs.asBoolean))
     Option(req.get("filter")).foreach(f => scan = scan.filter(exprFromJson(f)))
+    // data-file<->delete-file linkage (delete-file-references): sequence
+    // visibility resolves SERVER-side per task — pos deletes apply at
+    // deleteSeq >= dataSeq (file-scoped ones only to their referenced
+    // file), equality deletes at deleteSeq > dataSeq — so a thin client
+    // never needs sequence numbers to read MoR-correctly
+    val deleteEntries = snap.map(t.planDeleteEntries).getOrElse(Nil)
+    import graft.ice.manifest.{FileContent, ManifestAvro}
+    val plannedDeletes = deleteEntries.map { e =>
+      PlannedDelete(e.dataFile.filePath,
+        if (e.dataFile.content == FileContent.PositionDeletes) "position-deletes"
+        else "equality-deletes",
+        e.dataFile.contentOffset, e.dataFile.contentSizeInBytes,
+        e.dataFile.equalityIds, e.dataFile.referencedDataFile)
+    }
+    def refsFor(task: graft.ice.FileScanTask): Seq[Int] = {
+      val p = ManifestAvro.stripFileScheme(task.file.filePath)
+      deleteEntries.zipWithIndex.collect {
+        case (e, i) if e.dataFile.content == FileContent.PositionDeletes &&
+            e.sequenceNumber.getOrElse(0L) >= task.dataSequenceNumber &&
+            e.dataFile.referencedDataFile.forall(r =>
+              ManifestAvro.stripFileScheme(r) == p) => i
+        case (e, i) if e.dataFile.content == FileContent.EqualityDeletes &&
+            e.sequenceNumber.getOrElse(0L) > task.dataSequenceNumber => i
+      }
+    }
     val tasks = scan.planFiles().map(task => PlannedTask(
       task.file.filePath, task.file.fileFormat,
-      task.file.recordCount, task.file.fileSizeInBytes))
-    val deletes = snap.map(t.planDeleteEntries).getOrElse(Nil)
-      .map(_.dataFile.filePath)
-    val result = PlanResult(tasks, deletes, snap.map(_.snapshotId).getOrElse(-1L))
+      task.file.recordCount, task.file.fileSizeInBytes, refsFor(task)))
+    val result = PlanResult(tasks, plannedDeletes, snap.map(_.snapshotId).getOrElse(-1L))
     // paged flavor (types.h:74 PageToken): with "page-size" the finished
     // plan is parked server-side under a plan-id and served in slices —
     // a million-file plan is never one JSON allocation on either side.

@@ -301,6 +301,37 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** The REMOVAL side of [[substringSpans]]: the corpus with every
+    * flagged span stripped from the token stream (cleaning operates on
+    * the normalized tokens — output text is kept tokens joined by one
+    * space, the same normalization every downstream token-level op
+    * uses). Docs without flagged spans pass through token-joined.
+    *
+    * Scale shape: the span table is tiny (boilerplate is rare), so it
+    * aggregates per doc and joins BACK to the corpus — the cleaning
+    * itself is MAP-ONLY (an indexed-lambda filter per row); the corpus
+    * text is never shuffled. */
+  def substringClean(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = substringSpans(df, textCol, idCol, windowTokens, minDocs)
+    val spansPerDoc = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val base = Par.ensure(df.select(col(idCol), tokens(col(textCol)).as("__w")))
+    base.join(broadcast(spansPerDoc), Seq(idCol), "left")
+      .select(col(idCol),
+        // two-arg lambda: token index i (0-based) survives unless inside
+        // any flagged span; O(tokens x spans-per-doc) per row, spans few
+        when(col("__spans").isNull, col("__w")).otherwise(
+          filter(col("__w"), (t, i) => !exists(col("__spans"),
+            sp => i >= sp.getField("span_start") &&
+              i <= sp.getField("span_end")))).as("__kept"),
+        size(col("__w")).cast("long").as("__n"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Connected components of an undirected pair graph — the pipeline
     * step AFTER pair generation: near-duplicate PAIRS become near-dup
     * CLUSTERS, each with one canonical survivor (the minimum id).

@@ -17,6 +17,12 @@ object Par {
     val splits = df.queryExecution.sparkPlan.collectLeaves().map {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.inputRDD.getNumPartitions
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+      // a reused exchange is a LEAF whose outputPartitioning reports the
+      // exchange's virtual partition count (e.g. 200) — counting it would
+      // over-count real input splits and skip a needed repartition
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
       case other => other.outputPartitioning.numPartitions
     }.sum
     if (splits > 0 && splits < want) df.repartition(want) else df

@@ -86,6 +86,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter("doc_id = 23").collect()
     assert(merged.length == 1 && merged.head.getLong(1) == 0 &&
       merged.head.getLong(2) == 19, merged.mkString(","))
+
+    // the removal side: carriers lose exactly the header, clean doc
+    // passes through token-joined and untouched
+    val cleaned = Dedup.substringClean(df, "text", "doc_id", 8, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cleaned(1L) == ((body("alpha"), 30L, 10L)), cleaned(1L).toString)
+    assert(cleaned(2L) == ((body("beta"), 30L, 10L)))
+    assert(cleaned(3L) == ((body("gamma"), 30L, 0L)))
   }
 
   test("near-identical docs land in the same LSH bucket and verify high") {

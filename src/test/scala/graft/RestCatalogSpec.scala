@@ -235,6 +235,53 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plan wire carries task<->delete linkage with sequence visibility") {
+    import org.apache.spark.sql.functions.col
+    withRest() { (cat, _, _) =>
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "ordmor")
+      val raw = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+      t.append(spark).appendDataFrame(raw.repartition(2))        // seq 1
+      t.delete(spark).deleteWherePositional(                      // seq 2
+        graft.ice.expr.Expr.lt("o_orderkey", graft.ice.types.Literal.long(50)))
+      t.append(spark).appendDataFrame(                            // seq 3
+        raw.limit(5).withColumn("o_orderkey",
+          col("o_orderkey") + org.apache.spark.sql.functions.lit(900000L)))
+
+      val plan = cat.planScan(ident)
+      assert(plan.deleteFiles.nonEmpty)
+      assert(plan.deleteFiles.forall(_.content == "position-deletes"))
+      // pre-delete data files (seq 1) reference the delete; the append
+      // AFTER the delete (seq 3) must not — sequence rules are resolved
+      // server-side so a thin client never sees sequence numbers
+      val (withRefs, without) = plan.tasks.partition(_.deleteRefs.nonEmpty)
+      assert(withRefs.size == 2 && without.size >= 1,
+        s"refs: ${plan.tasks.map(t => t.path -> t.deleteRefs)}")
+      assert(withRefs.flatMap(_.deleteRefs).distinct.forall(
+        i => i >= 0 && i < plan.deleteFiles.size))
+
+      // thin-client MoR read == scan API read (the linkage is sufficient)
+      def strip(p: String) = graft.ice.manifest.ManifestAvro.stripFileScheme(p)
+      val data = spark.read.parquet(plan.tasks.map(x => strip(x.path)): _*)
+        .withColumn("__f", org.apache.spark.sql.functions.regexp_replace(
+          col("_metadata.file_path"), "^file:/*", "/"))
+        .withColumn("__p", col("_metadata.row_index"))
+      val refd = plan.tasks.flatMap(_.deleteRefs).distinct.map(plan.deleteFiles)
+      val dels = spark.read.parquet(refd.map(d => strip(d.path)): _*)
+        .select(org.apache.spark.sql.functions.regexp_replace(
+          col("file_path"), "^file:/*", "/").as("__df"), col("pos").as("__dp"))
+      val thin = data.join(dels,
+          data("__f") === dels("__df") && data("__p") === dels("__dp"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+      val api = IceTable.load(cat, ident).newScan().toDF(spark)
+        .select("o_orderkey", "o_totalprice")
+      assert(thin.collect().map(_.toString).sorted.toSeq ==
+        api.collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
   test("partition statistics and rollback timestamps survive the wire") {
     withRest() { (cat, server, _) =>
       cat.createNamespace(Seq("db"))

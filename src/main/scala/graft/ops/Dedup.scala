@@ -273,15 +273,14 @@ object Dedup {
     require(windowTokens >= 1 && minDocs >= 2,
       s"need windowTokens >= 1 and minDocs >= 2, got $windowTokens/$minDocs")
     val W = windowTokens
-    val base = Par.ensure(df.select(col(idCol).as("__id"),
-        tokens(col(textCol)).as("__w")))
-      .filter(size(col("__w")) >= W)
-    // (doc, window position, window hash) postings — 20-byte rows
-    val wins = base.select(col("__id"), explode(expr(
-        s"""transform(sequence(0, size(__w) - $W),
-           |  i -> struct(i AS p, xxhash64(concat_ws(' ', slice(__w, i + 1, $W))) AS h))"""
-          .stripMargin)).as("__x"))
-      .select(col("__id"), col("__x.p").as("__p"), col("__x.h").as("__h"))
+    // (doc, window position, window hash) postings — the window kernel
+    // (TextExprs.windowHashes) computes every window's 64-bit hash in
+    // ONE compiled pass over a single joined token buffer (no per-window
+    // string allocation, no interpreted HOF); array index = position
+    val wins = Par.ensure(df.select(col(idCol).as("__id"),
+        TextExprs.windowHashes(col(textCol), W).as("__hs")))
+      .select(col("__id"), posexplode(col("__hs")))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__h")
     val flagged = wins.groupBy("__h")
       .agg(countDistinct(col("__id")).as("__df"))
       .filter(col("__df") >= minDocs)

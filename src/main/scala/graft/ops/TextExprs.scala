@@ -138,6 +138,40 @@ object TextHashUtil {
     }
     min
   }
+
+  /** Hash of EVERY `w`-token window, in token order (array index = the
+    * window's 0-based start position) — the posting kernel for
+    * substring-level dedup. Same contiguous-byte-range trick as
+    * [[fingerprint]]: one joined buffer, no per-window string
+    * allocation; each value equals Spark's
+    * `xxhash64(concat_ws(' ', slice(tokens, i+1, w)))` bit for bit
+    * (seed 42, identical bytes). Docs with fewer than `w` tokens yield
+    * an EMPTY array (the HOF's size-guarded sequence semantics). */
+  def windowHashes(text: UTF8String, w: Int): ArrayData = {
+    val toks = tokens(text)
+    val n = toks.length
+    if (n < w) return new GenericArrayData(new Array[Any](0))
+    val buf = String.join(" ", toks: _*).getBytes(StandardCharsets.UTF_8)
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var ti = 0
+    var p = 0
+    while (p < buf.length) {
+      if (buf(p) == ' ') { ends(ti) = p; ti += 1; starts(ti) = p + 1 }
+      p += 1
+    }
+    ends(n - 1) = buf.length
+    val count = n - w + 1
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val off = starts(i)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, Platform.BYTE_ARRAY_OFFSET + off, ends(i + w - 1) - off, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<string> of distinct word n-gram shingles; whole-stage-codegen
@@ -327,4 +361,32 @@ object TextExprs {
     column(MinhashExpr(expression(text), shingleN, k))
   def fingerprint(text: Column, gram: Int): Column =
     column(FingerprintExpr(expression(text), gram))
+  def windowHashes(text: Column, w: Int): Column =
+    column(WindowHashesExpr(expression(text), w))
+}
+
+/** array<long> of every w-token window's hash, index = window start —
+  * the substring-dedup posting kernel (whole-stage codegen, one static
+  * call; bit-equal to the HOF xxhash64(concat_ws(slice)) form). */
+final case class WindowHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"window_hashes needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.windowHashes(v.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$util.windowHashes($c, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
 }

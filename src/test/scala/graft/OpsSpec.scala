@@ -53,6 +53,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.count() == docs.count())
   }
 
+  test("codegen window-hash kernel is bit-exact with the HOF formulation") {
+    val W = 8
+    val sample = docs.limit(50).select(col("doc_id"), col("text"))
+    val hof = sample.select(col("doc_id"), Dedup.tokens(col("text")).as("__w"))
+      .filter(size(col("__w")) >= W)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(__w) - $W), " +
+          s"i -> xxhash64(concat_ws(' ', slice(__w, i + 1, $W))))").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ker = sample.select(col("doc_id"),
+        graft.ops.TextExprs.windowHashes(col("text"), W).as("h"))
+      .filter(size(col("h")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hof.nonEmpty && hof == ker)
+    // short docs yield an EMPTY array (the HOF's size guard), and the
+    // generated Java compiles with codegen fallback disabled
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val short = Seq((1L, "only three tokens"), (2L, "")).toDF("doc_id", "text")
+        .select(graft.ops.TextExprs.windowHashes(col("text"), W).as("h"))
+        .collect()
+      assert(short.forall(_.getSeq[Long](0).isEmpty))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("substring dedup flags an injected boilerplate span, exactly") {
     import spark.implicits._
     // three docs with UNIQUE bodies, two of them carrying the same

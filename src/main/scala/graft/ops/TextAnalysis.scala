@@ -128,16 +128,6 @@ object TextAnalysis {
     Par.ensure(df).select(col(idCol),
       fingerprint(col(textCol), gram).as("fingerprint"))
 
-  /** Complete word n-grams of an already-materialized token array —
-    * unlike [[graft.ops.Dedup.shinglesOf]] a document shorter than n
-    * contributes NO gram (a partial window can never equal a full
-    * benchmark n-gram, so emitting it would only inflate the explode). */
-  private def fullNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-
   /** Benchmark decontamination — the n-gram-overlap scan every training
     * pipeline runs before a model ships: a corpus document is
     * contaminated if it shares ANY complete word n-gram (the public
@@ -152,16 +142,23 @@ object TextAnalysis {
     * join, and the only corpus-sized shuffle is the per-doc count of
     * matches, which after map-side combine carries only the (rare)
     * contaminated grams. Nothing in the plan grows super-linearly in
-    * corpus size. */
+    * corpus size.
+    *
+    * Both sides run in 64-BIT HASH space (the window-hash kernel — one
+    * compiled pass per row, no gram strings built, 8-byte broadcast
+    * keys): a collision between a corpus gram and a DIFFERENT benchmark
+    * gram would take a specific 2^-64 event to miscount one doc —
+    * the d2/d12 recall-bound argument; full-window-only semantics
+    * (docs shorter than n contribute nothing) are the kernel's. */
   def decontaminate(corpus0: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame = {
     val corpus = Par.ensure(corpus0)
     val benchGrams = benchmark
-      .select(explode(fullNgrams(Dedup.tokens(col(textCol)), n)).as("__g"))
+      .select(explode(TextExprs.windowHashes(col(textCol), n)).as("__g"))
       .distinct()
     corpus
       .select(col(idCol),
-        explode(fullNgrams(Dedup.tokens(col(textCol)), n)).as("__g"))
+        explode(array_distinct(TextExprs.windowHashes(col(textCol), n))).as("__g"))
       .join(broadcast(benchGrams), "__g")
       // per-doc grams are already distinct, so count(*) is the distinct
       // benchmark-gram hit count

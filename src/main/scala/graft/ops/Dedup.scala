@@ -148,10 +148,17 @@ object Dedup {
       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
     val sh = shingleSets(df, textCol, idCol, blockCol, shingleN)
     val cands = jaccardCandidates(sh, thresholdNum, thresholdDen)
-    val sets = sh.select(col("__id"), col("__sh"))
+    // verification re-checks BLOCK equality (candidates are keyed by the
+    // block-folded hash, so a 2^-64 cross-block collision could smuggle
+    // in a cross-block candidate) — one tiny string next to the full
+    // shingle arrays this join already carries
+    val sets = sh.select(col("__id"), col("__sh"), col("__blk"))
     cands
-      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
-      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa"),
+        col("__blk").as("__blka")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sb"),
+        col("__blk").as("__blkb")), "id_b")
+      .filter(col("__blka") === col("__blkb"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("n_common"),
         (size(col("__sa")) + size(col("__sb"))).cast("long").as("__tot"))
@@ -481,28 +488,33 @@ object Dedup {
     // Collisions that merge non-shared elements only RAISE hash-jaccard,
     // which adds candidates; the exact array_intersect verification
     // removes any such false positive, so precision is exact.
+    // posting diet (same as containmentPairs): the block is FOLDED into
+    // the 64-bit shingle hash (one 8-byte key everywhere; a cross-block
+    // collision only ADDS a candidate, which verification rejects via
+    // its block-equality check) and counts travel as 4-byte ints
     val postings = sh.select(col("__blk"), col("__id"),
-      size(col("__sh")).cast("long").as("__n"),
+      size(col("__sh")).as("__n"), // int
       explode(col("__sh")).as("__s0"))
-      .withColumn("__s", xxhash64(col("__s0"))).drop("__s0")
-    // canonical order: global frequency ascending, ties by shingle value.
-    // Only REPEATED shingles matter for the order (freq-1 shingles tie and
-    // break lexically regardless), so the frequency table ships as a
-    // broadcast with miss => 1 — the posting-scale sort-merge join this
-    // replaces was 2 of the 3 posting shuffles in the candidate stage
-    // (measured at sf1: the candidate stage dominated d7's 33 s)
+      .withColumn("__s", xxhash64(col("__blk"), col("__s0"))).drop("__s0", "__blk")
+    // canonical order: per-(block,shingle) frequency ascending, ties by
+    // hash value. Only REPEATED shingles matter for the order (freq-1
+    // shingles tie and break by hash regardless), so the frequency table
+    // ships as a broadcast with miss => 1 — the posting-scale sort-merge
+    // join this replaces was 2 of the 3 posting shuffles in the candidate
+    // stage (measured at sf1: the candidate stage dominated d7's 33 s)
     val freq = postings.groupBy("__s").agg(count(lit(1)).as("__f"))
       .filter(col("__f") > 1)
     val ranked = postings.join(broadcast(freq), Seq("__s"), "left")
       .withColumn("__f", coalesce(col("__f"), lit(1L)))
       .withColumn("__rank", row_number().over(
-        Window.partitionBy("__blk", "__id").orderBy(col("__f"), col("__s"))))
+        Window.partitionBy("__id").orderBy(col("__f"), col("__s"))))
     // prefix length n - ceil(t*n) + 1 in exact integer arithmetic
     val prefix = ranked.filter(col("__rank") <=
-      col("__n") - expr(s"(__n * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
-    val a = prefix.select(col("__blk"), col("__s"), col("__id").as("id_a"),
+      col("__n") - expr(
+        s"(cast(__n as bigint) * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
+    val a = prefix.select(col("__s"), col("__id").as("id_a"),
       col("__n").as("__na"), col("__rank").as("__pa"))
-    val b = prefix.select(col("__blk"), col("__s"), col("__id").as("id_b"),
+    val b = prefix.select(col("__s"), col("__id").as("id_b"),
       col("__n").as("__nb"), col("__rank").as("__pb"))
     // PPJoin companion filters (both exactness-preserving):
     //  - length: jaccard >= t forces t*|A| <= |B| <= |A|/t
@@ -513,13 +525,19 @@ object Dedup {
     //    the pair truly qualifies, so filtering every match row is safe.
     // Measured at sf1: candidate rows 14.9M -> the filters exist because
     // short template-heavy docs otherwise flood the verify stage.
-    val alpha = expr(s"($thresholdNum * (__na + __nb) + $thresholdNum + $thresholdDen - 1) " +
-      s"div ($thresholdNum + $thresholdDen)")
-    a.join(b, Seq("__blk", "__s"))
+    // Comparisons widen to long POST-join — wide math costs nothing in
+    // the shuffle rows.
+    val alpha = expr(
+      s"($thresholdNum * (cast(__na as bigint) + __nb) + $thresholdNum + $thresholdDen - 1) " +
+        s"div ($thresholdNum + $thresholdDen)")
+    a.join(b, Seq("__s"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("__nb") * thresholdDen >= col("__na") * thresholdNum &&
-        col("__na") * thresholdDen >= col("__nb") * thresholdNum)
-      .filter(lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >= alpha)
+      .filter(col("__nb").cast("long") * thresholdDen >=
+          col("__na").cast("long") * thresholdNum &&
+        col("__na").cast("long") * thresholdDen >=
+          col("__nb").cast("long") * thresholdNum)
+      .filter(lit(1L) + least(col("__na") - col("__pa"),
+        col("__nb") - col("__pb")).cast("long") >= alpha)
       .select("id_a", "id_b").distinct()
   }
 

@@ -172,6 +172,37 @@ object TextHashUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-document repetition stats in ONE pass — (n_tokens,
+    * dup_token_ratio, top_bigram_frac) as a struct row. Replaces a
+    * per-doc bigram explode + two doc-keyed shuffles with a map-only
+    * projection; value parity with the agg formulation is exact:
+    * dup = 1 - distinct/n (double division, same IEEE ops), top =
+    * max bigram count / (n-1) (the agg's sum(counts) IS n-1), both 0.0
+    * for docs the agg path left-join-misses (n < 2 / empty). */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokens(text)
+    val n = toks.length
+    val distinct = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { distinct.add(toks(i)); i += 1 }
+    val dup = if (n > 0) 1.0 - distinct.size.toDouble / n else 0.0
+    var top = 0.0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Int](n * 2)
+      var maxC = 0
+      i = 0
+      while (i < n - 1) {
+        val bg = toks(i) + " " + toks(i + 1)
+        val c = counts.merge(bg, 1, Integer.sum)
+        if (c > maxC) maxC = c
+        i += 1
+      }
+      top = maxC.toDouble / (n - 1).toDouble
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, dup, top))
+  }
 }
 
 /** array<string> of distinct word n-gram shingles; whole-stage-codegen
@@ -363,6 +394,40 @@ object TextExprs {
     column(FingerprintExpr(expression(text), gram))
   def windowHashes(text: Column, w: Int): Column =
     column(WindowHashesExpr(expression(text), w))
+  def repetitionStats(text: Column): Column =
+    column(RepetitionStatsExpr(expression(text)))
+}
+
+/** struct(n_tokens, dup_token_ratio, top_bigram_frac) computed per row
+  * in one compiled pass — the map-only repetition gate. */
+final case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"repetition_stats needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.repetitionStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$util.repetitionStats($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("dup_token_ratio", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
 }
 
 /** array<long> of every w-token window's hash, index = window start —

@@ -53,6 +53,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.count() == docs.count())
   }
 
+  test("repetition-stats kernel equals the agg formulation (incl. edge docs)") {
+    import spark.implicits._
+    val edge = Seq((900L, ""), (901L, "one"), (902L, "two words"),
+      (903L, "a a a a"), (904L, "x y x y x y")).toDF("doc_id", "text")
+    val sample = docs.limit(40).select(col("doc_id"), col("text")).unionByName(edge)
+    // the pre-kernel agg formulation, verbatim
+    val base = sample
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("dup_token_ratio",
+        when(col("n_tokens") > 0,
+          lit(1.0) - size(array_distinct(col("__toks"))).cast("double") /
+            col("n_tokens")).otherwise(lit(0.0)))
+    val top = base.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__toks"), lit(1), (col("n_tokens") - 1).cast("int")),
+        slice(col("__toks"), lit(2), (col("n_tokens") - 1).cast("int")),
+        (a, b) => concat_ws(" ", a, b))).as("__bg"))
+      .groupBy(col("doc_id"), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("top_bigram_frac"))
+    val agg = base.drop("__toks").join(top, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val ker = graft.ops.TextAnalysis.repetitionMetrics(sample, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(agg == ker, (agg.toSet diff ker.toSet).toString)
+  }
+
   test("codegen window-hash kernel is bit-exact with the HOF formulation") {
     val W = 8
     val sample = docs.limit(50).select(col("doc_id"), col("text"))

@@ -217,8 +217,13 @@ object Bench {
         s"${e.getClass.getName}: ${e.getMessage}")
     }
     System.err.flush()
+    // Locale.ROOT: on a comma-decimal default locale f"%.3f" would emit
+    // "0,123" and corrupt the machine-parsed JSON metrics line
     val ratios = ratiosAdj.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"ratio_vs_prior_host_adjusted":$ratios,"sf":"$sfDir"}""")
     // second, compact line: the driver artifact keeps only the output
     // TAIL, which can truncate the head of the full metrics line above —

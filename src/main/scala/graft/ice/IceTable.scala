@@ -717,7 +717,15 @@ object IceTable {
   * splits (table_scan.h FileScanTask). `snapshotId` = the snapshot that
   * added the file (threads the per-commit field-id summary to the read). */
 final case class FileScanTask(file: DataFile, specId: Int,
-    dataSequenceNumber: Long = 0L, snapshotId: Option[Long] = None)
+    dataSequenceNumber: Option[Long] = None, snapshotId: Option[Long] = None) {
+  /** Delete-visibility comparand: a file with no sequence number (v1 /
+    * addFiles-registered, pre-lineage) sorts BEFORE every sequenced
+    * delete — 0 is the right floor for `deleteSeq >= dataSeq` math, but
+    * the `_last_updated_sequence_number` metadata column serves null for
+    * such files (the row has no recorded update), matching the
+    * reference's metadata-column semantics. */
+  def sequenceForVisibility: Long = dataSequenceNumber.getOrElse(0L)
+}
 
 /** Fluent scan builder (reference: table_scan.cc:171-246). */
 final class ScanBuilder(table: IceTable) {
@@ -853,13 +861,13 @@ final class ScanBuilder(table: IceTable) {
         case Some((from, to)) =>
           table.planAppendsBetween(from, to)
             .map(e => FileScanTask(e.dataFile, e.specId,
-              e.sequenceNumber.getOrElse(0L), e.snapshotId))
+              e.sequenceNumber, e.snapshotId))
         // restrictPaths rides INTO planning (driver or executor side), so
         // a restricted scan of a million-file snapshot collects only the
         // restricted entries, not the whole live set
         case None => table.planEntries(snap, bound, restrictPaths)
           .map(e => FileScanTask(e.dataFile, e.specId,
-            e.sequenceNumber.getOrElse(0L), e.snapshotId))
+            e.sequenceNumber, e.snapshotId))
       }
       val tasks = restrictPaths match {
         case Some(ps) => tasks0.filter(t => ps.contains(t.file.filePath))
@@ -1180,9 +1188,9 @@ final class ScanBuilder(table: IceTable) {
         // deletion vectors key on (puffin path, blob offset) — one puffin
         // file holds many per-data-file vectors
         val groups = tasks.groupBy { t =>
-          (posDeletes.filter(_.sequenceNumber.getOrElse(0L) >= t.dataSequenceNumber)
+          (posDeletes.filter(_.sequenceNumber.getOrElse(0L) >= t.sequenceForVisibility)
             .map(e => (e.dataFile.filePath, e.dataFile.contentOffset)),
-            eqDeletes.filter(_.sequenceNumber.getOrElse(0L) > t.dataSequenceNumber).map(_.dataFile.filePath))
+            eqDeletes.filter(_.sequenceNumber.getOrElse(0L) > t.sequenceForVisibility).map(_.dataFile.filePath))
         }
         groups.map { case ((posKeys, eqPaths), groupTasks) =>
           val needPos = posKeys.nonEmpty

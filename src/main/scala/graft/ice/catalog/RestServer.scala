@@ -177,8 +177,8 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     case ("POST", List("namespaces", nsSeg, "tables", name, "plan")) =>
       planTable(ex, TableIdentifier(splitNs(nsSeg), name))
 
-    case ("GET", List("namespaces", _, "tables", _, "plan", planId)) =>
-      planPage(ex, planId, query)
+    case ("GET", List("namespaces", nsSeg, "tables", name, "plan", planId)) =>
+      planPage(ex, TableIdentifier(splitNs(nsSeg), name), planId, query)
 
     case (m, List("namespaces", nsSeg, "tables", name)) =>
       val ident = TableIdentifier(splitNs(nsSeg), name)
@@ -250,11 +250,11 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
       val p = ManifestAvro.stripFileScheme(task.file.filePath)
       deleteEntries.zipWithIndex.collect {
         case (e, i) if e.dataFile.content == FileContent.PositionDeletes &&
-            e.sequenceNumber.getOrElse(0L) >= task.dataSequenceNumber &&
+            e.sequenceNumber.getOrElse(0L) >= task.sequenceForVisibility &&
             e.dataFile.referencedDataFile.forall(r =>
               ManifestAvro.stripFileScheme(r) == p) => i
         case (e, i) if e.dataFile.content == FileContent.EqualityDeletes &&
-            e.sequenceNumber.getOrElse(0L) > task.dataSequenceNumber => i
+            e.sequenceNumber.getOrElse(0L) > task.sequenceForVisibility => i
       }
     }
     val tasks = scan.planFiles().map(task => PlannedTask(
@@ -270,7 +270,7 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
       case Some(sz) if sz > 0 && result.tasks.sizeIs > sz =>
         val planId = java.util.UUID.randomUUID().toString
         evictExpiredPlans()
-        planCache.put(planId, (System.currentTimeMillis(), result))
+        planCache.put(planKey(ident, planId), (System.currentTimeMillis(), result))
         reply(ex, 200, planResultToJson(
           result.copy(tasks = result.tasks.take(sz)),
           Some(planId), Some(sz.toString)).toString)
@@ -282,11 +282,17 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
   /** GET .../plan/{planId}?pageToken=N&pageSize=S — subsequent pages of
     * a parked plan. Tokens are task-list offsets, same shape as the list
     * endpoints' paging. */
-  private def planPage(ex: HttpExchange, planId: String,
+  private def planPage(ex: HttpExchange, ident: TableIdentifier, planId: String,
       query: Map[String, String]): Unit = {
-    val cached = Option(planCache.get(planId)).map(_._2).getOrElse(
-      throw HttpError(404, "NoSuchPlanException",
-        s"no such plan (expired or never created): $planId"))
+    // keyed by (table, planId) so a plan-id is only servable under the
+    // table URL it was parked for, and TTL-checked here too — a stale
+    // plan must 404 even if no later park has triggered eviction yet
+    val cached = Option(planCache.get(planKey(ident, planId)))
+      .filter { case (created, _) =>
+        System.currentTimeMillis() - created <= planTtlMs
+      }.map(_._2).getOrElse(
+        throw HttpError(404, "NoSuchPlanException",
+          s"no such plan for $ident (expired or never created): $planId"))
     val start = query.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
     val size = query.get("pageSize").flatMap(_.toIntOption)
       .getOrElse(cached.tasks.size)
@@ -301,6 +307,8 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     * each park; bounded so an abandoned client cannot pin memory. */
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, PlanResult)]()
+  private def planKey(ident: TableIdentifier, planId: String): String =
+    ident.toString + "#" + planId
   private val planTtlMs = 10L * 60 * 1000
   private val maxParkedPlans = 64
   private def evictExpiredPlans(): Unit = {

@@ -84,7 +84,9 @@ final class GraftSparkTable(val table: IceTable, catalogName: String,
       new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = "_last_updated_sequence_number"
         override def dataType(): DataType = org.apache.spark.sql.types.LongType
-        override def isNullable: Boolean = false
+        // nullable: pre-lineage files (manifest entries without a
+        // sequence number) have no recorded last update — null, not 0
+        override def isNullable: Boolean = true
         override def comment(): String =
           "data sequence number of the commit that last updated the row"
       })
@@ -583,11 +585,18 @@ private[connector] object V1FilterToIce {
       case _ => None
     }
 
+  /** Only data columns convert: a filter on a METADATA column (e.g. the
+    * IsNotNull Spark derives for nullable `_last_updated_sequence_number`)
+    * must stay residual — the planner's binder knows only the table
+    * schema, and metadata values exist per split, not per file stats. */
+  private def known(table: IceTable, col: String): Boolean =
+    table.schema.findFieldByName(col).isDefined
+
   def convert(f: V1Filter, table: IceTable): Option[IceExpr] = f match {
     case EqualTo(c, v) => lit(table, c, v).map(IceExpr.equal(c, _))
     // null-safe equal: a null literal means IS NULL; non-null is plain
     // equality (Iceberg predicates are three-valued like SQL's)
-    case EqualNullSafe(c, null) => Some(IceExpr.isNull(c))
+    case EqualNullSafe(c, null) if known(table, c) => Some(IceExpr.isNull(c))
     case EqualNullSafe(c, v) => lit(table, c, v).map(IceExpr.equal(c, _))
     case GreaterThan(c, v) => lit(table, c, v).map(IceExpr.gt(c, _))
     case GreaterThanOrEqual(c, v) => lit(table, c, v).map(IceExpr.gtEq(c, _))
@@ -597,9 +606,10 @@ private[connector] object V1FilterToIce {
       val ls = vs.toSeq.map(lit(table, c, _))
       if (ls.nonEmpty && ls.forall(_.isDefined)) Some(IceExpr.in(c, ls.flatten))
       else None
-    case IsNull(c) => Some(IceExpr.isNull(c))
-    case IsNotNull(c) => Some(IceExpr.notNull(c))
-    case StringStartsWith(c, p) => Some(IceExpr.startsWith(c, p))
+    case IsNull(c) if known(table, c) => Some(IceExpr.isNull(c))
+    case IsNotNull(c) if known(table, c) => Some(IceExpr.notNull(c))
+    case StringStartsWith(c, p) if known(table, c) =>
+      Some(IceExpr.startsWith(c, p))
     case AlwaysTrue() => Some(IceExpr.raw("true"))
     case AlwaysFalse() => Some(IceExpr.raw("false"))
     case And(l, r) => for {
@@ -638,19 +648,21 @@ private[connector] sealed trait GraftScanSplit extends InputPartition {
   def identityConsts: Seq[(Int, Any)]
   /** The file's data sequence number — served per split as the
     * `_last_updated_sequence_number` metadata column
-    * (metadata_columns.h:95: a row's last update is its file's). */
-  def dataSeq: Long
+    * (metadata_columns.h:95: a row's last update is its file's). None
+    * for pre-lineage files (no sequence number in the manifest entry);
+    * the column serves null for those rows. */
+  def dataSeq: Option[Long]
 }
 private[connector] final case class GraftFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
     absentDefaults: Seq[Int] = Nil,
     identityConsts: Seq[(Int, Any)] = Nil,
-    dataSeq: Long = 0L) extends GraftScanSplit
+    dataSeq: Option[Long] = None) extends GraftScanSplit
 private[connector] final case class GraftKeyedFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
     key: InternalRow, absentDefaults: Seq[Int] = Nil,
     identityConsts: Seq[(Int, Any)] = Nil,
-    dataSeq: Long = 0L) extends GraftScanSplit
+    dataSeq: Option[Long] = None) extends GraftScanSplit
     with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -740,7 +752,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
 
     def deletesFor(t: FileScanTask): GraftDeleteSpec = {
       val p = GraftConnectorUtil.normPath(t.file.filePath)
-      val pos = posDeletes.filter(_.sequenceNumber.getOrElse(0L) >= t.dataSequenceNumber)
+      val pos = posDeletes.filter(_.sequenceNumber.getOrElse(0L) >= t.sequenceForVisibility)
       val (dvEntries, pqEntries) = pos.partition(_.dataFile.contentOffset.isDefined)
       val dvs = dvEntries.filter(_.dataFile.referencedDataFile
           .map(GraftConnectorUtil.normPath).contains(p))
@@ -750,7 +762,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
             throw new IllegalStateException(s"DV for $p missing content size"))))
       val pq = pqEntries.map(e => (GraftConnectorUtil.normPath(e.dataFile.filePath),
         e.dataFile.fileSizeInBytes))
-      val eqs = eqDeletes.filter(_.sequenceNumber.getOrElse(0L) > t.dataSequenceNumber)
+      val eqs = eqDeletes.filter(_.sequenceNumber.getOrElse(0L) > t.sequenceForVisibility)
         .map { e =>
           val cols = e.dataFile.equalityIds.flatMap(id =>
             table.schema.findFieldById(id).map(_.name))
@@ -1384,7 +1396,8 @@ private[connector] final case class GraftReaderFactory(
             UTF8String.fromString(split.path), StringType)
             : org.apache.spark.sql.catalyst.expressions.Expression
           case -2 => org.apache.spark.sql.catalyst.expressions.Literal(
-            split.dataSeq, org.apache.spark.sql.types.LongType)
+            split.dataSeq.map(Long.box).orNull,
+            org.apache.spark.sql.types.LongType)
             : org.apache.spark.sql.catalyst.expressions.Expression
           case i => BoundReference(i, readSchema.fields(i).dataType, nullable = true)
         })

@@ -1266,7 +1266,7 @@ final class Compaction(table: IceTable, spark: SparkSession) {
     // per-equality-delete (seq, key mins/maxs) for bounds pruning
     val metricsEval = new MetricsEvaluator
     def eqApplies(t: FileScanTask): Boolean = eqDeletes.exists { e =>
-      e.sequenceNumber.getOrElse(0L) > t.dataSequenceNumber && {
+      e.sequenceNumber.getOrElse(0L) > t.sequenceForVisibility && {
         val eqIds = e.dataFile.equalityIds
         eqIds.isEmpty || eqIds.forall { id =>
           // key bounds unknown -> conservatively applicable
@@ -1281,7 +1281,7 @@ final class Compaction(table: IceTable, spark: SparkSession) {
 
     def deleteApplies(t: FileScanTask): Boolean =
       (posTouched.contains(ManifestAvro.stripFileScheme(t.file.filePath)) &&
-        posDeletes.exists(_.sequenceNumber.getOrElse(0L) >= t.dataSequenceNumber)) ||
+        posDeletes.exists(_.sequenceNumber.getOrElse(0L) >= t.sequenceForVisibility)) ||
         eqApplies(t)
 
     val toRewrite = all.filter(t =>

@@ -148,10 +148,19 @@ object Dedup {
       thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
     val sh = shingleSets(df, textCol, idCol, blockCol, shingleN)
     val cands = jaccardCandidates(sh, thresholdNum, thresholdDen)
-    // verification re-checks BLOCK equality (candidates are keyed by the
-    // block-folded hash, so a 2^-64 cross-block collision could smuggle
-    // in a cross-block candidate) — one tiny string next to the full
-    // shingle arrays this join already carries
+    verifyJaccardPairs(cands, sh, thresholdNum, thresholdDen)
+  }
+
+  /** Exact verification stage of [[jaccardExactPairs]], split out so the
+    * block-equality recheck is testable with an ENGINEERED candidate set
+    * (OpsSpec plants a cross-block pair with identical shingle sets —
+    * the candidate a folded-hash collision would smuggle in — and pins
+    * that it is rejected here). Re-checks BLOCK equality (candidates are
+    * keyed by the block-folded hash, so a 2^-64 cross-block collision
+    * could smuggle in a cross-block candidate) — one tiny string next to
+    * the full shingle arrays this join already carries. */
+  private[graft] def verifyJaccardPairs(cands: DataFrame, sh: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val sets = sh.select(col("__id"), col("__sh"), col("__blk"))
     cands
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa"),
@@ -232,10 +241,17 @@ object Dedup {
       .filter(lit(1L) + least(col("__na") - col("__pa"),
         col("__nb") - col("__pb")).cast("long") >= alpha)
       .select("id_a", "id_b").distinct()
-    // verification re-checks BLOCK equality (the candidate key is the
-    // folded hash, so a 2^-64 cross-block collision could smuggle in a
-    // cross-block candidate) — one tiny string next to the full shingle
-    // arrays this join already carries
+    verifyContainmentPairs(cands, sh, thresholdNum, thresholdDen)
+  }
+
+  /** Exact verification stage of [[containmentPairs]], split out so the
+    * block-equality recheck is testable with an ENGINEERED candidate set
+    * (see [[verifyJaccardPairs]]). Re-checks BLOCK equality (the
+    * candidate key is the folded hash, so a 2^-64 cross-block collision
+    * could smuggle in a cross-block candidate) — one tiny string next to
+    * the full shingle arrays this join already carries. */
+  private[graft] def verifyContainmentPairs(cands: DataFrame, sh: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val sets = sh.select(col("__id"), col("__sh"), col("__blk"))
     cands
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sa"),

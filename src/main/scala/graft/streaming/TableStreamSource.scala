@@ -347,9 +347,17 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
 
   /** Best-effort once-per-stream sweep of staging leftovers from prior
     * runs (a driver crash mid-batch leaks its UUID-suffixed dir — nothing
-    * else ever deletes it). Only entries older than [[StaleStagingMs]]
-    * are swept so a CONCURRENT stream's in-flight staging on the same
-    * table is never clobbered. */
+    * else ever deletes it). Only entries older than the stream's
+    * stale-staging cutoff are swept so a CONCURRENT stream's in-flight
+    * staging on the same table is never clobbered. The cutoff is
+    * per-stream configurable (`stale-staging-ms` option) because the
+    * default floor only covers batches that plan+read+commit inside
+    * 15 min — a long-trigger workload sharing the table must raise it
+    * above its own batch lifetime or risk a sibling sweeping its
+    * in-flight dir. */
+  private val staleStagingMs: Long =
+    Option(options.get("stale-staging-ms")).map(_.toLong)
+      .getOrElse(GraftMicroBatchStream.StaleStagingMs)
   @volatile private var sweptStale = false
   private def sweepStaleStaging(t: IceTable): Unit =
     if (!sweptStale) {
@@ -358,7 +366,7 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
         val root = new org.apache.hadoop.fs.Path(s"${t.metadata.location}/_cdc_staging")
         val fs = root.getFileSystem(hadoopConf())
         if (fs.exists(root)) {
-          val cutoff = System.currentTimeMillis() - GraftMicroBatchStream.StaleStagingMs
+          val cutoff = System.currentTimeMillis() - staleStagingMs
           fs.listStatus(root).filter(_.getModificationTime < cutoff)
             .foreach(s => try { fs.delete(s.getPath, true); () }
               catch { case _: java.io.IOException => () })
@@ -452,8 +460,10 @@ private[graft] final class GraftMicroBatchStream(schema: StructType,
 }
 
 private[graft] object GraftMicroBatchStream {
-  /** Staging entries older than this are crash leftovers, safe to sweep
-    * (a live batch plans, reads, and commits well inside it). */
+  /** Default stale-staging cutoff (`stale-staging-ms` option overrides
+    * per stream): entries older than this are treated as crash leftovers,
+    * safe to sweep — a live batch plans, reads, and commits well inside
+    * it at default trigger intervals. */
   val StaleStagingMs: Long = 15L * 60 * 1000
 }
 

@@ -71,6 +71,28 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == bySeq)
   }
 
+  test("_last_updated_sequence_number is nullable; sequence-less tasks serve null") {
+    // pre-lineage manifest entries (no sequence number) have no recorded
+    // last update: the metadata column must DECLARE nullable and the
+    // task's visibility comparand must still floor at 0 for delete math
+    val raw = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val t = IceTable.create(cat, TableIdentifier.parse("db.seqnull"),
+      SparkConv.fromSpark(raw.schema))
+    t.append(spark).appendDataFrame(raw)
+    val sparkTable = new graft.ice.connector.GraftSparkTable(
+      IceTable.load(cat, TableIdentifier.parse("db.seqnull")),
+      "ice", "db.seqnull", warehouse.toString)
+    val seqCol = sparkTable.metadataColumns()
+      .find(_.name == "_last_updated_sequence_number").get
+    assert(seqCol.isNullable,
+      "_last_updated_sequence_number must be declared nullable")
+    val task = graft.ice.FileScanTask(
+      IceTable.load(cat, TableIdentifier.parse("db.seqnull"))
+        .newScan().planFiles().head.file, specId = 0,
+      dataSequenceNumber = None)
+    assert(task.sequenceForVisibility == 0L)
+  }
+
   test("catalog plugin: V2 read equals the scan API read") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")

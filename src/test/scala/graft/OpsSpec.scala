@@ -322,6 +322,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.jaccardExactPairs(df, "text", "doc_id", "lang").count() == 0)
   }
 
+  test("posting-diet recall contract: engineered cross-block candidate " +
+      "is rejected by verification on both d7 and d9 paths") {
+    import spark.implicits._
+    // The posting diet folds the block into a 64-bit shingle hash, so a
+    // 2^-64 hash collision could (in principle) smuggle a CROSS-BLOCK
+    // pair into the candidate set. xxhash64 collisions can't be forced
+    // in a test, so plant the exact candidate such a collision would
+    // produce — two docs in DIFFERENT blocks with IDENTICAL text, i.e.
+    // shingle sets that pass the intersection check perfectly — and pin
+    // that verification's block-equality recheck rejects it while the
+    // same-block control pair (same texts, same block) passes.
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq(
+      (1L, "en", shared), // cross-block pair (1,2): identical text,
+      (2L, "fr", shared), //   different block — MUST be rejected
+      (3L, "en", shared), // same-block control (1,3): MUST pass
+      (4L, "fr", shared)  // same-block control (2,4): MUST pass
+    ).toDF("doc_id", "lang", "text")
+    val sh = Dedup.shingleSets(df, "text", "doc_id", "lang", 3)
+    // forced candidate set: every unordered pair, including cross-block
+    val cands = Seq((1L, 2L), (1L, 3L), (2L, 4L), (1L, 4L), (2L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val d7 = Dedup.verifyJaccardPairs(cands, sh, 4, 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d7 == Set((1L, 3L), (2L, 4L)),
+      s"d7 verification must keep exactly the same-block pairs: $d7")
+    val d9 = Dedup.verifyContainmentPairs(cands, sh, 4, 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d9 == Set((1L, 3L), (2L, 4L)),
+      s"d9 verification must keep exactly the same-block pairs: $d9")
+  }
+
   test("PPJoin path equals brute-force all-pairs jaccard on real docs") {
     val df = docs.select("doc_id", "lang", "text")
     for ((num, den) <- Seq((4, 5), (1, 2))) {

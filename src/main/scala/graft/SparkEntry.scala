@@ -32,6 +32,21 @@ object SparkEntry {
       .toDF(spark)
   }
 
+  /** Snapshot-keyed sidecar coordinates for a documents-corpus artifact:
+    * the key carries the table uuid + current snapshot id (so any commit
+    * to the table invalidates every artifact derived from it) and the
+    * path lives under the warehouse beside the tables it derives from.
+    * Shared by the artifact's producer AND consumers — d7/d8/d11 all
+    * name "d7_pairs", d12/d13 name "d12_spans" — which is what turns
+    * per-query recomputation into one computation per snapshot. */
+  private def docsSidecar(s: SparkSession, dir: String,
+      artifact: String): (Option[String], Option[String]) = {
+    val t = Tables.ice(s, dir, "documents")
+    val snap = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+    (Some(s"${t.metadata.tableUuid}:$snap"),
+      Some(s"${Tables.warehouseDir(dir)}/_sidecars/$artifact"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------- §2.1 scans / sources / sinks ----------
@@ -341,6 +356,13 @@ object SparkEntry {
       t.newScan().useSnapshot(firstSnap).toDF(s)
     }),
 
+    // write.metadata.compression-codec=gzip end-to-end: every metadata
+    // JSON of this fixture is gzip on disk (sniffed on read); the scan
+    // result must be byte-identical to the plain-metadata equivalent
+    "t_gzip_metadata" -> ((s, dir) =>
+      GzipMetadataFixture.table(s, dir).newScan().toDF(s)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+
     // rollback: main moves BACK to the first snapshot; a plain scan (no
     // time-travel clause) then sees only the first append
     "t_rollback" -> ((s, dir) => {
@@ -603,13 +625,17 @@ object SparkEntry {
     // server parks the plan under a plan-id and the client walks the
     // pages, so a million-file plan is never one JSON body. Identity-
     // partition pruning through the wire and page-vs-local task equality
-    // are pinned in RestCatalogSpec.
+    // are pinned in RestCatalogSpec. The server is FORCED ASYNC
+    // (threshold 1 file): the POST answers "submitted" + plan-id without
+    // holding an HTTP thread, the client polls to completion, then walks
+    // pages — the long-plan handshake exercised end-to-end on every run.
     "c_rest_plan" -> ((s, dir) => {
       import graft.ice._, graft.ice.catalog._
       import graft.ice.meta.{PartitionField, PartitionSpec}
       import graft.ice.transform.IdentityTransform
       import graft.ice.types.SparkConv
-      val server = new RestCatalogServer(Tables.catalog(dir))
+      val server = new RestCatalogServer(Tables.catalog(dir),
+        asyncPlanThresholdFiles = 1)
       try {
         val cat = new RestCatalog(server.baseUrl)
         val ident = TableIdentifier(Seq("tpch"), "orders_restplan")
@@ -1072,25 +1098,34 @@ object SparkEntry {
     // exact word-trigram Jaccard pairs (>= 0.8) blocked by lang: the
     // fully-oracled baseline the LSH path (d3) approximates. Integer
     // counts only — no floats to drift between engines.
-    "d7_jaccard_pairs" -> ((s, dir) =>
+    "d7_jaccard_pairs" -> ((s, dir) => {
+      val (key, path) = docsSidecar(s, dir, "d7_pairs")
       Dedup.jaccardExactPairs(Tables.scan(s, dir, "documents"),
-        "text", "doc_id", "lang")),
+        "text", "doc_id", "lang", cacheKey = key, persistPath = path)
+    }),
 
     // near-dup pairs -> CLUSTERS + survivor choice: connected components
     // of the exact-jaccard graph via min-label propagation (rounds =
     // cluster diameter; each round one shuffle of the small edge list).
     // The decision a dedup pipeline actually executes.
-    "d8_jaccard_clusters" -> ((s, dir) =>
+    // consumes d7's snapshot-keyed pair sidecar: the pair graph is
+    // computed once per documents snapshot, not once per query
+    "d8_jaccard_clusters" -> ((s, dir) => {
+      val (key, path) = docsSidecar(s, dir, "d7_pairs")
       Dedup.jaccardClusters(Tables.scan(s, dir, "documents"),
-        "text", "doc_id", "lang")),
+        "text", "doc_id", "lang", cacheKey = key, persistPath = path)
+    }),
 
     // quality-aware survivor choice: within each near-dup cluster keep
     // the LONGEST document (ties by smallest id) — the canonical-copy
     // policy real pipelines run — via a per-cluster argmax aggregate
     // (max(struct(rank,-id))), never a data-sized window
-    "d11_cluster_survivors" -> ((s, dir) =>
+    "d11_cluster_survivors" -> ((s, dir) => {
+      val (key, path) = docsSidecar(s, dir, "d7_pairs")
       Dedup.clusterSurvivorsByRank(Tables.scan(s, dir, "documents"),
-        "text", "doc_id", "lang", "n_chars")),
+        "text", "doc_id", "lang", "n_chars", cacheKey = key,
+        persistPath = path)
+    }),
 
     // near-SUBSET duplicates (excerpt/quote dups symmetric jaccard
     // misses): directed containment |A∩B|/|A| >= 0.8 via asymmetric
@@ -1103,16 +1138,23 @@ object SparkEntry {
     // maximal spans of 8-token windows occurring in >= 2 distinct docs
     // (boilerplate/license chrome) — hash-grouped window postings, never
     // a driver suffix array
-    "d12_substring_dedup" -> ((s, dir) =>
+    "d12_substring_dedup" -> ((s, dir) => {
+      val (key, path) = docsSidecar(s, dir, "d12_spans")
       Dedup.substringSpans(Tables.scan(s, dir, "documents"),
-        "text", "doc_id", windowTokens = 8, minDocs = 2)),
+        "text", "doc_id", windowTokens = 8, minDocs = 2,
+        cacheKey = key, persistPath = path)
+    }),
 
     // the removal side: corpus with flagged spans stripped from the
     // token stream — the tiny span table broadcasts back and cleaning
     // is MAP-ONLY (indexed-lambda filter); text never shuffles
-    "d13_substring_clean" -> ((s, dir) =>
+    // consumes d12's span sidecar: cleaning never re-derives postings
+    "d13_substring_clean" -> ((s, dir) => {
+      val (key, path) = docsSidecar(s, dir, "d12_spans")
       Dedup.substringClean(Tables.scan(s, dir, "documents"),
-        "text", "doc_id", windowTokens = 8, minDocs = 2)),
+        "text", "doc_id", windowTokens = 8, minDocs = 2,
+        cacheKey = key, persistPath = path)
+    }),
 
     // SemDeDup: embedding-space dedup by cluster-then-compare. The cell
     // count is CORPUS-SIZED (sqrt(n/2), the d5 lesson — fixed k goes
@@ -2069,6 +2111,8 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "t3_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
+    "t_gzip_metadata" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "t_rollback" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t2_branch_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t_as_of_timestamp" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
@@ -3405,6 +3449,34 @@ object ExpireFixture {
 
 /** addFiles fixture: the RAW testdata parquet registered as a data file —
   * no rewrite, no field ids, name-resolved on read. */
+/** write.metadata.compression-codec=gzip fixture: a supplier table whose
+  * every metadata JSON (create + two appends, so the metadata-log and
+  * snapshot history exist too) is written gzip'd. Readers sniff the
+  * magic bytes (TableMetadataIO.read; reference table_metadata.cc codec
+  * sniff), so the scan stack is untouched. */
+object GzipMetadataFixture {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def table(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "supplier_gz")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "supplier")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map("write.metadata.compression-codec" -> "gzip"))
+        t.append(spark).appendDataFrame(raw.filter("s_suppkey % 2 = 0"))
+        t.append(spark).appendDataFrame(raw.filter("s_suppkey % 2 = 1"))
+        t
+      }
+    })
+}
+
 object AddFilesFixture {
   import graft.ice._
   import graft.ice.catalog._

@@ -450,17 +450,32 @@ final class IceTable private (
       // catalog cannot even resolve the (unpublished) identifier yet
       val prevLocation =
         if (version >= 1) catalog.metadataLocation(ident) else None
-      val updated = prevLocation match {
+      val (updated, trimmedOff) = prevLocation match {
         case Some(prev) if updated0 ne meta =>
           val cap = meta.property(TableProperties.MetadataPreviousVersionsMax)
-          updated0.copy(metadataLog =
-            (updated0.metadataLog :+ MetadataLogEntry(meta.lastUpdatedMs, prev))
-              .takeRight(cap))
-        case _ => updated0
+          val full = updated0.metadataLog :+ MetadataLogEntry(meta.lastUpdatedMs, prev)
+          val kept = full.takeRight(cap)
+          (updated0.copy(metadataLog = kept), full.dropRight(kept.size))
+        case _ => (updated0, IndexedSeq.empty[MetadataLogEntry])
       }
       try {
         val v = catalog.commit(ident, version, updated)
         meta = updated; version = v
+        // write.metadata.delete-after-commit.enabled (reference
+        // table_properties.h:229-231): AFTER the commit published,
+        // physically delete the metadata JSONs that fell off the trimmed
+        // metadata-log. Only *.metadata.json paths ever reach this —
+        // data files and manifests are untouched by construction (the
+        // log holds nothing else). Best-effort: a failed delete must not
+        // fail the already-published commit.
+        if (trimmedOff.nonEmpty &&
+            updated.property(TableProperties.MetadataDeleteAfterCommit)) {
+          trimmedOff.foreach { e =>
+            try graft.ice.io.LocalFileIO.delete(
+              graft.ice.manifest.ManifestAvro.stripFileScheme(e.metadataFile))
+            catch { case _: java.io.IOException => () }
+          }
+        }
         return updated
       } catch {
         case e: CommitFailedException =>

@@ -127,21 +127,50 @@ class DirCatalog(val warehouse: String) extends Catalog {
     Paths.get((warehouse +: ident.namespace :+ ident.name).mkString("/"))
   private def metadataDir(ident: TableIdentifier): Path =
     tableDir(ident).resolve("metadata")
-  private def versionFile(ident: TableIdentifier, v: Int): Path =
-    metadataDir(ident).resolve(s"v$v.metadata.json")
   private def hintFile(ident: TableIdentifier): Path =
     metadataDir(ident).resolve("version-hint.text")
+
+  /** write.metadata.path support (reference table_properties.h:222): the
+    * DEFAULT metadata dir stays the catalog's pointer store (hint file +
+    * this pointer), but version files may live under a custom folder.
+    * The pointer names the dir holding the LATEST version file; version
+    * discovery scans both dirs so a mid-life property change (old files
+    * in one dir, new in the other) still resolves. */
+  private def metadataPathPointer(ident: TableIdentifier): Path =
+    metadataDir(ident).resolve("metadata-path.text")
+  private def customMetadataDir(ident: TableIdentifier): Option[Path] = {
+    val p = metadataPathPointer(ident)
+    if (Files.exists(p)) Some(Paths.get(Files.readString(p).trim)) else None
+  }
+  private def versionDirs(ident: TableIdentifier): Seq[Path] =
+    metadataDir(ident) +: customMetadataDir(ident).toSeq
+  private def versionFile(ident: TableIdentifier, v: Int): Path = {
+    val name = s"v$v.metadata.json"
+    versionDirs(ident).map(_.resolve(name)).find(Files.exists(_))
+      .getOrElse(versionDirs(ident).last.resolve(name))
+  }
+  /** Where the NEXT version file should land, honoring the metadata's
+    * current write.metadata.path (empty = default layout). */
+  private def targetVersionFile(ident: TableIdentifier, v: Int,
+      meta: TableMetadata): Path = {
+    val custom = TableProperties.get(meta.properties, TableProperties.MetadataPath)
+    val dir = if (custom.isEmpty) metadataDir(ident)
+      else Paths.get(graft.ice.manifest.ManifestAvro.stripFileScheme(custom))
+    dir.resolve(s"v$v.metadata.json")
+  }
 
   override def currentVersion(ident: TableIdentifier): Int = {
     val hint = hintFile(ident)
     if (!Files.exists(hint)) {
       if (!Files.exists(metadataDir(ident))) return 0
-      // fall back to scanning (hint write is best-effort)
-      val versions = Files.list(metadataDir(ident)).iterator.asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
-          s.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
-        }.flatten.toSeq
+      // fall back to scanning (hint write is best-effort); both the
+      // default and any pointed-to custom metadata dir count
+      val versions = versionDirs(ident).filter(Files.isDirectory(_))
+        .flatMap(d => Files.list(d).iterator.asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
+            s.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+          }.flatten)
       return versions.maxOption.getOrElse(0)
     }
     val hinted = Files.readString(hint).trim.toInt
@@ -195,6 +224,12 @@ class DirCatalog(val warehouse: String) extends Catalog {
     val dir = tableDir(ident)
     if (!Files.exists(dir)) return false
     if (purge) {
+      // a custom write.metadata.path dir lives outside the table dir —
+      // purge removes it too (its version files belong to this table)
+      customMetadataDir(ident).filter(Files.exists(_))
+        .filterNot(_.toAbsolutePath.startsWith(dir.toAbsolutePath))
+        .foreach(md => Files.walk(md).sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(Files.delete))
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .iterator.asScala.foreach(Files.delete)
     } else {
@@ -296,22 +331,39 @@ class DirCatalog(val warehouse: String) extends Catalog {
     val next = baseVersion + 1
     // v1 of a staged create arrives before any directory exists
     if (baseVersion == 0) Files.createDirectories(metadataDir(ident))
-    val target = versionFile(ident, next)
-    if (Files.exists(target))
+    // honor the UPDATED metadata's write.metadata.path for the new file;
+    // check the resolvable location too so two committers that disagree
+    // on the property (one commit changes it) still collide on `next`
+    val target = targetVersionFile(ident, next, updated)
+    if (Files.exists(target) || Files.exists(versionFile(ident, next)))
       throw new CommitFailedException(
         s"$ident: version $next already committed by a concurrent writer")
+    Files.createDirectories(target.getParent)
     // the whole commit race reduces to FileIO's first-committer-wins
     // primitive — an object-store catalog swaps in a conditional put here
     if (!graft.ice.io.LocalFileIO.writeIfAbsent(target.toString,
-        MetaJson.toJson(updated).getBytes("UTF-8")))
+        TableMetadataIO.encode(updated)))
       throw new CommitFailedException(s"$ident: lost race committing version $next")
+    updatePointer(ident, target)
     Files.writeString(hintFile(ident), next.toString) // best-effort pointer
     next
   }
 
+  /** Keep metadata-path.text naming the dir of the latest version file
+    * (best-effort, like the hint): present iff that dir is custom. */
+  private def updatePointer(ident: TableIdentifier, written: Path): Unit = {
+    val dir = written.getParent.toAbsolutePath
+    if (dir == metadataDir(ident).toAbsolutePath)
+      Files.deleteIfExists(metadataPathPointer(ident))
+    else Files.writeString(metadataPathPointer(ident), dir.toString)
+  }
+
   private def writeVersion(ident: TableIdentifier, v: Int, meta: TableMetadata): Unit = {
-    graft.ice.io.LocalFileIO.writeAtomic(versionFile(ident, v).toString,
-      MetaJson.toJson(meta).getBytes("UTF-8"))
+    val target = targetVersionFile(ident, v, meta)
+    Files.createDirectories(target.getParent)
+    graft.ice.io.LocalFileIO.writeAtomic(target.toString,
+      TableMetadataIO.encode(meta))
+    updatePointer(ident, target)
     Files.writeString(hintFile(ident), v.toString)
   }
 }

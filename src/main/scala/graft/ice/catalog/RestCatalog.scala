@@ -128,8 +128,31 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
     o.put("case-sensitive", caseSensitive)
     pageSize.foreach(o.put("page-size", _))
     filter.foreach(f => o.set[JsonNode]("filter", exprToJson(f)))
-    val first = planPageFromJson(parse(send(
+    var first = planPageFromJson(parse(send(
       post(s"${tableUrl(ident)}/plan", o.toString), ok = Set(200))))
+    // async handshake: the server answered "submitted" + plan-id without
+    // holding the request open — poll the plan-id until it completes.
+    // Deadline-bounded so a dead server-side planner cannot hang the
+    // client forever; "failed" carries the server's planning error.
+    if (first.status == "submitted") {
+      val pid = first.planId.getOrElse(throw new IllegalStateException(
+        "plan-status submitted without plan-id"))
+      val sizeQ = pageSize.map(s => s"?pageSize=$s").getOrElse("")
+      val deadline = System.currentTimeMillis() + planPollTimeoutMs
+      var backoffMs = 10L
+      while (first.status == "submitted") {
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"plan $pid still submitted after ${planPollTimeoutMs} ms")
+        Thread.sleep(backoffMs)
+        backoffMs = math.min(backoffMs * 2, 500L)
+        first = planPageFromJson(parse(send(
+          get(s"${tableUrl(ident)}/plan/$pid$sizeQ"), ok = Set(200))))
+      }
+    }
+    if (first.status == "failed")
+      throw new IllegalStateException(
+        s"server-side planning failed: ${first.error.getOrElse("(no message)")}")
     var tasks = first.result.tasks
     var tok = first.nextPageToken
     while (tok.isDefined) {
@@ -144,6 +167,13 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
     }
     first.result.copy(tasks = tasks)
   }
+
+  /** Cancel/release a parked server-side plan (idempotent). */
+  def cancelPlan(ident: TableIdentifier, planId: String): Unit = {
+    send(delete(s"${tableUrl(ident)}/plan/$planId"), ok = Set(204)); ()
+  }
+
+  private val planPollTimeoutMs: Long = 10L * 60 * 1000
 
   override def dropTable(ident: TableIdentifier, purge: Boolean): Boolean = {
     val url = tableUrl(ident) + (if (purge) "?purgeRequested=true" else "")

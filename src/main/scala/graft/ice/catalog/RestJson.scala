@@ -560,9 +560,12 @@ object RestJson {
 
   /** One wire page of a plan response: the tasks slice plus the paging
     * handles (types.h:37-121 declares the paged protocol; a million-file
-    * plan must never be one JSON allocation on either side). */
+    * plan must never be one JSON allocation on either side). `status` is
+    * "completed" (result present), "submitted" (async handshake — poll
+    * the plan-id), or "failed" (error carries the server message). */
   final case class PlanPage(result: PlanResult,
-      planId: Option[String], nextPageToken: Option[String])
+      planId: Option[String], nextPageToken: Option[String],
+      status: String = "completed", error: Option[String] = None)
 
   def planResultToJson(r: PlanResult, planId: Option[String] = None,
       nextPageToken: Option[String] = None): ObjectNode = {
@@ -604,9 +607,31 @@ object RestJson {
 
   def planResultFromJson(n: JsonNode): PlanResult = planPageFromJson(n).result
 
+  /** JSON body of the async "submitted" handshake (the reference's
+    * types.h PlanStatus surface): no tasks yet, just the plan-id to
+    * poll. */
+  def planSubmittedJson(planId: String): ObjectNode = {
+    val o = newObject()
+    o.put("plan-status", "submitted")
+    o.put("plan-id", planId)
+    o
+  }
+
+  def planFailedJson(planId: String, message: String): ObjectNode = {
+    val o = newObject()
+    o.put("plan-status", "failed")
+    o.put("plan-id", planId)
+    o.putObject("error").put("message", message)
+    o
+  }
+
   def planPageFromJson(n: JsonNode): PlanPage = {
-    require(Option(n.get("plan-status")).exists(_.asText == "completed"),
-      s"unexpected plan-status: ${n.get("plan-status")}")
+    val status = Option(n.get("plan-status")).map(_.asText).getOrElse("completed")
+    if (status != "completed")
+      return PlanPage(PlanResult(Nil, Nil, -1L),
+        Option(n.get("plan-id")).map(_.asText), None, status,
+        Option(n.get("error")).flatMap(e => Option(e.get("message")))
+          .map(_.asText))
     val tasks = Option(n.get("file-scan-tasks")).map(_.elements.asScala.map { t =>
       val df = t.get("data-file")
       PlannedTask(df.get("file-path").asText, df.get("file-format").asText,

@@ -28,12 +28,16 @@ import RestJson._
   * zero, so any number of server instances can front one warehouse.
   */
 final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
-    token: Option[String] = None) {
+    token: Option[String] = None,
+    asyncPlanThresholdFiles: Long = Long.MaxValue) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
   // small fixed pool: catalog calls are metadata-sized; concurrency matters
   // only for the commit-race tests and multi-client coordination
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  // planner pool is SEPARATE from the HTTP pool: an async plan must never
+  // occupy a request thread — that is the whole point of the handshake
+  private val planPool = java.util.concurrent.Executors.newFixedThreadPool(2)
   server.setExecutor(pool)
   server.createContext("/v1", (ex: HttpExchange) => handle(ex))
   server.start()
@@ -41,7 +45,9 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
   val port: Int = server.getAddress.getPort
   val baseUrl: String = s"http://127.0.0.1:$port"
 
-  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+  def stop(): Unit = {
+    server.stop(0); pool.shutdownNow(); planPool.shutdownNow()
+  }
 
   // ---------- routing ----------
 
@@ -180,6 +186,12 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     case ("GET", List("namespaces", nsSeg, "tables", name, "plan", planId)) =>
       planPage(ex, TableIdentifier(splitNs(nsSeg), name), planId, query)
 
+    // cancel/release a parked plan (the spec's DELETE on the plan-id):
+    // idempotent — deleting an unknown/expired id is a no-op 204
+    case ("DELETE", List("namespaces", nsSeg, "tables", name, "plan", planId)) =>
+      planCache.remove(planKey(TableIdentifier(splitNs(nsSeg), name), planId))
+      reply(ex, 204, "")
+
     case (m, List("namespaces", nsSeg, "tables", name)) =>
       val ident = TableIdentifier(splitNs(nsSeg), name)
       m match {
@@ -209,11 +221,16 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     * list, so a thin client scans without ever reading table metadata —
     * the reference's REST types declare the broader protocol
     * (catalog/rest/types.h:37-121); this is its planning surface made
-    * executable. In-process planning completes synchronously
-    * (plan-status "completed"); no async plan-id handshake on localhost.
-    * The full pruning stack (partition summaries, file metrics,
-    * transform projections) runs server-side through the same
-    * ScanBuilder as local planning — one planner, two transports. */
+    * executable. Small plans complete synchronously (plan-status
+    * "completed"); a table whose snapshot summary reports at least
+    * `asyncPlanThresholdFiles` data files takes the ASYNC handshake
+    * instead — the POST returns plan-status "submitted" + a plan-id
+    * immediately (planning continues on a dedicated pool, never holding
+    * an HTTP thread), and the client polls GET .../plan/{id} until
+    * "completed", then walks pages as usual. The full pruning stack
+    * (partition summaries, file metrics, transform projections) runs
+    * server-side through the same ScanBuilder as local planning — one
+    * planner, two transports. */
   private def planTable(ex: HttpExchange, ident: TableIdentifier): Unit = {
     val req = readJson(ex)
     val t = graft.ice.IceTable.load(backing, ident)
@@ -257,10 +274,34 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
             e.sequenceNumber.getOrElse(0L) > task.sequenceForVisibility => i
       }
     }
-    val tasks = scan.planFiles().map(task => PlannedTask(
-      task.file.filePath, task.file.fileFormat,
-      task.file.recordCount, task.file.fileSizeInBytes, refsFor(task)))
-    val result = PlanResult(tasks, plannedDeletes, snap.map(_.snapshotId).getOrElse(-1L))
+    def computePlan(): PlanResult = {
+      val tasks = scan.planFiles().map(task => PlannedTask(
+        task.file.filePath, task.file.fileFormat,
+        task.file.recordCount, task.file.fileSizeInBytes, refsFor(task)))
+      PlanResult(tasks, plannedDeletes, snap.map(_.snapshotId).getOrElse(-1L))
+    }
+    val estFiles = snap.flatMap(_.summary.get("total-data-files"))
+      .flatMap(_.toLongOption).getOrElse(0L)
+    if (estFiles >= asyncPlanThresholdFiles) {
+      // ASYNC handshake: park a pending plan, answer immediately, plan
+      // on the dedicated pool. Snapshot/filter validation already ran
+      // synchronously above — a bad request still fails the POST.
+      val planId = java.util.UUID.randomUUID().toString
+      evictExpiredPlans()
+      val parked = new ParkedPlan
+      planCache.put(planKey(ident, planId), (System.currentTimeMillis(), parked))
+      planPool.submit(new Runnable {
+        def run(): Unit =
+          try parked.state = PlanDone(computePlan())
+          catch { case e: Throwable =>
+            parked.state = PlanFailed(
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+      })
+      reply(ex, 200, planSubmittedJson(planId).toString)
+      return
+    }
+    val result = computePlan()
     // paged flavor (types.h:74 PageToken): with "page-size" the finished
     // plan is parked server-side under a plan-id and served in slices —
     // a million-file plan is never one JSON allocation on either side.
@@ -270,7 +311,8 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
       case Some(sz) if sz > 0 && result.tasks.sizeIs > sz =>
         val planId = java.util.UUID.randomUUID().toString
         evictExpiredPlans()
-        planCache.put(planKey(ident, planId), (System.currentTimeMillis(), result))
+        planCache.put(planKey(ident, planId),
+          (System.currentTimeMillis(), new ParkedPlan(PlanDone(result))))
         reply(ex, 200, planResultToJson(
           result.copy(tasks = result.tasks.take(sz)),
           Some(planId), Some(sz.toString)).toString)
@@ -287,26 +329,47 @@ final class RestCatalogServer(backing: Catalog, bindPort: Int = 0,
     // keyed by (table, planId) so a plan-id is only servable under the
     // table URL it was parked for, and TTL-checked here too — a stale
     // plan must 404 even if no later park has triggered eviction yet
-    val cached = Option(planCache.get(planKey(ident, planId)))
+    val parked = Option(planCache.get(planKey(ident, planId)))
       .filter { case (created, _) =>
         System.currentTimeMillis() - created <= planTtlMs
       }.map(_._2).getOrElse(
         throw HttpError(404, "NoSuchPlanException",
           s"no such plan for $ident (expired or never created): $planId"))
-    val start = query.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
-    val size = query.get("pageSize").flatMap(_.toIntOption)
-      .getOrElse(cached.tasks.size)
-    val next =
-      if (start + size < cached.tasks.size) Some((start + size).toString) else None
-    reply(ex, 200, planResultToJson(
-      PlanResult(cached.tasks.slice(start, start + size), Nil, cached.snapshotId),
-      Some(planId), next).toString)
+    parked.state match {
+      case PlanRunning =>
+        reply(ex, 200, planSubmittedJson(planId).toString)
+      case PlanFailed(msg) =>
+        reply(ex, 200, planFailedJson(planId, msg).toString)
+      case PlanDone(cached) =>
+        val start = query.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+        val size = query.get("pageSize").flatMap(_.toIntOption)
+          .getOrElse(cached.tasks.size)
+        val next =
+          if (start + size < cached.tasks.size) Some((start + size).toString)
+          else None
+        // delete files ride the FIRST fetch: in the async flow the
+        // client's first sight of the plan is this GET (no pageToken),
+        // and reading MoR tables without them resurrects deleted rows
+        val dels = if (query.contains("pageToken")) Nil else cached.deleteFiles
+        reply(ex, 200, planResultToJson(
+          PlanResult(cached.tasks.slice(start, start + size), dels,
+            cached.snapshotId),
+          Some(planId), next).toString)
+    }
   }
 
-  /** Parked plans: planId -> (createdMs, full result). TTL-evicted on
-    * each park; bounded so an abandoned client cannot pin memory. */
+  /** Parked plans: (table#planId) -> (createdMs, state). TTL-evicted on
+    * each park; bounded so an abandoned client cannot pin memory. A plan
+    * is Running (async, still computing), Done, or Failed. */
+  private sealed trait PlanState
+  private case object PlanRunning extends PlanState
+  private final case class PlanDone(result: PlanResult) extends PlanState
+  private final case class PlanFailed(message: String) extends PlanState
+  private final class ParkedPlan(initial: PlanState = PlanRunning) {
+    @volatile var state: PlanState = initial
+  }
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, PlanResult)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, ParkedPlan)]()
   private def planKey(ident: TableIdentifier, planId: String): String =
     ident.toString + "#" + planId
   private val planTtlMs = 10L * 60 * 1000

@@ -446,8 +446,23 @@ object TableMetadataIO {
     MetaJson.fromJson(text)
   }
 
+  /** Serialize honoring the table's own write.metadata.compression-codec
+    * property (reference table_properties.h:226): "gzip" compresses, any
+    * other value writes plain JSON. Readers sniff the magic bytes, so a
+    * version history may freely mix codecs (e.g. the property toggled
+    * mid-life). */
+  def encode(m: TableMetadata): Array[Byte] = {
+    val raw = MetaJson.toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (TableProperties.get(m.properties,
+        TableProperties.MetadataCompressionCodec) == "gzip") {
+      val bos = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      try gz.write(raw) finally gz.close()
+      bos.toByteArray
+    } else raw
+  }
+
   /** Atomic write (commit safety: readers never see a torn file). */
   def write(path: String, m: TableMetadata, io: FileIO = LocalFileIO): Unit =
-    io.writeAtomic(path,
-      MetaJson.toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    io.writeAtomic(path, encode(m))
 }

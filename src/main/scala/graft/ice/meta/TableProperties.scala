@@ -66,6 +66,26 @@ object TableProperties {
   val MetadataPreviousVersionsMax: Key[Int] =
     Key("write.metadata.previous-versions-max", 100, _.trim.toInt)
 
+  // metadata-file DELETION (reference table_properties.h:229-231): when
+  // enabled, each commit physically deletes the metadata JSON files that
+  // fall off the trimmed metadata-log — without it a frequently-committed
+  // table's metadata dir grows unboundedly. Data files and manifests are
+  // never touched by this path.
+  val MetadataDeleteAfterCommit: Key[Boolean] =
+    Key("write.metadata.delete-after-commit.enabled", false, _.trim.toBoolean)
+
+  // metadata compression (reference table_properties.h:226): "gzip"
+  // writes metadata JSON gzip'd; the read side sniffs the magic bytes
+  // (TableMetadataIO.read) so mixed-codec version histories read fine
+  val MetadataCompressionCodec: Key[String] =
+    Key("write.metadata.compression-codec", "none",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+
+  // custom metadata folder (reference table_properties.h:222): when set,
+  // new metadata JSON files land under this directory instead of
+  // {location}/metadata. Empty = default layout.
+  val MetadataPath: Key[String] = Key("write.metadata.path", "", _.trim)
+
   // scan planning (graft extension): beyond this many estimated manifest
   // entries, planning reads + prunes manifests on executors and returns
   // only surviving entries (with metric maps stripped) to the driver

@@ -1489,8 +1489,13 @@ final class TableMaintenance(table: IceTable) {
       .filter(Files.isRegularFile(_))
       .filter { p =>
         val sp = p.toString
+        // metadata JSONs + catalog pointers are NEVER orphan-swept,
+        // wherever they live (write.metadata.path may relocate them):
+        // their lifecycle belongs to the metadata-log trim /
+        // delete-after-commit path, not this sweep
         !reachable.contains(sp) &&
-          !sp.contains("/metadata/v") && !sp.endsWith("version-hint.text") &&
+          !sp.endsWith(".metadata.json") && !sp.endsWith("version-hint.text") &&
+          !sp.endsWith("metadata-path.text") &&
           Files.getLastModifiedTime(p).toMillis < olderThanMs
       }
       .map(_.toString).toVector

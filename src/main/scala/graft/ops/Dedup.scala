@@ -145,11 +145,20 @@ object Dedup {
     * carry full shingle arrays. */
   def jaccardExactPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, shingleN: Int = 3,
-      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
-    val sh = shingleSets(df, textCol, idCol, blockCol, shingleN)
-    val cands = jaccardCandidates(sh, thresholdNum, thresholdDen)
-    verifyJaccardPairs(cands, sh, thresholdNum, thresholdDen)
-  }
+      thresholdNum: Int = 4, thresholdDen: Int = 5,
+      cacheKey: Option[String] = None,
+      persistPath: Option[String] = None): DataFrame =
+    // the verified pair graph is a SNAPSHOT artifact: computed once per
+    // (table snapshot, params) and reused by every consumer (clusters,
+    // survivor choice) — pass the owning table's uuid+snapshot as the
+    // key and a sidecar location, exactly like e3's centroid sidecar
+    Sidecar.dataFrame(df.sparkSession,
+      cacheKey.map(k => s"$k:n$shingleN:t$thresholdNum/$thresholdDen"),
+      persistPath) {
+      val sh = shingleSets(df, textCol, idCol, blockCol, shingleN)
+      val cands = jaccardCandidates(sh, thresholdNum, thresholdDen)
+      verifyJaccardPairs(cands, sh, thresholdNum, thresholdDen)
+    }
 
   /** Exact verification stage of [[jaccardExactPairs]], split out so the
     * block-equality recheck is testable with an ENGINEERED candidate set
@@ -292,7 +301,19 @@ object Dedup {
     * the probability is ~n²/2^65, negligible below ~10^9 windows per
     * corpus; the spans themselves are exact once a window is flagged. */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
-      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+      windowTokens: Int = 8, minDocs: Int = 2,
+      cacheKey: Option[String] = None,
+      persistPath: Option[String] = None): DataFrame =
+    // the flagged-span table is a SNAPSHOT artifact like d7's pair graph
+    // (see jaccardExactPairs): d13's cleaning pass consumes it without
+    // re-deriving the postings
+    Sidecar.dataFrame(df.sparkSession,
+      cacheKey.map(k => s"$k:w$windowTokens:m$minDocs"), persistPath) {
+      substringSpansCompute(df, textCol, idCol, windowTokens, minDocs)
+    }
+
+  private def substringSpansCompute(df: DataFrame, textCol: String,
+      idCol: String, windowTokens: Int, minDocs: Int): DataFrame = {
     require(windowTokens >= 1 && minDocs >= 2,
       s"need windowTokens >= 1 and minDocs >= 2, got $windowTokens/$minDocs")
     val W = windowTokens
@@ -334,8 +355,11 @@ object Dedup {
     * itself is MAP-ONLY (an indexed-lambda filter per row); the corpus
     * text is never shuffled. */
   def substringClean(df: DataFrame, textCol: String, idCol: String,
-      windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    val spans = substringSpans(df, textCol, idCol, windowTokens, minDocs)
+      windowTokens: Int = 8, minDocs: Int = 2,
+      cacheKey: Option[String] = None,
+      persistPath: Option[String] = None): DataFrame = {
+    val spans = substringSpans(df, textCol, idCol, windowTokens, minDocs,
+      cacheKey, persistPath)
     val spansPerDoc = spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     val base = Par.ensure(df.select(col(idCol), tokens(col(textCol)).as("__w")))
@@ -432,9 +456,11 @@ object Dedup {
     * pipeline executes — drop every row where is_survivor = false. */
   def jaccardClusters(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, shingleN: Int = 3,
-      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+      thresholdNum: Int = 4, thresholdDen: Int = 5,
+      cacheKey: Option[String] = None,
+      persistPath: Option[String] = None): DataFrame = {
     val pairs = jaccardExactPairs(df, textCol, idCol, blockCol,
-      shingleN, thresholdNum, thresholdDen)
+      shingleN, thresholdNum, thresholdDen, cacheKey, persistPath)
     clustersFromPairs(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
         (col("id") === col("rep")).as("is_survivor"))
@@ -452,9 +478,11 @@ object Dedup {
     * docs). No window over data-sized partitions anywhere. */
   def clusterSurvivorsByRank(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, rankCol: String, shingleN: Int = 3,
-      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+      thresholdNum: Int = 4, thresholdDen: Int = 5,
+      cacheKey: Option[String] = None,
+      persistPath: Option[String] = None): DataFrame = {
     val clusters = jaccardClusters(df, textCol, idCol, blockCol,
-      shingleN, thresholdNum, thresholdDen)
+      shingleN, thresholdNum, thresholdDen, cacheKey, persistPath)
       .select(col("doc_id"), col("cluster_rep"))
     val ranked = clusters.join(
       df.select(col(idCol).cast("long").as("doc_id"),

@@ -235,6 +235,53 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("async plan handshake: submitted -> poll -> completed, task-for-task " +
+      "equal to the sync plan; cancel releases the plan-id") {
+    val backing = new DirCatalog(tmpWarehouse())
+    // forced async: ANY snapshot with >= 1 data file takes the handshake
+    val server = new RestCatalogServer(backing, asyncPlanThresholdFiles = 1)
+    try {
+      val cat = new RestCatalog(server.baseUrl)
+      cat.createNamespace(Seq("db"))
+      val ident = TableIdentifier(Seq("db"), "nation_async")
+      val raw = spark.read.parquet(s"$sfDir/nation.parquet")
+      val schema = SparkConv.fromSpark(raw.schema)
+      val keyId = schema.findFieldByName("n_regionkey").get.id
+      val spec = PartitionSpec(0, IndexedSeq(PartitionField(
+        keyId, 1000, "n_regionkey", graft.ice.transform.IdentityTransform)))
+      val t = IceTable.create(cat, ident, schema, spec)
+      t.append(spark).appendDataFrame(raw)
+
+      // raw POST proves the handshake shape: submitted + plan-id, no tasks
+      val url = new java.net.URI(
+        s"${server.baseUrl}/v1/namespaces/db/tables/nation_async/plan").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("{}".getBytes("UTF-8"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body.contains("\"plan-status\":\"submitted\""), body)
+      assert(body.contains("plan-id"), body)
+      assert(!body.contains("file-scan-tasks"), body)
+
+      // client API polls through to completion; result equals the sync
+      // planner's, paged and unpaged
+      val asyncPlan = cat.planScan(ident)
+      val asyncPaged = cat.planScan(ident, pageSize = Some(2))
+      val local = t.newScan().planFiles().map(_.file.filePath).toSet
+      assert(asyncPlan.tasks.map(_.path).toSet == local)
+      assert(asyncPaged.tasks == asyncPlan.tasks)
+
+      // filters still prune through the async path
+      val pruned = cat.planScan(ident,
+        Some(graft.ice.expr.Expr.equal("n_regionkey",
+          graft.ice.types.Literal.long(0))))
+      assert(pruned.tasks.nonEmpty && pruned.tasks.size < asyncPlan.tasks.size)
+
+      // cancel is idempotent and the id stops serving
+      cat.cancelPlan(ident, "no-such-plan") // no-op 204
+    } finally server.stop()
+  }
+
   test("plan wire carries task<->delete linkage with sequence visibility") {
     import org.apache.spark.sql.functions.col
     withRest() { (cat, _, _) =>

@@ -66,6 +66,12 @@ object Bench {
       res
     }
 
+    // snapshot-keyed sidecar PRODUCERS run before their consumers, so the
+    // artifact's compute cost lands on the producer's timed number (d7
+    // pays for the pair graph, d8/d11 amortize; d12 pays for the spans,
+    // d13 amortizes) instead of on whichever consumer sorts first
+    val benchOrder: String => String = Map(
+      "d7_jaccard_pairs" -> "d10_z1_jaccard_pairs").withDefault(identity)
     val names0 = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -73,12 +79,23 @@ object Bench {
         if (unknown.nonEmpty)
           System.err.println(s"[bench] WARNING: unknown query names ignored: " +
             unknown.toSeq.sorted.mkString(","))
-        SparkEntry.queries.keys.toSeq.filter(want).sorted
-      case None => SparkEntry.queries.keys.toSeq.sorted
+        SparkEntry.queries.keys.toSeq.filter(want).sortBy(benchOrder)
+      case None => SparkEntry.queries.keys.toSeq.sortBy(benchOrder)
     }
     val names = if (sys.env.contains("SPARK_GRAFT_REVERSE")) names0.reverse else names0
     // warm-up (builds Iceberg tables + fixtures; untimed)
     names.foreach(force)
+    // the warm-up pass just WROTE the sidecar artifacts — wipe them so
+    // the timed producers pay their true compute cost (consumers still
+    // amortize within the timed phase, the once-per-snapshot pipeline
+    // behavior; without this wipe NO timed number would carry the cost)
+    locally {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(Tables.warehouseDir(sfDir), "_sidecars"))
+    }
 
     // Per-query session isolation (default ON, SPARK_GRAFT_SHARED=1 for the
     // legacy shared-session mode): a 70+-query session accumulates driver

@@ -140,7 +140,11 @@ object Bench {
       if (probe) System.err.println(f"[probe] $name%-28s q=$sec%7.2f sentinel=${sentinel()}%6.3f")
       ok match {
         case Right(_) => name -> sec
-        case Left(_) => name -> -1.0
+        case Left(msg) =>
+          // an errored query must say WHY in stderr — a bare -1.0 in the
+          // artifact hid an sf100 failure behind silent Left()s
+          System.err.println(s"[bench] $name FAILED: $msg")
+          name -> -1.0
       }
     }
     // sweep-vs-idle evidence (round-7 verdict item 7): the sweep number

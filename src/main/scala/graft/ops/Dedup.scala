@@ -218,13 +218,14 @@ object Dedup {
       size(col("__sh")).as("__n"), // int
       explode(col("__sh")).as("__s0"))
       .withColumn("__s", xxhash64(col("__blk"), col("__s0"))).drop("__s0", "__blk")
-    val freq = postings.groupBy("__s").agg(count(lit(1)).as("__f"))
-      .filter(col("__f") > 1)
+    val freq = broadcastIfUnder(postings.groupBy("__s")
+      .agg(count(lit(1)).as("__f")).filter(col("__f") > 1),
+      MaxBroadcastRows, "containment shingle-frequency table")
     // per-(block,shingle) frequency order — prefix-filter recall is
     // exact under ANY total order because the container side posts all:
     // a pair with overlap >= alpha cannot hide every shared shingle in
     // the (alpha-1)-sized suffix the prefix cut drops
-    val ranked = postings.join(broadcast(freq), Seq("__s"), "left")
+    val ranked = postings.join(freq, Seq("__s"), "left")
       .withColumn("__f", coalesce(col("__f"), lit(1L)))
       .withColumn("__rank", row_number().over(
         Window.partitionBy("__id").orderBy(col("__f"), col("__s"))))
@@ -360,10 +361,14 @@ object Dedup {
       persistPath: Option[String] = None): DataFrame = {
     val spans = substringSpans(df, textCol, idCol, windowTokens, minDocs,
       cacheKey, persistPath)
-    val spansPerDoc = spans.groupBy(col(idCol))
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    // flagged docs are usually a small corpus fraction, but the span map
+    // still scales with the corpus — same broadcast guard as the
+    // frequency tables (a shuffle join keeps cleaning correct past it)
+    val spansPerDoc = broadcastIfUnder(spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans")),
+      MaxBroadcastRows, "substring-clean span map")
     val base = Par.ensure(df.select(col(idCol), tokens(col(textCol)).as("__w")))
-    base.join(broadcast(spansPerDoc), Seq(idCol), "left")
+    base.join(spansPerDoc, Seq(idCol), "left")
       .select(col(idCol),
         // two-arg lambda: token index i (0-based) survives unless inside
         // any flagged span; O(tokens x spans-per-doc) per row, spans few
@@ -545,10 +550,13 @@ object Dedup {
     // shingles tie and break by hash regardless), so the frequency table
     // ships as a broadcast with miss => 1 — the posting-scale sort-merge
     // join this replaces was 2 of the 3 posting shuffles in the candidate
-    // stage (measured at sf1: the candidate stage dominated d7's 33 s)
-    val freq = postings.groupBy("__s").agg(count(lit(1)).as("__f"))
-      .filter(col("__f") > 1)
-    val ranked = postings.join(broadcast(freq), Seq("__s"), "left")
+    // stage (measured at sf1: the candidate stage dominated d7's 33 s).
+    // Guarded: past MaxBroadcastRows the table shuffle-joins instead
+    // (Spark refuses 8 GiB+ broadcasts outright).
+    val freq = broadcastIfUnder(postings.groupBy("__s")
+      .agg(count(lit(1)).as("__f")).filter(col("__f") > 1),
+      MaxBroadcastRows, "jaccard shingle-frequency table")
+    val ranked = postings.join(freq, Seq("__s"), "left")
       .withColumn("__f", coalesce(col("__f"), lit(1L)))
       .withColumn("__rank", row_number().over(
         Window.partitionBy("__id").orderBy(col("__f"), col("__s"))))
@@ -617,6 +625,35 @@ object Dedup {
     * recall trade of a single-table LSH at higher planes is inherent;
     * raise `threshold`-adjacent recall with multiple tables (e2's
     * multi-probe path) when it matters. */
+  /** Broadcast-else-shuffle guard for corpus-DERIVED join tables (the
+    * repeated-shingle frequency map, the flagged-span map): these scale
+    * with the corpus, and Spark hard-refuses any broadcast over 8 GiB —
+    * d7 at 10x the sf10 corpus died with "Cannot broadcast the table
+    * that is larger than 8.0 GiB". The table is persisted through
+    * [[Caches]] so the sizing count and the downstream join pay its
+    * compute once; over `maxRows` it joins as a plain (AQE-planned)
+    * shuffle side instead. Same discipline as TextAnalysis's floored
+    * vocabulary tables. */
+  private[graft] def broadcastIfUnder(df: DataFrame, maxRows: Long,
+      what: String): DataFrame = {
+    val cached = Caches.track(df)
+    val n = cached.count()
+    if (n <= maxRows) broadcast(cached)
+    else {
+      System.err.println(
+        s"[dedup] $what: $n rows over broadcast cap $maxRows — shuffle join")
+      cached
+    }
+  }
+
+  /** Row cap for [[broadcastIfUnder]]: ~16-byte (long, int) rows build a
+    * HashedRelation well under Spark's 8 GiB broadcast ceiling at this
+    * count, and a few hundred MB on the wire is still a sane executor
+    * fan-out on a large cluster. Env-overridable for experiments. */
+  private[graft] val MaxBroadcastRows: Long =
+    sys.env.get("SPARK_GRAFT_MAX_BCAST_ROWS").map(_.toLong)
+      .getOrElse(60000000L)
+
   /** Corpus-sized signature width: smallest planes with expected bucket
     * occupancy <= 64, floored at 4 (buckets = 2^planes, occupancy = n/2^planes).
     * Candidate-join volume is then bounded by ~64·n at any corpus size. */

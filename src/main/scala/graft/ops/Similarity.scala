@@ -390,18 +390,25 @@ object Similarity {
           for { p <- 0 until nPlanes; q <- p + 1 until nPlanes }
             yield (1L << p) | (1L << q)
         else Nil))
-    // query probes per table: each signature computed once, then expanded
-    // from the column reference
+    // query probes per table: signatures computed once into ONE array
+    // column, then the (table, mask) cross expanded by exploding the
+    // table index and a LITERAL mask array, XOR applied to the exploded
+    // scalars. The naive formulation — one explode over nTables×|masks|
+    // inline structs (632 at 8 tables / 12 planes / 2-bit probing) —
+    // generates >64 KB of code for the Generate's consume method, janino
+    // refuses to compile it, and Spark silently drops the whole stage to
+    // interpreted mode at exactly the corpus sizes where speed matters
+    // (masks grow ~planes², planes grow with log corpus). This shape
+    // keeps every generated method a few expressions regardless of
+    // tables/planes/probeBits.
     val probes = queries
-      .withColumns((0 until nTables)
-        .map(t => s"__sig$t" -> signature(col(qVecCol), nPlanes, t)).toMap)
-      .withColumn("__tb", explode(array((for {
-        t <- 0 until nTables
-        m <- masks
-      } yield struct(lit(t).as("t"),
-        col(s"__sig$t").bitwiseXOR(lit(m)).as("b"))): _*)))
-      .withColumn("__t", col("__tb.t")).withColumn("__b", col("__tb.b"))
-      .drop("__tb" +: (0 until nTables).map(t => s"__sig$t"): _*)
+      .withColumn("__sigs", array((0 until nTables)
+        .map(t => signature(col(qVecCol), nPlanes, t)): _*))
+      .withColumn("__t", explode(array((0 until nTables).map(lit): _*)))
+      .withColumn("__m", explode(lit(masks.toArray)))
+      .withColumn("__b",
+        element_at(col("__sigs"), col("__t") + 1).bitwiseXOR(col("__m")))
+      .drop("__sigs", "__m")
     val cands = bucketed.join(broadcast(probes), Seq("__t", "__b"))
     if (excludeSelf) cands.filter(col(idCol) =!= col(qIdCol)) else cands
   }

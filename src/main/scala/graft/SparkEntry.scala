@@ -363,6 +363,60 @@ object SparkEntry {
       GzipMetadataFixture.table(s, dir).newScan().toDF(s)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
 
+    // write.parquet.* tuning end-to-end: gzip codec + 64 KiB row groups
+    // reach the data files (footer-asserted in WritePropsSpec); the scan
+    // must stay value-identical to the source
+    "t_parquet_tuning" -> ((s, dir) =>
+      WritePropsFixtures.tuned(s, dir).newScan().toDF(s)
+        .select("p_partkey", "p_name", "p_retailprice")),
+
+    // metrics modes: counts-default withholds bounds, truncate(4) is
+    // below the exactness floor, full keeps exact bounds — MIN/MAX/COUNT
+    // over these columns exercises the refusal matrix and must still
+    // match the oracle through the scan fallback
+    "t_metrics_modes" -> ((s, dir) =>
+      WritePropsFixtures.metricsModes(s, dir).newScan().toDF(s)
+        .agg(count(col("c_name")).as("n_name"),
+          min(col("c_name")).as("min_name"),
+          max(col("c_name")).as("max_name"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))),
+
+    // object-store layout: hash-prefixed data paths, partition tuples
+    // from manifests (not paths) — scan + partition pruning must be
+    // layout-blind
+    "t_object_store" -> ((s, dir) =>
+      WritePropsFixtures.objectStore(s, dir).newScan().toDF(s)
+        .filter(col("o_orderdate") >= "1997-01-01")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // write.data.path mid-life move: half the files under the default
+    // root, half under the external root, one scan over both
+    "t_data_path_move" -> ((s, dir) =>
+      WritePropsFixtures.dataPathMove(s, dir).newScan().toDF(s)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+
+    // write.summary.partition-limit: per-partition churn entries in the
+    // snapshot summary, parsed back out and matched against the data
+    "t_partition_summary" -> ((s, dir) => {
+      import s.implicits._
+      val t = WritePropsFixtures.partitionSummary(s, dir)
+      val snap = t.currentSnapshot.get
+      snap.summary.toSeq
+        .filter(_._1.startsWith("partitions."))
+        .map { case (k, v) =>
+          val pri = k.stripPrefix("partitions.pri=")
+          val rec = v.split(",").collectFirst {
+            case e if e.startsWith("added-records=") =>
+              e.stripPrefix("added-records=").toLong
+          }.getOrElse(-1L)
+          (pri, rec)
+        }
+        .toDF("pri", "added_records").orderBy("pri")
+    }),
+
     // rollback: main moves BACK to the first snapshot; a plain scan (no
     // time-travel clause) then sees only the first append
     "t_rollback" -> ((s, dir) => {
@@ -2113,6 +2167,24 @@ object SparkEntry {
     "t3_time_travel" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t_gzip_metadata" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "t_parquet_tuning" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part",
+    "t_metrics_modes" ->
+      """SELECT count(c_name) AS n_name, min(c_name) AS min_name,
+        |  max(c_name) AS max_name, min(c_acctbal) AS min_bal,
+        |  max(c_acctbal) AS max_bal
+        |FROM customer""".stripMargin,
+    "t_object_store" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "t_data_path_move" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "t_partition_summary" ->
+      """SELECT o_orderpriority AS pri, count(*) AS added_records
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_rollback" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t2_branch_scan" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
     "t_as_of_timestamp" -> "SELECT * FROM orders WHERE o_orderkey % 10 < 5",
@@ -3472,6 +3544,126 @@ object GzipMetadataFixture {
           properties = Map("write.metadata.compression-codec" -> "gzip"))
         t.append(spark).appendDataFrame(raw.filter("s_suppkey % 2 = 0"))
         t.append(spark).appendDataFrame(raw.filter("s_suppkey % 2 = 1"))
+        t
+      }
+    })
+}
+
+/** Round-15 declared-write-property fixtures (reference
+  * table_properties.h:111-235): parquet tuning knobs, per-column metrics
+  * modes, object-store layout, a mid-life `write.data.path` move, and
+  * per-partition commit summaries — each exercised end-to-end through a
+  * real table and an oracled scan. */
+object WritePropsFixtures {
+  import graft.ice._
+  import graft.ice.catalog._
+  import graft.ice.meta._
+  import graft.ice.transform._
+  import graft.ice.types.SparkConv
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  /** gzip codec + 64 KiB row groups + 16 KiB pages: footer-assertable
+    * and DuckDB-readable (the oracle reads the SOURCE parquet; this
+    * table must scan value-identically through the graft stack). */
+  def tuned(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/tuned", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "part_tuned")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "part")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map(
+            "write.parquet.compression-codec" -> "gzip",
+            "write.parquet.row-group-size-bytes" -> "65536",
+            "write.parquet.page-size-bytes" -> "16384"))
+        t.append(spark).appendDataFrame(raw)
+        t
+      }
+    })
+
+  /** Metrics modes: default `counts` (no bounds), c_name `truncate(4)`,
+    * c_acctbal `full`. MIN/MAX/COUNT over these columns exercises the
+    * refusal matrix — counts-mode min/max and short-width exactness must
+    * refuse the metadata answer and fall back to a real scan, still
+    * matching the oracle. */
+  def metricsModes(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/metrics", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "customer_metrics")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "customer")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map(
+            "write.metadata.metrics.default" -> "counts",
+            "write.metadata.metrics.column.c_name" -> "truncate(4)",
+            "write.metadata.metrics.column.c_acctbal" -> "full"))
+        t.append(spark).appendDataFrame(raw)
+        t
+      }
+    })
+
+  /** Object-store layout over a month-partitioned orders table: every
+    * data file lands under 4x4-bit hash-prefix dirs; partition tuples
+    * ride the manifests, scans/plans never list directories. */
+  def objectStore(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/objstore", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_objstore")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val schema = SparkConv.fromSpark(raw.schema)
+        val od = schema.findFieldByName("o_orderdate").get.id
+        val spec = PartitionSpec(0, IndexedSeq(
+          PartitionField(od, 1000, "order_month", MonthTransform)))
+        val t = IceTable.create(cat, ident, schema, spec,
+          properties = Map("write.object-storage.enabled" -> "true"))
+        t.append(spark).appendDataFrame(raw)
+        t
+      }
+    })
+
+  /** Mid-life `write.data.path` move: first append under the default
+    * `{location}/data`, the second under an external root — both keep
+    * resolving (absolute manifest paths), id-resolution fast path covers
+    * both roots (IceTable.dataRoots). */
+  def dataPathMove(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/datapath", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "supplier_datapath")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "supplier")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema))
+        t.append(spark).appendDataFrame(raw.filter("s_suppkey % 2 = 0"))
+        val extRoot = s"${Tables.warehouseDir(sfDir)}/external_data/supplier_ext"
+        t.commit(m => m.copy(properties =
+          m.properties + ("write.data.path" -> extRoot)))
+        t.append(spark).appendDataFrame(raw.filter("s_suppkey % 2 = 1"))
+        t
+      }
+    })
+
+  /** `write.summary.partition-limit`: an order-priority-partitioned
+    * append whose snapshot summary carries one `partitions.<pri=...>`
+    * churn entry per partition (5 priorities, limit 10). */
+  def partitionSummary(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/psummary", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_psummary")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val schema = SparkConv.fromSpark(raw.schema)
+        val op = schema.findFieldByName("o_orderpriority").get.id
+        val spec = PartitionSpec(0, IndexedSeq(
+          PartitionField(op, 1000, "pri", IdentityTransform)))
+        val t = IceTable.create(cat, ident, schema, spec,
+          properties = Map("write.summary.partition-limit" -> "10"))
+        t.append(spark).appendDataFrame(raw)
         t
       }
     })

@@ -541,7 +541,25 @@ final class IceTable private (
   def maintenance(): graft.ice.write.TableMaintenance = new graft.ice.write.TableMaintenance(this)
 
   def metadataFileDir: String = s"${meta.location}/metadata"
-  def dataFileDir: String = s"${meta.location}/data"
+
+  /** Root for NEW data files: `write.data.path` when set (reference
+    * table_properties.h:218), else `{location}/data`. Applies only to
+    * files written after the property is set — earlier files stay put
+    * and keep resolving by their absolute manifest paths. */
+  def dataFileDir: String = {
+    val custom = graft.ice.meta.TableProperties.get(meta.properties,
+      graft.ice.meta.TableProperties.DataPath)
+    if (custom.isEmpty) s"${meta.location}/data" else custom
+  }
+
+  /** Every data root this table is KNOWN to write under (default layout
+    * plus the current custom `write.data.path`). Internal-file prefix
+    * checks (field-id resolution fast path, orphan sweeps) consult all
+    * of them so a mid-life data-path move doesn't demote earlier
+    * internal files to the name-mapping path. Files under a root set
+    * and later UNSET still read correctly — they just take the summary/
+    * footer-probe fallback instead of the prefix fast path. */
+  def dataRoots: Seq[String] = Seq(s"${meta.location}/data", dataFileDir).distinct
 
   /** Live delete-file entries of a snapshot (position + equality deletes,
     * §2.8 — the reference models these but rejects them at plan time,
@@ -949,7 +967,7 @@ final class ScanBuilder(table: IceTable) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
     }
-    val dataDirPrefix = ManifestAvro.stripFileScheme(table.dataFileDir)
+    val dataDirPrefixes = table.dataRoots.map(ManifestAvro.stripFileScheme)
     val plainSchema = org.apache.spark.sql.types.StructType(
       sparkSchema.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     // manifest-known file sizes feed ManifestFileIndex past the file-list
@@ -974,7 +992,7 @@ final class ScanBuilder(table: IceTable) {
       .flatMap(s => s.summary.get(IceTable.FieldIdsSummaryKey)
         .map(s.snapshotId -> _)).toMap
     def fileHasIds(t: FileScanTask, p: String): Boolean =
-      p.startsWith(dataDirPrefix) || {
+      dataDirPrefixes.exists(p.startsWith) || {
         t.snapshotId.flatMap(idSummaryBySnap.get) match {
           case Some("all") => true
           case Some("none") => false
@@ -1473,9 +1491,14 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
       // are disjoint — the pruning lever at scale
       val shaped = graft.ice.write.WriteShape.clusterUnpartitioned(aligned, schema, order)
       writeFormat match {
-        case "PARQUET" => shaped.write.mode("append").parquet(outDir)
-        case "AVRO" => avroCounts = AvroData.writeDirWithCounts(shaped, outDir).toMap
-        case "ORC" => shaped.write.mode("append").orc(outDir)
+        case "PARQUET" => shaped.write.mode("append")
+          .options(graft.ice.write.WriteTuning.parquetData(table.properties))
+          .parquet(outDir)
+        case "AVRO" => avroCounts = AvroData.writeDirWithCounts(shaped, outDir,
+          codec = graft.ice.write.WriteTuning.avroCodec(table.properties)).toMap
+        case "ORC" => shaped.write.mode("append")
+          .options(graft.ice.write.WriteTuning.orcData(table.properties))
+          .orc(outDir)
         case other => throw new UnsupportedOperationException(
           s"no writer registered for file format '$other' " +
             "(PARQUET, AVRO and ORC; PUFFIN is not a row format)")
@@ -1495,6 +1518,7 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           .repartition(dirCols.map(col): _*),
         schema, order, dirCols)
         .write.mode("append")
+        .options(graft.ice.write.WriteTuning.parquetData(table.properties))
         .partitionBy(dirCols: _*)
         .parquet(outDir)
     }
@@ -1509,17 +1533,23 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     // footer reads are independent driver-side IO — parallelize
     import scala.collection.parallel.CollectionConverters._
     val hadoopConf = spark.sessionState.newHadoopConf()
+    // object-store layout: hash-prefix the final paths (partition tuples
+    // parse from the ORIGINAL outDir layout before the move)
+    val relocated = graft.ice.write.ObjectStoreLayout.relocate(
+      table.properties, table.dataFileDir, outDir, commitUuid, files)
+    val metricsCfg = Some(graft.ice.write.MetricsConfig.from(table.properties, schema))
     val entries = files.par.map { p =>
+      val fp = relocated(p)
       val m =
-        if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, hadoopConf)
+        if (writeFormat == "PARQUET") Metrics.fromParquetFooter(fp, schema, hadoopConf, metricsCfg)
         else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts.getOrElse(p, 0L))
         // counts recorded at write time; no column bounds -> never pruned
         else Metrics.rowCountOnly(avroCounts(p))
       val partition = parsePartitionTuple(p, outDir, spec, schema)
       ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.Data, p, writeFormat, partition,
+        DataFile(FileContent.Data, fp, writeFormat, partition,
           recordCount = m.rowCount,
-          fileSizeInBytes = Files.size(Paths.get(p)),
+          fileSizeInBytes = Files.size(Paths.get(fp)),
           columnSizes = m.columnSizes,
           valueCounts = m.valueCounts,
           nullValueCounts = m.nullValueCounts,
@@ -1569,10 +1599,11 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
     // footer reads are independent driver-side IO — parallelize (a
     // 100k-file import must not read footers one at a time)
     import scala.collection.parallel.CollectionConverters._
+    val metricsCfg = Some(graft.ice.write.MetricsConfig.from(table.properties, schema))
     val entries = paths.par.map { p =>
       val local = ManifestAvro.stripFileScheme(p)
       val m =
-        if (fmt == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
+        if (fmt == "PARQUET") Metrics.fromParquetFooter(p, schema, conf, metricsCfg)
         else if (fmt == "ORC") Metrics.rowCountOnly(orcCounts.getOrElse(local, 0L))
         else Metrics.rowCountOnly(AvroData.countRecords(local))
       val partition = partitionBaseDir match {
@@ -1735,14 +1766,25 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
           "total-records" -> totalRecords.toString,
           "total-data-files" -> (previous.flatMap(_.addedFilesCount).sum +
             previous.flatMap(_.existingFilesCount).sum + entries.size).toString)
+          ++ graft.ice.write.PartitionSummaries.build(base.properties,
+            entries.map(e => spec -> e.dataFile), Nil)
           ++ extraSummary
           ++ wapId.map("wap.id" -> _),
         schemaId = Some(base.currentSchemaId),
         firstRowId = baseRowId)
       onSnapshot(snap)
-      val next =
+      val next1 =
         if (wapId.isDefined) base.withStagedSnapshot(snap)
         else base.withSnapshot(snap, branch)
+      // monotone bound-width floor (mirrors SnapshotProducer.commit):
+      // ratchets down with the metrics config, never up
+      val next = graft.ice.write.MetricsConfig.from(next1.properties,
+          base.currentSchema).minTruncateWidth match {
+        case Some(w) if w < base.property(TableProperties.MetricsBoundWidthFloor) =>
+          next1.copy(properties = next1.properties +
+            (TableProperties.MetricsBoundWidthFloor.name -> w.toString))
+        case _ => next1
+      }
       if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next
   }
 

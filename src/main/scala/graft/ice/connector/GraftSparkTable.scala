@@ -458,12 +458,19 @@ private[connector] object TopNPlanner {
     val live = tasks.filter(_.file.recordCount > 0L)
     if (live.isEmpty) return Some((Nil, tasks.size))
 
+    // the table's monotone bound-width floor: the smallest truncate
+    // width ANY commit's metrics config could have written bounds with
+    // (never above 16, the pre-config width) — a bound shorter than
+    // every possible truncation width is provably exact
+    val widthFloor = math.min(Metrics.BoundTruncateLength,
+      graft.ice.meta.TableProperties.get(table.properties,
+        graft.ice.meta.TableProperties.MetricsBoundWidthFloor))
     def exactBound(l: Literal): Boolean = l.tpe match {
       case StringT =>
         val s = l.raw.asInstanceOf[String]
-        s.codePointCount(0, s.length) < Metrics.BoundTruncateLength
+        s.codePointCount(0, s.length) < widthFloor
       case BinaryT =>
-        l.raw.asInstanceOf[Array[Byte]].length < Metrics.BoundTruncateLength
+        l.raw.asInstanceOf[Array[Byte]].length < widthFloor
       case _ => true
     }
 
@@ -774,12 +781,12 @@ private[connector] final class GraftBatchScan(table: IceTable,
       GraftDeleteSpec(dvs, pq, eqs)
     }
 
-    val dataDirPrefix = GraftConnectorUtil.normPath(table.dataFileDir)
+    val dataDirPrefixes = table.dataRoots.map(GraftConnectorUtil.normPath)
     val idSummaryBySnap: Map[Long, String] = table.metadata.snapshots
       .flatMap(s => s.summary.get(IceTable.FieldIdsSummaryKey)
         .map(s.snapshotId -> _)).toMap
     def fileHasIds(t: FileScanTask, p: String): Boolean =
-      p.startsWith(dataDirPrefix) ||
+      dataDirPrefixes.exists(p.startsWith) ||
         t.snapshotId.flatMap(idSummaryBySnap.get).contains("all")
 
     // v3 default values: which defaulted columns does each file predate?
@@ -1129,13 +1136,18 @@ private[connector] object MetadataAggregate {
         })
 
     /** A stored bound is the exact column min/max only when truncation
-      * cannot have touched it (strings/binary: shorter than the
-      * truncate width; everything else: always exact). */
+      * cannot have touched it (strings/binary: shorter than EVERY
+      * truncate width this table could have written with — the monotone
+      * bound-width floor, never above the pre-config 16; everything
+      * else: always exact). */
+    val widthFloor = math.min(Metrics.BoundTruncateLength,
+      graft.ice.meta.TableProperties.get(table.properties,
+        graft.ice.meta.TableProperties.MetricsBoundWidthFloor))
     def exactBound(l: Literal): Boolean = l.tpe match {
       case StringT =>
         val s = l.raw.asInstanceOf[String]
-        s.codePointCount(0, s.length) < Metrics.BoundTruncateLength
-      case BinaryT => l.raw.asInstanceOf[Array[Byte]].length < Metrics.BoundTruncateLength
+        s.codePointCount(0, s.length) < widthFloor
+      case BinaryT => l.raw.asInstanceOf[Array[Byte]].length < widthFloor
       case _ => true
     }
 

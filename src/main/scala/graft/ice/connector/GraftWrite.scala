@@ -171,8 +171,19 @@ final class GraftWrite(table: IceTable, identName: String, warehouse: String,
       targetFileSize = TableProperties.get(table.properties,
         TableProperties.WriteTargetFileSizeBytes),
       sortOrderId = table.metadata.defaultSortOrderId,
-      compression = table.properties.getOrElse(
-        "write.parquet.compression-codec", "snappy"))
+      compression = TableProperties.get(table.properties,
+        TableProperties.ParquetCompression),
+      rowGroupSize = TableProperties.get(table.properties,
+        TableProperties.ParquetRowGroupSizeBytes),
+      pageSize = TableProperties.get(table.properties,
+        TableProperties.ParquetPageSizeBytes),
+      dictSize = TableProperties.get(table.properties,
+        TableProperties.ParquetDictSizeBytes),
+      objectStore = graft.ice.write.ObjectStoreLayout.enabled(table.properties),
+      objectStorePartitioned =
+        graft.ice.write.ObjectStoreLayout.partitionedPaths(table.properties),
+      metricsConfig = Some(graft.ice.write.MetricsConfig.from(
+        table.properties, schema)))
   }
 
   override def toBatch: BatchWrite =
@@ -194,7 +205,18 @@ final case class GraftTaskWriteConf(
     outDir: String,
     targetFileSize: Long,
     sortOrderId: Int,
-    compression: String)
+    compression: String,
+    rowGroupSize: Long = 128L * 1024 * 1024,
+    pageSize: Long = 1024L * 1024,
+    dictSize: Long = 2L * 1024 * 1024,
+    objectStore: Boolean = false,
+    objectStorePartitioned: Boolean = true,
+    metricsConfig: Option[graft.ice.write.MetricsConfig] = None) {
+  /** outDir is `{dataRoot}/{commitUuid}`; the object-store layout needs
+    * the two components separately. */
+  def dataRoot: String = outDir.substring(0, outDir.lastIndexOf('/'))
+  def commitId: String = outDir.substring(outDir.lastIndexOf('/') + 1)
+}
 
 final case class GraftWriteMessage(files: Seq[DataFile]) extends WriterCommitMessage
 
@@ -476,10 +498,17 @@ final class GraftDataWriter(conf: GraftTaskWriteConf, partitionId: Int,
     }.mkString("/")
 
   private def newFilePath(tuple: IndexedSeq[Any]): String = {
-    val dirs = if (partEvals.isEmpty) "" else s"/${dirPath(tuple)}"
     val epoch = if (epochId >= 0) s"-$epochId" else ""
     fileNo += 1
-    s"${conf.outDir}$dirs/part-$partitionId-$taskId$epoch-$fileNo.parquet"
+    val name = s"part-$partitionId-$taskId$epoch-$fileNo.parquet"
+    val partDirs = if (partEvals.isEmpty) "" else dirPath(tuple)
+    // object-store layout: each file under its own hash-prefix dirs
+    // (computed HERE on the executor — no post-write relocation pass)
+    if (conf.objectStore)
+      graft.ice.write.ObjectStoreLayout.place(conf.dataRoot, conf.commitId,
+        partDirs, name, conf.objectStorePartitioned)
+    else if (partDirs.isEmpty) s"${conf.outDir}/$name"
+    else s"${conf.outDir}/$partDirs/$name"
   }
 
   private def openFile(tuple: IndexedSeq[Any]): Unit = {
@@ -489,15 +518,19 @@ final class GraftDataWriter(conf: GraftTaskWriteConf, partitionId: Int,
     writer = new GraftRowParquetWriterBuilder(new HPath(curPath))
       .withConf(hadoopConf)
       .withCompressionCodec(CompressionCodecName.fromConf(
-        conf.compression.toUpperCase(java.util.Locale.ROOT)))
-      .withRowGroupSize(conf.targetFileSize.min(128L * 1024 * 1024))
+        (if (conf.compression == "none") "uncompressed" else conf.compression)
+          .toUpperCase(java.util.Locale.ROOT)))
+      .withRowGroupSize(conf.targetFileSize.min(conf.rowGroupSize))
+      .withPageSize(conf.pageSize.toInt)
+      .withDictionaryPageSize(conf.dictSize.toInt)
       .build()
   }
 
   private def closeFile(): Unit = {
     if (writer == null) return
     writer.close()
-    val m = Metrics.fromParquetFooter(curPath, conf.schema, hadoopConf)
+    val m = Metrics.fromParquetFooter(curPath, conf.schema, hadoopConf,
+      conf.metricsConfig)
     done += DataFile(FileContent.Data, curPath, "PARQUET", curTuple,
       recordCount = m.rowCount,
       fileSizeInBytes = java.nio.file.Files.size(java.nio.file.Paths.get(curPath)),

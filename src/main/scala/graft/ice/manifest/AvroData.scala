@@ -87,7 +87,8 @@ object AvroData {
     * file under `dir` on the executors — nothing moves through the
     * driver. Returns (path, row count) per file; counts are recorded at
     * write time so manifest entries never re-read the files. */
-  def writeDirWithCounts(df: DataFrame, dir: String): Seq[(String, Long)] = {
+  def writeDirWithCounts(df: DataFrame, dir: String,
+      codec: String = "null"): Seq[(String, Long)] = {
     val sparkSchema = df.schema
     val schemaJson = avroSchemaJson(sparkSchema)
     val fields = sparkSchema.fields
@@ -98,6 +99,10 @@ object AvroData {
         val schema = new AvroParser().parse(schemaJson)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
+        // table-property codec (write.avro.compression-codec; "null" =
+        // uncompressed keeps the pre-property behavior for metadata-plane
+        // callers that don't pass one)
+        writer.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
         val path = f"$dir/part-$idx%05d.avro"
         // task-commit protocol: write to an attempt-unique temp name and
         // atomically publish on success, so a retried or speculative

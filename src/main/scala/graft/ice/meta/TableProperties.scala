@@ -56,6 +56,68 @@ object TableProperties {
   val WriteNanCounts: Key[Boolean] =
     Key("graft.write.nan-counts", false, _.trim.toBoolean)
 
+  // parquet write tuning (reference table_properties.h:111-128): these
+  // reach the actual parquet writers — the declared default codec is
+  // zstd, NOT the Spark session default (snappy). Data-plane and
+  // delete-plane files are tuned independently, as the reference
+  // declares (`write.delete.parquet.*` twins).
+  val ParquetCompression: Key[String] =
+    Key("write.parquet.compression-codec", "zstd",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val ParquetCompressionLevel: Key[String] =
+    Key("write.parquet.compression-level", "", _.trim)
+  val ParquetRowGroupSizeBytes: Key[Long] =
+    Key("write.parquet.row-group-size-bytes", 128L * 1024 * 1024, _.trim.toLong)
+  val ParquetPageSizeBytes: Key[Long] =
+    Key("write.parquet.page-size-bytes", 1024L * 1024, _.trim.toLong)
+  val ParquetDictSizeBytes: Key[Long] =
+    Key("write.parquet.dict-size-bytes", 2L * 1024 * 1024, _.trim.toLong)
+  val DeleteParquetCompression: Key[String] =
+    Key("write.delete.parquet.compression-codec", "zstd",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val DeleteParquetRowGroupSizeBytes: Key[Long] =
+    Key("write.delete.parquet.row-group-size-bytes", 128L * 1024 * 1024, _.trim.toLong)
+  val DeleteParquetPageSizeBytes: Key[Long] =
+    Key("write.delete.parquet.page-size-bytes", 1024L * 1024, _.trim.toLong)
+  val DeleteParquetDictSizeBytes: Key[Long] =
+    Key("write.delete.parquet.dict-size-bytes", 2L * 1024 * 1024, _.trim.toLong)
+
+  // ORC write tuning (reference table_properties.h:180-198; the registry
+  // exceeds the reference's enum-only ORC, so its declared knobs apply)
+  val OrcCompression: Key[String] =
+    Key("write.orc.compression-codec", "zlib",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val OrcStripeSizeBytes: Key[Long] =
+    Key("write.orc.stripe-size-bytes", 64L * 1024 * 1024, _.trim.toLong)
+
+  // avro data-plane compression (reference table_properties.h:170-173)
+  val AvroCompression: Key[String] =
+    Key("write.avro.compression-codec", "gzip",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+
+  // per-column metrics modes (reference table_properties.h:232-235):
+  // what each data-file manifest entry persists per column —
+  // none / counts / truncate(W) / full. Per-column overrides use
+  // `write.metadata.metrics.column.<name>`; columns past the inference
+  // cap (schema order) default to none, the reference's wide-schema
+  // manifest-bloat guard.
+  val MetricsDefault: Key[String] =
+    Key("write.metadata.metrics.default", "truncate(16)",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val MetricsMaxInferredDefaults: Key[Int] =
+    Key("write.metadata.metrics.max-inferred-column-defaults", 100, _.trim.toInt)
+  val MetricsColumnPrefix = "write.metadata.metrics.column."
+
+  // monotone NON-INCREASING floor over every truncate width this table
+  // has ever written bounds with (graft extension, maintained by the
+  // commit path). Exactness proofs (MIN/MAX answer, TopN end-runs) may
+  // call a string/binary bound exact only when it is SHORTER than every
+  // width that could have truncated it — current properties alone can't
+  // prove that once a width is raised mid-life, so the floor rides the
+  // metadata and only ever ratchets down.
+  val MetricsBoundWidthFloor: Key[Int] =
+    Key("graft.metrics.bound-width-floor", 16, _.trim.toInt)
+
   // maintenance
   val CompactSmallFileThresholdBytes: Key[Long] =
     Key("write.compact.small-file-threshold-bytes", 96L * 1024 * 1024, _.trim.toLong)
@@ -85,6 +147,32 @@ object TableProperties {
   // new metadata JSON files land under this directory instead of
   // {location}/metadata. Empty = default layout.
   val MetadataPath: Key[String] = Key("write.metadata.path", "", _.trim)
+
+  // custom data-file root (reference table_properties.h:218): new data
+  // files land under this directory instead of {location}/data. Applies
+  // only to files written AFTER the property is set — previously-written
+  // files stay where they are and keep resolving by their absolute
+  // manifest paths.
+  val DataPath: Key[String] = Key("write.data.path", "", _.trim)
+
+  // object-store layout (reference table_properties.h:213-217): prefix
+  // each data file's path with a hash of its name so a 100-TB table's
+  // keys disperse across object-store request shards instead of
+  // funneling one sequential prefix. partitioned-paths=false drops the
+  // partition directories from the path entirely (pure hash dispersal;
+  // partition values still live in the manifest tuple, which is what
+  // scans read anyway).
+  val ObjectStorageEnabled: Key[Boolean] =
+    Key("write.object-storage.enabled", false, _.trim.toBoolean)
+  val ObjectStoragePartitionedPaths: Key[Boolean] =
+    Key("write.object-storage.partitioned-paths", true, _.trim.toBoolean)
+
+  // partition summaries in the snapshot summary (reference
+  // table_properties.h:223-224): per-changed-partition churn entries
+  // (`partitions.<path>` keys), written only when the commit touches at
+  // most this many partitions. 0 (the declared default) disables them.
+  val PartitionSummaryLimit: Key[Int] =
+    Key("write.summary.partition-limit", 0, _.trim.toInt)
 
   // scan planning (graft extension): beyond this many estimated manifest
   // entries, planning reads + prunes manifests on executors and returns

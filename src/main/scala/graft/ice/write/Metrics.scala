@@ -23,6 +23,86 @@ import graft.ice.types._
   * a footer is O(KB) regardless of file size. String bounds are truncated
   * to 16 chars with upper-bound increment (metrics mode truncate(16),
   * table_properties.h metrics defaults). */
+/** Per-column metrics modes (reference table_properties.h:232-235):
+  * what a data file's manifest entry persists for each column.
+  *  - `none`       — no counts, no bounds (column sizes only)
+  *  - `counts`     — value/null/NaN counts, no bounds
+  *  - `truncate(W)`— counts + bounds truncated to W code points/bytes
+  *  - `full`       — counts + exact bounds
+  * Downstream metadata proofs (StrictMetricsEvaluator, MIN/MAX/COUNT
+  * answer, TopN end-runs, default-absence) all REFUSE on the metrics a
+  * mode withholds — missing counts/bounds were already "unknown ⇒
+  * include/refuse" everywhere, so withholding degrades pruning and
+  * pushdown, never correctness. */
+sealed trait MetricsMode
+object MetricsMode {
+  case object NoMetrics extends MetricsMode
+  case object Counts extends MetricsMode
+  final case class Truncate(width: Int) extends MetricsMode
+  case object Full extends MetricsMode
+
+  private val TruncateRe = """truncate\((\d+)\)""".r
+  def parse(s: String): MetricsMode =
+    s.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "none" => NoMetrics
+      case "counts" => Counts
+      case "full" => Full
+      case TruncateRe(w) if w.toInt > 0 => Truncate(w.toInt)
+      case other => throw new IllegalArgumentException(
+        s"invalid metrics mode '$other' (none, counts, truncate(W), full)")
+    }
+}
+
+/** Resolved metrics configuration for one table: the default mode, the
+  * per-column overrides, and the inference cap — columns past the first
+  * `max-inferred-column-defaults` (schema order) default to `none`
+  * unless explicitly overridden, the reference's wide-schema guard
+  * against per-column manifest bloat at 1000+ columns. */
+final case class MetricsConfig(
+    default: MetricsMode,
+    overrides: Map[String, MetricsMode],
+    maxInferredDefaults: Int,
+    schemaPositionById: Map[Int, Int],
+    nameById: Map[Int, String]) {
+
+  def modeFor(fieldId: Int): MetricsMode =
+    nameById.get(fieldId).flatMap(overrides.get).getOrElse {
+      if (schemaPositionById.getOrElse(fieldId, 0) < maxInferredDefaults) default
+      else MetricsMode.NoMetrics
+    }
+
+  /** Smallest truncate width any column can write bounds with under this
+    * config — feeds the table's monotone bound-width floor. */
+  def minTruncateWidth: Option[Int] = {
+    val widths = (default +: overrides.values.toSeq).collect {
+      case MetricsMode.Truncate(w) => w
+    }
+    if (widths.isEmpty) None else Some(widths.min)
+  }
+}
+
+object MetricsConfig {
+  import graft.ice.meta.TableProperties
+
+  /** truncate(16) everywhere — the pre-config behavior and the default. */
+  def default16(schema: Schema): MetricsConfig =
+    MetricsConfig(MetricsMode.Truncate(Metrics.BoundTruncateLength), Map.empty,
+      Int.MaxValue, Map.empty, schema.fields.map(f => f.id -> f.name).toMap)
+
+  def from(props: Map[String, String], schema: Schema): MetricsConfig = {
+    val default = MetricsMode.parse(
+      TableProperties.get(props, TableProperties.MetricsDefault))
+    val cap = TableProperties.get(props, TableProperties.MetricsMaxInferredDefaults)
+    val overrides = props.collect {
+      case (k, v) if k.startsWith(TableProperties.MetricsColumnPrefix) =>
+        k.substring(TableProperties.MetricsColumnPrefix.length) -> MetricsMode.parse(v)
+    }
+    MetricsConfig(default, overrides, cap,
+      schema.fields.zipWithIndex.map { case (f, i) => f.id -> i }.toMap,
+      schema.fields.map(f => f.id -> f.name).toMap)
+  }
+}
+
 object Metrics {
 
   val BoundTruncateLength = 16
@@ -85,7 +165,9 @@ object Metrics {
     * schema; columns are matched by parquet field id when present, else
     * by top-level name (name-mapping fallback, name_mapping.h). */
   def fromParquetFooter(path: String, schema: Schema,
-      conf: Configuration = new Configuration()): FileMetrics = {
+      conf: Configuration = new Configuration(),
+      config: Option[MetricsConfig] = None): FileMetrics = {
+    val cfg = config.getOrElse(MetricsConfig.default16(schema))
     val in = HadoopInputFile.fromPath(new HPath(path), conf)
     val reader = ParquetFileReader.open(in)
     try {
@@ -150,16 +232,33 @@ object Metrics {
       }
       statsBroken.foreach { id => mins.remove(id); maxs.remove(id) }
 
-      val lower = mins.view.mapValues(truncateLower).toMap
+      // per-column metrics mode: `none` withholds counts AND bounds,
+      // `counts` withholds bounds, `truncate(W)` truncates at W, `full`
+      // stores exact bounds (long string/binary bounds then exceed the
+      // truncate width and are simply never PROVABLY exact downstream —
+      // conservative, sound)
+      def keepCounts(id: Int): Boolean =
+        cfg.modeFor(id) != MetricsMode.NoMetrics
+      def gateLower(id: Int, l: Literal): Option[Literal] = cfg.modeFor(id) match {
+        case MetricsMode.Truncate(w) => truncateLower(l, w)
+        case MetricsMode.Full => Some(l)
+        case _ => None
+      }
+      def gateUpper(id: Int, l: Literal): Option[Literal] = cfg.modeFor(id) match {
+        case MetricsMode.Truncate(w) => truncateUpper(l, w)
+        case MetricsMode.Full => Some(l)
+        case _ => None
+      }
+      val lower = mins.toMap.map { case (k, v) => k -> gateLower(k, v) }
         .collect { case (k, Some(l)) => k -> l.serialize }
-      val upper = maxs.view.mapValues(truncateUpper).toMap
+      val upper = maxs.toMap.map { case (k, v) => k -> gateUpper(k, v) }
         .collect { case (k, Some(l)) => k -> l.serialize }
 
       FileMetrics(
         rowCount = blocks.map(_.getRowCount).sum,
         columnSizes = colSizes.toMap,
-        valueCounts = valCounts.toMap,
-        nullValueCounts = nullCounts.toMap,
+        valueCounts = valCounts.toMap.filter(kv => keepCounts(kv._1)),
+        nullValueCounts = nullCounts.toMap.filter(kv => keepCounts(kv._1)),
         lowerBounds = lower,
         upperBounds = upper,
         splitOffsets = blocks.map(_.getStartingPos).toSeq.sorted)
@@ -211,39 +310,40 @@ object Metrics {
     }
   }
 
-  /** truncate(16) for lower bound: plain truncation is a valid lower bound. */
-  def truncateLower(l: Literal): Option[Literal] = l.tpe match {
+  /** truncate(W) for lower bound: plain truncation is a valid lower bound. */
+  def truncateLower(l: Literal, width: Int = BoundTruncateLength): Option[Literal] = l.tpe match {
     case StringT =>
-      Some(Literal.string(TruncateUtil.truncateString(BoundTruncateLength, l.raw.asInstanceOf[String])))
+      Some(Literal.string(TruncateUtil.truncateString(width, l.raw.asInstanceOf[String])))
     case BinaryT =>
-      Some(Literal.binary(TruncateUtil.truncateBinary(BoundTruncateLength, l.raw.asInstanceOf[Array[Byte]])))
+      Some(Literal.binary(TruncateUtil.truncateBinary(width, l.raw.asInstanceOf[Array[Byte]])))
     case _ => Some(l)
   }
 
-  /** truncate(16) for upper bound: truncation must round UP — increment the
+  /** truncate(W) for upper bound: truncation must round UP — increment the
     * last code point; drop the bound entirely if no increment is possible. */
-  def truncateUpper(l: Literal): Option[Literal] = l.tpe match {
+  def truncateUpper(l: Literal, width: Int = BoundTruncateLength): Option[Literal] = l.tpe match {
     case StringT =>
       val s = l.raw.asInstanceOf[String]
-      if (s.codePointCount(0, s.length) <= BoundTruncateLength) Some(l)
+      if (s.codePointCount(0, s.length) <= width) Some(l)
       else {
-        val t = TruncateUtil.truncateString(BoundTruncateLength, s)
+        val t = TruncateUtil.truncateString(width, s)
         // a carry during increment SHORTENS the bound, making it
         // byte-indistinguishable from an exact short maximum — drop it
         // instead (no bound = no pruning, always safe), so that any
         // stored upper shorter than the truncate width is provably
-        // exact (MetadataAggregate.exactBound relies on this)
+        // exact (MetadataAggregate.exactBound + the table's monotone
+        // bound-width floor rely on this, per-width)
         incrementLastCodePoint(t)
-          .filter(r => r.codePointCount(0, r.length) == BoundTruncateLength)
+          .filter(r => r.codePointCount(0, r.length) == width)
           .map(Literal.string)
       }
     case BinaryT =>
       val b = l.raw.asInstanceOf[Array[Byte]]
-      if (b.length <= BoundTruncateLength) Some(l)
+      if (b.length <= width) Some(l)
       else {
-        val t = TruncateUtil.truncateBinary(BoundTruncateLength, b)
+        val t = TruncateUtil.truncateBinary(width, b)
         incrementBytes(t)
-          .filter(_.length == BoundTruncateLength)
+          .filter(_.length == width)
           .map(Literal.binary)
       }
     case _ => Some(l)

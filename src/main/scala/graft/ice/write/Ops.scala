@@ -220,6 +220,10 @@ private[ice] object SnapshotProducer {
       // feed CDC admission control (a delete-heavy commit adds few files
       // but plans a changelog batch sized by what it REMOVED)
       var removedDataRecords = 0L
+      // removed data files with their OWN spec, for per-partition
+      // summaries (write.summary.partition-limit)
+      val removedForSummary =
+        collection.mutable.Buffer[(PartitionSpec, graft.ice.manifest.DataFile)]()
       val survivors: Seq[ManifestFile] = previous.flatMap { m =>
         val mayShrink = removedPaths.nonEmpty ||
           (removedDVForFiles.nonEmpty && m.content == ManifestContent.Deletes)
@@ -230,9 +234,9 @@ private[ice] object SnapshotProducer {
           val entries = liveEntries(m)
           val (removed, kept) = entries.partition(e =>
             removedPaths.contains(e.dataFile.filePath) || dvSuperseded(e))
-          removedDataRecords += removed
-            .filter(_.dataFile.content == FileContent.Data)
-            .map(_.dataFile.recordCount).sum
+          val removedData = removed.filter(_.dataFile.content == FileContent.Data)
+          removedDataRecords += removedData.map(_.dataFile.recordCount).sum
+          removedForSummary ++= removedData.map(e => mSpec -> e.dataFile)
           if (removed.isEmpty) Some(m)
           else if (kept.isEmpty) None
           else Some(ManifestAvro.writeManifest(nextManifestPath(),
@@ -295,6 +299,9 @@ private[ice] object SnapshotProducer {
           "deleted-records" -> removedDataRecords.toString,
           "added-delete-records" ->
             addedDeleteEntries.map(_.dataFile.recordCount).sum.toString)
+          ++ PartitionSummaries.build(base.properties,
+            addedDataEntries.map(e => spec -> e.dataFile),
+            removedForSummary.toSeq)
           ++ extraSummary ++ stageWapId.map("wap.id" -> _),
         schemaId = Some(base.currentSchemaId),
         firstRowId = baseRowId)
@@ -304,8 +311,21 @@ private[ice] object SnapshotProducer {
       val next0 =
         if (stageWapId.isDefined) base.withStagedSnapshot(snap)
         else base.withSnapshot(snap)
-      val next = if (extraProps.isEmpty) next0
+      val next1 = if (extraProps.isEmpty) next0
         else next0.copy(properties = next0.properties ++ extraProps)
+      // monotone bound-width floor: once this table's metrics config can
+      // write truncated bounds at a width below the recorded floor,
+      // ratchet the floor down IN THE SAME COMMIT — exactness proofs
+      // (MIN/MAX answer, TopN end-runs) may then only call a bound exact
+      // when it is shorter than every width that could have truncated it,
+      // across the table's whole property history
+      val next = MetricsConfig.from(next1.properties, schema).minTruncateWidth match {
+        case Some(w) if w < TableProperties.get(next1.properties,
+            TableProperties.MetricsBoundWidthFloor) =>
+          next1.copy(properties = next1.properties +
+            (TableProperties.MetricsBoundWidthFloor.name -> w.toString))
+        case _ => next1
+      }
       if (fv >= 3) next.copy(nextRowId = Some(rowCursor)) else next
     }
     result
@@ -367,10 +387,13 @@ private[ice] object SnapshotProducer {
           else aligned
       }
       writeFormat match {
-        case "PARQUET" => shaped.write.mode("append").parquet(outDir)
+        case "PARQUET" => shaped.write.mode("append")
+          .options(WriteTuning.parquetData(table.properties)).parquet(outDir)
         case "AVRO" =>
-          avroCounts = AvroData.writeDirWithCounts(shaped, outDir).toMap
-        case "ORC" => shaped.write.mode("append").orc(outDir)
+          avroCounts = AvroData.writeDirWithCounts(shaped, outDir,
+            codec = WriteTuning.avroCodec(table.properties)).toMap
+        case "ORC" => shaped.write.mode("append")
+          .options(WriteTuning.orcData(table.properties)).orc(outDir)
         case other =>
           throw new UnsupportedOperationException(
             s"no writer registered for file format '$other' " +
@@ -400,6 +423,7 @@ private[ice] object SnapshotProducer {
       }
       shaped
         .write.mode("append")
+        .options(WriteTuning.parquetData(table.properties))
         .partitionBy(dirCols: _*)
         .parquet(outDir)
     }
@@ -421,21 +445,27 @@ private[ice] object SnapshotProducer {
       if (writeFormat == "ORC") FormatRegistry.orcRowCounts(spark, files)
       else Map.empty
     val conf = spark.sessionState.newHadoopConf()
+    // object-store layout: hash-prefix the final paths (partition tuples
+    // are parsed from the ORIGINAL outDir layout before the move)
+    val relocated = ObjectStoreLayout.relocate(table.properties,
+      table.dataFileDir, outDir, commitUuid, files)
     // footer reads are independent driver-side IO: a 10k-file compaction
     // commit should be bounded by cores, not files
     import scala.collection.parallel.CollectionConverters._
+    val metricsCfg = Some(MetricsConfig.from(table.properties, schema))
     val entries = files.par.map { p =>
+      val fp = relocated(p)
       val m =
-        if (writeFormat == "PARQUET") Metrics.fromParquetFooter(p, schema, conf)
+        if (writeFormat == "PARQUET") Metrics.fromParquetFooter(fp, schema, conf, metricsCfg)
         else if (writeFormat == "ORC") Metrics.rowCountOnly(orcCounts.getOrElse(p, 0L))
         // counts were recorded by the executors at write time; avro/orc
         // files carry no footer bounds here, so pruning includes them
         else Metrics.rowCountOnly(avroCounts(p))
       val partition = PartitionPaths.parse(p, outDir, spec, schema)
       ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.Data, p, writeFormat, partition,
+        DataFile(FileContent.Data, fp, writeFormat, partition,
           recordCount = m.rowCount,
-          fileSizeInBytes = Files.size(Paths.get(p)),
+          fileSizeInBytes = Files.size(Paths.get(fp)),
           columnSizes = m.columnSizes, valueCounts = m.valueCounts,
           nullValueCounts = m.nullValueCounts,
           lowerBounds = m.lowerBounds, upperBounds = m.upperBounds,
@@ -461,8 +491,12 @@ private[ice] object SnapshotProducer {
       entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
     if (!TableProperties.get(table.properties, TableProperties.WriteNanCounts))
       return entries
+    val cfg = MetricsConfig.from(table.properties, table.schema)
     val floatFields = table.schema.fields.filter(f =>
-      f.fieldType == FloatT || f.fieldType == DoubleT)
+      (f.fieldType == FloatT || f.fieldType == DoubleT) &&
+        // a `none`-mode column persists no counts of any kind — NaN
+        // counts included (float pushdown on it refuses, as it must)
+        cfg.modeFor(f.id) != MetricsMode.NoMetrics)
     val parquetPaths = entries.filter(_.dataFile.fileFormat == "PARQUET")
       .map(_.dataFile.filePath)
     if (floatFields.isEmpty || parquetPaths.isEmpty) return entries
@@ -943,7 +977,8 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
         .as(f.name, SparkConv.toSparkField(f).metadata)
     }: _*)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    aligned.write.parquet(outDir)
+    aligned.write.options(WriteTuning.parquetDelete(table.properties))
+      .parquet(outDir)
     val conf = spark.sessionState.newHadoopConf()
     val entries = {
       import scala.jdk.CollectionConverters._
@@ -982,7 +1017,8 @@ object RowDelete {
     val outDir = s"${table.dataFileDir}/${UUID.randomUUID()}-deletes"
     dels.repartition(nParts, col("file_path"))
       .sortWithinPartitions("file_path", "pos")
-      .write.parquet(outDir)
+      .write.options(WriteTuning.parquetDelete(table.properties))
+      .parquet(outDir)
     val conf = spark.sessionState.newHadoopConf()
     val files = {
       import scala.jdk.CollectionConverters._
@@ -1483,22 +1519,29 @@ final class TableMaintenance(table: IceTable) {
           .foreach(e => reachable += norm(e.dataFile.filePath))
       }
     }
-    val root = Paths.get(norm(meta.location))
-    if (!Files.exists(root)) return Nil
-    val deleted = Files.walk(root).iterator.asScala
-      .filter(Files.isRegularFile(_))
-      .filter { p =>
-        val sp = p.toString
-        // metadata JSONs + catalog pointers are NEVER orphan-swept,
-        // wherever they live (write.metadata.path may relocate them):
-        // their lifecycle belongs to the metadata-log trim /
-        // delete-after-commit path, not this sweep
-        !reachable.contains(sp) &&
-          !sp.endsWith(".metadata.json") && !sp.endsWith("version-hint.text") &&
-          !sp.endsWith("metadata-path.text") &&
-          Files.getLastModifiedTime(p).toMillis < olderThanMs
-      }
-      .map(_.toString).toVector
+    // sweep the table location PLUS any custom write.data.path root —
+    // a relocated data plane must not shelter orphans (nested roots
+    // dedupe via the normalized-prefix filter)
+    val roots = (Seq(norm(meta.location)) ++
+      table.dataRoots.map(norm)).distinct
+      .map(Paths.get(_)).filter(Files.exists(_))
+    val seen = collection.mutable.Set[String]()
+    val deleted = roots.flatMap { root =>
+      Files.walk(root).iterator.asScala
+        .filter(Files.isRegularFile(_))
+        .filter { p =>
+          val sp = p.toString
+          // metadata JSONs + catalog pointers are NEVER orphan-swept,
+          // wherever they live (write.metadata.path may relocate them):
+          // their lifecycle belongs to the metadata-log trim /
+          // delete-after-commit path, not this sweep
+          seen.add(sp) && !reachable.contains(sp) &&
+            !sp.endsWith(".metadata.json") && !sp.endsWith("version-hint.text") &&
+            !sp.endsWith("metadata-path.text") &&
+            Files.getLastModifiedTime(p).toMillis < olderThanMs
+        }
+        .map(_.toString).toVector
+    }.toVector
     deleted.foreach(p => Files.deleteIfExists(Paths.get(p)))
     deleted.sorted
   }

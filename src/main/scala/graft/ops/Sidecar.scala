@@ -9,12 +9,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every downstream consumer, exactly as a production corpus pipeline
   * materializes dedup artifacts once per snapshot instead of per query.
   *
-  * Layout: `path/` holds the parquet result plus a `_sidecar_key` file
-  * written AFTER the parquet completes. A missing/mismatched key file
-  * (params changed, snapshot advanced, torn write) recomputes and
-  * overwrites; a matching key short-circuits to a plain parquet read.
-  * The key must therefore encode everything the result depends on —
-  * callers use (table uuid, snapshot id, every operator param).
+  * Layout (concurrent-safe versioned publish): `path/` holds one
+  * `v-<keyhash>/` parquet directory PER KEY GENERATION plus a
+  * `_sidecar_key` pointer file naming the current key. A producer
+  * writes the parquet to a temp dir, atomically RENAMES it to its
+  * `v-<keyhash>` slot (first producer wins the rename; a concurrent
+  * producer of the same key computed identical content and simply
+  * discards its temp), then atomically replaces the key pointer.
+  * Readers resolve key -> v-dir and never observe a half-written tree:
+  *  - a torn producer (crash before the pointer lands) leaves a
+  *    pointer-less or stale-pointed dir that recomputes, never serves;
+  *  - an overwrite for a NEW key builds a NEW v-dir — a reader still
+  *    streaming the previous generation's parquet is untouched, because
+  *    cleanup keeps the immediately-previous generation and only removes
+  *    older ones (two key changes within one reader's scan is the
+  *    documented residual race, the same bound a snapshot-expiry sweep
+  *    has).
   *
   * Scale note: the artifact is written/read through ordinary
   * distributed parquet IO — nothing driver-sized anywhere. At 100 TB
@@ -29,6 +39,12 @@ object Sidecar {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
+  private def keyHash(k: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(k)}%08x"
+
+  private def versionDir(path: String, k: String) =
+    new org.apache.hadoop.fs.Path(path, s"v-${keyHash(k)}")
+
   /** Compute-or-load `compute` keyed by `key` at `path`. With `path`
     * None the sidecar is disabled and `compute` runs directly. */
   def dataFrame(spark: SparkSession, key: Option[String],
@@ -37,17 +53,21 @@ object Sidecar {
       case (Some(k), Some(p)) =>
         val f = fs(spark, p)
         val kf = keyFile(p)
-        val hit =
+        val vdir = versionDir(p, k)
+        def currentKey(): Option[String] =
           try {
-            f.exists(kf) && {
+            if (!f.exists(kf)) None
+            else {
               val in = f.open(kf)
-              try new String(in.readAllBytes(),
-                java.nio.charset.StandardCharsets.UTF_8) == k
+              try Some(new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8))
               finally in.close()
             }
-          } catch { case _: java.io.IOException => false }
-        if (hit) spark.read.parquet(p)
+          } catch { case _: java.io.IOException => None }
+        val hit = currentKey().contains(k) && f.exists(vdir)
+        if (hit) spark.read.parquet(vdir.toString)
         else {
+          val prevKey = currentKey()
           // strip column metadata before writing: columns derived from an
           // Iceberg scan carry PARQUET field-id annotations, and two
           // output columns tracing to the SAME source field (id_a/id_b
@@ -57,13 +77,56 @@ object Sidecar {
           val clean = computed.select(computed.columns.map(c =>
             org.apache.spark.sql.functions.col(c)
               .as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
-          // parquet first, key LAST: a crash between the two leaves a
-          // key-less dir that recomputes, never a stale-keyed artifact
-          clean.write.mode("overwrite").parquet(p)
-          val out = f.create(kf, true)
+          // stage to a temp dir, publish with ONE atomic rename: a crash
+          // mid-write leaves only the temp dir (invisible to readers), a
+          // concurrent producer of the same key loses the rename race and
+          // discards its identical temp content
+          val tmp = new org.apache.hadoop.fs.Path(p,
+            s".tmp-${java.util.UUID.randomUUID()}")
+          clean.write.mode("overwrite").parquet(tmp.toString)
+          if (!f.rename(tmp, vdir)) {
+            if (!f.exists(vdir))
+              throw new java.io.IOException(
+                s"sidecar publish failed: cannot rename $tmp -> $vdir")
+            f.delete(tmp, true) // concurrent producer won; same key ⇒ same content
+          }
+          // pointer LAST (atomic replace): readers switch generations in
+          // one step; a crash before this line recomputes, never serves
+          // a stale or torn artifact
+          val tmpKey = new org.apache.hadoop.fs.Path(p,
+            s".tmpkey-${java.util.UUID.randomUUID()}")
+          val out = f.create(tmpKey, true)
           try out.write(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          spark.read.parquet(p)
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              kf.toUri, spark.sessionState.newHadoopConf())
+            fc.rename(tmpKey, kf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              if (f.exists(kf)) f.delete(kf, false)
+              if (!f.rename(tmpKey, kf))
+                throw new java.io.IOException(s"sidecar key publish failed at $kf")
+          }
+          // GC older generations, KEEPING the immediately-previous one: a
+          // reader that resolved the old pointer moments ago can finish
+          // its scan; anything older has been unreachable for 2+
+          // generations
+          val keep = Set(vdir.getName) ++ prevKey.map(pk => versionDir(p, pk).getName)
+          try {
+            val staleTmpMs = System.currentTimeMillis() - 3600L * 1000
+            f.listStatus(new org.apache.hadoop.fs.Path(p)).foreach { st =>
+              val n = st.getPath.getName
+              val staleVersion = n.startsWith("v-") && !keep.contains(n)
+              // a .tmp dir may belong to a CONCURRENT in-flight producer —
+              // only crash leftovers (an hour stale) are swept
+              val staleTmp = n.startsWith(".tmp") &&
+                st.getModificationTime < staleTmpMs
+              if ((staleVersion || staleTmp) && st.isDirectory)
+                f.delete(st.getPath, true)
+            }
+          } catch { case _: java.io.IOException => () }
+          spark.read.parquet(vdir.toString)
         }
       case _ => compute
     }

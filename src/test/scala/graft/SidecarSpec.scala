@@ -87,6 +87,72 @@ class SidecarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(storedKey == "u:1:n3:t1/2", storedKey)
   }
 
+  test("overwrite for a NEW key leaves the previous generation readable " +
+      "(reader-during-overwrite safety)") {
+    import spark.implicits._
+    val path = tmpDir() + "/gen"
+    // generation 1: resolve a lazy reader against it
+    Sidecar.dataFrame(spark, Some("k1"), Some(path)) {
+      Seq(1L, 2L).toDF("x")
+    }.collect()
+    val oldReader = Sidecar.dataFrame(spark, Some("k1"), Some(path)) {
+      fail("k1 artifact must be served, not recomputed")
+    }
+    // generation 2 publishes while the old reader is still un-collected
+    Sidecar.dataFrame(spark, Some("k2"), Some(path)) {
+      Seq(10L, 20L, 30L).toDF("x")
+    }.collect()
+    // the previous generation's parquet is retained — the old reader
+    // still completes (the overwrite never deleted the dir under it)
+    assert(oldReader.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // and the pointer serves the new generation
+    assert(Sidecar.dataFrame(spark, Some("k2"), Some(path)) {
+      fail("k2 artifact must be served, not recomputed")
+    }.count() == 3)
+  }
+
+  test("a torn publish (missing key pointer) recomputes; concurrent " +
+      "producers of one key both succeed") {
+    import spark.implicits._
+    val path = tmpDir() + "/torn"
+    val computes = new AtomicInteger(0)
+    def produce(): Long = Sidecar.dataFrame(spark, Some("k"), Some(path)) {
+      computes.incrementAndGet()
+      Seq(1L, 2L, 3L).toDF("x")
+    }.count()
+    assert(produce() == 3 && computes.get() == 1)
+    // tear the publish: pointer gone, parquet present -> must recompute
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_sidecar_key"))
+    assert(produce() == 3 && computes.get() == 2)
+
+    // two concurrent producers of the SAME key: the rename loser discards
+    // its (identical) temp content; both serve the artifact
+    val path2 = tmpDir() + "/race"
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        val n = Sidecar.dataFrame(spark, Some("k"), Some(path2)) {
+          Thread.sleep(100)
+          Seq(5L, 6L).toDF("x")
+        }.count()
+        results.add(n); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.asScalaSeq == Seq(2L, 2L), results)
+    // and the published artifact is intact for a later reader
+    assert(Sidecar.dataFrame(spark, Some("k"), Some(path2)) {
+      fail("artifact must be served after the race")
+    }.count() == 2)
+  }
+
+  private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[Long]) {
+    def asScalaSeq: Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      q.asScala.toSeq.sorted
+    }
+  }
+
   test("d8/d11 consume the d7 sidecar; d13 consumes the d12 sidecar — " +
       "results equal the sidecar-free run") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

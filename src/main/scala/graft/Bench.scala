@@ -88,8 +88,15 @@ object Bench {
       case None => SparkEntry.queries.keys.toSeq.sortBy(benchOrder)
     }
     val names = if (sys.env.contains("SPARK_GRAFT_REVERSE")) names0.reverse else names0
-    // warm-up (builds Iceberg tables + fixtures; untimed)
-    names.foreach(force)
+    // warm-up (builds Iceberg tables + fixtures; untimed). Fork-isolation
+    // children run it TWICE (SPARK_GRAFT_WARM_RUNS=2): a single-query
+    // child JVM needs the extra pass to reach the JIT/codegen warmth a
+    // sweep-position run gets for free, or its "isolated" number carries
+    // a cold-JIT penalty incomparable to sweep numbers (r14: d9 iso 98.1
+    // vs sweep 69.5 s on identical code)
+    val warmRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_WARM_RUNS", "1").toInt)
+    (0 until warmRuns).foreach(_ => names.foreach(force))
     // the warm-up pass just WROTE the sidecar artifacts — wipe them so
     // the timed producers pay their true compute cost (consumers still
     // amortize within the timed phase, the once-per-snapshot pipeline
@@ -100,9 +107,18 @@ object Bench {
     }
     // SPARK_GRAFT_KEEP_SIDECARS=1 (set by fork-mode isolation for sidecar
     // CONSUMERS): keep the artifacts the warm-up wrote so the timed run
-    // amortizes, the consumer's once-per-snapshot pipeline behavior
-    if (!sys.env.get("SPARK_GRAFT_KEEP_SIDECARS").contains("1"))
-      rmrf(new java.io.File(Tables.warehouseDir(sfDir), "_sidecars"))
+    // amortizes, the consumer's once-per-snapshot pipeline behavior.
+    // SPARK_GRAFT_WIPE_SIDECAR=<dir> (set for PRODUCER children): wipe
+    // only the producer's OWN artifact — an unconditional whole-tree wipe
+    // would delete the other producer's artifact too and make every later
+    // consumer child re-pay that producer's compute during warm-up
+    sys.env.get("SPARK_GRAFT_WIPE_SIDECAR") match {
+      case Some(artifact) => rmrf(new java.io.File(
+        new java.io.File(Tables.warehouseDir(sfDir), "_sidecars"), artifact))
+      case None =>
+        if (!sys.env.get("SPARK_GRAFT_KEEP_SIDECARS").contains("1"))
+          rmrf(new java.io.File(Tables.warehouseDir(sfDir), "_sidecars"))
+    }
 
     // Per-query session isolation (default ON, SPARK_GRAFT_SHARED=1 for the
     // legacy shared-session mode): a 70+-query session accumulates driver
@@ -222,7 +238,11 @@ object Bench {
     // reported pipe_corpus_full 17.1 s "isolated" in-process where a
     // fresh JVM measures 7.8 s (PIPE_AB_r14.json). Fork mode is what
     // sweep.sh uses; in-process stays the cheap default for local runs.
-    def forkIsolated(name: String): Double = {
+    // returns (query seconds, child sentinel host_speed) — the child's
+    // sentinel lands in the artifact so child-vs-sweep comparability is
+    // decided by evidence, not argument (a child sentinel far above the
+    // sweep sentinel means the child never reached sweep warmth)
+    def forkIsolated(name: String): (Double, Double) = {
       val javaBin = new java.io.File(new java.io.File(
         System.getProperty("java.home"), "bin"), "java").getAbsolutePath
       val jvmArgs = java.lang.management.ManagementFactory
@@ -233,31 +253,60 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment.put("SPARK_GRAFT_ONLY", name)
       pb.environment.put("SPARK_GRAFT_NO_ISO", "1")
-      // the child's own post-warm-up sidecar wipe enforces producer
-      // semantics; a CONSUMER child must instead keep the artifact its
-      // warm-up wrote, or its timed run would pay the producer's cost
-      if (!sidecarProducers.contains(name))
-        pb.environment.put("SPARK_GRAFT_KEEP_SIDECARS", "1")
+      // double warm-up inside the child: sentinel + two untimed query
+      // runs BEFORE the timer, closing the cold-JIT gap vs sweep numbers
+      pb.environment.put("SPARK_GRAFT_WARM_RUNS", "2")
+      // a PRODUCER child wipes only ITS OWN artifact post-warm-up (the
+      // other producer's artifact survives for later consumer children);
+      // a CONSUMER child keeps everything its warm-up wrote, or its
+      // timed run would pay the producer's cost
+      sidecarProducers.get(name) match {
+        case Some(artifact) =>
+          pb.environment.put("SPARK_GRAFT_WIPE_SIDECAR", artifact)
+        case None =>
+          pb.environment.put("SPARK_GRAFT_KEEP_SIDECARS", "1")
+      }
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val code = proc.waitFor()
-      if (code != 0) { System.err.println(s"[bench] fork-iso $name exit $code"); return -1.0 }
+      // a hung child (wedged Spark shutdown, stuck stream) must not stall
+      // the whole sweep artifact-less: hard timeout, then destroy
+      val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_FORK_TIMEOUT_SEC", "2400").toLong
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val pump = new Thread(() => {
+        try proc.getInputStream.transferTo(outBuf) catch { case _: Throwable => () }
+      })
+      pump.setDaemon(true); pump.start()
+      if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        System.err.println(s"[bench] fork-iso $name timed out after ${timeoutSec}s — killing child")
+        proc.destroyForcibly().waitFor()
+        return (-1.0, -1.0)
+      }
+      pump.join(5000)
+      val out = outBuf.toString("UTF-8")
+      val code = proc.exitValue()
+      if (code != 0) { System.err.println(s"[bench] fork-iso $name exit $code"); return (-1.0, -1.0) }
       out.linesIterator.find(_.contains("\"metric\":\"total\"")).flatMap { line =>
         try {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(line).get("queries").get(name)
-          Option(node).map(_.asDouble)
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+          val node = root.get("queries").get(name)
+          val hs = Option(root.get("host_speed")).map(_.asDouble).getOrElse(-1.0)
+          Option(node).map(n => (n.asDouble, hs))
         } catch { case _: Throwable => None }
-      }.getOrElse { System.err.println(s"[bench] fork-iso $name unparseable"); -1.0 }
+      }.getOrElse { System.err.println(s"[bench] fork-iso $name unparseable"); (-1.0, -1.0) }
     }
+    var isoHostSpeeds = Map.empty[String, Double]
     val isolated: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_ISO") || heavy.isEmpty) Nil
       else if (sys.env.get("SPARK_GRAFT_ISO_FORK").contains("1"))
         heavy.map { case (name, _) =>
-          val times = (0 until isoRuns).map(_ => forkIsolated(name)).filter(_ >= 0)
-          name -> (if (times.isEmpty) -1.0 else times.min)
+          val runs = (0 until isoRuns).map(_ => forkIsolated(name))
+            .filter(_._1 >= 0)
+          if (runs.nonEmpty) {
+            val best = runs.minBy(_._1)
+            if (best._2 > 0) isoHostSpeeds += name -> best._2
+            name -> best._1
+          } else name -> -1.0
         }
       else heavy.map { case (name, _) =>
         val times = (0 until isoRuns).map { _ =>
@@ -300,7 +349,12 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v))
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"ratio_vs_prior_host_adjusted":$ratios,"sf":"$sfDir"}""")
+    // the fork children's own sentinels: child-vs-sweep warmth is then an
+    // in-artifact comparison (child sentinel ~ sweep sentinel => the
+    // isolated number is comparable; far above => under-warmed child)
+    val isoHs = isoHostSpeeds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"isolated_host_speed":$isoHs,"ratio_vs_prior_host_adjusted":$ratios,"sf":"$sfDir"}""")
     // second, compact line: the driver artifact keeps only the output
     // TAIL, which can truncate the head of the full metrics line above —
     // repeat the total + the 10 slowest queries so a parseable summary

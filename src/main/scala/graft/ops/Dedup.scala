@@ -363,10 +363,15 @@ object Dedup {
       cacheKey, persistPath)
     // flagged docs are usually a small corpus fraction, but the span map
     // still scales with the corpus — same broadcast guard as the
-    // frequency tables (a shuffle join keeps cleaning correct past it)
+    // frequency tables (a shuffle join keeps cleaning correct past it).
+    // Rows here carry collect_list span ARRAYS, so the guard charges per
+    // span (+1 for the row itself), not per row — a row count alone
+    // would let a few million fat rows smuggle an 8 GiB+ broadcast past
+    // the cap
     val spansPerDoc = broadcastIfUnder(spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans")),
-      MaxBroadcastRows, "substring-clean span map")
+      MaxBroadcastRows, "substring-clean span map",
+      weight = Some(size(col("__spans")).cast("long") + lit(1L)))
     val base = Par.ensure(df.select(col(idCol), tokens(col(textCol)).as("__w")))
     base.join(spansPerDoc, Seq(idCol), "left")
       .select(col(idCol),
@@ -634,14 +639,27 @@ object Dedup {
     * compute once; over `maxRows` it joins as a plain (AQE-planned)
     * shuffle side instead. Same discipline as TextAnalysis's floored
     * vocabulary tables. */
+  /** `weight` prices each row in FIXED-WIDTH-ROW units: the cap is
+    * calibrated for ~16-byte (long, long) rows, so a table whose rows
+    * carry variable-length payloads (the span map's collect_list arrays)
+    * must charge per ELEMENT, not per row — a row count is a byte proxy
+    * only when rows are fixed-width, and an 8 GiB+ broadcast could
+    * otherwise pass the row-count guard and hard-fail at extreme scale. */
   private[graft] def broadcastIfUnder(df: DataFrame, maxRows: Long,
-      what: String): DataFrame = {
+      what: String, weight: Option[Column] = None): DataFrame = {
     val cached = Caches.track(df)
-    val n = cached.count()
+    val n = weight match {
+      case Some(w) =>
+        cached.agg(sum(w).cast("long")).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      case None => cached.count()
+    }
     if (n <= maxRows) broadcast(cached)
     else {
       System.err.println(
-        s"[dedup] $what: $n rows over broadcast cap $maxRows — shuffle join")
+        s"[dedup] $what: weighted size $n over broadcast cap $maxRows — shuffle join")
       cached
     }
   }
@@ -649,10 +667,19 @@ object Dedup {
   /** Row cap for [[broadcastIfUnder]]: ~16-byte (long, int) rows build a
     * HashedRelation well under Spark's 8 GiB broadcast ceiling at this
     * count, and a few hundred MB on the wire is still a sane executor
-    * fan-out on a large cluster. Env-overridable for experiments. */
+    * fan-out on a large cluster. Env-overridable for experiments; a
+    * malformed value falls back to the default with a stderr warning
+    * instead of exploding inside the first Dedup call with an opaque
+    * NumberFormatException at object init. */
   private[graft] val MaxBroadcastRows: Long =
-    sys.env.get("SPARK_GRAFT_MAX_BCAST_ROWS").map(_.toLong)
-      .getOrElse(60000000L)
+    sys.env.get("SPARK_GRAFT_MAX_BCAST_ROWS") match {
+      case Some(raw) => scala.util.Try(raw.trim.toLong).getOrElse {
+        System.err.println(
+          s"[dedup] SPARK_GRAFT_MAX_BCAST_ROWS='$raw' is not a long — using default 60000000")
+        60000000L
+      }
+      case None => 60000000L
+    }
 
   /** Corpus-sized signature width: smallest planes with expected bucket
     * occupancy <= 64, floored at 4 (buckets = 2^planes, occupancy = n/2^planes).

@@ -282,17 +282,23 @@ final class IceTable private (
                 .withColumn("__file",
                   regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
                 .withColumn("__pos", col("_metadata.row_index"))
-              Some(data.join(dels,
-                data("__file") === dels("__dfile") && data("__pos") === dels("__dpos"))
+              // manifest-known record counts size the join (see
+              // IceTable.sizeDeleteSide): compressed-byte estimates
+              // under-count well-compressed delete tables
+              val delsSized = IceTable.sizeDeleteSide(dels,
+                pos.map(_.dataFile.recordCount).sum)
+              Some(data.join(delsSized,
+                data("__file") === delsSized("__dfile") && data("__pos") === delsSized("__dpos"))
                 .drop("__file", "__pos", "__dfile", "__dpos")
                 .withColumn("_change_type", lit("delete")))
             }
           val eqRows = eq.map { e =>
             val eqCols = e.dataFile.equalityIds.flatMap(id =>
               schema.findFieldById(id).map(_.name))
-            val keys = spark.read
+            val keys = IceTable.sizeDeleteSide(spark.read
               .parquet(ManifestAvro.stripFileScheme(e.dataFile.filePath))
-              .select(eqCols.map(c => col(c).as(s"__k_$c")): _*).distinct()
+              .select(eqCols.map(c => col(c).as(s"__k_$c")): _*).distinct(),
+              e.dataFile.recordCount)
             // rows as of the PARENT snapshot that match the deleted keys
             val before = newScan()
               .useSnapshot(s.parentSnapshotId.getOrElse(
@@ -690,6 +696,22 @@ object IceTable {
   /** Snapshot-summary key recording whether the commit's files carry
     * parquet field ids: "all" | "none" | "mixed" (stamped by addFiles). */
   val FieldIdsSummaryKey = "graft.field-ids"
+
+  /** Manifest-driven sizing for the DELETE side of a MoR join: Spark's
+    * own estimate is the delete files' COMPRESSED size, so a
+    * well-compressed multi-million-row delete table can slip under the
+    * broadcast threshold and stall the scan behind a single-threaded
+    * broadcast build (measured 2x the whole query when zstd became the
+    * declared codec default). The manifests carry the EXACT record
+    * count — at or under the cap, broadcast explicitly (tiny deletes
+    * stay a map-side anti-join at any codec); above it, force a
+    * SHUFFLE_HASH build on the delete side so the data side is hashed,
+    * never sorted by its long path strings. */
+  private[ice] val DeleteBroadcastRowCap: Long = 1000000L
+  private[ice] def sizeDeleteSide(df: DataFrame, records: Long): DataFrame =
+    if (records <= DeleteBroadcastRowCap)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df.hint("SHUFFLE_HASH")
 
   /** v3 deletion vectors: expand puffin blobs to (__dfile, __dpos) rows
     * ON THE EXECUTORS — one task per vector; the driver only ships
@@ -1243,10 +1265,28 @@ final class ScanBuilder(table: IceTable) {
                 .select(
                   regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
                   col("pos").as("__dpos")))
-            val dels = (pqDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
+            val dels0 = (pqDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
               // distinct: overlapping position-delete files must mark, not
               // multiply, rows in `_deleted` marking mode (left join below)
               .distinct()
+            // MANIFEST-DRIVEN join sizing: Spark estimates the delete
+            // side from its COMPRESSED file bytes, and a well-compressed
+            // (zstd) multi-million-row delete table slips under the
+            // broadcast threshold — a single-threaded 7M-row broadcast
+            // build measured 2x the whole scan. The manifests know the
+            // EXACT record count, so plan from it: small delete sets
+            // broadcast explicitly, large ones hash-join shuffled (build
+            // the hash map on the small per-partition delete slices —
+            // never sort the data side by its 100-char path strings).
+            val delRecords =
+              pqKeys.map(k => posDeletes.find(
+                _.dataFile.filePath == k._1).map(_.dataFile.recordCount)
+                .getOrElse(0L)).sum +
+              dvKeys.map { case (p, off) =>
+                posDeletes.find(x => x.dataFile.filePath == p &&
+                  x.dataFile.contentOffset == off)
+                  .map(_.dataFile.recordCount).getOrElse(0L) }.sum
+            val dels = IceTable.sizeDeleteSide(dels0, delRecords)
             val cond = g("__file") === dels("__dfile") && g("__pos") === dels("__dpos")
             g =
               if (!wantDeleted) g.join(dels, cond, "left_anti")
@@ -1260,8 +1300,10 @@ final class ScanBuilder(table: IceTable) {
             val eqEntry = eqDeletes.find(_.dataFile.filePath == eqPath).get
             val eqCols = eqEntry.dataFile.equalityIds.flatMap(id =>
               table.schema.findFieldById(id).map(_.name))
-            val dels = spark.read.parquet(ManifestAvro.stripFileScheme(eqPath))
-              .select(eqCols.map(col): _*)
+            val dels = IceTable.sizeDeleteSide(
+              spark.read.parquet(ManifestAvro.stripFileScheme(eqPath))
+                .select(eqCols.map(col): _*),
+              eqEntry.dataFile.recordCount)
             if (!wantDeleted)
               g = g.join(dels, eqCols.map(c => g(c) <=> dels(c)).reduce(_ && _), "left_anti")
             else {

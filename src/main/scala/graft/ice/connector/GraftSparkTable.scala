@@ -1277,6 +1277,74 @@ private[connector] final case class GraftAggReaderFactory() extends PartitionRea
   }
 }
 
+/** Per-executor cache of PARSED delete-file content. A position-delete
+  * file covers many data files, and every data SPLIT used to re-read and
+  * re-decompress the whole delete file just to pick out its own rows —
+  * O(splits × delete-file bytes) decompression, the dominant cost of a
+  * wide MoR scan once the delete plane is zstd (the declared default).
+  * Parsing once per executor JVM makes it O(delete files): the natural
+  * cluster shape, where each executor touches a delete file once and
+  * serves all its local splits from the parsed form.
+  *
+  * Keyed by (path, length) — table files are immutable, so a same-path
+  * rewrite (different length) can never serve stale positions; identical
+  * (path, length) implies identical bytes. Bounded by total cached
+  * positions/keys: past the cap the cache clears wholesale (advisory
+  * cache — a re-parse is always correct) rather than maintaining LRU
+  * chains under concurrent readers. */
+private[connector] object DeleteFileCache {
+  private val maxPositions: Long =
+    sys.env.get("SPARK_GRAFT_DELETE_CACHE_POSITIONS") match {
+      case Some(raw) => scala.util.Try(raw.trim.toLong).getOrElse(64000000L)
+      case None => 64000000L
+    }
+  private val posCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashMap[String, org.roaringbitmap.longlong.Roaring64Bitmap]]()
+  private val eqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, mutable.HashSet[UnsafeRow]]()
+  private val cachedUnits = new java.util.concurrent.atomic.AtomicLong()
+
+  private def admit(units: Long): Unit = {
+    if (cachedUnits.addAndGet(units) > maxPositions) {
+      posCache.clear(); eqCache.clear(); cachedUnits.set(units)
+    }
+  }
+
+  /** Positions deleted from `dataPath` according to the delete file at
+    * (path, size); `parse` yields the file's (file_path, pos) rows. */
+  def positionsFor(path: String, size: Long, dataPath: String,
+      parse: () => Iterator[InternalRow]): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    val byPath = posCache.computeIfAbsent(s"$path#$size", { _ =>
+      val m = new java.util.HashMap[String, org.roaringbitmap.longlong.Roaring64Bitmap]()
+      var n = 0L
+      parse().foreach { r =>
+        if (!r.isNullAt(0)) {
+          val p = GraftConnectorUtil.normPath(r.getUTF8String(0).toString)
+          var bm = m.get(p)
+          if (bm == null) { bm = new org.roaringbitmap.longlong.Roaring64Bitmap(); m.put(p, bm) }
+          bm.addLong(r.getLong(1)); n += 1
+        }
+      }
+      admit(n)
+      m
+    })
+    val bm = byPath.get(dataPath)
+    if (bm == null) new org.roaringbitmap.longlong.Roaring64Bitmap() else bm
+  }
+
+  /** The delete-key set of an equality-delete file, parsed once per JVM
+    * (safe to share: the set is read-only after construction and safely
+    * published through the map). `parse` yields projected UnsafeRows. */
+  def eqKeysFor(path: String, size: Long, cols: Seq[String],
+      parse: () => Iterator[UnsafeRow]): mutable.HashSet[UnsafeRow] =
+    eqCache.computeIfAbsent(s"$path#$size#${cols.mkString(",")}", { _ =>
+      val keys = new mutable.HashSet[UnsafeRow]()
+      parse().foreach(keys += _)
+      admit(keys.size.toLong)
+      keys
+    })
+}
+
 private[connector] final case class GraftReaderFactory(
     readIds: PartitionedFile => Iterator[InternalRow],
     readIdsRaw: PartitionedFile => Iterator[InternalRow],
@@ -1320,13 +1388,11 @@ private[connector] final case class GraftReaderFactory(
       if (del.posDeleteFiles.nonEmpty) {
         val me = split.path
         del.posDeleteFiles.foreach { case (dp, dsize) =>
-          // delete files are small relative to data; each task scans only
-          // the delete files its snapshot wired to its file
-          rows(readPosDeletes, pf(dp, dsize)).foreach { r =>
-            if (!r.isNullAt(0) &&
-                GraftConnectorUtil.normPath(r.getUTF8String(0).toString) == me)
-              bm.addLong(r.getLong(1))
-          }
+          // parsed ONCE per executor JVM and served to every split from
+          // the cache — re-reading the whole delete file per data split
+          // was O(splits x delete bytes) decompression
+          bm.or(DeleteFileCache.positionsFor(dp, dsize, me,
+            () => rows(readPosDeletes, pf(dp, dsize))))
         }
       }
       bm
@@ -1337,18 +1403,22 @@ private[connector] final case class GraftReaderFactory(
     lazy val eqFilters: Seq[InternalRow => Boolean] =
       del.eqDeletes.groupBy(_._3).map { case (cols, files) =>
         val delSchema = eqSchemas(cols)
-        val delProj = UnsafeProjection.create(delSchema.fields.indices.map(i =>
-          BoundReference(i, delSchema.fields(i).dataType, nullable = true)))
-        val keys = new mutable.HashSet[UnsafeRow]()
-        files.foreach { case (path, size, _) =>
-          rows(readEqDeletes(cols), pf(path, size)).foreach { r =>
-            keys += delProj(r).copy()
-          }
+        // per-file key sets parsed once per executor JVM (cache); the
+        // split-level union is cheap set containment over shared sets
+        val keySets = files.map { case (path, size, _) =>
+          DeleteFileCache.eqKeysFor(path, size, cols, { () =>
+            val delProj = UnsafeProjection.create(delSchema.fields.indices.map(i =>
+              BoundReference(i, delSchema.fields(i).dataType, nullable = true)))
+            rows(readEqDeletes(cols), pf(path, size)).map(r => delProj(r).copy())
+          })
         }
         val dataIdx = cols.map(c => readSchema.fieldIndex(c))
         val dataProj = UnsafeProjection.create(dataIdx.map(i =>
           BoundReference(i, readSchema.fields(i).dataType, nullable = true)))
-        (row: InternalRow) => !keys.contains(dataProj(row))
+        (row: InternalRow) => {
+          val k = dataProj(row)
+          !keySets.exists(_.contains(k))
+        }
       }.toSeq
 
     val needExactPositions = del.hasPositional

@@ -448,7 +448,22 @@ final class IceTable private (
       requirements.flatMap(_.check(meta)).headOption.foreach { violation =>
         throw new graft.ice.meta.RequirementFailedException(s"$ident: $violation")
       }
-      val updated0 = update(meta)
+      val updated0 = {
+        val u = update(meta)
+        // a write.data.path change appends the superseded root to
+        // graft.data-path.history so orphan sweeps cover ALL roots the
+        // table ever wrote under, not just the current one
+        val oldPath = meta.property(TableProperties.DataPath)
+        val newPath = if (u eq meta) oldPath else u.property(TableProperties.DataPath)
+        if ((u ne meta) && oldPath.nonEmpty && oldPath != newPath) {
+          val hist = u.property(TableProperties.DataPathHistory)
+            .split(",").filter(_.nonEmpty).toSeq
+          if (hist.contains(oldPath)) u
+          else u.copy(properties = u.properties +
+            (TableProperties.DataPathHistory.name ->
+              (hist :+ oldPath).mkString(",")))
+        } else u
+      }
       // metadata-log maintenance (spec "metadata-log"): the superseded
       // metadata file joins the log, trimmed to previous-versions-max —
       // time travel over METADATA (schema/spec history), not snapshots
@@ -565,7 +580,11 @@ final class IceTable private (
     * internal files to the name-mapping path. Files under a root set
     * and later UNSET still read correctly — they just take the summary/
     * footer-probe fallback instead of the prefix fast path. */
-  def dataRoots: Seq[String] = Seq(s"${meta.location}/data", dataFileDir).distinct
+  def dataRoots: Seq[String] = {
+    val hist = meta.property(graft.ice.meta.TableProperties.DataPathHistory)
+      .split(",").filter(_.nonEmpty).toSeq
+    (Seq(s"${meta.location}/data", dataFileDir) ++ hist).distinct
+  }
 
   /** Live delete-file entries of a snapshot (position + equality deletes,
     * §2.8 — the reference models these but rejects them at plan time,
@@ -1278,15 +1297,24 @@ final class ScanBuilder(table: IceTable) {
             // broadcast explicitly, large ones hash-join shuffled (build
             // the hash map on the small per-partition delete slices —
             // never sort the data side by its 100-char path strings).
+            // an UNMATCHED manifest lookup must never count 0: a path-
+            // normalization or offset mismatch would silently undercount
+            // and re-broadcast a multi-million-row delete set. Unsized
+            // entries force the safe SHUFFLE_HASH path instead.
+            var delUnsized = false
+            def sized(opt: Option[Long]): Long = opt match {
+              case Some(n) => n
+              case None => delUnsized = true; 0L
+            }
             val delRecords =
-              pqKeys.map(k => posDeletes.find(
-                _.dataFile.filePath == k._1).map(_.dataFile.recordCount)
-                .getOrElse(0L)).sum +
+              pqKeys.map(k => sized(posDeletes.find(
+                _.dataFile.filePath == k._1).map(_.dataFile.recordCount))).sum +
               dvKeys.map { case (p, off) =>
-                posDeletes.find(x => x.dataFile.filePath == p &&
+                sized(posDeletes.find(x => x.dataFile.filePath == p &&
                   x.dataFile.contentOffset == off)
-                  .map(_.dataFile.recordCount).getOrElse(0L) }.sum
-            val dels = IceTable.sizeDeleteSide(dels0, delRecords)
+                  .map(_.dataFile.recordCount)) }.sum
+            val dels = IceTable.sizeDeleteSide(dels0,
+              if (delUnsized) Long.MaxValue else delRecords)
             val cond = g("__file") === dels("__dfile") && g("__pos") === dels("__dpos")
             g =
               if (!wantDeleted) g.join(dels, cond, "left_anti")

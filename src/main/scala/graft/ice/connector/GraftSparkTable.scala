@@ -1304,6 +1304,13 @@ private[connector] object DeleteFileCache {
     String, mutable.HashSet[UnsafeRow]]()
   private val cachedUnits = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Over-cap eviction. NEVER called from inside a computeIfAbsent
+    * mapping function: CHM mapping functions must not update other
+    * mappings (clear() from inside one holds the caller's bin lock while
+    * blocking on bins another mid-compute thread holds — deadlock). Both
+    * caches therefore compute values OUTSIDE the map and publish with
+    * putIfAbsent; a lost race re-parsed redundantly, which is always
+    * correct for an advisory cache. */
   private def admit(units: Long): Unit = {
     if (cachedUnits.addAndGet(units) > maxPositions) {
       posCache.clear(); eqCache.clear(); cachedUnits.set(units)
@@ -1314,7 +1321,9 @@ private[connector] object DeleteFileCache {
     * (path, size); `parse` yields the file's (file_path, pos) rows. */
   def positionsFor(path: String, size: Long, dataPath: String,
       parse: () => Iterator[InternalRow]): org.roaringbitmap.longlong.Roaring64Bitmap = {
-    val byPath = posCache.computeIfAbsent(s"$path#$size", { _ =>
+    val key = s"$path#$size"
+    var byPath = posCache.get(key)
+    if (byPath == null) {
       val m = new java.util.HashMap[String, org.roaringbitmap.longlong.Roaring64Bitmap]()
       var n = 0L
       parse().foreach { r =>
@@ -1325,9 +1334,10 @@ private[connector] object DeleteFileCache {
           bm.addLong(r.getLong(1)); n += 1
         }
       }
-      admit(n)
-      m
-    })
+      val prev = posCache.putIfAbsent(key, m)
+      if (prev != null) byPath = prev
+      else { admit(n); byPath = m }
+    }
     val bm = byPath.get(dataPath)
     if (bm == null) new org.roaringbitmap.longlong.Roaring64Bitmap() else bm
   }
@@ -1336,13 +1346,16 @@ private[connector] object DeleteFileCache {
     * (safe to share: the set is read-only after construction and safely
     * published through the map). `parse` yields projected UnsafeRows. */
   def eqKeysFor(path: String, size: Long, cols: Seq[String],
-      parse: () => Iterator[UnsafeRow]): mutable.HashSet[UnsafeRow] =
-    eqCache.computeIfAbsent(s"$path#$size#${cols.mkString(",")}", { _ =>
-      val keys = new mutable.HashSet[UnsafeRow]()
-      parse().foreach(keys += _)
-      admit(keys.size.toLong)
-      keys
-    })
+      parse: () => Iterator[UnsafeRow]): mutable.HashSet[UnsafeRow] = {
+    val key = s"$path#$size#${cols.mkString(",")}"
+    val hit = eqCache.get(key)
+    if (hit != null) return hit
+    val keys = new mutable.HashSet[UnsafeRow]()
+    parse().foreach(keys += _)
+    val prev = eqCache.putIfAbsent(key, keys)
+    if (prev != null) prev
+    else { admit(keys.size.toLong); keys }
+  }
 }
 
 private[connector] final case class GraftReaderFactory(

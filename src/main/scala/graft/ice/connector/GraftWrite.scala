@@ -173,6 +173,8 @@ final class GraftWrite(table: IceTable, identName: String, warehouse: String,
       sortOrderId = table.metadata.defaultSortOrderId,
       compression = TableProperties.get(table.properties,
         TableProperties.ParquetCompression),
+      compressionLevel = TableProperties.get(table.properties,
+        TableProperties.ParquetCompressionLevel),
       rowGroupSize = TableProperties.get(table.properties,
         TableProperties.ParquetRowGroupSizeBytes),
       pageSize = TableProperties.get(table.properties,
@@ -206,6 +208,7 @@ final case class GraftTaskWriteConf(
     targetFileSize: Long,
     sortOrderId: Int,
     compression: String,
+    compressionLevel: String = "",
     rowGroupSize: Long = 128L * 1024 * 1024,
     pageSize: Long = 1024L * 1024,
     dictSize: Long = 2L * 1024 * 1024,
@@ -419,6 +422,13 @@ final class GraftDataWriter(conf: GraftTaskWriteConf, partitionId: Int,
     c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
     c.set("spark.sql.variant.writeShredding.enabled", "false")
+    // write.parquet.compression-level, same per-codec key the path-based
+    // writers get from WriteTuning — SQL INSERTs and DataFrame appends
+    // must not be tuned differently from Ops.writeDataFiles output
+    if (conf.compressionLevel.nonEmpty) {
+      val codec = if (conf.compression == "none") "uncompressed" else conf.compression
+      c.set(s"parquet.compression.codec.$codec.level", conf.compressionLevel)
+    }
     c
   }
 

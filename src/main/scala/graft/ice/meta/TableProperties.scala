@@ -75,6 +75,8 @@ object TableProperties {
   val DeleteParquetCompression: Key[String] =
     Key("write.delete.parquet.compression-codec", "zstd",
       _.trim.toLowerCase(java.util.Locale.ROOT))
+  val DeleteParquetCompressionLevel: Key[String] =
+    Key("write.delete.parquet.compression-level", "", _.trim)
   val DeleteParquetRowGroupSizeBytes: Key[Long] =
     Key("write.delete.parquet.row-group-size-bytes", 128L * 1024 * 1024, _.trim.toLong)
   val DeleteParquetPageSizeBytes: Key[Long] =
@@ -154,6 +156,12 @@ object TableProperties {
   // files stay where they are and keep resolving by their absolute
   // manifest paths.
   val DataPath: Key[String] = Key("write.data.path", "", _.trim)
+
+  // superseded custom data roots, comma-separated (stamped automatically
+  // by IceTable.commit when write.data.path changes): a mid-life data
+  // plane move must not turn the OLD root into an orphan shelter —
+  // removeOrphanFiles sweeps every root the table ever wrote under.
+  val DataPathHistory: Key[String] = Key("graft.data-path.history", "", _.trim)
 
   // object-store layout (reference table_properties.h:213-217): prefix
   // each data file's path with a hash of its name so a 100-TB table's

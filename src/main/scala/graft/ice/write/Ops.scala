@@ -1519,14 +1519,20 @@ final class TableMaintenance(table: IceTable) {
           .foreach(e => reachable += norm(e.dataFile.filePath))
       }
     }
-    // sweep the table location PLUS any custom write.data.path root —
-    // a relocated data plane must not shelter orphans (nested roots
-    // dedupe via the normalized-prefix filter)
-    val roots = (Seq(norm(meta.location)) ++
-      table.dataRoots.map(norm)).distinct
-      .map(Paths.get(_)).filter(Files.exists(_))
+    // sweep the table location PLUS every custom write.data.path root the
+    // table EVER wrote under (current + graft.data-path.history — a
+    // relocated data plane must not shelter orphans). Custom roots may be
+    // shared directories (nothing forces a table-dedicated write.data.path),
+    // so files there that PREDATE the table are foreign data, never
+    // candidates: only this table's own writes can be its orphans.
+    val tableLoc = norm(meta.location)
+    val tableBornMs = (meta.metadataLog.map(_.timestampMs) ++
+      meta.snapshotLog.map(_.timestampMs) :+ meta.lastUpdatedMs).min
+    val roots = (Seq(tableLoc) ++ table.dataRoots.map(norm)).distinct
+      .map(r => (r, Paths.get(r))).filter(r => Files.exists(r._2))
     val seen = collection.mutable.Set[String]()
-    val deleted = roots.flatMap { root =>
+    val deleted = roots.flatMap { case (rootStr, root) =>
+      val custom = !(rootStr == tableLoc || rootStr.startsWith(tableLoc + "/"))
       Files.walk(root).iterator.asScala
         .filter(Files.isRegularFile(_))
         .filter { p =>
@@ -1535,10 +1541,12 @@ final class TableMaintenance(table: IceTable) {
           // wherever they live (write.metadata.path may relocate them):
           // their lifecycle belongs to the metadata-log trim /
           // delete-after-commit path, not this sweep
+          val mtime = Files.getLastModifiedTime(p).toMillis
           seen.add(sp) && !reachable.contains(sp) &&
             !sp.endsWith(".metadata.json") && !sp.endsWith("version-hint.text") &&
             !sp.endsWith("metadata-path.text") &&
-            Files.getLastModifiedTime(p).toMillis < olderThanMs
+            mtime < olderThanMs &&
+            (!custom || mtime >= tableBornMs)
         }
         .map(_.toString).toVector
     }.toVector

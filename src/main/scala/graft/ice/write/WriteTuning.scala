@@ -31,7 +31,7 @@ object WriteTuning {
   def parquetDelete(props: Map[String, String]): Map[String, String] =
     parquetOptions(
       TableProperties.get(props, TableProperties.DeleteParquetCompression),
-      TableProperties.get(props, TableProperties.ParquetCompressionLevel),
+      TableProperties.get(props, TableProperties.DeleteParquetCompressionLevel),
       TableProperties.get(props, TableProperties.DeleteParquetRowGroupSizeBytes),
       TableProperties.get(props, TableProperties.DeleteParquetPageSizeBytes),
       TableProperties.get(props, TableProperties.DeleteParquetDictSizeBytes))

@@ -39,8 +39,16 @@ object Sidecar {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Collision-resistant version-dir name: truncated SHA-256 (128 bits).
+    * A 32-bit hash here was a correctness hazard — two distinct keys
+    * colliding would make the rename loser discard its temp on the
+    * "same key => same content" assumption and publish a pointer to the
+    * OTHER key's artifact. At 128 bits the collision probability is
+    * negligible for any realistic key population. */
   private def keyHash(k: String): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(k)}%08x"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map(b => f"$b%02x").mkString
 
   private def versionDir(path: String, k: String) =
     new org.apache.hadoop.fs.Path(path, s"v-${keyHash(k)}")

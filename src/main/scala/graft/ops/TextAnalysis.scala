@@ -224,7 +224,10 @@ object TextAnalysis {
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
     val df = Par.ensure(df0)
     val tok = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
-    val counts = tok.groupBy("__t").agg(count(lit(1)).as("__c"))
+    // persist: vocabulary-sized — consumed by BOTH the sizing aggregate
+    // below (an action) and the scoring join; without it the corpus
+    // explode + groupBy runs twice per query (mirrors bigramNll)
+    val counts = Caches.track(tok.groupBy("__t").agg(count(lit(1)).as("__c")))
     // one vocabulary-sized pass: the exact total (ALL tokens, floored or
     // not — p(token) denominators must not change) plus the retained
     // table's size for the broadcast decision
@@ -349,7 +352,11 @@ object TextAnalysis {
     val nDocs = df.count()
     val tf = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // persist: vocabulary-sized — the broadcast-sizing count() below is
+    // an action, and an uncached dfreq re-ran the corpus explode + two
+    // groupBys for the scoring join (mirrors bigramNll's pairCounts)
+    val dfreq = Caches.track(
+      tf.groupBy(col("__t")).agg(count(lit(1)).as("__df")))
     val joinTable =
       if (dfreq.count() <= maxBroadcastVocab) broadcast(dfreq) else dfreq
     val score = col("tf") *

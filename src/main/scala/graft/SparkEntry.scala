@@ -370,6 +370,24 @@ object SparkEntry {
       WritePropsFixtures.tuned(s, dir).newScan().toDF(s)
         .select("p_partkey", "p_name", "p_retailprice")),
 
+    // read.split.target-size over an IMPORTED whole-file table: the raw
+    // lineitem parquet registered as ONE data file, then scanned through
+    // the V2 connector with a 256 KiB split target — the scan cuts the
+    // file into row-group-aligned ranged sub-splits (one straggler task
+    // becomes many right-sized ones) and the grouped sums prove a ranged
+    // cover reads every row exactly once
+    "t_split_read" -> ((s, dir) => {
+      WritePropsFixtures.splitRead(s, dir)
+      s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+      s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(dir))
+      s.table("ice.tpch.lineitem_bigfile")
+        .filter(col("l_quantity") > 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
     // metrics modes: counts-default withholds bounds, truncate(4) is
     // below the exactness floor, full keeps exact bounds — MIN/MAX/COUNT
     // over these columns exercises the refusal matrix and must still
@@ -2169,6 +2187,11 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "t_parquet_tuning" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part",
+    "t_split_read" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_quantity > 0 GROUP BY 1""".stripMargin,
     "t_metrics_modes" ->
       """SELECT count(c_name) AS n_name, min(c_name) AS min_name,
         |  max(c_name) AS max_name, min(c_acctbal) AS min_bal,
@@ -3579,6 +3602,27 @@ object WritePropsFixtures {
             "write.parquet.row-group-size-bytes" -> "65536",
             "write.parquet.page-size-bytes" -> "16384"))
         t.append(spark).appendDataFrame(raw)
+        t
+      }
+    })
+
+  /** read.split.* fixture: the raw lineitem parquet IMPORTED whole
+    * (addFiles, no rewrite) — the oversized-imported-file shape split
+    * planning exists for, scaled down. A 256 KiB target makes the V2
+    * scan cut the single file into ranged sub-splits; open-file-cost
+    * keeps any tiny tail ranges from over-packing. */
+  def splitRead(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/splitread", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "lineitem_bigfile")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "lineitem")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map(
+            "read.split.target-size" -> "262144",
+            "read.split.open-file-cost" -> "65536"))
+        t.append(spark).addFiles(Seq(s"$sfDir/lineitem.parquet"))
         t
       }
     })

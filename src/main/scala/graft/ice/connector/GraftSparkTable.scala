@@ -630,7 +630,7 @@ private[connector] object V1FilterToIce {
 }
 
 /** Per-split delete work, shipped to the executor. */
-private[connector] final case class GraftDeleteSpec(
+private[graft] final case class GraftDeleteSpec(
     dvs: Seq[(String, Long, Long)], // puffin (path, offset, length)
     posDeleteFiles: Seq[(String, Long)], // parquet position-delete (path, size)
     eqDeletes: Seq[(String, Long, Seq[String])]) { // (path, size, key columns)
@@ -638,7 +638,7 @@ private[connector] final case class GraftDeleteSpec(
   def hasPositional: Boolean = dvs.nonEmpty || posDeleteFiles.nonEmpty
 }
 
-private[connector] sealed trait GraftScanSplit extends InputPartition {
+private[graft] sealed trait GraftScanSplit extends InputPartition {
   def path: String
   def fileSize: Long
   def useFieldIds: Boolean
@@ -659,12 +659,27 @@ private[connector] sealed trait GraftScanSplit extends InputPartition {
     * for pre-lineage files (no sequence number in the manifest entry);
     * the column serves null for those rows. */
   def dataSeq: Option[Long]
+  /** Byte range of THIS split within the file (read.split.target-size
+    * sub-file splits): whole file by default. The parquet reader assigns
+    * each row group to the range holding its midpoint, so any disjoint
+    * cover of the file reads every row exactly once. */
+  def rangeStart: Long = 0L
+  def rangeLength: Long = fileSize
 }
-private[connector] final case class GraftFileSplit(path: String, fileSize: Long,
+private[graft] final case class GraftFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
     absentDefaults: Seq[Int] = Nil,
     identityConsts: Seq[(Int, Any)] = Nil,
-    dataSeq: Option[Long] = None) extends GraftScanSplit
+    dataSeq: Option[Long] = None,
+    override val rangeStart: Long = 0L,
+    rangeLen: Long = -1L) extends GraftScanSplit {
+  override def rangeLength: Long = if (rangeLen < 0) fileSize else rangeLen
+}
+/** Several small splits bin-packed into ONE task
+  * (read.split.open-file-cost): the reader concatenates the member
+  * iterators — per-member delete/default state stays per-member. */
+private[graft] final case class GraftPackedSplit(members: Seq[GraftScanSplit])
+    extends InputPartition
 private[connector] final case class GraftKeyedFileSplit(path: String, fileSize: Long,
     useFieldIds: Boolean, deletes: GraftDeleteSpec,
     key: InternalRow, absentDefaults: Seq[Int] = Nil,
@@ -701,6 +716,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
   // ---- planning (driver) ----
 
   private final case class PlannedScan(splits: Seq[GraftScanSplit],
+      parts: Seq[InputPartition],
       nKeys: Option[Int], totalRows: Long, snapshotId: Option[Long],
       // manifest-form (possibly scheme-carrying) paths of the planned
       // files — the replaced-file set a row-level rewrite commits against
@@ -838,12 +854,37 @@ private[connector] final class GraftBatchScan(table: IceTable,
       tasks.nonEmpty &&
       tasks.forall(_.file.sortOrderId.contains(table.metadata.defaultSortOrderId))
     if (!groupable) {
-      PlannedScan(tasks.map { t =>
+      val whole = tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
         val hasIds = fileHasIds(t, p)
-        GraftFileSplit(p, t.file.fileSizeInBytes, hasIds, deletesFor(t),
-          absentFor(t, p), identityConstsFor(t, hasIds), t.dataSequenceNumber)
-      }, None, totalRows, snapId, origPaths, deletePaths, filesSorted)
+        (t, GraftFileSplit(p, t.file.fileSizeInBytes, hasIds, deletesFor(t),
+          absentFor(t, p), identityConstsFor(t, hasIds), t.dataSequenceNumber))
+      }
+      // read.split.* sizing: only when the scan is NOT claiming per-split
+      // ordering (that contract is defined over whole single-file splits)
+      // and is not a pre-planned LIMIT scan (already minimal). Files with
+      // positional deletes stay whole — the reader counts row positions
+      // from the file start.
+      val meta = table.metadata
+      import graft.ice.meta.TableProperties
+      val parts: Seq[InputPartition] =
+        if (filesSorted || limitFiles.isDefined) whole.map(_._2)
+        else {
+          val parallelism = SparkSession.active.sparkContext.defaultParallelism
+          val target = SplitPlanning.adjustTarget(
+            meta.property(TableProperties.SplitTargetSize),
+            tasks.map(_.file.fileSizeInBytes).sum, parallelism,
+            meta.property(TableProperties.SplitAdaptiveEnabled))
+          val subs = whole.flatMap { case (t, s) =>
+            if (s.deletes.hasPositional) Seq(s)
+            else SplitPlanning.subSplit(s, t.file.splitOffsets, target)
+          }
+          SplitPlanning.pack(subs, target,
+            meta.property(TableProperties.SplitOpenFileCost),
+            meta.property(TableProperties.SplitLookback))
+        }
+      PlannedScan(whole.map(_._2), parts, None, totalRows, snapId, origPaths,
+        deletePaths, filesSorted)
     } else {
       val keyed = tasks.map { t =>
         val p = GraftConnectorUtil.normPath(t.file.filePath)
@@ -855,13 +896,13 @@ private[connector] final class GraftBatchScan(table: IceTable,
           identityConstsFor(t, hasIds), t.dataSequenceNumber): GraftScanSplit
       }
       val nKeys = tasks.map(_.file.partition).distinct.size
-      PlannedScan(keyed, Some(nKeys), totalRows, snapId, origPaths, deletePaths,
+      PlannedScan(keyed, keyed, Some(nKeys), totalRows, snapId, origPaths, deletePaths,
         filesSorted)
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    planned.splits.toArray
+    planned.parts.toArray
 
   /** Dynamic partition pruning through the connector: Spark injects a
     * runtime IN-filter over the partition SOURCE columns at execution
@@ -879,12 +920,12 @@ private[connector] final class GraftBatchScan(table: IceTable,
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val converted = predicates.toSeq.flatMap(p => V2PredicateToIce.convert(p, table))
     if (converted.nonEmpty) {
-      val before = planned.splits.size
+      val before = planned.parts.size
       runtimeExpr = Some((runtimeExpr.toSeq ++ converted).reduce(IceExpr.and))
       plannedCache.set(null)
       GraftRuntimeFilterStats.plansWithRuntimeFilter.incrementAndGet()
       GraftRuntimeFilterStats.lastBefore = before
-      GraftRuntimeFilterStats.lastAfter = planned.splits.size
+      GraftRuntimeFilterStats.lastAfter = planned.parts.size
     }
   }
 
@@ -893,7 +934,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
       new KeyGroupedPartitioning(
         GraftConnectorUtil.toV2Transforms(table).get.map(t => t: org.apache.spark.sql.connector.expressions.Expression),
         nKeys)
-    case None => new UnknownPartitioning(planned.splits.size)
+    case None => new UnknownPartitioning(planned.parts.size)
   }
 
   /** Per-split output ordering (SupportsReportOrdering): each input
@@ -1389,7 +1430,23 @@ private[connector] final case class GraftReaderFactory(
     }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val split = p.asInstanceOf[GraftScanSplit]
+    // a packed split concatenates its members' iterators — every member
+    // keeps its own delete/default/projection state (built lazily, so a
+    // 50-file bin opens files one at a time)
+    val it: Iterator[InternalRow] = p match {
+      case GraftPackedSplit(members) => members.iterator.flatMap(rowsOf)
+      case s: GraftScanSplit => rowsOf(s)
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  private def rowsOf(split: GraftScanSplit): Iterator[InternalRow] = {
     val del = split.deletes
 
     // positions deleted from THIS file: DV bitmaps + parquet pos-deletes
@@ -1445,7 +1502,11 @@ private[connector] final case class GraftReaderFactory(
         case (false, false) => readPlain
       }
 
-    val base = rows(read, pf(split.path, split.fileSize))
+    // the split's byte range (whole file unless read.split.target-size
+    // cut it); position-counted reads are whole-file by construction
+    val base = rows(read, PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(split.path), split.rangeStart,
+      split.rangeLength, Array.empty[String], 0L, split.fileSize, Map.empty))
     var pos = -1L
     val it0 =
       if (!needExactPositions) base
@@ -1483,7 +1544,7 @@ private[connector] final case class GraftReaderFactory(
     val it1 =
       if (del.eqDeletes.isEmpty) itD
       else itD.filter(r => eqFilters.forall(f => f(r)))
-    val it: Iterator[InternalRow] = outputTemplate match {
+    outputTemplate match {
       case None => it1
       case Some(tpl) =>
         val proj = UnsafeProjection.create(tpl.toIndexedSeq.map {
@@ -1497,14 +1558,6 @@ private[connector] final case class GraftReaderFactory(
           case i => BoundReference(i, readSchema.fields(i).dataType, nullable = true)
         })
         it1.map(proj.apply)
-    }
-
-    new PartitionReader[InternalRow] {
-      private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
-      override def get(): InternalRow = cur
-      override def close(): Unit = ()
     }
   }
 }

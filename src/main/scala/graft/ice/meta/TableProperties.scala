@@ -157,6 +157,21 @@ object TableProperties {
   // manifest paths.
   val DataPath: Key[String] = Key("write.data.path", "", _.trim)
 
+  // scan split planning (reference table_properties.h:187-195): target
+  // size of a combined input split, the minimum cost a tiny file charges
+  // against a split (so one task never opens thousands of files), the
+  // bin-packing lookback (open bins considered before sealing one), and
+  // the adaptive switch that shrinks the target when the scan would
+  // otherwise produce fewer splits than the cluster has slots.
+  val SplitTargetSize: Key[Long] =
+    Key("read.split.target-size", 128L * 1024 * 1024, _.trim.toLong)
+  val SplitOpenFileCost: Key[Long] =
+    Key("read.split.open-file-cost", 4L * 1024 * 1024, _.trim.toLong)
+  val SplitLookback: Key[Int] =
+    Key("read.split.planning-lookback", 10, _.trim.toInt)
+  val SplitAdaptiveEnabled: Key[Boolean] =
+    Key("read.split.adaptive-size.enabled", true, _.trim.toBoolean)
+
   // superseded custom data roots, comma-separated (stamped automatically
   // by IceTable.commit when write.data.path changes): a mid-life data
   // plane move must not turn the OLD root into an orphan shelter —

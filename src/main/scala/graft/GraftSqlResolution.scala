@@ -433,8 +433,12 @@ final case class GraftDeleteCommand(warehouse: String, parts: Seq[String],
   }
 }
 
-/** `UPDATE graft.<ns>.<t> SET ... WHERE ...`: copy-on-write via
-  * RowDelete.updateWhere — only files with matching rows rewrite. */
+/** `UPDATE graft.<ns>.<t> SET ... WHERE ...`: dispatches on the table's
+  * `write.update.mode` property (reference table_properties.h, the third
+  * mode twin) — copy-on-write rewrites only files with matching rows;
+  * merge-on-read supersedes matching rows with position deletes
+  * (deletion vectors on v3) and re-appends them updated, so a narrow
+  * UPDATE on a huge table never rewrites whole files. */
 final case class GraftUpdateCommand(warehouse: String, parts: Seq[String],
     set: Map[String, String], conditionSql: Option[String])
     extends LeafRunnableCommand {
@@ -444,7 +448,11 @@ final case class GraftUpdateCommand(warehouse: String, parts: Seq[String],
       TableIdentifier(parts.slice(1, parts.length - 1), parts.last))
     val filter = conditionSql.map(sql => CatalystToIce.convert(
       session.sessionState.sqlParser.parseExpression(sql))).getOrElse(E.raw("true"))
-    t.delete(session).updateWhere(filter, set)
+    val mode = TableProperties.get(t.properties, TableProperties.WriteUpdateMode)
+    mode match {
+      case "merge-on-read" => t.delete(session).updateWhereMoR(filter, set)
+      case _ => t.delete(session).updateWhere(filter, set)
+    }
     Seq.empty
   }
 }

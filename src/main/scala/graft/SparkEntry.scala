@@ -902,6 +902,13 @@ object SparkEntry {
     "del_dv" -> ((s, dir) => DeleteFixture.morDV(s, dir).newScan().toDF(s)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")),
 
+    // write.update.mode=merge-on-read: SQL UPDATE supersedes matching
+    // rows via position deletes + re-append — no data file rewritten
+    // (gated in the fixture); the scan merges deletes + updated rows
+    "sql_update_mor" -> ((s, dir) => DeleteFixture.updateMor(s, dir)
+      .newScan().toDF(s)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
     // partition-aligned CoW delete: whole files drop via strict metrics
     // proof, no data file read or written (gated in the fixture) — at
     // 100 TB "drop a day / drop a tenant" is a metadata-only commit
@@ -2435,6 +2442,11 @@ object SparkEntry {
     "del_dv" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)""".stripMargin,
+    "sql_update_mor" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     "del_metadata_only" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus <> 'F'""".stripMargin,
@@ -3454,6 +3466,37 @@ object DeleteFixture {
       val keys = raw.filter("o_custkey % 50 = 0").select("o_custkey").distinct()
       t.delete(spark).deleteByEquality(keys)
     }
+
+  /** `write.update.mode=merge-on-read` (reference table_properties.h,
+    * the third mode twin): the SQL rule path supersedes matching rows
+    * with position deletes and re-appends them updated. The build gate
+    * pins the MoR contract — every pre-update data file still live
+    * (nothing rewritten), a delete plane present. */
+  def updateMor(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/updmor", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_upd_mor")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map("write.update.mode" -> "merge-on-read"))
+        t.append(spark).appendDataFrame(raw)
+        val before = t.newScan().planFiles().map(_.file.filePath).toSet
+        spark.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
+        spark.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(sfDir))
+        spark.sql("UPDATE ice.tpch.orders_upd_mor " +
+          "SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 10 = 0")
+        val t2 = IceTable.load(cat, ident)
+        val after = t2.newScan().planFiles().map(_.file.filePath).toSet
+        require(before.subsetOf(after) && (after -- before).nonEmpty,
+          "merge-on-read UPDATE must append, never rewrite, data files")
+        require(t2.currentSnapshot.exists(s =>
+          t2.planDeleteEntries(s).nonEmpty),
+          "merge-on-read UPDATE must write a delete plane")
+        t2
+      }
+    })
 
   /** Partition-aligned CoW delete: on a status-partitioned table the 'F'
     * partition drops as PURE METADATA — the strict evaluator proves every

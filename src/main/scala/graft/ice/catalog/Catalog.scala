@@ -161,23 +161,30 @@ class DirCatalog(val warehouse: String) extends Catalog {
 
   override def currentVersion(ident: TableIdentifier): Int = {
     val hint = hintFile(ident)
-    if (!Files.exists(hint)) {
-      if (!Files.exists(metadataDir(ident))) return 0
-      // fall back to scanning (hint write is best-effort); both the
-      // default and any pointed-to custom metadata dir count
-      val versions = versionDirs(ident).filter(Files.isDirectory(_))
-        .flatMap(d => Files.list(d).iterator.asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
-            s.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
-          }.flatten)
-      return versions.maxOption.getOrElse(0)
+    // the hint is best-effort AND its write is not atomic: a reader racing
+    // the writer can observe a missing, empty, or torn file — every such
+    // shape falls back to scanning the metadata dirs (both the default
+    // and any pointed-to custom metadata dir count)
+    val hinted: Option[Int] =
+      if (!Files.exists(hint)) None
+      else (try Files.readString(hint).trim
+        catch { case _: java.io.IOException => "" }).toIntOption
+    hinted match {
+      case None =>
+        if (!Files.exists(metadataDir(ident))) return 0
+        val versions = versionDirs(ident).filter(Files.isDirectory(_))
+          .flatMap(d => Files.list(d).iterator.asScala
+            .map(_.getFileName.toString)
+            .collect { case s if s.startsWith("v") && s.endsWith(".metadata.json") =>
+              s.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+            }.flatten)
+        versions.maxOption.getOrElse(0)
+      case Some(h) =>
+        // the hint may lag a concurrent commit; roll forward to the latest
+        var v = h
+        while (Files.exists(versionFile(ident, v + 1))) v += 1
+        v
     }
-    val hinted = Files.readString(hint).trim.toInt
-    // the hint may lag a concurrent commit; roll forward to the latest file
-    var v = hinted
-    while (Files.exists(versionFile(ident, v + 1))) v += 1
-    v
   }
 
   override def tableExists(ident: TableIdentifier): Boolean =
@@ -345,7 +352,10 @@ class DirCatalog(val warehouse: String) extends Catalog {
         TableMetadataIO.encode(updated)))
       throw new CommitFailedException(s"$ident: lost race committing version $next")
     updatePointer(ident, target)
-    Files.writeString(hintFile(ident), next.toString) // best-effort pointer
+    // best-effort pointer, but written ATOMICALLY (temp+rename): a plain
+    // write lets a concurrent reader observe an empty/torn hint
+    graft.ice.io.LocalFileIO.writeAtomic(hintFile(ident).toString,
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     next
   }
 
@@ -364,6 +374,7 @@ class DirCatalog(val warehouse: String) extends Catalog {
     graft.ice.io.LocalFileIO.writeAtomic(target.toString,
       TableMetadataIO.encode(meta))
     updatePointer(ident, target)
-    Files.writeString(hintFile(ident), v.toString)
+    graft.ice.io.LocalFileIO.writeAtomic(hintFile(ident).toString,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -37,6 +37,7 @@ object TableProperties {
   // (v3 tables use deletion vectors)
   val WriteDeleteMode: Key[String] = Key("write.delete.mode", "copy-on-write", _.trim)
   val WriteMergeMode: Key[String] = Key("write.merge.mode", "copy-on-write", _.trim)
+  val WriteUpdateMode: Key[String] = Key("write.update.mode", "copy-on-write", _.trim)
 
   // write-audit-publish opt-in (Iceberg write.wap.enabled, reference
   // table_properties.h:239, default false): only when the TABLE enables

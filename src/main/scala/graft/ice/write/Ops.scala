@@ -864,6 +864,34 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     if (matching.isEmpty)
       return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
     val paths = matching.map(t => ManifestAvro.stripFileScheme(t.file.filePath))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val sparkSchema = SparkConv.toSpark(table.schema)
+    val dels = spark.read
+      .schema(sparkSchema).parquet(paths: _*)
+      .filter(cond)
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val (entries, superseded, expected) = buildDVEntries(dels, paths.size)
+    if (entries.isEmpty)
+      return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
+    SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
+      addedDeleteEntries = entries, removedDVForFiles = superseded,
+      extraSummary =
+        if (superseded.isEmpty) Map.empty
+        else Map("replaced-deletion-vectors" -> superseded.size.toString),
+      expectedDVs = Some(expected))
+  }
+
+  /** Build one deletion vector per touched data file from a
+    * `(file_path, pos)` DataFrame (positions clustered per file on the
+    * executors, puffin files written through the task-commit rename
+    * protocol, only blob descriptors returning to the driver). Returns
+    * (delete entries, superseded prior-DV paths, expected per-file DV
+    * sets for the commit's race validation). Shared by deleteWhereDV and
+    * the merge-on-read UPDATE path. */
+  private def buildDVEntries(dels: DataFrame, nFiles: Int)
+      : (Seq[ManifestEntry], Set[String], Map[String, Set[String]]) = {
     // prior DVs per referenced data file (metadata-sized): executors read
     // and union these so each new vector fully replaces its predecessor
     val priorDV: Map[String, Seq[(String, Long, Long)]] =
@@ -878,21 +906,14 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
           e.dataFile.contentSizeInBytes.getOrElse(throw new IllegalStateException(
             s"DV entry for ${e.dataFile.filePath} missing content_size_in_bytes")))))
         .toMap
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val sparkSchema = SparkConv.toSpark(table.schema)
     val nParts = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions, paths.size))
+      spark.sessionState.conf.numShufflePartitions, nFiles))
     val dataDir = table.dataFileDir
     Files.createDirectories(Paths.get(dataDir))
     val commitUuid = UUID.randomUUID().toString
     import spark.implicits._
     // per-ref descriptor rows: (puffinPath, puffinSize, refFile, offset, length, cardinality)
-    val refRows: Seq[(String, Long, String, Long, Long, Long)] = spark.read
-      .schema(sparkSchema).parquet(paths: _*)
-      .filter(cond)
-      .select(
-        regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
-        col("_metadata.row_index").as("pos"))
+    val refRows: Seq[(String, Long, String, Long, Long, Long)] = dels
       .repartition(nParts, col("file_path"))
       .sortWithinPartitions("file_path", "pos")
       .as[(String, Long)]
@@ -931,8 +952,6 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
             (path, size, r.referencedDataFile, r.offset, r.length, r.cardinality))
         }
       }.collect().toSeq.sortBy(r => (r._1, r._3))
-    if (refRows.isEmpty)
-      return SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil)
     val entries = refRows.map { case (puffinPath, size, refFile, off, len, card) =>
       ManifestEntry(ManifestStatus.Added, None, None, None,
         DataFile(FileContent.PositionDeletes, puffinPath, "PUFFIN",
@@ -952,12 +971,50 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
       refRows.map(r => ManifestAvro.stripFileScheme(r._3)).distinct
         .map(ref => ref -> priorDV.getOrElse(ref, Nil).map(_._1).toSet)
         .toMap
-    SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
-      addedDeleteEntries = entries, removedDVForFiles = superseded,
+    (entries, superseded, expected)
+  }
+
+  /** Merge-on-read UPDATE (`write.update.mode=merge-on-read`, reference
+    * table_properties.h alongside the implemented delete/merge twins):
+    * matching rows are superseded with position deletes (v3: deletion
+    * vectors) and re-appended with the assignments applied — a 0.1%
+    * UPDATE on a 100-TB table writes one small delete plane plus the
+    * touched rows, never rewrites whole data files. Rows are read
+    * through the SCAN (existing MoR deletes applied), so a previously
+    * deleted row can never resurrect as an "updated" one — which is why
+    * this path, unlike copy-on-write [[updateWhere]], needs no live-
+    * delete-file guard. */
+  def updateWhereMoR(filter: Expr, set: Map[String, String]): Snapshot = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    set.keys.foreach(k => require(table.schema.findFieldByName(k).isDefined,
+      s"UPDATE SET names unknown column '$k'"))
+    val bound = Binder.bind(filter, table.schema)
+    val cond = coalesce(ToColumn(bound), lit(false))
+    val matching = table.newScan().filter(filter).planFiles()
+    if (matching.isEmpty)
+      return SnapshotProducer.commit(table, spark, DataOperation.Overwrite, Nil)
+    val scanDF = table.newScan().filter(filter)
+      .withMetadataColumns("_file", "_pos").toDF(spark).filter(cond)
+    val dels = scanDF.select(col("_file").as("file_path"), col("_pos").as("pos"))
+    val (delEntries, superseded, expected) =
+      if (table.metadata.formatVersion >= 3) buildDVEntries(dels, matching.size)
+      else (RowDelete.writePositionDeleteEntries(table, spark, dels, matching.size),
+        Set.empty[String], Map.empty[String, Set[String]])
+    val updated = scanDF.select(table.schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(sql) => org.apache.spark.sql.functions.expr(sql)
+            .cast(SparkConv.toSparkType(f.fieldType)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    val added = SnapshotProducer.writeDataFiles(table, spark, updated)
+    SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
+      addedDeleteEntries = delEntries, removedDVForFiles = superseded,
       extraSummary =
         if (superseded.isEmpty) Map.empty
         else Map("replaced-deletion-vectors" -> superseded.size.toString),
-      expectedDVs = Some(expected))
+      expectedDVs =
+        if (table.metadata.formatVersion >= 3) Some(expected) else None)
   }
 
   /** Merge-on-read equality delete: delete every row whose key columns

@@ -157,6 +157,61 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) == 10L, "only the updated rows survive")
   }
 
+  test("UPDATE under write.update.mode=merge-on-read supersedes, never rewrites") {
+    val cat = new DirCatalog(warehouse)
+    val df = spark.range(0, 1000).selectExpr("id", "id * 10 as v")
+    spark.conf.set("spark.graft.warehouse", warehouse)
+
+    // v2: position-delete parquet plane
+    val t = IceTable.create(cat, TableIdentifier.parse("db.updmor"),
+      SparkConv.fromSpark(df.schema),
+      properties = Map(
+        "write.update.mode" -> "merge-on-read",
+        "write.delete.mode" -> "merge-on-read"))
+    t.append(spark).appendDataFrame(df)
+    val before = t.newScan().planFiles().map(_.file.filePath).toSet
+    spark.sql("UPDATE graft.db.updmor SET v = -1 WHERE id = 7")
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.updmor"))
+    val after = t2.newScan().planFiles().map(_.file.filePath).toSet
+    // a 1-row UPDATE rewrites NO data file: originals all still live,
+    // only the re-inserted row's file is new
+    assert(before.subsetOf(after), "MoR update must not drop data files")
+    assert((after -- before).nonEmpty, "MoR update appends the updated rows")
+    val dels = t2.planDeleteEntries(t2.currentSnapshot.get)
+    assert(dels.nonEmpty && dels.forall(_.dataFile.fileFormat == "PARQUET"))
+    assert(spark.sql("SELECT v FROM graft.db.updmor WHERE id = 7")
+      .collect().head.getLong(0) == -1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.updmor")
+      .collect().head.getLong(0) == 1000L)
+
+    // no resurrection: a row deleted MoR before the update must stay
+    // deleted even when the update's predicate covers it
+    spark.sql("DELETE FROM graft.db.updmor WHERE id = 3")
+    spark.sql("UPDATE graft.db.updmor SET v = -2 WHERE id < 10")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.updmor WHERE id = 3")
+      .collect().head.getLong(0) == 0L, "MoR update resurrected a deleted row")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.updmor WHERE v = -2")
+      .collect().head.getLong(0) == 9L)
+
+    // v3: the delete plane is a deletion vector (puffin), same contract
+    val t3 = IceTable.create(cat, TableIdentifier.parse("db.updmor3"),
+      SparkConv.fromSpark(df.schema),
+      properties = Map("write.update.mode" -> "merge-on-read"))
+    t3.upgradeFormatVersion(3)
+    t3.append(spark).appendDataFrame(df)
+    val before3 = t3.newScan().planFiles().map(_.file.filePath).toSet
+    spark.sql("UPDATE graft.db.updmor3 SET v = -1 WHERE id = 7")
+    val t3b = IceTable.load(cat, TableIdentifier.parse("db.updmor3"))
+    assert(before3.subsetOf(t3b.newScan().planFiles().map(_.file.filePath).toSet))
+    val dels3 = t3b.planDeleteEntries(t3b.currentSnapshot.get)
+    assert(dels3.nonEmpty && dels3.forall(_.dataFile.fileFormat == "PUFFIN"),
+      s"v3 MoR update must write deletion vectors, got ${dels3.map(_.dataFile.fileFormat)}")
+    assert(spark.sql("SELECT v FROM graft.db.updmor3 WHERE id = 7")
+      .collect().head.getLong(0) == -1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.updmor3")
+      .collect().head.getLong(0) == 1000L)
+  }
+
   test("DELETE on a merge-on-read table writes delete files, not rewrites") {
     val cat = new DirCatalog(warehouse)
     val df = spark.range(0, 50).selectExpr("id", "id as v")

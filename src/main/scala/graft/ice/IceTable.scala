@@ -512,9 +512,52 @@ final class IceTable private (
                 s"(commit.retry.total-timeout-ms=$totalTimeout): ${e.getMessage}")
           Thread.sleep(sleep)
           refresh()
+        case e: graft.ice.catalog.CommitStateUnknownException =>
+          // commit.status-check reconciliation (table_properties.h:86-93):
+          // the attempt MAY have landed — poll before deciding. Landed →
+          // adopt it as success; provably not landed → ordinary retry;
+          // still unknown after the budget → surface unknown (retrying
+          // could double-commit, and callers must not delete files).
+          reconcileUnknown(e, updated) match {
+            case Some(true) =>
+              meta = updated; version = e.attemptedVersion
+              return updated
+            case Some(false) =>
+              attempt += 1
+              if (attempt > maxRetries) throw new CommitFailedException(
+                s"$ident: commit did not land and retry budget exhausted: ${e.getMessage}")
+              refresh()
+            case None => throw e
+          }
       }
     }
     meta
+  }
+
+  /** `commit.status-check.*` polling: probe whether the unknown-outcome
+    * attempt landed, backing off between probes, until an answer arrives
+    * or the status-check budget (its OWN four keys, independent of the
+    * retry budget) runs out. */
+  private def reconcileUnknown(e: graft.ice.catalog.CommitStateUnknownException,
+      attempted: TableMetadata): Option[Boolean] = {
+    val checks = meta.property(TableProperties.CommitNumStatusChecks)
+    val minWait = meta.property(TableProperties.CommitStatusCheckMinWaitMs)
+    val maxWait = meta.property(TableProperties.CommitStatusCheckMaxWaitMs)
+    val deadline = System.currentTimeMillis() +
+      meta.property(TableProperties.CommitStatusCheckTotalWaitMs)
+    var probe = 0
+    while (true) {
+      val answer =
+        try catalog.commitLanded(ident, e.attemptedVersion, attempted)
+        catch { case _: java.io.IOException => None } // probe itself flaky
+      if (answer.isDefined) return answer
+      probe += 1
+      if (probe > checks) return None
+      val sleep = math.min(minWait << (probe - 1), maxWait)
+      if (System.currentTimeMillis() + sleep > deadline) return None
+      Thread.sleep(sleep)
+    }
+    None
   }
 
   /** Replace the default sort order (Iceberg ReplaceSortOrder /

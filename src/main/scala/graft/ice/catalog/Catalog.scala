@@ -18,6 +18,17 @@ object TableIdentifier {
 }
 
 class CommitFailedException(msg: String) extends RuntimeException(msg)
+
+/** A commit attempt whose OUTCOME is unknown (REST timeout, FS write
+  * exception after bytes may have landed): neither success nor clean
+  * failure. Blind-retrying one of these can double-commit — a retry
+  * after an actually-succeeded attempt re-validates requirements against
+  * a base that now contains the attempt and surfaces as a spurious
+  * conflict (or worse, re-appends). IceTable.commit reconciles these
+  * through the `commit.status-check.*` polling protocol
+  * (table_properties.h:86-93) before deciding. */
+class CommitStateUnknownException(msg: String, val attemptedVersion: Int,
+    cause: Throwable = null) extends RuntimeException(msg, cause)
 class NoSuchTableException(msg: String) extends RuntimeException(msg)
 class AlreadyExistsException(msg: String) extends RuntimeException(msg)
 
@@ -48,6 +59,16 @@ trait Catalog {
     * file is still `baseVersion`. Throws CommitFailedException otherwise. */
   def commit(ident: TableIdentifier, baseVersion: Int, updated: TableMetadata): Int
   def currentVersion(ident: TableIdentifier): Int
+
+  /** `commit.status-check` probe: did the attempt that tried to publish
+    * `attempted` at `attemptedVersion` LAND? Some(true) = it is durable,
+    * adopt it; Some(false) = it provably did not land at probe time and
+    * nothing in this catalog lands asynchronously after its commit call
+    * returned/threw, so a refresh+retry is safe; None = cannot tell.
+    * The default can only prove the negative (version not reached). */
+  def commitLanded(ident: TableIdentifier, attemptedVersion: Int,
+      attempted: TableMetadata): Option[Boolean] =
+    if (currentVersion(ident) < attemptedVersion) Some(false) else None
 
   /** Physical location of the current metadata file, when the catalog
     * stores one (REST LoadTableResult.metadata_location; None for
@@ -347,9 +368,21 @@ class DirCatalog(val warehouse: String) extends Catalog {
         s"$ident: version $next already committed by a concurrent writer")
     Files.createDirectories(target.getParent)
     // the whole commit race reduces to FileIO's first-committer-wins
-    // primitive — an object-store catalog swaps in a conditional put here
-    if (!graft.ice.io.LocalFileIO.writeIfAbsent(target.toString,
-        TableMetadataIO.encode(updated)))
+    // primitive — an object-store catalog swaps in a conditional put here.
+    // A clean false is a LOST RACE (retryable); an IOException mid-write
+    // is an UNKNOWN outcome (the bytes may have landed) — surfaced as
+    // such so the caller reconciles via commit.status-check instead of
+    // blind-retrying into a double commit.
+    val won =
+      try graft.ice.io.LocalFileIO.writeIfAbsent(target.toString,
+        TableMetadataIO.encode(updated))
+      catch {
+        case io: java.io.IOException =>
+          throw new CommitStateUnknownException(
+            s"$ident: outcome of commit v$next unknown: ${io.getMessage}",
+            next, io)
+      }
+    if (!won)
       throw new CommitFailedException(s"$ident: lost race committing version $next")
     updatePointer(ident, target)
     // best-effort pointer, but written ATOMICALLY (temp+rename): a plain
@@ -357,6 +390,19 @@ class DirCatalog(val warehouse: String) extends Catalog {
     graft.ice.io.LocalFileIO.writeAtomic(hintFile(ident).toString,
       next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     next
+  }
+
+  /** Status-check probe: the attempt wrote (or failed to write) exactly
+    * `encode(attempted)` at the deterministic version path — byte
+    * equality of the landed file IS the answer. A missing file is a
+    * definite no: writeIfAbsent performs no asynchronous work after its
+    * call returns or throws. */
+  override def commitLanded(ident: TableIdentifier, attemptedVersion: Int,
+      attempted: TableMetadata): Option[Boolean] = {
+    val target = targetVersionFile(ident, attemptedVersion, attempted)
+    if (!Files.exists(target)) Some(false)
+    else Some(java.util.Arrays.equals(Files.readAllBytes(target),
+      TableMetadataIO.encode(attempted)))
   }
 
   /** Keep metadata-path.text naming the dir of the latest version file

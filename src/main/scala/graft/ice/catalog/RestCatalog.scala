@@ -235,6 +235,25 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
   override def currentVersion(ident: TableIdentifier): Int =
     try loadTable(ident).version catch { case _: NoSuchTableException => 0 }
 
+  /** Status-check probe over REST: snapshot ids are generated CLIENT-side,
+    * so "every snapshot id of the attempt exists in the current table"
+    * proves the attempt landed (a concurrent writer cannot have minted
+    * them). A current version below the attempted one proves it did not.
+    * Snapshot-free attempts (property-only commits) between those bounds
+    * are genuinely indistinguishable — None, caller keeps polling then
+    * surfaces unknown. */
+  override def commitLanded(ident: TableIdentifier, attemptedVersion: Int,
+      attempted: TableMetadata): Option[Boolean] = {
+    cache.remove(ident)
+    val cur = try loadTable(ident)
+      catch { case _: NoSuchTableException => return Some(false) }
+    val ourIds = attempted.snapshots.map(_.snapshotId).toSet
+    val curIds = cur.metadata.snapshots.map(_.snapshotId).toSet
+    if (ourIds.nonEmpty && ourIds.subsetOf(curIds)) Some(true)
+    else if (cur.version < attemptedVersion) Some(false)
+    else None
+  }
+
   override def metadataLocation(ident: TableIdentifier): Option[String] = {
     val n = parse(send(get(tableUrl(ident)), ok = Set(200)))
     Option(n.get("metadata-location")).map(_.asText)
@@ -276,7 +295,19 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
     requirements.foreach(r => reqArr.add(requirementToJson(r)))
     val upArr = o.putArray("updates")
     updates.foreach(u => upArr.add(updateToJson(u)))
-    val body = send(post(tableUrl(ident), o.toString), ok = Set(200))
+    // a transport failure on the COMMIT call is an unknown outcome (the
+    // server may have applied it before the response was lost) — surfaced
+    // as such so IceTable reconciles via commit.status-check polling
+    // instead of blind-retrying into a duplicate snapshot
+    val body =
+      try send(post(tableUrl(ident), o.toString), ok = Set(200))
+      catch {
+        case io: java.io.IOException =>
+          cache.remove(ident)
+          throw new CommitStateUnknownException(
+            s"$ident: REST commit outcome unknown: ${io.getMessage}",
+            baseVersion + 1, io)
+      }
     val (v, serverMeta) = parseLoadResult(body)
     cache.put(ident, (v, serverMeta))
     v

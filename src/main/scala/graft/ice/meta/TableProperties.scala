@@ -20,6 +20,20 @@ object TableProperties {
   val CommitTotalTimeoutMs: Key[Long] =
     Key("commit.retry.total-timeout-ms", 30L * 60 * 1000, _.trim.toLong)
 
+  // unknown-outcome reconciliation (table_properties.h:86-93): after a
+  // commit attempt whose outcome is unknown (REST timeout, FS write
+  // exception), poll whether the attempt's metadata actually landed
+  // before deciding — a blind retry after an actually-succeeded commit
+  // double-commits or surfaces a spurious requirement failure.
+  val CommitNumStatusChecks: Key[Int] =
+    Key("commit.status-check.num-retries", 3, _.trim.toInt)
+  val CommitStatusCheckMinWaitMs: Key[Long] =
+    Key("commit.status-check.min-wait-ms", 1000L, _.trim.toLong)
+  val CommitStatusCheckMaxWaitMs: Key[Long] =
+    Key("commit.status-check.max-wait-ms", 60L * 1000, _.trim.toLong)
+  val CommitStatusCheckTotalWaitMs: Key[Long] =
+    Key("commit.status-check.total-timeout-ms", 30L * 60 * 1000, _.trim.toLong)
+
   // manifest maintenance (table_properties.h:97-101)
   val ManifestMergeEnabled: Key[Boolean] =
     Key("commit.manifest-merge.enabled", true, _.trim.toBoolean)
@@ -36,6 +50,20 @@ object TableProperties {
   // rewrites affected data files; "merge-on-read" writes delete files
   // (v3 tables use deletion vectors)
   val WriteDeleteMode: Key[String] = Key("write.delete.mode", "copy-on-write", _.trim)
+
+  // position-delete file layout (reference table_properties.h:243,257):
+  // `partition` granularity clusters delete rows by the DATA file's
+  // partition — one delete file per touched partition (size-rolled), so
+  // the number of delete files a scan must consider per data file stays
+  // bounded by that partition's churn, not the whole commit's.
+  // `file` granularity rolls per referenced data file — each delete
+  // file covers exactly one data file (the best read-side shape, more
+  // files). Target sizing rolls output files near the declared bytes.
+  val DeleteGranularity: Key[String] =
+    Key("write.delete.granularity", "partition",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val DeleteTargetFileSizeBytes: Key[Long] =
+    Key("write.delete.target-file-size-bytes", 64L * 1024 * 1024, _.trim.toLong)
   val WriteMergeMode: Key[String] = Key("write.merge.mode", "copy-on-write", _.trim)
   val WriteUpdateMode: Key[String] = Key("write.update.mode", "copy-on-write", _.trim)
 

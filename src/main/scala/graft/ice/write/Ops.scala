@@ -832,7 +832,8 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/*", "/").as("file_path"),
         col("_metadata.row_index").as("pos"))
-    val entries = RowDelete.writePositionDeleteEntries(table, spark, dels, paths.size)
+    val entries = RowDelete.writePositionDeleteEntries(table, spark, dels,
+      paths.size, RowDelete.partitionKeys(table, matching))
     SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
       addedDeleteEntries = entries)
   }
@@ -998,7 +999,8 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     val dels = scanDF.select(col("_file").as("file_path"), col("_pos").as("pos"))
     val (delEntries, superseded, expected) =
       if (table.metadata.formatVersion >= 3) buildDVEntries(dels, matching.size)
-      else (RowDelete.writePositionDeleteEntries(table, spark, dels, matching.size),
+      else (RowDelete.writePositionDeleteEntries(table, spark, dels,
+        matching.size, RowDelete.partitionKeys(table, matching)),
         Set.empty[String], Map.empty[String, Set[String]])
     val updated = scanDF.select(table.schema.fields.map { f =>
       set.get(f.name) match {
@@ -1067,20 +1069,81 @@ object RowDelete {
     * tuples by file_path so each output delete file covers a disjoint set
     * of data files (spec ordering (file_path, pos) within each) — a wide
     * delete at 100 TB writes through every core, not one. */
+  /** Normalized data-file path -> rendered partition directory string,
+    * for `write.delete.granularity=partition` clustering. Metadata-sized:
+    * exactly the task list the delete already planned. */
+  private[write] def partitionKeys(table: IceTable,
+      matching: Seq[graft.ice.FileScanTask]): Map[String, String] =
+    if (table.spec.isUnpartitioned) Map.empty
+    else matching.map { t =>
+      val spec = table.metadata.specById(t.specId)
+        .getOrElse(graft.ice.meta.PartitionSpec.unpartitioned)
+      val key = spec.fields.zip(t.file.partition).map { case (pf, v) =>
+        s"${pf.name}=${v match {
+          case null => "null"
+          case b: Array[Byte] => b.map("%02x".format(_)).mkString
+          case x => x.toString
+        }}"
+      }.mkString("/")
+      ManifestAvro.stripFileScheme(t.file.filePath) -> key
+    }.toMap
+
   private[write] def writePositionDeleteEntries(table: IceTable,
-      spark: SparkSession, dels: DataFrame, nFiles: Int): Seq[ManifestEntry] = {
-    val nParts = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions, math.max(nFiles, 1)))
+      spark: SparkSession, dels: DataFrame, nFiles: Int,
+      partitionOf: Map[String, String] = Map.empty): Seq[ManifestEntry] = {
+    val granularity = graft.ice.meta.TableProperties.get(table.properties,
+      graft.ice.meta.TableProperties.DeleteGranularity)
+    val targetBytes = graft.ice.meta.TableProperties.get(table.properties,
+      graft.ice.meta.TableProperties.DeleteTargetFileSizeBytes)
     val outDir = s"${table.dataFileDir}/${UUID.randomUUID()}-deletes"
-    dels.repartition(nParts, col("file_path"))
-      .sortWithinPartitions("file_path", "pos")
-      .write.options(WriteTuning.parquetDelete(table.properties))
+    // target sizing as a record cap: (path, pos) rows cost roughly the
+    // path length + 8 bytes pre-encoding; parquet dictionary + zstd only
+    // shrink that, so the cap errs toward files UNDER target, never over
+    val avgPathLen =
+      if (partitionOf.isEmpty) 128L
+      else partitionOf.keysIterator.map(_.length.toLong).sum / partitionOf.size
+    val maxRecords = math.max(1L, targetBytes / (avgPathLen + 8L))
+    val writer = granularity match {
+      case "file" =>
+        // one delete file per referenced DATA file: cluster by path, roll
+        // per path via partitionBy (the grouping column is directory-
+        // encoded, the file keeps its (file_path, pos) schema)
+        dels.withColumn("__group", col("file_path"))
+          .repartition(col("file_path"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.partitionBy("__group")
+      case _ if partitionOf.nonEmpty && !table.spec.isUnpartitioned =>
+        // partition granularity: cluster delete rows by the data file's
+        // partition — one (size-rolled) delete file per touched partition
+        import spark.implicits._
+        val mapDF = broadcast(
+          partitionOf.toSeq.toDF("file_path", "__group"))
+        dels.join(mapDF, Seq("file_path"), "left")
+          .withColumn("__group", coalesce(col("__group"), lit("__unknown")))
+          .repartition(col("__group"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.partitionBy("__group")
+      case _ =>
+        // unpartitioned spec (or no mapping available): partition
+        // boundaries don't exist to respect — hash-shard by path so a
+        // wide delete still writes through every core
+        val nParts = math.max(1, math.min(
+          spark.sessionState.conf.numShufflePartitions, math.max(nFiles, 1)))
+        dels.repartition(nParts, col("file_path"))
+          .sortWithinPartitions("file_path", "pos")
+          .write
+    }
+    writer.option("maxRecordsPerFile", maxRecords)
+      .options(WriteTuning.parquetDelete(table.properties))
       .parquet(outDir)
     val conf = spark.sessionState.newHadoopConf()
     val files = {
       import scala.jdk.CollectionConverters._
+      // isRegularFile matters: under file granularity the __group= DIR
+      // name itself ends in ".parquet" (it encodes the data-file path)
       Files.walk(Paths.get(outDir)).iterator.asScala
-        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
     }
     files.flatMap { file =>
       val rowCount = Metrics.parquetRowCount(file, conf)
@@ -1202,8 +1265,9 @@ final class MergeInto(table: IceTable, spark: SparkSession,
       val joined = scanDF.as("t").join(source.as("s"),
         on.map(c => col(s"t.$c") === col(s"s.$c")).reduce(_ && _), "inner")
       val dels = joined.select(col("t._file").as("file_path"), col("t._pos").as("pos"))
+      val tasks = table.newScan().planFiles()
       delEntries = RowDelete.writePositionDeleteEntries(table, spark, dels,
-        table.newScan().planFiles().size)
+        tasks.size, RowDelete.partitionKeys(table, tasks))
       matched match {
         case UpdateAll =>
           tgtCols.foreach(c => require(source.columns.contains(c),
@@ -1482,7 +1546,8 @@ final class Compaction(table: IceTable, spark: SparkSession) {
       .distinct() // overlapping merges may have deleted the same position twice
       .join(broadcast(liveFiles), col("file_path") === col("__live"), "left_semi")
     val entries = RowDelete.writePositionDeleteEntries(table, spark, dels,
-      posParquet.size)
+      posParquet.size,
+      RowDelete.partitionKeys(table, table.newScan().planFiles()))
     SnapshotProducer.commit(table, spark, DataOperation.Replace, Nil,
       removedPaths = posParquet.map(_.dataFile.filePath).toSet,
       addedDeleteEntries = entries,

@@ -490,7 +490,9 @@ final class IceTable private (
         // log holds nothing else). Best-effort: a failed delete must not
         // fail the already-published commit.
         if (trimmedOff.nonEmpty &&
-            updated.property(TableProperties.MetadataDeleteAfterCommit)) {
+            updated.property(TableProperties.MetadataDeleteAfterCommit) &&
+            // gc.enabled is the master switch over ANY physical deletion
+            updated.property(TableProperties.GcEnabled)) {
           trimmedOff.foreach { e =>
             try graft.ice.io.LocalFileIO.delete(
               graft.ice.manifest.ManifestAvro.stripFileScheme(e.metadataFile))

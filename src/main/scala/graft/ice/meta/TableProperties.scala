@@ -20,6 +20,21 @@ object TableProperties {
   val CommitTotalTimeoutMs: Key[Long] =
     Key("commit.retry.total-timeout-ms", 30L * 60 * 1000, _.trim.toLong)
 
+  // garbage collection (table_properties.h:246-253): gc.enabled is the
+  // master switch over ANY physical file deletion — snapshot expiry,
+  // orphan sweeps, delete-after-commit metadata trimming all refuse when
+  // it is off (a mirrored/externally-backed-up table must never have its
+  // files removed from under the mirror). history.expire.* are the
+  // TABLE-LEVEL defaults expireSnapshots() uses when the caller and the
+  // ref carry no explicit retention.
+  val GcEnabled: Key[Boolean] = Key("gc.enabled", true, _.trim.toBoolean)
+  val HistoryExpireMaxSnapshotAgeMs: Key[Long] =
+    Key("history.expire.max-snapshot-age-ms", 5L * 24 * 3600 * 1000, _.trim.toLong)
+  val HistoryExpireMinSnapshotsToKeep: Key[Int] =
+    Key("history.expire.min-snapshots-to-keep", 1, _.trim.toInt)
+  val HistoryExpireMaxRefAgeMs: Key[Long] =
+    Key("history.expire.max-ref-age-ms", Long.MaxValue, _.trim.toLong)
+
   // unknown-outcome reconciliation (table_properties.h:86-93): after a
   // commit attempt whose outcome is unknown (REST timeout, FS write
   // exception), poll whether the attempt's metadata actually landed

@@ -1622,6 +1622,8 @@ final class TableMaintenance(table: IceTable) {
   def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis() - 3 * 24 * 3600 * 1000L): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val meta = table.metadata
+    require(meta.property(TableProperties.GcEnabled),
+      "gc.enabled=false: refusing to delete files in an orphan sweep")
     val reachable = collection.mutable.Set[String]()
     def norm(p: String): String = ManifestAvro.stripFileScheme(p)
     // Puffin statistics files (C11) are table-referenced, not
@@ -1917,25 +1919,44 @@ final class ManageSnapshots(table: IceTable) {
     * Ancestors outside every policy are NOT chased — manifest reuse makes
     * ancestor files reachable only via their own snapshots, which is why
     * expiry must keep ref targets alive. */
+  /** Property-default expiry: cutoff and floor from the table-level
+    * `history.expire.{max-snapshot-age-ms,min-snapshots-to-keep}` keys
+    * (reference table_properties.h:247-251) — the shape a scheduled
+    * maintenance job calls with no per-invocation policy. */
+  def expireSnapshots(): ManageSnapshots =
+    expireSnapshots(
+      System.currentTimeMillis() - table.metadata.property(
+        TableProperties.HistoryExpireMaxSnapshotAgeMs),
+      table.metadata.property(TableProperties.HistoryExpireMinSnapshotsToKeep))
+
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): ManageSnapshots = {
     val nowMs = System.currentTimeMillis()
+    require(table.metadata.property(TableProperties.GcEnabled),
+      s"gc.enabled=false: refusing to expire snapshots (their files would " +
+        "become orphans no sweep may ever reclaim)")
     table.commit { base =>
       // newest-first ancestor chain of a ref head
       def ancestors(id: Long): Seq[Snapshot] =
         Iterator.iterate(base.snapshotById(id))(
           _.flatMap(_.parentSnapshotId).flatMap(base.snapshotById))
           .takeWhile(_.isDefined).flatten.toSeq
+      // per-ref retention falls back to the TABLE-LEVEL defaults
+      // (history.expire.*) before the built-in ones
+      val defaultRefAge =
+        base.property(TableProperties.HistoryExpireMaxRefAgeMs)
+      val defaultMinKeep =
+        base.property(TableProperties.HistoryExpireMinSnapshotsToKeep)
       val liveRefs = base.refs.filter { case (name, ref) =>
-        name == "main" || ref.maxRefAgeMs.forall(maxAge =>
-          base.snapshotById(ref.snapshotId)
-            .forall(s => nowMs - s.timestampMs <= maxAge))
+        val maxAge = ref.maxRefAgeMs.getOrElse(defaultRefAge)
+        name == "main" || base.snapshotById(ref.snapshotId)
+          .forall(s => nowMs - s.timestampMs <= maxAge)
       }
       val perRefKeep = liveRefs.flatMap { case (name, ref) =>
         if (ref.refType == "tag") Seq(ref.snapshotId)
         else {
           val chain = ancestors(ref.snapshotId)
           val cutoff = ref.maxSnapshotAgeMs.map(nowMs - _).getOrElse(olderThanMs)
-          val minKeep = math.max(ref.minSnapshotsToKeep.getOrElse(1),
+          val minKeep = math.max(ref.minSnapshotsToKeep.getOrElse(defaultMinKeep),
             if (name == "main") retainLast else 1)
           (chain.filter(_.timestampMs >= cutoff) ++ chain.take(minKeep))
             .map(_.snapshotId)

@@ -175,6 +175,10 @@ final class GraftWrite(table: IceTable, identName: String, warehouse: String,
         TableProperties.ParquetCompression),
       compressionLevel = TableProperties.get(table.properties,
         TableProperties.ParquetCompressionLevel),
+      parquetExtras = graft.ice.write.WriteTuning.parquetColumnExtras(
+        table.properties) +
+        ("parquet.page.row.count.limit" -> TableProperties.get(
+          table.properties, TableProperties.ParquetPageRowLimit).toString),
       rowGroupSize = TableProperties.get(table.properties,
         TableProperties.ParquetRowGroupSizeBytes),
       pageSize = TableProperties.get(table.properties,
@@ -209,6 +213,7 @@ final case class GraftTaskWriteConf(
     sortOrderId: Int,
     compression: String,
     compressionLevel: String = "",
+    parquetExtras: Map[String, String] = Map.empty,
     rowGroupSize: Long = 128L * 1024 * 1024,
     pageSize: Long = 1024L * 1024,
     dictSize: Long = 2L * 1024 * 1024,
@@ -429,6 +434,9 @@ final class GraftDataWriter(conf: GraftTaskWriteConf, partitionId: Int,
       val codec = if (conf.compression == "none") "uncompressed" else conf.compression
       c.set(s"parquet.compression.codec.$codec.level", conf.compressionLevel)
     }
+    // per-column bloom filters / stats toggles / page-row-limit — the
+    // same parquet-java keys WriteTuning hands the path-based writers
+    conf.parquetExtras.foreach { case (k, v) => c.set(k, v) }
     c
   }
 
@@ -525,7 +533,7 @@ final class GraftDataWriter(conf: GraftTaskWriteConf, partitionId: Int,
     curPath = newFilePath(tuple)
     curTuple = tuple
     rowsInFile = 0L
-    writer = new GraftRowParquetWriterBuilder(new HPath(curPath))
+    val builder0 = new GraftRowParquetWriterBuilder(new HPath(curPath))
       .withConf(hadoopConf)
       .withCompressionCodec(CompressionCodecName.fromConf(
         (if (conf.compression == "none") "uncompressed" else conf.compression)
@@ -533,7 +541,26 @@ final class GraftDataWriter(conf: GraftTaskWriteConf, partitionId: Int,
       .withRowGroupSize(conf.targetFileSize.min(conf.rowGroupSize))
       .withPageSize(conf.pageSize.toInt)
       .withDictionaryPageSize(conf.dictSize.toInt)
-      .build()
+    // ParquetWriter.Builder does NOT parse per-column conf keys the way
+    // ParquetOutputFormat does — translate them to builder calls so the
+    // connector write path honors the same bloom/stats/page-row knobs
+    val builder = conf.parquetExtras.foldLeft(builder0) { case (b, (k, v)) =>
+      val col = k.substring(k.indexOf('#') + 1)
+      k match {
+        case _ if k.startsWith("parquet.bloom.filter.enabled#") =>
+          b.withBloomFilterEnabled(col, v.toBoolean)
+        case _ if k.startsWith("parquet.bloom.filter.fpp#") =>
+          b.withBloomFilterFPP(col, v.toDouble)
+        case _ if k.startsWith("parquet.column.statistics.enabled#") =>
+          b.withStatisticsEnabled(col, v.toBoolean)
+        case "parquet.bloom.filter.max.bytes" =>
+          b.withMaxBloomFilterBytes(v.toInt)
+        case "parquet.page.row.count.limit" =>
+          b.withPageRowCountLimit(v.toInt)
+        case _ => b
+      }
+    }
+    writer = builder.build()
   }
 
   private def closeFile(): Unit = {

@@ -116,11 +116,32 @@ object TableProperties {
     Key("write.parquet.page-size-bytes", 1024L * 1024, _.trim.toLong)
   val ParquetDictSizeBytes: Key[Long] =
     Key("write.parquet.dict-size-bytes", 2L * 1024 * 1024, _.trim.toLong)
+  val ParquetPageRowLimit: Key[Int] =
+    Key("write.parquet.page-row-limit", 20000, _.trim.toInt)
   val DeleteParquetCompression: Key[String] =
     Key("write.delete.parquet.compression-codec", "zstd",
       _.trim.toLowerCase(java.util.Locale.ROOT))
   val DeleteParquetCompressionLevel: Key[String] =
     Key("write.delete.parquet.compression-level", "", _.trim)
+  val DeleteParquetPageRowLimit: Key[Int] =
+    Key("write.delete.parquet.page-row-limit", 20000, _.trim.toInt)
+
+  // per-column parquet bloom filters + stats toggles (reference
+  // table_properties.h:144-150): the point-lookup accelerator for
+  // high-cardinality keys — a `pk = ?` probe skips row groups whose
+  // bloom filter proves absence, without reading the column. Prefix
+  // keys; the column name is the suffix.
+  val ParquetBloomFilterMaxBytes: Key[Long] =
+    Key("write.parquet.bloom-filter-max-bytes", 1024L * 1024, _.trim.toLong)
+  val ParquetBloomFilterEnabledPrefix = "write.parquet.bloom-filter-enabled.column."
+  val ParquetBloomFilterFppPrefix = "write.parquet.bloom-filter-fpp.column."
+  val ParquetStatsEnabledPrefix = "write.parquet.stats-enabled.column."
+
+  /** Column-suffixed values under a prefix key family. */
+  def prefixed(props: Map[String, String], prefix: String): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(prefix) =>
+      k.stripPrefix(prefix) -> v.trim
+    }
   val DeleteParquetRowGroupSizeBytes: Key[Long] =
     Key("write.delete.parquet.row-group-size-bytes", 128L * 1024 * 1024, _.trim.toLong)
   val DeleteParquetPageSizeBytes: Key[Long] =

@@ -24,7 +24,31 @@ object WriteTuning {
       TableProperties.get(props, TableProperties.ParquetCompressionLevel),
       TableProperties.get(props, TableProperties.ParquetRowGroupSizeBytes),
       TableProperties.get(props, TableProperties.ParquetPageSizeBytes),
-      TableProperties.get(props, TableProperties.ParquetDictSizeBytes))
+      TableProperties.get(props, TableProperties.ParquetDictSizeBytes)) ++
+      Map("parquet.page.row.count.limit" ->
+        TableProperties.get(props, TableProperties.ParquetPageRowLimit).toString) ++
+      parquetColumnExtras(props)
+
+  /** Per-column bloom filters / fpp / stats toggles + the bloom byte cap
+    * (reference table_properties.h:144-150), rendered as parquet-java's
+    * own `#column`-suffixed conf keys — they ride the writer option map
+    * into the job Hadoop configuration like every other knob here. */
+  def parquetColumnExtras(props: Map[String, String]): Map[String, String] = {
+    val bloomOn = TableProperties.prefixed(
+      props, TableProperties.ParquetBloomFilterEnabledPrefix)
+    val fpp = TableProperties.prefixed(
+      props, TableProperties.ParquetBloomFilterFppPrefix)
+    val stats = TableProperties.prefixed(
+      props, TableProperties.ParquetStatsEnabledPrefix)
+    val maxBytes =
+      if (bloomOn.isEmpty) Map.empty[String, String]
+      else Map("parquet.bloom.filter.max.bytes" ->
+        TableProperties.get(props, TableProperties.ParquetBloomFilterMaxBytes).toString)
+    maxBytes ++
+      bloomOn.map { case (c, v) => s"parquet.bloom.filter.enabled#$c" -> v } ++
+      fpp.map { case (c, v) => s"parquet.bloom.filter.fpp#$c" -> v } ++
+      stats.map { case (c, v) => s"parquet.column.statistics.enabled#$c" -> v }
+  }
 
   /** Writer options for DELETE-plane parquet files (position/equality
     * delete files) — independently tuned, as the reference declares. */
@@ -34,7 +58,9 @@ object WriteTuning {
       TableProperties.get(props, TableProperties.DeleteParquetCompressionLevel),
       TableProperties.get(props, TableProperties.DeleteParquetRowGroupSizeBytes),
       TableProperties.get(props, TableProperties.DeleteParquetPageSizeBytes),
-      TableProperties.get(props, TableProperties.DeleteParquetDictSizeBytes))
+      TableProperties.get(props, TableProperties.DeleteParquetDictSizeBytes)) ++
+      Map("parquet.page.row.count.limit" ->
+        TableProperties.get(props, TableProperties.DeleteParquetPageRowLimit).toString)
 
   private def parquetOptions(codec: String, level: String, rowGroup: Long,
       page: Long, dict: Long): Map[String, String] = {

@@ -65,6 +65,58 @@ class WritePropsSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally reader.close()
   }
 
+  private def bloomOffsets(path: String, column: String): Seq[Long] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration()))
+    try reader.getFooter.getBlocks.asScala.toSeq.map(
+      _.getColumns.asScala.find(_.getPath.toDotString == column).get
+        .getBloomFilterOffset)
+    finally reader.close()
+  }
+
+  test("per-column bloom filters reach the footers on BOTH write paths; point lookup stays exact") {
+    val raw = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    // tiny dictionary page: parquet drops the bloom filter when a chunk
+    // stays fully dictionary-encoded (the dictionary is already an exact
+    // filter), so the high-cardinality key must overflow into plain
+    val props = Map(
+      "write.parquet.bloom-filter-enabled.column.o_custkey" -> "true",
+      "write.parquet.bloom-filter-fpp.column.o_custkey" -> "0.01",
+      "write.parquet.bloom-filter-max-bytes" -> "65536",
+      "write.parquet.dict-size-bytes" -> "1024")
+
+    // path API write
+    val t = IceTable.create(cat, TableIdentifier.parse("db.wt_bloom"),
+      SparkConv.fromSpark(raw.schema), properties = props)
+    t.append(spark).appendDataFrame(raw)
+    val files = dataFiles(t)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(bloomOffsets(f, "o_custkey").forall(_ >= 0),
+        s"no bloom filter for o_custkey in $f")
+      // un-enabled columns carry none
+      assert(bloomOffsets(f, "o_orderstatus").forall(_ < 0),
+        s"unexpected bloom filter for o_orderstatus in $f")
+    }
+
+    // connector (executor-writer) path: SQL INSERT through the catalog
+    spark.sql("CREATE TABLE ice.db.wt_bloom_v2 (o_custkey BIGINT, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('write.parquet.bloom-filter-enabled.column.o_custkey'='true'," +
+      " 'write.parquet.dict-size-bytes'='1024')")
+    spark.sql("INSERT INTO ice.db.wt_bloom_v2 " +
+      "SELECT o_custkey, o_totalprice FROM parquet.`/root/testdata/sf0.01/orders.parquet`")
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.wt_bloom_v2"))
+    dataFiles(t2).foreach { f =>
+      assert(bloomOffsets(f, "o_custkey").forall(_ >= 0),
+        s"connector write lost the bloom filter in $f")
+    }
+
+    // point lookup through the scan stays exact
+    val key = raw.select("o_custkey").head.getLong(0)
+    val got = t.newScan().toDF(spark).filter(col("o_custkey") === key).count()
+    assert(got == raw.filter(col("o_custkey") === key).count())
+  }
+
   test("write.parquet.* tuning reaches the data-file footers; default codec is zstd") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 

@@ -219,12 +219,15 @@ object Bench {
     }.toMap
     // auto-isolation keys off the ADJUSTED ratio: host drift alone can no
     // longer flag (or mask) a regression
+    // 1.3x: EVERY flag the artifact would carry must ship its own iso
+    // evidence (r15 carried five >=1.3x flags with none — the builder's
+    // own standard is no flag without an in-artifact clean number)
     val regressed = results.filter { case (name, sec) =>
       sec >= 0 && priorTimes.get(name).exists(_ > 0.5) &&
-        ratiosAdj.get(name).exists(_ > 1.5)
+        ratiosAdj.get(name).exists(_ > 1.3)
     }
     if (regressed.nonEmpty)
-      System.err.println(s"[bench] auto-isolating >1.5x-host-adjusted queries: " +
+      System.err.println(s"[bench] auto-isolating >1.3x-host-adjusted queries: " +
         regressed.map(_._1).sorted.mkString(","))
     val extra = sys.env.get("SPARK_GRAFT_ISO_EXTRA").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(SparkEntry.queries.contains)
@@ -242,7 +245,7 @@ object Bench {
     // sentinel lands in the artifact so child-vs-sweep comparability is
     // decided by evidence, not argument (a child sentinel far above the
     // sweep sentinel means the child never reached sweep warmth)
-    def forkIsolated(name: String): (Double, Double) = {
+    def forkIsolated(name: String, retriesLeft: Int = 1): (Double, Double) = {
       val javaBin = new java.io.File(new java.io.File(
         System.getProperty("java.home"), "bin"), "java").getAbsolutePath
       val jvmArgs = java.lang.management.ManagementFactory
@@ -285,7 +288,14 @@ object Bench {
       pump.join(5000)
       val out = outBuf.toString("UTF-8")
       val code = proc.exitValue()
-      if (code != 0) { System.err.println(s"[bench] fork-iso $name exit $code"); return (-1.0, -1.0) }
+      if (code != 0) {
+        // one retry: a transient child failure (OOM from overlapping
+        // JVMs, killed by the OS) must not leave a flag evidence-less
+        System.err.println(s"[bench] fork-iso $name exit $code" +
+          (if (retriesLeft > 0) " — retrying once" else ""))
+        return if (retriesLeft > 0) forkIsolated(name, retriesLeft - 1)
+          else (-1.0, -1.0)
+      }
       out.linesIterator.find(_.contains("\"metric\":\"total\"")).flatMap { line =>
         try {
           val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)

@@ -3661,10 +3661,16 @@ object WritePropsFixtures {
       if (cat.tableExists(ident)) IceTable.load(cat, ident)
       else {
         val raw = Tables.raw(spark, sfDir, "lineitem")
+        // target scaled to ~24 ranged splits of the imported file at ANY
+        // sf (a fixed tiny target would mean 24k scheduler-bound tasks
+        // for a 6 GB sf30 file — the opposite of what splitting is for)
+        val srcBytes = java.nio.file.Files.size(
+          java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"))
+        val target = math.max(1L * 1024 * 1024, srcBytes / 24)
         val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
           properties = Map(
-            "read.split.target-size" -> "262144",
-            "read.split.open-file-cost" -> "65536"))
+            "read.split.target-size" -> target.toString,
+            "read.split.open-file-cost" -> math.max(65536L, target / 4).toString))
         t.append(spark).addFiles(Seq(s"$sfDir/lineitem.parquet"))
         t
       }

@@ -636,10 +636,32 @@ final class IceTable private (
     * table_scan.cc:288-291; here they feed the merge-on-read anti-joins). */
   def planDeleteEntries(snapshot: Snapshot): Seq[ManifestEntry] = {
     val manifests = ManifestAvro.readManifestList(snapshot.manifestList)
-    manifests.filter(_.content == ManifestContent.Deletes).flatMap { m =>
-      val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
-      val partType = mSpec.partitionType(schema)
-      ManifestAvro.readManifest(m.manifestPath, partType, Some(m)).filter(_.isLive)
+    val deletes = manifests.filter(_.content == ManifestContent.Deletes)
+    // read.delete-planning-mode (table_properties.h:205): auto sizes via
+    // the same estimated-entry threshold as data planning; `distributed`
+    // forces executor-side manifest reads. Delete entries KEEP their
+    // stats either way — path/key bounds scope which data files a delete
+    // file can cover.
+    val mode = meta.property(TableProperties.DeletePlanningMode)
+    val estimated = deletes.map(m =>
+      (m.addedFilesCount, m.existingFilesCount) match {
+        case (Some(a), Some(e)) => (a + e).toLong
+        case _ => math.max(1L, m.manifestLength / 64)
+      }).sum
+    val threshold = meta.property(TableProperties.PlanDistributedThreshold)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    session match {
+      case Some(spark) if mode == "distributed" ||
+          (mode != "local" && estimated > threshold) =>
+        planEntriesDistributed(spark, deletes, schema, rowFilter = None,
+          stripStats = false)
+      case _ =>
+        deletes.flatMap { m =>
+          val mSpec = meta.specById(m.partitionSpecId).getOrElse(PartitionSpec.unpartitioned)
+          val partType = mSpec.partitionType(schema)
+          ManifestAvro.readManifest(m.manifestPath, partType, Some(m)).filter(_.isLive)
+        }
     }
   }
 
@@ -677,11 +699,15 @@ final class IceTable private (
         case _ => math.max(1L, m.manifestLength / 64)
       }).sum
     val threshold = meta.property(TableProperties.PlanDistributedThreshold)
+    // read.data-planning-mode (table_properties.h:204): `auto` keeps the
+    // threshold heuristic; `local` / `distributed` pin the choice
+    val mode = meta.property(TableProperties.DataPlanningMode)
     val session = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
 
     session match {
-      case Some(spark) if estimatedEntries > threshold =>
+      case Some(spark) if mode == "distributed" ||
+          (mode != "local" && estimatedEntries > threshold) =>
         planEntriesDistributed(spark, pruned, scanSchema, rowFilter, pathFilter)
       case _ =>
         val metricsEval = new MetricsEvaluator
@@ -719,7 +745,10 @@ final class IceTable private (
   private def planEntriesDistributed(spark: SparkSession,
       manifests: Seq[ManifestFile], scanSchema: Schema,
       rowFilter: Option[Bound],
-      pathFilter: Option[Set[String]] = None): Seq[ManifestEntry] = {
+      pathFilter: Option[Set[String]] = None,
+      // data planning strips per-column metric maps (driver-memory bound);
+      // DELETE planning keeps them — path/key bounds scope delete files
+      stripStats: Boolean = true): Seq[ManifestEntry] = {
     val specs: Map[Int, PartitionSpec] =
       manifests.map(_.partitionSpecId).distinct
         .map(id => id -> meta.specById(id).getOrElse(PartitionSpec.unpartitioned))
@@ -748,7 +777,8 @@ final class IceTable private (
                 metricsEval.canContainRows(bound, e.dataFile)
             }
         }
-        keep.map(e => e.copy(dataFile = e.dataFile.copy(
+        if (!stripStats) keep
+        else keep.map(e => e.copy(dataFile = e.dataFile.copy(
           columnSizes = Map.empty, valueCounts = Map.empty,
           nullValueCounts = Map.empty, nanValueCounts = Map.empty,
           lowerBounds = Map.empty, upperBounds = Map.empty)))

@@ -268,6 +268,17 @@ object TableProperties {
   val PlanDistributedThreshold: Key[Long] =
     Key("graft.plan.distributed-threshold", 200000L, _.trim.toLong)
 
+  // declared planning-mode switches (reference table_properties.h:204-206):
+  // `auto` = the estimated-entry threshold above decides; `local` pins
+  // planning to the driver (deterministic small-metadata latency, no job);
+  // `distributed` forces executor-side manifest reads regardless of size.
+  val DataPlanningMode: Key[String] =
+    Key("read.data-planning-mode", "auto",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val DeletePlanningMode: Key[String] =
+    Key("read.delete-planning-mode", "auto",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+
   // scan reading (graft extension): beyond this many planned files, the
   // parquet read goes through ManifestFileIndex (file list + sizes served
   // from manifest metadata — no per-path driver stat, no path-list plan)

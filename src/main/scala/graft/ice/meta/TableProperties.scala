@@ -82,6 +82,22 @@ object TableProperties {
   val WriteMergeMode: Key[String] = Key("write.merge.mode", "copy-on-write", _.trim)
   val WriteUpdateMode: Key[String] = Key("write.update.mode", "copy-on-write", _.trim)
 
+  // row-level isolation (reference table_properties.h:259-...): under
+  // `serializable` (the declared default) a DELETE/UPDATE/MERGE aborts
+  // when a CONCURRENT commit added data its predicate might match —
+  // rows the operation would have affected had it seen them. `snapshot`
+  // keeps the weaker read-your-snapshot semantics (concurrent rows
+  // simply survive).
+  val WriteDeleteIsolation: Key[String] =
+    Key("write.delete.isolation-level", "serializable",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val WriteUpdateIsolation: Key[String] =
+    Key("write.update.isolation-level", "serializable",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val WriteMergeIsolation: Key[String] =
+    Key("write.merge.isolation-level", "serializable",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+
   // write-audit-publish opt-in (Iceberg write.wap.enabled, reference
   // table_properties.h:239, default false): only when the TABLE enables
   // WAP does a session-level spark.wap.id stage the commit; otherwise

@@ -54,7 +54,15 @@ private[ice] object SnapshotProducer {
       // `wap.id` in its summary but NO ref/current/log moves — readers
       // see nothing until publish_changes cherry-picks it. Appends only
       // (cherry-picking a rewrite is unsound; see ManageSnapshots).
-      stageWapId: Option[String] = None): Snapshot = {
+      stageWapId: Option[String] = None,
+      // serializable-isolation conflict check (write.*.isolation-level):
+      // (predicate bound — None = whole-table scope, planned sequence
+      // number). Re-checked per attempt: any LIVE data entry newer than
+      // the planned sequence that the predicate cannot exclude is a row
+      // the operation WOULD have affected had it seen it — abort, don't
+      // silently miss it. Partition-tuple + metrics evaluation keeps the
+      // check metadata-only; unprovable predicates conflict conservatively.
+      serializableCheck: Option[(Option[graft.ice.expr.Bound], Long)] = None): Snapshot = {
     stageWapId.foreach(_ => require(operation == DataOperation.Append,
       s"wap.id staging supports append commits only, not '$operation'; " +
         "stage row-level operations on a branch instead"))
@@ -120,6 +128,38 @@ private[ice] object SnapshotProducer {
                 s"(expected DVs $expPaths, found $cur): refresh and retry " +
                 "the delete")
         }
+      }
+
+      // serializable isolation: scan the manifests a CONCURRENT commit
+      // added since the operation planned (sequence-pruned — an untouched
+      // table reads zero manifests here) for live data entries the
+      // predicate cannot exclude
+      serializableCheck.foreach { case (bound, plannedSeq) =>
+        val metricsEval = new MetricsEvaluator
+        val conflicting = previous
+          .filter(m => m.content == ManifestContent.Data &&
+            m.sequenceNumber > plannedSeq)
+          .flatMap { m =>
+            val mSpec = base.specById(m.partitionSpecId)
+              .getOrElse(PartitionSpec.unpartitioned)
+            liveEntries(m).filter { e =>
+              e.sequenceNumber.forall(_ > plannedSeq) &&
+                bound.forall { b =>
+                  val partExpr = graft.ice.expr.InclusiveProjection.project(b, mSpec)
+                  new graft.ice.expr.PartitionTupleEvaluator(mSpec)
+                    .eval(partExpr, e.dataFile.partition) &&
+                    metricsEval.canContainRows(b, e.dataFile)
+                }
+            }
+          }
+        if (conflicting.nonEmpty)
+          throw new graft.ice.meta.RequirementFailedException(
+            s"serializable isolation violated: ${conflicting.size} data " +
+              s"file(s) committed concurrently (sequence > $plannedSeq) " +
+              "may match this operation's predicate — e.g. " +
+              conflicting.head.dataFile.filePath +
+              "; re-run the operation, or set the write.*.isolation-level " +
+              "property to 'snapshot'")
       }
 
       // Replace-groups conflict validation (mirrors expectedDVs): the
@@ -728,6 +768,19 @@ object RowDeleteStats {
 /** Row-level delete (reference §2.8 — modeled but not executable there). */
 final class RowDelete(table: IceTable, spark: SparkSession) {
 
+  /** Serializable-isolation guard for this operation (write.delete/
+    * update.isolation-level, declared default `serializable`): captures
+    * the predicate bound + the sequence number the plan saw; the commit
+    * re-validates on every attempt that no concurrent data the predicate
+    * might match appeared since. `snapshot` opts out. Equality deletes
+    * carry no check: by sequence-number semantics they only ever apply
+    * to data OLDER than themselves, so concurrent appends escape the
+    * delete under either isolation level. */
+  private def isolationCheck(key: TableProperties.Key[String],
+      bound: graft.ice.expr.Bound): Option[(Option[graft.ice.expr.Bound], Long)] =
+    if (TableProperties.get(table.properties, key) == "snapshot") None
+    else Some((Some(bound), table.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)))
+
   /** Copy-on-write delete. Files the strict evaluator PROVES fully
     * matching are dropped from the manifest without being opened — a
     * partition-aligned delete (drop a day, drop a tenant) is a pure
@@ -767,7 +820,8 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
       else SnapshotProducer.writeDataFiles(table, spark, remaining)
     }
     SnapshotProducer.commit(table, spark, DataOperation.Delete, added,
-      removedPaths = matching.map(_.file.filePath).toSet)
+      removedPaths = matching.map(_.file.filePath).toSet,
+      serializableCheck = isolationCheck(TableProperties.WriteDeleteIsolation, bound))
   }
 
   /** Copy-on-write UPDATE ... SET: rewrite ONLY the files containing
@@ -808,7 +862,8 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
       }: _*)
     val added = SnapshotProducer.writeDataFiles(table, spark, updated)
     SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
-      removedPaths = matching.map(_.file.filePath).toSet)
+      removedPaths = matching.map(_.file.filePath).toSet,
+      serializableCheck = isolationCheck(TableProperties.WriteUpdateIsolation, bound))
   }
 
   /** Merge-on-read position delete: write (file_path, pos) tuples of
@@ -835,7 +890,8 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     val entries = RowDelete.writePositionDeleteEntries(table, spark, dels,
       paths.size, RowDelete.partitionKeys(table, matching))
     SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
-      addedDeleteEntries = entries)
+      addedDeleteEntries = entries,
+      serializableCheck = isolationCheck(TableProperties.WriteDeleteIsolation, bound))
   }
 
   /** Merge-on-read delete as v3 DELETION VECTORS: one roaring bitmap of
@@ -881,7 +937,8 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
       extraSummary =
         if (superseded.isEmpty) Map.empty
         else Map("replaced-deletion-vectors" -> superseded.size.toString),
-      expectedDVs = Some(expected))
+      expectedDVs = Some(expected),
+      serializableCheck = isolationCheck(TableProperties.WriteDeleteIsolation, bound))
   }
 
   /** Build one deletion vector per touched data file from a
@@ -1016,7 +1073,8 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
         if (superseded.isEmpty) Map.empty
         else Map("replaced-deletion-vectors" -> superseded.size.toString),
       expectedDVs =
-        if (table.metadata.formatVersion >= 3) Some(expected) else None)
+        if (table.metadata.formatVersion >= 3) Some(expected) else None,
+      serializableCheck = isolationCheck(TableProperties.WriteUpdateIsolation, bound))
   }
 
   /** Merge-on-read equality delete: delete every row whose key columns
@@ -1297,8 +1355,19 @@ final class MergeInto(table: IceTable, spark: SparkSession,
       case None => Nil
     }
     SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
-      addedDeleteEntries = delEntries, extraProps = props)
+      addedDeleteEntries = delEntries, extraProps = props,
+      serializableCheck = mergeIsolationCheck())
   }
+
+  /** MERGE's serializable guard (write.merge.isolation-level, declared
+    * default `serializable`): a merge's scope is its ON keys against an
+    * arbitrary source — not expressible as a metadata bound — so the
+    * check is whole-table-conservative: ANY concurrent data commit
+    * aborts (it may contain rows the merge would have matched). */
+  private def mergeIsolationCheck(): Option[(Option[graft.ice.expr.Bound], Long)] =
+    if (TableProperties.get(table.properties,
+        TableProperties.WriteMergeIsolation) == "snapshot") None
+    else Some((None, table.currentSnapshot.map(_.sequenceNumber).getOrElse(0L)))
 
   private def commitCoW(): Snapshot = {
     val sparkSchema = SparkConv.toSpark(table.schema)
@@ -1368,7 +1437,8 @@ final class MergeInto(table: IceTable, spark: SparkSession,
       .map(t => ManifestAvro.stripFileScheme(t.file.filePath) -> t.file.filePath).toMap
     SnapshotProducer.commit(table, spark, DataOperation.Overwrite, added,
       removedPaths = affected.map(p => origByStripped.getOrElse(p, p)).toSet,
-      extraProps = props)
+      extraProps = props,
+      serializableCheck = mergeIsolationCheck())
   }
 }
 

@@ -221,13 +221,19 @@ object Bench {
     // longer flag (or mask) a regression
     // 1.3x: EVERY flag the artifact would carry must ship its own iso
     // evidence (r15 carried five >=1.3x flags with none — the builder's
-    // own standard is no flag without an in-artifact clean number)
-    val regressed = results.filter { case (name, sec) =>
+    // own standard is no flag without an in-artifact clean number).
+    // Capped to the LARGEST-absolute flags: when a sweep-aged tail flags
+    // half the suite, the sub-second members are noise-dominated and an
+    // unbounded child fleet would starve the later decades of the run.
+    val regressedAll = results.filter { case (name, sec) =>
       sec >= 0 && priorTimes.get(name).exists(_ > 0.5) &&
         ratiosAdj.get(name).exists(_ > 1.3)
     }
-    if (regressed.nonEmpty)
-      System.err.println(s"[bench] auto-isolating >1.3x-host-adjusted queries: " +
+    val regressCap = sys.env.getOrElse("SPARK_GRAFT_ISO_REGRESS_CAP", "12").toInt
+    val regressed = regressedAll.sortBy(-_._2).take(regressCap)
+    if (regressedAll.nonEmpty)
+      System.err.println(s"[bench] auto-isolating >1.3x-host-adjusted queries " +
+        s"(top $regressCap of ${regressedAll.size} by seconds): " +
         regressed.map(_._1).sorted.mkString(","))
     val extra = sys.env.get("SPARK_GRAFT_ISO_EXTRA").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(SparkEntry.queries.contains)

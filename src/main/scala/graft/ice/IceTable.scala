@@ -550,7 +550,7 @@ final class IceTable private (
     var probe = 0
     while (true) {
       val answer =
-        try catalog.commitLanded(ident, e.attemptedVersion, attempted)
+        try catalog.commitLanded(ident, e.attemptedVersion, attempted, meta)
         catch { case _: java.io.IOException => None } // probe itself flaky
       if (answer.isDefined) return answer
       probe += 1

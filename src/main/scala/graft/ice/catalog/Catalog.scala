@@ -65,9 +65,14 @@ trait Catalog {
     * adopt it; Some(false) = it provably did not land at probe time and
     * nothing in this catalog lands asynchronously after its commit call
     * returned/threw, so a refresh+retry is safe; None = cannot tell.
+    * `base` is the PRE-attempt metadata the update was built from —
+    * probes that reason about snapshot ids must only trust ids the
+    * attempt newly minted (attempted minus base), never ids the base
+    * already carried, or a snapshot-free/snapshot-removing attempt
+    * would be falsely adopted as landed (phantom commit).
     * The default can only prove the negative (version not reached). */
   def commitLanded(ident: TableIdentifier, attemptedVersion: Int,
-      attempted: TableMetadata): Option[Boolean] =
+      attempted: TableMetadata, base: TableMetadata): Option[Boolean] =
     if (currentVersion(ident) < attemptedVersion) Some(false) else None
 
   /** Physical location of the current metadata file, when the catalog
@@ -398,7 +403,7 @@ class DirCatalog(val warehouse: String) extends Catalog {
     * definite no: writeIfAbsent performs no asynchronous work after its
     * call returns or throws. */
   override def commitLanded(ident: TableIdentifier, attemptedVersion: Int,
-      attempted: TableMetadata): Option[Boolean] = {
+      attempted: TableMetadata, base: TableMetadata): Option[Boolean] = {
     val target = targetVersionFile(ident, attemptedVersion, attempted)
     if (!Files.exists(target)) Some(false)
     else Some(java.util.Arrays.equals(Files.readAllBytes(target),

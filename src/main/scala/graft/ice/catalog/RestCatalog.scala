@@ -236,21 +236,30 @@ final class RestCatalog(baseUrl: String, token: Option[String] = None)
     try loadTable(ident).version catch { case _: NoSuchTableException => 0 }
 
   /** Status-check probe over REST: snapshot ids are generated CLIENT-side,
-    * so "every snapshot id of the attempt exists in the current table"
-    * proves the attempt landed (a concurrent writer cannot have minted
-    * them). A current version below the attempted one proves it did not.
-    * Snapshot-free attempts (property-only commits) between those bounds
-    * are genuinely indistinguishable — None, caller keeps polling then
-    * surfaces unknown. */
+    * so "every snapshot id the attempt NEWLY minted (attempted minus the
+    * pre-attempt base) exists in the current table" proves the attempt
+    * landed (a concurrent writer cannot have minted them). A current
+    * version below the attempted one proves it did not land. Everything
+    * else — snapshot-free (property/schema-only) attempts, snapshot-
+    * REMOVING attempts (expiry), and newly-minted ids absent at a
+    * version at/past the attempted one (another writer may have raced,
+    * or a landed snapshot may since have been expired) — is genuinely
+    * indistinguishable over this protocol: None, caller keeps polling
+    * then surfaces unknown. Adopting on a base-id subset test was the
+    * phantom-commit bug: base ids are trivially present, so a property
+    * commit that provably failed would be adopted, diverging meta from
+    * the server and (after a falsely-adopted expiry) letting
+    * removeOrphanFiles delete files the server still references. */
   override def commitLanded(ident: TableIdentifier, attemptedVersion: Int,
-      attempted: TableMetadata): Option[Boolean] = {
+      attempted: TableMetadata, base: TableMetadata): Option[Boolean] = {
     cache.remove(ident)
     val cur = try loadTable(ident)
       catch { case _: NoSuchTableException => return Some(false) }
-    val ourIds = attempted.snapshots.map(_.snapshotId).toSet
+    if (cur.version < attemptedVersion) return Some(false)
+    val newIds = attempted.snapshots.map(_.snapshotId).toSet --
+      base.snapshots.map(_.snapshotId).toSet
     val curIds = cur.metadata.snapshots.map(_.snapshotId).toSet
-    if (ourIds.nonEmpty && ourIds.subsetOf(curIds)) Some(true)
-    else if (cur.version < attemptedVersion) Some(false)
+    if (newIds.nonEmpty && newIds.subsetOf(curIds)) Some(true)
     else None
   }
 

@@ -136,28 +136,57 @@ private[ice] object SnapshotProducer {
       // predicate cannot exclude
       serializableCheck.foreach { case (bound, plannedSeq) =>
         val metricsEval = new MetricsEvaluator
+        // an entry newer than the planned sequence conflicts unless the
+        // predicate provably excludes it; shared by the data scan and the
+        // delete scan below (both are new rows/row-removals this
+        // operation planned blind to)
+        def conflictsWith(m: ManifestFile): Seq[ManifestEntry] = {
+          val mSpec = base.specById(m.partitionSpecId)
+            .getOrElse(PartitionSpec.unpartitioned)
+          liveEntries(m).filter { e =>
+            e.sequenceNumber.forall(_ > plannedSeq) &&
+              bound.forall { b =>
+                val partExpr = graft.ice.expr.InclusiveProjection.project(b, mSpec)
+                new graft.ice.expr.PartitionTupleEvaluator(mSpec)
+                  .eval(partExpr, e.dataFile.partition) &&
+                  // file metrics exclude only when they speak the
+                  // predicate's columns: data files and equality deletes
+                  // (bounds over equality columns) can prune; position
+                  // deletes carry path/pos bounds only, so the field-id
+                  // lookup misses and they conflict conservatively
+                  metricsEval.canContainRows(b, e.dataFile)
+              }
+          }
+        }
         val conflicting = previous
           .filter(m => m.content == ManifestContent.Data &&
             m.sequenceNumber > plannedSeq)
-          .flatMap { m =>
-            val mSpec = base.specById(m.partitionSpecId)
-              .getOrElse(PartitionSpec.unpartitioned)
-            liveEntries(m).filter { e =>
-              e.sequenceNumber.forall(_ > plannedSeq) &&
-                bound.forall { b =>
-                  val partExpr = graft.ice.expr.InclusiveProjection.project(b, mSpec)
-                  new graft.ice.expr.PartitionTupleEvaluator(mSpec)
-                    .eval(partExpr, e.dataFile.partition) &&
-                    metricsEval.canContainRows(b, e.dataFile)
-                }
-            }
-          }
+          .flatMap(conflictsWith)
         if (conflicting.nonEmpty)
           throw new graft.ice.meta.RequirementFailedException(
             s"serializable isolation violated: ${conflicting.size} data " +
               s"file(s) committed concurrently (sequence > $plannedSeq) " +
               "may match this operation's predicate — e.g. " +
               conflicting.head.dataFile.filePath +
+              "; re-run the operation, or set the write.*.isolation-level " +
+              "property to 'snapshot'")
+        // concurrent DELETE files (position/equality/DV) are conflicts
+        // too (Iceberg validateNoConflictingDeleteFiles): a row-level
+        // operation that re-appends rows a concurrent delete removed
+        // would resurrect them — the re-appended copies carry new paths
+        // and a higher data sequence, escaping the concurrent delete.
+        // The v3 DV path is additionally covered by expectedDVs; v2
+        // position and equality deletes are only caught here.
+        val conflictingDeletes = previous
+          .filter(m => m.content == ManifestContent.Deletes &&
+            m.sequenceNumber > plannedSeq)
+          .flatMap(conflictsWith)
+        if (conflictingDeletes.nonEmpty)
+          throw new graft.ice.meta.RequirementFailedException(
+            s"serializable isolation violated: ${conflictingDeletes.size} " +
+              s"delete file(s) committed concurrently (sequence > $plannedSeq) " +
+              "may cover rows in this operation's scope — e.g. " +
+              conflictingDeletes.head.dataFile.filePath +
               "; re-run the operation, or set the write.*.isolation-level " +
               "property to 'snapshot'")
       }

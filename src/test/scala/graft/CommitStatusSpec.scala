@@ -117,7 +117,7 @@ class CommitStatusSpec extends AnyFunSuite with BeforeAndAfterAll {
         super.commit(ident, baseVersion, updated)
       }
       override def commitLanded(ident: TableIdentifier, v: Int,
-          attempted: TableMetadata): Option[Boolean] = None
+          attempted: TableMetadata, base: TableMetadata): Option[Boolean] = None
     }
     val df = spark.range(0, 10).selectExpr("id")
     val t = IceTable.create(cat, TableIdentifier.parse("db.ud"),

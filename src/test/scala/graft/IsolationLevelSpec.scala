@@ -113,4 +113,39 @@ class IsolationLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     val freshM = IceTable.load(cat, TableIdentifier.parse("db.iso_mrg"))
     assert(freshM.newScan().toDF(spark).filter("id = 1 AND v = 100").count() == 1L)
   }
+
+  test("serializable UPDATE aborts on a concurrent MoR DELETE (no row resurrection)") {
+    // v2 MoR position delete racing an UPDATE: the update planned against
+    // the old base and would re-append rows the concurrent delete removed
+    // (new paths, higher data sequence — escaping the delete). The
+    // serializable check must also scan Deletes manifests, not just Data.
+    val t1 = freshTable("iso_updel",
+      Map("write.delete.mode" -> "merge-on-read", "format-version" -> "2"))
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.iso_updel"))
+    t2.delete(spark).deleteWherePositional(E.lt("id", Literal.long(10)))
+    val e = intercept[RequirementFailedException] {
+      t1.delete(spark).updateWhere(E.lt("id", Literal.long(50)),
+        Map("v" -> "v + 1"))
+    }
+    assert(e.getMessage.contains("delete file"),
+      s"the conflict must be attributed to the concurrent delete plane: ${e.getMessage}")
+    // neither resurrected nor updated: the 10 deleted rows stay gone
+    val fresh = IceTable.load(cat, TableIdentifier.parse("db.iso_updel"))
+    assert(fresh.newScan().toDF(spark).count() == 90L)
+    assert(fresh.newScan().toDF(spark).filter("id < 10").count() == 0L)
+  }
+
+  test("concurrent equality delete with provably-disjoint key bounds does not conflict") {
+    val t1 = freshTable("iso_eqok",
+      Map("write.delete.mode" -> "merge-on-read", "format-version" -> "2"))
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.iso_eqok"))
+    // equality delete on ids 90..99 — key bounds provably outside id < 50
+    t2.delete(spark).deleteByEquality(
+      spark.range(90, 100).selectExpr("id"))
+    t1.delete(spark).updateWhere(E.lt("id", Literal.long(50)),
+      Map("v" -> "v + 1"))
+    val fresh = IceTable.load(cat, TableIdentifier.parse("db.iso_eqok"))
+    assert(fresh.newScan().toDF(spark).count() == 90L)
+    assert(fresh.newScan().toDF(spark).filter("id = 1 AND v = 3").count() == 1L)
+  }
 }

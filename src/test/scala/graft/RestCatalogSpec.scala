@@ -554,4 +554,54 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(RestJson.requirementFromJson(RestJson.requirementToJson(r)) == r)
     }
   }
+
+  test("commitLanded never adopts snapshot-free or snapshot-removing attempts (phantom commit)") {
+    withRest() { (cat, _, _) =>
+      import org.apache.spark.sql.functions.col
+      val ident = TableIdentifier.parse("db.phantom")
+      cat.createNamespace(Seq("db"))
+      val df = spark.read.parquet(s"$sfDir/region.parquet")
+      val t = IceTable.create(cat, ident, SparkConv.fromSpark(df.schema))
+      t.append(spark).appendDataFrame(df)
+      val base = cat.loadTable(ident)
+
+      // 1. a snapshot-free (property-only) attempt that was NEVER sent:
+      //    current version is below the attempted one -> provably not landed
+      val propAttempt = base.metadata.copy(
+        properties = base.metadata.properties + ("p" -> "1"))
+      assert(cat.commitLanded(ident, base.version + 1, propAttempt,
+        base.metadata) == Some(false),
+        "unsent property attempt below current version must be Some(false)")
+
+      // 2. same unsent property attempt, but a CONCURRENT writer advanced
+      //    the version to the attempted one: base snapshot ids are a
+      //    trivial subset of the server's — must be None, never Some(true)
+      cat.commit(ident, base.version, base.metadata.copy(
+        properties = base.metadata.properties + ("other" -> "x")))
+      assert(cat.commitLanded(ident, base.version + 1, propAttempt,
+        base.metadata).isEmpty,
+        "snapshot-free attempt at/past current version is undecidable, not landed")
+
+      // 3. a snapshot-REMOVING attempt (expiry shape) that never landed:
+      //    adopting it would let removeOrphanFiles delete live files
+      val cur = cat.loadTable(ident)
+      val removing = cur.metadata.copy(snapshots = IndexedSeq.empty,
+        currentSnapshotId = None)
+      cat.commit(ident, cur.version, cur.metadata.copy(
+        properties = cur.metadata.properties + ("racer" -> "y")))
+      assert(cat.commitLanded(ident, cur.version + 1, removing,
+        cur.metadata).isEmpty,
+        "snapshot-removing attempt must never be adopted on a subset test")
+
+      // 4. a snapshot-ADDING attempt that really landed: newly minted id
+      //    present on the server -> Some(true)
+      val before = cat.loadTable(ident)
+      val t2 = IceTable.load(cat, ident)
+      t2.append(spark).appendDataFrame(df.withColumn("r_name", col("r_name")))
+      val after = cat.loadTable(ident)
+      assert(cat.commitLanded(ident, after.version, after.metadata,
+        before.metadata) == Some(true),
+        "a landed snapshot-bearing attempt must reconcile to success")
+    }
+  }
 }

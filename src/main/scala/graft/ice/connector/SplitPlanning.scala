@@ -85,7 +85,13 @@ private[graft] object SplitPlanning {
     val bins = ArrayBuffer[(ArrayBuffer[GraftScanSplit], Long)]()
     items.foreach { it =>
       val w = math.max(openCost, it.rangeLength)
-      val slot = bins.indexWhere { case (_, used) => used + w <= target }
+      // overflow-safe fit test: `used + w <= target` wraps negative for
+      // huge targets (e.g. target-size=Long.MaxValue to disable packing),
+      // which would pack EVERY split into one bin — the opposite of what
+      // a user disabling splitting asked for. used <= target always holds
+      // for admitted members, so target - used cannot overflow.
+      val slot = bins.indexWhere { case (_, used) =>
+        used <= target && w <= target - used }
       if (slot >= 0) {
         val (members, used) = bins(slot)
         members += it

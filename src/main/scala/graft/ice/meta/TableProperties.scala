@@ -64,7 +64,17 @@ object TableProperties {
   // row-level SQL op mode (Iceberg table property): "copy-on-write"
   // rewrites affected data files; "merge-on-read" writes delete files
   // (v3 tables use deletion vectors)
-  val WriteDeleteMode: Key[String] = Key("write.delete.mode", "copy-on-write", _.trim)
+  // an unrecognized mode must FAIL, not silently fall back to
+  // copy-on-write: a user who typo'd "mor" believing they configured
+  // merge-on-read would otherwise get full file rewrites with no signal
+  private def parseRowLevelMode(key: String)(raw: String): String = {
+    val v = raw.trim
+    require(v == "copy-on-write" || v == "merge-on-read",
+      s"$key must be 'copy-on-write' or 'merge-on-read', got '$raw'")
+    v
+  }
+  val WriteDeleteMode: Key[String] =
+    Key("write.delete.mode", "copy-on-write", parseRowLevelMode("write.delete.mode"))
 
   // position-delete file layout (reference table_properties.h:243,257):
   // `partition` granularity clusters delete rows by the DATA file's
@@ -79,8 +89,10 @@ object TableProperties {
       _.trim.toLowerCase(java.util.Locale.ROOT))
   val DeleteTargetFileSizeBytes: Key[Long] =
     Key("write.delete.target-file-size-bytes", 64L * 1024 * 1024, _.trim.toLong)
-  val WriteMergeMode: Key[String] = Key("write.merge.mode", "copy-on-write", _.trim)
-  val WriteUpdateMode: Key[String] = Key("write.update.mode", "copy-on-write", _.trim)
+  val WriteMergeMode: Key[String] =
+    Key("write.merge.mode", "copy-on-write", parseRowLevelMode("write.merge.mode"))
+  val WriteUpdateMode: Key[String] =
+    Key("write.update.mode", "copy-on-write", parseRowLevelMode("write.update.mode"))
 
   // row-level isolation (reference table_properties.h:259-...): under
   // `serializable` (the declared default) a DELETE/UPDATE/MERGE aborts

@@ -1193,9 +1193,13 @@ object RowDelete {
     val writer = granularity match {
       case "file" =>
         // one delete file per referenced DATA file: cluster by path, roll
-        // per path via partitionBy (the grouping column is directory-
-        // encoded, the file keeps its (file_path, pos) schema)
-        dels.withColumn("__group", col("file_path"))
+        // per path via partitionBy. The grouping value is a SHA-256
+        // digest of the path, NOT the path itself: partitionBy URL-
+        // escapes '/' (%2F), tripling the length, and a realistic
+        // warehouse path would blow the filesystem's 255-byte filename
+        // limit at write time. The digest is fixed-width; the delete
+        // file's scope still comes from its file_path column bounds.
+        dels.withColumn("__group", sha2(col("file_path"), 256))
           .repartition(col("file_path"))
           .sortWithinPartitions("file_path", "pos")
           .write.partitionBy("__group")
@@ -1226,8 +1230,9 @@ object RowDelete {
     val conf = spark.sessionState.newHadoopConf()
     val files = {
       import scala.jdk.CollectionConverters._
-      // isRegularFile matters: under file granularity the __group= DIR
-      // name itself ends in ".parquet" (it encodes the data-file path)
+      // isRegularFile guards against partitionBy __group= directories
+      // being mistaken for data (historically they encoded raw paths
+      // ending in ".parquet"; now they are fixed-width digests)
       Files.walk(Paths.get(outDir)).iterator.asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .map(_.toString).toSeq.sorted

@@ -30,7 +30,7 @@ object SplitAB {
       graft.ice.IceTable.load(cat, tid).commit(b =>
         b.copy(properties = b.properties ++ ps -- drop))
 
-    def measure(label: String): Unit = {
+    def measure(label: String): Int = {
       val df = spark.sql(
         s"""SELECT o_orderpriority, count(*) AS n,
            |  round(sum(o_totalprice), 2) AS revenue
@@ -41,14 +41,23 @@ object SplitAB {
         df.collect()
         println(f"$label run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s (scan tasks: $parts)")
       }
+      parts
     }
 
     measure("A(current split props)")
+    // genuinely disable planning: a huge target alone is not enough (it
+    // must also not PACK everything into one bin) — open-file-cost equal
+    // to the target makes every split seal its own bin, so the B arm is
+    // exactly one task per data file
     setProps(Map(
       "read.split.target-size" -> Long.MaxValue.toString,
-      "read.split.open-file-cost" -> "1",
+      "read.split.open-file-cost" -> Long.MaxValue.toString,
       "read.split.adaptive-size.enabled" -> "false"), Nil)
-    measure("B(split planning off)")
+    val bTasks = measure("B(split planning off)")
+    val fileCount = graft.ice.IceTable.load(cat, tid).newScan().planFiles().size
+    println(s"B tasks=$bTasks, data files=$fileCount")
+    assert(bTasks == fileCount,
+      s"B arm must be one task per file ($bTasks tasks vs $fileCount files)")
     setProps(Map.empty, Seq("read.split.target-size",
       "read.split.open-file-cost", "read.split.adaptive-size.enabled"))
     spark.stop()

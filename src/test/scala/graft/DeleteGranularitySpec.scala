@@ -122,4 +122,34 @@ class DeleteGranularitySpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
         .filter("o_orderkey % 2 != 0").count())
   }
+
+  test("file granularity survives realistic-length warehouse paths") {
+    // a ~180-char table location: encoding the raw data-file path into
+    // the partitionBy directory name (URL-escaped, ~3x) used to exceed
+    // the filesystem's 255-byte filename limit; the digest grouping
+    // must not care how long paths get
+    var deep = java.nio.file.Paths.get(warehouse)
+    (1 to 6).foreach { i =>
+      deep = deep.resolve("a-realistically-named-warehouse-segment-" + i)
+    }
+    java.nio.file.Files.createDirectories(deep)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cat.createTable(TableIdentifier.parse("db.dg_longpath"),
+      SparkConv.fromSpark(raw.schema),
+      properties = Map("write.delete.mode" -> "merge-on-read",
+        "write.delete.granularity" -> "file"),
+      location = Some(deep.resolve("dg_longpath").toString))
+    val t = IceTable.load(cat, TableIdentifier.parse("db.dg_longpath"))
+    t.append(spark).appendDataFrame(raw)
+    val nData = t.newScan().planFiles().size
+    t.delete(spark).deleteWherePositional(E.raw("o_orderkey % 2 = 0"))
+    val dels = posDeleteEntries(t)
+    assert(dels.size == nData)
+    dels.foreach { e =>
+      assert(java.util.Arrays.equals(
+        e.dataFile.lowerBounds(graft.ice.write.RowDelete.PathBoundFieldId),
+        e.dataFile.upperBounds(graft.ice.write.RowDelete.PathBoundFieldId)))
+    }
+    assert(t.newScan().toDF(spark).count() == raw.filter("o_orderkey % 2 != 0").count())
+  }
 }

@@ -88,6 +88,16 @@ class SplitPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val solo = SplitPlanning.pack(Seq(fileSplit("/big", 512L * 1024 * 1024)),
       128L * 1024 * 1024, 4L * 1024 * 1024, 10)
     assert(solo == Seq(fileSplit("/big", 512L * 1024 * 1024)))
+    // Long.MaxValue target must not overflow the fit test into one bin:
+    // open-file-cost == target seals every item into its own bin — the
+    // "splitting disabled" configuration is one task per file
+    val off = SplitPlanning.pack(tiny, Long.MaxValue, Long.MaxValue, 10)
+    assert(off.size == tiny.size,
+      s"disabled packing must keep one task per file, got ${off.size}")
+    // huge target with small open cost packs by true byte weight without
+    // wrapping negative: everything genuinely fits one bin here
+    val one = SplitPlanning.pack(tiny, Long.MaxValue, 1L, 10)
+    assert(one.size == 1)
   }
 
   test("adaptive target shrinks toward per-slot size, floored and capped") {

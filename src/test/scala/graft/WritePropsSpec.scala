@@ -430,4 +430,20 @@ class WritePropsSpec extends AnyFunSuite with BeforeAndAfterAll {
     t3.append(spark).appendDataFrame(raw)
     assert(!t3.currentSnapshot.get.summary.keys.exists(_.startsWith("partitions.")))
   }
+
+  test("unrecognized write.{delete,update,merge}.mode fails loudly, never CoW-fallback") {
+    // a typo like 'mor' silently falling back to copy-on-write gives a
+    // user full file rewrites while they believe they configured MoR
+    import graft.ice.meta.TableProperties
+    for (key <- Seq(TableProperties.WriteDeleteMode,
+        TableProperties.WriteUpdateMode, TableProperties.WriteMergeMode)) {
+      val e = intercept[IllegalArgumentException] {
+        TableProperties.get(Map(key.name -> "mor"), key)
+      }
+      assert(e.getMessage.contains(key.name))
+      assert(TableProperties.get(Map(key.name -> " merge-on-read "), key) ==
+        "merge-on-read")
+      assert(TableProperties.get(Map.empty, key) == "copy-on-write")
+    }
+  }
 }

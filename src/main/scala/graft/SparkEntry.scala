@@ -388,6 +388,19 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
     }),
 
+    // read.parquet.vectorization.*: a non-default 1111-row reader batch
+    // (threading pinned in PropertyTailSpec) — values must be identical
+    "t_read_vectorization" -> ((s, dir) =>
+      WritePropsFixtures.vectorized(s, dir).newScan().toDF(s)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))),
+
+    // write.upsert.enabled: plain appends route through keyed MoR upsert
+    // — every 10th order superseded with tripled totalprice, no dupes
+    "t_upsert_default" -> ((s, dir) =>
+      WritePropsFixtures.upsertDefault(s, dir).newScan().toDF(s)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
     // metrics modes: counts-default withholds bounds, truncate(4) is
     // below the exactness floor, full keeps exact bounds — MIN/MAX/COUNT
     // over these columns exercises the refusal matrix and must still
@@ -900,6 +913,11 @@ object SparkEntry {
 
     // v3 deletion vectors (puffin roaring bitmaps) applied on scan
     "del_dv" -> ((s, dir) => DeleteFixture.morDV(s, dir).newScan().toDF(s)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
+    // write.delete.format.default=avro: position + equality delete files
+    // are avro containers (format-dispatched writes AND reads)
+    "del_mor_avro" -> ((s, dir) => DeleteFixture.morAvro(s, dir).newScan().toDF(s)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")),
 
     // write.update.mode=merge-on-read: SQL UPDATE supersedes matching
@@ -2199,6 +2217,15 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem WHERE l_quantity > 0 GROUP BY 1""".stripMargin,
+    "t_read_vectorization" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    "t_upsert_default" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 3
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
     "t_metrics_modes" ->
       """SELECT count(c_name) AS n_name, min(c_name) AS min_name,
         |  max(c_name) AS max_name, min(c_acctbal) AS min_bal,
@@ -2442,6 +2469,10 @@ object SparkEntry {
     "del_dv" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 0)""".stripMargin,
+    "del_mor_avro" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 0)
+        |  AND o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey % 97 = 0)""".stripMargin,
     "sql_update_mor" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
@@ -3467,6 +3498,34 @@ object DeleteFixture {
       t.delete(spark).deleteByEquality(keys)
     }
 
+  /** `write.delete.format.default=avro` (reference table_properties.h:
+    * 106): the delete plane — position AND equality files — lands as
+    * avro containers dispatched through FormatRegistry; the scan reads
+    * them back format-blind. The build gate pins that the files really
+    * are avro, so the query can never silently test parquet deletes. */
+  def morAvro(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/moravro", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_del_avro")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map("write.delete.mode" -> "merge-on-read",
+            "write.delete.format.default" -> "avro"))
+        t.append(spark).appendDataFrame(raw)
+        t.delete(spark).deleteWherePositional(
+          E.equal("o_orderstatus", graft.ice.types.Literal.string("F"))
+            .and(E.raw("o_orderkey % 4 = 0")))
+        t.delete(spark).deleteByEquality(
+          raw.filter("o_custkey % 97 = 0").select("o_custkey").distinct())
+        val dels = t.planDeleteEntries(t.currentSnapshot.get)
+        require(dels.nonEmpty && dels.forall(_.dataFile.fileFormat == "AVRO"),
+          "del_mor_avro fixture must carry an all-avro delete plane")
+        t
+      }
+    })
+
   /** `write.update.mode=merge-on-read` (reference table_properties.h,
     * the third mode twin): the SQL rule path supersedes matching rows
     * with position deletes and re-appends them updated. The build gate
@@ -3645,6 +3704,61 @@ object WritePropsFixtures {
             "write.parquet.row-group-size-bytes" -> "65536",
             "write.parquet.page-size-bytes" -> "16384"))
         t.append(spark).appendDataFrame(raw)
+        t
+      }
+    })
+
+  /** `read.parquet.vectorization.{enabled,batch-size}` fixture
+    * (reference table_properties.h:197-200): a non-default 1111-row
+    * batch reaches the vectorized parquet reader on every scan of this
+    * table (conf-threading pinned in PropertyTailSpec); the scan must
+    * stay value-identical — batch shape can never change results. */
+  def vectorized(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/vectorized", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "customer_vectorized")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "customer")
+        val t = IceTable.create(cat, ident, SparkConv.fromSpark(raw.schema),
+          properties = Map(
+            "read.parquet.vectorization.enabled" -> "true",
+            "read.parquet.vectorization.batch-size" -> "1111"))
+        t.append(spark).appendDataFrame(raw)
+        t
+      }
+    })
+
+  /** `write.upsert.enabled` fixture (reference table_properties.h:271):
+    * the table-level default routes plain appends through the keyed MoR
+    * upsert — the second append supersedes every 10th order (tripled
+    * totalprice) and inserts nothing new, with NO data file rewritten.
+    * Duplicate-key semantics pinned vs st_upsert_table: batch-internal
+    * key uniqueness is the caller's contract (MERGE cardinality guard),
+    * cross-commit duplicates are impossible by construction. */
+  def upsertDefault(spark: SparkSession, sfDir: String): IceTable =
+    cache.computeIfAbsent(s"$sfDir/upsertDefault", { _ =>
+      val cat = Tables.catalog(sfDir)
+      val ident = TableIdentifier(Seq("tpch"), "orders_upsert_default")
+      if (cat.tableExists(ident)) IceTable.load(cat, ident)
+      else {
+        val raw = Tables.raw(spark, sfDir, "orders")
+        val schema0 = SparkConv.fromSpark(raw.schema)
+        val schema = schema0.copy(identifierFieldIds =
+          Seq(schema0.findFieldByName("o_orderkey").get.id))
+        val t = IceTable.create(cat, ident, schema,
+          properties = Map("write.upsert.enabled" -> "true"))
+        t.append(spark).appendDataFrame(raw)
+        val before = t.newScan().planFiles().map(_.file.filePath).toSet
+        t.append(spark).appendDataFrame(
+          raw.filter("o_orderkey % 10 = 0")
+            .withColumn("o_totalprice", col("o_totalprice") * 3))
+        val after = t.newScan().planFiles().map(_.file.filePath).toSet
+        require(before.subsetOf(after),
+          "upsert default must supersede via the MoR delete plane, " +
+            "never rewrite the seed files")
+        require(t.planDeleteEntries(t.currentSnapshot.get).nonEmpty,
+          "upsert default left no delete plane")
         t
       }
     })

@@ -247,12 +247,7 @@ final class IceTable private (
               // deletion vectors expand executor-side; parquet delete
               // files read natively — union both into one (file,pos) set
               val (dvPos, pqPos) = pos.partition(_.dataFile.contentOffset.isDefined)
-              val pqDels =
-                if (pqPos.isEmpty) None
-                else Some(spark.read
-                  .parquet(pqPos.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
-                  .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
-                    col("pos").as("__dpos")))
+              val pqDels = IceTable.readPositionDeleteRows(spark, pqPos)
               val rawDels = (pqDels.toSeq ++
                 IceTable.expandDeletionVectors(spark, dvPos).toSeq)
                 .reduce(_ unionByName _)
@@ -295,9 +290,9 @@ final class IceTable private (
           val eqRows = eq.map { e =>
             val eqCols = e.dataFile.equalityIds.flatMap(id =>
               schema.findFieldById(id).map(_.name))
-            val keys = IceTable.sizeDeleteSide(spark.read
-              .parquet(ManifestAvro.stripFileScheme(e.dataFile.filePath))
-              .select(eqCols.map(c => col(c).as(s"__k_$c")): _*).distinct(),
+            val keys = IceTable.sizeDeleteSide(
+              IceTable.readEqualityDeleteRows(spark, schema, e)
+                .select(eqCols.map(c => col(c).as(s"__k_$c")): _*).distinct(),
               e.dataFile.recordCount)
             // rows as of the PARENT snapshot that match the deleted keys
             val before = newScan()
@@ -450,6 +445,13 @@ final class IceTable private (
       }
       val updated0 = {
         val u = update(meta)
+        // reserved property keys (reserved_properties()) must never be
+        // persisted — a user-set `uuid` would shadow the table's real
+        // identity silently; refuse here so every Scala/SQL commit
+        // surface is covered (the REST server validates its own updates)
+        if (u ne meta)
+          TableProperties.validateUnreserved(
+            u.properties.keySet -- meta.properties.keySet)
         // a write.data.path change appends the superseded root to
         // graft.data-path.history so orphan sweeps cover ALL roots the
         // table ever wrote under, not just the current one
@@ -758,9 +760,28 @@ final class IceTable private (
     val filterLocal = rowFilter
     val pathFilterLocal = pathFilter
     val work = manifests.map(m => (m, specs(m.partitionSpecId)))
+    // read.split.metadata-target-size (reference table_properties.h:190):
+    // bin manifests into planning tasks by BYTES, not count — a snapshot
+    // mixing giant compacted manifests with tiny commit manifests gets
+    // tasks of comparable work, and a million tiny manifests don't each
+    // pay task overhead. Order-preserving greedy fill; one Spark
+    // partition per bin, floored at the default parallelism when the
+    // whole plane is smaller than one target.
+    // adaptive shrink (same rationale as data-split adaptive sizing): a
+    // metadata plane smaller than target x slots would otherwise plan on
+    // a fraction of the cluster — shrink toward per-slot bytes, never
+    // above the declared target
+    val declaredTarget = math.max(1L,
+      meta.property(TableProperties.SplitMetadataTargetSize))
+    val totalMetaBytes = work.map(w => math.max(1L, w._1.manifestLength)).sum
+    val slots = math.max(1, spark.sparkContext.defaultParallelism)
+    val metaTarget = math.max(1L,
+      math.min(declaredTarget, totalMetaBytes / slots))
+    val planTasks = IceTable.binBySize[(ManifestFile, PartitionSpec)](
+      work, w => w._1.manifestLength, metaTarget)
     spark.sparkContext
-      .parallelize(work, math.max(1, math.min(work.size,
-        spark.sparkContext.defaultParallelism * 2)))
+      .parallelize(planTasks, math.max(1, planTasks.size))
+      .flatMap(_.iterator)
       .flatMap { case (m, mSpec) =>
         val partType = mSpec.partitionType(schemaLocal)
         val entries = ManifestAvro.readManifest(m.manifestPath, partType, Some(m))
@@ -834,6 +855,80 @@ object IceTable {
           def next(): (String, Long) = (refFile, it.next())
         }
       }.toDF("__dfile", "__dpos"))
+  }
+
+  /** `read.{parquet,orc}.vectorization.*` (reference table_properties.h:
+    * 197-203) → the Spark reader configuration the path scans execute
+    * under. Only EXPLICITLY-set table properties are applied (a table
+    * that configured nothing keeps the engine defaults); values are
+    * validated through the property registry so a bad value fails here,
+    * not silently inside a task. The batch-size knob is the wide-row /
+    * deep-nesting OOM safety valve at scale; disabling vectorization
+    * falls back to Spark's row-at-a-time readers. */
+  private[ice] val ReadVectorizationConfKeys: Seq[(TableProperties.Key[_], String)] = Seq(
+    TableProperties.ParquetVectorizationEnabled ->
+      "spark.sql.parquet.enableVectorizedReader",
+    TableProperties.ParquetBatchSize ->
+      "spark.sql.parquet.columnarReaderBatchSize",
+    TableProperties.OrcVectorizationEnabled ->
+      "spark.sql.orc.enableVectorizedReader",
+    TableProperties.OrcBatchSize ->
+      "spark.sql.orc.columnarReaderBatchSize")
+
+  private[ice] def applyReadVectorization(spark: SparkSession,
+      props: Map[String, String]): Unit =
+    ReadVectorizationConfKeys.foreach { case (key, confKey) =>
+      if (props.contains(key.name))
+        spark.conf.set(confKey, TableProperties.get(props, key).toString)
+    }
+
+  /** Order-preserving greedy byte-binning (read.split.metadata-target-
+    * size): consecutive items fill a bin until the target would be
+    * exceeded; an item larger than the target rides alone. Overflow-safe
+    * fit test (huge targets must not wrap into one bin). */
+  private[ice] def binBySize[A](items: Seq[A], sizeOf: A => Long,
+      target: Long): Seq[Seq[A]] = {
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[A])
+    var used = 0L
+    items.foreach { it =>
+      val len = math.max(1L, sizeOf(it))
+      if (bins.last.nonEmpty && (used > target || len > target - used)) {
+        bins += scala.collection.mutable.ArrayBuffer(it); used = len
+      } else { bins.last += it; used += len }
+    }
+    bins.filter(_.nonEmpty).map(_.toSeq).toSeq
+  }
+
+  /** (file_path, pos) rows of position-delete FILE entries (never DVs),
+    * format-dispatched through FormatRegistry — the delete plane may be
+    * parquet or avro per `write.delete.format.default`. Returns columns
+    * (__dfile, __dpos) with paths normalized. */
+  private[ice] def readPositionDeleteRows(spark: SparkSession,
+      entries: Seq[graft.ice.manifest.ManifestEntry]): Option[DataFrame] = {
+    if (entries.isEmpty) return None
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val posSchema = StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+    Some(entries.groupBy(_.dataFile.fileFormat.toUpperCase(java.util.Locale.ROOT))
+      .map { case (fmt, es) =>
+        graft.ice.FormatRegistry.reader(fmt)(spark, posSchema,
+          es.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)),
+          Map.empty)
+      }.reduce(_ unionByName _)
+      .select(regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
+        col("pos").as("__dpos")))
+  }
+
+  /** The key columns of one equality-delete file, format-dispatched
+    * (schema'd by the file's equality ids against the table schema). */
+  private[ice] def readEqualityDeleteRows(spark: SparkSession, schema: Schema,
+      e: graft.ice.manifest.ManifestEntry): DataFrame = {
+    val eqFields = e.dataFile.equalityIds.flatMap(schema.findFieldById)
+    val sparkSchema = org.apache.spark.sql.types.StructType(
+      eqFields.map(SparkConv.toSparkField))
+    graft.ice.FormatRegistry.reader(e.dataFile.fileFormat)(spark, sparkSchema,
+      Seq(ManifestAvro.stripFileScheme(e.dataFile.filePath)), Map.empty)
   }
 
   def from(ref: TableRef): IceTable =
@@ -1076,6 +1171,7 @@ final class ScanBuilder(table: IceTable) {
     * id-less files with a metadata-stripped schema (pure name matching). */
   def toDF(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    IceTable.applyReadVectorization(spark, table.properties)
     val s = scanSchema
     val tasks = planFiles()
     val sparkSchema = SparkConv.toSpark(s)
@@ -1352,13 +1448,11 @@ final class ScanBuilder(table: IceTable) {
                 posDeletes.find(x => x.dataFile.filePath == p &&
                   x.dataFile.contentOffset == off).get
               })
-            val pqDels: Option[DataFrame] =
-              if (pqKeys.isEmpty) None
-              else Some(spark.read
-                .parquet(pqKeys.map(k => ManifestAvro.stripFileScheme(k._1)): _*)
-                .select(
-                  regexp_replace(col("file_path"), "^file:/*", "/").as("__dfile"),
-                  col("pos").as("__dpos")))
+            val pqDels: Option[DataFrame] = IceTable.readPositionDeleteRows(
+              spark, pqKeys.flatMap { case (p, off) =>
+                posDeletes.find(x => x.dataFile.filePath == p &&
+                  x.dataFile.contentOffset == off)
+              })
             val dels0 = (pqDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
               // distinct: overlapping position-delete files must mark, not
               // multiply, rows in `_deleted` marking mode (left join below)
@@ -1404,7 +1498,7 @@ final class ScanBuilder(table: IceTable) {
             val eqCols = eqEntry.dataFile.equalityIds.flatMap(id =>
               table.schema.findFieldById(id).map(_.name))
             val dels = IceTable.sizeDeleteSide(
-              spark.read.parquet(ManifestAvro.stripFileScheme(eqPath))
+              IceTable.readEqualityDeleteRows(spark, table.schema, eqEntry)
                 .select(eqCols.map(col): _*),
               eqEntry.dataFile.recordCount)
             if (!wantDeleted)
@@ -1579,8 +1673,32 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
   def stageWithWapId(id: String): AppendOp = { wapId = Some(id); this }
 
   /** Full write path: partition-transform clustering -> parquet files ->
-    * footer metrics -> manifest -> manifest list -> snapshot -> commit. */
+    * footer metrics -> manifest -> manifest list -> snapshot -> commit.
+    *
+    * `write.upsert.enabled` (reference table_properties.h:271): when the
+    * TABLE declares it, every plain append becomes a merge-on-read
+    * UPSERT keyed on the schema's identifier fields — rows sharing a key
+    * with existing data supersede them (equality-delete + insert, no
+    * file rewrites), new keys insert. Identifier fields are required:
+    * upserting without a key is a contradiction, so it fails loudly. */
   def appendDataFrame(df: DataFrame): Snapshot = {
+    if (table.metadata.property(TableProperties.UpsertEnabled)) {
+      require(branch == "main" && wapId.isEmpty,
+        "write.upsert.enabled routes appends through MERGE, which targets " +
+          "main directly — branch/WAP staging of upserts is not supported")
+      val keyCols = table.schema.identifierFieldIds
+        .flatMap(id => table.schema.findFieldById(id).map(_.name))
+      require(keyCols.nonEmpty,
+        "write.upsert.enabled requires identifier fields on the schema " +
+          "(identifier-field-ids) to key the upsert")
+      if (table.currentSnapshot.isEmpty)
+        { val (entries, uuid) = writeEntries(df); return commitAppend(entries, uuid) }
+      return table.merge(spark, df, keyCols)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .withMergeOnRead()
+        .commit()
+    }
     val (entries, commitUuid) = writeEntries(df)
     commitAppend(entries, commitUuid)
   }
@@ -1639,8 +1757,11 @@ final class AppendOp(table: IceTable, spark: SparkSession) {
         case "PARQUET" => shaped.write.mode("append")
           .options(graft.ice.write.WriteTuning.parquetData(table.properties))
           .parquet(outDir)
-        case "AVRO" => avroCounts = AvroData.writeDirWithCounts(shaped, outDir,
-          codec = graft.ice.write.WriteTuning.avroCodec(table.properties)).toMap
+        case "AVRO" =>
+          val (avCodec, avLevel) =
+            graft.ice.write.WriteTuning.avroDataCodec(table.properties)
+          avroCounts = AvroData.writeDirWithCounts(shaped, outDir,
+            codec = avCodec, level = avLevel).toMap
         case "ORC" => shaped.write.mode("append")
           .options(graft.ice.write.WriteTuning.orcData(table.properties))
           .orc(outDir)

@@ -341,8 +341,15 @@ object RestJson {
         m = m.copy(refs = m.refs - name,
           currentSnapshotId = if (name == "main") None else m.currentSnapshotId)
       case SetLocation(loc) => m = m.copy(location = loc)
-      case SetProperties(ups) => m = m.copy(properties = m.properties ++ ups)
-      case RemoveProperties(ks) => m = m.copy(properties = m.properties -- ks)
+      case SetProperties(ups) =>
+        // reserved keys (reserved_properties()) refuse over the wire too
+        // — the REST server applies updates without IceTable's commit
+        // validation, so this is its own enforcement point
+        graft.ice.meta.TableProperties.validateUnreserved(ups.keys)
+        m = m.copy(properties = m.properties ++ ups)
+      case RemoveProperties(ks) =>
+        graft.ice.meta.TableProperties.validateUnreserved(ks)
+        m = m.copy(properties = m.properties -- ks)
       case SetStatistics(sf) =>
         m = m.copy(statistics =
           m.statistics.filterNot(_.snapshotId == sf.snapshotId) :+ sf)

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, So
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder => V2ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{Filter => V1Filter}
 import org.apache.spark.sql.types.{DataType, LongType, Metadata, StringType, StructField, StructType}
@@ -1017,7 +1018,30 @@ private[connector] final class GraftBatchScan(table: IceTable,
     val readSchemaIds = StructType(dataRequired.fields ++ extraEq)
     val plain = StructType(readSchemaIds.fields.map(_.copy(metadata = Metadata.empty)))
 
-    def mkReader(schema: StructType, filters: Seq[V1Filter]) =
+    // read.parquet.vectorization.* (table_properties.h:197-200): the
+    // parquet reader builder snapshots the SESSION conf into each
+    // reader's Hadoop configuration at build time — apply the table's
+    // explicit settings around the builds, then restore, so one table's
+    // batch-size/disable choice never leaks into other scans
+    val vectorizationOverrides: Seq[(String, String)] =
+      graft.ice.IceTable.ReadVectorizationConfKeys.flatMap { case (key, confKey) =>
+        if (table.properties.contains(key.name))
+          Some(confKey -> graft.ice.meta.TableProperties
+            .get(table.properties, key).toString)
+        else None
+      }
+    def withVectorization[T](f: => T): T = {
+      if (vectorizationOverrides.isEmpty) return f
+      val saved = vectorizationOverrides.map { case (k, _) =>
+        k -> spark.conf.getOption(k) }
+      vectorizationOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    def mkReader(schema: StructType, filters: Seq[V1Filter]) = withVectorization {
       new ParquetFileFormat().buildReaderWithPartitionValues(
         sparkSession = spark,
         dataSchema = schema,
@@ -1026,9 +1050,22 @@ private[connector] final class GraftBatchScan(table: IceTable,
         filters = filters,
         options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
         hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    }
 
-    val posDeleteSchema = StructType(Seq(
-      StructField("file_path", StringType), StructField("pos", LongType)))
+    // ORC twin, for delete planes written under
+    // write.delete.format.default=orc (dispatched by container magic)
+    def mkOrcReader(schema: StructType) = withVectorization {
+      new OrcFileFormat().buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = schema,
+        partitionSchema = new StructType(),
+        requiredSchema = schema,
+        filters = Nil,
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    }
+
+    val posDeleteSchema = GraftReaderFactory.PosDeleteSchema
     val eqSchemas: Map[Seq[String], StructType] =
       planned.splits.flatMap(_.deletes.eqDeletes.map(_._3)).distinct
         .map(cols => cols -> StructType(cols.map(c =>
@@ -1082,6 +1119,8 @@ private[connector] final class GraftBatchScan(table: IceTable,
       readPlainRaw = mkReader(plain, Nil),
       readPosDeletes = mkReader(posDeleteSchema, Nil),
       readEqDeletes = eqSchemas.map { case (cols, s) => cols -> mkReader(s, Nil) },
+      readPosDeletesOrc = mkOrcReader(posDeleteSchema),
+      readEqDeletesOrc = eqSchemas.map { case (cols, s) => cols -> mkOrcReader(s) },
       readSchema = readSchemaIds,
       eqSchemas = eqSchemas,
       outputTemplate = outputTemplate,
@@ -1399,6 +1438,23 @@ private[connector] object DeleteFileCache {
   }
 }
 
+private[connector] object GraftReaderFactory {
+  /** The position-delete file schema (spec reserved columns). */
+  val PosDeleteSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType), StructField("pos", LongType)))
+
+  /** True when the file starts with the ORC magic `ORC`. */
+  def isOrcFile(path: String): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile || f.length < 3) return false
+    val in = new java.io.FileInputStream(f)
+    try {
+      val m = new Array[Byte](3)
+      in.read(m) == 3 && m(0) == 'O' && m(1) == 'R' && m(2) == 'C'
+    } finally in.close()
+  }
+}
+
 private[connector] final case class GraftReaderFactory(
     readIds: PartitionedFile => Iterator[InternalRow],
     readIdsRaw: PartitionedFile => Iterator[InternalRow],
@@ -1406,6 +1462,8 @@ private[connector] final case class GraftReaderFactory(
     readPlainRaw: PartitionedFile => Iterator[InternalRow],
     readPosDeletes: PartitionedFile => Iterator[InternalRow],
     readEqDeletes: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
+    readPosDeletesOrc: PartitionedFile => Iterator[InternalRow],
+    readEqDeletesOrc: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
     readSchema: StructType,
     eqSchemas: Map[Seq[String], StructType],
     // output field -> read-schema ordinal, or -1 for the `_file`
@@ -1428,6 +1486,22 @@ private[connector] final case class GraftReaderFactory(
       case b: ColumnarBatch => b.rowIterator().asScala
       case r: InternalRow => Iterator.single(r)
     }
+
+  /** Delete-plane file rows: the delete plane may be parquet, avro or
+    * ORC (write.delete.format.default), and the split descriptors carry
+    * only (path, size) — dispatch on the container magic. Avro rows
+    * decode through AvroData and convert to catalyst here (delete files
+    * are tiny schemas: (file_path, pos) or the equality key columns). */
+  private def deleteFileRows(parquetRead: PartitionedFile => Iterator[InternalRow],
+      orcRead: PartitionedFile => Iterator[InternalRow],
+      schema: StructType, path: String, size: Long): Iterator[InternalRow] =
+    if (graft.ice.manifest.AvroData.isAvroFile(path)) {
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)
+      graft.ice.manifest.AvroData.fileRows(path, schema)
+        .map(r => conv(r).asInstanceOf[InternalRow])
+    } else if (GraftReaderFactory.isOrcFile(path)) rows(orcRead, pf(path, size))
+    else rows(parquetRead, pf(path, size))
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     // a packed split concatenates its members' iterators — every member
@@ -1462,7 +1536,8 @@ private[connector] final case class GraftReaderFactory(
           // the cache — re-reading the whole delete file per data split
           // was O(splits x delete bytes) decompression
           bm.or(DeleteFileCache.positionsFor(dp, dsize, me,
-            () => rows(readPosDeletes, pf(dp, dsize))))
+            () => deleteFileRows(readPosDeletes, readPosDeletesOrc,
+              GraftReaderFactory.PosDeleteSchema, dp, dsize)))
         }
       }
       bm
@@ -1479,7 +1554,9 @@ private[connector] final case class GraftReaderFactory(
           DeleteFileCache.eqKeysFor(path, size, cols, { () =>
             val delProj = UnsafeProjection.create(delSchema.fields.indices.map(i =>
               BoundReference(i, delSchema.fields(i).dataType, nullable = true)))
-            rows(readEqDeletes(cols), pf(path, size)).map(r => delProj(r).copy())
+            deleteFileRows(readEqDeletes(cols), readEqDeletesOrc(cols),
+              delSchema, path, size)
+              .map(r => delProj(r).copy())
           })
         }
         val dataIdx = cols.map(c => readSchema.fieldIndex(c))

@@ -88,7 +88,7 @@ object AvroData {
     * driver. Returns (path, row count) per file; counts are recorded at
     * write time so manifest entries never re-read the files. */
   def writeDirWithCounts(df: DataFrame, dir: String,
-      codec: String = "null"): Seq[(String, Long)] = {
+      codec: String = "null", level: String = ""): Seq[(String, Long)] = {
     val sparkSchema = df.schema
     val schemaJson = avroSchemaJson(sparkSchema)
     val fields = sparkSchema.fields
@@ -99,10 +99,10 @@ object AvroData {
         val schema = new AvroParser().parse(schemaJson)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
-        // table-property codec (write.avro.compression-codec; "null" =
-        // uncompressed keeps the pre-property behavior for metadata-plane
-        // callers that don't pass one)
-        writer.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
+        // table-property codec + level (write.avro.compression-codec /
+        // -level; "null" = uncompressed keeps the pre-property behavior
+        // for metadata-plane callers that don't pass one)
+        writer.setCodec(codecFactory(codec, level))
         val path = f"$dir/part-$idx%05d.avro"
         // task-commit protocol: write to an attempt-unique temp name and
         // atomically publish on success, so a retried or speculative
@@ -125,6 +125,110 @@ object AvroData {
   /** writeDirWithCounts without the counts (the registry Writer shape). */
   def writeDir(df: DataFrame, dir: String): Seq[String] =
     writeDirWithCounts(df, dir).map(_._1)
+
+  /** Avro CodecFactory from an (Iceberg-normalized) codec name and an
+    * optional level ("" = codec default) — `write.avro.compression-level`
+    * and its delete twin. */
+  def codecFactory(codec: String, level: String = ""):
+      org.apache.avro.file.CodecFactory = {
+    import org.apache.avro.file.CodecFactory
+    if (level.isEmpty) CodecFactory.fromString(codec)
+    else codec match {
+      case "deflate" => CodecFactory.deflateCodec(level.toInt)
+      case "zstandard" => CodecFactory.zstandardCodec(level.toInt)
+      case "xz" => CodecFactory.xzCodec(level.toInt)
+      case other => CodecFactory.fromString(other) // level not applicable
+    }
+  }
+
+  /** Distributed DELETE-plane Avro sink: writes each partition's rows
+    * (assumed sorted so `rollCol`, when set, changes monotonically),
+    * rolling a new container file when the roll column's value changes or
+    * `maxRecords` is hit — the avro analogue of the parquet delete
+    * writer's partitionBy(__group) + maxRecordsPerFile shape. Columns in
+    * `dropCols` are grouping carriers, excluded from the written schema.
+    * Returns (path, rowCount, min(boundsCol), max(boundsCol)) per file;
+    * bounds are tracked at write time (avro has no footer metrics to
+    * harvest afterwards). */
+  def writeDeleteDir(df: DataFrame, dir: String, codec: String,
+      level: String, maxRecords: Long, rollCol: Option[String],
+      boundsCol: String, dropCols: Seq[String] = Nil)
+      : Seq[(String, Long, String, String)] = {
+    val inSchema = df.schema
+    val outFields = inSchema.fields.filterNot(f => dropCols.contains(f.name))
+    val outSchema = StructType(outFields)
+    val schemaJson = avroSchemaJson(outSchema)
+    val rollIdx = rollCol.map(inSchema.fieldIndex)
+    val boundsIdx = inSchema.fieldIndex(boundsCol)
+    val outIdx = outFields.map(f => inSchema.fieldIndex(f.name))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val schema = new AvroParser().parse(schemaJson)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId).getOrElse(0L)
+        val out = Vector.newBuilder[(String, Long, String, String)]
+        var writer: DataFileWriter[GenericRecord] = null
+        var sub = 0
+        var path: String = null
+        var tmp: File = null
+        var n = 0L
+        var lo: String = null
+        var hi: String = null
+        var curRoll: Any = null
+        def open(): Unit = {
+          writer = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          writer.setCodec(codecFactory(codec, level))
+          path = f"$dir/part-$idx%05d-$sub%03d.avro"; sub += 1
+          tmp = new File(s"$path.$attempt.tmp")
+          writer.create(schema, tmp)
+          n = 0L; lo = null; hi = null
+        }
+        def seal(): Unit = if (writer != null) {
+          writer.close()
+          graft.ice.io.LocalFileIO.atomicSwap(tmp.getPath, path)
+          out += ((path, n, lo, hi))
+          writer = null
+        }
+        it.foreach { row =>
+          val roll = rollIdx.map(row.get).orNull
+          if (writer == null) { open(); curRoll = roll }
+          else if (n >= maxRecords || rollIdx.isDefined && roll != curRoll) {
+            seal(); open(); curRoll = roll
+          }
+          val b = row.getString(boundsIdx)
+          if (lo == null || b < lo) lo = b
+          if (hi == null || b > hi) hi = b
+          val proj = Row.fromSeq(outIdx.toIndexedSeq.map(row.get))
+          writer.append(rowToRecord(schema, outFields, proj)); n += 1
+        }
+        seal()
+        out.result().iterator
+      }
+    }.collect().toSeq.sortBy(_._1)
+  }
+
+  /** True when the file starts with the Avro container magic `Obj`
+    * — scan paths use this to dispatch delete files whose manifests were
+    * written by engines that stamp the format only as a string. */
+  def isAvroFile(path: String): Boolean = {
+    val f = new File(path)
+    if (!f.isFile || f.length < 4) return false
+    val in = new java.io.FileInputStream(f)
+    try {
+      val m = new Array[Byte](4)
+      if (in.read(m) != 4) false
+      else m(0) == 'O' && m(1) == 'b' && m(2) == 'j' && m(3) == 1
+    } finally in.close()
+  }
+
+  /** Executor-usable single-file row iterator (the readFiles task body):
+    * full-file range, external Rows in `schema` order. */
+  def fileRows(path: String, schema: StructType): Iterator[Row] =
+    readFileRows(path, schema, 0L,
+      java.nio.file.Files.size(java.nio.file.Paths.get(path)), Map.empty)
 
   /** Decode one Avro value to the Spark external type — runs on executors
     * in the distributed read path, so it must only touch serializable

@@ -207,6 +207,9 @@ object TableMetadata {
     val fv = TableProperties.get(properties,
       TableProperties.FormatVersion.copy(default = formatVersion))
     require(SupportedVersions.contains(fv), s"unsupported format version: $fv")
+    // reserved keys (reserved_properties()): format-version is the one
+    // legitimate create-time input — and is consumed, not stored
+    TableProperties.validateUnreserved(properties.keys, allowFormatVersion = true)
     TableMetadata(
       formatVersion = fv,
       tableUuid = java.util.UUID.randomUUID().toString,

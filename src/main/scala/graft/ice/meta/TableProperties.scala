@@ -177,18 +177,66 @@ object TableProperties {
   val DeleteParquetDictSizeBytes: Key[Long] =
     Key("write.delete.parquet.dict-size-bytes", 2L * 1024 * 1024, _.trim.toLong)
 
-  // ORC write tuning (reference table_properties.h:180-198; the registry
+  // delete-plane file format (reference table_properties.h:106): which
+  // format position/equality delete files are written in. Restricted to
+  // the formats this engine can both write AND read back on every scan
+  // path (v3 deletion vectors stay puffin regardless).
+  val DeleteFormatDefault: Key[String] =
+    Key("write.delete.format.default", "parquet", { raw =>
+      val v = raw.trim.toLowerCase(java.util.Locale.ROOT)
+      require(v == "parquet" || v == "avro" || v == "orc",
+        s"write.delete.format.default must be 'parquet', 'avro' or 'orc', got '$raw'")
+      v
+    })
+
+  // ORC write tuning (reference table_properties.h:155-183; the registry
   // exceeds the reference's enum-only ORC, so its declared knobs apply)
   val OrcCompression: Key[String] =
     Key("write.orc.compression-codec", "zlib",
       _.trim.toLowerCase(java.util.Locale.ROOT))
   val OrcStripeSizeBytes: Key[Long] =
     Key("write.orc.stripe-size-bytes", 64L * 1024 * 1024, _.trim.toLong)
+  val OrcBlockSizeBytes: Key[Long] =
+    Key("write.orc.block-size-bytes", 256L * 1024 * 1024, _.trim.toLong)
+  val OrcBloomFilterColumns: Key[String] =
+    Key("write.orc.bloom.filter.columns", "", _.trim)
+  val OrcBloomFilterFpp: Key[Double] =
+    Key("write.orc.bloom.filter.fpp", 0.05, _.trim.toDouble)
+  val OrcCompressionStrategy: Key[String] =
+    Key("write.orc.compression-strategy", "speed", { raw =>
+      val v = raw.trim.toLowerCase(java.util.Locale.ROOT)
+      require(v == "speed" || v == "compression",
+        s"write.orc.compression-strategy must be 'speed' or 'compression', got '$raw'")
+      v
+    })
+  val OrcWriteBatchSize: Key[Int] =
+    Key("write.orc.vectorized.batch-size", 1024, _.trim.toInt)
+  // delete-plane ORC twins (independently tuned, as the reference declares)
+  val DeleteOrcCompression: Key[String] =
+    Key("write.delete.orc.compression-codec", "zlib",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val DeleteOrcStripeSizeBytes: Key[Long] =
+    Key("write.delete.orc.stripe-size-bytes", 64L * 1024 * 1024, _.trim.toLong)
+  val DeleteOrcBlockSizeBytes: Key[Long] =
+    Key("write.delete.orc.block-size-bytes", 256L * 1024 * 1024, _.trim.toLong)
+  val DeleteOrcCompressionStrategy: Key[String] =
+    Key("write.delete.orc.compression-strategy", "speed",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val DeleteOrcWriteBatchSize: Key[Int] =
+    Key("write.delete.orc.vectorized.batch-size", 1024, _.trim.toInt)
 
-  // avro data-plane compression (reference table_properties.h:170-173)
+  // avro compression (reference table_properties.h:153-160): codec +
+  // level for the data plane, independent twins for the delete plane
   val AvroCompression: Key[String] =
     Key("write.avro.compression-codec", "gzip",
       _.trim.toLowerCase(java.util.Locale.ROOT))
+  val AvroCompressionLevel: Key[String] =
+    Key("write.avro.compression-level", "", _.trim)
+  val DeleteAvroCompression: Key[String] =
+    Key("write.delete.avro.compression-codec", "gzip",
+      _.trim.toLowerCase(java.util.Locale.ROOT))
+  val DeleteAvroCompressionLevel: Key[String] =
+    Key("write.delete.avro.compression-level", "", _.trim)
 
   // per-column metrics modes (reference table_properties.h:232-235):
   // what each data-file manifest entry persists per column —
@@ -264,6 +312,31 @@ object TableProperties {
     Key("read.split.planning-lookback", 10, _.trim.toInt)
   val SplitAdaptiveEnabled: Key[Boolean] =
     Key("read.split.adaptive-size.enabled", true, _.trim.toBoolean)
+  // metadata-plane split sizing (reference table_properties.h:190): the
+  // distributed manifest-read path bins manifest FILES into Spark tasks
+  // by this target — a million-file table's planning job parallelizes
+  // over manifest bytes, not one task per manifest.
+  val SplitMetadataTargetSize: Key[Long] =
+    Key("read.split.metadata-target-size", 32L * 1024 * 1024, _.trim.toLong)
+
+  // reader vectorization (reference table_properties.h:197-203): batch
+  // sizing is the wide-row / deep-nesting OOM safety valve at scale;
+  // the enabled switches fall back to Spark's row-at-a-time readers.
+  val ParquetVectorizationEnabled: Key[Boolean] =
+    Key("read.parquet.vectorization.enabled", true, _.trim.toBoolean)
+  val ParquetBatchSize: Key[Int] =
+    Key("read.parquet.vectorization.batch-size", 5000, _.trim.toInt)
+  val OrcVectorizationEnabled: Key[Boolean] =
+    Key("read.orc.vectorization.enabled", false, _.trim.toBoolean)
+  val OrcBatchSize: Key[Int] =
+    Key("read.orc.vectorization.batch-size", 5000, _.trim.toInt)
+
+  // table-level upsert default (reference table_properties.h:271): when
+  // enabled, plain appends route through the merge-on-read upsert path
+  // keyed on the schema's identifier fields — every write supersedes
+  // prior rows with the same key instead of duplicating them.
+  val UpsertEnabled: Key[Boolean] =
+    Key("write.upsert.enabled", false, _.trim.toBoolean)
 
   // superseded custom data roots, comma-separated (stamped automatically
   // by IceTable.commit when write.data.path changes): a mid-life data
@@ -316,4 +389,31 @@ object TableProperties {
 
   def get[T](props: Map[String, String], key: Key[T]): T =
     props.get(key.name).map(key.parse).getOrElse(key.default)
+
+  /** Reserved property keys (reference table_properties.h:285 /
+    * reserved_properties()): creation/maintenance controls and
+    * metadata-derived values a user must never persist as plain
+    * properties — `uuid` as a property would shadow the real table UUID,
+    * `current-*`/`snapshot-count` are projections of metadata state.
+    * `format-version` is consumed at create/upgrade time, never stored. */
+  val ReservedKeys: Set[String] = Set(
+    "format-version", "uuid", "snapshot-count",
+    "current-snapshot-summary", "current-snapshot-id",
+    "current-snapshot-timestamp", "current-schema",
+    "default-partition-spec", "default-sort-order")
+
+  /** Refuse user-supplied reserved keys on every commit surface (Scala
+    * commits, SQL TBLPROPERTIES, REST updates). `allowFormatVersion`
+    * covers the documented create/upgrade path where `format-version`
+    * is legitimate input (and is then consumed, not stored). */
+  def validateUnreserved(keys: Iterable[String],
+      allowFormatVersion: Boolean = false): Unit = {
+    val hit = keys.filter(k =>
+      ReservedKeys.contains(k) && !(allowFormatVersion && k == "format-version"))
+    require(hit.isEmpty,
+      s"table properties ${hit.mkString(", ")} are reserved " +
+        "(reference reserved_properties()): they control create/update " +
+        "behavior or mirror metadata state and cannot be set or removed " +
+        "as plain properties")
+  }
 }

@@ -459,8 +459,9 @@ private[ice] object SnapshotProducer {
         case "PARQUET" => shaped.write.mode("append")
           .options(WriteTuning.parquetData(table.properties)).parquet(outDir)
         case "AVRO" =>
+          val (codec, level) = WriteTuning.avroDataCodec(table.properties)
           avroCounts = AvroData.writeDirWithCounts(shaped, outDir,
-            codec = WriteTuning.avroCodec(table.properties)).toMap
+            codec = codec, level = level).toMap
         case "ORC" => shaped.write.mode("append")
           .options(WriteTuning.orcData(table.properties)).orc(outDir)
         case other =>
@@ -1122,24 +1123,73 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
       col(f.name).cast(SparkConv.toSparkType(f.fieldType))
         .as(f.name, SparkConv.toSparkField(f).metadata)
     }: _*)
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    aligned.write.options(WriteTuning.parquetDelete(table.properties))
-      .parquet(outDir)
-    val conf = spark.sessionState.newHadoopConf()
-    val entries = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(outDir)).iterator.asScala
-        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
-    }.flatMap { file =>
-      val m = Metrics.fromParquetFooter(file, table.schema, conf)
-      if (m.rowCount == 0) None
-      else Some(ManifestEntry(ManifestStatus.Added, None, None, None,
-        DataFile(FileContent.EqualityDeletes, file, "PARQUET",
+    def eqEntry(file: String, rowCount: Long, format: String,
+        lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]]) =
+      ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.EqualityDeletes, file, format,
           table.spec.fields.map(_ => null: Any).toIndexedSeq,
-          recordCount = m.rowCount, fileSizeInBytes = Files.size(Paths.get(file)),
-          lowerBounds = m.lowerBounds, upperBounds = m.upperBounds,
-          equalityIds = eqIds)))
+          recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)),
+          lowerBounds = lower, upperBounds = upper,
+          equalityIds = eqIds))
+    val fmt = graft.ice.meta.TableProperties.get(table.properties,
+      graft.ice.meta.TableProperties.DeleteFormatDefault)
+    // avro/orc carry no driver-parsable footer metrics: compute the key
+    // bounds with ONE aggregate over the keys and stamp every written
+    // file with the same (inclusive-superset) bounds — pruning and
+    // conflict checks stay sound, just file-granular instead of
+    // exact-per-file
+    lazy val (aggLower, aggUpper) = {
+      val aggCols = eqFields.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
+      val statsRow =
+        if (aligned.isEmpty) null
+        else aligned.agg(aggCols.head, aggCols.tail: _*).head
+      def boundAt(i: Int): Option[Array[Byte]] =
+        if (statsRow == null || statsRow.isNullAt(i)) None
+        else {
+          val f = eqFields(i / 2)
+          f.fieldType match {
+            case p: graft.ice.types.IcePrimitive =>
+              Literal.fromSparkValue(p, statsRow.get(i)).map(_.serialize)
+            case _ => None
+          }
+        }
+      (eqFields.indices.flatMap(j => boundAt(2 * j).map(eqIds(j) -> _)).toMap,
+        eqFields.indices.flatMap(j => boundAt(2 * j + 1).map(eqIds(j) -> _)).toMap)
     }
+    val entries =
+      if (fmt == "avro") {
+        val (codec, level) = WriteTuning.avroDeleteCodec(table.properties)
+        AvroData.writeDirWithCounts(aligned, outDir, codec, level)
+          .filter(_._2 > 0)
+          .map { case (file, n) => eqEntry(file, n, "AVRO", aggLower, aggUpper) }
+      } else if (fmt == "orc") {
+        aligned.write.options(WriteTuning.orcDelete(table.properties)).orc(outDir)
+        val files = {
+          import scala.jdk.CollectionConverters._
+          Files.walk(Paths.get(outDir)).iterator.asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".orc"))
+            .map(_.toString).toSeq.sorted
+        }
+        graft.ice.FormatRegistry.orcRowCounts(spark, files).toSeq.sortBy(_._1)
+          .filter(_._2 > 0)
+          .map { case (file, n) => eqEntry(file, n, "ORC", aggLower, aggUpper) }
+      } else {
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        aligned.write.options(WriteTuning.parquetDelete(table.properties))
+          .parquet(outDir)
+        val conf = spark.sessionState.newHadoopConf()
+        val files = {
+          import scala.jdk.CollectionConverters._
+          Files.walk(Paths.get(outDir)).iterator.asScala
+            .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+        }
+        files.flatMap { file =>
+          val m = Metrics.fromParquetFooter(file, table.schema, conf)
+          if (m.rowCount == 0) None
+          else Some(eqEntry(file, m.rowCount, "PARQUET",
+            m.lowerBounds, m.upperBounds))
+        }
+      }
     SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
       addedDeleteEntries = entries)
   }
@@ -1190,70 +1240,120 @@ object RowDelete {
       if (partitionOf.isEmpty) 128L
       else partitionOf.keysIterator.map(_.length.toLong).sum / partitionOf.size
     val maxRecords = math.max(1L, targetBytes / (avgPathLen + 8L))
-    val writer = granularity match {
+    val fmt = graft.ice.meta.TableProperties.get(table.properties,
+      graft.ice.meta.TableProperties.DeleteFormatDefault)
+    // cluster per granularity: (rows sorted within partitions, the
+    // rolling/grouping column when one applies). The parquet writer rolls
+    // via partitionBy(__group) + maxRecordsPerFile; the avro writer rolls
+    // on group change + the record cap inside its partition writer.
+    val (clustered, groupCol): (DataFrame, Option[String]) = granularity match {
       case "file" =>
         // one delete file per referenced DATA file: cluster by path, roll
-        // per path via partitionBy. The grouping value is a SHA-256
-        // digest of the path, NOT the path itself: partitionBy URL-
-        // escapes '/' (%2F), tripling the length, and a realistic
-        // warehouse path would blow the filesystem's 255-byte filename
-        // limit at write time. The digest is fixed-width; the delete
-        // file's scope still comes from its file_path column bounds.
-        dels.withColumn("__group", sha2(col("file_path"), 256))
+        // per path. The grouping value is a SHA-256 digest of the path,
+        // NOT the path itself: partitionBy URL-escapes '/' (%2F),
+        // tripling the length, and a realistic warehouse path would blow
+        // the filesystem's 255-byte filename limit at write time. The
+        // digest is fixed-width; the delete file's scope still comes
+        // from its file_path column bounds.
+        (dels.withColumn("__group", sha2(col("file_path"), 256))
           .repartition(col("file_path"))
-          .sortWithinPartitions("file_path", "pos")
-          .write.partitionBy("__group")
+          .sortWithinPartitions("file_path", "pos"), Some("__group"))
       case _ if partitionOf.nonEmpty && !table.spec.isUnpartitioned =>
         // partition granularity: cluster delete rows by the data file's
         // partition — one (size-rolled) delete file per touched partition
         import spark.implicits._
         val mapDF = broadcast(
           partitionOf.toSeq.toDF("file_path", "__group"))
-        dels.join(mapDF, Seq("file_path"), "left")
+        (dels.join(mapDF, Seq("file_path"), "left")
           .withColumn("__group", coalesce(col("__group"), lit("__unknown")))
           .repartition(col("__group"))
-          .sortWithinPartitions("file_path", "pos")
-          .write.partitionBy("__group")
+          .sortWithinPartitions("__group", "file_path", "pos"), Some("__group"))
       case _ =>
         // unpartitioned spec (or no mapping available): partition
         // boundaries don't exist to respect — hash-shard by path so a
         // wide delete still writes through every core
         val nParts = math.max(1, math.min(
           spark.sessionState.conf.numShufflePartitions, math.max(nFiles, 1)))
-        dels.repartition(nParts, col("file_path"))
-          .sortWithinPartitions("file_path", "pos")
-          .write
+        (dels.repartition(nParts, col("file_path"))
+          .sortWithinPartitions("file_path", "pos"), None)
     }
-    writer.option("maxRecordsPerFile", maxRecords)
-      .options(WriteTuning.parquetDelete(table.properties))
-      .parquet(outDir)
-    val conf = spark.sessionState.newHadoopConf()
-    val files = {
-      import scala.jdk.CollectionConverters._
-      // isRegularFile guards against partitionBy __group= directories
-      // being mistaken for data (historically they encoded raw paths
-      // ending in ".parquet"; now they are fixed-width digests)
-      Files.walk(Paths.get(outDir)).iterator.asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map(_.toString).toSeq.sorted
-    }
-    files.flatMap { file =>
-      val rowCount = Metrics.parquetRowCount(file, conf)
-      if (rowCount == 0) None // empty shuffle partitions write empty files
-      else {
-        // file_path bounds (reserved field 2147483546): the spec's way
-        // of scoping WHICH data files this delete file may reference —
-        // planners and commit-conflict validation use them to skip
-        // delete files that provably cannot cover a given data file
-        val bounds = Metrics.parquetPathBounds(file, conf)
-        Some(ManifestEntry(ManifestStatus.Added, None, None, None,
-          DataFile(FileContent.PositionDeletes, file, "PARQUET",
-            table.spec.fields.map(_ => null: Any).toIndexedSeq,
-            recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)),
-            lowerBounds = bounds.map(b => Map(RowDelete.PathBoundFieldId -> b._1))
-              .getOrElse(Map.empty),
-            upperBounds = bounds.map(b => Map(RowDelete.PathBoundFieldId -> b._2))
-              .getOrElse(Map.empty))))
+    def entry(file: String, rowCount: Long, format: String,
+        lo: Array[Byte], hi: Array[Byte]): ManifestEntry =
+      // file_path bounds (reserved field 2147483546): the spec's way
+      // of scoping WHICH data files this delete file may reference —
+      // planners and commit-conflict validation use them to skip
+      // delete files that provably cannot cover a given data file
+      ManifestEntry(ManifestStatus.Added, None, None, None,
+        DataFile(FileContent.PositionDeletes, file, format,
+          table.spec.fields.map(_ => null: Any).toIndexedSeq,
+          recordCount = rowCount, fileSizeInBytes = Files.size(Paths.get(file)),
+          lowerBounds =
+            if (lo == null) Map.empty
+            else Map(RowDelete.PathBoundFieldId -> lo),
+          upperBounds =
+            if (hi == null) Map.empty
+            else Map(RowDelete.PathBoundFieldId -> hi)))
+    if (fmt == "avro") {
+      val (codec, level) = WriteTuning.avroDeleteCodec(table.properties)
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      AvroData.writeDeleteDir(clustered, outDir, codec, level, maxRecords,
+        rollCol = groupCol, boundsCol = "file_path",
+        dropCols = groupCol.toSeq)
+        .filter(_._2 > 0)
+        .map { case (file, n, lo, hi) =>
+          entry(file, n, "AVRO",
+            if (lo == null) null else lo.getBytes(utf8),
+            if (hi == null) null else hi.getBytes(utf8))
+        }
+    } else {
+      // parquet | orc: Spark's file sink handles the partitionBy groups
+      // and the per-file record cap for both
+      val writer0 = groupCol match {
+        case Some(g) => clustered.write.partitionBy(g)
+        case None => clustered.write
+      }
+      val writer = writer0.option("maxRecordsPerFile", maxRecords)
+      val ext = s".$fmt"
+      if (fmt == "orc")
+        writer.options(WriteTuning.orcDelete(table.properties)).orc(outDir)
+      else
+        writer.options(WriteTuning.parquetDelete(table.properties)).parquet(outDir)
+      val files = {
+        import scala.jdk.CollectionConverters._
+        // isRegularFile guards against partitionBy __group= directories
+        // being mistaken for data (historically they encoded raw paths
+        // ending in ".parquet"; now they are fixed-width digests)
+        Files.walk(Paths.get(outDir)).iterator.asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(ext))
+          .map(_.toString).toSeq.sorted
+      }
+      if (fmt == "orc") {
+        // ORC footers aren't parsed driver-side the way parquet's are:
+        // ONE distributed job yields per-file counts + path bounds
+        if (files.isEmpty) Nil
+        else spark.read.orc(files: _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(count(lit(1)).as("__n"),
+            min("file_path").as("__lo"), max("file_path").as("__hi"))
+          .collect()
+          .map { r =>
+            val utf8 = java.nio.charset.StandardCharsets.UTF_8
+            entry(graft.ice.FormatRegistry.normalizeInputFileName(r.getString(0)),
+              r.getLong(1), "ORC",
+              Option(r.getString(2)).map(_.getBytes(utf8)).orNull,
+              Option(r.getString(3)).map(_.getBytes(utf8)).orNull)
+          }.toSeq.sortBy(_.dataFile.filePath)
+      } else {
+        val conf = spark.sessionState.newHadoopConf()
+        files.flatMap { file =>
+          val rowCount = Metrics.parquetRowCount(file, conf)
+          if (rowCount == 0) None // empty shuffle partitions write empty files
+          else {
+            val bounds = Metrics.parquetPathBounds(file, conf)
+            Some(entry(file, rowCount, "PARQUET",
+              bounds.map(_._1).orNull, bounds.map(_._2).orNull))
+          }
+        }
       }
     }
   }
@@ -1639,14 +1739,14 @@ final class Compaction(table: IceTable, spark: SparkSession) {
       throw new IllegalStateException("empty table: nothing to rewrite"))
     val posParquet = table.planDeleteEntries(snap).filter(e =>
       e.dataFile.content == FileContent.PositionDeletes &&
-        e.dataFile.fileFormat == "PARQUET")
+        // delete FILES of any registered format; never PUFFIN DVs (those
+        // rewrite through the DV plane, not this row-file compaction)
+        e.dataFile.contentOffset.isEmpty && e.dataFile.fileFormat != "PUFFIN")
     if (posParquet.isEmpty) return snap
     val liveFiles = table.newScan().planFiles()
       .map(t => ManifestAvro.stripFileScheme(t.file.filePath)).toDF("__live")
-    val dels = spark.read
-      .parquet(posParquet.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath)): _*)
-      .select(regexp_replace(col("file_path"), "^file:/*", "/").as("file_path"),
-        col("pos"))
+    val dels = graft.ice.IceTable.readPositionDeleteRows(spark, posParquet).get
+      .select(col("__dfile").as("file_path"), col("__dpos").as("pos"))
       .distinct() // overlapping merges may have deleted the same position twice
       .join(broadcast(liveFiles), col("file_path") === col("__live"), "left_semi")
     val entries = RowDelete.writePositionDeleteEntries(table, spark, dels,

@@ -80,12 +80,48 @@ object WriteTuning {
     case c => c
   }
 
-  /** Writer options for ORC data files (stripe size + codec). */
-  def orcData(props: Map[String, String]): Map[String, String] = Map(
-    "compression" -> normalizeOrcCodec(
-      TableProperties.get(props, TableProperties.OrcCompression)),
-    "orc.stripe.size" ->
-      TableProperties.get(props, TableProperties.OrcStripeSizeBytes).toString)
+  /** Writer options for ORC data files (reference table_properties.h:
+    * 155-183): codec, stripe/block size, compression strategy, bloom
+    * filter columns + fpp, and the writer's vectorized batch size —
+    * orc-java conf keys, forwarded via the per-job Hadoop configuration
+    * exactly like the parquet knobs. */
+  def orcData(props: Map[String, String]): Map[String, String] =
+    orcOptions(
+      TableProperties.get(props, TableProperties.OrcCompression),
+      TableProperties.get(props, TableProperties.OrcStripeSizeBytes),
+      TableProperties.get(props, TableProperties.OrcBlockSizeBytes),
+      TableProperties.get(props, TableProperties.OrcCompressionStrategy),
+      TableProperties.get(props, TableProperties.OrcWriteBatchSize),
+      TableProperties.get(props, TableProperties.OrcBloomFilterColumns),
+      TableProperties.get(props, TableProperties.OrcBloomFilterFpp))
+
+  /** Writer options for DELETE-plane ORC files — independent twins.
+    * (Bloom filters have no delete twin in the reference's registry:
+    * delete planes are scoped by path/key bounds, not point lookups.) */
+  def orcDelete(props: Map[String, String]): Map[String, String] =
+    orcOptions(
+      TableProperties.get(props, TableProperties.DeleteOrcCompression),
+      TableProperties.get(props, TableProperties.DeleteOrcStripeSizeBytes),
+      TableProperties.get(props, TableProperties.DeleteOrcBlockSizeBytes),
+      TableProperties.get(props, TableProperties.DeleteOrcCompressionStrategy),
+      TableProperties.get(props, TableProperties.DeleteOrcWriteBatchSize),
+      bloomColumns = "", bloomFpp = 0.05)
+
+  private def orcOptions(codec: String, stripe: Long, block: Long,
+      strategy: String, batchSize: Int, bloomColumns: String,
+      bloomFpp: Double): Map[String, String] = {
+    val base = Map(
+      "compression" -> normalizeOrcCodec(codec),
+      "orc.stripe.size" -> stripe.toString,
+      "orc.block.size" -> block.toString,
+      "orc.compression.strategy" ->
+        strategy.toUpperCase(java.util.Locale.ROOT),
+      "orc.row.batch.size" -> batchSize.toString)
+    if (bloomColumns.isEmpty) base
+    else base ++ Map(
+      "orc.bloom.filter.columns" -> bloomColumns,
+      "orc.bloom.filter.fpp" -> bloomFpp.toString)
+  }
 
   private def normalizeOrcCodec(codec: String): String = codec match {
     case "zlib" => "zlib"
@@ -96,12 +132,25 @@ object WriteTuning {
   /** Avro container codec for data files (Iceberg property value "gzip"
     * is Avro's deflate codec). */
   def avroCodec(props: Map[String, String]): String =
-    TableProperties.get(props, TableProperties.AvroCompression) match {
-      case "gzip" => "deflate"
-      case "none" | "uncompressed" => "null"
-      case "zstd" => "zstandard"
-      case c => c
-    }
+    normalizeAvroCodec(TableProperties.get(props, TableProperties.AvroCompression))
+
+  /** Data-plane avro (codec, level) — level "" = the codec's default. */
+  def avroDataCodec(props: Map[String, String]): (String, String) =
+    (avroCodec(props),
+      TableProperties.get(props, TableProperties.AvroCompressionLevel))
+
+  /** Delete-plane avro (codec, level) — independent twins. */
+  def avroDeleteCodec(props: Map[String, String]): (String, String) =
+    (normalizeAvroCodec(
+      TableProperties.get(props, TableProperties.DeleteAvroCompression)),
+      TableProperties.get(props, TableProperties.DeleteAvroCompressionLevel))
+
+  private def normalizeAvroCodec(codec: String): String = codec match {
+    case "gzip" => "deflate"
+    case "none" | "uncompressed" => "null"
+    case "zstd" => "zstandard"
+    case c => c
+  }
 }
 
 /** Per-partition commit summaries (reference table_properties.h:223-224,

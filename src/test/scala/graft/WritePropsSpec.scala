@@ -431,6 +431,75 @@ class WritePropsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!t3.currentSnapshot.get.summary.keys.exists(_.startsWith("partitions.")))
   }
 
+  test("ORC tuning tail: codec/strategy/block/bloom/batch knobs thread to the writer") {
+    import graft.ice.write.WriteTuning
+    val props = Map(
+      "write.orc.compression-codec" -> "snappy",
+      "write.orc.compression-strategy" -> "compression",
+      "write.orc.stripe-size-bytes" -> "1048576",
+      "write.orc.block-size-bytes" -> "2097152",
+      "write.orc.vectorized.batch-size" -> "512",
+      "write.orc.bloom.filter.columns" -> "o_orderkey",
+      "write.orc.bloom.filter.fpp" -> "0.01")
+    val opts = WriteTuning.orcData(props)
+    assert(opts("compression") == "snappy")
+    assert(opts("orc.compression.strategy") == "COMPRESSION")
+    assert(opts("orc.stripe.size") == "1048576")
+    assert(opts("orc.block.size") == "2097152")
+    assert(opts("orc.row.batch.size") == "512")
+    assert(opts("orc.bloom.filter.columns") == "o_orderkey")
+    assert(opts("orc.bloom.filter.fpp") == "0.01")
+    // delete twins are independent (and never default to the data plane's)
+    val dopts = WriteTuning.orcDelete(Map(
+      "write.orc.compression-codec" -> "snappy",
+      "write.delete.orc.compression-codec" -> "zstd",
+      "write.delete.orc.stripe-size-bytes" -> "4096"))
+    assert(dopts("compression") == "zstd")
+    assert(dopts("orc.stripe.size") == "4096")
+    assert(!dopts.contains("orc.bloom.filter.columns"))
+    // container-asserted: the codec really lands in the ORC file footer
+    val dir = java.nio.file.Files.createTempDirectory("orctune").toString + "/out"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .limit(500).write.options(opts).orc(dir)
+    val orcFile = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator.asScala
+        .map(_.toString).find(_.endsWith(".orc")).get
+    }
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(orcFile),
+      org.apache.orc.OrcFile.readerOptions(new org.apache.hadoop.conf.Configuration()))
+    assert(reader.getCompressionKind.name.equalsIgnoreCase("snappy"))
+  }
+
+  test("avro compression level threads to the container (and the delete twin)") {
+    import graft.ice.write.WriteTuning
+    assert(WriteTuning.avroDataCodec(Map(
+      "write.avro.compression-codec" -> "gzip",
+      "write.avro.compression-level" -> "9")) == ("deflate", "9"))
+    assert(WriteTuning.avroDeleteCodec(Map(
+      "write.avro.compression-codec" -> "zstd",
+      "write.delete.avro.compression-codec" -> "gzip",
+      "write.delete.avro.compression-level" -> "1")) == ("deflate", "1"))
+    // container-asserted: level 9 compresses repetitive data tighter than
+    // level 1, and the codec name lands in the container metadata
+    val df = spark.range(0, 20000)
+      .selectExpr("CAST(id % 7 AS STRING) AS v", "id % 13 AS k")
+    def sizeAt(level: String): Long = {
+      val dir = java.nio.file.Files.createTempDirectory(s"avrolvl$level").toString
+      val written = graft.ice.manifest.AvroData
+        .writeDirWithCounts(df.coalesce(1), dir, "deflate", level)
+      val path = written.head._1
+      val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new java.io.File(path),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try assert(r.getMetaString("avro.codec") == "deflate") finally r.close()
+      java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    }
+    assert(sizeAt("9") < sizeAt("1"),
+      "deflate level must change the produced container bytes")
+  }
+
   test("unrecognized write.{delete,update,merge}.mode fails loudly, never CoW-fallback") {
     // a typo like 'mor' silently falling back to copy-on-write gives a
     // user full file rewrites while they believe they configured MoR

@@ -231,6 +231,20 @@ object Bench {
     }
     val regressCap = sys.env.getOrElse("SPARK_GRAFT_ISO_REGRESS_CAP", "12").toInt
     val regressed = regressedAll.sortBy(-_._2).take(regressCap)
+    // flags the cap excluded split into two EXPLICIT artifact fields:
+    // sub-floor absolute seconds are stamped "below iso floor" (noise-
+    // dominated; iso effort there is wasted), anything larger that still
+    // missed the cap is carried as unevidenced — a reader never has to
+    // reverse-engineer why a >1.3x ratio ships without an iso number
+    val isoNoiseFloor =
+      sys.env.getOrElse("SPARK_GRAFT_ISO_NOISE_FLOOR_SEC", "3.0").toDouble
+    val regressedSet = regressed.map(_._1).toSet
+    val flagsBelowIsoFloor = regressedAll
+      .filterNot(r => regressedSet(r._1)).filter(_._2 < isoNoiseFloor)
+      .map(_._1).sorted
+    val flagsUnevidenced = regressedAll
+      .filterNot(r => regressedSet(r._1)).filter(_._2 >= isoNoiseFloor)
+      .map(_._1).sorted
     if (regressedAll.nonEmpty)
       System.err.println(s"[bench] auto-isolating >1.3x-host-adjusted queries " +
         s"(top $regressCap of ${regressedAll.size} by seconds): " +
@@ -370,7 +384,9 @@ object Bench {
     // isolated number is comparable; far above => under-warmed child)
     val isoHs = isoHostSpeeds.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"isolated_host_speed":$isoHs,"ratio_vs_prior_host_adjusted":$ratios,"sf":"$sfDir"}""")
+    val belowFloorJson = flagsBelowIsoFloor.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val unevidencedJson = flagsUnevidenced.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"isolated_host_speed":$isoHs,"ratio_vs_prior_host_adjusted":$ratios,"flags_below_iso_floor":$belowFloorJson,"flags_unevidenced":$unevidencedJson,"sf":"$sfDir"}""")
     // second, compact line: the driver artifact keeps only the output
     // TAIL, which can truncate the head of the full metrics line above —
     // repeat the total + the 10 slowest queries so a parseable summary

@@ -4233,8 +4233,15 @@ object StreamSkipFixture {
 object SqlDmlFixture {
   import graft.ice.catalog._
 
+  // fixture-ensure OUTSIDE the timed region: the existence probes (one
+  // metadata load per table per call) are memoized per JVM, so after the
+  // warm-up pass a timed run pays only the per-session conf.set — a
+  // fork-iso child's timed number measures the QUERY, not re-probing
+  private val ensured = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def ensure(s: SparkSession, sfDir: String): Unit = {
     s.conf.set("spark.graft.warehouse", Tables.warehouseDir(sfDir))
+    if (!ensured.add(sfDir)) return
     val cat = Tables.catalog(sfDir)
 
     if (!cat.tableExists(TableIdentifier(Seq("sqlq"), "orders_dml"))) {
@@ -4295,7 +4302,9 @@ object NetCdcFixture {
   import graft.ice.expr.{Expr => XE}
   import graft.ice.types.{Literal => XL, SparkConv}
 
-  def ensure(s: SparkSession, dir: String): IceTable = {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IceTable]()
+
+  def ensure(s: SparkSession, dir: String): IceTable = cache.computeIfAbsent(dir, { _ =>
     val cat = Tables.catalog(dir)
     val ident = TableIdentifier(Seq("tpch"), "orders_netcdc")
     if (cat.tableExists(ident)) IceTable.load(cat, ident)
@@ -4311,15 +4320,22 @@ object NetCdcFixture {
         Map("o_totalprice" -> "o_totalprice + 500.0"))
       created
     }
-  }
+  })
 }
 
 object CatalogDmlFixture {
   import graft.ice.catalog._
 
+  // memoized like SqlDmlFixture.ensure: the three existence probes ran
+  // INSIDE the timed region on every run — graft.tools.SplitAB measured
+  // them as the whole 1.4x "regression" on sql_catalog_update's
+  // fork-iso number (fixture-ensure noise, not the query)
+  private val ensured = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def ensure(s: SparkSession, sfDir: String): Unit = {
     s.conf.set("spark.sql.catalog.ice", "graft.ice.connector.GraftCatalogPlugin")
     s.conf.set("spark.sql.catalog.ice.warehouse", Tables.warehouseDir(sfDir))
+    if (!ensured.add(sfDir)) return
     val cat = Tables.catalog(sfDir)
 
     if (!cat.tableExists(TableIdentifier(Seq("catq"), "orders_v2dml"))) {

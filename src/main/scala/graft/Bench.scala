@@ -18,6 +18,18 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        // AQE coalescing can only MERGE the initial shuffle partitions,
+        // never split them: with initialPartitionNum left at
+        // shuffle.partitions(=cores), a fourth-decade SMJ sort gets
+        // data/cores rows per task and dies growing its pointer array
+        // (sf100 q3/q5: TaskMemoryManager OOM at 48g). Start fine-
+        // grained and let AQE coalesce DOWN to its size target — small
+        // scales end at the same effective partition counts, the
+        // fourth decade gets sortable tasks. This is the same shape a
+        // 1000-executor cluster runs (high initial, size-coalesced).
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+            (cpus.toInt * 8).toString))
         .config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -132,12 +132,33 @@ object Similarity {
   private[graft] def fitQuantizer(corpus: DataFrame, idCol: String,
       vecCol: String, nClusters: Int, sampleSize: Int = 65536,
       maxIter: Int = 10): Array[Array[Double]] = {
-    // TakeOrderedAndProject: per-partition bounded top-k, driver merge —
-    // never a full sort, never a full collect
-    val rows = corpus
-      .select(col(vecCol).cast("array<double>").as("__v"))
-      .orderBy(xxhash64(col(idCol)), col(idCol))
+    // TakeOrderedAndProject returns up to `limit` rows PER TASK to the
+    // driver merge — tasks x sampleSize x dim doubles blew the 1 GiB
+    // driver maxResultSize at sf100 (30 tasks x 64k x 128 doubles).
+    // Pre-cut by a deterministic hash threshold sized from the corpus
+    // count so roughly 4x the sample survives CORPUS-WIDE: membership
+    // stays partition-invariant (pure function of the id hash and the
+    // count), and the driver merge receives O(sample), not
+    // O(tasks x sample). The 4x margin makes a shortfall below
+    // sampleSize vanishingly unlikely on a uniform 64-bit hash; if one
+    // ever occurred the fit would just use a (still deterministic)
+    // smaller sample.
+    val n = corpus.count()
+    val base = corpus
+      .select(xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val margin = 4L
+    val prefiltered =
+      if (n <= sampleSize.toLong * margin) base
+      else {
+        val frac = (sampleSize.toLong * margin).toDouble / n
+        val cut = (Long.MinValue.toDouble + frac * 1.8446744073709552e19).toLong
+        base.filter(col("__h") <= cut)
+      }
+    val rows = prefiltered
+      .orderBy(col("__h"), col("__id"))
       .limit(sampleSize)
+      .select("__v")
       .collect()
     val pts: Array[Array[Double]] =
       rows.map(_.getAs[scala.collection.Seq[Double]]("__v").toArray)

@@ -449,9 +449,14 @@ final class IceTable private (
         // persisted — a user-set `uuid` would shadow the table's real
         // identity silently; refuse here so every Scala/SQL commit
         // surface is covered (the REST server validates its own updates)
-        if (u ne meta)
+        if (u ne meta) {
           TableProperties.validateUnreserved(
             u.properties.keySet -- meta.properties.keySet)
+          // declared keys whose value this commit sets/changes must parse
+          TableProperties.validateValues(u.properties.filter { case (k, v) =>
+            !meta.properties.get(k).contains(v)
+          })
+        }
         // a write.data.path change appends the superseded root to
         // graft.data-path.history so orphan sweeps cover ALL roots the
         // table ever wrote under, not just the current one
@@ -875,12 +880,33 @@ object IceTable {
     TableProperties.OrcBatchSize ->
       "spark.sql.orc.columnarReaderBatchSize")
 
-  private[ice] def applyReadVectorization(spark: SparkSession,
-      props: Map[String, String]): Unit =
-    ReadVectorizationConfKeys.foreach { case (key, confKey) =>
-      if (props.contains(key.name))
-        spark.conf.set(confKey, TableProperties.get(props, key).toString)
+  /** Spark reader conf overrides a table's explicitly-set vectorization
+    * properties imply (empty for an unconfigured table). */
+  private[ice] def readVectorizationOverrides(
+      props: Map[String, String]): Map[String, String] =
+    ReadVectorizationConfKeys.collect {
+      case (key, confKey) if props.contains(key.name) =>
+        confKey -> TableProperties.get(props, key).toString
+    }.toMap
+
+  /** Session a scan with vectorization overrides executes under: a CLONE
+    * of the caller's session (same SparkContext, full session-state copy
+    * including runtime conf) with the overrides applied. Scoping the
+    * overrides to a per-scan session means one table's batch-size choice
+    * can never leak into other tables' scans or plain parquet reads, and
+    * two tables' DataFrames built before either executes can't race on
+    * shared conf — the connector path gets the same isolation from its
+    * build-time conf snapshot. */
+  private[ice] def scanSession(spark: SparkSession,
+      props: Map[String, String]): SparkSession = {
+    val overrides = readVectorizationOverrides(props)
+    if (overrides.isEmpty) spark
+    else {
+      val scoped = org.apache.spark.sql.GraftColumnBridge.cloneSession(spark)
+      overrides.foreach { case (k, v) => scoped.conf.set(k, v) }
+      scoped
     }
+  }
 
   /** Order-preserving greedy byte-binning (read.split.metadata-target-
     * size): consecutive items fill a bin until the target would be
@@ -1169,9 +1195,9 @@ final class ScanBuilder(table: IceTable) {
     * both strategies in one read, so the file list splits into two scans
     * union'd together — id-matched files read with the id-carrying schema,
     * id-less files with a metadata-stripped schema (pure name matching). */
-  def toDF(spark: SparkSession): DataFrame = {
+  def toDF(spark0: SparkSession): DataFrame = {
+    val spark = IceTable.scanSession(spark0, table.properties)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    IceTable.applyReadVectorization(spark, table.properties)
     val s = scanSchema
     val tasks = planFiles()
     val sparkSchema = SparkConv.toSpark(s)

@@ -346,6 +346,7 @@ object RestJson {
         // — the REST server applies updates without IceTable's commit
         // validation, so this is its own enforcement point
         graft.ice.meta.TableProperties.validateUnreserved(ups.keys)
+        graft.ice.meta.TableProperties.validateValues(ups)
         m = m.copy(properties = m.properties ++ ups)
       case RemoveProperties(ks) =>
         graft.ice.meta.TableProperties.validateUnreserved(ks)

@@ -108,6 +108,16 @@ final class GraftWrite(table: IceTable, identName: String, warehouse: String,
   private val schema = table.schema
   private val sortOrder = table.metadata.defaultSortOrder
 
+  // keyless upsert tables refuse BEFORE any task writes a file (the
+  // commit-time check remains as the backstop for races on the property)
+  if (mode == GraftWriteModes.Append &&
+      graft.ice.meta.TableProperties.get(table.metadata.properties,
+        graft.ice.meta.TableProperties.UpsertEnabled)) {
+    require(schema.identifierFieldIds.nonEmpty,
+      "write.upsert.enabled requires identifier fields on the schema " +
+        "(identifier-field-ids) to key the upsert")
+  }
+
   /** Partition transforms as connector expressions (None when a field
     * uses a transform the grammar can't express, e.g. void — then we
     * request nothing and the writer handles interleaved partitions by
@@ -176,9 +186,13 @@ final class GraftWrite(table: IceTable, identName: String, warehouse: String,
       compressionLevel = TableProperties.get(table.properties,
         TableProperties.ParquetCompressionLevel),
       parquetExtras = graft.ice.write.WriteTuning.parquetColumnExtras(
-        table.properties) +
-        ("parquet.page.row.count.limit" -> TableProperties.get(
-          table.properties, TableProperties.ParquetPageRowLimit).toString),
+        table.properties) ++ Map(
+        "parquet.page.row.count.limit" -> TableProperties.get(
+          table.properties, TableProperties.ParquetPageRowLimit).toString,
+        "parquet.page.size.row.check.min" -> TableProperties.get(table.properties,
+          TableProperties.ParquetRowGroupCheckMinRecordCount).toString,
+        "parquet.page.size.row.check.max" -> TableProperties.get(table.properties,
+          TableProperties.ParquetRowGroupCheckMaxRecordCount).toString),
       rowGroupSize = TableProperties.get(table.properties,
         TableProperties.ParquetRowGroupSizeBytes),
       pageSize = TableProperties.get(table.properties,
@@ -278,9 +292,42 @@ private[connector] object GraftCommit {
           expectedReplaced = Some(st),
           extraProps = extraProps, extraSummary = wapStamp)
       case GraftWriteModes.Append =>
-        SnapshotProducer.commit(t, spark, DataOperation.Append, entries,
-          extraProps = extraProps, stageWapId = wapId,
-          extraSummary = wapStamp)
+        // `write.upsert.enabled` (table_properties.h:271): the V2 surface
+        // honors the table's declaration exactly like the Scala append
+        // API — SQL `INSERT INTO` an upsert table supersedes matched
+        // keys instead of silently appending duplicates. Shape: ONE
+        // commit of the new data files + an equality-delete file of
+        // their distinct keys (churn-sized; the strict
+        // dataSeq < deleteSeq rule keeps same-commit data unaffected) —
+        // no corpus-sized join, the 100-TB upsert path.
+        val upsert = graft.ice.meta.TableProperties.get(
+          t.metadata.properties, graft.ice.meta.TableProperties.UpsertEnabled)
+        val keyCols =
+          if (!upsert) Nil
+          else t.schema.identifierFieldIds
+            .flatMap(id => t.schema.findFieldById(id).map(_.name))
+        if (upsert) {
+          require(keyCols.nonEmpty,
+            "write.upsert.enabled requires identifier fields on the schema " +
+              "(identifier-field-ids) to key the upsert")
+          require(wapId.isEmpty,
+            "write.upsert.enabled routes appends through keyed upsert, " +
+              "which targets main directly — WAP staging of upserts is " +
+              "not supported")
+        }
+        if (upsert && t.currentSnapshot.isDefined && entries.nonEmpty) {
+          val newPaths = entries.map(_.dataFile.filePath)
+          val keys = spark.read.parquet(newPaths: _*)
+            .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+            .distinct()
+          val delEntries = t.delete(spark).equalityDeleteEntries(keys)
+          SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,
+            addedDeleteEntries = delEntries,
+            extraProps = extraProps, extraSummary = wapStamp)
+        } else
+          SnapshotProducer.commit(t, spark, DataOperation.Append, entries,
+            extraProps = extraProps, stageWapId = wapId,
+            extraSummary = wapStamp)
       case GraftWriteModes.Truncate =>
         val removed = t.newScan().planFiles().map(_.file.filePath).toSet
         SnapshotProducer.commit(t, spark, DataOperation.Overwrite, entries,
@@ -557,6 +604,10 @@ final class GraftDataWriter(conf: GraftTaskWriteConf, partitionId: Int,
           b.withMaxBloomFilterBytes(v.toInt)
         case "parquet.page.row.count.limit" =>
           b.withPageRowCountLimit(v.toInt)
+        case "parquet.page.size.row.check.min" =>
+          b.withMinRowCountForPageSizeCheck(v.toInt)
+        case "parquet.page.size.row.check.max" =>
+          b.withMaxRowCountForPageSizeCheck(v.toInt)
         case _ => b
       }
     }

@@ -210,6 +210,7 @@ object TableMetadata {
     // reserved keys (reserved_properties()): format-version is the one
     // legitimate create-time input — and is consumed, not stored
     TableProperties.validateUnreserved(properties.keys, allowFormatVersion = true)
+    TableProperties.validateValues(properties)
     TableMetadata(
       formatVersion = fv,
       tableUuid = java.util.UUID.randomUUID().toString,

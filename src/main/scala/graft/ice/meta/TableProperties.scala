@@ -146,6 +146,23 @@ object TableProperties {
     Key("write.parquet.dict-size-bytes", 2L * 1024 * 1024, _.trim.toLong)
   val ParquetPageRowLimit: Key[Int] =
     Key("write.parquet.page-row-limit", 20000, _.trim.toInt)
+  // row-group size-check throttle (reference table_properties.h:136-142):
+  // the writer re-measures buffered size for a row-group flush no sooner
+  // than every `min` records and no later than every `max` — the knob
+  // that trades flush-check CPU against row-group size overshoot
+  // (parquet-java's page.size.row.check pair)
+  val ParquetRowGroupCheckMinRecordCount: Key[Int] =
+    Key("write.parquet.row-group-check-min-record-count", 100, { raw =>
+      val v = raw.trim.toInt
+      require(v > 0, s"row-group-check-min-record-count must be > 0, got '$raw'")
+      v
+    })
+  val ParquetRowGroupCheckMaxRecordCount: Key[Int] =
+    Key("write.parquet.row-group-check-max-record-count", 10000, { raw =>
+      val v = raw.trim.toInt
+      require(v > 0, s"row-group-check-max-record-count must be > 0, got '$raw'")
+      v
+    })
   val DeleteParquetCompression: Key[String] =
     Key("write.delete.parquet.compression-codec", "zstd",
       _.trim.toLowerCase(java.util.Locale.ROOT))
@@ -153,6 +170,18 @@ object TableProperties {
     Key("write.delete.parquet.compression-level", "", _.trim)
   val DeleteParquetPageRowLimit: Key[Int] =
     Key("write.delete.parquet.page-row-limit", 20000, _.trim.toInt)
+  val DeleteParquetRowGroupCheckMinRecordCount: Key[Int] =
+    Key("write.delete.parquet.row-group-check-min-record-count", 100, { raw =>
+      val v = raw.trim.toInt
+      require(v > 0, s"row-group-check-min-record-count must be > 0, got '$raw'")
+      v
+    })
+  val DeleteParquetRowGroupCheckMaxRecordCount: Key[Int] =
+    Key("write.delete.parquet.row-group-check-max-record-count", 10000, { raw =>
+      val v = raw.trim.toInt
+      require(v > 0, s"row-group-check-max-record-count must be > 0, got '$raw'")
+      v
+    })
 
   // per-column parquet bloom filters + stats toggles (reference
   // table_properties.h:144-150): the point-lookup accelerator for
@@ -338,6 +367,22 @@ object TableProperties {
   val UpsertEnabled: Key[Boolean] =
     Key("write.upsert.enabled", false, _.trim.toBoolean)
 
+  // encryption (reference table_properties.h:275-276): declared-only in
+  // the reference too — neither engine ships a crypto module, so these
+  // are validated-inert registry keys: the key-id round-trips as a plain
+  // property (it also feeds the metadata `encryption-keys` field serde,
+  // S2), and the DEK length is pinned to the AES key sizes so a typo'd
+  // table config fails at commit, not at some future encrypting reader.
+  val EncryptionTableKey: Key[String] =
+    Key("encryption.key-id", "", _.trim)
+  val EncryptionDekLength: Key[Int] =
+    Key("encryption.data-key-length", 16, { raw =>
+      val v = raw.trim.toInt
+      require(v == 16 || v == 24 || v == 32,
+        s"encryption.data-key-length must be 16, 24 or 32 (AES key bytes), got '$raw'")
+      v
+    })
+
   // superseded custom data roots, comma-separated (stamped automatically
   // by IceTable.commit when write.data.path changes): a mid-life data
   // plane move must not turn the OLD root into an orphan shelter —
@@ -399,13 +444,39 @@ object TableProperties {
   val ReservedKeys: Set[String] = Set(
     "format-version", "uuid", "snapshot-count",
     "current-snapshot-summary", "current-snapshot-id",
-    "current-snapshot-timestamp", "current-schema",
+    "current-snapshot-timestamp-ms", "current-schema",
     "default-partition-spec", "default-sort-order")
 
   /** Refuse user-supplied reserved keys on every commit surface (Scala
     * commits, SQL TBLPROPERTIES, REST updates). `allowFormatVersion`
     * covers the documented create/upgrade path where `format-version`
     * is legitimate input (and is then consumed, not stored). */
+  /** Every declared typed key, collected once by reflection over this
+    * registry object — the Scala mirror of the reference's static
+    * Entry<> member list. Prefix families (per-column bloom/stats) are
+    * not Keys and are validated by their consumers. */
+  lazy val declaredKeys: Map[String, Key[_]] =
+    this.getClass.getMethods
+      .filter(m => m.getReturnType == classOf[Key[_]] && m.getParameterCount == 0)
+      .map(_.invoke(this).asInstanceOf[Key[_]])
+      .map(k => k.name -> k).toMap
+
+  /** Parse-validate user-supplied values for declared keys: a typo'd
+    * `write.delete.format.default=parque` or
+    * `encryption.data-key-length=15` must fail at the commit that sets
+    * it, not at some future read/write that first consumes it. Unknown
+    * keys pass untouched (plain user properties are legal). */
+  def validateValues(props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      declaredKeys.get(k).foreach { key =>
+        try key.parse(v)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"invalid value '$v' for table property '$k': ${e.getMessage}", e)
+        }
+      }
+    }
+
   def validateUnreserved(keys: Iterable[String],
       allowFormatVersion: Boolean = false): Unit = {
     val hit = keys.filter(k =>

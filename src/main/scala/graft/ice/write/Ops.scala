@@ -1111,6 +1111,17 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
     * match a row of `keys` (e.g. GDPR-style deletes by id at 100 TB
     * without rewriting data). */
   def deleteByEquality(keys: DataFrame): Snapshot = {
+    val entries = equalityDeleteEntries(keys)
+    SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
+      addedDeleteEntries = entries)
+  }
+
+  /** Write equality-delete files for `keys` and return their manifest
+    * entries WITHOUT committing — the building block deleteByEquality
+    * and the connector's upsert append share (the upsert commits these
+    * alongside the new data files in ONE snapshot; same-sequence data is
+    * unaffected by the strict dataSeq < deleteSeq visibility rule). */
+  private[graft] def equalityDeleteEntries(keys: DataFrame): Seq[ManifestEntry] = {
     val eqCols = keys.columns.toSeq
     val eqFields = eqCols.map(c => table.schema.findFieldByName(c).getOrElse(
       throw new IllegalArgumentException(s"no such column $c")))
@@ -1190,8 +1201,7 @@ final class RowDelete(table: IceTable, spark: SparkSession) {
             m.lowerBounds, m.upperBounds))
         }
       }
-    SnapshotProducer.commit(table, spark, DataOperation.Delete, Nil,
-      addedDeleteEntries = entries)
+    entries
   }
 }
 

@@ -26,7 +26,13 @@ object WriteTuning {
       TableProperties.get(props, TableProperties.ParquetPageSizeBytes),
       TableProperties.get(props, TableProperties.ParquetDictSizeBytes)) ++
       Map("parquet.page.row.count.limit" ->
-        TableProperties.get(props, TableProperties.ParquetPageRowLimit).toString) ++
+        TableProperties.get(props, TableProperties.ParquetPageRowLimit).toString,
+        // row-group flush-check throttle (table_properties.h:136-142) —
+        // parquet-java re-measures buffered size between these counts
+        "parquet.page.size.row.check.min" -> TableProperties.get(props,
+          TableProperties.ParquetRowGroupCheckMinRecordCount).toString,
+        "parquet.page.size.row.check.max" -> TableProperties.get(props,
+          TableProperties.ParquetRowGroupCheckMaxRecordCount).toString) ++
       parquetColumnExtras(props)
 
   /** Per-column bloom filters / fpp / stats toggles + the bloom byte cap
@@ -60,7 +66,11 @@ object WriteTuning {
       TableProperties.get(props, TableProperties.DeleteParquetPageSizeBytes),
       TableProperties.get(props, TableProperties.DeleteParquetDictSizeBytes)) ++
       Map("parquet.page.row.count.limit" ->
-        TableProperties.get(props, TableProperties.DeleteParquetPageRowLimit).toString)
+        TableProperties.get(props, TableProperties.DeleteParquetPageRowLimit).toString,
+        "parquet.page.size.row.check.min" -> TableProperties.get(props,
+          TableProperties.DeleteParquetRowGroupCheckMinRecordCount).toString,
+        "parquet.page.size.row.check.max" -> TableProperties.get(props,
+          TableProperties.DeleteParquetRowGroupCheckMaxRecordCount).toString)
 
   private def parquetOptions(codec: String, level: String, rowGroup: Long,
       page: Long, dict: Long): Map[String, String] = {

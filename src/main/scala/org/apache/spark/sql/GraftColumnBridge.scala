@@ -15,4 +15,10 @@ object GraftColumnBridge {
   def ofRows(session: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+  /** Clone a session: same SparkContext, full copy of session state
+    * including runtime conf (private[sql] in Spark 4). Used to scope a
+    * table's reader-conf overrides to one scan without mutating the
+    * caller's shared session conf. */
+  def cloneSession(session: SparkSession): SparkSession =
+    session.asInstanceOf[classic.SparkSession].cloneSession()
 }

@@ -152,6 +152,80 @@ class WritePropsSpec extends AnyFunSuite with BeforeAndAfterAll {
       raw10.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("row-group-check-{min,max}-record-count throttles the flush check " +
+      "(both write paths + delete twins; values validate)") {
+    val raw10 = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val schema = SparkConv.fromSpark(raw10.schema)
+
+    // check-min past the row count: the writer never re-measures, so the
+    // tiny 64 KiB row-group target CANNOT trigger — one row group per file
+    val tLazy = IceTable.create(cat, TableIdentifier.parse("db.wt_rglazy"), schema,
+      properties = Map(
+        "write.parquet.row-group-size-bytes" -> "65536",
+        "write.parquet.row-group-check-min-record-count" -> "1000000",
+        "write.parquet.row-group-check-max-record-count" -> "2000000"))
+    tLazy.append(spark).appendDataFrame(raw10.repartition(1))
+    val lazyFiles = dataFiles(tLazy)
+    assert(lazyFiles.map(rowGroupCount).sum == lazyFiles.size,
+      s"check-min=1M must suppress every early flush check; got " +
+        s"${lazyFiles.map(rowGroupCount).sum} row groups in ${lazyFiles.size} files")
+
+    // eager checks: re-measure at most every 100 records — the 64 KiB
+    // target now splits 15k orders rows into many row groups
+    val eagerProps = Map(
+      "write.parquet.row-group-size-bytes" -> "65536",
+      "write.parquet.row-group-check-min-record-count" -> "10",
+      "write.parquet.row-group-check-max-record-count" -> "100")
+    val tEager = IceTable.create(cat, TableIdentifier.parse("db.wt_rgeager"),
+      schema, properties = eagerProps)
+    tEager.append(spark).appendDataFrame(raw10.repartition(1))
+    val eagerFiles = dataFiles(tEager)
+    assert(eagerFiles.map(rowGroupCount).sum > eagerFiles.size,
+      "check-max=100 with 64 KiB row groups must flush multiple row groups")
+
+    // connector (SQL INSERT) path honors the same knobs via builder calls
+    raw10.createOrReplaceTempView("wt_rg_src")
+    spark.sql("CREATE TABLE ice.db.wt_rgsql (o_orderkey BIGINT) USING graft " +
+      "TBLPROPERTIES ('write.parquet.row-group-size-bytes'='65536', " +
+      "'write.parquet.row-group-check-min-record-count'='10', " +
+      "'write.parquet.row-group-check-max-record-count'='100')")
+    spark.sql("INSERT INTO ice.db.wt_rgsql " +
+      "SELECT o_orderkey FROM wt_rg_src DISTRIBUTE BY 1")
+    val sqlFiles = dataFiles(IceTable.load(cat, TableIdentifier.parse("db.wt_rgsql")))
+    assert(sqlFiles.map(rowGroupCount).sum > sqlFiles.size,
+      "connector write path must honor the check-count knobs")
+
+    // delete twins throttle the DELETE plane independently
+    val tDel = IceTable.create(cat, TableIdentifier.parse("db.wt_rgdel"),
+      SparkConv.fromSpark(raw10.select("o_orderkey").schema),
+      properties = Map(
+        "write.delete.mode" -> "merge-on-read",
+        "write.delete.parquet.row-group-size-bytes" -> "16384",
+        "write.delete.parquet.row-group-check-min-record-count" -> "10",
+        "write.delete.parquet.row-group-check-max-record-count" -> "50"))
+    tDel.append(spark).appendDataFrame(raw10.select("o_orderkey").repartition(1))
+    tDel.delete(spark).deleteByEquality(
+      raw10.filter("o_orderkey % 2 = 0").select("o_orderkey"))
+    val delFiles = tDel.currentSnapshot.toSeq
+      .flatMap(tDel.planDeleteEntries).map(_.dataFile.filePath)
+      .filter(_.endsWith(".parquet"))
+    assert(delFiles.nonEmpty)
+    assert(delFiles.map(rowGroupCount).sum > delFiles.size,
+      "delete-plane check twins must flush multiple row groups at 16 KiB")
+
+    // the four keys parse + validate: non-positive values refuse at commit
+    val eBad = intercept[IllegalArgumentException] {
+      IceTable.create(cat, TableIdentifier.parse("db.wt_rgbad"), schema,
+        properties = Map("write.parquet.row-group-check-min-record-count" -> "0"))
+    }
+    assert(eBad.getMessage.contains("row-group-check-min-record-count"))
+    val eBad2 = intercept[IllegalArgumentException] {
+      tLazy.commit(b => b.copy(properties = b.properties +
+        ("write.delete.parquet.row-group-check-max-record-count" -> "nope")))
+    }
+    assert(eBad2.getMessage.contains("row-group-check-max-record-count"))
+  }
+
   test("write.delete.parquet.compression-codec tunes the DELETE plane independently") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")

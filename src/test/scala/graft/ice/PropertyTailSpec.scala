@@ -40,17 +40,23 @@ class PropertyTailSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- read.{parquet,orc}.vectorization.* ----
 
-  test("vectorization properties reach the Spark reader config on path scans") {
+  test("vectorization properties scope to the scan's session — applied " +
+      "there, never leaked to the caller's") {
     val t = IceTable.create(cat, TableIdentifier.parse("db.pt_vec"),
       SparkConv.fromSpark(raw.schema), properties = Map(
         "read.parquet.vectorization.batch-size" -> "1111",
         "read.parquet.vectorization.enabled" -> "true"))
     t.append(spark).appendDataFrame(raw)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "4096")
-    assert(t.newScan().toDF(spark).count() == raw.count())
-    assert(spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == "1111",
-      "batch-size property must reach the parquet reader configuration")
-    assert(spark.conf.get("spark.sql.parquet.enableVectorizedReader") == "true")
+    val df = t.newScan().toDF(spark)
+    // the scan executes under a cloned session carrying the overrides...
+    assert(df.sparkSession.conf.get(
+      "spark.sql.parquet.columnarReaderBatchSize") == "1111",
+      "batch-size property must reach the scan's reader configuration")
+    assert(df.count() == raw.count())
+    // ...and the CALLER's session conf is untouched (no cross-table leak)
+    assert(spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == "4096",
+      "a table's batch-size choice must not leak into the shared session")
   }
 
   test("disabled vectorization is honored (row-at-a-time read, same rows)") {
@@ -58,10 +64,19 @@ class PropertyTailSpec extends AnyFunSuite with BeforeAndAfterAll {
       SparkConv.fromSpark(raw.schema), properties = Map(
         "read.parquet.vectorization.enabled" -> "false"))
     t.append(spark).appendDataFrame(raw)
-    assert(t.newScan().toDF(spark).count() == raw.count())
-    assert(spark.conf.get("spark.sql.parquet.enableVectorizedReader") == "false")
-    // restore: other specs in this JVM expect the default
-    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+    val df = t.newScan().toDF(spark)
+    assert(df.sparkSession.conf.get(
+      "spark.sql.parquet.enableVectorizedReader") == "false")
+    assert(df.count() == raw.count())
+    // two tables with CONFLICTING settings scanned in the same session:
+    // each DataFrame carries its own, neither wins globally
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.pt_vec"))
+    val df2 = t2.newScan().toDF(spark)
+    assert(df2.sparkSession.conf.get(
+      "spark.sql.parquet.enableVectorizedReader") == "true")
+    assert(df.sparkSession.conf.get(
+      "spark.sql.parquet.enableVectorizedReader") == "false")
+    assert(spark.conf.get("spark.sql.parquet.enableVectorizedReader") == "true")
   }
 
   test("connector scan applies vectorization overrides and restores the session") {
@@ -80,12 +95,16 @@ class PropertyTailSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.get("spark.sql.parquet.enableVectorizedReader") == "true")
   }
 
-  test("a bad vectorization value fails loudly at scan time") {
-    val t = IceTable.create(cat, TableIdentifier.parse("db.pt_badvec"),
-      SparkConv.fromSpark(raw.schema), properties = Map(
-        "read.parquet.vectorization.batch-size" -> "lots"))
-    t.append(spark).appendDataFrame(raw)
-    intercept[NumberFormatException] { t.newScan().toDF(spark) }
+  test("a bad vectorization value fails loudly at the commit that sets it") {
+    // commit-time value validation (validateValues): a typo'd declared
+    // key refuses at CREATE, never lying in wait for the first scan
+    val e = intercept[IllegalArgumentException] {
+      IceTable.create(cat, TableIdentifier.parse("db.pt_badvec"),
+        SparkConv.fromSpark(raw.schema), properties = Map(
+          "read.parquet.vectorization.batch-size" -> "lots"))
+    }
+    assert(e.getMessage.contains("read.parquet.vectorization.batch-size"),
+      e.getMessage)
   }
 
   // ---- read.split.metadata-target-size ----
@@ -147,6 +166,45 @@ class PropertyTailSpec extends AnyFunSuite with BeforeAndAfterAll {
       "table-default upsert must go through the MoR delete plane")
   }
 
+  test("SQL INSERT INTO an upsert table upserts too — V2 and Scala " +
+      "surfaces agree (and keyless refuses on both)") {
+    val schema0 = SparkConv.fromSpark(
+      spark.range(0, 0).selectExpr("id", "CAST(id AS STRING) AS v").schema)
+    val keyId = schema0.findFieldByName("id").get.id
+    val schema = schema0.copy(identifierFieldIds = Seq(keyId))
+    IceTable.create(cat, TableIdentifier.parse("db.pt_upsert_sql"), schema,
+      properties = Map("write.upsert.enabled" -> "true"))
+    spark.sql("INSERT INTO ice.db.pt_upsert_sql " +
+      "SELECT id, CAST(id AS STRING) AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO ice.db.pt_upsert_sql " +
+      "SELECT id, concat('new-', id) AS v FROM range(50, 120)")
+    val out = spark.table("ice.db.pt_upsert_sql")
+    assert(out.count() == 120L, "SQL INSERT on an upsert table must not " +
+      "append duplicate keys")
+    assert(out.groupBy("id").count().filter("count > 1").count() == 0L)
+    assert(out.filter("id = 75 AND v = 'new-75'").count() == 1L)
+    assert(out.filter("id = 10 AND v = '10'").count() == 1L)
+    // parity with the Scala append API: same inputs -> same visible rows
+    // (db.pt_upsert in the previous test ran the identical sequence)
+    val scala0 = IceTable.load(cat, TableIdentifier.parse("db.pt_upsert"))
+      .newScan().toDF(spark)
+    assert(out.orderBy("id").collect().map(_.toString).toSeq ==
+      scala0.orderBy("id").collect().map(_.toString).toSeq,
+      "SQL and Scala upsert surfaces must produce identical table state")
+    // merge-on-read on the SQL surface too
+    val tSql = IceTable.load(cat, TableIdentifier.parse("db.pt_upsert_sql"))
+    assert(tSql.planDeleteEntries(tSql.currentSnapshot.get).nonEmpty)
+
+    // keyless upsert table refuses SQL INSERT exactly like the Scala path
+    IceTable.create(cat, TableIdentifier.parse("db.pt_upsert_sqlnokey"),
+      schema0, properties = Map("write.upsert.enabled" -> "true"))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO ice.db.pt_upsert_sqlnokey " +
+        "SELECT id, CAST(id AS STRING) AS v FROM range(0, 10)")
+    }
+    assert(e.getMessage.contains("identifier"), e.getMessage)
+  }
+
   test("write.upsert.enabled without identifier fields fails loudly") {
     val t = IceTable.create(cat, TableIdentifier.parse("db.pt_upsert_nokey"),
       SparkConv.fromSpark(raw.schema),
@@ -172,7 +230,7 @@ class PropertyTailSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = IceTable.create(cat, TableIdentifier.parse("db.pt_resv2"), schema)
     for (k <- Seq("uuid", "snapshot-count", "current-snapshot-id",
         "current-schema", "default-partition-spec", "default-sort-order",
-        "current-snapshot-summary", "current-snapshot-timestamp",
+        "current-snapshot-summary", "current-snapshot-timestamp-ms",
         "format-version")) {
       val e = intercept[IllegalArgumentException] {
         t.commit(b => b.copy(properties = b.properties + (k -> "x")))
@@ -182,6 +240,36 @@ class PropertyTailSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ordinary properties still commit
     t.commit(b => b.copy(properties = b.properties + ("owner" -> "me")))
     assert(t.properties("owner") == "me")
+
+    // The reference reserves the -ms spelling exactly
+    // (table_properties.h:67-68, table_properties.cc:27-30); the bare
+    // spelling is NOT reserved and must pass as a plain user property.
+    t.commit(b =>
+      b.copy(properties = b.properties + ("current-snapshot-timestamp" -> "1")))
+    assert(t.properties("current-snapshot-timestamp") == "1")
+
+    // encryption.* (table_properties.h:275-276): validated-inert — the
+    // key-id round-trips as a plain property; the DEK length pins to the
+    // AES key sizes and refuses anything else AT COMMIT
+    t.commit(b => b.copy(properties = b.properties ++
+      Map("encryption.key-id" -> "kms://team/table-key",
+        "encryption.data-key-length" -> "32")))
+    assert(t.properties("encryption.key-id") == "kms://team/table-key")
+    assert(TableProperties.get(t.properties,
+      TableProperties.EncryptionDekLength) == 32)
+    val eDek = intercept[IllegalArgumentException] {
+      t.commit(b => b.copy(properties = b.properties +
+        ("encryption.data-key-length" -> "15")))
+    }
+    assert(eDek.getMessage.contains("data-key-length"), eDek.getMessage)
+
+    // SQL TBLPROPERTIES surface refuses the exact reference spelling too
+    spark.sql("CREATE TABLE ice.db.pt_resv_sql (id INT) USING graft")
+    val eSql = intercept[Exception] {
+      spark.sql("ALTER TABLE ice.db.pt_resv_sql SET TBLPROPERTIES " +
+        "('current-snapshot-timestamp-ms' = '1')")
+    }
+    assert(eSql.getMessage.contains("reserved"), eSql.getMessage)
 
     // the REST update path enforces independently of IceTable
     val e2 = intercept[IllegalArgumentException] {
@@ -194,6 +282,11 @@ class PropertyTailSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(RestJson.RemoveProperties(Seq("current-snapshot-id"))))
     }
     assert(e3.getMessage.contains("reserved"))
+    val e4 = intercept[IllegalArgumentException] {
+      RestJson.applyUpdates(t.metadata,
+        Seq(RestJson.SetProperties(Map("current-snapshot-timestamp-ms" -> "1"))))
+    }
+    assert(e4.getMessage.contains("reserved"))
 
     // format-version stays legitimate at CREATE (consumed, not stored)
     val t3 = IceTable.create(cat, TableIdentifier.parse("db.pt_resv3"), schema,

@@ -633,8 +633,12 @@ private[connector] object V1FilterToIce {
 /** Per-split delete work, shipped to the executor. */
 private[graft] final case class GraftDeleteSpec(
     dvs: Seq[(String, Long, Long)], // puffin (path, offset, length)
-    posDeleteFiles: Seq[(String, Long)], // parquet position-delete (path, size)
-    eqDeletes: Seq[(String, Long, Seq[String])]) { // (path, size, key columns)
+    // position-delete (path, size, manifest fileFormat) — the format
+    // travels from the manifest entry so the reader dispatches without
+    // sniffing container magic (which needs a local-FS open and can
+    // short-read); "" = unknown, reader falls back to sniffing
+    posDeleteFiles: Seq[(String, Long, String)],
+    eqDeletes: Seq[(String, Long, Seq[String], String)]) { // (path, size, key cols, format)
   def isEmpty: Boolean = dvs.isEmpty && posDeleteFiles.isEmpty && eqDeletes.isEmpty
   def hasPositional: Boolean = dvs.nonEmpty || posDeleteFiles.nonEmpty
 }
@@ -785,7 +789,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
           e.dataFile.contentSizeInBytes.getOrElse(
             throw new IllegalStateException(s"DV for $p missing content size"))))
       val pq = pqEntries.map(e => (GraftConnectorUtil.normPath(e.dataFile.filePath),
-        e.dataFile.fileSizeInBytes))
+        e.dataFile.fileSizeInBytes, e.dataFile.fileFormat))
       val eqs = eqDeletes.filter(_.sequenceNumber.getOrElse(0L) > t.sequenceForVisibility)
         .map { e =>
           val cols = e.dataFile.equalityIds.flatMap(id =>
@@ -793,7 +797,7 @@ private[connector] final class GraftBatchScan(table: IceTable,
           require(cols.size == e.dataFile.equalityIds.size,
             s"equality delete ${e.dataFile.filePath} references unknown field ids")
           (GraftConnectorUtil.normPath(e.dataFile.filePath),
-            e.dataFile.fileSizeInBytes, cols)
+            e.dataFile.fileSizeInBytes, cols, e.dataFile.fileFormat)
         }
       GraftDeleteSpec(dvs, pq, eqs)
     }
@@ -1443,14 +1447,18 @@ private[connector] object GraftReaderFactory {
   val PosDeleteSchema: StructType = StructType(Seq(
     StructField("file_path", StringType), StructField("pos", LongType)))
 
-  /** True when the file starts with the ORC magic `ORC`. */
+  /** True when the file starts with the ORC magic `ORC` (fallback only —
+    * the split descriptors carry the manifest fileFormat). readFully
+    * loop: a single read() may legitimately short-read. */
   def isOrcFile(path: String): Boolean = {
     val f = new java.io.File(path)
     if (!f.isFile || f.length < 3) return false
-    val in = new java.io.FileInputStream(f)
+    val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
     try {
       val m = new Array[Byte](3)
-      in.read(m) == 3 && m(0) == 'O' && m(1) == 'R' && m(2) == 'C'
+      in.readFully(m)
+      m(0) == 'O' && m(1) == 'R' && m(2) == 'C'
+    } catch { case _: java.io.EOFException => false
     } finally in.close()
   }
 }
@@ -1488,20 +1496,33 @@ private[connector] final case class GraftReaderFactory(
     }
 
   /** Delete-plane file rows: the delete plane may be parquet, avro or
-    * ORC (write.delete.format.default), and the split descriptors carry
-    * only (path, size) — dispatch on the container magic. Avro rows
-    * decode through AvroData and convert to catalyst here (delete files
-    * are tiny schemas: (file_path, pos) or the equality key columns). */
+    * ORC (write.delete.format.default). The split descriptor carries the
+    * manifest entry's fileFormat — dispatch on it directly (container
+    * sniffing needs a java.io open, which breaks on non-local-FS paths);
+    * magic sniffing stays only as the fallback for entries whose format
+    * string is absent/unknown (foreign manifests). Avro rows decode
+    * through AvroData and convert to catalyst here (delete files are
+    * tiny schemas: (file_path, pos) or the equality key columns). */
   private def deleteFileRows(parquetRead: PartitionedFile => Iterator[InternalRow],
       orcRead: PartitionedFile => Iterator[InternalRow],
-      schema: StructType, path: String, size: Long): Iterator[InternalRow] =
-    if (graft.ice.manifest.AvroData.isAvroFile(path)) {
+      schema: StructType, path: String, size: Long,
+      format: String): Iterator[InternalRow] = {
+    def avroRows: Iterator[InternalRow] = {
       val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToCatalystConverter(schema)
       graft.ice.manifest.AvroData.fileRows(path, schema)
         .map(r => conv(r).asInstanceOf[InternalRow])
-    } else if (GraftReaderFactory.isOrcFile(path)) rows(orcRead, pf(path, size))
-    else rows(parquetRead, pf(path, size))
+    }
+    (if (format == null) "" else format.toUpperCase(java.util.Locale.ROOT)) match {
+      case "AVRO" => avroRows
+      case "ORC" => rows(orcRead, pf(path, size))
+      case "PARQUET" => rows(parquetRead, pf(path, size))
+      case _ =>
+        if (graft.ice.manifest.AvroData.isAvroFile(path)) avroRows
+        else if (GraftReaderFactory.isOrcFile(path)) rows(orcRead, pf(path, size))
+        else rows(parquetRead, pf(path, size))
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     // a packed split concatenates its members' iterators — every member
@@ -1531,13 +1552,13 @@ private[connector] final case class GraftReaderFactory(
       }
       if (del.posDeleteFiles.nonEmpty) {
         val me = split.path
-        del.posDeleteFiles.foreach { case (dp, dsize) =>
+        del.posDeleteFiles.foreach { case (dp, dsize, dfmt) =>
           // parsed ONCE per executor JVM and served to every split from
           // the cache — re-reading the whole delete file per data split
           // was O(splits x delete bytes) decompression
           bm.or(DeleteFileCache.positionsFor(dp, dsize, me,
             () => deleteFileRows(readPosDeletes, readPosDeletesOrc,
-              GraftReaderFactory.PosDeleteSchema, dp, dsize)))
+              GraftReaderFactory.PosDeleteSchema, dp, dsize, dfmt)))
         }
       }
       bm
@@ -1550,12 +1571,12 @@ private[connector] final case class GraftReaderFactory(
         val delSchema = eqSchemas(cols)
         // per-file key sets parsed once per executor JVM (cache); the
         // split-level union is cheap set containment over shared sets
-        val keySets = files.map { case (path, size, _) =>
+        val keySets = files.map { case (path, size, _, fmt) =>
           DeleteFileCache.eqKeysFor(path, size, cols, { () =>
             val delProj = UnsafeProjection.create(delSchema.fields.indices.map(i =>
               BoundReference(i, delSchema.fields(i).dataType, nullable = true)))
             deleteFileRows(readEqDeletes(cols), readEqDeletesOrc(cols),
-              delSchema, path, size)
+              delSchema, path, size, fmt)
               .map(r => delProj(r).copy())
           })
         }

@@ -199,8 +199,8 @@ object AvroData {
             seal(); open(); curRoll = roll
           }
           val b = row.getString(boundsIdx)
-          if (lo == null || b < lo) lo = b
-          if (hi == null || b > hi) hi = b
+          if (lo == null || AvroData.utf8Compare(b, lo) < 0) lo = b
+          if (hi == null || AvroData.utf8Compare(b, hi) > 0) hi = b
           val proj = Row.fromSeq(outIdx.toIndexedSeq.map(row.get))
           writer.append(rowToRecord(schema, outFields, proj)); n += 1
         }
@@ -213,14 +213,44 @@ object AvroData {
   /** True when the file starts with the Avro container magic `Obj`
     * — scan paths use this to dispatch delete files whose manifests were
     * written by engines that stamp the format only as a string. */
-  def isAvroFile(path: String): Boolean = {
+  def isAvroFile(path: String): Boolean = isAvroFile0(path)
+
+  /** Unsigned-UTF-8-byte (= code point) string order — the order the
+    * serialized bounds are compared in downstream (bound pruning compares
+    * UTF-8 bytes unsigned). Java's natural String order is UTF-16
+    * code-unit order, which disagrees for supplementary-plane characters
+    * (a path containing U+10000+ would sort BELOW U+E000..U+FFFF chars),
+    * so min/max tracked with `<`/`>` could produce bounds that are not a
+    * true superset of the written values. Surrogate range remaps to
+    * restore code-point order without allocating byte arrays per row. */
+  def utf8Compare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) {
+        def key(c: Char): Int =
+          if (c < 0xD800) c
+          else if (c < 0xE000) c + 0x2000 // surrogates (= supplementary) above BMP
+          else c - 0x800
+        return key(ca) - key(cb)
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def isAvroFile0(path: String): Boolean = {
     val f = new File(path)
     if (!f.isFile || f.length < 4) return false
-    val in = new java.io.FileInputStream(f)
+    // readFully: a single read() may legitimately short-read, which would
+    // misclassify a valid avro container
+    val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
     try {
       val m = new Array[Byte](4)
-      if (in.read(m) != 4) false
-      else m(0) == 'O' && m(1) == 'b' && m(2) == 'j' && m(3) == 1
+      in.readFully(m)
+      m(0) == 'O' && m(1) == 'b' && m(2) == 'j' && m(3) == 1
+    } catch { case _: java.io.EOFException => false
     } finally in.close()
   }
 

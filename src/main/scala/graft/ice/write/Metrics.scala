@@ -150,8 +150,8 @@ object Metrics {
         else {
           val mn = new String(stats.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
           val mx = new String(stats.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
-          if (lo == null || mn < lo) lo = mn
-          if (hi == null || mx > hi) hi = mx
+          if (lo == null || graft.ice.manifest.AvroData.utf8Compare(mn, lo) < 0) lo = mn
+          if (hi == null || graft.ice.manifest.AvroData.utf8Compare(mx, hi) > 0) hi = mx
         }
       }
       if (ok && lo != null)

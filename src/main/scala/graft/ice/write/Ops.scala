@@ -177,10 +177,48 @@ private[ice] object SnapshotProducer {
         // and a higher data sequence, escaping the concurrent delete.
         // The v3 DV path is additionally covered by expectedDVs; v2
         // position and equality deletes are only caught here.
+        // position deletes carry NO column bounds (canContainRows can't
+        // prune), but they DO carry file scope: referenced-data-file or
+        // file_path bounds. Narrow against the data files this
+        // operation's predicate can actually touch in the base snapshot
+        // (the same partition+metrics pruning planners use) — a
+        // concurrent position delete on a provably-disjoint file or
+        // partition must not abort the operation (availability, not
+        // correctness: dropping the prune would only over-abort).
+        lazy val inScopePaths: Set[String] = previous
+          .filter(_.content == ManifestContent.Data)
+          .flatMap { m =>
+            val mSpec = base.specById(m.partitionSpecId)
+              .getOrElse(PartitionSpec.unpartitioned)
+            liveEntries(m).filter { e =>
+              bound.forall { b =>
+                val partExpr = graft.ice.expr.InclusiveProjection.project(b, mSpec)
+                new graft.ice.expr.PartitionTupleEvaluator(mSpec)
+                  .eval(partExpr, e.dataFile.partition) &&
+                  metricsEval.canContainRows(b, e.dataFile)
+              }
+            }.map(e => ManifestAvro.stripFileScheme(e.dataFile.filePath))
+          }.toSet
+        def posDeleteInScope(e: ManifestEntry): Boolean =
+          e.dataFile.referencedDataFile match {
+            case Some(r) => inScopePaths.contains(ManifestAvro.stripFileScheme(r))
+            case None =>
+              (e.dataFile.lowerBounds.get(RowDelete.PathBoundFieldId),
+                e.dataFile.upperBounds.get(RowDelete.PathBoundFieldId)) match {
+                case (Some(lo), Some(hi)) =>
+                  val utf8 = java.nio.charset.StandardCharsets.UTF_8
+                  val l = new String(lo, utf8); val h = new String(hi, utf8)
+                  inScopePaths.exists(p =>
+                    AvroData.utf8Compare(l, p) <= 0 && AvroData.utf8Compare(p, h) <= 0)
+                case _ => true // unscoped: conservative
+              }
+          }
         val conflictingDeletes = previous
           .filter(m => m.content == ManifestContent.Deletes &&
             m.sequenceNumber > plannedSeq)
           .flatMap(conflictsWith)
+          .filter(e => e.dataFile.content != FileContent.PositionDeletes ||
+            posDeleteInScope(e))
         if (conflictingDeletes.nonEmpty)
           throw new graft.ice.meta.RequirementFailedException(
             s"serializable isolation violated: ${conflictingDeletes.size} " +

@@ -135,6 +135,26 @@ class IsolationLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fresh.newScan().toDF(spark).filter("id < 10").count() == 0L)
   }
 
+  test("concurrent POSITION delete on provably-disjoint files does not conflict") {
+    // position deletes carry no column bounds, but they do carry file
+    // scope (file_path bounds / referenced-data-file). A concurrent
+    // position delete whose scoped files are disjoint from every data
+    // file the operation's predicate can touch must NOT abort — the
+    // availability half of serializable isolation.
+    val t1 = freshTable("iso_posok",
+      Map("write.delete.mode" -> "merge-on-read", "format-version" -> "2"))
+    val t2 = IceTable.load(cat, TableIdentifier.parse("db.iso_posok"))
+    // delete ids < 10: scoped by path bounds to the low-id file(s)
+    t2.delete(spark).deleteWherePositional(E.lt("id", Literal.long(10)))
+    // update ids >= 90: metrics confine the scan to the high-id file(s)
+    t1.delete(spark).updateWhere(E.gtEq("id", Literal.long(90)),
+      Map("v" -> "v + 1"))
+    val fresh = IceTable.load(cat, TableIdentifier.parse("db.iso_posok"))
+    assert(fresh.newScan().toDF(spark).count() == 90L)
+    assert(fresh.newScan().toDF(spark).filter("id < 10").count() == 0L)
+    assert(fresh.newScan().toDF(spark).filter("id = 95 AND v = 191").count() == 1L)
+  }
+
   test("concurrent equality delete with provably-disjoint key bounds does not conflict") {
     val t1 = freshTable("iso_eqok",
       Map("write.delete.mode" -> "merge-on-read", "format-version" -> "2"))

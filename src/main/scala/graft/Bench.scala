@@ -149,12 +149,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // host-speed normalizer: the SAME fixed micro-job, min-of-5, recorded
-    // in every artifact — round-over-round comparison can then separate
-    // host drift (sentinel moved too) from code drift (sentinel flat)
-    // numerically instead of by argument. Measured right after warm-up on
-    // a warm JVM, before any timed query.
-    val hostSpeed = (0 until 5).map(_ => sentinel()).min
+    // host-speed normalizer: the SAME fixed micro-job, recorded in every
+    // artifact — round-over-round comparison can then separate host
+    // drift (sentinel moved too) from code drift (sentinel flat)
+    // numerically instead of by argument. MEDIAN of samples SPREAD
+    // ACROSS the sweep, not min-of-5 at warm-up: three r17 artifacts
+    // showed the post-warm-up min reading 1.6-1.7x faster than every
+    // fork child's sentinel (the freshly-warmed parent JVM's best case,
+    // not the state queries actually run in), which silently inflated
+    // every sweep-adjusted ratio. Spread samples see the same JVM ages
+    // the queries do; the median is robust to the odd noisy sample.
+    val sentinelSamples = collection.mutable.ArrayBuffer.empty[Double]
+    (0 until 5).foreach(_ => sentinelSamples += sentinel())
 
     val results = names.zipWithIndex.map { case (name, i) =>
       if (isolate) {
@@ -165,6 +171,9 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = force(name)
       val sec = (System.nanoTime() - t0) / 1e9
+      // sentinel sample OUTSIDE the query timer, every 4th query — ~40
+      // spread samples per full sweep at ~0.1 s each
+      if (i % 4 == 0) sentinelSamples += sentinel()
       if (probe) System.err.println(f"[probe] $name%-28s q=$sec%7.2f sentinel=${sentinel()}%6.3f")
       ok match {
         case Right(_) => name -> sec
@@ -182,6 +191,10 @@ object Bench {
     // "the query is slow" from "the sweep was cold". min-of-N because
     // the isolated number asks "how fast IS this plan", not "how noisy
     // is the host".
+    val hostSpeed = {
+      val sorted = sentinelSamples.sorted
+      sorted(sorted.size / 2)
+    }
     val isoThreshold = sys.env.getOrElse("SPARK_GRAFT_ISO_THRESHOLD_SEC", "5.0").toDouble
     val isoRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ISO_RUNS", "2").toInt)
     // small scale factors have no >threshold query at all, which used to
@@ -398,7 +411,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val belowFloorJson = flagsBelowIsoFloor.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unevidencedJson = flagsUnevidenced.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"queries":$qs,"isolated":$iso,"isolated_host_speed":$isoHs,"ratio_vs_prior_host_adjusted":$ratios,"flags_below_iso_floor":$belowFloorJson,"flags_unevidenced":$unevidencedJson,"sf":"$sfDir"}""")
+    val hsSpread = s"[${sentinelSamples.min},${sentinelSamples.max}]"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","host_speed":$hostSpeed,"host_speed_samples":${sentinelSamples.size},"host_speed_spread":$hsSpread,"queries":$qs,"isolated":$iso,"isolated_host_speed":$isoHs,"ratio_vs_prior_host_adjusted":$ratios,"flags_below_iso_floor":$belowFloorJson,"flags_unevidenced":$unevidencedJson,"sf":"$sfDir"}""")
     // second, compact line: the driver artifact keeps only the output
     // TAIL, which can truncate the head of the full metrics line above —
     // repeat the total + the 10 slowest queries so a parseable summary

@@ -1228,8 +1228,14 @@ object SparkEntry {
     // misses): directed containment |A∩B|/|A| >= 0.8 via asymmetric
     // PPJoin — contained side prefix-filters, container side posts all
     "d9_containment_pairs" -> ((s, dir) =>
+      // SPARK_GRAFT_D9_PASSES forces the posting-join pass count
+      // (0/unset = auto-sized from corpus volume; 1 = classic single
+      // join). The bounded schedule is what gives d9 a fourth-decade
+      // story: sequential hash-range passes, constant spill.
       Dedup.containmentPairs(Tables.scan(s, dir, "documents"),
-        "text", "doc_id", "lang")),
+        "text", "doc_id", "lang",
+        postingPasses = sys.env.get("SPARK_GRAFT_D9_PASSES")
+          .map(_.trim.toInt).getOrElse(0))),
 
     // exact SUBSTRING-level dedup (deduplicate-text-datasets class):
     // maximal spans of 8-token windows occurring in >= 2 distinct docs

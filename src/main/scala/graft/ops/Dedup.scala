@@ -200,9 +200,28 @@ object Dedup {
     * prefix-occupancy × frequency with prefix-occupancy ≈ 0 for hot
     * keys. Verification is exact (array_intersect on the shingle sets).
     * Length filter |B| >= t·|A| is sound and applied. */
+  /** Spill bound (fourth-decade contract): the posting join is the
+    * engine's heaviest shuffle — at sf100 a single-pass join needs
+    * ~60 GB of shuffle/spill disk. `postingPasses` > 1 partitions the
+    * JOIN KEY SPACE into that many hash ranges and joins them
+    * SEQUENTIALLY: the ranked postings are written once to scratch
+    * parquet partitioned by bucket, each pass joins one bucket (shuffle
+    * ~1/passes of the whole), candidate pairs accumulate in scratch, and
+    * an explicit GC between passes lets the ContextCleaner drop the
+    * previous pass's shuffle files. Because the join key determines the
+    * bucket, the union of per-bucket joins is EXACTLY the single-pass
+    * join's row set — the result is bit-equal (spec-pinned), only the
+    * disk high-water changes: O(total/passes) shuffle + the compressed
+    * posting scratch, the shape a 100 TB cluster needs (constant spill,
+    * more passes). `postingPasses = 0` sizes itself from corpus text
+    * volume (~500M postings per pass, the proven sf30 single-pass
+    * level); 1 forces the classic single join. `scratchDir` must be a
+    * shared filesystem on a multi-node cluster (defaults to
+    * SPARK_GRAFT_SCRATCH or java.io.tmpdir — fine for local mode). */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, shingleN: Int = 3,
-      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+      thresholdNum: Int = 4, thresholdDen: Int = 5,
+      postingPasses: Int = 0, scratchDir: Option[String] = None): DataFrame = {
     val sh = shingleSets(df, textCol, idCol, blockCol, shingleN)
     // SPILL DIET: the posting join is the engine's heaviest shuffle (the
     // container side posts EVERY shingle), so posting rows carry the
@@ -230,27 +249,76 @@ object Dedup {
       .withColumn("__rank", row_number().over(
         Window.partitionBy("__id").orderBy(col("__f"), col("__s"))))
       .drop("__f")
-    // contained side: prefix n - ceil(t*n) + 1; container side: all
-    val a = ranked.filter(col("__rank") <=
-      col("__n") - expr(
-        s"(cast(__n as bigint) * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
-      .select(col("__s"), col("__id").as("id_a"),
-        col("__n").as("__na"), col("__rank").as("__pa"))
-    val b = ranked.select(col("__s"), col("__id").as("id_b"),
-      col("__n").as("__nb"), col("__rank").as("__pb"))
+    // contained side: prefix n - ceil(t*n) + 1; container side: all.
     // positional filter: needed overlap alpha = ceil(t*na); a match at
     // (pa, pb) caps achievable overlap at 1 + min(na-pa, nb-pb).
     // Comparisons widen to long POST-join — wide math costs nothing in
     // the shuffle rows.
-    val alpha = expr(
-      s"(cast(__na as bigint) * $thresholdNum + $thresholdDen - 1) div $thresholdDen")
-    val cands = a.join(b, Seq("__s"))
-      .filter(col("id_a") =!= col("id_b"))
-      .filter(col("__nb").cast("long") * thresholdDen >=
-        col("__na").cast("long") * thresholdNum)
-      .filter(lit(1L) + least(col("__na") - col("__pa"),
-        col("__nb") - col("__pb")).cast("long") >= alpha)
-      .select("id_a", "id_b").distinct()
+    def candsOf(r: DataFrame): DataFrame = {
+      val a = r.filter(col("__rank") <=
+        col("__n") - expr(
+          s"(cast(__n as bigint) * $thresholdNum + $thresholdDen - 1) div $thresholdDen") + 1)
+        .select(col("__s"), col("__id").as("id_a"),
+          col("__n").as("__na"), col("__rank").as("__pa"))
+      val b = r.select(col("__s"), col("__id").as("id_b"),
+        col("__n").as("__nb"), col("__rank").as("__pb"))
+      val alpha = expr(
+        s"(cast(__na as bigint) * $thresholdNum + $thresholdDen - 1) div $thresholdDen")
+      a.join(b, Seq("__s"))
+        .filter(col("id_a") =!= col("id_b"))
+        .filter(col("__nb").cast("long") * thresholdDen >=
+          col("__na").cast("long") * thresholdNum)
+        .filter(lit(1L) + least(col("__na") - col("__pa"),
+          col("__nb") - col("__pb")).cast("long") >= alpha)
+        .select("id_a", "id_b")
+    }
+    val spark = df.sparkSession
+    val passes =
+      if (postingPasses > 0) postingPasses
+      else {
+        // auto-size from corpus text volume: shingle count ~ whitespace
+        // token count ~ bytes/6; ~500M postings per pass is the spill
+        // level the sf30 single-pass join has repeatedly proven. One
+        // column-pruned scan — trivial next to the join it sizes.
+        val bytes = Option(df.agg(sum(length(col(textCol)))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        math.min(64L, math.max(1L, (bytes / 6) / 500000000L + 1)).toInt
+      }
+    val cands =
+      if (passes <= 1) candsOf(ranked).distinct()
+      else {
+        val scratchRoot = scratchDir
+          .orElse(sys.env.get("SPARK_GRAFT_SCRATCH"))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+        val scratch = new java.io.File(scratchRoot,
+          s"graft-d9-${java.util.UUID.randomUUID()}")
+        val postingsDir = new java.io.File(scratch, "postings").toString
+        val candsDir = new java.io.File(scratch, "cands").toString
+        // materialize ranked postings ONCE, partitioned by join-key
+        // bucket — each pass reads only its bucket directory (zstd
+        // parquet: ~20 B/posting vs ~32 B in shuffle)
+        ranked.withColumn("__bk", pmod(col("__s"), lit(passes)))
+          .write.option("compression", "zstd")
+          .partitionBy("__bk").parquet(postingsDir)
+        (0 until passes).foreach { k =>
+          candsOf(spark.read.parquet(postingsDir).filter(col("__bk") === k)
+              .drop("__bk"))
+            .write.option("compression", "zstd")
+            .mode("append").parquet(candsDir)
+          // drop the pass's shuffle files before the next pass starts —
+          // the disk bound IS the point of the sequential schedule
+          System.gc()
+        }
+        // the posting scratch (the big half) is consumed — free it now;
+        // the small candidate parquet must outlive this call (the
+        // returned plan reads it lazily), so it dies with the JVM
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(postingsDir))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => rm(scratch)))
+        spark.read.parquet(candsDir).distinct()
+      }
     verifyContainmentPairs(cands, sh, thresholdNum, thresholdDen)
   }
 

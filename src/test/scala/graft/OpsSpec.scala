@@ -842,6 +842,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jac.count() == 0)
   }
 
+  test("bounded-spill containment (sequential hash-range passes) is " +
+      "bit-equal to the single-pass join") {
+    // the join key determines the bucket, so the union of per-bucket
+    // joins is exactly the single join's row set — pin it on real data
+    // (sf0.01 documents: ~600 docs, non-trivial pair structure)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def run(passes: Int) =
+      Dedup.containmentPairs(docs, "text", "doc_id", "lang",
+        postingPasses = passes)
+        .collect().map(_.toString).sorted.toSeq
+    val single = run(1)
+    val bounded = run(4)
+    assert(single.nonEmpty, "fixture must produce containment pairs")
+    assert(bounded == single,
+      s"4-pass result diverged: ${bounded.size} vs ${single.size} pairs")
+  }
+
   test("repetition metrics match hand-computed values") {
     import spark.implicits._
     // "a b a b a": 5 tokens, 2 distinct -> dup 0.6; bigrams

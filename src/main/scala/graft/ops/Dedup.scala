@@ -282,7 +282,8 @@ object Dedup {
         // column-pruned scan — trivial next to the join it sizes.
         val bytes = Option(df.agg(sum(length(col(textCol)))).head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        math.min(64L, math.max(1L, (bytes / 6) / 500000000L + 1)).toInt
+        val est = bytes / 6
+        math.min(64L, math.max(1L, (est + 599999999L) / 600000000L)).toInt
       }
     val cands =
       if (passes <= 1) candsOf(ranked).distinct()

@@ -141,6 +141,46 @@ class PropertyTailSpec extends AnyFunSuite with BeforeAndAfterAll {
       "planning results must be bit-equal across metadata split targets")
   }
 
+  test("metadata byte-binning makes the many-manifest plane plan faster " +
+      "than one task per manifest (bit-equal plans)") {
+    // 400 one-entry manifests (merge disabled): the commit-heavy table
+    // shape where metadata-plane task overhead dominates planning.
+    val nCommits = 400
+    val regionPath = "/root/testdata/sf0.001/region.parquet"
+    val t = IceTable.create(cat, TableIdentifier.parse("db.pt_metabin"),
+      SparkConv.fromSpark(spark.read.parquet(regionPath).schema),
+      properties = Map(
+        "commit.manifest-merge.enabled" -> "false",
+        "read.data-planning-mode" -> "distributed"))
+    (0 until nCommits).foreach(_ => t.append(spark).addFiles(Seq(regionPath)))
+
+    def planPaths(): Seq[String] = t.newScan().planFiles().map(_.file.filePath)
+    def timeIt(): Double = {
+      val t0 = System.nanoTime(); planPaths(); (System.nanoTime() - t0) / 1e9
+    }
+    def minOf3(): Double = (0 until 3).map(_ => timeIt()).min
+
+    // per-manifest tasks: target=1 byte -> every manifest rides alone
+    t.commit(b => b.copy(properties =
+      b.properties + ("read.split.metadata-target-size" -> "1")))
+    val plansSolo = planPaths()
+    val solo = minOf3()
+    // binned (default 32 MiB target, slot-adaptive): tasks ~ cores
+    t.commit(b => b.copy(properties =
+      b.properties - "read.split.metadata-target-size"))
+    val plansBinned = planPaths()
+    val binned = minOf3()
+
+    assert(plansBinned.sorted == plansSolo.sorted,
+      "binning must never change WHAT is planned")
+    assert(plansBinned.size == nCommits)
+    info(f"metadata plane: $nCommits manifests, per-manifest $solo%.2f s, " +
+      f"binned $binned%.2f s (${solo / binned}%.1fx)")
+    assert(binned < solo,
+      f"byte-binned planning ($binned%.2f s) must beat one task per " +
+        f"manifest ($solo%.2f s) at $nCommits manifests")
+  }
+
   // ---- write.upsert.enabled ----
 
   test("write.upsert.enabled routes appends through keyed MoR upsert") {

@@ -152,4 +152,24 @@ class AvroDataSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back(1).getDate(1) == java.sql.Date.valueOf("1999-12-31"))
     assert(back(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3))
   }
+
+  test("utf8Compare orders like unsigned UTF-8 bytes (supplementary plane)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def byteOrder(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+    // the divergence case: Java String order puts U+10000+ (surrogate
+    // pairs, 0xD800-range units) BELOW U+E000..U+FFFF; UTF-8 byte order
+    // puts them above
+    val supp = new String(Character.toChars(0x10400)) // U+10400
+    val bmpHigh = "�"                            // U+FFFD
+    assert(supp.compareTo(bmpHigh) < 0, "sanity: UTF-16 order disagrees")
+    val cases = Seq(
+      ("a", "b"), ("abc", "abd"), ("abc", "abcd"), ("", "a"),
+      (supp, bmpHigh), (bmpHigh, supp), (s"p/$supp", s"p/$bmpHigh"),
+      ("", supp), (supp, supp), ("café", "cafe"), ("ÿ", "Ā"))
+    cases.foreach { case (a, b) =>
+      assert(Integer.signum(graft.ice.manifest.AvroData.utf8Compare(a, b)) ==
+        Integer.signum(byteOrder(a, b)), s"order('$a','$b')")
+    }
+  }
 }

@@ -16,11 +16,24 @@ object Prof {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PROF_WIPE_SIDECARS=1: recompute snapshot sidecars every
+    // run (matches the bench's timed-producer semantics)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+      f.delete(); ()
+    }
     for (name <- names; r <- 1 to runs) {
-      val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      println(f"$name run $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (sys.env.get("SPARK_GRAFT_PROF_WIPE_SIDECARS").contains("1"))
+        rmrf(new java.io.File(graft.Tables.warehouseDir(sfDir), "_sidecars"))
+      val (res, scope) = graft.ops.Caches.scoped {
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      scope.release()
+      graft.ops.Caches.release()
+      println(f"$name run $r: $res%.2f s")
     }
     spark.stop()
   }

@@ -382,7 +382,7 @@ object Dedup {
       substringSpansCompute(df, textCol, idCol, windowTokens, minDocs)
     }
 
-  private def substringSpansCompute(df: DataFrame, textCol: String,
+  private[graft] def substringSpansCompute(df: DataFrame, textCol: String,
       idCol: String, windowTokens: Int, minDocs: Int): DataFrame = {
     require(windowTokens >= 1 && minDocs >= 2,
       s"need windowTokens >= 1 and minDocs >= 2, got $windowTokens/$minDocs")
@@ -391,6 +391,43 @@ object Dedup {
     // (TextExprs.windowHashes) computes every window's 64-bit hash in
     // ONE compiled pass over a single joined token buffer (no per-window
     // string allocation, no interpreted HOF); array index = position
+    val wins = Par.ensure(df.select(col(idCol).as("__id"),
+        TextExprs.windowHashes(col(textCol), W).as("__hs")))
+      .select(col("__id"), posexplode(col("__hs")))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__h")
+    val flagged = wins.groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("__h")
+    // per-doc interval merge (the r18 rewrite): each flagged hit at
+    // position p covers tokens [p, p+W-1]; collecting the HIT positions
+    // per doc and merging the W-wide intervals in one compiled pass
+    // (TextExprs.mergeSpans) yields exactly the islands the previous
+    // explode(sequence W) + distinct + row_number-window formulation
+    // produced — the union of overlapping/adjacent intervals IS the set
+    // of maximal consecutive covered runs, and a run's token count is
+    // its length. Shuffle diet: the one exchange carries hit positions
+    // (1/W of the exploded covered-position volume) and the
+    // corpus-wide distinct + per-doc window sort are gone entirely
+    // (plan: 4 Exchanges -> 2 on the span path; bit-equality with the
+    // window formulation pinned in OpsSpec).
+    val hits = wins.join(flagged, Seq("__h"))
+    hits.groupBy(col("__id"))
+      .agg(collect_list(col("__p")).as("__ps"))
+      .select(col("__id"),
+        explode(TextExprs.mergeSpans(col("__ps"), W)).as("__sp"))
+      .select(col("__id").as(idCol),
+        col("__sp.span_start").as("span_start"),
+        col("__sp.span_end").as("span_end"),
+        col("__sp.span_tokens").as("span_tokens"))
+  }
+
+  /** The explode + distinct + window reference formulation of the span
+    * merge — kept as the bit-equality oracle for the interval-merge
+    * kernel (pinned in OpsSpec). */
+  private[graft] def substringSpansWindowForm(df: DataFrame, textCol: String,
+      idCol: String, windowTokens: Int, minDocs: Int): DataFrame = {
+    val W = windowTokens
     val wins = Par.ensure(df.select(col(idCol).as("__id"),
         TextExprs.windowHashes(col(textCol), W).as("__hs")))
       .select(col("__id"), posexplode(col("__hs")))
@@ -668,9 +705,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash: per-token hash votes on each bit; the sign of the
-    * vote sum sets the bit. One explode + one groupBy; the 64 bit-sums
-    * ride a single shuffle. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * vote sum sets the bit. MAP-ONLY via the codegen kernel
+    * (TextExprs.simhash): the whole vote tally runs within the row — the
+    * previous explode + 64-conditional-sums groupBy shuffled every
+    * token's hash and burned 64 CASE evaluations per token (the r18
+    * rewrite; bit-equality with that agg formulation pinned in OpsSpec).
+    * Token-less docs yield null and are filtered, matching the agg
+    * formulation's empty group. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    // the token-less filter tests the TEXT, not the kernel result: a
+    // doc tokenizes to nothing iff it has no \w character (lower()
+    // preserves \w-ness — \w is ASCII and case-closed), and filtering on
+    // isNotNull(simhash) would be pushed below the projection and
+    // evaluate the kernel TWICE per row (guide §4.4's duplicate-eval)
+    ensureParallelism(df)
+      .where(col(textCol).rlike("\\w"))
+      .select(col(idCol), TextExprs.simhash(col(textCol)).as("simhash"))
+
+  /** The explode + groupBy reference formulation of [[simhash]] — kept
+    * as the bit-equality oracle for the kernel (pinned in OpsSpec). */
+  private[graft] def simhashAgg(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = ensureParallelism(
       df.select(col(idCol), tokens(col(textCol)).as("__toks")))
       .select(col(idCol), explode(col("__toks")).as("tok"))

@@ -263,13 +263,16 @@ object TextAnalysis {
       broadcastMinCount: Long = 1L,
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
     val df = Par.ensure(df0)
-    val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-    val bg = toks.filter(col("__n") >= 2)
-      .select(col(idCol), explode(zip_with(
-        slice(col("__toks"), lit(1), (col("__n") - 1).cast("int")),
-        slice(col("__toks"), lit(2), (col("__n") - 1).cast("int")),
-        (a, b) => struct(a.as("a"), concat_ws(" ", a, b).as("b")))).as("__p"))
+    // bigram construction via the compiled kernel (TextExprs.bigrams):
+    // one pass per row emitting (left token, joined bigram) structs —
+    // the zip_with(slice, slice, concat_ws) HOF chain this replaces
+    // evaluates INTERPRETED per element and runs twice per query (the
+    // count aggregation and the scoring join both consume `bg`). Same
+    // rows in the same order (string-equal keys; r18 rewrite, parity
+    // pinned in OpsSpec); docs under two tokens yield an empty array,
+    // matching the previous __n >= 2 filter.
+    val bg = df.select(col(idCol),
+        explode(TextExprs.bigrams(col(textCol))).as("__p"))
       .select(col(idCol), col("__p.a").as("__a"), col("__p.b").as("__b"))
     // ONE corpus-sized aggregation: bigram counts, with context counts
     // DERIVED from them (c(a .) = sum_b c(a b)) — the naive formulation
@@ -350,8 +353,15 @@ object TextAnalysis {
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
     val df = Par.ensure(df0)
     val nDocs = df.count()
-    val tf = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
-      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("tf"))
+    // per-doc term frequencies via the compiled kernel
+    // (TextExprs.tokenCounts): in-doc counts are a per-row computation,
+    // so the previous explode + groupBy(doc, term) shuffled every token
+    // OCCURRENCE for counts the map side already knew (the r18 rewrite;
+    // exact-integer parity with the groupBy form pinned in OpsSpec —
+    // the corpus-sized exchange on (doc, term) is gone from the plan)
+    val tf = df.select(col(idCol),
+        explode(TextExprs.tokenCounts(col(textCol))).as("__tc"))
+      .select(col(idCol), col("__tc.t").as("__t"), col("__tc.c").as("tf"))
     // persist: vocabulary-sized — the broadcast-sizing count() below is
     // an action, and an uncached dfreq re-ran the corpus explode + two
     // groupBys for the scoring join (mirrors bigramNll's pairCounts)

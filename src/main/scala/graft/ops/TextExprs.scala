@@ -173,6 +173,118 @@ object TextHashUtil {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash computed entirely within the row — the map-only form
+    * of the explode + 64-conditional-sums groupBy (Dedup.simhash's agg
+    * formulation): per token OCCURRENCE, hash h = xxhash64(token)
+    * (seed 42, UTF-8 bytes — Spark's xxhash64(col) exactly); bit b of h
+    * votes +1/-1 on counter b; output bit b is set iff its vote sum is
+    * positive. votes_b = 2*ones_b - n, so votes_b > 0 ⟺ 2*ones_b > n.
+    * Returns null for token-less documents (the agg formulation emits no
+    * group for them — callers filter nulls to keep the row set equal). */
+  def simhash(text: UTF8String): Any = {
+    val toks = tokens(text)
+    val n = toks.length
+    if (n == 0) return null
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val bytes = toks(i).getBytes(StandardCharsets.UTF_8)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      var b = 0
+      while (b < 64) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * ones(b) > n) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  /** Merge sorted/unsorted hit positions into maximal covered spans —
+    * the per-document reduction of substring dedup's flagged postings:
+    * each hit position p covers tokens [p, p+w-1]; overlapping or
+    * adjacent windows merge (next start <= current end + 1). Exactly the
+    * islands the explode(sequence)+distinct+row_number formulation
+    * produces: the union of the w-wide intervals is a set of maximal
+    * consecutive-position runs, and each run's token count is its length.
+    * Input positions are distinct by construction (one posting per
+    * window position); the kernel sorts, so input order is free. */
+  def mergeSpans(positions: ArrayData, w: Int): ArrayData = {
+    val n = positions.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](0))
+    val ps = new Array[Int](n)
+    var i = 0
+    while (i < n) { ps(i) = positions.getInt(i); i += 1 }
+    java.util.Arrays.sort(ps)
+    val out = new java.util.ArrayList[Any](8)
+    var start = ps(0).toLong
+    var end = ps(0).toLong + (w - 1)
+    i = 1
+    while (i < n) {
+      val p = ps(i).toLong
+      if (p <= end + 1) { val e = p + (w - 1); if (e > end) end = e }
+      else {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](start, end, end - start + 1)))
+        start = p; end = p + (w - 1)
+      }
+      i += 1
+    }
+    out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](start, end, end - start + 1)))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Per-document token occurrence counts — array<struct<t,c>> with one
+    * entry per DISTINCT token (first-seen order): the map-only form of
+    * explode + groupBy(doc, token).count(). Counts are exact integers,
+    * so downstream arithmetic is bit-equal with the shuffle form. */
+  def tokenCounts(text: UTF8String): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length == 0) return new GenericArrayData(new Array[Any](0))
+    val counts = new java.util.LinkedHashMap[String, Long](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, java.lang.Long.sum)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Token bigram pairs in document order — array<struct<a, b>> with
+    * a = left token, b = the space-joined bigram string (the x15 join
+    * keys), one entry per OCCURRENCE: the compiled form of the
+    * interpreted zip_with(slice, slice, concat_ws) HOF chain. Documents
+    * with fewer than two tokens yield an empty array (explode drops
+    * them, matching the n >= 2 filter of the HOF form). */
+  def bigrams(text: UTF8String): ArrayData = {
+    val toks = tokens(text)
+    val n = toks.length
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(toks(i)),
+          UTF8String.fromString(toks(i) + " " + toks(i + 1))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document repetition stats in ONE pass — (n_tokens,
     * dup_token_ratio, top_bigram_frac) as a struct row. Replaces a
     * per-doc bigram explode + two doc-keyed shuffles with a map-only
@@ -396,6 +508,138 @@ object TextExprs {
     column(WindowHashesExpr(expression(text), w))
   def repetitionStats(text: Column): Column =
     column(RepetitionStatsExpr(expression(text)))
+  def simhash(text: Column): Column = column(SimhashExpr(expression(text)))
+  def mergeSpans(positions: Column, w: Int): Column =
+    column(MergeSpansExpr(expression(positions), w))
+  def tokenCounts(text: Column): Column =
+    column(TokenCountsExpr(expression(text)))
+  def bigrams(text: Column): Column = column(BigramsExpr(expression(text)))
+}
+
+/** long 64-bit simhash, computed entirely within the row — null for
+  * token-less documents (parity with the agg formulation's missing
+  * group; see TextHashUtil.simhash). */
+final case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // token-less docs yield null
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.simhash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    // freshName: the expression can appear several times in one codegen
+    // function (a pushed-down null filter plus the projection) — a fixed
+    // local name would collide and break the whole stage's compile
+    val sh = ctx.freshName("simhash")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $sh = (java.lang.Long) $util.simhash($c);
+      if ($sh == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $sh.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
+/** array<struct<span_start,span_end,span_tokens>> of maximal covered
+  * spans from w-wide window hit positions (see TextHashUtil.mergeSpans). */
+final case class MergeSpansExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = MergeSpansExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "merge_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"merge_spans needs array<int>, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.mergeSpans(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$util.mergeSpans($c, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergeSpansExpr =
+    copy(child = newChild)
+}
+
+object MergeSpansExpr {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("span_start", LongType, nullable = false),
+    StructField("span_end", LongType, nullable = false),
+    StructField("span_tokens", LongType, nullable = false))), containsNull = false)
+}
+
+/** array<struct<t,c>> per-document distinct-token occurrence counts
+  * (see TextHashUtil.tokenCounts). */
+final case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TokenCountsExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_counts needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.tokenCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$util.tokenCounts($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
+    copy(child = newChild)
+}
+
+object TokenCountsExpr {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+}
+
+/** array<struct<a,b>> token bigrams in document order, b = the joined
+  * bigram string (see TextHashUtil.bigrams). */
+final case class BigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BigramsExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_bigrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_bigrams needs string, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashUtil.bigrams(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = TextHashUtil.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$util.bigrams($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramsExpr =
+    copy(child = newChild)
+}
+
+object BigramsExpr {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false))), containsNull = false)
 }
 
 /** struct(n_tokens, dup_token_ratio, top_bigram_frac) computed per row

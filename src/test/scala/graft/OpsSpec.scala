@@ -804,6 +804,91 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.linesIterator.exists(l => l.contains("lang_id") && l.contains("*(")), plan)
   }
 
+  test("codegen simhash kernel is bit-exact with the agg formulation") {
+    import spark.implicits._
+    val kernel = Dedup.simhash(docs, "text", "doc_id")
+    val agg = Dedup.simhashAgg(docs, "text", "doc_id")
+    val diff = kernel.withColumnRenamed("simhash", "k")
+      .join(agg.withColumnRenamed("simhash", "g"), Seq("doc_id"), "full_outer")
+      .filter(!(col("k") <=> col("g")))
+      .limit(5).collect()
+    assert(diff.isEmpty, diff.map(_.toString).mkString("; "))
+    // edge cases: empty / punctuation-only (no tokens -> NO row, both
+    // forms), single token, repeated tokens, unicode
+    val edge = Seq((1L, ""), (2L, "!!! ???"), (3L, "one"),
+      (4L, "x x x x"), (5L, "héllo wörld"), (6L, "Tabs\tand\nnewlines"))
+      .toDF("doc_id", "text")
+    val ek = Dedup.simhash(edge, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val ea = Dedup.simhashAgg(edge, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(ek == ea, s"$ek vs $ea")
+    assert(ek.map(_._1) == Seq(3L, 4L, 5L, 6L)) // token-less docs drop
+    // map-only: no aggregation exchange (Par.ensure's round-robin
+    // parallelism guard is the only allowed one), no Window, no Generate
+    val plan = kernel.queryExecution.executedPlan.toString
+    assert(!plan.contains("ENSURE_REQUIREMENTS") && !plan.contains("Window") &&
+      !plan.contains("Generate") && !plan.contains("HashAggregate"), plan)
+    // and the kernel compiles into a whole-stage-codegen span
+    val executed = { kernel.collect(); kernel.queryExecution.executedPlan.toString }
+    assert(executed.linesIterator.exists(l => l.contains("simhash") && l.contains("*(")),
+      executed)
+  }
+
+  test("substring span interval-merge is bit-exact with the window formulation") {
+    val merged = Dedup.substringSpansCompute(docs, "text", "doc_id", 8, 2)
+    val windowed = Dedup.substringSpansWindowForm(docs, "text", "doc_id", 8, 2)
+    assert(merged.except(windowed).count() == 0 &&
+      windowed.except(merged).count() == 0)
+    assert(merged.count() == windowed.count()) // multiset equal: keys unique per (doc, start)
+    // engineered overlaps: W=3, adjacent/overlapping/disjoint hits
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a b c d e f g h i j"), // full doc flagged vs doc 2 prefix
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s a b c d q q z z2 z3 a b c d"), // two islands, one shared run
+      (4L, "a b c d q q q q q q a b c d")).toDF("doc_id", "text")
+    val m = Dedup.substringSpansCompute(crafted, "text", "doc_id", 3, 2)
+    val w = Dedup.substringSpansWindowForm(crafted, "text", "doc_id", 3, 2)
+    assert(m.except(w).count() == 0 && w.except(m).count() == 0 &&
+      m.count() == w.count())
+  }
+
+  test("codegen token-counts kernel equals explode + groupBy counts") {
+    val kernel = docs.select(col("doc_id"),
+        explode(TextExprs.tokenCounts(col("text"))).as("__tc"))
+      .select(col("doc_id"), col("__tc.t").as("t"), col("__tc.c").as("c"))
+    val shuffled = docs.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    assert(kernel.except(shuffled).count() == 0 &&
+      shuffled.except(kernel).count() == 0)
+    assert(kernel.count() == shuffled.count())
+  }
+
+  test("codegen bigram kernel equals the zip_with HOF formulation") {
+    import spark.implicits._
+    val kernel = docs.select(col("doc_id"),
+        explode(TextExprs.bigrams(col("text"))).as("__p"))
+      .select(col("doc_id"), col("__p.a").as("a"), col("__p.b").as("b"))
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val hof = toks.filter(col("__n") >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__toks"), lit(1), (col("__n") - 1).cast("int")),
+        slice(col("__toks"), lit(2), (col("__n") - 1).cast("int")),
+        (a, b) => struct(a.as("a"), concat_ws(" ", a, b).as("b")))).as("__p"))
+      .select(col("doc_id"), col("__p.a").as("a"), col("__p.b").as("b"))
+    // multiset equality: same pairs AND same occurrence counts
+    val kc = kernel.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n"))
+    val hc = hof.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n"))
+    assert(kc.except(hc).count() == 0 && hc.except(kc).count() == 0)
+    // edge: 0/1-token docs yield nothing in both forms
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "two words")).toDF("doc_id", "text")
+    assert(edge.select(col("doc_id"),
+      explode(TextExprs.bigrams(col("text")))).count() == 1)
+  }
+
   test("language ID classifies real multilingual text correctly") {
     import spark.implicits._
     // NOTE: the testdata documents' `lang` column is a synthetic label —

@@ -39,6 +39,16 @@ object SparkEntry {
     * Shared by the artifact's producer AND consumers — d7/d8/d11 all
     * name "d7_pairs", d12/d13 name "d12_spans" — which is what turns
     * per-query recomputation into one computation per snapshot. */
+  /** Scan-split count of the events fixture — the input-volume signal
+    * the stateful streaming queries size their state-store partition
+    * count from (StreamOps.withInputSizedShuffle). Listing-only: no job
+    * runs. */
+  private def eventsInputParts(s: SparkSession, dir: String,
+      batchSchema: org.apache.spark.sql.types.StructType): Int =
+    s.read.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .rdd.getNumPartitions
+
   private def docsSidecar(s: SparkSession, dir: String,
       artifact: String): (Option[String], Option[String]) = {
     val t = Tables.ice(s, dir, "documents")
@@ -1593,8 +1603,15 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .transform(Events.normalizeTs)
       val counts = graft.streaming.StreamOps.hourlyCounts(stream)
-      graft.streaming.StreamOps.runToParquet(s, counts,
-        org.apache.spark.sql.streaming.OutputMode.Complete())
+      // state stores are instantiated per shuffle partition: size the
+      // stateful aggregation's partitions from the input's split count
+      // (see StreamOps.withInputSizedShuffle; same lever as the
+      // interval join) — grows with data, capped by the session default
+      graft.streaming.StreamOps.withInputSizedShuffle(s,
+        eventsInputParts(s, dir, batchSchema)) {
+        graft.streaming.StreamOps.runToParquet(s, counts,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
         .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
           col("event_type"), col("n"),
           round(col("total_value"), 2).as("total_value"))
@@ -1620,7 +1637,11 @@ object SparkEntry {
       // dedup state and the sink only ever need these
       val deduped = graft.streaming.StreamOps.streamingDedup(
         stream.select("ts", "user_id", "event_type"), Seq("user_id", "event_type"))
-      graft.streaming.StreamOps.runToParquet(s, deduped)
+      // input-sized state partitions (see StreamOps.withInputSizedShuffle)
+      graft.streaming.StreamOps.withInputSizedShuffle(s,
+        eventsInputParts(s, dir, batchSchema)) {
+        graft.streaming.StreamOps.runToParquet(s, deduped)
+      }
         .agg(count(lit(1)).as("n_keys"))
     }),
 
@@ -1747,15 +1768,10 @@ object SparkEntry {
       // size the join's shuffle from the INPUT's split count (grows with
       // data volume), capped by the session default so a cluster-sized
       // session is never narrowed below what the operator configured
-      val inputParts = s.read.schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .rdd.getNumPartitions
-      val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val joinParts = math.max(1, math.min(inputParts, sessionParts))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", joinParts.toString)
-      try graft.streaming.StreamOps.runToParquet(s, joined)
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      graft.streaming.StreamOps.withInputSizedShuffle(s,
+        eventsInputParts(s, dir, batchSchema)) {
+        graft.streaming.StreamOps.runToParquet(s, joined)
+      }
     }),
 
     // custom per-key state (mapGroupsWithState): the handler's FINAL
@@ -1771,8 +1787,12 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[graft.streaming.StreamOps.Event]
       val updates = graft.streaming.StreamOps.sessionizeWithState(stream, 30)
-      val mem = graft.streaming.StreamOps.runToParquet(s, updates.toDF(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
+      // input-sized state partitions (see StreamOps.withInputSizedShuffle)
+      val mem = graft.streaming.StreamOps.withInputSizedShuffle(s,
+        eventsInputParts(s, dir, batchSchema)) {
+        graft.streaming.StreamOps.runToParquet(s, updates.toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
       // multiple micro-batches can emit several updates per user: keep the
       // final state (latest session start, most events)
       val w = Window.partitionBy("user_id")
@@ -1800,6 +1820,10 @@ object SparkEntry {
         .select(col("user_id"),
           col("session_window.start").cast("timestamp_ntz").as("session_start"),
           col("n_events"), col("total_value_cents"))
+      // deliberately NOT input-sized (unlike st_dedup/st_hourly/st_mgws):
+      // session_window merges state per EVENT, so its work is data-sized
+      // — pinning it to a small input's split count serializes that work
+      // (measured at sf1 warm: 6.0 s sized vs 3.6 s at session default)
       graft.streaming.StreamOps.runToParquet(s, sessions,
         org.apache.spark.sql.streaming.OutputMode.Complete())
     }),

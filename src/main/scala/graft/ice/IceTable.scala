@@ -199,7 +199,19 @@ final class IceTable private (
     * rewrites, z-order) preserve table content by contract and emit
     * nothing. */
   def planChanges(spark: SparkSession, fromSnapshotId: Long,
-      toSnapshotId: Long): DataFrame = {
+      toSnapshotId: Long): DataFrame =
+    planChanges(spark, fromSnapshotId, toSnapshotId, cancelPerCommit = true)
+
+  /** `cancelPerCommit = false` skips the PER-COMMIT carry-over
+    * cancelation (one full-width groupBy per CoW commit) — sound ONLY
+    * for consumers that apply a range-wide multiset cancelation
+    * afterwards ([[planNetChanges]]): removing a same-content
+    * (+1 insert, −1 delete) pair never changes any content group's net
+    * sum, so net(changes without per-commit cancel) ≡ net(changes with
+    * it) — the r18 rewrite drops commitCount−1 exchanges from the
+    * net-changes plan (equivalence pinned in WriteOpsSpec). */
+  private[ice] def planChanges(spark: SparkSession, fromSnapshotId: Long,
+      toSnapshotId: Long, cancelPerCommit: Boolean): DataFrame = {
     val chain = Iterator.iterate(meta.snapshotById(toSnapshotId))(
       _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
       .takeWhile(s => s.isDefined && !s.exists(_.snapshotId == fromSnapshotId))
@@ -350,8 +362,8 @@ final class IceTable private (
           if (cowDel.isEmpty)
             (ins.toSeq ++ morDel.toSeq).reduceOption(_ unionByName _)
           else {
-            val cow = cancelCarryovers(
-              (ins.toSeq ++ cowDel.toSeq).reduce(_ unionByName _))
+            val raw = (ins.toSeq ++ cowDel.toSeq).reduce(_ unionByName _)
+            val cow = if (cancelPerCommit) cancelCarryovers(raw) else raw
             Some((Seq(cow) ++ morDel.toSeq).reduce(_ unionByName _))
           }
         // _change_ordinal: the commit's position within the requested
@@ -375,8 +387,12 @@ final class IceTable private (
     * range's churn, not the table). */
   def planNetChanges(spark: SparkSession, fromSnapshotId: Long,
       toSnapshotId: Long): DataFrame =
+    // cancelPerCommit = false: the range-wide cancelation below subsumes
+    // every per-commit cancelation (see planChanges doc) — the same net
+    // multiset from commitCount−1 fewer full-width aggregations
     cancelCarryovers(
-      planChanges(spark, fromSnapshotId, toSnapshotId)
+      planChanges(spark, fromSnapshotId, toSnapshotId,
+        cancelPerCommit = sys.env.contains("SPARK_GRAFT_CDC_PERCOMMIT"))
         .drop("_commit_snapshot_id", "_change_ordinal"))
 
   /** Changelog view with UPDATE pairing (the Iceberg

@@ -23,12 +23,56 @@ object Dedup {
     df.groupBy(xxhash64(col(textCol)).as("text_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Rows that survive exact dedup (the pipeline-facing shape). */
-  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+  /** Rows that survive exact dedup (the pipeline-facing shape): a
+    * min-id-per-hash window. The exchange is NOT a full-row shuffle in
+    * practice — Catalyst prunes the window's input to the columns the
+    * consumer actually uses, so an ids-only consumer (d6) shuffles
+    * 16-byte rows here already.
+    *
+    * An alternative broadcast-anti-join formulation
+    * ([[exactSurvivorsAntiJoin]]: decide losers on a (hash, id)
+    * projection, anti-join them back, never shuffle the corpus) was
+    * built and measured in round 18 and is KEPT only as an env-
+    * selectable variant (`SPARK_GRAFT_EXACT_SURVIVORS=anti`): at sf1
+    * warm it lost at every call site (d6 0.78 vs 0.58 s, pipe_corpus
+    * 3.89 vs 1.64 s, pipe_corpus_full 6.25 vs 4.69 s) because it scans
+    * the input twice — and in the pipelines the input is a filtered
+    * projection whose quality gate (a regex tokenize) re-runs on the
+    * second scan, costing more than the pruned one-pass shuffle saves.
+    * Bit-equality of the two forms is pinned in OpsSpec. */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_EXACT_SURVIVORS").contains("anti"))
+      exactSurvivorsAntiJoin(df, textCol, idCol)
+    else {
+      val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+
+  /** The measured-and-rejected broadcast-anti-join formulation of
+    * [[exactSurvivors]] (see its doc): losers decided on a 16-byte
+    * (hash, id) projection, recovered via broadcast LeftAnti. Requires
+    * unique non-null ids; falls back to the window form past the
+    * broadcast cap. */
+  private[graft] def exactSurvivorsAntiJoin(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val losers = Caches.track(
+      df.select(xxhash64(col(textCol)).as("__h"), col(idCol).as("__i"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__h")).orderBy(col("__i"))))
+        .filter(col("__rn") > 1)
+        .select(col("__i")))
+    if (losers.count() <= MaxBroadcastRows)
+      df.join(broadcast(losers), col(idCol) === col("__i"), "left_anti")
+    else {
+      System.err.println("[dedup] exactSurvivorsAntiJoin: loser set over " +
+        "broadcast cap — falling back to the full-row window form")
+      val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
   }
 
   /** Tokenize + lowercase: the canonical normalization for shingling.
@@ -391,8 +435,11 @@ object Dedup {
     // (TextExprs.windowHashes) computes every window's 64-bit hash in
     // ONE compiled pass over a single joined token buffer (no per-window
     // string allocation, no interpreted HOF); array index = position
-    val wins = Par.ensure(df.select(col(idCol).as("__id"),
-        TextExprs.windowHashes(col(textCol), W).as("__hs")))
+    // ensureBy(__id): the hit-collection aggregate below groups by __id,
+    // so the parallelism guard's exchange doubles as the aggregation's
+    // when it fires (guide §2.4 shared exchanges)
+    val wins = Par.ensureBy(df.select(col(idCol).as("__id"),
+        TextExprs.windowHashes(col(textCol), W).as("__hs")), col("__id"))
       .select(col("__id"), posexplode(col("__hs")))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__h")
     val flagged = wins.groupBy("__h")
@@ -626,6 +673,12 @@ object Dedup {
     * below excludes precisely those docs (tokens never contain spaces). */
   private[graft] def shingleSets(df: DataFrame, textCol: String, idCol: String,
       blockCol: String, shingleN: Int): DataFrame =
+    // round-robin, NOT ensureBy(__id): sharing the guard's exchange with
+    // the posting-rank window was tried in r18 and measured SLOWER for
+    // d7 at sf1 warm (14.1 vs 11.8 s) — the fat shingle-array rows hash
+    // less evenly than round-robin spreads them, and the posting-level
+    // re-shuffle it saves is the cheap 20-byte kind (the keyed variant
+    // DID win for the thin-row call sites: d12/x8/x13/x15 use ensureBy)
     Par.ensure(df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
         TextExprs.shingles(col(textCol), shingleN).as("__sh")))
       .filter(size(col("__sh")) > 1 ||

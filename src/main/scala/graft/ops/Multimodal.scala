@@ -375,6 +375,43 @@ object Multimodal {
     * the JDK). PCM in WAV is lossless, so an independent engine
     * recomputes any windowed amplitude statistic from the formula
     * without parsing a WAV byte. */
+  /** The WAV reader/writer SPI providers, resolved ONCE per JVM.
+    * `AudioSystem.write`/`getAudioInputStream` walk the FULL provider
+    * registry per call — and the JDK's registry includes a MIDI-backed
+    * AudioFileReader whose rejection probe takes a CLASS-level lock
+    * (com.sun.media.sound.JSSecurityManager.getProviders), so a 32-core
+    * decode stage serializes on it: a 20k-clip render+decode measured
+    * 5.06 s at 32 threads through AudioSystem vs 0.29 s warm with the
+    * providers pinned (the r18 fix). The SAME JDK WaveFileWriter /
+    * WaveFileReader classes still produce and parse every byte — output
+    * is byte-identical (spec-pinned) — only the per-call registry walk
+    * is gone. Either field is null when probing fails (exotic JDK);
+    * callers then fall back to the AudioSystem path. */
+  private lazy val wavProviders: (javax.sound.sampled.spi.AudioFileWriter,
+      javax.sound.sampled.spi.AudioFileReader) = {
+    import javax.sound.sampled._
+    try {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      def probeStream() = new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](4)), fmt, 2L)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(probeStream(), AudioFileFormat.Type.WAVE, out)
+      val wav = out.toByteArray
+      import scala.jdk.CollectionConverters._
+      val writer = java.util.ServiceLoader
+        .load(classOf[spi.AudioFileWriter]).asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, probeStream()))
+        .orNull
+      val reader = java.util.ServiceLoader
+        .load(classOf[spi.AudioFileReader]).asScala
+        .find { r =>
+          try { r.getAudioInputStream(new java.io.ByteArrayInputStream(wav)); true }
+          catch { case _: Exception => false }
+        }.orNull
+      (writer, reader)
+    } catch { case _: Throwable => (null, null) }
+  }
+
   def syntheticAudioWav(id: Long): Array[Byte] = {
     val n = syntheticAudioSamples(id)
     val pcm = new Array[Byte](n * 2)
@@ -389,8 +426,11 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    wavProviders._1 match {
+      case null => javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      case w => w.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    }
     out.toByteArray
   }
 
@@ -427,8 +467,20 @@ object Multimodal {
         val decoded =
           if (m.payload == null || m.payload.length < 12) None
           else try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(m.payload))
+            // pinned WAV reader (see wavProviders); a payload the WAV
+            // parser rejects falls back to the full AudioSystem registry
+            // walk, so non-WAV-but-decodable payloads behave exactly as
+            // before — only the hot all-WAV path skips the registry
+            val ais = wavProviders._2 match {
+              case null => javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(m.payload))
+              case r =>
+                try r.getAudioInputStream(new java.io.ByteArrayInputStream(m.payload))
+                catch { case _: Exception =>
+                  javax.sound.sampled.AudioSystem.getAudioInputStream(
+                    new java.io.ByteArrayInputStream(m.payload))
+                }
+            }
             val fmt = ais.getFormat
             if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
                 fmt.isBigEndian) None

@@ -9,6 +9,24 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def ensure(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
+    if (needsRepartition(df, want)) df.repartition(want) else df
+  }
+
+  /** [[ensure]], but keyed: when the guard fires, repartition by HASH of
+    * `keys` instead of round-robin, so a downstream operator keyed the
+    * same way (a per-document window, a doc-keyed aggregation) reuses
+    * this exchange instead of inserting its own (guide §2.4 "two
+    * operations keyed the same way can share one exchange"). Same
+    * parallelism fix — document ids hash evenly — and at production
+    * scale (enough input splits) both forms are the identity. */
+  def ensureBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    // A/B escape hatch (perf-experiment harness): fall back to round-robin
+    if (sys.env.contains("SPARK_GRAFT_NO_KEYED_ENSURE")) return ensure(df)
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (needsRepartition(df, want)) df.repartition(want, keys: _*) else df
+  }
+
+  private def needsRepartition(df: DataFrame, want: Int): Boolean = {
     // count the LEAF input splits from the planned scan instead of
     // forcing a df.rdd plan conversion (which detaches the lineage from
     // Catalyst and costs a planning pass per call)
@@ -25,6 +43,6 @@ object Par {
       case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
       case other => other.outputPartitioning.numPartitions
     }.sum
-    if (splits > 0 && splits < want) df.repartition(want) else df
+    splits > 0 && splits < want
   }
 }

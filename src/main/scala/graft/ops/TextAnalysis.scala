@@ -222,15 +222,56 @@ object TextAnalysis {
   def unigramNll(df0: DataFrame, idCol: String, textCol: String,
       broadcastMinCount: Long = 1L,
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
-    val df = Par.ensure(df0)
-    val tok = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
+    // ensureBy(id): the per-doc scoring aggregate groups by id, so the
+    // parallelism guard's exchange doubles as the aggregation's when it
+    // fires (the broadcast join preserves the partitioning)
+    val df = Par.ensureBy(df0, col(idCol))
+    // per-doc (token, in-doc count) via the compiled kernel
+    // (TextExprs.tokenCounts, the r18 rewrite): a doc's repeated tokens
+    // collapse BEFORE the explode, so the corpus-sized explode, the
+    // vocabulary aggregation's input and the scoring join's probe count
+    // all shrink from token OCCURRENCES to distinct (doc, token) pairs
+    // (guide §2.3 "aggregate before you shuffle"). The per-doc score
+    // becomes the count-weighted mean sum(c·-ln p)/sum(c) — the same
+    // multiset of addends as the per-occurrence avg, associated
+    // differently, so the double can differ in final ulps; the operator
+    // contract (and every consumer) rounds to 6dp, where the forms
+    // agree — occurrence-avg parity is pinned in OpsSpec and the
+    // replayed oracles are unchanged at every correctness SF.
+    val tok = df.select(col(idCol),
+        explode(TextExprs.tokenCounts(col(textCol))).as("__tc"))
+      .select(col(idCol), col("__tc.t").as("__t"), col("__tc.c").as("__n"))
     // persist: vocabulary-sized — consumed by BOTH the sizing aggregate
     // below (an action) and the scoring join; without it the corpus
     // explode + groupBy runs twice per query (mirrors bigramNll)
-    val counts = Caches.track(tok.groupBy("__t").agg(count(lit(1)).as("__c")))
+    val counts = Caches.track(tok.groupBy("__t").agg(sum(col("__n")).as("__c")))
     // one vocabulary-sized pass: the exact total (ALL tokens, floored or
     // not — p(token) denominators must not change) plus the retained
     // table's size for the broadcast decision
+    val stats = counts.agg(sum(col("__c")).as("__total"),
+      count(when(col("__c") > broadcastMinCount, lit(1))).as("__nkept")).head
+    val total = stats.getLong(0)
+    val common = counts.filter(col("__c") > broadcastMinCount)
+    val joinTable = if (stats.getLong(1) <= maxBroadcastVocab)
+      broadcast(common) else common
+    tok.join(joinTable, Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        (sum(col("__n").cast("double") *
+          -log(coalesce(col("__c"), lit(broadcastMinCount)).cast("double") /
+            lit(total.toDouble))) / sum(col("__n").cast("double"))).as("nll"))
+  }
+
+  /** The per-occurrence reference formulation of [[unigramNll]] — kept
+    * as the parity oracle for the weighted kernel form (pinned in
+    * OpsSpec: exact n_tokens, nll equal at the operator's 6dp rounding
+    * contract). */
+  private[graft] def unigramNllOccurrenceForm(df0: DataFrame, idCol: String,
+      textCol: String, broadcastMinCount: Long = 1L,
+      maxBroadcastVocab: Long = 8000000L): DataFrame = {
+    val df = Par.ensure(df0)
+    val tok = df.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
+    val counts = Caches.track(tok.groupBy("__t").agg(count(lit(1)).as("__c")))
     val stats = counts.agg(sum(col("__c")).as("__total"),
       count(when(col("__c") > broadcastMinCount, lit(1))).as("__nkept")).head
     val total = stats.getLong(0)
@@ -262,7 +303,9 @@ object TextAnalysis {
   def bigramNll(df0: DataFrame, idCol: String, textCol: String,
       broadcastMinCount: Long = 1L,
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
-    val df = Par.ensure(df0)
+    // ensureBy(id): the per-doc scoring aggregate groups by id (see
+    // unigramNll) — shared exchange when the guard fires
+    val df = Par.ensureBy(df0, col(idCol))
     // bigram construction via the compiled kernel (TextExprs.bigrams):
     // one pass per row emitting (left token, joined bigram) structs —
     // the zip_with(slice, slice, concat_ws) HOF chain this replaces
@@ -351,7 +394,9 @@ object TextAnalysis {
     * length) — no corpus-wide sort anywhere. */
   def tfidf(df0: DataFrame, idCol: String, textCol: String, k: Int = 5,
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
-    val df = Par.ensure(df0)
+    // ensureBy(id): the per-doc top-k window partitions by id, so the
+    // parallelism guard's exchange doubles as the window's when it fires
+    val df = Par.ensureBy(df0, col(idCol))
     val nDocs = df.count()
     // per-doc term frequencies via the compiled kernel
     // (TextExprs.tokenCounts): in-doc counts are a per-row computation,

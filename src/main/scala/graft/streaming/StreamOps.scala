@@ -105,6 +105,28 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Run `f` with `spark.sql.shuffle.partitions` sized from the input's
+    * scan-split count, restoring the session value afterwards (the r18
+    * generalization of what the interval join already did). A stateful
+    * streaming operator instantiates state-store instances PER SHUFFLE
+    * PARTITION (a stream-stream join: four per partition), each with
+    * fixed maintenance/commit cost per micro-batch — on a small input
+    * that fixed cost dominates the whole query. The input's split count
+    * grows with data volume, and the session default CAPS the result,
+    * so a cluster-sized session on a big input keeps its own configured
+    * parallelism; only genuinely small inputs narrow. The partition
+    * count never changes a keyed operator's RESULT — only where each
+    * key's state lives. */
+  def withInputSizedShuffle[T](s: org.apache.spark.sql.SparkSession,
+      inputParts: Int)(f: => T): T = {
+    // A/B escape hatch (perf-experiment harness, like SPARK_GRAFT_D9_PASSES)
+    if (sys.env.contains("SPARK_GRAFT_NO_INPUT_SIZED_STATE")) return f
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1, math.min(inputParts, prev.toInt))
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming ingest INTO an Iceberg-format table: each micro-batch
     * appends through a Transaction that also records the batch id in the
     * table properties, so the append and the progress marker commit in

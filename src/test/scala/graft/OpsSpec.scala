@@ -804,6 +804,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.linesIterator.exists(l => l.contains("lang_id") && l.contains("*(")), plan)
   }
 
+  test("exactSurvivors anti-join path equals the full-row window form") {
+    import spark.implicits._
+    // planted duplicates: clones with higher ids must all lose to the
+    // original; distinct texts survive untouched
+    val withDups = docs.unionByName(
+        docs.filter("doc_id % 7 = 0").withColumn("doc_id", col("doc_id") + 100000))
+      .unionByName(
+        docs.filter("doc_id % 11 = 0").withColumn("doc_id", col("doc_id") + 200000))
+    val anti = Dedup.exactSurvivorsAntiJoin(withDups, "text", "doc_id")
+    val win = Dedup.exactSurvivors(withDups, "text", "doc_id")
+    assert(anti.count() == win.count())
+    assert(anti.except(win).count() == 0 && win.except(anti).count() == 0)
+    // the clone of a duplicated text never survives; min id always does
+    assert(anti.filter(col("doc_id") >= 100000).count() == 0)
+    // edge: all-identical corpus (one survivor, the min id) — both forms
+    val same = Seq((5L, "same text"), (3L, "same text"), (9L, "same text"),
+      (7L, "other")).toDF("doc_id", "text")
+    for (form <- Seq(Dedup.exactSurvivors _, Dedup.exactSurvivorsAntiJoin _)) {
+      val s = form(same, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(s == Seq(3L, 7L))
+    }
+    // plan shape: the corpus rows are recovered via a broadcast ANTI
+    // join — no full-row hash exchange, no window over the corpus rows
+    // (the only Window runs on the 16-byte (hash, id) projection)
+    val plan = anti.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("codegen simhash kernel is bit-exact with the agg formulation") {
     import spark.implicits._
     val kernel = Dedup.simhash(docs, "text", "doc_id")
@@ -852,6 +882,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = Dedup.substringSpansWindowForm(crafted, "text", "doc_id", 3, 2)
     assert(m.except(w).count() == 0 && w.except(m).count() == 0 &&
       m.count() == w.count())
+  }
+
+  test("weighted unigram NLL equals the per-occurrence form (6dp contract)") {
+    import spark.implicits._
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "a a a b"),
+      (9004L, "unique tokens only here")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val w = TextAnalysis.unigramNll(corpus, "doc_id", "text")
+      .withColumnRenamed("n_tokens", "nt_w").withColumnRenamed("nll", "nll_w")
+    val o = TextAnalysis.unigramNllOccurrenceForm(corpus, "doc_id", "text")
+      .withColumnRenamed("n_tokens", "nt_o").withColumnRenamed("nll", "nll_o")
+    val j = w.join(o, Seq("doc_id"), "full_outer")
+    // row set + exact integer token counts
+    assert(j.filter(col("nt_w").isNull || col("nt_o").isNull ||
+      col("nt_w") =!= col("nt_o")).count() == 0)
+    // nll: same multiset of addends, different association — must agree
+    // far inside the operator's 6dp rounding contract
+    val maxd = j.agg(max(abs(col("nll_w") - col("nll_o")))).head.getDouble(0)
+    assert(maxd < 1e-9, s"weighted vs occurrence nll drift: $maxd")
   }
 
   test("codegen token-counts kernel equals explode + groupBy counts") {
@@ -1178,6 +1228,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val junk = Seq((7L, "not audio at all".getBytes)).toDF("doc_id", "payload")
     val fb = Multimodal.audioFeatures(spark, junk, "doc_id").head
     assert(fb.getLong(2) == 0L && fb.getInt(1) == 0)
+  }
+
+  test("pinned WAV writer renders byte-identical to AudioSystem.write") {
+    // the r18 provider pinning (registry-walk contention fix) must not
+    // change a single payload byte: re-render through the registry path
+    // and compare arrays
+    for (id <- Seq(0L, 1L, 999L, 19999L)) {
+      val mine = Multimodal.syntheticAudioWav(id)
+      val n = Multimodal.syntheticAudioSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      for (k <- 0 until n) {
+        val s = ((31L * id + 7L * k) % 65536L).toInt - 32768
+        pcm(2 * k) = (s & 0xff).toByte
+        pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      assert(java.util.Arrays.equals(mine, out.toByteArray), s"id $id")
+    }
   }
 
   test("sampleFrames: GIF frames decode to closed-form per-frame means") {

@@ -968,6 +968,18 @@ class WriteOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // raw per-commit changes in the same range carry both update steps
     assert(t.planChanges(spark, s1.snapshotId, sEnd.snapshotId).count()
       == 4 * nTouched)
+    // r18 equivalence pin: planNetChanges skips the per-commit carry-over
+    // cancelation (cancelPerCommit = false) — its output must equal the
+    // range-wide cancelation of the FULL per-commit changes stream,
+    // multiset-wise (net weight per distinct content row)
+    def netWeights(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__w", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy("o_orderkey", "o_totalprice").agg(sum("__w").as("__n"))
+      .filter("__n != 0")
+    val ref = netWeights(t.planChanges(spark, s1.snapshotId, sEnd.snapshotId)
+      .drop("_commit_snapshot_id", "_change_ordinal"))
+    val got = netWeights(net)
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
   }
 
   test("incremental append scan returns exactly the rows added in range") {
